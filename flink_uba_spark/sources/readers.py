@@ -1,0 +1,160 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S7).
+
+The reference reads CSV files line-by-line into replayed streams
+(HotItem.java:32, OrderPayTimeout.java:38-39), a socket (HotPages.java:41),
+and has a Kafka source wired but commented (HotItem.java:34-41, pom.xml:50-54).
+Here every source exists in two forms:
+
+- batch  : ``spark.read`` with an explicit schema (never inferSchema — the
+           reference's parsing is positional and fixed, HotItem.java:44-47)
+- stream : ``spark.readStream`` file/socket/kafka/rate sources
+
+Timestamp normalization (P6/P7): epoch-seconds columns and the Apache-log
+``dd/MM/yyyy:HH:mm:ss`` format are converted to TimestampType at ingest, so
+downstream windowing is idiomatic and sub-second-safe.
+
+Side outputs (S7) have no 1:1 Spark twin; operators model them as a tag
+column that callers split with filters — see operators/reconcile.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_uba_spark import schemas
+
+# ---------------------------------------------------------------------------
+# Batch readers (S1) — typed CSV with event-time normalization
+# ---------------------------------------------------------------------------
+
+
+def read_user_behavior(spark: SparkSession, path: str) -> DataFrame:
+    """UserBehavior CSV → typed frame (parse at HotItem.java:44-47)."""
+    raw = spark.read.schema(schemas.USER_BEHAVIOR_RAW).csv(path)
+    return raw.select(
+        "userId",
+        "itemId",
+        "categoryId",
+        "behavior",
+        F.timestamp_seconds("timestamp").alias("ts"),
+    )
+
+
+def read_apache_log(spark: SparkSession, path: str) -> DataFrame:
+    """Apache access log (space-delimited) → typed frame (HotPages.java:44-49).
+
+    fields[2] (dash) and fields[4] (tz) are discarded exactly as the
+    reference does; the timestamp format is dd/MM/yyyy:HH:mm:ss
+    (HotPages.java:46).
+    """
+    raw = spark.read.schema(schemas.APACHE_LOG_RAW).option("sep", " ").csv(path)
+    return raw.select(
+        "ip",
+        "userId",
+        F.to_timestamp("timestamp", "dd/MM/yyyy:HH:mm:ss").alias("ts"),
+        "method",
+        "url",
+    )
+
+
+def read_order_events(spark: SparkSession, path: str) -> DataFrame:
+    """OrderLog CSV → typed frame (parse at OrderPayTimeout.java:40-43).
+
+    txId is the empty string on create rows (TxPayMatch.java:56 relies on
+    this); we preserve that rather than nulling it.
+    """
+    raw = spark.read.schema(schemas.ORDER_EVENT_RAW).csv(path)
+    return raw.select(
+        "orderId",
+        "eventType",
+        F.coalesce("txId", F.lit("")).alias("txId"),
+        F.timestamp_seconds("timestamp").alias("ts"),
+    )
+
+
+def read_receipt_events(spark: SparkSession, path: str) -> DataFrame:
+    """ReceiptLog CSV → typed frame (parse at TxPayMatch.java:61-64)."""
+    raw = spark.read.schema(schemas.RECEIPT_EVENT_RAW).csv(path)
+    return raw.select(
+        "txId",
+        "payChannel",
+        F.timestamp_seconds("timestamp").alias("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming readers (S1 streaming / S2 socket / S3 kafka)
+# ---------------------------------------------------------------------------
+
+
+def stream_csv_dir(spark: SparkSession, directory: str, schema) -> DataFrame:
+    """File-source stream: replay a directory of CSV files as an unbounded
+    stream — the Spark analogue of the reference's readTextFile replay."""
+    return spark.readStream.schema(schema).csv(directory)
+
+
+def stream_socket(spark: SparkSession, host: str = "localhost", port: int = 7777) -> DataFrame:
+    """Socket text source (HotPages.java:41 — ``nc -lk 7777``)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def stream_kafka(spark: SparkSession, topic: str = "hotitems", servers: str = "localhost:9092") -> DataFrame:
+    """Kafka source (HotItem.java:34-41, commented in the reference but the
+    dependency is wired, pom.xml:50-54). Values decoded to STRING."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .load()
+        .select(F.col("value").cast("string").alias("value"))
+    )
+
+
+def stream_rate(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Rate source for load tests (no reference twin; used by bench/dev)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver testdata (TESTDATA.md)
+# ---------------------------------------------------------------------------
+
+
+def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as nanos-since-epoch longs
+    (spark.sql.legacy.parquet.nanosAsLong); truncate to micros exactly like
+    DuckDB's ns→us read so both engines see identical values."""
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            # integer div — ns values (~1.7e18) overflow double precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, tables=schemas.TESTDATA_TABLES) -> dict[str, DataFrame]:
+    """Load the driver's synthetic parquet tables from an sf directory."""
+    # events.parquet stores TIMESTAMP(NANOS); must be set on whatever session
+    # the caller (possibly the driver, with its own config) hands us.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return {
+        t: _normalize_ns_timestamps(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+        for t in tables
+    }
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=schemas.TESTDATA_TABLES) -> None:
+    """Register each testdata table as a temp view for spark.sql queries."""
+    for name, df in load_testdata(spark, sf_dir, tables).items():
+        df.createOrReplaceTempView(name)
