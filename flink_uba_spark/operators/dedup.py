@@ -1,0 +1,200 @@
+"""Deduplication family for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard (embedding near-dup lives in similarity.py).
+
+North-star extensions (BASELINE.json) — not present in the reference, but
+first-class operators of this engine.
+
+Scale design (the part that matters at 100 TB):
+- Signatures (minhash / simhash / fingerprints) are **pure per-row
+  projections** over the token array using JVM higher-order functions —
+  no explode, no groupBy, no Python. A document's signature costs O(len)
+  inside whole-stage codegen, fused onto the scan.
+- The only shuffles are the ones information-theoretically required:
+  one hash exchange on the signature/band key to bring candidates
+  together. LSH banding turns the O(n²) all-pairs problem into
+  |bucket|²-bounded local joins; band keys are md5 strings, uniformly
+  distributed, so the exchange has no skew by construction.
+- Cross-engine determinism: every hash is md5 (identical hex output in
+  Spark and DuckDB); min-hash is the lexicographic min of md5 hex strings,
+  a valid uniform min-wise hash with no engine-specific integer hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup — hash-groupBy on content digest
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical-id assignment: every doc maps to min(id) among docs with
+    identical content. ``is_dup`` marks the rows a pipeline would drop.
+
+    One exchange on the 128-bit digest; group sizes are duplicate-cluster
+    sizes, never skewed beyond the true duplicate multiplicity.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("text_md5")
+    return (
+        df.withColumn("text_md5", h)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_dup", (F.col(id_col) != F.col("canonical_id")))
+        .select(id_col, "text_md5", "canonical_id", "is_dup")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (whole text when shorter)."""
+    toks = F.split(text, " ")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", n_shingle: int = 3, num_perm: int = 9
+) -> DataFrame:
+    """Adds ``mh``: array of num_perm min-hashes. Permutation p's hash of a
+    shingle s is md5('<p>|' || s); the signature entry is the lexicographic
+    min over shingles — per-row, shuffle-free."""
+    sh = shingle_array(F.col(text_col), n_shingle)
+    mh = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda p: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(p.cast("string"), F.lit("|"), s)))
+        ),
+    )
+    return df.withColumn("mh", mh)
+
+
+def lsh_band_keys(df: DataFrame, bands: int = 3, rows_per_band: int = 3) -> DataFrame:
+    """Explode the signature into (band_idx, band_key) rows; docs sharing a
+    band key are near-dup candidates (standard banding: b bands of r rows,
+    collision prob ≈ 1-(1-j^r)^b for Jaccard j)."""
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(F.concat_ws("", F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band))),
+    )
+    return df.select("*", F.posexplode(band_arr).alias("band_idx", "band_key"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    num_perm: int = 9,
+    bands: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band.
+
+    Plan: per-row signature → posexplode to bands (×b rows) → self equi-join
+    on (band_idx, band_key) → distinct. The join and distinct are the only
+    exchanges; both key on uniform md5 strings.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(df.select(id_col, text_col), text_col, n_shingle, num_perm)
+    banded = lsh_band_keys(sig, bands, rows_per_band).select(id_col, "band_idx", "band_key")
+    a = banded.alias("lsh_a")
+    b = banded.alias("lsh_b")
+    return (
+        a.join(
+            b,
+            (F.col("lsh_a.band_idx") == F.col("lsh_b.band_idx"))
+            & (F.col("lsh_a.band_key") == F.col("lsh_b.band_key"))
+            & (F.col(f"lsh_a.{id_col}") < F.col(f"lsh_b.{id_col}")),
+        )
+        .select(
+            F.col(f"lsh_a.{id_col}").alias("a_id"), F.col(f"lsh_b.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 32-bit signature from md5 hex-digit top bits
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``simhash``: 32-char '0'/'1' string. Bit j is the sign of the
+    sum over tokens of ±1, where +1 iff hex digit j of md5(token) has its
+    top bit set (digit ∈ 8..f). Pure per-row HOF arithmetic — the classic
+    simhash with a cross-engine-stable bit source."""
+    toks = F.split(F.col(text_col), " ")
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(32)),
+        lambda j: F.when(
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(
+                    F.md5(t).substr(j, F.lit(1)).rlike("[89a-f]"),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return df.withColumn("simhash", F.concat_ws("", bits))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity on blocked candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    n_shingle: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingle sets, restricted to pairs
+    sharing a blocking key (at scale: block = LSH bucket or lang×length
+    band, keeping each block's pair count bounded).
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|) — integer set sizes via
+    array_intersect on per-row shingle arrays, one double division.
+    """
+    sh = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.array_distinct(shingle_array(F.col(text_col), n_shingle)).alias("sh"),
+    )
+    a = sh.alias("jac_a")
+    b = sh.alias("jac_b")
+    cond = F.col(f"jac_a.{id_col}") < F.col(f"jac_b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"jac_a.{c}") == F.col(f"jac_b.{c}"))
+    inter = F.size(F.array_intersect(F.col("jac_a.sh"), F.col("jac_b.sh"))).cast("long")
+    sz_a = F.size(F.col("jac_a.sh")).cast("long")
+    sz_b = F.size(F.col("jac_b.sh")).cast("long")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"jac_a.{id_col}").alias("a_id"),
+            F.col(f"jac_b.{id_col}").alias("b_id"),
+            inter.alias("n_inter"),
+            (sz_a + sz_b - inter).alias("n_union"),
+        )
+        .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and a
+deterministic random-hyperplane LSH scale path.
+
+North-star extensions (BASELINE.json). Embeddings are ``array<float>``
+columns (TESTDATA.md embeddings.parquet: vec_id, embedding float[64], label).
+
+Scale design:
+- Brute-force top-k broadcasts the (small) query set against the corpus —
+  the corpus scan parallelizes freely; per row it's one fused HOF dot
+  product, then a per-query top-k (rank exchange on query_id only).
+- The LSH path buckets vectors by the sign pattern of P fixed hyperplanes;
+  candidate generation is an equi-join on the bucket key (one exchange,
+  uniform keys). This is the IVF-style pruning that survives 100 TB —
+  brute force is kept as the exact baseline.
+
+Cross-engine determinism: components are quantized to integers
+(floor(x·1000)) so dot products and norms are exact BIGINTs; cosine is then
+a single float expression over identical integers, bit-equal in Spark and
+DuckDB. Hyperplane weights are md5-derived odd integers in [−15, 15]
+generated in Python (functions.hashing) and embedded as literals in BOTH
+the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_uba_spark.functions.hashing import hyperplane_weights
+
+QUANT = 1000
+
+
+def quantized(emb: Column) -> Column:
+    """array<float> → array<long> via floor(x·1000): exact, tie-free."""
+    return F.transform(emb, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors (64·10⁶ max —
+    far inside the exact-integer range)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def cosine_q(dot: Column, qq: Column, nn: Column) -> Column:
+    """cosine from exact integer dot/norms — one deterministic float expr."""
+    return dot.cast("double") / (F.sqrt(qq.cast("double")) * F.sqrt(nn.cast("double")))
+
+
+def with_quantized_norms(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    q = quantized(F.col(emb_col))
+    return df.withColumn("qemb", q).withColumn("qq", dot_q(F.col("qemb"), F.col("qemb")))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k nearest
+    corpus vectors (self excluded). Output: query_id, neighbor_id, cos, rnk."""
+    from pyspark.sql import Window
+
+    c = with_quantized_norms(corpus.select(F.col(id_col).alias("neighbor_id"), emb_col)).select(
+        "neighbor_id", F.col("qemb").alias("c_emb"), F.col("qq").alias("c_qq")
+    )
+    q = with_quantized_norms(queries.select(F.col(id_col).alias("query_id"), emb_col)).select(
+        "query_id", F.col("qemb").alias("q_emb"), F.col("qq").alias("q_qq")
+    )
+    dot = dot_q(F.col("q_emb"), F.col("c_emb"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_q(dot, F.col("q_qq"), F.col("c_qq")))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def lsh_bucket(emb_q: Column, planes: int = 16, dim: int = 64) -> Column:
+    """Sign-pattern bucket key from fixed md5-derived hyperplanes: a
+    '0'/'1' string of length ``planes``. Exact integer arithmetic."""
+    weights = hyperplane_weights(planes, dim)
+    bits = [
+        F.when(
+            dot_q(emb_q, F.array(*[F.lit(w).cast("long") for w in weights[p]])) > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in range(planes)
+    ]
+    return F.concat(*bits)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """LSH-bucketed near-duplicate pairs: vectors sharing a sign-pattern
+    bucket whose exact cosine ≥ threshold. The bucket equi-join bounds the
+    candidate set; cosine is the exact quantized form."""
+    base = with_quantized_norms(df.select(id_col, emb_col), emb_col).withColumn(
+        "bucket", lsh_bucket(F.col("qemb"), planes, dim)
+    ).select(id_col, "qemb", "qq", "bucket")
+    a = base.alias("ann_a")
+    b = base.alias("ann_b")
+    dot = dot_q(F.col("ann_a.qemb"), F.col("ann_b.qemb"))
+    return (
+        a.join(
+            b,
+            (F.col("ann_a.bucket") == F.col("ann_b.bucket"))
+            & (F.col(f"ann_a.{id_col}") < F.col(f"ann_b.{id_col}")),
+        )
+        .withColumn("cos", cosine_q(dot, F.col("ann_a.qq"), F.col("ann_b.qq")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"ann_a.{id_col}").alias("a_id"),
+            F.col(f"ann_b.{id_col}").alias("b_id"),
+            "cos",
+        )
+    )

@@ -1,0 +1,111 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, fingerprinting.
+
+Not in the reference (its P-family covers parse/filter scalars only,
+SURVEY.md §2.2); these are the north-star extensions (BASELINE.json) a 100 TB
+document pipeline needs.
+
+Scale design: every operator here is a **pure per-row projection** built from
+JVM-side higher-order functions (transform / filter / aggregate on the token
+array) — no shuffle, no UDF, no Python in the hot path. Whole-stage codegen
+fuses the whole thing onto the parquet scan, so throughput is scan-bound at
+any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny function-word lists for the n-gram/stopword language heuristic.
+# Deliberately small and hard-coded: the oracle SQL twin embeds the same
+# lists, so both engines classify identically.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "est", "un", "en", "du", "pour", "avec"),
+}
+LANG_PRIORITY = ("en", "de", "es", "fr")  # deterministic arg-max tie-break
+
+# BPE-ish token regex: word pieces or single non-word-non-space marks.
+# ASCII classes on purpose — identical semantics in Java regex and RE2.
+BPE_TOKEN_RE = "[A-Za-z0-9_]+|[^A-Za-z0-9_ ]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    return df.withColumns(
+        {
+            "n_words": F.size(tokens(F.col(text_col))).cast("long"),
+            "n_tokens": F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).cast("long"),
+        }
+    )
+
+
+def _stop_count(toks: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: stopword-hit arg-max with fixed priority order.
+
+    Adds c_<lang> counts and ``lang_pred``.
+    """
+    toks = tokens(F.col(text_col))
+    out = df
+    for lang in LANG_PRIORITY:
+        out = out.withColumn(f"c_{lang}", _stop_count(toks, STOPWORDS[lang]))
+    c = {lang: F.col(f"c_{lang}") for lang in LANG_PRIORITY}
+    pred = (
+        F.when((c["en"] >= c["de"]) & (c["en"] >= c["es"]) & (c["en"] >= c["fr"]), F.lit("en"))
+        .when((c["de"] >= c["es"]) & (c["de"] >= c["fr"]), F.lit("de"))
+        .when(c["es"] >= c["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return out.withColumn("lang_pred", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + bucket.
+
+    All ratios are single divisions of exact integer counts, so the values
+    are bit-identical across engines.
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9_ ]")).cast("long")
+    n_stop = _stop_count(toks, STOPWORDS["en"])
+    stop_ratio = n_stop.cast("double") / n_words
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
+    bucket = (
+        F.when((n_words >= 20) & (stop_ratio >= 0.05), F.lit("high"))
+        .when(n_words >= 5, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "n_chars_calc": n_chars,
+            "n_punct": n_punct,
+            "n_stop": n_stop,
+            "stop_ratio": stop_ratio,
+            "avg_word_len": avg_word_len,
+            "quality": bucket,
+        }
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical-form document fingerprint: md5 over the sorted distinct
+    token set — the dedup-key variant of a rolling hash (same role, exact
+    cross-engine semantics)."""
+    toks = tokens(F.col(text_col))
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return df.withColumn("fingerprint", F.md5(canon))

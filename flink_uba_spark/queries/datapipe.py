@@ -1,5 +1,273 @@
-"""Training-data-pipeline queries (dedup / similarity / text analysis)
-(placeholder — filled in as operators land)."""
+"""Training-data-pipeline query catalog: text analysis, dedup, similarity
+search over ``documents`` / ``embeddings`` (TESTDATA.md).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Each Spark query has a DuckDB oracle twin computing the identical function —
+including identical md5-based hashing and quantized-integer float discipline
+(see operators/dedup.py, operators/similarity.py docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_uba_spark.functions.hashing import weights_sql_literal
+from flink_uba_spark.operators import dedup as D
+from flink_uba_spark.operators import similarity as S
+from flink_uba_spark.operators import text as TX
+from flink_uba_spark.sources.readers import load_testdata
+
+_STOP_EN_SQL = "['the','a','of','and','to','in','is','on','for','with']"
+
+
+def _docs(spark, sf_dir):
+    return load_testdata(spark, sf_dir, ("documents",))["documents"]
+
+
+def _embs(spark, sf_dir):
+    return load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+# ------------------------------------------------------------ text analysis
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_counts(_docs(spark, sf_dir)).select("doc_id", "n_words", "n_tokens")
+
+
+TEXT_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "n_chars_calc", "n_punct", "n_stop",
+        "stop_ratio", "avg_word_len", "quality",
+    )
+
+
+TEXT_QUALITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_ ]')) AS BIGINT) AS n_punct,
+       CAST(len(list_filter(w, x -> list_contains({_STOP_EN_SQL}, x))) AS BIGINT) AS n_stop,
+       CAST(len(list_filter(w, x -> list_contains({_STOP_EN_SQL}, x))) AS DOUBLE) / len(w) AS stop_ratio,
+       CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_word_len,
+       CASE WHEN len(w) >= 20
+                 AND CAST(len(list_filter(w, x -> list_contains({_STOP_EN_SQL}, x))) AS DOUBLE) / len(w) >= 0.05
+            THEN 'high'
+            WHEN len(w) >= 5 THEN 'medium'
+            ELSE 'low' END AS quality
+FROM t
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "c_en", "c_de", "c_es", "c_fr", "lang_pred"
+    )
+
+
+def _stop_sql(lang: str) -> str:
+    return "[" + ",".join(f"'{w}'" for w in TX.STOPWORDS[lang]) + "]"
+
+
+TEXT_LANG_ID_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> list_contains({_stop_sql('en')}, x))) AS BIGINT) AS c_en,
+           CAST(len(list_filter(w, x -> list_contains({_stop_sql('de')}, x))) AS BIGINT) AS c_de,
+           CAST(len(list_filter(w, x -> list_contains({_stop_sql('es')}, x))) AS BIGINT) AS c_es,
+           CAST(len(list_filter(w, x -> list_contains({_stop_sql('fr')}, x))) AS BIGINT) AS c_fr
+    FROM t
+)
+SELECT doc_id, c_en, c_de, c_es, c_fr,
+       CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM c
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+TEXT_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------- dedup
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT doc_id, md5(text) AS text_md5,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+DEDUP_MINHASH_ORACLE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w) - 2),
+                                    i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END AS shs
+    FROM docs
+),
+mh AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, 8),
+                          p -> list_min(list_transform(shs, s -> md5(p::VARCHAR || '|' || s)))) AS mh
+    FROM sh
+),
+bands AS (
+    SELECT doc_id, g.b AS band_idx,
+           md5(array_to_string(mh[g.b*3 + 1 : g.b*3 + 3], '')) AS band_key
+    FROM mh CROSS JOIN generate_series(0, 2) AS g(b)
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+DEDUP_SIMHASH_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       array_to_string(list_transform(generate_series(1, 32), j ->
+           CASE WHEN list_sum(list_transform(w, tok ->
+                    CASE WHEN substring(md5(tok), j, 1) IN ('8','9','a','b','c','d','e','f')
+                         THEN 1 ELSE -1 END)) >= 0
+                THEN '1' ELSE '0' END), '') AS simhash
+FROM t
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("len_bucket", F.expr("n_chars div 128"))
+    return D.ngram_jaccard_pairs(
+        docs, block_cols=("lang", "len_bucket"), n_shingle=3, threshold=0.1
+    )
+
+
+DEDUP_JACCARD_ORACLE = """
+WITH s AS (
+    SELECT doc_id, lang, n_chars // 128 AS len_bucket,
+           list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+                THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+                                    i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
+                ELSE [text] END) AS sh
+    FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM s a JOIN s b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+"""
+
+
+# -------------------------------------------------------------- similarity
+_QUANT_SQL = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    return S.cosine_topk(embs, queries, k=5)
+
+
+EMBEDDING_TOPK_ORACLE = f"""
+WITH n AS (
+    SELECT vec_id, {_QUANT_SQL} AS qemb,
+           list_dot_product({_QUANT_SQL}, {_QUANT_SQL}) AS qq
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.qemb, c.qemb) / (sqrt(q.qq) * sqrt(c.qq)) AS cos
+    FROM n q JOIN n c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 8
+)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup_pairs(_embs(spark, sf_dir), planes=8, threshold=0.1)
+
+
+def _near_dup_oracle() -> str:
+    planes = weights_sql_literal(8, 64)
+    bucket = " || ".join(
+        f"(CASE WHEN list_dot_product(qemb, {w}) > 0 THEN '1' ELSE '0' END)" for w in planes
+    )
+    return f"""
+WITH n AS (
+    SELECT vec_id, {_QUANT_SQL} AS qemb,
+           list_dot_product({_QUANT_SQL}, {_QUANT_SQL}) AS qq
+    FROM embeddings
+),
+b AS (SELECT vec_id, qemb, qq, {bucket} AS bucket FROM n)
+SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+       list_dot_product(a.qemb, c.qemb) / (sqrt(a.qq) * sqrt(c.qq)) AS cos
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.qemb, c.qemb) / (sqrt(a.qq) * sqrt(c.qq)) >= 0.1
+"""
+
+
+QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "embedding_cosine_topk": embedding_cosine_topk,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+}
+
+ORACLES = {
+    "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
+    "text_quality_score": TEXT_QUALITY_ORACLE,
+    "text_lang_id": TEXT_LANG_ID_ORACLE,
+    "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
+    "dedup_simhash": DEDUP_SIMHASH_ORACLE,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
+    "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
+    "embedding_near_dup_lsh": _near_dup_oracle(),
+}

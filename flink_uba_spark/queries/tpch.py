@@ -1,5 +1,178 @@
-"""General analytics queries over the TPC-H-ish star schema (placeholder —
-filled in as operators land)."""
+"""General analytics over the TPC-H-ish star schema (TESTDATA.md).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The reference is a pure-streaming UBA suite; these queries prove the same
+engine serves the tables-at-rest side (scan → filter → join → agg → rank)
+with Catalyst doing pushdown/pruning/broadcast — the §4 conclusion that no
+custom optimizer work is needed.
+
+Determinism contract: money aggregates are ``floor(x*100)`` cents summed as
+BIGINT — floor (unlike round) has no tie-breaking ambiguity, and integer
+sums are order-independent, so Spark and DuckDB hashes match bit-for-bit.
+Averages are a single double division of exact integers.
+
+Scale notes (100 TB design point):
+- q1/q6: map-side partial agg → 6-group / 1-row final; scan-bound. Filters
+  and column pruning reach the parquet reader (PushedFilters in explain).
+- q3/q5: dimension sides are broadcast (F.broadcast) so the only shuffle on
+  the fact table is the final group-by; at 1000 executors the lineitem scan
+  parallelizes freely with no join exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_uba_spark.sources.readers import load_testdata
+
+
+def _cents(col):
+    return F.floor(col * 100).cast("long")
+
+
+# --------------------------------------------------------------------- q1
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(_cents(disc_price)).alias("sum_disc_price_cents"),
+            F.sum(_cents(charge)).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty").cast("double") / F.col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+       sum(CAST(floor((l_extendedprice * (1 - l_discount)) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+       count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------- q3
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+TPCH_Q3_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------- q5
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(
+        spark, sf_dir, ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    )
+    dims = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = t["customer"].join(F.broadcast(dims), F.col("c_nationkey") == dims.n_nationkey).select(
+        "c_custkey", F.col("n_nationkey").alias("cn_key"), "n_name"
+    )
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), (F.col("l_suppkey") == supp.s_suppkey) & (supp.s_nationkey == F.col("cn_key")))
+        .groupBy("n_name")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("n_name"))
+    )
+
+
+TPCH_Q5_ORACLE = """
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name ASC
+"""
+
+
+# --------------------------------------------------------------------- q6
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue_cents"))
+    )
+
+
+TPCH_Q6_ORACLE = """
+SELECT sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+QUERIES = {
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier": tpch_q5_local_supplier,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+}
+
+ORACLES = {
+    "tpch_q1_pricing_summary": TPCH_Q1_ORACLE,
+    "tpch_q3_shipping_priority": TPCH_Q3_ORACLE,
+    "tpch_q5_local_supplier": TPCH_Q5_ORACLE,
+    "tpch_q6_forecast_revenue": TPCH_Q6_ORACLE,
+}
