@@ -48,9 +48,11 @@ def main() -> None:
     for name in names:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()  # full materialization without driver collect
+        # noop sink: materializes EVERY output column (count() would let
+        # Catalyst prune projection work and under-measure)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -24,6 +24,33 @@ def hyperplane_weights(planes: int, dim: int) -> tuple[tuple[int, ...], ...]:
     return tuple(out)
 
 
+MERSENNE31 = 2147483647  # modulus for affine min-hash permutations
+
+# n-gram combiner constants: shingle hash = Σ token_hash[i+j]·NGRAM_C[j] mod M.
+# Odd, < 2²⁸ (md5-derived once, frozen) so each product stays < 2⁵⁹ — exact
+# 64-bit integer arithmetic on every engine.
+NGRAM_C = (
+    int(hashlib.md5(b"ngram0").hexdigest()[:7], 16) | 1,
+    int(hashlib.md5(b"ngram1").hexdigest()[:7], 16) | 1,
+    int(hashlib.md5(b"ngram2").hexdigest()[:7], 16) | 1,
+)
+
+
+@lru_cache(maxsize=None)
+def minhash_perm_constants(num_perm: int) -> tuple[tuple[int, int], ...]:
+    """(a, b) per permutation for h ↦ (a·h + b) mod 2³¹−1.
+
+    a is odd and < 2²⁸ so a·h < 2⁵⁹ stays exact in 64-bit integers on both
+    engines; constants are md5-derived, fixed forever.
+    """
+    out = []
+    for p in range(num_perm):
+        a = int(hashlib.md5(f"a{p}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"b{p}".encode()).hexdigest()[:7], 16)
+        out.append((a, b))
+    return tuple(out)
+
+
 def weights_sql_literal(planes: int, dim: int) -> list[str]:
     """Each plane's weights as a DuckDB BIGINT[] literal string."""
     ws = hyperplane_weights(planes, dim)

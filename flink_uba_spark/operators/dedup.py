@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_uba_spark.operators.util import ensure_min_partitions
+
 # ---------------------------------------------------------------------------
 # exact dedup — hash-groupBy on content digest
 # ---------------------------------------------------------------------------
@@ -68,17 +70,56 @@ def shingle_array(text: Column, n: int = 3) -> Column:
 def minhash_signature(
     df: DataFrame, text_col: str = "text", n_shingle: int = 3, num_perm: int = 9
 ) -> DataFrame:
-    """Adds ``mh``: array of num_perm min-hashes. Permutation p's hash of a
-    shingle s is md5('<p>|' || s); the signature entry is the lexicographic
-    min over shingles — per-row, shuffle-free."""
-    sh = shingle_array(F.col(text_col), n_shingle)
-    mh = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(p.cast("string"), F.lit("|"), s)))
-        ),
+    """Adds ``mh``: array<long> of num_perm min-hashes.
+
+    One md5 per shingle (base hash = first 15 hex digits as a 60-bit int,
+    then reduced mod 2³¹−1); each permutation is a cheap affine map
+    h ↦ (a·h+b) mod 2³¹−1 with fixed md5-derived constants
+    (functions.hashing.minhash_perm_constants). All integer arithmetic —
+    exact on both engines — and ~num_perm× fewer md5 calls than hashing
+    per permutation. Per-row, shuffle-free."""
+    from flink_uba_spark.functions.hashing import (
+        MERSENNE31,
+        NGRAM_C,
+        minhash_perm_constants,
     )
-    return df.withColumn("mh", mh)
+
+    if n_shingle != 3:
+        raise ValueError("minhash_signature supports n_shingle=3 (NGRAM_C arity)")
+
+    def _h(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MERSENNE31
+
+    # hash each TOKEN once (md5 → 60-bit int → mod M), then combine token
+    # hashes arithmetically per shingle — no per-shingle string building,
+    # n_shingle× fewer md5 calls than hashing joined shingle strings.
+    toks = F.split(F.col(text_col), " ")
+    th = F.transform(toks, _h)
+    with_th = df.withColumn("__th", th)
+    sh_hash = F.when(
+        F.size(F.col("__th")) >= n_shingle,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__th")) - (n_shingle - 1)),
+            lambda i: (
+                F.element_at(F.col("__th"), i) * NGRAM_C[0]
+                + F.element_at(F.col("__th"), i + 1) * NGRAM_C[1]
+                + F.element_at(F.col("__th"), i + 2) * NGRAM_C[2]
+            )
+            % MERSENNE31,
+        ),
+    ).otherwise(F.array(_h(F.col(text_col))))
+    with_base = with_th.withColumn("__sh_hash", sh_hash).drop("__th")
+    mh = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__sh_hash"), lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
+                )
+            )
+            for a, b in minhash_perm_constants(num_perm)
+        ]
+    )
+    return with_base.withColumn("mh", mh).drop("__sh_hash")
 
 
 def lsh_band_keys(df: DataFrame, bands: int = 3, rows_per_band: int = 3) -> DataFrame:
@@ -87,7 +128,15 @@ def lsh_band_keys(df: DataFrame, bands: int = 3, rows_per_band: int = 3) -> Data
     collision prob ≈ 1-(1-j^r)^b for Jaccard j)."""
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(F.concat_ws("", F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band))),
+        lambda b: F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            )
+        ),
     )
     return df.select("*", F.posexplode(band_arr).alias("band_idx", "band_key"))
 
@@ -99,28 +148,43 @@ def minhash_lsh_candidates(
     n_shingle: int = 3,
     num_perm: int = 9,
     bands: int = 3,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band.
 
-    Plan: per-row signature → posexplode to bands (×b rows) → self equi-join
-    on (band_idx, band_key) → distinct. The join and distinct are the only
-    exchanges; both key on uniform md5 strings.
+    Plan: per-row signature → posexplode to bands (×b rows) → ONE hash
+    exchange grouping by (band_idx, band_key) → in-bucket pair expansion
+    with JVM array ops → distinct. No self-join: a naive banded-self-join
+    plan computes the signature pipeline twice (once per side); grouping
+    computes it once and the bucket arrays are tiny (LSH buckets are
+    near-dup clusters). ``max_bucket`` guards the degenerate band that
+    would explode quadratically at scale — buckets past it are dropped
+    (they carry no discriminating signal).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signature(df.select(id_col, text_col), text_col, n_shingle, num_perm)
+    sig = minhash_signature(
+        ensure_min_partitions(df.select(id_col, text_col)), text_col, n_shingle, num_perm
+    )
     banded = lsh_band_keys(sig, bands, rows_per_band).select(id_col, "band_idx", "band_key")
-    a = banded.alias("lsh_a")
-    b = banded.alias("lsh_b")
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ids") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, F.size("ids") - i),
+                lambda x: F.struct(
+                    F.element_at(F.col("ids"), i).alias("a_id"), x.alias("b_id")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("lsh_a.band_idx") == F.col("lsh_b.band_idx"))
-            & (F.col("lsh_a.band_key") == F.col("lsh_b.band_key"))
-            & (F.col(f"lsh_a.{id_col}") < F.col(f"lsh_b.{id_col}")),
-        )
-        .select(
-            F.col(f"lsh_a.{id_col}").alias("a_id"), F.col(f"lsh_b.{id_col}").alias("b_id")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
 
@@ -135,6 +199,7 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     sum over tokens of ±1, where +1 iff hex digit j of md5(token) has its
     top bit set (digit ∈ 8..f). Pure per-row HOF arithmetic — the classic
     simhash with a cross-engine-stable bit source."""
+    df = ensure_min_partitions(df)
     toks = F.split(F.col(text_col), " ")
     bits = F.transform(
         F.sequence(F.lit(1), F.lit(32)),
@@ -175,7 +240,7 @@ def ngram_jaccard_pairs(
     jaccard = |A∩B| / (|A|+|B|−|A∩B|) — integer set sizes via
     array_intersect on per-row shingle arrays, one double division.
     """
-    sh = df.select(
+    sh = ensure_min_partitions(df).select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.array_distinct(shingle_array(F.col(text_col), n_shingle)).alias("sh"),
     )

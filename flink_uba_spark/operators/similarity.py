@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_uba_spark.functions.hashing import hyperplane_weights
+from flink_uba_spark.operators.util import ensure_min_partitions
 
 QUANT = 1000
 
@@ -65,7 +66,9 @@ def cosine_topk(
     corpus vectors (self excluded). Output: query_id, neighbor_id, cos, rnk."""
     from pyspark.sql import Window
 
-    c = with_quantized_norms(corpus.select(F.col(id_col).alias("neighbor_id"), emb_col)).select(
+    c = with_quantized_norms(
+        ensure_min_partitions(corpus.select(F.col(id_col).alias("neighbor_id"), emb_col))
+    ).select(
         "neighbor_id", F.col("qemb").alias("c_emb"), F.col("qq").alias("c_qq")
     )
     q = with_quantized_norms(queries.select(F.col(id_col).alias("query_id"), emb_col)).select(
@@ -109,7 +112,7 @@ def embedding_near_dup_pairs(
     """LSH-bucketed near-duplicate pairs: vectors sharing a sign-pattern
     bucket whose exact cosine ≥ threshold. The bucket equi-join bounds the
     candidate set; cosine is the exact quantized form."""
-    base = with_quantized_norms(df.select(id_col, emb_col), emb_col).withColumn(
+    base = with_quantized_norms(ensure_min_partitions(df.select(id_col, emb_col)), emb_col).withColumn(
         "bucket", lsh_bucket(F.col("qemb"), planes, dim)
     ).select(id_col, "qemb", "qq", "bucket")
     a = base.alias("ann_a")

@@ -1,0 +1,19 @@
+"""Shared operator plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a too-narrow input before CPU-heavy per-row projections.
+
+    Small dimension-sized inputs (one parquet file → one split) would pin
+    signature computation (minhash/simhash/dot products) to a single core;
+    a cheap round-robin shuffle of the raw rows buys full parallelism. At
+    real scale inputs already have >cores splits and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

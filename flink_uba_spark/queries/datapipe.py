@@ -123,25 +123,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
-DEDUP_MINHASH_ORACLE = """
-WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (
-    SELECT doc_id,
-           CASE WHEN len(w) >= 3
-                THEN list_transform(generate_series(1, len(w) - 2),
-                                    i -> array_to_string(w[i:i+2], ' '))
-                ELSE [array_to_string(w, ' ')] END AS shs
+def _minhash_oracle() -> str:
+    from flink_uba_spark.functions.hashing import (
+        MERSENNE31,
+        NGRAM_C,
+        minhash_perm_constants,
+    )
+
+    perms = ",\n               ".join(
+        f"list_min(list_transform(bh, h -> ({a} * h + {b}) % {MERSENNE31}))"
+        for a, b in minhash_perm_constants(9)
+    )
+    c0, c1, c2 = NGRAM_C
+    return f"""
+WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+th AS (
+    SELECT doc_id, text,
+           list_transform(w, t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % {MERSENNE31}) AS th
     FROM docs
+),
+bases AS (
+    SELECT doc_id,
+           CASE WHEN len(th) >= 3
+                THEN list_transform(generate_series(1, len(th) - 2),
+                                    i -> (th[i]*{c0} + th[i+1]*{c1} + th[i+2]*{c2}) % {MERSENNE31})
+                ELSE [('0x' || substring(md5(text), 1, 15))::BIGINT % {MERSENNE31}] END AS bh
+    FROM th
 ),
 mh AS (
     SELECT doc_id,
-           list_transform(generate_series(0, 8),
-                          p -> list_min(list_transform(shs, s -> md5(p::VARCHAR || '|' || s)))) AS mh
-    FROM sh
+           [{perms}] AS mh
+    FROM bases
 ),
 bands AS (
     SELECT doc_id, g.b AS band_idx,
-           md5(array_to_string(mh[g.b*3 + 1 : g.b*3 + 3], '')) AS band_key
+           md5(array_to_string(mh[g.b*3 + 1 : g.b*3 + 3], '|')) AS band_key
     FROM mh CROSS JOIN generate_series(0, 2) AS g(b)
 )
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -265,7 +281,7 @@ ORACLES = {
     "text_lang_id": TEXT_LANG_ID_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
-    "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
+    "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
