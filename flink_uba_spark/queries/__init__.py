@@ -12,18 +12,20 @@ produced by a single IEEE operation on exactly-representable integers
 
 from __future__ import annotations
 
-from flink_uba_spark.queries import datapipe, tpch, uba
+from flink_uba_spark.queries import datapipe, streaming, tpch, uba
+
+_MODULES = (uba, tpch, datapipe, streaming)
 
 
 def all_queries():
     merged = {}
-    for mod in (uba, tpch, datapipe):
+    for mod in _MODULES:
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles():
     merged = {}
-    for mod in (uba, tpch, datapipe):
+    for mod in _MODULES:
         merged.update(mod.ORACLES)
     return merged

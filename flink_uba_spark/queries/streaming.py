@@ -1,0 +1,164 @@
+"""Streaming query catalog — Structured Streaming twins of the UBA queries,
+run as bounded replays (availableNow) into memory sinks, per the §5
+batch/streaming-equivalence strategy.
+
+These are REAL streaming executions (incremental state, watermarks); the
+oracles encode the exact watermark semantics:
+
+- windowed agg, append mode: a window is final when the watermark (= max
+  observed event time − delay) passes its end → oracle filters the batch
+  answer to window_end ≤ max(ts of the filtered stream).
+- stream-stream inner join: watermarks bound state retention, not output —
+  on bounded input every match is emitted → oracle identical to batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_uba_spark.operators.topn import topn_per_window
+from flink_uba_spark.queries.uba import ATTRIBUTION_ORACLE, TOP_N
+from flink_uba_spark.streaming.runner import run_to_table, stream_events
+from flink_uba_spark.streaming.windows import stream_windowed_counts
+
+
+def stream_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HotItem in its native streaming form (HotItem.java:26-73): watermarked
+    sliding-window counts run incrementally; the top-5 rank is applied to the
+    finalized windows (the foreachBatch pattern — ranking over an updating
+    aggregate is an update query, HotItemWithSql.java:75-77)."""
+    ev = stream_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.get_json_object("props", "$.k").cast("long").alias("item_id"), "ts"
+    )
+    counts = run_to_table(
+        stream_windowed_counts(views, F.col("item_id"), "item_id", watermark_delay="0 seconds")
+    )
+    return topn_per_window(counts, "item_id", n=TOP_N).select(
+        "window_start", "window_end", "item_id", "cnt", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+STREAM_HOT_ITEMS_ORACLE = f"""
+WITH pv AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id, ts
+    FROM events WHERE event_type = 'view'
+),
+assigned AS (
+    SELECT make_timestamp(((CAST(floor(epoch(ts) / 300) AS BIGINT) - g.k) * 300) * 1000000)
+               AS window_start,
+           item_id
+    FROM pv CROSS JOIN generate_series(0, 11) AS g(k)
+),
+agg AS (
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end, item_id,
+           count(*) AS cnt
+    FROM assigned GROUP BY 1, 3
+),
+final AS (
+    -- append-mode finalization: watermark = max event time − 0s delay
+    SELECT * FROM agg WHERE window_end <= (SELECT max(ts) FROM pv)
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, item_id ASC) AS rnk
+    FROM final
+)
+SELECT window_start, window_end, item_id, cnt, rnk FROM ranked WHERE rnk <= {TOP_N}
+"""
+
+
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 in its native streaming form (TxPayMatchByJoin.java:60-77):
+    stream-stream inner join with watermarks on both sides and the time
+    range as join condition (which doubles as the state-retention bound)."""
+    pays = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("pay_id"), "user_id", F.col("ts").alias("pay_ts"))
+        .withWatermark("pay_ts", "10 seconds")
+    )
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "10 seconds")
+    )
+    joined = pays.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("pay_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("view_ts") <= F.col("pay_ts")),
+        "inner",
+    ).select("pay_id", "view_id", "user_id", "pay_ts", "view_ts")
+    return run_to_table(joined)
+
+
+def stream_order_timeout_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 in its native streaming form: per-key state machine with
+    event-time timers via applyInPandasWithState (see
+    streaming/order_timeout.py). ``timeout`` verdicts require their timer
+    to fire, i.e. the final watermark must pass the deadline — the oracle
+    filters accordingly; all other states match the batch operator."""
+    from flink_uba_spark.streaming.order_timeout import stream_order_timeout
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(stream_order_timeout(ev, deadline="6 hours"))
+
+
+STREAM_ORDER_TIMEOUT_ORACLE = """
+WITH a AS (
+    SELECT event_id AS anchor_id, user_id, ts AS anchor_ts
+    FROM events WHERE event_type = 'signup'
+),
+f AS (
+    SELECT event_id AS follow_id, user_id, ts AS follow_ts
+    FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+    SELECT max(ts) AS w FROM events WHERE event_type IN ('signup', 'purchase')
+),
+cand AS (
+    SELECT a.anchor_id, f.follow_id, f.follow_ts,
+           row_number() OVER (PARTITION BY a.anchor_id
+                              ORDER BY f.follow_ts, f.follow_id) AS rn
+    FROM a JOIN f USING (user_id)
+    WHERE f.follow_ts >= a.anchor_ts
+),
+ff AS (SELECT anchor_id, follow_id, follow_ts FROM cand WHERE rn = 1),
+anchored AS (
+    SELECT a.anchor_id, ff.follow_id, a.user_id, a.anchor_ts, ff.follow_ts,
+           CASE WHEN ff.follow_ts IS NULL THEN 'timeout'
+                WHEN ff.follow_ts <= a.anchor_ts + INTERVAL 6 HOUR THEN 'payed'
+                ELSE 'payed_late' END AS state
+    FROM a LEFT JOIN ff USING (anchor_id)
+),
+orphans AS (
+    SELECT CAST(NULL AS BIGINT) AS anchor_id, f.follow_id, f.user_id,
+           CAST(NULL AS TIMESTAMP) AS anchor_ts, f.follow_ts,
+           'pay_no_create' AS state
+    FROM f
+    WHERE NOT EXISTS (
+        SELECT 1 FROM a
+        WHERE a.user_id = f.user_id AND a.anchor_ts <= f.follow_ts
+    )
+)
+SELECT * FROM anchored
+WHERE state != 'timeout'
+   OR anchor_ts + INTERVAL 6 HOUR <= (SELECT w FROM wm)
+UNION ALL SELECT * FROM orphans
+"""
+
+
+QUERIES = {
+    "stream_hot_items": stream_hot_items,
+    "stream_attribution_join": stream_attribution_join,
+    "stream_order_timeout_states": stream_order_timeout_states,
+}
+
+ORACLES = {
+    "stream_hot_items": STREAM_HOT_ITEMS_ORACLE,
+    "stream_attribution_join": ATTRIBUTION_ORACLE,
+    "stream_order_timeout_states": STREAM_ORDER_TIMEOUT_ORACLE,
+}

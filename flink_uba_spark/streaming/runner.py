@@ -1,0 +1,58 @@
+"""Bounded-replay streaming execution helpers.
+
+The reference replays CSV files through its streaming jobs and treats the
+final printed state as the answer (SURVEY.md §5). Our equivalence method
+(§5 test strategy, point 3): run the streaming form with an availableNow
+trigger into a memory sink and compare the final table against the batch
+answer — the property that replaces Flink's event-time-replay determinism.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the driver's events parquet (file source), with the
+    same ns→us timestamp normalization as the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the file stream source requires a directory; expose the single events
+    # file through a symlink dir (testdata is read-only)
+    link_dir = Path(tempfile.gettempdir()) / "spark_graft_stream" / Path(sf_dir).name / "events"
+    link_dir.mkdir(parents=True, exist_ok=True)
+    link = link_dir / "events.parquet"
+    if not link.exists():
+        link.symlink_to(Path(sf_dir) / "events.parquet")
+    raw = spark.readStream.schema(schema).parquet(str(link_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a memory
+    sink; return the materialized result as a batch DataFrame."""
+    name = "mem_" + uuid.uuid4().hex[:12]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,117 @@
+"""Streaming twins: batch/stream equivalence (SURVEY.md §5 point 3) and
+state-machine unit tests (§5 point 4)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from flink_uba_spark.queries import streaming as SQ
+from flink_uba_spark.queries import uba
+from flink_uba_spark.streaming.order_timeout import make_detector
+from tests.conftest import assert_matches_oracle
+
+US = 1_000_000
+H6 = 6 * 3600 * US
+
+
+class FakeState:
+    def __init__(self, watermark_ms=0, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self._wm = watermark_ms
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def update(self, v):
+        self._v = v
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+    def remove(self):
+        self._v = None
+
+
+def _rows(*evs):
+    return pd.DataFrame(
+        [
+            {"event_id": i, "ts": pd.Timestamp(ts_us, unit="us"), "event_type": t}
+            for i, ts_us, t in evs
+        ]
+    )
+
+
+def _run(detector, pdf, state):
+    return pd.concat(list(detector((7,), iter([pdf]), state)), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def detector():
+    return make_detector(H6)
+
+
+def test_detector_payed_within_deadline(detector):
+    st = FakeState()
+    out = _run(detector, _rows((1, 0, "signup"), (2, US, "purchase")), st)
+    assert list(out["state"]) == ["payed"]
+    assert out.loc[0, "anchor_id"] == 1 and out.loc[0, "follow_id"] == 2
+
+
+def test_detector_payed_late(detector):
+    st = FakeState()
+    out = _run(detector, _rows((1, 0, "signup"), (2, H6 + US, "purchase")), st)
+    assert list(out["state"]) == ["payed_late"]
+
+
+def test_detector_orphan_pay(detector):
+    st = FakeState()
+    out = _run(detector, _rows((2, US, "purchase")), st)
+    assert list(out["state"]) == ["pay_no_create"]
+    # a later pay after an anchor existed is NOT an orphan
+    out2 = _run(detector, _rows((3, 2 * US, "signup"), (4, 3 * US, "purchase")), st)
+    assert list(out2["state"]) == ["payed"]
+
+
+def test_detector_timer_fires_timeout(detector):
+    st = FakeState()
+    out = _run(detector, _rows((1, 0, "signup")), st)
+    assert len(out) == 0 and st.timeout_set is not None
+    # watermark passes the deadline → timeout emitted on the timer call
+    st2 = FakeState(watermark_ms=(H6 + US) // 1000, value=st._v, timed_out=True)
+    out2 = pd.concat(list(detector((7,), iter([]), st2)), ignore_index=True)
+    assert list(out2["state"]) == ["timeout"]
+    assert out2.loc[0, "anchor_id"] == 1
+
+
+def test_detector_unfired_timer_stays_pending(detector):
+    st = FakeState()
+    _run(detector, _rows((1, 0, "signup")), st)
+    st2 = FakeState(watermark_ms=US // 1000, value=st._v, timed_out=True)  # before deadline
+    out = pd.concat(list(detector((7,), iter([]), st2)), ignore_index=True)
+    assert len(out) == 0
+    assert st2._v[0] == [1]  # anchor still pending
+
+
+def test_stream_queries_match_oracle(spark, duck, sf_dir):
+    for name in ("stream_hot_items", "stream_attribution_join", "stream_order_timeout_states"):
+        assert_matches_oracle(SQ.QUERIES[name](spark, sf_dir), duck, SQ.ORACLES[name])
+
+
+def test_stream_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join converges to the batch answer on
+    bounded input (watermarks bound state, not output)."""
+    batch = uba.attribution_interval_join(spark, sf_dir).toPandas()
+    stream = SQ.stream_attribution_join(spark, sf_dir).toPandas()
+    key = ["pay_id", "view_id"]
+    assert sorted(map(tuple, batch[key].values)) == sorted(map(tuple, stream[key].values))
