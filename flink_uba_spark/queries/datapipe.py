@@ -262,7 +262,34 @@ WHERE list_dot_product(a.qemb, c.qemb) / (sqrt(a.qq) * sqrt(c.qq)) >= 0.1
 """
 
 
+# -------------------------------------------------------------- multimodal
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode/feature pipeline (operators/multimodal.py):
+    documents → binary assets → Arrow-batched mapInPandas features. The
+    oracle recomputes the deterministic stand-in features relationally
+    (payload bytes are the UTF-8 text, so md5(blob) ≡ md5(text))."""
+    from flink_uba_spark.operators.multimodal import attach_payload, decode_features
+    from flink_uba_spark.operators.util import ensure_min_partitions
+
+    assets = attach_payload(ensure_min_partitions(_docs(spark, sf_dir)))
+    return decode_features(assets)
+
+
+MULTIMODAL_DECODE_ORACLE = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpeg'
+            ELSE 'wav' END AS format,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(CASE WHEN strlen(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS BIGINT)
+           AS head_byte
+FROM documents
+"""
+
+
 QUERIES = {
+    "multimodal_decode": multimodal_decode,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -276,6 +303,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
     "text_quality_score": TEXT_QUALITY_ORACLE,
     "text_lang_id": TEXT_LANG_ID_ORACLE,
