@@ -1,0 +1,74 @@
+"""Physical-plan contracts — the properties that make these queries survive
+a 100× scale-up (SURVEY.md §4): pushdown, pruning, broadcast, partial agg,
+minimal exchanges, no Python in relational hot paths."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from flink_uba_spark.queries import datapipe, tpch, uba
+
+
+def plan_of(spark, sf_dir, fn) -> str:
+    df = fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def count_nodes(plan: str, name: str) -> int:
+    """Count distinct plan nodes (formatted explain repeats names in the
+    detail section)."""
+    return len(re.findall(rf"^\(\d+\) {name}", plan, re.M))
+
+
+def test_q6_filter_pushdown_and_pruning(spark, sf_dir):
+    p = plan_of(spark, sf_dir, tpch.tpch_q6_forecast_revenue)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", p)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q6_partial_aggregation(spark, sf_dir):
+    p = plan_of(spark, sf_dir, tpch.tpch_q6_forecast_revenue)
+    assert "partial_sum" in p  # map-side combine before the exchange
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    p = plan_of(spark, sf_dir, tpch.tpch_q3_shipping_priority)
+    assert count_nodes(p, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p  # no fact-side shuffle for the joins
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    p = plan_of(spark, sf_dir, tpch.tpch_q5_local_supplier)
+    assert count_nodes(p, "BroadcastHashJoin") == 5
+    # only the final groupBy(n_name) exchange + the 5-row result sort —
+    # the lineitem scan side never shuffles for any join
+    assert count_nodes(p, "Exchange") == 2
+
+
+def test_hot_items_two_exchange_topology(spark, sf_dir):
+    """The reference's two keyBy shuffles (HotItem.java:58,66 — J5) must be
+    exactly two exchanges: hash(window,item) for the agg, hash(window) for
+    the rank. More would mean a redundant shuffle at 100 TB."""
+    p = plan_of(spark, sf_dir, uba.hot_items)
+    assert count_nodes(p, "Exchange") == 2
+    assert "partial_count" in p or "partial_" in p  # incremental pre-agg (W3)
+
+
+def test_relational_queries_have_no_python(spark, sf_dir):
+    """U1: business logic stays JVM-side; Python appears only in the
+    explicitly-stateful/multimodal operators."""
+    for fn in (uba.hot_items, uba.order_timeout_states, uba.tx_reconcile_full_outer,
+               datapipe.dedup_minhash_lsh, datapipe.text_quality_score,
+               datapipe.embedding_cosine_topk):
+        p = plan_of(spark, sf_dir, fn)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn.__name__
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    p = plan_of(spark, sf_dir, tpch.tpch_q3_shipping_priority)
+    assert "TakeOrderedAndProject" in p  # T4: sort+limit fused
