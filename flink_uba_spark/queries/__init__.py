@@ -12,9 +12,9 @@ produced by a single IEEE operation on exactly-representable integers
 
 from __future__ import annotations
 
-from flink_uba_spark.queries import datapipe, streaming, tpch, uba
+from flink_uba_spark.queries import behavior, datapipe, streaming, tpch, uba
 
-_MODULES = (uba, tpch, datapipe, streaming)
+_MODULES = (uba, tpch, datapipe, streaming, behavior)
 
 
 def all_queries():

@@ -163,8 +163,113 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+# -------------------------------------------------------------------- q10
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = t["customer"].select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_cents DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# -------------------------------------------------------------------- q14
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))).alias("promo_cents"),
+            F.sum(disc).alias("total_cents"),
+        )
+        .withColumn(
+            "promo_pct", F.lit(100.0) * F.col("promo_cents") / F.col("total_cents")
+        )
+    )
+
+
+TPCH_Q14_ORACLE = """
+SELECT sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS promo_cents,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents,
+       100.0 * sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                        ELSE 0 END)
+             / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS promo_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+# ---------------------------------------------------------------- rollup
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set analytics (rollup over nation × order-year) — not in the
+    reference (SURVEY.md §2.7 'not present'), included as engine surface."""
+    t = load_testdata(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    enriched = (
+        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cents"),
+        )
+    )
+    return enriched.rollup("n_name", "o_year").agg(F.sum("cents").alias("revenue_cents"))
+
+
+REVENUE_ROLLUP_ORACLE = """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+FROM lineitem, orders, customer, nation
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS BIGINT))
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q14_promo_effect": tpch_q14_promo_effect,
+    "revenue_rollup": revenue_rollup,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
@@ -172,6 +277,9 @@ QUERIES = {
 
 ORACLES = {
     "tpch_q1_pricing_summary": TPCH_Q1_ORACLE,
+    "tpch_q10_returned_items": TPCH_Q10_ORACLE,
+    "tpch_q14_promo_effect": TPCH_Q14_ORACLE,
+    "revenue_rollup": REVENUE_ROLLUP_ORACLE,
     "tpch_q3_shipping_priority": TPCH_Q3_ORACLE,
     "tpch_q5_local_supplier": TPCH_Q5_ORACLE,
     "tpch_q6_forecast_revenue": TPCH_Q6_ORACLE,
