@@ -21,11 +21,21 @@ HEADLINE = [
     "order_timeout_states",
     "attribution_interval_join",
     "tx_reconcile_full_outer",
+    "user_sessions",
+    "user_funnel",
+    "user_retention",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "embedding_cosine_topk",
+    "embedding_near_dup_lsh",
     "text_quality_score",
+    "text_lang_id",
+    "multimodal_decode",
 ]
 
 
@@ -41,8 +51,12 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] or list(qs)
 
-    # warm the JVM + parquet footer caches once with a trivial action
+    # warm the JVM + parquet footer caches and the Python UDF worker pool
+    # once, so the first measured query doesn't absorb process startup
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -194,30 +194,31 @@ def minhash_lsh_candidates(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds ``simhash``: 32-char '0'/'1' string. Bit j is the sign of the
-    sum over tokens of ±1, where +1 iff hex digit j of md5(token) has its
-    top bit set (digit ∈ 8..f). Pure per-row HOF arithmetic — the classic
-    simhash with a cross-engine-stable bit source."""
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id_col, simhash): 32-char '0'/'1' signature. Token hash = first 8
+    hex digits of md5(token) as a 32-bit int (one md5 per token); bit j of
+    the signature is the sign of Σ over tokens of (2·bit_j(hash) − 1).
+
+    Shape: explode tokens → 32 static conditional sums in ONE hash
+    aggregate → bit-string projection. Everything stays inside whole-stage
+    codegen (higher-order-function lambdas are interpreted in Spark and
+    were ~10× slower here); the doc_id exchange carries 32 longs per doc
+    and is partial-aggregated map-side, so the shuffle is tiny at any
+    scale."""
     df = ensure_min_partitions(df)
-    toks = F.split(F.col(text_col), " ")
-    bits = F.transform(
-        F.sequence(F.lit(1), F.lit(32)),
-        lambda j: F.when(
-            F.aggregate(
-                toks,
-                F.lit(0),
-                lambda acc, t: acc
-                + F.when(
-                    F.md5(t).substr(j, F.lit(1)).rlike("[89a-f]"),
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
-            )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
+    tok_ints = F.expr(
+        f"transform(split({text_col}, ' '), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
     )
-    return df.withColumn("simhash", F.concat_ws("", bits))
+    ex = df.select(F.col(id_col), F.explode(tok_ints).alias("h"))
+    aggs = [
+        F.sum((F.shiftright(F.col("h"), 32 - j).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"b{j}")
+        for j in range(1, 33)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs)
+    bits = [
+        F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(1, 33)
+    ]
+    return g.select(F.col(id_col), F.concat(*bits).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

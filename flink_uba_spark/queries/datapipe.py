@@ -167,16 +167,19 @@ FROM bands a JOIN bands b
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+    return D.simhash(_docs(spark, sf_dir))
 
 
 DEDUP_SIMHASH_ORACLE = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+WITH t AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '),
+                          tok -> ('0x' || substring(md5(tok), 1, 8))::BIGINT) AS th
+    FROM documents
+)
 SELECT doc_id,
        array_to_string(list_transform(generate_series(1, 32), j ->
-           CASE WHEN list_sum(list_transform(w, tok ->
-                    CASE WHEN substring(md5(tok), j, 1) IN ('8','9','a','b','c','d','e','f')
-                         THEN 1 ELSE -1 END)) >= 0
+           CASE WHEN list_sum(list_transform(th, h -> ((h >> (32 - j)) & 1) * 2 - 1)) >= 0
                 THEN '1' ELSE '0' END), '') AS simhash
 FROM t
 """
