@@ -233,34 +233,58 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     n_shingle: int = 3,
     threshold: float = 0.1,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Exact Jaccard over distinct n-gram shingle sets, restricted to pairs
     sharing a blocking key (at scale: block = LSH bucket or lang×length
     band, keeping each block's pair count bounded).
 
-    jaccard = |A∩B| / (|A|+|B|−|A∩B|) — integer set sizes via
-    array_intersect on per-row shingle arrays, one double division.
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|) — exact integer set sizes, one
+    double division.
+
+    Shape: inverted index, not pairwise array intersection. Distinct
+    shingles explode to (block, shingle, doc, |doc|) postings; a
+    (block, shingle) group bucket-expands to co-occurring pairs; one
+    codegen'd count-aggregate per pair IS |A∩B|. A pair with zero common
+    shingles never materializes (threshold > 0 makes that a no-op), so
+    cost follows actual shingle co-occurrence instead of block-size².
+    ``max_bucket`` drops degenerate stop-shingle postings lists (at real
+    scale: the df-cap every near-dup pipeline applies).
     """
-    sh = ensure_min_partitions(df).select(
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs are never materialized)")
+    base = ensure_min_partitions(df).select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.array_distinct(shingle_array(F.col(text_col), n_shingle)).alias("sh"),
     )
-    a = sh.alias("jac_a")
-    b = sh.alias("jac_b")
-    cond = F.col(f"jac_a.{id_col}") < F.col(f"jac_b.{id_col}")
-    for c in block_cols:
-        cond = cond & (F.col(f"jac_a.{c}") == F.col(f"jac_b.{c}"))
-    inter = F.size(F.array_intersect(F.col("jac_a.sh"), F.col("jac_b.sh"))).cast("long")
-    sz_a = F.size(F.col("jac_a.sh")).cast("long")
-    sz_b = F.size(F.col("jac_b.sh")).cast("long")
-    return (
-        a.join(b, cond)
-        .select(
-            F.col(f"jac_a.{id_col}").alias("a_id"),
-            F.col(f"jac_b.{id_col}").alias("b_id"),
-            inter.alias("n_inter"),
-            (sz_a + sz_b - inter).alias("n_union"),
+    postings = base.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.size("sh").cast("long").alias("sz"),
+        F.explode("sh").alias("s"),
+    )
+    buckets = (
+        postings.groupBy(*[F.col(c) for c in block_cols], F.col("s"))
+        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("sz").alias("z")))).alias("items"))
+        .filter((F.size("items") >= 2) & (F.size("items") <= max_bucket))
+    )
+    # pair expansion as two codegen'd explodes (interpreted HOF expansion
+    # was the bottleneck on frequent-shingle postings lists)
+    e1 = buckets.select("items", F.explode("items").alias("pa"))
+    e2 = e1.select("pa", F.explode("items").alias("pb")).filter(
+        F.col("pa.i") < F.col("pb.i")
+    )
+    counts = (
+        e2.groupBy(
+            F.col("pa.i").alias("a_id"),
+            F.col("pb.i").alias("b_id"),
+            F.col("pa.z").alias("a_sz"),
+            F.col("pb.z").alias("b_sz"),
         )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        counts.withColumn("n_union", F.col("a_sz") + F.col("b_sz") - F.col("n_inter"))
         .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
         .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
     )
