@@ -1,0 +1,75 @@
+"""Sink tests: side-output splitting via foreachBatch, partitioned parquet,
+update-mode streaming (the retract-stream analogue)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_uba_spark.streaming.runner import stream_events
+from flink_uba_spark.streaming.sinks import foreach_batch_split, write_partitioned
+from flink_uba_spark.streaming.windows import stream_windowed_counts
+
+
+def test_foreach_batch_split_side_outputs(spark, sf_dir, tmp_path):
+    """S7: a tagged stream lands in one directory per tag, all in one query
+    (the OutputTag routing twin)."""
+    ev = stream_events(spark, sf_dir)
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", "dead_letter").otherwise("main").alias("route"),
+    )
+    q = foreach_batch_split(tagged, "route", str(tmp_path / "routed"))
+    q.awaitTermination()
+    main = spark.read.parquet(str(tmp_path / "routed" / "route=main"))
+    dead = spark.read.parquet(str(tmp_path / "routed" / "route=dead_letter"))
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_err = batch.filter(F.col("event_type") == "error").count()
+    assert dead.count() == n_err
+    assert main.count() == batch.count() - n_err
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    """Date-partitioned layout must let a day filter prune partitions."""
+    from flink_uba_spark.sources.readers import load_testdata
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    write_partitioned(ev, str(tmp_path / "events_by_day"), date_col="ts")
+    back = spark.read.parquet(str(tmp_path / "events_by_day"))
+    assert back.count() == ev.count()
+    one_day = back.filter(F.col("event_date") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    got = one_day.count()
+    want = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert got == want
+
+
+def test_update_mode_windowed_counts(spark, sf_dir):
+    """S6: update output mode (the retract-stream analogue) emits refined
+    counts; the latest refinement equals the batch answer for final
+    windows and ALSO covers windows the watermark never closed."""
+    from flink_uba_spark.operators.topn import windowed_counts
+    from flink_uba_spark.sources.readers import load_testdata
+    from flink_uba_spark.streaming.runner import run_to_table
+
+    ev = stream_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.get_json_object("props", "$.k").cast("long").alias("item_id"), "ts"
+    )
+    upd = run_to_table(
+        stream_windowed_counts(views, F.col("item_id"), "item_id"), output_mode="update"
+    )
+    evb = load_testdata(spark, sf_dir, ("events",))["events"]
+    vb = evb.filter(F.col("event_type") == "view").select(
+        F.get_json_object("props", "$.k").cast("long").alias("item_id"), "ts"
+    )
+    batch = windowed_counts(vb, "item_id")
+    # single bounded batch → one emission per (window, key); must equal batch
+    assert upd.count() == batch.count()
+    merged = upd.alias("u").join(
+        batch.alias("b"),
+        (F.col("u.window_start") == F.col("b.window_start"))
+        & (F.col("u.item_id") == F.col("b.item_id")),
+    )
+    assert merged.filter(F.col("u.cnt") != F.col("b.cnt")).count() == 0
