@@ -28,9 +28,11 @@ def sessionize(
     ts: str = "ts",
     gap: str = "30 minutes",
 ) -> DataFrame:
-    """Gap-based sessions per key (session extends while the next event is
-    strictly within ``gap`` of the last). Output: key, session_start,
-    session_end_event (last event ts), n_events."""
+    """Gap-based sessions per key. A session extends while the next event
+    arrives within ``gap`` of the last, INCLUSIVE — an event at exactly
+    last+gap still merges (Spark session_window semantics, pinned by
+    tests/test_behavior.py::test_sessionize_gap_boundary). Output: key,
+    session_start, session_end_event (last event ts), n_events."""
     return (
         df.groupBy(F.session_window(ts, gap).alias("w"), F.col(key))
         .agg(F.count(F.lit(1)).alias("n_events"), F.max(ts).alias("session_end_event"))

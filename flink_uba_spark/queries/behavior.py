@@ -24,7 +24,7 @@ USER_SESSIONS_ORACLE = """
 WITH flagged AS (
     SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
@@ -82,13 +82,40 @@ GROUP BY 1, 2
 """
 
 
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU per day + per-type event volume. (The HLL approximate
+    form — approx_count_distinct — is exercised in tests; it has no exact
+    oracle by construction.)"""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(
+            F.count_distinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("long").alias("n_purchases"),
+        )
+    )
+
+
+DAILY_ACTIVE_USERS_ORACLE = """
+SELECT date_trunc('day', ts) AS day,
+       count(DISTINCT user_id) AS dau,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "daily_active_users": daily_active_users,
     "user_sessions": user_sessions,
     "user_funnel": user_funnel,
     "user_retention": user_retention,
 }
 
 ORACLES = {
+    "daily_active_users": DAILY_ACTIVE_USERS_ORACLE,
     "user_sessions": USER_SESSIONS_ORACLE,
     "user_funnel": USER_FUNNEL_ORACLE,
     "user_retention": USER_RETENTION_ORACLE,

@@ -1,0 +1,90 @@
+"""Behavioral analytics: sessions/funnel/retention/DAU oracles, approx
+distinct sanity, streaming full-outer reconciliation equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_uba_spark.queries import behavior
+from flink_uba_spark.sources.readers import load_testdata
+from tests.conftest import assert_matches_oracle
+
+
+def test_behavior_queries_match_oracle(spark, duck, sf_dir):
+    for name, fn in behavior.QUERIES.items():
+        assert_matches_oracle(fn(spark, sf_dir), duck, behavior.ORACLES[name])
+
+
+def test_approx_count_distinct_within_error(spark, sf_dir):
+    """The HLL path (no exact oracle by construction): approximate DAU must
+    land within the configured relative error of the exact count."""
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    row = ev.agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= max(3, 0.1 * row.exact)
+
+
+def test_sessionize_gap_boundary(spark):
+    """Empirically pinned: an event at exactly last+gap MERGES (inclusive
+    boundary); one microsecond past the gap starts a new session. The
+    oracle SQL (> gap ⇒ new session) encodes the same rule."""
+    from flink_uba_spark.operators.sessions import sessionize
+
+    def sessions(ts3):
+        rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:29:59"), (1, ts3)]
+        df = spark.createDataFrame(rows, "user_id long, t string").select(
+            "user_id", F.col("t").cast("timestamp").alias("ts")
+        )
+        return len(sessionize(df, gap="30 minutes").collect())
+
+    assert sessions("2024-01-01 00:59:59") == 1  # exactly last+gap → merges
+    assert sessions("2024-01-01 00:59:59.000001") == 2  # past the gap → new
+
+
+def test_stream_reconcile_matches_batch_matched_rows(spark, sf_dir):
+    """J2 streaming twin: full-outer stream-stream join with watermarks.
+    Matched pairs must equal the batch reconciliation's matched set
+    (unmatched rows depend on watermark progress and are checked for
+    tag-correctness only)."""
+    from flink_uba_spark.queries.uba import tx_reconcile_full_outer
+    from flink_uba_spark.streaming.runner import run_to_table, stream_events
+
+    pays = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("pay_id"), "user_id", F.col("ts").alias("pay_ts"))
+        .withWatermark("pay_ts", "5 seconds")
+    )
+    receipts = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("receipt_id"), F.col("user_id").alias("r_user_id"),
+                F.col("ts").alias("receipt_ts"))
+        .withWatermark("receipt_ts", "5 seconds")
+    )
+    joined = pays.join(
+        receipts,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("receipt_ts") >= F.col("pay_ts") - F.expr("INTERVAL 2 MINUTES"))
+        & (F.col("receipt_ts") <= F.col("pay_ts") + F.expr("INTERVAL 2 MINUTES")),
+        "full_outer",
+    )
+    out = run_to_table(joined)
+    batch = tx_reconcile_full_outer(spark, sf_dir).toPandas()
+    got_matched = {
+        (r.pay_id, r.receipt_id)
+        for r in out.filter(F.col("pay_id").isNotNull() & F.col("receipt_id").isNotNull()).collect()
+    }
+    want_matched = {
+        (r.pay_id, r.receipt_id)
+        for r in batch[batch.status == "matched"][["pay_id", "receipt_id"]].itertuples(index=False)
+    }
+    assert got_matched == want_matched
+    # every batch-unmatched pay that streams out unmatched keeps a null receipt
+    stream_unmatched_pays = {
+        r.pay_id for r in out.filter(F.col("receipt_id").isNull()).collect()
+    }
+    batch_unmatched_pays = set(batch[batch.status == "unmatched_left"].pay_id)
+    assert stream_unmatched_pays <= batch_unmatched_pays
