@@ -101,6 +101,83 @@ def lsh_bucket(emb_q: Column, planes: int = 16, dim: int = 64) -> Column:
     return F.concat(*bits)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    centroid (argmax cosine, ties → lowest centroid id), probe each query's
+    ``n_probe`` closest centroid buckets, exact-rank inside the probed set.
+
+    The codebook is deterministic — the ``n_centroids`` lowest-id corpus
+    vectors (a real deployment plugs a trained codebook in; the plumbing is
+    identical). Collected to the driver once (tiny) and inlined as literal
+    arrays, so centroid assignment is a PER-ROW expression: no shuffle
+    touches the corpus until the bucket equi-join. At 100 TB this is the
+    standard inverted-file layout: partition by bucket, prune probes.
+    """
+    from pyspark.sql import Window
+
+    c = with_quantized_norms(
+        ensure_min_partitions(corpus.select(F.col(id_col).alias("neighbor_id"), emb_col))
+    ).select("neighbor_id", F.col("qemb").alias("c_emb"), F.col("qq").alias("c_qq"))
+    cents = sorted(
+        c.filter(F.col("neighbor_id") < n_centroids).collect(), key=lambda r: r.neighbor_id
+    )
+
+    def cos_to_centroid(emb_q: Column, qq: Column, cent_row) -> Column:
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in cent_row.c_emb])
+        return cosine_q(
+            dot_q(emb_q, arr), qq, F.lit(int(cent_row.c_qq)).cast("long")
+        )
+
+    def ranked_centroids(emb_q: Column, qq: Column) -> Column:
+        # sort by (-cos, centroid_id): exact float negation keeps ordering
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-cos_to_centroid(emb_q, qq, cr)).alias("negc"),
+                        F.lit(int(cr.neighbor_id)).alias("ck"),
+                    )
+                    for cr in cents
+                ]
+            )
+        )
+
+    bucketed = c.withColumn(
+        "bucket", ranked_centroids(F.col("c_emb"), F.col("c_qq"))[0]["ck"]
+    )
+    q = with_quantized_norms(queries.select(F.col(id_col).alias("query_id"), emb_col)).select(
+        "query_id", F.col("qemb").alias("q_emb"), F.col("qq").alias("q_qq")
+    )
+    probes = q.withColumn(
+        "bucket",
+        F.explode(
+            F.transform(
+                F.slice(ranked_centroids(F.col("q_emb"), F.col("q_qq")), 1, n_probe),
+                lambda s: s["ck"],
+            )
+        ),
+    )
+    dot = dot_q(F.col("q_emb"), F.col("c_emb"))
+    scored = (
+        bucketed.join(F.broadcast(probes), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_q(dot, F.col("q_qq"), F.col("c_qq")))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

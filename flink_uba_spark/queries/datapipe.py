@@ -242,6 +242,49 @@ SELECT query_id, neighbor_id, cos, rnk FROM (
 """
 
 
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (operators/similarity.py:ivf_topk):
+    deterministic codebook, per-row centroid assignment, 2-probe search.
+    The oracle replays the identical algorithm relationally."""
+    embs = _embs(spark, sf_dir)
+    return S.ivf_topk(embs, embs.filter(F.col("vec_id") < 8), k=5)
+
+
+EMBEDDING_IVF_ORACLE = f"""
+WITH n AS (
+    SELECT vec_id, {_QUANT_SQL} AS qemb,
+           list_dot_product({_QUANT_SQL}, {_QUANT_SQL}) AS qq
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS ck, qemb AS cemb, qq AS cqq FROM n WHERE vec_id < 8),
+cosses AS (
+    SELECT v.vec_id, c.ck,
+           list_dot_product(v.qemb, c.cemb) / (sqrt(v.qq) * sqrt(c.cqq)) AS cos
+    FROM n v CROSS JOIN cent c
+),
+ranked_c AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ck ASC) AS rn
+    FROM cosses
+),
+assign AS (SELECT vec_id, ck AS bucket FROM ranked_c WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, ck AS bucket FROM ranked_c
+           WHERE rn <= 2 AND vec_id < 8),
+scored AS (
+    SELECT p.query_id, v.vec_id AS neighbor_id,
+           list_dot_product(q.qemb, v.qemb) / (sqrt(q.qq) * sqrt(v.qq)) AS cos
+    FROM probes p
+    JOIN assign a ON a.bucket = p.bucket
+    JOIN n v ON v.vec_id = a.vec_id
+    JOIN n q ON q.vec_id = p.query_id
+    WHERE v.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+) WHERE rnk <= 5
+"""
+
+
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(_embs(spark, sf_dir), planes=8, threshold=0.1)
 
@@ -302,6 +345,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "embedding_cosine_topk": embedding_cosine_topk,
+    "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
 }
 
@@ -316,5 +360,6 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
+    "embedding_ivf_topk": EMBEDDING_IVF_ORACLE,
     "embedding_near_dup_lsh": _near_dup_oracle(),
 }
