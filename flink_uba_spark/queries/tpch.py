@@ -234,6 +234,122 @@ WHERE l_partkey = p_partkey
 """
 
 
+# --------------------------------------------------------------------- q4
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking — the SEMI-JOIN shape (EXISTS subquery).
+    The commit/receipt-date predicate of canonical q4 maps to 'a lineitem
+    shipped >90 days after the order date' on this schema."""
+    t = load_testdata(spark, sf_dir, ("orders", "lineitem"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------- q7
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume: supplier nation ↔ customer nation pairs
+    (NATION_1/NATION_2 stand in for FRANCE/GERMANY) by ship year."""
+    t = load_testdata(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
+    n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["orders"].select("o_orderkey", "o_custkey")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       sum(volume_cents) AS revenue_cents
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS volume_cents
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# -------------------------------------------------------------------- q18
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: the HAVING-subquery (aggregate semi-join) shape."""
+    t = load_testdata(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        t["orders"].join(big, t["orders"].o_orderkey == big.l_orderkey)
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"), "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+    )
+
+
+TPCH_Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       sum_qty
+FROM customer, orders,
+     (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 250) big
+WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+"""
+
+
 # ---------------------------------------------------------------- rollup
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-set analytics (rollup over nation × order-year) — not in the
@@ -271,6 +387,9 @@ QUERIES = {
     "tpch_q14_promo_effect": tpch_q14_promo_effect,
     "revenue_rollup": revenue_rollup,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
 }
@@ -281,6 +400,9 @@ ORACLES = {
     "tpch_q14_promo_effect": TPCH_Q14_ORACLE,
     "revenue_rollup": REVENUE_ROLLUP_ORACLE,
     "tpch_q3_shipping_priority": TPCH_Q3_ORACLE,
+    "tpch_q4_order_priority": TPCH_Q4_ORACLE,
+    "tpch_q7_volume_shipping": TPCH_Q7_ORACLE,
+    "tpch_q18_large_orders": TPCH_Q18_ORACLE,
     "tpch_q5_local_supplier": TPCH_Q5_ORACLE,
     "tpch_q6_forecast_revenue": TPCH_Q6_ORACLE,
 }
