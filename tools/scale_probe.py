@@ -1,0 +1,99 @@
+"""Scale probe: run headline queries at sf0.1 and at a synthetic 10× of it,
+to verify wall-clock grows sub-linearly-to-linearly (no quadratic plan).
+
+Builds /tmp/spark_graft_scale10/{events,documents,embeddings}.parquet as 10
+shifted copies of sf0.1 (ids offset; event times jittered) — perf probing
+only, not correctness data. Usage: python tools/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASE = "/root/testdata/sf0.1"
+SCALE_DIR = "/tmp/spark_graft_scale10"
+COPIES = 10
+
+QUERIES = [
+    "hot_items",
+    "user_sessions",
+    "order_timeout_states",
+    "attribution_interval_join",
+    "daily_active_users",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_near_dup_lsh",
+    "embedding_cosine_topk",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from flink_uba_spark.sources.readers import load_testdata
+
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    t = load_testdata(spark, BASE, ("events", "documents", "embeddings"))
+
+    ev = None
+    for i in range(COPIES):
+        c = (
+            t["events"]
+            .withColumn("event_id", F.col("event_id") + i * 10_000_000)
+            .withColumn("user_id", F.col("user_id") + (i % 3) * 10_000)
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 17} SECONDS"))
+        )
+        ev = c if ev is None else ev.unionByName(c)
+    ev.repartition(32).write.mode("overwrite").parquet(f"{SCALE_DIR}/events.parquet")
+
+    docs = None
+    for i in range(COPIES):
+        c = t["documents"].withColumn("doc_id", F.col("doc_id") + i * 1_000_000)
+        docs = c if docs is None else docs.unionByName(c)
+    docs.repartition(32).write.mode("overwrite").parquet(f"{SCALE_DIR}/documents.parquet")
+
+    embs = None
+    for i in range(COPIES):
+        c = t["embeddings"].withColumn("vec_id", F.col("vec_id") + i * 1_000_000)
+        embs = c if embs is None else embs.unionByName(c)
+    embs.repartition(32).write.mode("overwrite").parquet(f"{SCALE_DIR}/embeddings.parquet")
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from flink_uba_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if not os.path.exists(f"{SCALE_DIR}/events.parquet"):
+        build(spark)
+    # warm
+    spark.read.parquet(f"{BASE}/region.parquet").count()
+    spark.range(256).repartition(32).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    qs = entrymod.queries()
+    out = {}
+    for name in QUERIES:
+        # warm this query's codegen/plan shape before measuring
+        qs[name](spark, BASE).write.format("noop").mode("overwrite").save()
+        times = {}
+        for label, d in [("1x", BASE), ("10x", SCALE_DIR)]:
+            t0 = time.time()
+            qs[name](spark, d).write.format("noop").mode("overwrite").save()
+            times[label] = round(time.time() - t0, 2)
+        times["ratio"] = round(times["10x"] / max(times["1x"], 1e-9), 1)
+        out[name] = times
+        print(f"# {name}: 1x={times['1x']}s 10x={times['10x']}s ratio={times['ratio']}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
