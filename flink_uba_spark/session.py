@@ -50,6 +50,8 @@ def get_spark(
         # sources.readers.load_testdata (DuckDB truncates ns→us the same way).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # keep managed-table data (bucketed tables etc.) out of the repo
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
