@@ -1,0 +1,77 @@
+"""UbaEngine — the thin library facade (SURVEY.md §7 guiding decision:
+"engine = library, not framework").
+
+One object binds (a) typed source readers, (b) the operator library, and
+(c) SQL view registration, so every capability is reachable three ways:
+DataFrame calls, the named query catalog, or plain ``spark.sql`` over
+registered views — mirroring the reference's three entry styles
+(DataStream / Table API / SQL, SURVEY.md §3) on one Catalyst plan space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_uba_spark.session import get_spark
+from flink_uba_spark.sources import readers
+
+
+class UbaEngine:
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+
+    # ------------------------------------------------------------- sources
+    def load(self, sf_dir: str, tables=None) -> dict[str, DataFrame]:
+        kw = {} if tables is None else {"tables": tables}
+        return readers.load_testdata(self.spark, sf_dir, **kw)
+
+    def register(self, sf_dir: str) -> "UbaEngine":
+        """Expose every testdata table as a SQL view (entry style C)."""
+        readers.register_views(self.spark, sf_dir)
+        return self
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # ----------------------------------------------------------- operators
+    def hot_keys(self, df, key, **kw) -> DataFrame:
+        from flink_uba_spark.operators.topn import windowed_topn
+
+        return windowed_topn(df, key, **kw)
+
+    def interval_join(self, left, right, on, **kw) -> DataFrame:
+        from flink_uba_spark.operators.interval_join import interval_join
+
+        return interval_join(left, right, on, **kw)
+
+    def reconcile(self, left, right, on, **kw) -> DataFrame:
+        from flink_uba_spark.operators.reconcile import reconcile
+
+        return reconcile(left, right, on, **kw)
+
+    def detect_sequence(self, events, key, first_pred, then_pred, **kw) -> DataFrame:
+        from flink_uba_spark.operators.sequence import sequence_detect
+
+        return sequence_detect(events, key, first_pred, then_pred, **kw)
+
+    def sessionize(self, df, **kw) -> DataFrame:
+        from flink_uba_spark.operators.sessions import sessionize
+
+        return sessionize(df, **kw)
+
+    def funnel(self, df, **kw) -> DataFrame:
+        from flink_uba_spark.operators.sessions import funnel
+
+        return funnel(df, **kw)
+
+    # ------------------------------------------------------- query catalog
+    def query(self, name: str, sf_dir: str) -> DataFrame:
+        """Run a named catalog query (the driver-visible surface)."""
+        from flink_uba_spark.queries import all_queries
+
+        return all_queries()[name](self.spark, sf_dir)
+
+    def catalog(self) -> list[str]:
+        from flink_uba_spark.queries import all_queries
+
+        return sorted(all_queries())
