@@ -42,13 +42,20 @@ def test_salted_join_spreads_hot_key(spark):
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """Tables bucketed on the join key join with ZERO exchanges — the
     co-location strategy for repeatedly-joined 100 TB facts."""
+    import uuid
+
+    # unique names: the /tmp warehouse outlives the in-memory catalog, so a
+    # reused table name hits LOCATION_ALREADY_EXISTS in a fresh session
+    suffix = uuid.uuid4().hex[:8]
     t = load_testdata(spark, sf_dir, ("orders", "lineitem"))
-    write_bucketed(t["orders"].select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8)
     write_bucketed(
-        t["lineitem"].select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 8
+        t["orders"].select("o_orderkey", "o_totalprice"), f"b_orders_{suffix}", "o_orderkey", 8
     )
-    joined = spark.table("b_lineitem").join(
-        spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+    write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_quantity"), f"b_lineitem_{suffix}", "l_orderkey", 8
+    )
+    joined = spark.table(f"b_lineitem_{suffix}").join(
+        spark.table(f"b_orders_{suffix}"), F.col("l_orderkey") == F.col("o_orderkey")
     )
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = joined._jdf.queryExecution().explainString(mode)
