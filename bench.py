@@ -51,9 +51,14 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] or list(qs)
 
-    # warm the JVM + parquet footer caches and the Python UDF worker pool
-    # once, so the first measured query doesn't absorb process startup
+    # warm the JVM (codegen/JIT via a tiny end-to-end query), parquet footer
+    # caches, and the Python UDF worker pool, so the first measured query
+    # doesn't absorb process startup
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    if "hot_items" in qs:
+        qs["hot_items"](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
     spark.range(256).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()

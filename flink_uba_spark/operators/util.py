@@ -14,6 +14,15 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     real scale inputs already have >cores splits and this is a no-op.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # file-backed frames: #input files bounds #scan splits for the small
+        # inputs this guard exists for, and is much cheaper than an RDD
+        # conversion; non-file frames fall through to the RDD check
+        n = len(df.inputFiles())
+    except Exception:  # noqa: BLE001
+        n = 0
+    if n == 0:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
