@@ -107,8 +107,29 @@ GROUP BY 1
 """
 
 
+def hourly_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window volume per event type (the slide=None path of
+    windowed_counts — W1's tumbling sibling)."""
+    from flink_uba_spark.operators.topn import windowed_counts
+
+    ev = _events(spark, sf_dir)
+    return windowed_counts(
+        ev, "event_type", ts="ts", size="1 hour", slide=None, key_alias="event_type"
+    )
+
+
+HOURLY_VOLUME_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS cnt
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "daily_active_users": daily_active_users,
+    "hourly_event_volume": hourly_event_volume,
     "user_sessions": user_sessions,
     "user_funnel": user_funnel,
     "user_retention": user_retention,
@@ -116,6 +137,7 @@ QUERIES = {
 
 ORACLES = {
     "daily_active_users": DAILY_ACTIVE_USERS_ORACLE,
+    "hourly_event_volume": HOURLY_VOLUME_ORACLE,
     "user_sessions": USER_SESSIONS_ORACLE,
     "user_funnel": USER_FUNNEL_ORACLE,
     "user_retention": USER_RETENTION_ORACLE,

@@ -52,10 +52,10 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
-       sum(CAST(floor((l_extendedprice * (1 - l_discount)) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
        count(*) AS count_order,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
 FROM lineitem
@@ -86,7 +86,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q3_ORACLE = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
   AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -129,7 +129,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q5_ORACLE = """
 SELECT n_name,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
   AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -156,7 +156,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TPCH_Q6_ORACLE = """
-SELECT sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_cents
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -187,7 +187,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q10_ORACLE = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
@@ -220,10 +220,10 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TPCH_Q14_ORACLE = """
-SELECT sum(CASE WHEN p_type = 'PROMO'
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
                 THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
-                ELSE 0 END) AS promo_cents,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents,
+                ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        100.0 * sum(CASE WHEN p_type = 'PROMO'
                         THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
                         ELSE 0 END)
@@ -301,7 +301,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year,
-       sum(volume_cents) AS revenue_cents
+       CAST(sum(volume_cents) AS BIGINT) AS revenue_cents
 FROM (
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -343,7 +343,7 @@ SELECT c_custkey, c_name, o_orderkey, o_orderdate,
        CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
        sum_qty
 FROM customer, orders,
-     (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+     (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 250) big
 WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
 ORDER BY sum_qty DESC, o_orderkey ASC
@@ -374,7 +374,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REVENUE_ROLLUP_ORACLE = """
 SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem, orders, customer, nation
 WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS BIGINT))

@@ -96,6 +96,14 @@ def main() -> int:
             problems.append(f"rows {len(spdf)} != {len(opdf)}")
         if sorted(spdf.columns) != sorted(opdf.columns):
             problems.append(f"cols {sorted(spdf.columns)} != {sorted(opdf.columns)}")
+        else:
+            # dtype-kind drift (int vs float vs ts vs obj) is a schema
+            # mismatch the driver may flag even when values hash equal
+            for c in spdf.columns:
+                ks, ko = spdf[c].dtype.kind, opdf[c].dtype.kind
+                norm = lambda k: {"u": "i"}.get(k, k)  # noqa: E731
+                if norm(ks) != norm(ko) and "O" not in (ks, ko):
+                    print(f"        WARN dtype {c}: spark {spdf[c].dtype} vs oracle {opdf[c].dtype}")
         if not problems:
             hs, ho = frame_hash(spdf), frame_hash(opdf)
             if hs != ho:
