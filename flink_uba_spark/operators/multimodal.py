@@ -92,6 +92,39 @@ def decode_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes_resized", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_assets(assets: DataFrame, stride: int = 4) -> DataFrame:
+    """Resize/downsample stage shape: a real deployment decodes and
+    rescales pixels here (via decode_image_real); the deterministic
+    stand-in keeps every ``stride``-th payload byte — same Arrow-batched
+    plumbing, same output contract (smaller binary + metadata)."""
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b[::stride]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "format": pdf["format"],
+                    "n_bytes_resized": resized.map(len).astype("int64"),
+                    "resized_md5": resized.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "resized": resized,
+                }
+            )
+
+    return assets.mapInPandas(shrink, RESIZE_SCHEMA)
+
+
 def frame_sample(assets: DataFrame, frame_size: int = 64, every: int = 4) -> DataFrame:
     """Frame-sampling stage shape for video-like payloads: split the blob
     into fixed-size frames, keep every k-th, explode to one row per frame."""

@@ -334,8 +334,34 @@ FROM documents
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample stage (every-4th-byte stand-in; ASCII payloads
+    make the byte stride mirror a char stride relationally)."""
+    from flink_uba_spark.operators.multimodal import attach_payload, resize_assets
+    from flink_uba_spark.operators.util import ensure_min_partitions
+
+    assets = attach_payload(ensure_min_partitions(_docs(spark, sf_dir)))
+    return resize_assets(assets, stride=4).select(
+        "asset_id", "format", "n_bytes_resized", "resized_md5"
+    )
+
+
+MULTIMODAL_RESIZE_ORACLE = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpeg'
+            ELSE 'wav' END AS format,
+       CAST(len(list_transform(generate_series(1, strlen(text), 4),
+                               i -> substring(text, i, 1))) AS BIGINT) AS n_bytes_resized,
+       md5(array_to_string(list_transform(generate_series(1, strlen(text), 4),
+                                          i -> substring(text, i, 1)), '')) AS resized_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
+    "multimodal_resize": multimodal_resize,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -351,6 +377,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
+    "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
     "text_quality_score": TEXT_QUALITY_ORACLE,
     "text_lang_id": TEXT_LANG_ID_ORACLE,
