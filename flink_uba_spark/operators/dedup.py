@@ -233,7 +233,7 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     n_shingle: int = 3,
     threshold: float = 0.1,
-    max_bucket: int = 100_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct n-gram shingle sets, restricted to pairs
     sharing a blocking key (at scale: block = LSH bucket or lang×length
@@ -243,13 +243,17 @@ def ngram_jaccard_pairs(
     double division.
 
     Shape: inverted index, not pairwise array intersection. Distinct
-    shingles explode to (block, shingle, doc, |doc|) postings; a
-    (block, shingle) group bucket-expands to co-occurring pairs; one
-    codegen'd count-aggregate per pair IS |A∩B|. A pair with zero common
-    shingles never materializes (threshold > 0 makes that a no-op), so
-    cost follows actual shingle co-occurrence instead of block-size².
-    ``max_bucket`` drops degenerate stop-shingle postings lists (at real
-    scale: the df-cap every near-dup pipeline applies).
+    shingles explode to (block, shingle, doc, |doc|) postings; a self
+    equi-join on (block, shingle) materializes exactly the co-occurring
+    pairs; one codegen'd count-aggregate per pair IS |A∩B|. A pair with
+    zero common shingles never materializes (threshold > 0 makes that a
+    no-op), so cost follows actual shingle co-occurrence instead of
+    block-size². The join form keeps everything in whole-stage codegen
+    with flat rows — a collect_list/bucket-expand variant measured the
+    same on average but GC-spiked on frequent-shingle buckets.
+    ``max_bucket`` is the df-cap: shingles appearing in more documents
+    are dropped from the index (at real scale: the stop-shingle cap every
+    near-dup pipeline applies; they carry no discriminating signal).
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are never materialized)")
@@ -262,23 +266,29 @@ def ngram_jaccard_pairs(
         F.size("sh").cast("long").alias("sz"),
         F.explode("sh").alias("s"),
     )
-    buckets = (
-        postings.groupBy(*[F.col(c) for c in block_cols], F.col("s"))
-        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("sz").alias("z")))).alias("items"))
-        .filter((F.size("items") >= 2) & (F.size("items") <= max_bucket))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(c) for c in block_cols], F.col("s"))
+        postings = (
+            postings.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_bucket)
+            .drop("__df")
+        )
+    a = postings.alias("pa")
+    b = postings.alias("pb")
+    cond = (F.col("pa.s") == F.col("pb.s")) & (
+        F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")
     )
-    # pair expansion as two codegen'd explodes (interpreted HOF expansion
-    # was the bottleneck on frequent-shingle postings lists)
-    e1 = buckets.select("items", F.explode("items").alias("pa"))
-    e2 = e1.select("pa", F.explode("items").alias("pb")).filter(
-        F.col("pa.i") < F.col("pb.i")
-    )
+    for c in block_cols:
+        cond = cond & (F.col(f"pa.{c}") == F.col(f"pb.{c}"))
     counts = (
-        e2.groupBy(
-            F.col("pa.i").alias("a_id"),
-            F.col("pb.i").alias("b_id"),
-            F.col("pa.z").alias("a_sz"),
-            F.col("pb.z").alias("b_sz"),
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"pa.{id_col}").alias("a_id"),
+            F.col(f"pb.{id_col}").alias("b_id"),
+            F.col("pa.sz").alias("a_sz"),
+            F.col("pb.sz").alias("b_sz"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
