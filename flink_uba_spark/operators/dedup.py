@@ -275,7 +275,10 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= max_bucket)
             .drop("__df")
         )
-    a = postings.alias("pa")
+    # shuffle-hash, never broadcast: the postings index is as large as the
+    # corpus — Spark's size estimate can look broadcastable at dev scale
+    # and collecting a million-row index to the driver is the failure mode
+    a = postings.alias("pa").hint("shuffle_hash")
     b = postings.alias("pb")
     cond = (F.col("pa.s") == F.col("pb.s")) & (
         F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")
