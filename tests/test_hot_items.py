@@ -35,6 +35,18 @@ def test_windowed_topn_tie_break_deterministic(spark):
     assert {r.item for r in first} == {1}
 
 
+def test_hot_pages_reference_window_shape(spark):
+    """The reference's exact HotPages window (10 min / 5 s, HotPages.java:77):
+    each event lands in duration/slide = 120 sliding windows."""
+    df = spark.createDataFrame([("/home", "2024-01-01 00:10:00")], "url string, t string").select(
+        "url", F.col("t").cast("timestamp").alias("ts")
+    )
+    out = windowed_counts(df, "url", size="10 minutes", slide="5 seconds", key_alias="url")
+    rows = out.collect()
+    assert len(rows) == 120
+    assert all((r.window_end - r.window_start).total_seconds() == 600 for r in rows)
+
+
 def test_windowed_counts_window_bounds(spark):
     df = spark.createDataFrame([(1, "2024-01-01 00:07:00")], "item long, t string").select(
         "item", F.col("t").cast("timestamp").alias("ts")
