@@ -1,0 +1,88 @@
+"""Degenerate-input hardening: empty frames and single-row extremes flow
+through every operator without errors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _empty_events(spark):
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def test_windowed_topn_empty(spark):
+    from flink_uba_spark.operators.topn import windowed_topn
+
+    assert windowed_topn(_empty_events(spark), "user_id").count() == 0
+
+
+def test_sequence_detect_empty(spark):
+    from flink_uba_spark.operators.sequence import sequence_detect
+
+    out = sequence_detect(
+        _empty_events(spark),
+        key="user_id",
+        first_pred=F.col("event_type") == "signup",
+        then_pred=F.col("event_type") == "purchase",
+    )
+    assert out.count() == 0
+
+
+def test_reconcile_one_empty_side(spark):
+    from flink_uba_spark.operators.reconcile import reconcile
+
+    ev = _empty_events(spark).select(
+        F.col("event_id").alias("pay_id"), "user_id", F.col("ts").alias("pay_ts")
+    )
+    full = spark.createDataFrame(
+        [(1, 5, "2024-01-01 00:00:00")], "receipt_id long, user_id long, t string"
+    ).select("receipt_id", "user_id", F.col("t").cast("timestamp").alias("receipt_ts"))
+    out = reconcile(
+        ev, full, on="user_id", left_ts="pay_ts", right_ts="receipt_ts",
+        left_id="pay_id", right_id="receipt_id",
+    ).collect()
+    assert len(out) == 1 and out[0].status == "unmatched_right"
+
+
+def test_sessionize_empty_and_single(spark):
+    from flink_uba_spark.operators.sessions import sessionize
+
+    assert sessionize(_empty_events(spark), key="user_id").count() == 0
+    one = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "user_id long, t string").select(
+        "user_id", F.col("t").cast("timestamp").alias("ts")
+    )
+    rows = sessionize(one, key="user_id").collect()
+    assert len(rows) == 1 and rows[0].n_events == 1
+
+
+def test_dedup_single_word_docs(spark):
+    """Docs shorter than the shingle width take the whole-text fallback."""
+    from flink_uba_spark.operators.dedup import minhash_lsh_candidates, simhash
+
+    docs = spark.createDataFrame(
+        [(1, "spark"), (2, "spark"), (3, "flink")], "doc_id long, text string"
+    )
+    pairs = {(r.a_id, r.b_id) for r in minhash_lsh_candidates(docs).collect()}
+    assert pairs == {(1, 2)}  # identical one-word docs collide; distinct ones don't
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[1] == sh[2] != sh[3]
+    assert set(sh[1]) <= {"0", "1"} and len(sh[1]) == 32
+
+
+def test_text_ops_on_stopword_free_text(spark):
+    from flink_uba_spark.operators.text import lang_id, quality_score
+
+    docs = spark.createDataFrame([(1, "zzz qqq xxx")], "doc_id long, text string")
+    row = lang_id(docs).collect()[0]
+    assert row.lang_pred == "en"  # deterministic all-zero tie-break
+    q = quality_score(docs).collect()[0]
+    assert q.n_words == 3 and q.quality == "low"
