@@ -151,14 +151,58 @@ UNION ALL SELECT * FROM orphans
 """
 
 
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization in its native streaming form — the north star's
+    'Structured Streaming + sessionization' verbatim: watermarked
+    session_window aggregation, run incrementally. Append mode finalizes a
+    session once the watermark passes its close (last event + gap), so the
+    oracle keeps exactly the sessions with session_end_event + gap ≤ max ts
+    (empirically pinned, tests/test_streaming.py)."""
+    ev = stream_events(spark, sf_dir)
+    sdf = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("session_end_event"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"),
+            "session_end_event", "n_events",
+        )
+    )
+    return run_to_table(sdf)
+
+
+STREAM_USER_SESSIONS_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end_event,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
+"""
+
+
 QUERIES = {
     "stream_hot_items": stream_hot_items,
+    "stream_user_sessions": stream_user_sessions,
     "stream_attribution_join": stream_attribution_join,
     "stream_order_timeout_states": stream_order_timeout_states,
 }
 
 ORACLES = {
     "stream_hot_items": STREAM_HOT_ITEMS_ORACLE,
+    "stream_user_sessions": STREAM_USER_SESSIONS_ORACLE,
     "stream_attribution_join": ATTRIBUTION_ORACLE,
     "stream_order_timeout_states": STREAM_ORDER_TIMEOUT_ORACLE,
 }
