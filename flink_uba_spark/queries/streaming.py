@@ -95,6 +95,117 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(joined)
 
 
+def stream_tx_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 in its native streaming form (TxPayMatch.java:73-156): two-stream
+    reconciliation as a watermarked stream-stream FULL OUTER join. The
+    reference parks each side in ValueState and routes records whose wait
+    timer fires unmatched to side outputs (pay waits 5 s, TxPayMatch.java:113;
+    receipt 3 s, :131); Spark's symmetric hash join does exactly that — a
+    never-matched row is emitted null-joined once the watermark proves no
+    future partner can arrive. Matched pairs emit on arrival.
+
+    Empirically pinned eviction boundary (probe, this round): a null-side
+    row with time t emits iff t_us <= (wm_ms - W_ms - 1) * 1000, where W is
+    the join-interval half-width and wm_ms = min over inputs of
+    floor_ms(max event time) - delay_ms. (NOT strict-< at us precision: a
+    row 0.4 ms inside the bound was retained.) The oracle encodes this rule.
+    """
+    pays = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pay_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("pay_ts"),
+        )
+        .withWatermark("pay_ts", "10 seconds")
+    )
+    receipts = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("receipt_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("receipt_ts"),
+        )
+        .withWatermark("receipt_ts", "10 seconds")
+    )
+    joined = pays.join(
+        receipts,
+        (F.col("p_user_id") == F.col("r_user_id"))
+        & (F.col("receipt_ts") >= F.col("pay_ts") - F.expr("INTERVAL 2 MINUTES"))
+        & (F.col("receipt_ts") <= F.col("pay_ts") + F.expr("INTERVAL 2 MINUTES")),
+        "full_outer",
+    ).select(
+        "pay_id",
+        "receipt_id",
+        F.coalesce("p_user_id", "r_user_id").alias("user_id"),
+        "pay_ts",
+        "receipt_ts",
+        F.when(F.col("pay_id").isNotNull() & F.col("receipt_id").isNotNull(), F.lit("matched"))
+        .when(F.col("receipt_id").isNull(), F.lit("unmatched_left"))
+        .otherwise(F.lit("unmatched_right"))
+        .alias("status"),
+    )
+    return run_to_table(joined)
+
+
+# wm_ms = min(floor_ms(max pay_ts), floor_ms(max receipt_ts)) - 10s delay;
+# null-side emission: t_us <= (wm_ms - 120_000 - 1) * 1000 (pinned above).
+STREAM_TX_RECONCILE_ORACLE = """
+WITH p AS (
+    SELECT event_id AS pay_id, user_id, ts AS pay_ts
+    FROM events WHERE event_type = 'purchase'
+),
+r AS (
+    SELECT event_id AS receipt_id, user_id, ts AS receipt_ts
+    FROM events WHERE event_type = 'click'
+),
+wm AS (
+    SELECT least(
+        (SELECT epoch_us(max(pay_ts)) // 1000 FROM p),
+        (SELECT epoch_us(max(receipt_ts)) // 1000 FROM r)
+    ) - 10000 AS wm_ms
+),
+matched AS (
+    SELECT p.pay_id, r.receipt_id, p.user_id, p.pay_ts, r.receipt_ts,
+           'matched' AS status
+    FROM p JOIN r
+      ON p.user_id = r.user_id
+     AND r.receipt_ts >= p.pay_ts - INTERVAL 2 MINUTE
+     AND r.receipt_ts <= p.pay_ts + INTERVAL 2 MINUTE
+),
+ul AS (
+    SELECT p.pay_id, CAST(NULL AS BIGINT) AS receipt_id, p.user_id, p.pay_ts,
+           CAST(NULL AS TIMESTAMP) AS receipt_ts, 'unmatched_left' AS status
+    FROM p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM r
+        WHERE r.user_id = p.user_id
+          AND r.receipt_ts >= p.pay_ts - INTERVAL 2 MINUTE
+          AND r.receipt_ts <= p.pay_ts + INTERVAL 2 MINUTE
+    )
+    AND epoch_us(p.pay_ts) <= ((SELECT wm_ms FROM wm) - 120000 - 1) * 1000
+),
+ur AS (
+    SELECT CAST(NULL AS BIGINT) AS pay_id, r.receipt_id, r.user_id,
+           CAST(NULL AS TIMESTAMP) AS pay_ts, r.receipt_ts,
+           'unmatched_right' AS status
+    FROM r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = r.user_id
+          AND r.receipt_ts >= p.pay_ts - INTERVAL 2 MINUTE
+          AND r.receipt_ts <= p.pay_ts + INTERVAL 2 MINUTE
+    )
+    AND epoch_us(r.receipt_ts) <= ((SELECT wm_ms FROM wm) - 120000 - 1) * 1000
+)
+SELECT * FROM matched
+UNION ALL SELECT * FROM ul
+UNION ALL SELECT * FROM ur
+"""
+
+
 def stream_order_timeout_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 in its native streaming form: per-key state machine with
     event-time timers via applyInPandasWithState (see
@@ -198,6 +309,7 @@ QUERIES = {
     "stream_user_sessions": stream_user_sessions,
     "stream_attribution_join": stream_attribution_join,
     "stream_order_timeout_states": stream_order_timeout_states,
+    "stream_tx_reconcile": stream_tx_reconcile,
 }
 
 ORACLES = {
@@ -205,4 +317,5 @@ ORACLES = {
     "stream_user_sessions": STREAM_USER_SESSIONS_ORACLE,
     "stream_attribution_join": ATTRIBUTION_ORACLE,
     "stream_order_timeout_states": STREAM_ORDER_TIMEOUT_ORACLE,
+    "stream_tx_reconcile": STREAM_TX_RECONCILE_ORACLE,
 }

@@ -9,6 +9,8 @@ answer — the property that replaces Flink's event-time-replay determinism.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import tempfile
 import uuid
 from pathlib import Path
@@ -33,12 +35,19 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # the file stream source requires a directory; expose the single events
-    # file through a symlink dir (testdata is read-only)
-    link_dir = Path(tempfile.gettempdir()) / "spark_graft_stream" / Path(sf_dir).name / "events"
+    # file through a symlink dir (testdata is read-only). Keyed by a hash of
+    # the RESOLVED path (two sf dirs may share a basename), and verified via
+    # readlink so a stale/broken link is recreated instead of silently
+    # streaming the wrong dataset or tripping FileExistsError.
+    target = (Path(sf_dir) / "events.parquet").resolve()
+    key = hashlib.sha256(str(target).encode()).hexdigest()[:16]
+    link_dir = Path(tempfile.gettempdir()) / "spark_graft_stream" / key / "events"
     link_dir.mkdir(parents=True, exist_ok=True)
     link = link_dir / "events.parquet"
-    if not link.exists():
-        link.symlink_to(Path(sf_dir) / "events.parquet")
+    if link.is_symlink() and os.readlink(link) != str(target):
+        link.unlink()
+    if not link.is_symlink():
+        link.symlink_to(target)
     raw = spark.readStream.schema(schema).parquet(str(link_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
