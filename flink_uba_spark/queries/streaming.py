@@ -18,8 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_uba_spark.operators.topn import topn_per_window
-from flink_uba_spark.queries.uba import ATTRIBUTION_ORACLE, TOP_N
-from flink_uba_spark.streaming.runner import run_to_table, stream_events
+from flink_uba_spark.queries.uba import ATTRIBUTION_ORACLE, HOT_PAGES_EXCLUDE, TOP_N
+from flink_uba_spark.streaming.runner import run_to_table, stream_events, write_replay
 from flink_uba_spark.streaming.windows import stream_windowed_counts
 
 
@@ -93,6 +93,105 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("pay_id", "view_id", "user_id", "pay_ts", "view_ts")
     return run_to_table(joined)
+
+
+def stream_hot_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HotPages in its native streaming form with the reference's NON-ZERO
+    bounded out-of-orderness (5 s watermark delay, HotPages.java:57-62) and
+    genuinely late data that the watermark DROPS — the lateness semantics
+    the reference is all about, proven end-to-end rather than unit-level.
+
+    Replay construction (deterministic, mirrored by the oracle): the page
+    stream splits into three micro-batches by event time —
+      batch 0 (A): on-time bulk — all rows except P and L;
+      batch 1 (P): rows in the final hour (``ts > Tmax - 1h``) — these push
+        the watermark to ``Tmax - 5s`` while touching only windows that end
+        after it, so batch 1 evicts every window ending ≤ max(A) - 5s with
+        A-only contents;
+      batch 2 (L): very-late rows (``ts <= Tmax - 12h AND event_id % 19 = 0``)
+        — every window they belong to ends ≥ 6 h before the batch-1
+        watermark, i.e. was evicted in an EARLIER batch, so under the rule
+        pinned in tests/test_watermarks.py ALL of L is dropped
+        (numRowsDroppedByWatermark), with no dependence on same-batch
+        merge leniency.
+    The oracle therefore counts over A ∪ P only and finalizes windows at
+    window_end ≤ floor_ms(Tmax) - 5 s. Ranking (top-3) is applied to the
+    finalized windows, as in stream_hot_items.
+    """
+    from pyspark.sql import types as T
+
+    from flink_uba_spark.sources.readers import load_testdata
+
+    pages = (
+        load_testdata(spark, sf_dir, ("events",))["events"]
+        .filter(~F.col("event_type").rlike(HOT_PAGES_EXCLUDE))
+        .select("event_id", F.col("event_type").alias("page"), "ts")
+    )
+    tmax = pages.agg(F.max("ts")).collect()[0][0]  # scalar cutoff, not a data collect
+    import datetime as _dt
+
+    cut_pusher = tmax - _dt.timedelta(hours=1)
+    cut_late = tmax - _dt.timedelta(hours=12)
+    is_late = (F.col("ts") <= F.lit(cut_late)) & (F.col("event_id") % 19 == 0)
+    is_pusher = F.col("ts") > F.lit(cut_pusher)
+    batch_a = pages.filter(~is_late & ~is_pusher).select("page", "ts")
+    batch_p = pages.filter(is_pusher).select("page", "ts")
+    batch_l = pages.filter(is_late).select("page", "ts")
+    replay_dir = write_replay([batch_a, batch_p, batch_l], tag="hot_pages")
+
+    schema = T.StructType(
+        [T.StructField("page", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    counts = run_to_table(
+        stream_windowed_counts(
+            sdf, F.col("page"), "page",
+            size="6 hours", slide="30 minutes", watermark_delay="5 seconds",
+        )
+    )
+    return topn_per_window(counts, "page", n=3).select(
+        "window_start", "window_end", "page", "cnt", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+STREAM_HOT_PAGES_ORACLE = """
+WITH pages AS (
+    SELECT event_id, event_type AS page, ts FROM events
+    WHERE NOT regexp_matches(event_type, '^(error|signup)$')
+),
+tmax AS (SELECT max(ts) AS t FROM pages),
+counted AS (
+    -- batch-2 late rows are dropped by the watermark (state evicted in an
+    -- earlier batch); everything else is counted exactly once
+    SELECT page, ts FROM pages
+    WHERE NOT (ts <= (SELECT t FROM tmax) - INTERVAL 12 HOUR AND event_id % 19 = 0)
+),
+assigned AS (
+    SELECT
+        make_timestamp(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - g.k) * 1800) * 1000000)
+            AS window_start,
+        page
+    FROM counted CROSS JOIN generate_series(0, 11) AS g(k)
+),
+agg AS (
+    SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end, page, count(*) AS cnt
+    FROM assigned GROUP BY 1, 3
+),
+final AS (
+    -- append-mode finalization at wm = floor_ms(Tmax) - 5 s
+    SELECT * FROM agg
+    WHERE epoch_us(window_end) <= ((SELECT epoch_us(t) // 1000 FROM tmax) - 5000) * 1000
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, page ASC) AS rnk
+    FROM final
+)
+SELECT window_start, window_end, page, cnt, rnk FROM ranked WHERE rnk <= 3
+"""
 
 
 def stream_tx_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,6 +409,7 @@ QUERIES = {
     "stream_attribution_join": stream_attribution_join,
     "stream_order_timeout_states": stream_order_timeout_states,
     "stream_tx_reconcile": stream_tx_reconcile,
+    "stream_hot_pages": stream_hot_pages,
 }
 
 ORACLES = {
@@ -318,4 +418,5 @@ ORACLES = {
     "stream_attribution_join": ATTRIBUTION_ORACLE,
     "stream_order_timeout_states": STREAM_ORDER_TIMEOUT_ORACLE,
     "stream_tx_reconcile": STREAM_TX_RECONCILE_ORACLE,
+    "stream_hot_pages": STREAM_HOT_PAGES_ORACLE,
 }

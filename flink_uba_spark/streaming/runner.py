@@ -52,6 +52,31 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def write_replay(dfs: list[DataFrame], tag: str = "replay") -> str:
+    """Materialize DataFrames as an ordered multi-batch file-stream replay.
+
+    Each frame becomes one parquet file in a fresh temp dir, named and
+    mtime-stamped in list order so FileStreamSource (which sorts by
+    modification time, then path) delivers them as separate micro-batches
+    under ``maxFilesPerTrigger=1``. This is replay scaffolding for the
+    bounded-out-of-orderness tests — the reference replays ordered CSVs the
+    same way (HotPages.java:41) — not a data-path operator.
+    """
+    import shutil
+
+    base = Path(tempfile.gettempdir()) / "spark_graft_stream" / f"{tag}_{uuid.uuid4().hex[:12]}"
+    base.mkdir(parents=True)
+    t0 = 1_000_000_000  # fixed epoch base; only relative order matters
+    for i, df in enumerate(dfs):
+        stage = base / f"_stage_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        dest = base / f"{i:02d}.parquet"
+        next(stage.glob("part-*.parquet")).rename(dest)
+        shutil.rmtree(stage)
+        os.utime(dest, (t0 + 10 * i, t0 + 10 * i))
+    return str(base)
+
+
 def run_to_table(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a memory
     sink; return the materialized result as a batch DataFrame."""
