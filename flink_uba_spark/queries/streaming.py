@@ -356,7 +356,10 @@ orphans AS (
 )
 SELECT * FROM anchored
 WHERE state != 'timeout'
-   OR anchor_ts + INTERVAL 6 HOUR <= (SELECT w FROM wm)
+   -- timer fires when deadline <= wm, with wm at MILLISECOND resolution
+   -- (getCurrentWatermarkMs floors the us-precision max event time); the
+   -- exact replication avoids the sub-ms boundary band (ADVICE r1)
+   OR epoch_us(anchor_ts) + 21600000000 <= (epoch_us((SELECT w FROM wm)) // 1000) * 1000
 UNION ALL SELECT * FROM orphans
 """
 

@@ -13,9 +13,12 @@ Averages are a single double division of exact integers.
 Scale notes (100 TB design point):
 - q1/q6: map-side partial agg → 6-group / 1-row final; scan-bound. Filters
   and column pruning reach the parquet reader (PushedFilters in explain).
-- q3/q5: dimension sides are broadcast (F.broadcast) so the only shuffle on
-  the fact table is the final group-by; at 1000 executors the lineitem scan
-  parallelizes freely with no join exchange.
+- Broadcast discipline (ADVICE r1): ``F.broadcast`` is reserved for TRUE
+  dimensions (region, nation, supplier, part — bounded or ~1000× smaller
+  than the facts). orders/customer sides are declared plainly so
+  Catalyst/AQE picks the strategy from runtime stats: at test SF they still
+  broadcast (tiny files); at 100 TB they become shuffle joins instead of
+  OOMing the driver with a fact-sized broadcast.
 """
 
 from __future__ import annotations
@@ -75,7 +78,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(cust, orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
@@ -108,7 +111,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("n_nationkey", "n_name")
     )
-    cust = t["customer"].join(F.broadcast(dims), F.col("c_nationkey") == dims.n_nationkey).select(
+    cust = t["customer"].join(F.broadcast(dims), F.col("c_nationkey") == dims.n_nationkey).select(  # dims = 5 nations
         "c_custkey", F.col("n_nationkey").alias("cn_key"), "n_name"
     )
     supp = t["supplier"].select("s_suppkey", "s_nationkey")
@@ -118,8 +121,8 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey")
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(supp), (F.col("l_suppkey") == supp.s_suppkey) & (supp.s_nationkey == F.col("cn_key")))
         .groupBy("n_name")
         .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
@@ -175,8 +178,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = t["customer"].select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
@@ -281,9 +284,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
         .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
               F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["orders"].select("o_orderkey", "o_custkey")),
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
@@ -328,7 +331,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["orders"].join(big, t["orders"].o_orderkey == big.l_orderkey)
-        .join(F.broadcast(t["customer"].select("c_custkey", "c_name")),
+        .join(t["customer"].select("c_custkey", "c_name"),
               F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
@@ -357,9 +360,9 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
     enriched = (
         t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")),
+        .join(t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))

@@ -36,18 +36,35 @@ def test_q6_partial_aggregation(spark, sf_dir):
     assert "partial_sum" in p  # map-side combine before the exchange
 
 
-def test_q3_broadcasts_dimensions(spark, sf_dir):
-    p = plan_of(spark, sf_dir, tpch.tpch_q3_shipping_priority)
-    assert count_nodes(p, "BroadcastHashJoin") == 2
-    assert "SortMergeJoin" not in p  # no fact-side shuffle for the joins
+def hint_count(spark, sf_dir, fn) -> int:
+    """Forced-broadcast hints surviving analysis (ResolvedHint nodes)."""
+    df = fn(spark, sf_dir)
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
 
 
-def test_q5_broadcasts_all_dims(spark, sf_dir):
+def test_broadcast_reserved_for_true_dimensions(spark, sf_dir):
+    """ADVICE r1: F.broadcast only on region/nation/supplier/part (bounded
+    or ~1000× smaller than facts). orders/customer strategy is left to
+    Catalyst/AQE stats — a forced fact-side broadcast OOMs at real SF even
+    though it passes at sf0.01."""
+    expected = {
+        tpch.tpch_q3_shipping_priority: 0,   # orders⋈customer: AQE decides
+        tpch.tpch_q5_local_supplier: 3,      # region, nation-dims, supplier
+        tpch.tpch_q10_returned_items: 1,     # nation
+        tpch.tpch_q7_volume_shipping: 3,     # supplier, n1, n2
+        tpch.tpch_q18_large_orders: 0,
+        tpch.tpch_q14_promo_effect: 1,       # part
+        tpch.revenue_rollup: 1,              # nation
+    }
+    for fn, n in expected.items():
+        assert hint_count(spark, sf_dir, fn) == n, fn.__name__
+
+
+def test_q5_dimension_joins_are_broadcast(spark, sf_dir):
+    """The hinted dimension joins stay BHJ at any SF; at test SF Catalyst
+    also broadcasts the small fact sides, so BHJ >= 3 (the hinted ones)."""
     p = plan_of(spark, sf_dir, tpch.tpch_q5_local_supplier)
-    assert count_nodes(p, "BroadcastHashJoin") == 5
-    # only the final groupBy(n_name) exchange + the 5-row result sort —
-    # the lineitem scan side never shuffles for any join
-    assert count_nodes(p, "Exchange") == 2
+    assert count_nodes(p, "BroadcastHashJoin") >= 3
 
 
 def test_hot_items_two_exchange_topology(spark, sf_dir):
@@ -72,3 +89,4 @@ def test_relational_queries_have_no_python(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     p = plan_of(spark, sf_dir, tpch.tpch_q3_shipping_priority)
     assert "TakeOrderedAndProject" in p  # T4: sort+limit fused
+    assert "SortMergeJoin" not in p  # at this SF Catalyst picks hash joins

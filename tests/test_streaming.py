@@ -94,6 +94,25 @@ def test_detector_timer_fires_timeout(detector):
     assert out2.loc[0, "anchor_id"] == 1
 
 
+def test_detector_timer_boundary_is_ms_floored(detector):
+    """ADVICE r1 boundary pin: the timer fires on deadline_us <= wm_ms*1000.
+    An anchor whose deadline exceeds the ms-floored watermark by even 0.4 ms
+    does NOT fire; exact ms equality DOES (non-strict <=). The streaming
+    oracle replicates this with (epoch_us(w) // 1000) * 1000."""
+    # anchor at 400us: deadline = H6 + 400us; wm_ms floor(H6/1000) → no fire
+    st = FakeState()
+    _run(detector, _rows((1, 400, "signup")), st)
+    st2 = FakeState(watermark_ms=H6 // 1000, value=st._v, timed_out=True)
+    out = pd.concat(list(detector((7,), iter([]), st2)), ignore_index=True)
+    assert len(out) == 0 and st2._v[0] == [1]
+    # anchor at 0: deadline == wm_ms*1000 exactly → fires (<= is non-strict)
+    st3 = FakeState()
+    _run(detector, _rows((1, 0, "signup")), st3)
+    st4 = FakeState(watermark_ms=H6 // 1000, value=st3._v, timed_out=True)
+    out2 = pd.concat(list(detector((7,), iter([]), st4)), ignore_index=True)
+    assert list(out2["state"]) == ["timeout"]
+
+
 def test_detector_unfired_timer_stays_pending(detector):
     st = FakeState()
     _run(detector, _rows((1, 0, "signup")), st)

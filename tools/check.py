@@ -31,7 +31,10 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.9g}"
+        # shortest round-trip repr: bit-identical doubles hash equal and ANY
+        # cross-engine ulp drift fails — at least as strict as the driver's
+        # gate (the determinism contract promises bit-identical doubles)
+        return repr(v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, bytes):
