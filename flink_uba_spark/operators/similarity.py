@@ -101,6 +101,23 @@ def lsh_bucket(emb_q: Column, planes: int = 16, dim: int = 64) -> Column:
     return F.concat(*bits)
 
 
+def default_codebook(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic codebook: the ``n_centroids`` lowest-id corpus vectors.
+    Cross-engine replicable, so the oracle can replay the assignment. A
+    trained codebook (e.g. k-means|| via pyspark.ml, ~√N centroids at real
+    scale) plugs into ``ivf_topk(codebook=...)`` with the same
+    (centroid_id, embedding) schema — training is nondeterministic, which
+    is why the oracle-checked catalog query uses this default."""
+    return corpus.select(
+        F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("embedding")
+    ).filter(F.col("centroid_id") < n_centroids)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,61 +126,67 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: assign every vector to its nearest
     centroid (argmax cosine, ties → lowest centroid id), probe each query's
     ``n_probe`` closest centroid buckets, exact-rank inside the probed set.
 
-    The codebook is deterministic — the ``n_centroids`` lowest-id corpus
-    vectors (a real deployment plugs a trained codebook in; the plumbing is
-    identical). Collected to the driver once (tiny) and inlined as literal
-    arrays, so centroid assignment is a PER-ROW expression: no shuffle
-    touches the corpus until the bucket equi-join. At 100 TB this is the
+    ``codebook`` is any (centroid_id, embedding) DataFrame (default:
+    ``default_codebook``). It is attached as ONE broadcast array column — a
+    single-row ``collect_list`` cross-joined in — and centroid assignment
+    is a per-row argmax over that array. No driver ``.collect()``, no
+    literal inlining: codebook capacity is bounded only by the broadcast
+    threshold (a √N ≈ 10⁴-centroid codebook at 64 dims ≈ 5 MB), and the
+    corpus never shuffles until the bucket equi-join. At 100 TB this is the
     standard inverted-file layout: partition by bucket, prune probes.
     """
     from pyspark.sql import Window
 
-    c = with_quantized_norms(
-        ensure_min_partitions(corpus.select(F.col(id_col).alias("neighbor_id"), emb_col))
-    ).select("neighbor_id", F.col("qemb").alias("c_emb"), F.col("qq").alias("c_qq"))
-    cents = sorted(
-        c.filter(F.col("neighbor_id") < n_centroids).collect(), key=lambda r: r.neighbor_id
+    cb = codebook if codebook is not None else default_codebook(corpus, n_centroids, id_col, emb_col)
+    cb = with_quantized_norms(cb, "embedding").select(
+        F.col("centroid_id").alias("ck"),
+        F.col("qemb").alias("cemb"),
+        F.col("qq").alias("cqq"),
     )
-
-    def cos_to_centroid(emb_q: Column, qq: Column, cent_row) -> Column:
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in cent_row.c_emb])
-        return cosine_q(
-            dot_q(emb_q, arr), qq, F.lit(int(cent_row.c_qq)).cast("long")
-        )
+    cents = cb.agg(F.collect_list(F.struct("ck", "cemb", "cqq")).alias("cents"))
 
     def ranked_centroids(emb_q: Column, qq: Column) -> Column:
-        # sort by (-cos, centroid_id): exact float negation keeps ordering
+        # sort by (-cos, centroid_id): exact float negation keeps ordering;
+        # ties break to the lowest centroid id via the struct's second field
         return F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        (-cos_to_centroid(emb_q, qq, cr)).alias("negc"),
-                        F.lit(int(cr.neighbor_id)).alias("ck"),
-                    )
-                    for cr in cents
-                ]
+            F.transform(
+                F.col("cents"),
+                lambda ct: F.struct(
+                    (-cosine_q(dot_q(emb_q, ct["cemb"]), qq, ct["cqq"])).alias("negc"),
+                    ct["ck"].alias("ck"),
+                ),
             )
         )
 
-    bucketed = c.withColumn(
-        "bucket", ranked_centroids(F.col("c_emb"), F.col("c_qq"))[0]["ck"]
+    c = with_quantized_norms(
+        ensure_min_partitions(corpus.select(F.col(id_col).alias("neighbor_id"), emb_col))
+    ).select("neighbor_id", F.col("qemb").alias("c_emb"), F.col("qq").alias("c_qq"))
+    bucketed = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("bucket", ranked_centroids(F.col("c_emb"), F.col("c_qq"))[0]["ck"])
+        .drop("cents")
     )
     q = with_quantized_norms(queries.select(F.col(id_col).alias("query_id"), emb_col)).select(
         "query_id", F.col("qemb").alias("q_emb"), F.col("qq").alias("q_qq")
     )
-    probes = q.withColumn(
-        "bucket",
-        F.explode(
-            F.transform(
-                F.slice(ranked_centroids(F.col("q_emb"), F.col("q_qq")), 1, n_probe),
-                lambda s: s["ck"],
-            )
-        ),
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.transform(
+                    F.slice(ranked_centroids(F.col("q_emb"), F.col("q_qq")), 1, n_probe),
+                    lambda s: s["ck"],
+                )
+            ),
+        )
+        .drop("cents")
     )
     dot = dot_q(F.col("q_emb"), F.col("c_emb"))
     scored = (
