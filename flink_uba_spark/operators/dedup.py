@@ -275,6 +275,13 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= max_bucket)
             .drop("__df")
         )
+    # explicit join-key repartition with a pinned partition count: AQE's
+    # post-shuffle coalesce otherwise collapses the (small-looking) postings
+    # join to ONE task at bench scale — a serial hot spot that only gets
+    # worse as co-occurrence grows; user-specified repartition is exempt
+    # from coalescing and the shuffle-hash join reuses the partitioning
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    postings = postings.repartition(n_part, *[F.col(c) for c in block_cols], F.col("s"))
     # shuffle-hash, never broadcast: the postings index is as large as the
     # corpus — Spark's size estimate can look broadcastable at dev scale
     # and collecting a million-row index to the driver is the failure mode

@@ -185,14 +185,21 @@ FROM t
 """
 
 
+JACCARD_MAX_BUCKET = 64  # stop-shingle df-cap (never binds at test SF — max
+# df is 9 at sf0.1 — but bounds the quadratic postings blow-up at 100×)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("len_bucket", F.expr("n_chars div 128"))
     return D.ngram_jaccard_pairs(
-        docs, block_cols=("lang", "len_bucket"), n_shingle=3, threshold=0.1
+        docs, block_cols=("lang", "len_bucket"), n_shingle=3, threshold=0.1,
+        max_bucket=JACCARD_MAX_BUCKET,
     )
 
 
-DEDUP_JACCARD_ORACLE = """
+# postings form mirroring the operator exactly: df-capped inverted index,
+# pair count = shared KEPT shingles, set sizes stay full-set.
+DEDUP_JACCARD_ORACLE = f"""
 WITH s AS (
     SELECT doc_id, lang, n_chars // 128 AS len_bucket,
            list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
@@ -200,16 +207,31 @@ WITH s AS (
                                     i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
                 ELSE [text] END) AS sh
     FROM documents
+),
+post AS (
+    SELECT doc_id, lang, len_bucket, len(sh) AS sz, unnest(sh) AS sg FROM s
+),
+dfreq AS (
+    SELECT lang, len_bucket, sg, count(*) AS c FROM post GROUP BY 1, 2, 3
+),
+kept AS (
+    SELECT p.doc_id, p.lang, p.len_bucket, p.sz, p.sg
+    FROM post p JOIN dfreq d USING (lang, len_bucket, sg)
+    WHERE d.c <= {JACCARD_MAX_BUCKET}
+),
+pairs AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_sz, b.sz AS b_sz,
+           count(*) AS n_inter
+    FROM kept a JOIN kept b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.sg = b.sg
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
 )
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
-       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-FROM s a JOIN s b
-  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+SELECT a_id, b_id, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(a_sz + b_sz - n_inter AS BIGINT) AS n_union,
+       CAST(n_inter AS DOUBLE) / (a_sz + b_sz - n_inter) AS jaccard
+FROM pairs
+WHERE CAST(n_inter AS DOUBLE) / (a_sz + b_sz - n_inter) >= 0.1
 """
 
 

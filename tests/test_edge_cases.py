@@ -86,3 +86,39 @@ def test_text_ops_on_stopword_free_text(spark):
     assert row.lang_pred == "en"  # deterministic all-zero tie-break
     q = quality_score(docs).collect()[0]
     assert q.n_words == 3 and q.quality == "low"
+
+
+def test_jaccard_df_cap_drops_stop_shingles(spark):
+    """max_bucket: a shingle present in more than max_bucket docs carries no
+    signal and is dropped from the index — a pair sharing ONLY that shingle
+    disappears; pairs sharing rarer shingles keep full-set sizes with
+    n_inter counting kept shingles only."""
+    from flink_uba_spark.operators.dedup import ngram_jaccard_pairs
+
+    stop = "the quick fox"  # shared by all 4 docs -> df=4 > cap=3
+    texts = [
+        stop + " alpha beta gamma",        # 0: stop + unique tail
+        stop + " alpha beta delta",        # 1: shares 'alpha beta *'-ish with 0
+        stop + " omega psi chi",           # 2: only the stop shingle in common
+        stop + " zeta eta theta",          # 3: only the stop shingle in common
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).withColumn("blk", F.lit(1))
+
+    uncapped = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(docs, block_cols=("blk",), threshold=0.001).collect()
+    }
+    capped_rows = ngram_jaccard_pairs(
+        docs, block_cols=("blk",), threshold=0.001, max_bucket=3
+    ).collect()
+    capped = {(r.a_id, r.b_id): r for r in capped_rows}
+
+    assert (2, 3) in uncapped  # stop-shingle-only pair exists uncapped
+    assert (2, 3) not in capped  # ...and is pruned by the cap
+    assert (0, 1) in capped  # rare-shingle pair survives
+    r = capped[(0, 1)]
+    # doc0/doc1 share 'quick fox alpha' and 'fox alpha beta' after the cap
+    # drops 'the quick fox'; sizes stay full-set (4 shingles each)
+    assert r.n_inter == 2 and r.n_union == 6

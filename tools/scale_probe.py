@@ -30,6 +30,7 @@ QUERIES = [
     "dedup_ngram_jaccard",
     "embedding_near_dup_lsh",
     "embedding_cosine_topk",
+    "embedding_ivf_topk",
 ]
 
 
