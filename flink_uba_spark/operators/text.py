@@ -5,11 +5,15 @@ Not in the reference (its P-family covers parse/filter scalars only,
 SURVEY.md §2.2); these are the north-star extensions (BASELINE.json) a 100 TB
 document pipeline needs.
 
-Scale design: every operator here is a **pure per-row projection** built from
-JVM-side higher-order functions (transform / filter / aggregate on the token
-array) — no shuffle, no UDF, no Python in the hot path. Whole-stage codegen
-fuses the whole thing onto the parquet scan, so throughput is scan-bound at
-any cluster size.
+Scale design: every operator here is a **pure per-row projection** — no
+shuffle, no UDF, no Python in the hot path — and (round 2) no interpreted
+higher-order-function lambdas either: Spark evaluates HOF lambdas outside
+whole-stage codegen (~10× slower, the dedup.py simhash lesson), so stopword
+counting is a single-pass codegen'd ``regexp_count`` alternation over
+sentinel-padded text instead of ``F.filter(tokens, ...)``. Measured at
+sf0.1 (50k docs, warm, 4-language pass set): 0.63 s (HOF) → 0.27 s
+(padded regex). Everything fuses onto the parquet scan; throughput is
+scan-bound at any cluster size.
 """
 
 from __future__ import annotations
@@ -47,9 +51,21 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _stop_count(toks: Column, words: tuple[str, ...]) -> Column:
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+def _stop_count(text: Column, words: tuple[str, ...]) -> Column:
+    """Count space-split tokens equal to any of ``words`` — as ONE
+    codegen'd regex pass over sentinel-padded text: each token match
+    consumes its LEADING delimiter and looks ahead at the trailing one, so
+    consecutive stopwords ("of the") both match and a branch only matches
+    a FULL token. The count equals ``len([t for t in text.split(' ') if t
+    in words])`` (the oracle's list_filter form). Measured fastest of the
+    three candidates (padded 0.27 s vs lookbehind-regex 0.48 s vs
+    interpreted-HOF 0.63 s per pass set, sf0.1 warm); longest-first
+    alternation is documentation only — the lookahead already prevents
+    prefix shadowing."""
+    pat = " (?:" + "|".join(sorted(words, key=len, reverse=True)) + ")(?= )"
+    return F.regexp_count(
+        F.concat(F.lit(" "), text, F.lit(" ")), F.lit(pat)
+    ).cast("long")
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -57,10 +73,9 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Adds c_<lang> counts and ``lang_pred``.
     """
-    toks = tokens(F.col(text_col))
     out = df
     for lang in LANG_PRIORITY:
-        out = out.withColumn(f"c_{lang}", _stop_count(toks, STOPWORDS[lang]))
+        out = out.withColumn(f"c_{lang}", _stop_count(F.col(text_col), STOPWORDS[lang]))
     c = {lang: F.col(f"c_{lang}") for lang in LANG_PRIORITY}
     pred = (
         F.when((c["en"] >= c["de"]) & (c["en"] >= c["es"]) & (c["en"] >= c["fr"]), F.lit("en"))
@@ -81,7 +96,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.size(toks).cast("long")
     n_chars = F.length(F.col(text_col)).cast("long")
     n_punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9_ ]")).cast("long")
-    n_stop = _stop_count(toks, STOPWORDS["en"])
+    n_stop = _stop_count(F.col(text_col), STOPWORDS["en"])
     stop_ratio = n_stop.cast("double") / n_words
     avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
     bucket = (
