@@ -14,8 +14,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set: kept to the queries that exercise the engine's core paths.
-HEADLINE = [
+# Round-1 headline set — kept as a stable subset so the r01 baseline
+# comparison stays apples-to-apples (reported as r01_subset_wall).
+HEADLINE_R01 = [
     "hot_items",
     "hot_pages",
     "order_timeout_states",
@@ -36,6 +37,30 @@ HEADLINE = [
     "text_quality_score",
     "text_lang_id",
     "multimodal_decode",
+]
+
+# Round-2 breadth (VERDICT item 10): the full engine surface, so
+# round-over-round regressions anywhere are visible.
+HEADLINE = HEADLINE_R01 + [
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_orders",
+    "revenue_rollup",
+    "dedup_exact",
+    "text_token_count",
+    "text_fingerprint",
+    "embedding_ivf_topk",
+    "multimodal_resize",
+    "daily_active_users",
+    "hourly_event_volume",
+    "stream_hot_items",
+    "stream_hot_pages",
+    "stream_user_sessions",
+    "stream_attribution_join",
+    "stream_order_timeout_states",
+    "stream_tx_reconcile",
 ]
 
 
@@ -74,6 +99,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    r01_subset = round(sum(timings[n] for n in HEADLINE_R01 if n in timings), 3)
     print(
         json.dumps(
             {
@@ -82,6 +108,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # apples-to-apples vs BENCH_r01 (same 20 queries); the full
+                # `value` covers 39 queries after the round-2 breadth add
+                "r01_subset_wall": r01_subset,
             }
         )
     )

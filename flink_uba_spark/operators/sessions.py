@@ -54,25 +54,47 @@ def funnel(
 ) -> DataFrame:
     """Ordered funnel: step i+1 counts only strictly after the user's
     earliest completion of step i. Output: key, s1..sN (timestamps, null
-    when not reached), max_step."""
+    when not reached), max_step.
+
+    Single-exchange form (round 2): each step bound is an unordered
+    windowed min over the user partition, chained so step i's predicate
+    references step i−1's column. Consecutive WindowExecs share the ONE
+    hash exchange on the key, and the per-user collapse reuses that
+    partitioning — an N-step funnel costs one shuffle total, versus one
+    shuffle of the events table per step in the naive join form (the
+    round-1 implementation; equivalence pinned in tests/test_behavior.py).
+    A user with no step-1 event is absent, matching the join form.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key)
     base = df.select(F.col(key), F.col(ts), F.col(type_col))
-    cur = base.filter(F.col(type_col) == steps[0]).groupBy(key).agg(F.min(ts).alias("s1"))
-    out = cur
+    out = base.withColumn(
+        "s1", F.min(F.when(F.col(type_col) == steps[0], F.col(ts))).over(w)
+    )
     for i, step in enumerate(steps[1:], start=2):
-        nxt = (
-            base.filter(F.col(type_col) == step)
-            .join(out.select(key, f"s{i-1}"), on=key)
-            .filter(F.col(ts) > F.col(f"s{i-1}"))
-            .groupBy(key)
-            .agg(F.min(ts).alias(f"s{i}"))
+        # ts > null is null -> when() yields null -> min ignores it, so an
+        # unreached previous step propagates null forward
+        out = out.withColumn(
+            f"s{i}",
+            F.min(
+                F.when(
+                    (F.col(type_col) == step) & (F.col(ts) > F.col(f"s{i-1}")), F.col(ts)
+                )
+            ).over(w),
         )
-        out = out.join(nxt, on=key, how="left")
+    cols = [f"s{i}" for i in range(1, len(steps) + 1)]
+    per_user = (
+        out.filter(F.col("s1").isNotNull())
+        .groupBy(key)
+        .agg(*[F.max(c).alias(c) for c in cols])
+    )
     # steps are sequential (s_{i+1} only exists after s_i), so the depth
     # reached is 1 + count of non-null later steps
     reached = sum(
         (F.when(F.col(f"s{i}").isNotNull(), 1).otherwise(0)) for i in range(2, len(steps) + 1)
     )
-    return out.withColumn("max_step", (F.lit(1) + reached).cast("long"))
+    return per_user.withColumn("max_step", (F.lit(1) + reached).cast("long"))
 
 
 def retention_cohorts(

@@ -32,10 +32,19 @@ def salted_join(
     Result equals ``skewed.join(small, on, how)`` (asserted in tests); the
     exchange keys on (key, salt) so no single task owns a hot key.
     ``how`` supports inner/left joins (the skewed side survives intact).
+
+    Routing is CONTENT-deterministic: salt = pmod(xxhash64(all columns),
+    salt) — identical under task retries and input re-splits, unlike
+    ``rand(seed)`` whose assignment depends on the partition layout
+    (ADVICE r1). Exact-duplicate rows of a hot key share a salt bucket;
+    that residual imbalance is bounded by the duplicate multiplicity.
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError("salted_join supports inner/left joins")
-    salted_left = skewed.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    salted_left = skewed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt)).cast("int"),
+    )
     exploded_right = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

@@ -88,3 +88,41 @@ def test_stream_reconcile_matches_batch_matched_rows(spark, sf_dir):
     }
     batch_unmatched_pays = set(batch[batch.status == "unmatched_left"].pay_id)
     assert stream_unmatched_pays <= batch_unmatched_pays
+
+
+def test_funnel_single_pass_equals_join_form(spark, sf_dir):
+    """The round-2 windowed funnel must equal the naive join-per-step form
+    (the round-1 implementation) on the real events table, and plan with
+    exactly ONE exchange regardless of step count."""
+    import re
+
+    from flink_uba_spark.operators.sessions import funnel
+    from flink_uba_spark.sources.readers import load_testdata
+
+    events = load_testdata(spark, sf_dir, ("events",))["events"]
+    steps = ("signup", "purchase", "click")
+
+    def join_form(df, key, ts, steps, type_col):
+        base = df.select(F.col(key), F.col(ts), F.col(type_col))
+        out = base.filter(F.col(type_col) == steps[0]).groupBy(key).agg(F.min(ts).alias("s1"))
+        for i, step in enumerate(steps[1:], start=2):
+            nxt = (
+                base.filter(F.col(type_col) == step)
+                .join(out.select(key, f"s{i-1}"), on=key)
+                .filter(F.col(ts) > F.col(f"s{i-1}"))
+                .groupBy(key)
+                .agg(F.min(ts).alias(f"s{i}"))
+            )
+            out = out.join(nxt, on=key, how="left")
+        return out
+
+    got = funnel(events, steps=steps).drop("max_step").toPandas()
+    want = join_form(events, "user_id", "ts", steps, "event_type").toPandas()
+    key = sorted(got.columns)
+    g = got[key].sort_values(key).reset_index(drop=True)
+    w = want[key].sort_values(key).reset_index(drop=True)
+    assert g.equals(w)
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = funnel(events, steps=steps)._jdf.queryExecution().explainString(mode)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
