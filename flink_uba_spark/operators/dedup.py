@@ -138,7 +138,14 @@ def lsh_band_keys(df: DataFrame, bands: int = 3, rows_per_band: int = 3) -> Data
             )
         ),
     )
-    return df.select("*", F.posexplode(band_arr).alias("band_idx", "band_key"))
+    # posexplode_outer: plain posexplode lets Catalyst infer null/size
+    # filters on band_arr and re-evaluate the whole banding (and inlined
+    # signature) chain at the scan; _outer blocks that. band_arr is a
+    # transform over a constant sequence — never null/empty — so the
+    # post-hoc filter only restores the inner-explode contract.
+    return df.select(
+        "*", F.posexplode_outer(band_arr).alias("band_idx", "band_key")
+    ).filter(F.col("band_key").isNotNull())
 
 
 def minhash_lsh_candidates(
@@ -209,7 +216,13 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     tok_ints = F.expr(
         f"transform(split({text_col}, ' '), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
     )
-    ex = df.select(F.col(id_col), F.explode(tok_ints).alias("h"))
+    # explode_outer + null filter: explode would infer isnotnull/size
+    # filters on tok_ints and re-evaluate the interpreted transform 3× per
+    # doc at the scan (split never yields an empty array, so semantics are
+    # identical — only null text rows are dropped, same as explode)
+    ex = df.select(F.col(id_col), F.explode_outer(tok_ints).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
     aggs = [
         F.sum((F.shiftright(F.col("h"), 32 - j).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"b{j}")
         for j in range(1, 33)
@@ -243,17 +256,28 @@ def ngram_jaccard_pairs(
     double division.
 
     Shape: inverted index, not pairwise array intersection. Distinct
-    shingles explode to (block, shingle, doc, |doc|) postings; a self
-    equi-join on (block, shingle) materializes exactly the co-occurring
-    pairs; one codegen'd count-aggregate per pair IS |A∩B|. A pair with
-    zero common shingles never materializes (threshold > 0 makes that a
-    no-op), so cost follows actual shingle co-occurrence instead of
-    block-size². The join form keeps everything in whole-stage codegen
-    with flat rows — a collect_list/bucket-expand variant measured the
-    same on average but GC-spiked on frequent-shingle buckets.
-    ``max_bucket`` is the df-cap: shingles appearing in more documents
-    are dropped from the index (at real scale: the stop-shingle cap every
-    near-dup pipeline applies; they carry no discriminating signal).
+    shingles explode to (block, shingle, doc, |doc|) postings; co-occurring
+    pairs come out of per-shingle buckets; one codegen'd count-aggregate
+    per pair IS |A∩B|. A pair with zero common shingles never materializes
+    (threshold > 0 makes that a no-op), so cost follows actual shingle
+    co-occurrence instead of block-size².
+
+    ``max_bucket`` is the df-cap: shingles appearing in more documents are
+    dropped from the index (at real scale: the stop-shingle cap every
+    near-dup pipeline applies; they carry no discriminating signal). The
+    cap also selects the physical strategy:
+
+    - capped: ONE pass — repartition on (block, shingle), df-filter via an
+      in-place window (no extra exchange), collect the ≤max_bucket bucket,
+      explode ordered pairs, aggregate. The window filter runs BEFORE any
+      collect_list, so no oversized bucket is ever materialized (the
+      historical GC-spike failure mode), and the whole query shuffles the
+      corpus-sized index once plus one pair-sized exchange.
+    - uncapped: postings SELF-JOIN (shuffle-hash, never broadcast — the
+      index is corpus-sized). Pairs stream through codegen without
+      materializing any bucket array, the only safe shape when a
+      stop-shingle's bucket is unbounded; costs a second scan+shuffle of
+      the index. At scale you always want the cap.
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are never materialized)")
@@ -261,47 +285,76 @@ def ngram_jaccard_pairs(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.array_distinct(shingle_array(F.col(text_col), n_shingle)).alias("sh"),
     )
+    # explode_outer, NOT explode: plain explode lets Catalyst infer
+    # isnotnull/size>0 filters on the shingle array and push them below the
+    # exchange — re-evaluating the (interpreted) shingle lambda 3× per doc
+    # at the scan. Measured 2× on the whole query at sf0.1. explode_outer
+    # blocks the inference; the post-hoc null filter restores exact
+    # explode semantics (shingle_array yields ≥1 element on non-null text).
     postings = base.select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.size("sh").cast("long").alias("sz"),
-        F.explode("sh").alias("s"),
-    )
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*[F.col(c) for c in block_cols], F.col("s"))
-        postings = (
-            postings.withColumn("__df", F.count(F.lit(1)).over(w))
-            .filter(F.col("__df") <= max_bucket)
-            .drop("__df")
-        )
+        F.explode_outer("sh").alias("s"),
+    ).filter(F.col("s").isNotNull())
     # explicit join-key repartition with a pinned partition count: AQE's
     # post-shuffle coalesce otherwise collapses the (small-looking) postings
     # join to ONE task at bench scale — a serial hot spot that only gets
     # worse as co-occurrence grows; user-specified repartition is exempt
-    # from coalescing and the shuffle-hash join reuses the partitioning
+    # from coalescing. The df-cap window, the shuffle-hash join, and the
+    # in-partition sort all REUSE this one hash layout (ClusteredDistribution
+    # on the same keys), so each join side shuffles the index exactly once —
+    # window-before-repartition cost a second full exchange per side.
     n_part = df.sparkSession.sparkContext.defaultParallelism
     postings = postings.repartition(n_part, *[F.col(c) for c in block_cols], F.col("s"))
-    # shuffle-hash, never broadcast: the postings index is as large as the
-    # corpus — Spark's size estimate can look broadcastable at dev scale
-    # and collecting a million-row index to the driver is the failure mode
-    a = postings.alias("pa").hint("shuffle_hash")
-    b = postings.alias("pb")
-    cond = (F.col("pa.s") == F.col("pb.s")) & (
-        F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")
-    )
-    for c in block_cols:
-        cond = cond & (F.col(f"pa.{c}") == F.col(f"pb.{c}"))
-    counts = (
-        a.join(b, cond)
-        .groupBy(
-            F.col(f"pa.{id_col}").alias("a_id"),
-            F.col(f"pb.{id_col}").alias("b_id"),
-            F.col("pa.sz").alias("a_sz"),
-            F.col("pb.sz").alias("b_sz"),
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(c) for c in block_cols], F.col("s"))
+        buckets = (
+            postings.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_bucket)
+            .groupBy(*[F.col(c) for c in block_cols], F.col("s"))
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("sz").alias("z"))
+                ).alias("ds")
+            )
+            .filter(F.size("ds") >= 2)
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+        counts = (
+            buckets.select(F.explode("ds").alias("a"), F.col("ds"))
+            .select("a", F.explode("ds").alias("b"))
+            .filter(F.col("a.i") < F.col("b.i"))
+            .groupBy(
+                F.col("a.i").alias("a_id"),
+                F.col("b.i").alias("b_id"),
+                F.col("a.z").alias("a_sz"),
+                F.col("b.z").alias("b_sz"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # shuffle-hash, never broadcast: the postings index is as large as
+        # the corpus — Spark's size estimate can look broadcastable at dev
+        # scale and collecting a million-row index to the driver is the
+        # failure mode
+        a = postings.alias("pa").hint("shuffle_hash")
+        b = postings.alias("pb")
+        cond = (F.col("pa.s") == F.col("pb.s")) & (
+            F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")
+        )
+        for c in block_cols:
+            cond = cond & (F.col(f"pa.{c}") == F.col(f"pb.{c}"))
+        counts = (
+            a.join(b, cond)
+            .groupBy(
+                F.col(f"pa.{id_col}").alias("a_id"),
+                F.col(f"pb.{id_col}").alias("b_id"),
+                F.col("pa.sz").alias("a_sz"),
+                F.col("pb.sz").alias("b_sz"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     return (
         counts.withColumn("n_union", F.col("a_sz") + F.col("b_sz") - F.col("n_inter"))
         .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
