@@ -190,7 +190,10 @@ def minhash_lsh_candidates(
         )
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        # _outer + null filter: blocks the inferred isnotnull/size filter
+        # that would re-evaluate the nested pair-building lambda per bucket
+        buckets.select(F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
         .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )

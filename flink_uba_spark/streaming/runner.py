@@ -77,16 +77,34 @@ def write_replay(dfs: list[DataFrame], tag: str = "replay") -> str:
     return str(base)
 
 
-def run_to_table(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+def run_to_table(
+    sdf: DataFrame, output_mode: str = "append", state_partitions: int = 8
+) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a memory
-    sink; return the materialized result as a batch DataFrame."""
+    sink; return the materialized result as a batch DataFrame.
+
+    ``state_partitions`` sizes the stateful-operator partitioning for THIS
+    run (each replay starts a fresh checkpoint, so the count is free to
+    choose per run; in a long-lived deployment it is fixed at first start
+    and must be sized to key cardinality up front). Every state partition
+    pays a per-micro-batch store open/commit, so the bounded replays here
+    want few; measured 2-3× wall-clock on the sf0.1 replays vs inheriting
+    the relational shuffle.partitions=32. Result SETS are partition-count
+    invariant (hash partitioning only routes keys), so oracles are
+    unaffected."""
+    spark = sdf.sparkSession
     name = "mem_" + uuid.uuid4().hex[:12]
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
