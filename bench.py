@@ -61,6 +61,8 @@ HEADLINE = HEADLINE_R01 + [
     "stream_attribution_join",
     "stream_order_timeout_states",
     "stream_tx_reconcile",
+    "asof_last_click",
+    "purchases_in_signup_windows",
 ]
 
 

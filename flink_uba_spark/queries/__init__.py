@@ -12,9 +12,9 @@ produced by a single IEEE operation on exactly-representable integers
 
 from __future__ import annotations
 
-from flink_uba_spark.queries import behavior, datapipe, streaming, tpch, uba
+from flink_uba_spark.queries import behavior, datapipe, streaming, temporal, tpch, uba
 
-_MODULES = (uba, tpch, datapipe, streaming, behavior)
+_MODULES = (uba, tpch, datapipe, streaming, behavior, temporal)
 
 
 def all_queries():

@@ -1,0 +1,130 @@
+"""Temporal-join catalog: as-of (last-touch) lookup and per-row-window
+range join over the events table (operators/temporal.py).
+
+Determinism contract (queries/__init__.py): outputs are ints, strings,
+timestamps; time gaps are exact integer microseconds (unix_micros /
+epoch_us), never float seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_uba_spark.operators.temporal import asof_join, range_join
+from flink_uba_spark.sources.readers import load_testdata
+
+
+def _events(spark, sf_dir):
+    return load_testdata(spark, sf_dir, ("events",))["events"]
+
+
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the user's most recent
+    click at-or-before it (ties on click ts broken by max event_id), plus
+    the touch→purchase gap in exact microseconds. Purchases with no prior
+    click keep nulls — the left side always survives."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    j = asof_join(
+        purchases, clicks, on="user_id", payload=["event_id"], tiebreak="event_id"
+    )
+    return j.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("r_ts").alias("click_ts"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))).alias("gap_us"),
+    )
+
+
+ASOF_LAST_CLICK_ORACLE = """
+WITH t AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_r
+    FROM events WHERE event_type IN ('click', 'purchase')
+), w AS (
+    SELECT user_id, ts, event_id, is_r,
+           last_value(CASE WHEN is_r = 1 THEN event_id END IGNORE NULLS)
+             OVER win AS click_id,
+           last_value(CASE WHEN is_r = 1 THEN ts END IGNORE NULLS)
+             OVER win AS click_ts
+    FROM t
+    WINDOW win AS (PARTITION BY user_id
+                   ORDER BY ts ASC, is_r DESC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, click_id, click_ts,
+       epoch_us(ts) - epoch_us(click_ts) AS gap_us
+FROM w WHERE is_r = 0
+"""
+
+
+def purchases_in_signup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row-window attribution: each signup opens a window of
+    600 + (event_id % 1800) seconds (heterogeneous lengths — the case a
+    fixed-band interval join can't express); emit every purchase of the
+    same user inside its window. Bucketized equi-join, 15-min buckets."""
+    ev = _events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts"))
+            + (F.lit(600) + F.col("event_id") % 1800) * 1_000_000
+        ).alias("end_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    j = range_join(
+        purchases,
+        signups,
+        left_ts="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        keys=("user_id",),
+        bucket_seconds=900,
+    )
+    return j.select(
+        "user_id",
+        "signup_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        "start_ts",
+        "end_ts",
+    )
+
+
+PURCHASES_IN_SIGNUP_WINDOWS_ORACLE = """
+WITH r AS (
+    SELECT user_id, event_id AS signup_id, ts AS start_ts,
+           make_timestamp(epoch_us(ts) + (600 + event_id % 1800) * 1000000) AS end_ts
+    FROM events WHERE event_type = 'signup'
+), p AS (
+    SELECT user_id, event_id AS purchase_id, ts FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT r.user_id, r.signup_id, p.purchase_id, p.ts AS purchase_ts,
+       r.start_ts, r.end_ts
+FROM r JOIN p ON r.user_id = p.user_id
+              AND p.ts >= r.start_ts AND p.ts <= r.end_ts
+"""
+
+
+QUERIES = {
+    "asof_last_click": asof_last_click,
+    "purchases_in_signup_windows": purchases_in_signup_windows,
+}
+
+ORACLES = {
+    "asof_last_click": ASOF_LAST_CLICK_ORACLE,
+    "purchases_in_signup_windows": PURCHASES_IN_SIGNUP_WINDOWS_ORACLE,
+}
