@@ -63,6 +63,8 @@ HEADLINE = HEADLINE_R01 + [
     "stream_tx_reconcile",
     "asof_last_click",
     "purchases_in_signup_windows",
+    "order_value_percentiles",
+    "doc_train_test_split",
 ]
 
 

@@ -381,7 +381,26 @@ FROM documents
 """
 
 
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 90/10 train/test assignment keyed on md5(doc_id) —
+    a pure function of the row (operators/sampling.py), identical across
+    engines, runs, and input re-splits, unlike RNG-based df.sample()."""
+    from flink_uba_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir), test_permille=100).select("doc_id", "split")
+
+
+DOC_TRAIN_TEST_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000 < 100
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 QUERIES = {
+    "doc_train_test_split": doc_train_test_split,
     "multimodal_decode": multimodal_decode,
     "multimodal_resize": multimodal_resize,
     "text_token_count": text_token_count,
@@ -398,6 +417,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_train_test_split": DOC_TRAIN_TEST_SPLIT_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
     "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,

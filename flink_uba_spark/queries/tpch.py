@@ -384,7 +384,70 @@ GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS BIGINT))
 """
 
 
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete (nearest-rank) p50/p90/p99 of order value per
+    priority class. Nearest-rank over cents-BIGINT keeps the whole query
+    in integer arithmetic — interpolated percentiles (quantile_cont /
+    Spark ``percentile``) produce engine-specific float blends, so the
+    discrete form is the deterministic one.
+
+    Plan: ONE exchange on priority; the ranking window and the final
+    aggregate both reuse it (ClusteredDistribution satisfied). The rank
+    tiebreak (o_orderkey) affects which ROW sits at rank k, never the
+    VALUE there, so the answer is tie-free by construction.
+    """
+    from pyspark.sql import Window
+
+    t = load_testdata(spark, sf_dir, ("orders",))
+    w = Window.partitionBy("priority").orderBy(F.asc("cents"), F.asc("o_orderkey"))
+    ranked = (
+        t["orders"]
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            _cents(F.col("o_totalprice")).alias("cents"),
+            "o_orderkey",
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("priority")).cast("long")
+        )
+    )
+
+    def at(pct):  # nearest-rank: value at ceil(pct/100 * n), exact ints
+        k = F.expr(f"({pct} * n + 99) div 100")
+        return F.max(F.when(F.col("rn") == k, F.col("cents")))
+
+    return ranked.groupBy("priority").agg(
+        at(50).alias("p50_cents"),
+        at(90).alias("p90_cents"),
+        at(99).alias("p99_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORDER_VALUE_PERCENTILES_ORACLE = """
+WITH c AS (
+    SELECT o_orderpriority AS priority,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+    FROM orders
+), r AS (
+    SELECT priority, cents,
+           row_number() OVER (PARTITION BY priority
+                              ORDER BY cents ASC, o_orderkey ASC) AS rn,
+           count(*) OVER (PARTITION BY priority) AS n
+    FROM c
+)
+SELECT priority,
+       max(CASE WHEN rn = (50 * n + 99) // 100 THEN cents END) AS p50_cents,
+       max(CASE WHEN rn = (90 * n + 99) // 100 THEN cents END) AS p90_cents,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS p99_cents,
+       count(*) AS n_orders
+FROM r GROUP BY priority
+"""
+
+
 QUERIES = {
+    "order_value_percentiles": order_value_percentiles,
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "tpch_q14_promo_effect": tpch_q14_promo_effect,
@@ -398,6 +461,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "order_value_percentiles": ORDER_VALUE_PERCENTILES_ORACLE,
     "tpch_q1_pricing_summary": TPCH_Q1_ORACLE,
     "tpch_q10_returned_items": TPCH_Q10_ORACLE,
     "tpch_q14_promo_effect": TPCH_Q14_ORACLE,

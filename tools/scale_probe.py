@@ -31,6 +31,9 @@ QUERIES = [
     "embedding_near_dup_lsh",
     "embedding_cosine_topk",
     "embedding_ivf_topk",
+    "user_funnel",
+    "asof_last_click",
+    "purchases_in_signup_windows",
 ]
 
 
