@@ -65,6 +65,7 @@ HEADLINE = HEADLINE_R01 + [
     "purchases_in_signup_windows",
     "order_value_percentiles",
     "doc_train_test_split",
+    "stream_hot_pages_allowed_lateness",
 ]
 
 

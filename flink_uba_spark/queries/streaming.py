@@ -194,6 +194,114 @@ SELECT window_start, window_end, page, cnt, rnk FROM ranked WHERE rnk <= 3
 """
 
 
+def stream_hot_pages_allowed_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 — Flink allowedLateness, reproduced with Spark-native semantics
+    (HotPages.java:67 ``allowedLateness(Time.minutes(1))`` generalized).
+
+    Flink: a window fires at the watermark, then RE-fires an updated
+    result for each late element until watermark > window_end + lateness,
+    then purges. The Spark twin is the UPDATE-mode windowed aggregate with
+    watermark = delay + lateness: the first emission of a key is the
+    on-time fire, each later batch that lands an accepted late row emits
+    an updated count for the same key, and state purges at the combined
+    horizon. Same replay as ``stream_hot_pages`` (on-time A, pusher P,
+    very-late L); lateness is 13 h, so L rows (ts ≤ Tmax − 12 h) split —
+    window assignments still inside the horizon are ACCEPTED and refire
+    their window, older ones are dropped exactly as without lateness.
+
+    Output per (window, page): final count plus ``n_emissions`` — the
+    number of update rows the sink received (memory sink appends one row
+    per changed key per batch), which the oracle reproduces as the count
+    of distinct replay batches contributing an accepted row. Keys with
+    ``n_emissions`` = 2 are the re-fired (late-updated) windows — the
+    observable allowedLateness behavior.
+    """
+    from pyspark.sql import types as T
+
+    from flink_uba_spark.sources.readers import load_testdata
+
+    pages = (
+        load_testdata(spark, sf_dir, ("events",))["events"]
+        .filter(~F.col("event_type").rlike(HOT_PAGES_EXCLUDE))
+        .select("event_id", F.col("event_type").alias("page"), "ts")
+    )
+    tmax = pages.agg(F.max("ts")).collect()[0][0]  # scalar cutoff, not a data collect
+    import datetime as _dt
+
+    cut_pusher = tmax - _dt.timedelta(hours=1)
+    cut_late = tmax - _dt.timedelta(hours=12)
+    is_late = (F.col("ts") <= F.lit(cut_late)) & (F.col("event_id") % 19 == 0)
+    is_pusher = F.col("ts") > F.lit(cut_pusher)
+    batch_a = pages.filter(~is_late & ~is_pusher).select("page", "ts")
+    batch_p = pages.filter(is_pusher).select("page", "ts")
+    batch_l = pages.filter(is_late).select("page", "ts")
+    replay_dir = write_replay([batch_a, batch_p, batch_l], tag="hot_pages_al")
+
+    schema = T.StructType(
+        [T.StructField("page", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    emissions = run_to_table(
+        stream_windowed_counts(
+            sdf, F.col("page"), "page",
+            size="6 hours", slide="30 minutes",
+            watermark_delay="46805 seconds",  # 5 s delay + 13 h lateness
+        ),
+        output_mode="update",
+    )
+    return emissions.groupBy("window_start", "window_end", "page").agg(
+        F.max("cnt").alias("cnt"),  # counts only grow; max = final refired value
+        F.count(F.lit(1)).alias("n_emissions"),
+    )
+
+
+STREAM_HOT_PAGES_ALLOWED_LATENESS_ORACLE = """
+WITH pages AS (
+    SELECT event_id, event_type AS page, ts FROM events
+    WHERE NOT regexp_matches(event_type, '^(error|signup)$')
+),
+tmax AS (SELECT max(ts) AS t FROM pages),
+tagged AS (
+    -- replay batch of each row: 0 on-time, 1 pusher, 2 very-late
+    SELECT page, ts,
+           CASE WHEN ts <= (SELECT t FROM tmax) - INTERVAL 12 HOUR
+                     AND event_id % 19 = 0 THEN 2
+                WHEN ts > (SELECT t FROM tmax) - INTERVAL 1 HOUR THEN 1
+                ELSE 0 END AS batch
+    FROM pages
+),
+assigned AS (
+    SELECT
+        make_timestamp(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - g.k) * 1800) * 1000000)
+            AS window_start,
+        page, batch
+    FROM tagged CROSS JOIN generate_series(0, 11) AS g(k)
+),
+amax AS (SELECT max(ts) AS t FROM tagged WHERE batch = 0),
+accepted AS (
+    -- the multi-batch rule pinned in tests/test_watermarks.py: a late row
+    -- is dropped only if its window was evicted in an EARLIER batch, and
+    -- batch 1 evicts with the watermark of data through batch 0 —
+    -- floor_ms(max(A)) - (5 s + 13 h). Windows between that and the
+    -- batch-1 watermark still hold state, so batch-2 rows MERGE there.
+    SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end, page, batch
+    FROM assigned
+    WHERE batch < 2
+       OR epoch_us(window_start + INTERVAL 6 HOUR)
+              > ((SELECT epoch_us(t) // 1000 FROM amax) - 46805000) * 1000
+)
+SELECT window_start, window_end, page,
+       count(*) AS cnt,
+       count(DISTINCT batch) AS n_emissions
+FROM accepted
+GROUP BY 1, 2, 3
+"""
+
+
 def stream_tx_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 in its native streaming form (TxPayMatch.java:73-156): two-stream
     reconciliation as a watermarked stream-stream FULL OUTER join. The
@@ -413,6 +521,7 @@ QUERIES = {
     "stream_order_timeout_states": stream_order_timeout_states,
     "stream_tx_reconcile": stream_tx_reconcile,
     "stream_hot_pages": stream_hot_pages,
+    "stream_hot_pages_allowed_lateness": stream_hot_pages_allowed_lateness,
 }
 
 ORACLES = {
@@ -422,4 +531,5 @@ ORACLES = {
     "stream_order_timeout_states": STREAM_ORDER_TIMEOUT_ORACLE,
     "stream_tx_reconcile": STREAM_TX_RECONCILE_ORACLE,
     "stream_hot_pages": STREAM_HOT_PAGES_ORACLE,
+    "stream_hot_pages_allowed_lateness": STREAM_HOT_PAGES_ALLOWED_LATENESS_ORACLE,
 }
