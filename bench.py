@@ -66,6 +66,9 @@ HEADLINE = HEADLINE_R01 + [
     "order_value_percentiles",
     "doc_train_test_split",
     "stream_hot_pages_allowed_lateness",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q19_brand_bands",
 ]
 
 

@@ -384,6 +384,168 @@ GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS BIGINT))
 """
 
 
+# --------------------------------------------------------------------- q8
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_7's share of PROMO-part
+    revenue among EUROPE customers, by order year. partsupp does not exist
+    in the testdata so the query is the standard 7-table form minus it.
+
+    Share = cents(nation) / cents(all) — two exact BIGINT sums and ONE
+    IEEE division (determinism contract). Dimension sides (part filter,
+    supplier→nation, customer-nation→region) broadcast; lineitem/orders/
+    customer join strategy is AQE's.
+    """
+    t = load_testdata(
+        spark, sf_dir,
+        ("region", "nation", "customer", "supplier", "orders", "lineitem", "part"),
+    )
+    promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp_nat = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    eur_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = t["customer"].join(
+        F.broadcast(eur_nations), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    li = t["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol_cents"),
+    )
+    vol = (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("vol_cents")).otherwise(F.lit(0)))
+            .alias("nation_cents"),
+            F.sum("vol_cents").alias("total_cents"),
+        )
+        .select(
+            "o_year", "nation_cents", "total_cents",
+            (F.col("nation_cents").cast("double") / F.col("total_cents").cast("double"))
+            .alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_ORACLE = """
+WITH vol AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol_cents,
+           n2.n_name AS supp_nation
+    FROM lineitem, part, orders, customer, supplier, nation n1, nation n2, region
+    WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+      AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+      AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol_cents ELSE 0 END) AS BIGINT)
+           AS nation_cents,
+       CAST(sum(vol_cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol_cents ELSE 0 END) AS DOUBLE)
+           / CAST(sum(vol_cents) AS DOUBLE) AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------- q13
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), minus the o_comment
+    NOT LIKE filter (column absent in testdata). Left outer join keeps
+    zero-order customers; two aggregations re-use the same exchange only
+    at the second groupBy's small cardinality — the heavy exchange is the
+    c_custkey count, map-side partial first."""
+    t = load_testdata(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+TPCH_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------- q19
+def tpch_q19_brand_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive brand/size/quantity bands; the
+    shipmode/shipinstruct legs are absent from the testdata schema).
+    The OR-of-conjunctions is an equi-join on partkey with the
+    disjunction as the join residual — never a nested loop — and each
+    leg's part-side conjuncts (brand, size) still prune the broadcast
+    build side."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    part = t["part"].select("p_partkey", "p_brand", "p_size")
+    li = t["lineitem"].select(
+        "l_partkey", "l_quantity",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cents"),
+    )
+    band = (
+        ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 30))
+    )
+    pre = F.col("p_brand").isin("Brand#4", "Brand#2", "Brand#19")
+    return (
+        li.join(F.broadcast(part.filter(pre)), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+
+
+TPCH_Q19_ORACLE = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
 def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete (nearest-rank) p50/p90/p99 of order value per
     priority class. Nearest-rank over cents-BIGINT keeps the whole query
@@ -447,6 +609,9 @@ FROM r GROUP BY priority
 
 
 QUERIES = {
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+    "tpch_q19_brand_bands": tpch_q19_brand_bands,
     "order_value_percentiles": order_value_percentiles,
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q10_returned_items": tpch_q10_returned_items,
@@ -461,6 +626,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q8_market_share": TPCH_Q8_ORACLE,
+    "tpch_q13_customer_distribution": TPCH_Q13_ORACLE,
+    "tpch_q19_brand_bands": TPCH_Q19_ORACLE,
     "order_value_percentiles": ORDER_VALUE_PERCENTILES_ORACLE,
     "tpch_q1_pricing_summary": TPCH_Q1_ORACLE,
     "tpch_q10_returned_items": TPCH_Q10_ORACLE,
