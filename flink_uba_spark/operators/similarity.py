@@ -118,6 +118,40 @@ def default_codebook(
     ).filter(F.col("centroid_id") < n_centroids)
 
 
+def kmeans_codebook(
+    corpus: DataFrame,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Trained IVF codebook: k-means|| (pyspark.ml) over the corpus,
+    returned in the (centroid_id, embedding) schema ``ivf_topk`` expects.
+    This is the real-scale path (~√N centroids): training is one cached
+    pass + Lloyd iterations, all distributed; the result is tiny and
+    broadcast by ivf_topk. Seeded runs are reproducible for a fixed Spark
+    version and partitioning but NOT cross-engine — which is why the
+    oracle-checked catalog query uses ``default_codebook`` instead (the
+    plumbing under test is identical either way)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = corpus.select(
+        F.col(id_col), array_to_vector(F.col(emb_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||").fit(vecs)
+    centers = model.clusterCenters()
+    sess = corpus.sparkSession
+    cb = sess.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id long, embedding array<double>",
+    )
+    return cb.select(
+        "centroid_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -49,3 +49,19 @@ def test_ivf_no_driver_collect_in_plan(spark, sf_dir):
     df = ivf_topk(embs, embs.filter(F.col("vec_id") < 4), k=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmeans_codebook_end_to_end(spark, sf_dir):
+    """Trained (k-means||) codebook plugs into the same ivf_topk plumbing
+    and achieves reasonable recall vs exact brute force on the testdata."""
+    from flink_uba_spark.operators.similarity import cosine_topk, kmeans_codebook
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    cb = kmeans_codebook(embs, n_centroids=8, seed=42)
+    assert cb.count() == 8
+    approx = ivf_topk(embs, queries, k=3, codebook=cb, n_probe=3).toPandas()
+    exact = cosine_topk(embs, queries, k=3).toPandas()
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values.tolist()))
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values.tolist()))
+    assert len(a & e) / len(e) >= 0.5  # n_probe=3 of 8 cells: recall well above chance
