@@ -90,3 +90,25 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     p = plan_of(spark, sf_dir, tpch.tpch_q3_shipping_priority)
     assert "TakeOrderedAndProject" in p  # T4: sort+limit fused
     assert "SortMergeJoin" not in p  # at this SF Catalyst picks hash joins
+
+
+def test_round2_additions_plan_contracts(spark, sf_dir):
+    """Plan pins for the round-2 catalog additions."""
+    from flink_uba_spark.queries import datapipe as dp
+
+    # q8: all five dimension attachments broadcast-hinted; fact joins AQE's
+    assert hint_count(spark, sf_dir, tpch.tpch_q8_market_share) == 5
+    # q19: single broadcast of the pre-pruned part side, one agg exchange
+    assert hint_count(spark, sf_dir, tpch.tpch_q19_brand_bands) == 1
+    p19 = plan_of(spark, sf_dir, tpch.tpch_q19_brand_bands)
+    assert count_nodes(p19, "Exchange") == 1 and "partial_sum" in p19
+    # q13: custkey count + histogram = exactly two exchanges, partial aggs
+    p13 = plan_of(spark, sf_dir, tpch.tpch_q13_customer_distribution)
+    assert count_nodes(p13, "Exchange") == 2 and "partial_count" in p13
+    # percentiles: rank window and final agg share ONE priority exchange
+    pp = plan_of(spark, sf_dir, tpch.order_value_percentiles)
+    assert count_nodes(pp, "Exchange") == 1
+    # hash split: pure per-row expression — zero exchanges, no UDF
+    ps = plan_of(spark, sf_dir, dp.doc_train_test_split)
+    assert count_nodes(ps, "Exchange") == 0
+    assert "pythonUDF" not in ps and "BatchEvalPython" not in ps
