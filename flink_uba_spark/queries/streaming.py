@@ -137,7 +137,7 @@ def stream_hot_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_a = pages.filter(~is_late & ~is_pusher).select("page", "ts")
     batch_p = pages.filter(is_pusher).select("page", "ts")
     batch_l = pages.filter(is_late).select("page", "ts")
-    replay_dir = write_replay([batch_a, batch_p, batch_l], tag="hot_pages")
+    replay_dir = write_replay([batch_a, batch_p, batch_l], tag="hot_pages", cache_key=sf_dir)
 
     schema = T.StructType(
         [T.StructField("page", T.StringType()), T.StructField("ts", T.TimestampType())]
@@ -235,7 +235,7 @@ def stream_hot_pages_allowed_lateness(spark: SparkSession, sf_dir: str) -> DataF
     batch_a = pages.filter(~is_late & ~is_pusher).select("page", "ts")
     batch_p = pages.filter(is_pusher).select("page", "ts")
     batch_l = pages.filter(is_late).select("page", "ts")
-    replay_dir = write_replay([batch_a, batch_p, batch_l], tag="hot_pages_al")
+    replay_dir = write_replay([batch_a, batch_p, batch_l], tag="hot_pages_al", cache_key=sf_dir)
 
     schema = T.StructType(
         [T.StructField("page", T.StringType()), T.StructField("ts", T.TimestampType())]

@@ -52,19 +52,40 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def write_replay(dfs: list[DataFrame], tag: str = "replay") -> str:
+def write_replay(
+    dfs: list[DataFrame], tag: str = "replay", cache_key: str | None = None
+) -> str:
     """Materialize DataFrames as an ordered multi-batch file-stream replay.
 
-    Each frame becomes one parquet file in a fresh temp dir, named and
+    Each frame becomes one parquet file in a temp dir, named and
     mtime-stamped in list order so FileStreamSource (which sorts by
     modification time, then path) delivers them as separate micro-batches
     under ``maxFilesPerTrigger=1``. This is replay scaffolding for the
     bounded-out-of-orderness tests — the reference replays ordered CSVs the
     same way (HotPages.java:41) — not a data-path operator.
+
+    ``cache_key``: when the batch frames are a deterministic function of
+    some input (e.g. the sf_dir), pass that input here — the replay is
+    written once per (tag, key, batch count) and reused, keyed like the
+    source symlink cache by a hash of the resolved key and guarded by a
+    completion marker so a torn write is never reused.
     """
     import shutil
 
-    base = Path(tempfile.gettempdir()) / "spark_graft_stream" / f"{tag}_{uuid.uuid4().hex[:12]}"
+    if cache_key is not None:
+        digest = hashlib.sha256(
+            f"{tag}|{len(dfs)}|{Path(cache_key).resolve()}".encode()
+        ).hexdigest()[:16]
+        base = Path(tempfile.gettempdir()) / "spark_graft_stream" / f"replay_{tag}_{digest}"
+        if (base / "_COMPLETE").exists():
+            return str(base)
+        shutil.rmtree(base, ignore_errors=True)
+    else:
+        base = (
+            Path(tempfile.gettempdir())
+            / "spark_graft_stream"
+            / f"{tag}_{uuid.uuid4().hex[:12]}"
+        )
     base.mkdir(parents=True)
     t0 = 1_000_000_000  # fixed epoch base; only relative order matters
     for i, df in enumerate(dfs):
@@ -74,6 +95,8 @@ def write_replay(dfs: list[DataFrame], tag: str = "replay") -> str:
         next(stage.glob("part-*.parquet")).rename(dest)
         shutil.rmtree(stage)
         os.utime(dest, (t0 + 10 * i, t0 + 10 * i))
+    if cache_key is not None:
+        (base / "_COMPLETE").touch()
     return str(base)
 
 
