@@ -52,6 +52,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# bump whenever any cached replay's batch construction changes — the cache
+# key cannot see the splitting logic, only (tag, key, batch count)
+_REPLAY_CACHE_VERSION = 1
+
+
 def write_replay(
     dfs: list[DataFrame], tag: str = "replay", cache_key: str | None = None
 ) -> str:
@@ -74,7 +79,7 @@ def write_replay(
 
     if cache_key is not None:
         digest = hashlib.sha256(
-            f"{tag}|{len(dfs)}|{Path(cache_key).resolve()}".encode()
+            f"{tag}|{_REPLAY_CACHE_VERSION}|{len(dfs)}|{Path(cache_key).resolve()}".encode()
         ).hexdigest()[:16]
         base = Path(tempfile.gettempdir()) / "spark_graft_stream" / f"replay_{tag}_{digest}"
         if (base / "_COMPLETE").exists():
