@@ -69,6 +69,7 @@ HEADLINE = HEADLINE_R01 + [
     "tpch_q8_market_share",
     "tpch_q13_customer_distribution",
     "tpch_q19_brand_bands",
+    "multimodal_frame_sample",
 ]
 
 

@@ -381,6 +381,33 @@ FROM documents
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (video-like payloads: fixed 64-byte frames,
+    keep every 4th): explodes one row per kept frame through the same
+    Arrow-batched mapInPandas plumbing; the oracle replays the frame
+    arithmetic relationally over the ASCII payload."""
+    from flink_uba_spark.operators.multimodal import attach_payload, frame_sample
+    from flink_uba_spark.operators.util import ensure_min_partitions
+
+    assets = attach_payload(ensure_min_partitions(_docs(spark, sf_dir)))
+    return frame_sample(assets, frame_size=64, every=4).select(
+        "asset_id", "frame_idx", "frame_md5"
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_ORACLE = """
+WITH f AS (
+    SELECT doc_id,
+           unnest(generate_series(0, greatest(strlen(text) // 64, 1) - 1)) AS i,
+           text
+    FROM documents
+)
+SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_idx,
+       md5(substring(text, CAST(i AS INTEGER) * 64 + 1, 64)) AS frame_md5
+FROM f WHERE i % 4 = 0
+"""
+
+
 def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 90/10 train/test assignment keyed on md5(doc_id) —
     a pure function of the row (operators/sampling.py), identical across
@@ -403,6 +430,7 @@ QUERIES = {
     "doc_train_test_split": doc_train_test_split,
     "multimodal_decode": multimodal_decode,
     "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -420,6 +448,7 @@ ORACLES = {
     "doc_train_test_split": DOC_TRAIN_TEST_SPLIT_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
     "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
+    "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
     "text_quality_score": TEXT_QUALITY_ORACLE,
     "text_lang_id": TEXT_LANG_ID_ORACLE,
