@@ -118,8 +118,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 # apples-to-apples vs BENCH_r01 (same 20 queries); the full
-                # `value` covers 39 queries after the round-2 breadth add
+                # `value` covers the whole expanded surface
                 "r01_subset_wall": r01_subset,
+                "note": (
+                    f"value sums {len(names)} queries (round-2 breadth); "
+                    f"BENCH_r01's 23.1s covered only 20 — compare it against "
+                    f"r01_subset_wall, which re-times exactly those 20"
+                ),
             }
         )
     )

@@ -1,0 +1,89 @@
+"""Checkpoint restart-recovery: stopping a streaming query between
+micro-batches and restarting from the same checkpoint must produce the
+exact batch answer with no duplicates or losses (Spark's WAL+state-store
+recovery — the operational property Flink users get from checkpointing).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_uba_spark.sources.readers import load_testdata
+from flink_uba_spark.streaming.runner import write_replay
+from flink_uba_spark.streaming.windows import stream_windowed_counts
+
+
+def test_windowed_agg_recovers_from_checkpoint(spark, sf_dir):
+    events = load_testdata(spark, sf_dir, ("events",))["events"]
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    # time-ordered split (real arrival order): windows that finalize during
+    # run 1 can never need run-2 rows, so recovery must reproduce the batch
+    # answer exactly
+    b0 = events.filter(F.col("ts") <= F.lit(mid)).select("user_id", "ts")
+    b1 = events.filter(F.col("ts") > F.lit(mid)).select("user_id", "ts")
+    replay = write_replay([b0, b1], tag=f"recov_{uuid.uuid4().hex[:8]}")
+    # deterministic interruption: hide batch 1 during the first run, so run 1
+    # commits exactly one micro-batch; restore it for the recovery run (mtime
+    # preserved, so FileStreamSource ordering is unchanged)
+    second = Path(replay) / "01.parquet"
+    hidden = Path(replay).parent / (Path(replay).name + "_hidden01")
+    second.rename(hidden)
+
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    ckpt = str(Path(tempfile.mkdtemp(prefix="spark_graft_ckpt_")))
+    out_dir = str(Path(tempfile.mkdtemp(prefix="spark_graft_recov_out_")))
+
+    def run_until_drained():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay)
+        )
+        agg = stream_windowed_counts(
+            sdf, F.col("user_id"), "user_id",
+            size="1 hour", slide="30 minutes", watermark_delay="0 seconds",
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_until_drained()   # sees only batch 0, then "crashes"
+    n_after_crash = spark.read.parquet(out_dir).count()
+    hidden.rename(second)
+    run_until_drained()   # recovers from checkpoint, processes batch 1 only
+
+    assert n_after_crash > 0  # run 1 really committed work before the cut
+
+    got = spark.read.parquet(out_dir)  # the file-sink commit log hides any
+    # uncommitted files from the aborted attempt — the exactly-once mechanism
+    # the recovered run must equal the one-shot batch answer exactly
+    both = b0.unionByName(b1)
+    tmax = both.agg(F.max("ts")).collect()[0][0]
+    win = (
+        both.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id", "cnt",
+        )
+        .filter(F.col("window_end") <= F.lit(tmax))
+    )
+    g = sorted(map(tuple, got.collect()))
+    w_rows = sorted(map(tuple, win.collect()))
+    assert g == w_rows
+    assert len(g) == len(set(g))  # no duplicate emissions after restart
