@@ -96,6 +96,13 @@ def main() -> None:
     spark.range(256).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    if "stream_user_sessions" in qs:
+        # one tiny end-to-end stream warms the micro-batch engine, state
+        # store providers, and streaming codegen paths once, instead of
+        # inside the first measured stream query
+        qs["stream_user_sessions"](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

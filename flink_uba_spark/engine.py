@@ -64,6 +64,21 @@ class UbaEngine:
 
         return funnel(df, **kw)
 
+    def asof_join(self, left, right, on, **kw) -> DataFrame:
+        from flink_uba_spark.operators.temporal import asof_join
+
+        return asof_join(left, right, on, **kw)
+
+    def range_join(self, left, ranges, **kw) -> DataFrame:
+        from flink_uba_spark.operators.temporal import range_join
+
+        return range_join(left, ranges, **kw)
+
+    def hash_split(self, df, **kw) -> DataFrame:
+        from flink_uba_spark.operators.sampling import hash_split
+
+        return hash_split(df, **kw)
+
     # ------------------------------------------------------- query catalog
     def query(self, name: str, sf_dir: str) -> DataFrame:
         """Run a named catalog query (the driver-visible surface)."""
