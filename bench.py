@@ -70,6 +70,8 @@ HEADLINE = HEADLINE_R01 + [
     "tpch_q13_customer_distribution",
     "tpch_q19_brand_bands",
     "multimodal_frame_sample",
+    "stream_dedup_events",
+    "text_pii_scrub",
 ]
 
 

@@ -124,3 +124,27 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(F.col(text_col))
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
     return df.withColumn("fingerprint", F.md5(canon))
+
+
+# Deliberately lookahead/backreference-free so Java regex (Spark) and RE2
+# (DuckDB) agree character-for-character.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction stage: count and replace email/phone patterns with
+    typed placeholders. Adds ``n_emails``, ``n_phones``, ``scrubbed``.
+    Pure per-row JVM expressions (regexp_count / regexp_replace) — fuses
+    into the scan, no shuffle, no UDF; at 100 TB this is the canonical
+    scan-bound stage."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
+            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
+            "scrubbed": F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+            ),
+        }
+    )

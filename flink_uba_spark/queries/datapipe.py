@@ -381,6 +381,51 @@ FROM documents
 """
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents. The synthetic corpus carries no PII,
+    so the query plants deterministic email/phone strings on a doc_id
+    pattern first — the scrub then has real matches to count and redact,
+    and the oracle replays the identical planting + regex semantics."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" call +555 123 4567 today")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TX.pii_scrub(docs).select(
+        "doc_id", "n_emails", "n_phones", F.md5("scrubbed").alias("scrubbed_md5")
+    )
+
+
+TEXT_PII_SCRUB_ORACLE = f"""
+WITH planted AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' call +555 123 4567 today' ELSE '' END
+               AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TX.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{TX.PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{TX.EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{TX.PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+FROM planted
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling stage (video-like payloads: fixed 64-byte frames,
     keep every 4th): explodes one row per kept frame through the same
@@ -435,6 +480,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_pii_scrub": text_pii_scrub,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -453,6 +499,7 @@ ORACLES = {
     "text_quality_score": TEXT_QUALITY_ORACLE,
     "text_lang_id": TEXT_LANG_ID_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
+    "text_pii_scrub": TEXT_PII_SCRUB_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,

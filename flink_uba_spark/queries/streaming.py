@@ -472,6 +472,62 @@ UNION ALL SELECT * FROM orphans
 """
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` over a watermarked
+    stream — the keyed-state twin of ``dedup_exact`` and the operator every
+    at-least-once ingest pipeline puts first. State holds one entry per key
+    inside the watermark horizon; older keys evict.
+
+    Replay: batch 0 is the full events table (unique event_ids); batch 1
+    re-sends two duplicate slices — a recent one (ts > Tmax − 1 h, inside
+    the 2 h watermark horizon → suppressed against state) and a very-late
+    one (ts ≤ Tmax − 12 h → below the batch-1 watermark, dropped as late
+    input). Both paths leave exactly one copy of every event, which is
+    what the oracle asserts: the result is the events table itself,
+    emitted once — duplicates neither re-emitted nor double-counted.
+    """
+    from pyspark.sql import types as T
+
+    from flink_uba_spark.sources.readers import load_testdata
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "user_id", "ts"
+    )
+    tmax = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    recent_dups = ev.filter(
+        (F.col("ts") > F.lit(tmax - _dt.timedelta(hours=1))) & (F.col("event_id") % 7 == 0)
+    )
+    late_dups = ev.filter(
+        (F.col("ts") <= F.lit(tmax - _dt.timedelta(hours=12)))
+        & (F.col("event_id") % 23 == 0)
+    )
+    replay_dir = write_replay(
+        [ev, recent_dups.unionByName(late_dups)], tag="dedup_ev", cache_key=sf_dir
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    deduped = sdf.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+    return run_to_table(deduped)
+
+
+STREAM_DEDUP_EVENTS_ORACLE = """
+SELECT event_id, user_id, ts FROM events
+"""
+
+
 def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization in its native streaming form — the north star's
     'Structured Streaming + sessionization' verbatim: watermarked
@@ -522,6 +578,7 @@ QUERIES = {
     "stream_tx_reconcile": stream_tx_reconcile,
     "stream_hot_pages": stream_hot_pages,
     "stream_hot_pages_allowed_lateness": stream_hot_pages_allowed_lateness,
+    "stream_dedup_events": stream_dedup_events,
 }
 
 ORACLES = {
@@ -532,4 +589,5 @@ ORACLES = {
     "stream_tx_reconcile": STREAM_TX_RECONCILE_ORACLE,
     "stream_hot_pages": STREAM_HOT_PAGES_ORACLE,
     "stream_hot_pages_allowed_lateness": STREAM_HOT_PAGES_ALLOWED_LATENESS_ORACLE,
+    "stream_dedup_events": STREAM_DEDUP_EVENTS_ORACLE,
 }
