@@ -72,6 +72,8 @@ HEADLINE = HEADLINE_R01 + [
     "multimodal_frame_sample",
     "stream_dedup_events",
     "text_pii_scrub",
+    "daily_event_type_pivot",
+    "rolling_7d_purchase_value",
 ]
 
 

@@ -127,7 +127,81 @@ GROUP BY 1, 2, 3
 """
 
 
+def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one count column per event type. Spark's
+    ``groupBy().pivot(values=...)`` with explicit values compiles to the
+    same single-exchange conditional aggregate the oracle spells out —
+    listing the values keeps the plan one-pass (omitting them adds a
+    distinct-scan job to discover them)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves nulls where a (day, type) pair never occurred — a count
+    # should read 0 there
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+DAILY_EVENT_TYPE_PIVOT_ORACLE = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+
+def rolling_7d_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window frame: per day, the purchase value summed over that
+    day and the 6 before it (RANGE frame over day epochs, cents-exact).
+    One exchange; days without purchases are absent (matching the oracle),
+    and the frame is a true RANGE — calendar gaps shrink the window, they
+    don't slide over them."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = (
+        ev.select(
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+            .cast("long")
+            .alias("day_no"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day_no")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        F.timestamp_seconds(F.col("day_no") * 86400).alias("day"),
+        "day_cents",
+        F.sum("day_cents").over(w).alias("rolling_7d_cents"),
+    )
+
+
+ROLLING_7D_ORACLE = """
+WITH daily AS (
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day_no,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT make_timestamp(day_no * 86400 * 1000000) AS day, day_cents,
+       CAST(sum(day_cents) OVER (ORDER BY day_no RANGE BETWEEN 6 PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS rolling_7d_cents
+FROM daily
+"""
+
+
 QUERIES = {
+    "daily_event_type_pivot": daily_event_type_pivot,
+    "rolling_7d_purchase_value": rolling_7d_purchase_value,
     "daily_active_users": daily_active_users,
     "hourly_event_volume": hourly_event_volume,
     "user_sessions": user_sessions,
@@ -136,6 +210,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,
+    "rolling_7d_purchase_value": ROLLING_7D_ORACLE,
     "daily_active_users": DAILY_ACTIVE_USERS_ORACLE,
     "hourly_event_volume": HOURLY_VOLUME_ORACLE,
     "user_sessions": USER_SESSIONS_ORACLE,
