@@ -74,6 +74,7 @@ HEADLINE = HEADLINE_R01 + [
     "text_pii_scrub",
     "daily_event_type_pivot",
     "rolling_7d_purchase_value",
+    "daily_users_approx",
 ]
 
 

@@ -199,7 +199,27 @@ FROM daily
 """
 
 
+def daily_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ daily uniques next to the exact count. Intentionally
+    has NO oracle entry: the sketch estimate is deterministic for a given
+    Spark version but engine-specific, so the driver records the weaker
+    rows-only check — the honest contract for approximate aggregates.
+    At 100 TB this is the DAU you actually run: the sketch shrinks the
+    per-day exchange from user-id sets to ~kilobyte registers. A sanity
+    bound vs the exact count is pinned in tests/test_behavior.py."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+    )
+
+
 QUERIES = {
+    "daily_users_approx": daily_users_approx,
     "daily_event_type_pivot": daily_event_type_pivot,
     "rolling_7d_purchase_value": rolling_7d_purchase_value,
     "daily_active_users": daily_active_users,

@@ -12,6 +12,8 @@ from tests.conftest import assert_matches_oracle
 
 def test_behavior_queries_match_oracle(spark, duck, sf_dir):
     for name, fn in behavior.QUERIES.items():
+        if name not in behavior.ORACLES:
+            continue  # rows-only queries (approx sketches) have their own gates
         assert_matches_oracle(fn(spark, sf_dir), duck, behavior.ORACLES[name])
 
 
@@ -126,3 +128,14 @@ def test_funnel_single_pass_equals_join_form(spark, sf_dir):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = funnel(events, steps=steps)._jdf.queryExecution().explainString(mode)
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_daily_users_approx_within_rsd(spark, sf_dir):
+    """HLL++ estimate stays within ~3 relative standard deviations of the
+    exact daily uniques (rows-only query — this test is its local gate)."""
+    from flink_uba_spark.queries.behavior import daily_users_approx
+
+    rows = daily_users_approx(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.15 * r.exact_users), r
