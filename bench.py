@@ -75,6 +75,7 @@ HEADLINE = HEADLINE_R01 + [
     "daily_event_type_pivot",
     "rolling_7d_purchase_value",
     "daily_users_approx",
+    "dedup_clusters",
 ]
 
 

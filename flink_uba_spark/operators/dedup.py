@@ -242,6 +242,61 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 # ---------------------------------------------------------------------------
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the step that
+    turns near-dup PAIRS into dedup CLUSTERS (keep min-id doc per cluster,
+    drop the rest). Returns (node, cluster_id = min node id reachable).
+
+    Iterative min-label propagation: each round, every node takes the min
+    of its own label and its neighbors' labels; converged when no label
+    changes. The loop is driver-side CONTROL only (one count per round —
+    a scalar); all data work is joins/aggregates on the cluster. Rounds
+    needed ≈ graph diameter, and each round is one shuffle of the (node,
+    label) frame against the edge list — the standard Spark formulation of
+    large-graph CC (GraphX/GraphFrames use the same label-propagation
+    shape). localCheckpoint() per round truncates the lineage so the plan
+    doesn't grow exponentially with iterations.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -166,6 +166,36 @@ FROM bands a JOIN bands b
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the MinHash candidate pairs: iterative
+    min-label propagation (operators/dedup.py:connected_components) —
+    the step that picks one canonical doc per duplicate group. The oracle
+    computes the same components with a recursive CTE; the Spark loop is
+    the scalable formulation (per-round joins, driver sees only a
+    converged-yet scalar)."""
+    pairs = D.minhash_lsh_candidates(_docs(spark, sf_dir))
+    return D.connected_components(pairs)
+
+
+def _clusters_oracle() -> str:
+    inner = _minhash_oracle()
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT * FROM ({inner}) q
+), edges AS (
+    SELECT a_id AS src, b_id AS dst FROM pairs
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM pairs
+), reach AS (
+    SELECT src AS node, dst AS r FROM edges
+    UNION
+    SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_docs(spark, sf_dir))
 
@@ -483,6 +513,7 @@ QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -502,6 +533,7 @@ ORACLES = {
     "text_pii_scrub": TEXT_PII_SCRUB_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_clusters": _clusters_oracle(),
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,

@@ -117,3 +117,20 @@ def test_jaccard_matches_bruteforce(spark, texts):
                 if inter > 0 and inter / union >= 0.001:
                     want[(i, j)] = (inter, union)
     assert got == want
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation on a known graph: a 5-node chain (diameter 4),
+    a triangle, and a disjoint pair — every node must label with its
+    component's min id."""
+    from flink_uba_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-2-3-4-5
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                            # pair
+        "a_id long, b_id long",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
