@@ -76,6 +76,7 @@ HEADLINE = HEADLINE_R01 + [
     "rolling_7d_purchase_value",
     "daily_users_approx",
     "dedup_clusters",
+    "user_sessions_dynamic_gap",
 ]
 
 

@@ -45,6 +45,30 @@ def sessionize(
     )
 
 
+def sessionize_dynamic(
+    df: DataFrame,
+    gap_expr: Column,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Sessions with a PER-EVENT gap (``session_window`` with a gap
+    expression): each event claims the interval [ts, ts + gap(event)];
+    overlapping intervals merge. Lets cheap signals shape the session —
+    e.g. an error event holds the session open for less time than a
+    purchase. Output: key, session_start, session_end (max claimed end),
+    n_events. Same single-exchange merge as the fixed-gap form."""
+    return (
+        df.groupBy(F.session_window(F.col(ts), gap_expr).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def funnel(
     df: DataFrame,
     key: str = "user_id",

@@ -199,6 +199,52 @@ FROM daily
 """
 
 
+def user_sessions_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessions: error events hold the session open 5 minutes,
+    everything else 30 — session_window with a per-event gap expression.
+    Each event claims [ts, ts+gap]; overlapping claims merge (inclusive at
+    the exact boundary, same as the fixed-gap rule pinned in
+    tests/test_behavior.py)."""
+    from flink_uba_spark.operators.sessions import sessionize_dynamic
+
+    ev = _events(spark, sf_dir)
+    # session_window's gap expression must be CalendarIntervalType;
+    # make_interval produces it (ANSI INTERVAL literals are DayTimeInterval)
+    gap = F.when(
+        F.col("event_type") == "error", F.expr("make_interval(0,0,0,0,0,5,0)")
+    ).otherwise(F.expr("make_interval(0,0,0,0,0,30,0)"))
+    return sessionize_dynamic(ev, gap)
+
+
+USER_SESSIONS_DYNAMIC_GAP_ORACLE = """
+WITH g AS (
+    SELECT user_id, ts,
+           epoch_us(ts)
+             + CASE WHEN event_type = 'error' THEN 300 ELSE 1800 END * 1000000
+               AS claim_end
+    FROM events
+), o AS (
+    SELECT user_id, ts, claim_end,
+           max(claim_end) OVER (PARTITION BY user_id ORDER BY ts, claim_end
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+    FROM g
+), f AS (
+    SELECT *, CASE WHEN prev_max IS NULL OR epoch_us(ts) > prev_max
+                   THEN 1 ELSE 0 END AS new_s
+    FROM o
+), s AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, claim_end
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM f
+)
+SELECT user_id, min(ts) AS session_start,
+       make_timestamp(max(claim_end)) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def daily_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ daily uniques next to the exact count. Intentionally
     has NO oracle entry: the sketch estimate is deterministic for a given
@@ -225,6 +271,7 @@ QUERIES = {
     "daily_active_users": daily_active_users,
     "hourly_event_volume": hourly_event_volume,
     "user_sessions": user_sessions,
+    "user_sessions_dynamic_gap": user_sessions_dynamic_gap,
     "user_funnel": user_funnel,
     "user_retention": user_retention,
 }
@@ -235,6 +282,7 @@ ORACLES = {
     "daily_active_users": DAILY_ACTIVE_USERS_ORACLE,
     "hourly_event_volume": HOURLY_VOLUME_ORACLE,
     "user_sessions": USER_SESSIONS_ORACLE,
+    "user_sessions_dynamic_gap": USER_SESSIONS_DYNAMIC_GAP_ORACLE,
     "user_funnel": USER_FUNNEL_ORACLE,
     "user_retention": USER_RETENTION_ORACLE,
 }

@@ -34,6 +34,10 @@ QUERIES = [
     "user_funnel",
     "asof_last_click",
     "purchases_in_signup_windows",
+    "dedup_clusters",
+    "text_pii_scrub",
+    "daily_event_type_pivot",
+    "rolling_7d_purchase_value",
 ]
 
 
