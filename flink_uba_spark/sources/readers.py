@@ -52,7 +52,11 @@ def read_apache_log(spark: SparkSession, path: str) -> DataFrame:
     return raw.select(
         "ip",
         "userId",
-        F.to_timestamp("timestamp", "dd/MM/yyyy:HH:mm:ss").alias("ts"),
+        # try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4
+        # default) a single malformed timestamp THROWS and kills the whole
+        # ingest; try_ yields null, keeping the reader PERMISSIVE
+        # end-to-end (tests/test_sources.py malformed-line test)
+        F.try_to_timestamp(F.col("timestamp"), F.lit("dd/MM/yyyy:HH:mm:ss")).alias("ts"),
         "method",
         "url",
     )

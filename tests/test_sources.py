@@ -128,3 +128,23 @@ def test_kafka_reader_plan(spark):
         assert df.isStreaming and dict(df.dtypes) == {"value": "string"}
     except Exception as e:  # kafka connector jar not bundled in this env
         assert "kafka" in str(e).lower()
+
+
+def test_malformed_lines_do_not_crash_readers(spark, tmp_path):
+    """The reference's naive line.split() parser throws on malformed rows
+    (HotPages.java:44-49 has no error handling); the schema'd CSV readers
+    run PERMISSIVE — a garbage line yields nulls in untypeable fields and
+    an unparseable timestamp becomes null, never an exception, so one bad
+    row can't kill a 100 TB ingest."""
+    from flink_uba_spark.sources.readers import read_apache_log
+
+    p = tmp_path / "log.txt"
+    p.write_text(
+        "83.149.9.216 - - 17/05/2015:10:05:03 +0000 GET /present/bin\n"
+        "totally,garbage-line with no structure at all\n"
+        "83.149.9.216 - - NOT_A_TIMESTAMP +0000 GET /x\n"
+    )
+    rows = read_apache_log(spark, str(p)).collect()
+    assert len(rows) == 3  # nothing dropped, nothing thrown
+    good = [r for r in rows if r.ts is not None]
+    assert len(good) == 1 and good[0].url == "/present/bin"
