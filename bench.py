@@ -77,6 +77,7 @@ HEADLINE = HEADLINE_R01 + [
     "daily_users_approx",
     "dedup_clusters",
     "user_sessions_dynamic_gap",
+    "doc_stratified_sample",
 ]
 
 

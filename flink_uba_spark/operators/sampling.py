@@ -46,3 +46,23 @@ def hash_sample(
 ) -> DataFrame:
     """Keep a deterministic ~keep_permille/1000 fraction of rows."""
     return df.filter(_hash_bucket(F.col(id_col), salt) < keep_permille)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates_permille: dict[str, int],
+    id_col: str = "doc_id",
+    default_permille: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the downsample/upweight step
+    of corpus mixing (e.g. keep all rare-language docs, thin the dominant
+    one). Each stratum keeps its own ~rate/1000 slice, still keyed on
+    md5(id) so membership is row-intrinsic and strata stay consistent
+    across runs. Strata absent from ``rates_permille`` keep
+    ``default_permille``. Per-row expressions only — no shuffle."""
+    rate = F.lit(default_permille)
+    for value, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(permille)).otherwise(rate)
+    return df.filter(_hash_bucket(F.col(id_col), salt) < rate)

@@ -501,8 +501,31 @@ FROM documents
 """
 
 
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing downsample: thin dominant English to ~30%, keep half
+    of Chinese, keep every other language whole (default 1000‰) — each
+    stratum's membership keyed on md5(doc_id), so the mix is reproducible
+    across engines and re-runs."""
+    from flink_uba_spark.operators.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _docs(spark, sf_dir),
+        strata_col="lang",
+        rates_permille={"en": 300, "zh": 500},
+        default_permille=1000,
+    ).select("doc_id", "lang")
+
+
+DOC_STRATIFIED_SAMPLE_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+      < CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 500 ELSE 1000 END
+"""
+
+
 QUERIES = {
     "doc_train_test_split": doc_train_test_split,
+    "doc_stratified_sample": doc_stratified_sample,
     "multimodal_decode": multimodal_decode,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -523,6 +546,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_train_test_split": DOC_TRAIN_TEST_SPLIT_ORACLE,
+    "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
     "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
