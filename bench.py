@@ -78,6 +78,7 @@ HEADLINE = HEADLINE_R01 + [
     "dedup_clusters",
     "user_sessions_dynamic_gap",
     "doc_stratified_sample",
+    "corpus_curation_stats",
 ]
 
 

@@ -523,9 +523,53 @@ WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
 """
 
 
+def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline in ONE plan: train split (hash_split) →
+    exact dedup (keep canonical copy) → token counting → per-language
+    corpus stats. The point is composability: three operators chain into
+    a single Catalyst plan (the dedup window and final agg are the only
+    exchanges; split + token count fuse into the scan)."""
+    from flink_uba_spark.operators.dedup import exact_dedup
+    from flink_uba_spark.operators.sampling import hash_split
+
+    docs = hash_split(_docs(spark, sf_dir), test_permille=100).filter(
+        F.col("split") == "train"
+    )
+    canonical = exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
+    kept = _docs(spark, sf_dir).join(canonical, on="doc_id")
+    with_tokens = TX.token_counts(kept)
+    return with_tokens.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
+CORPUS_CURATION_STATS_ORACLE = f"""
+WITH train AS (
+    SELECT * FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000 >= 100
+), canonical AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM train
+    ) WHERE keep
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(d.text, '{TX.BPE_TOKEN_RE}'))) AS BIGINT)
+           AS total_tokens,
+       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_words
+FROM documents d JOIN canonical c ON d.doc_id = c.doc_id
+GROUP BY d.lang
+"""
+
+
 QUERIES = {
     "doc_train_test_split": doc_train_test_split,
     "doc_stratified_sample": doc_stratified_sample,
+    "corpus_curation_stats": corpus_curation_stats,
     "multimodal_decode": multimodal_decode,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -547,6 +591,7 @@ QUERIES = {
 ORACLES = {
     "doc_train_test_split": DOC_TRAIN_TEST_SPLIT_ORACLE,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_ORACLE,
+    "corpus_curation_stats": CORPUS_CURATION_STATS_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
     "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
