@@ -79,6 +79,11 @@ HEADLINE = HEADLINE_R01 + [
     "user_sessions_dynamic_gap",
     "doc_stratified_sample",
     "corpus_curation_stats",
+    "decontam_ngram_overlap",
+    "text_repetition_signals",
+    "pack_training_sequences",
+    "doc_chunks_overlap",
+    "bm25_keyword_search",
 ]
 
 

@@ -566,7 +566,203 @@ GROUP BY d.lang
 """
 
 
+# ------------------------------------------------- corpus prep & search
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the held-out (test-split) slice plays the
+    eval suite; every train doc is flagged when ≥1 of its distinct word
+    3-grams appears anywhere in it (operators/corpus.py:decontaminate —
+    the GPT-3/PaLM-style n-gram overlap rule)."""
+    from flink_uba_spark.operators.corpus import decontaminate
+    from flink_uba_spark.operators.sampling import hash_split
+
+    docs = hash_split(_docs(spark, sf_dir), test_permille=100)
+    return decontaminate(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "test"),
+    ).select("doc_id", "n_shingles", "n_shared", "contaminated")
+
+
+_SHINGLE3_SQL = """list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+                THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+                                    i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
+                ELSE [text] END)"""
+
+DECONTAM_ORACLE = f"""
+WITH split AS (
+    SELECT doc_id, text,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+    FROM documents
+),
+tr AS (SELECT doc_id, {_SHINGLE3_SQL} AS sh FROM split WHERE b >= 100),
+ev AS (SELECT DISTINCT unnest({_SHINGLE3_SQL}) AS sg FROM split WHERE b < 100),
+post AS (SELECT doc_id, unnest(sh) AS sg FROM tr),
+shared AS (
+    SELECT doc_id, count(*) AS n_shared FROM post
+    WHERE sg IN (SELECT sg FROM ev) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.sh) AS BIGINT) AS n_shingles,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+       coalesce(s.n_shared, 0) >= 1 AS contaminated
+FROM tr t LEFT JOIN shared s USING (doc_id)
+"""
+
+
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters (operators/corpus.py)."""
+    from flink_uba_spark.operators.corpus import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "n_distinct_words", "top_word_count",
+        "top_bigram_count", "dup_word_ratio", "top_word_ratio",
+        "top_bigram_ratio", "repetitive",
+    )
+
+
+_SHINGLE2_SQL = """CASE WHEN len(w) >= 2
+                THEN list_transform(generate_series(1, len(w) - 1),
+                                    i -> array_to_string(w[i:i+1], ' '))
+                ELSE [array_to_string(w, ' ')] END"""
+
+TEXT_REPETITION_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+base AS (
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words, w
+    FROM t
+),
+tw AS (
+    SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_count FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS g FROM base) GROUP BY 1, 2
+    ) GROUP BY 1
+),
+bg AS (
+    SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest({_SHINGLE2_SQL}) AS g FROM base) GROUP BY 1, 2
+    ) GROUP BY 1
+)
+SELECT b.doc_id, b.n_words, b.n_distinct_words, tw.top_word_count, bg.top_bigram_count,
+       CAST(b.n_words - b.n_distinct_words AS DOUBLE) / b.n_words AS dup_word_ratio,
+       CAST(tw.top_word_count AS DOUBLE) / b.n_words AS top_word_ratio,
+       CAST(bg.top_bigram_count AS DOUBLE) / b.n_words AS top_bigram_ratio,
+       (CAST(tw.top_word_count AS DOUBLE) / b.n_words > 0.2
+        OR CAST(b.n_words - b.n_distinct_words AS DOUBLE) / b.n_words > 0.5)
+           AS repetitive
+FROM base b JOIN tw USING (doc_id) JOIN bg USING (doc_id)
+"""
+
+
+PACK_CAPACITY = 2048
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk packing: each doc's global token offset (BPE
+    token counts, doc_id order) and its training pack of 2048
+    tokens — via the two-level distributed prefix sum in
+    operators/corpus.py:pack_sequences (no global sort, no full-data
+    single-partition window; the oracle IS the naive global window)."""
+    from flink_uba_spark.operators.corpus import pack_sequences
+
+    docs = TX.token_counts(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    return pack_sequences(docs, capacity=PACK_CAPACITY)
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+o AS (
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS global_offset
+    FROM t
+)
+SELECT doc_id, n_tokens, global_offset,
+       global_offset // {PACK_CAPACITY} AS pack_id,
+       global_offset % {PACK_CAPACITY} AS pack_pos
+FROM o
+"""
+
+
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-word chunks every 24 words (RAG/long-context prep;
+    operators/corpus.py:chunk_text — pure per-row sequence+slice explode)."""
+    from flink_uba_spark.operators.corpus import chunk_text
+
+    return chunk_text(_docs(spark, sf_dir), chunk_words=32, stride_words=24)
+
+
+DOC_CHUNKS_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+    SELECT doc_id, w,
+           unnest(generate_series(0,
+               CASE WHEN len(w) <= 32 THEN 0
+                    ELSE (len(w) - 32 + 23) // 24 END)) AS ci
+    FROM t
+)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(len(w[ci*24 + 1 : ci*24 + 32]) AS BIGINT) AS n_chunk_words,
+       array_to_string(w[ci*24 + 1 : ci*24 + 32], ' ') AS chunk_text
+FROM c
+"""
+
+
+BM25_TERMS = ("spark", "window", "hash", "sort")
+
+
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical BM25 top-20 for a bag-of-words probe query
+    (operators/search.py — quantized-integer scores, rational idf)."""
+    from flink_uba_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=20)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS w,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+    FROM documents
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM d
+),
+hits AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+tf AS (
+    SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+    FROM hits WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT t.doc_id,
+           CAST(floor(((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                      * ((t.tf * 2.2) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)))
+                      * 1000000) AS BIGINT) AS term_q
+    FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
+),
+per AS (SELECT doc_id, CAST(sum(term_q) AS BIGINT) AS score_q FROM scored GROUP BY 1)
+SELECT doc_id, score_q, rnk FROM (
+    SELECT *, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk FROM per
+) WHERE rnk <= 20
+"""
+
+
 QUERIES = {
+    "decontam_ngram_overlap": decontam_ngram_overlap,
+    "text_repetition_signals": text_repetition_signals,
+    "pack_training_sequences": pack_training_sequences,
+    "doc_chunks_overlap": doc_chunks_overlap,
+    "bm25_keyword_search": bm25_keyword_search,
     "doc_train_test_split": doc_train_test_split,
     "doc_stratified_sample": doc_stratified_sample,
     "corpus_curation_stats": corpus_curation_stats,
@@ -589,6 +785,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "decontam_ngram_overlap": DECONTAM_ORACLE,
+    "text_repetition_signals": TEXT_REPETITION_ORACLE,
+    "pack_training_sequences": PACK_SEQUENCES_ORACLE,
+    "doc_chunks_overlap": DOC_CHUNKS_ORACLE,
+    "bm25_keyword_search": BM25_ORACLE,
     "doc_train_test_split": DOC_TRAIN_TEST_SPLIT_ORACLE,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_ORACLE,
     "corpus_curation_stats": CORPUS_CURATION_STATS_ORACLE,
