@@ -84,6 +84,7 @@ HEADLINE = HEADLINE_R01 + [
     "pack_training_sequences",
     "doc_chunks_overlap",
     "bm25_keyword_search",
+    "stream_mktseg_revenue",
 ]
 
 

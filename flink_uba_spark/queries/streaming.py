@@ -570,8 +570,64 @@ HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
 """
 
 
+def stream_mktseg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the streaming join flavor the rest
+    of the catalog doesn't cover (stream-stream inner/full-outer exist;
+    this is the dimension-enrichment pattern every production stream job
+    runs). The purchases stream joins the static ``customer`` dimension —
+    broadcast, so each micro-batch probes a local hash table and the
+    stream side NEVER shuffles for the join — then a watermarked daily
+    revenue aggregate per market segment runs incrementally (cents-exact
+    money discipline, as everywhere).
+
+    Append-mode finalization: a day window is final when the watermark
+    (max purchase event time, 0 s delay) passes its end — the oracle
+    applies the identical rule.
+    """
+    from flink_uba_spark.sources.readers import load_testdata
+
+    cust = load_testdata(spark, sf_dir, ("customer",))["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    enriched = purchases.join(F.broadcast(cust), "user_id")
+    agg = (
+        enriched.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("revenue_cents"),
+        )
+        .select(
+            F.col("w.start").alias("day"), "c_mktsegment", "n_purchases", "revenue_cents"
+        )
+    )
+    return run_to_table(agg)
+
+
+STREAM_MKTSEG_REVENUE_ORACLE = """
+WITH p AS (
+    SELECT e.ts, e.value, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+),
+agg AS (
+    SELECT make_timestamp((CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) * 1000000)
+               AS day,
+           c_mktsegment,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM p GROUP BY 1, 2
+)
+SELECT day, c_mktsegment, n_purchases, revenue_cents
+FROM agg
+WHERE day + INTERVAL 1 DAY <= (SELECT max(ts) FROM p)
+"""
+
+
 QUERIES = {
     "stream_hot_items": stream_hot_items,
+    "stream_mktseg_revenue": stream_mktseg_revenue,
     "stream_user_sessions": stream_user_sessions,
     "stream_attribution_join": stream_attribution_join,
     "stream_order_timeout_states": stream_order_timeout_states,
@@ -583,6 +639,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_hot_items": STREAM_HOT_ITEMS_ORACLE,
+    "stream_mktseg_revenue": STREAM_MKTSEG_REVENUE_ORACLE,
     "stream_user_sessions": STREAM_USER_SESSIONS_ORACLE,
     "stream_attribution_join": ATTRIBUTION_ORACLE,
     "stream_order_timeout_states": STREAM_ORDER_TIMEOUT_ORACLE,
