@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Column
 
 from flink_uba_spark.operators.dedup import shingle_array
+from flink_uba_spark.operators.util import ensure_min_partitions
 
 
 def _h60(col: Column) -> Column:
@@ -136,7 +137,7 @@ def decontaminate(
     # at sf0.1; the join-back formulation scanned the corpus twice and
     # recomputed the shingle lambdas both times).
     postings = (
-        train_docs.select(
+        ensure_min_partitions(train_docs).select(
             id_col,
             F.array_distinct(shingle_hash_array(F.col(text_col), n_shingle)).alias("__sh"),
         )
@@ -198,7 +199,7 @@ def repetition_signals(
     )
     is_w = F.col("g") < 0
     out = (
-        df.select(id_col, F.explode_outer(tagged).alias("g"))
+        ensure_min_partitions(df).select(id_col, F.explode_outer(tagged).alias("g"))
         .filter(F.col("g").isNotNull())
         .groupBy(id_col, "g")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_uba_spark.operators.util import ensure_min_partitions
+
 SCORE_SCALE = 1_000_000
 
 
@@ -50,7 +52,7 @@ def bm25_topk(
     if not terms:
         raise ValueError("terms must be non-empty")
     toks = F.split(F.col(text_col), " ")
-    base = docs.select(id_col, toks.alias("__w")).withColumn(
+    base = ensure_min_partitions(docs).select(id_col, toks.alias("__w")).withColumn(
         "dl", F.size("__w").cast("long")
     )
     stats = base.agg(
