@@ -38,6 +38,11 @@ QUERIES = [
     "text_pii_scrub",
     "daily_event_type_pivot",
     "rolling_7d_purchase_value",
+    "decontam_ngram_overlap",
+    "text_repetition_signals",
+    "pack_training_sequences",
+    "doc_chunks_overlap",
+    "bm25_keyword_search",
 ]
 
 
@@ -88,8 +93,9 @@ def main() -> None:
     ).mode("overwrite").save()
 
     qs = entrymod.queries()
+    names = sys.argv[1:] or QUERIES
     out = {}
-    for name in QUERIES:
+    for name in names:
         # warm this query's codegen/plan shape before measuring
         qs[name](spark, BASE).write.format("noop").mode("overwrite").save()
         times = {}
