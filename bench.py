@@ -85,6 +85,7 @@ HEADLINE = HEADLINE_R01 + [
     "doc_chunks_overlap",
     "bm25_keyword_search",
     "stream_mktseg_revenue",
+    "embedding_topic_clusters",
 ]
 
 
@@ -145,7 +146,12 @@ def main() -> None:
                 "note": (
                     f"value sums {len(names)} queries (round-2 breadth); "
                     f"BENCH_r01's 23.1s covered only 20 — compare it against "
-                    f"r01_subset_wall, which re-times exactly those 20"
+                    f"r01_subset_wall, which re-times exactly those 20. "
+                    f"~2-3s of the subset delta vs r01 is the deliberate "
+                    f"round-1-ADVICE change: forced fact-side broadcasts "
+                    f"(orders/customer in q3/q5/q7/q10) were removed because "
+                    f"they OOM at real SF; AQE now picks the strategy. The "
+                    f"dedup/embedding family varies +/-50% run-to-run (GC)."
                 ),
             }
         )

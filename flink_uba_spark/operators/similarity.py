@@ -152,6 +152,54 @@ def kmeans_codebook(
     )
 
 
+def _centroid_ranking(emb_q: Column, qq: Column) -> Column:
+    """Centroids of the in-scope ``cents`` broadcast array sorted by
+    (-cos, centroid_id): exact float negation keeps ordering; ties break
+    to the lowest centroid id via the struct's second field."""
+    return F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(
+                (-cosine_q(dot_q(emb_q, ct["cemb"]), qq, ct["cqq"])).alias("negc"),
+                ct["ck"].alias("ck"),
+            ),
+        )
+    )
+
+
+def cluster_assign(
+    corpus: DataFrame,
+    codebook: DataFrame | None = None,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Nearest-centroid (topic) assignment: every vector gets the
+    centroid with the highest cosine (ties → lowest centroid id) — the
+    corpus-organization step of topic bucketing / IVF partitioning,
+    exposed standalone. Same broadcast-array argmax as ``ivf_topk``: the
+    codebook rides in as ONE collect_list row, the corpus never shuffles.
+    All input columns are retained (no join-back needed downstream)."""
+    cb = (
+        codebook
+        if codebook is not None
+        else default_codebook(corpus, n_centroids, id_col, emb_col)
+    )
+    cb = with_quantized_norms(cb, "embedding").select(
+        F.col("centroid_id").alias("ck"),
+        F.col("qemb").alias("cemb"),
+        F.col("qq").alias("cqq"),
+    )
+    cents = cb.agg(F.collect_list(F.struct("ck", "cemb", "cqq")).alias("cents"))
+    return (
+        with_quantized_norms(ensure_min_partitions(corpus), emb_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn(out_col, _centroid_ranking(F.col("qemb"), F.col("qq"))[0]["ck"])
+        .drop("cents", "qemb", "qq")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -184,19 +232,7 @@ def ivf_topk(
         F.col("qq").alias("cqq"),
     )
     cents = cb.agg(F.collect_list(F.struct("ck", "cemb", "cqq")).alias("cents"))
-
-    def ranked_centroids(emb_q: Column, qq: Column) -> Column:
-        # sort by (-cos, centroid_id): exact float negation keeps ordering;
-        # ties break to the lowest centroid id via the struct's second field
-        return F.array_sort(
-            F.transform(
-                F.col("cents"),
-                lambda ct: F.struct(
-                    (-cosine_q(dot_q(emb_q, ct["cemb"]), qq, ct["cqq"])).alias("negc"),
-                    ct["ck"].alias("ck"),
-                ),
-            )
-        )
+    ranked_centroids = _centroid_ranking
 
     c = with_quantized_norms(
         ensure_min_partitions(corpus.select(F.col(id_col).alias("neighbor_id"), emb_col))

@@ -337,6 +337,71 @@ SELECT query_id, neighbor_id, cos, rnk FROM (
 """
 
 
+def embedding_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic clustering over embeddings: nearest-centroid assignment
+    (operators/similarity.py:cluster_assign — broadcast codebook argmax,
+    corpus never shuffles) rolled up to per-cluster size, majority label,
+    and purity. The deterministic codebook keeps the oracle replayable;
+    a k-means|| codebook (kmeans_codebook) plugs into the same operator
+    for the trained path."""
+    assigned = S.cluster_assign(_embs(spark, sf_dir)).select(
+        "cluster_id", F.col("label").cast("long").alias("label")
+    )
+    per_label = assigned.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # majority via struct-max: (count, -label) so ties break to the LOWEST
+    # label — mirrors the oracle's row_number(ORDER BY c DESC, label)
+    top = F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))
+    return (
+        per_label.groupBy("cluster_id")
+        .agg(
+            F.sum("c").alias("n_vectors"),
+            top.alias("__top"),
+        )
+        .select(
+            "cluster_id",
+            "n_vectors",
+            (-F.col("__top.nl")).alias("majority_label"),
+            F.col("__top.c").alias("majority_count"),
+            (F.col("__top.c").cast("double") / F.col("n_vectors")).alias("purity"),
+        )
+    )
+
+
+EMBEDDING_TOPIC_CLUSTERS_ORACLE = f"""
+WITH n AS (
+    SELECT vec_id, label, {_QUANT_SQL} AS qemb,
+           list_dot_product({_QUANT_SQL}, {_QUANT_SQL}) AS qq
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS ck, qemb AS cemb, qq AS cqq FROM n WHERE vec_id < 8),
+cosses AS (
+    SELECT v.vec_id, v.label, c.ck,
+           list_dot_product(v.qemb, c.cemb) / (sqrt(v.qq) * sqrt(c.cqq)) AS cos
+    FROM n v CROSS JOIN cent c
+),
+assign AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label, ck AS cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ck ASC) AS rn
+        FROM cosses
+    ) WHERE rn = 1
+),
+per_label AS (
+    SELECT cluster_id, label, count(*) AS c FROM assign GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY c DESC, label ASC) AS rn
+    FROM per_label
+),
+tot AS (SELECT cluster_id, CAST(sum(c) AS BIGINT) AS n_vectors FROM per_label GROUP BY 1)
+SELECT t.cluster_id, t.n_vectors, r.label AS majority_label,
+       CAST(r.c AS BIGINT) AS majority_count,
+       CAST(r.c AS DOUBLE) / t.n_vectors AS purity
+FROM tot t JOIN ranked r ON r.cluster_id = t.cluster_id AND r.rn = 1
+"""
+
+
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(_embs(spark, sf_dir), planes=8, threshold=0.1)
 
@@ -781,6 +846,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
+    "embedding_topic_clusters": embedding_topic_clusters,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
 }
 
@@ -808,5 +874,6 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "embedding_ivf_topk": EMBEDDING_IVF_ORACLE,
+    "embedding_topic_clusters": EMBEDDING_TOPIC_CLUSTERS_ORACLE,
     "embedding_near_dup_lsh": _near_dup_oracle(),
 }
