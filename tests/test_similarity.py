@@ -65,3 +65,25 @@ def test_kmeans_codebook_end_to_end(spark, sf_dir):
     a = set(map(tuple, approx[["query_id", "neighbor_id"]].values.tolist()))
     e = set(map(tuple, exact[["query_id", "neighbor_id"]].values.tolist()))
     assert len(a & e) / len(e) >= 0.5  # n_probe=3 of 8 cells: recall well above chance
+
+
+def test_cluster_assign_nearest_and_retains_columns(spark):
+    from flink_uba_spark.operators.similarity import cluster_assign
+
+    # centroids along axes; v2 is equidistant from both → tie breaks to
+    # the LOWEST centroid id
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.0, 1.0], "b"),
+        (2, [1.0, 1.0], "c"),
+        (3, [0.9, 0.1], "d"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, tag string")
+    cb = df.filter(F.col("vec_id") < 2).selectExpr(
+        "vec_id as centroid_id", "embedding"
+    )
+    out = {r["vec_id"]: r for r in cluster_assign(df, codebook=cb).collect()}
+    assert out[0]["cluster_id"] == 0 and out[1]["cluster_id"] == 1
+    assert out[2]["cluster_id"] == 0  # exact tie → lowest centroid id
+    assert out[3]["cluster_id"] == 0
+    assert out[3]["tag"] == "d"  # input columns retained
