@@ -70,3 +70,45 @@ def write_partitioned(
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(path)
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    max_records_per_file: int = 100_000,
+    tasks_per_partition: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Training-corpus sink: hive-partitioned parquet with BOUNDED shard
+    sizes — the output layout a downstream tokenizer/trainer consumes.
+
+    - ``maxRecordsPerFile`` caps every shard regardless of task layout,
+      so no shard exceeds what a dataloader wants to map.
+    - The pre-write exchange keys on (partition_cols, pmod(hash(id),
+      tasks_per_partition)): repartitioning on the partition columns
+      alone would write each directory from ONE task — the classic skew
+      trap when one language dominates the corpus; the deterministic
+      id-hash sub-key fans each directory out to ``tasks_per_partition``
+      writers while keeping file counts bounded (tasks × ceil(rows/cap)).
+    """
+    keys = [F.col(c) for c in partition_cols] + [
+        F.pmod(F.hash(F.col(id_col)), F.lit(tasks_per_partition))
+    ]
+    out = df.repartition(*keys)
+    writer = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def corpus_manifest(spark, path: str, partition_cols: tuple[str, ...] = ("lang",)) -> DataFrame:
+    """Shard inventory for a written corpus: rows and files per partition
+    (via input_file_name) — what a training job reads to plan epochs and
+    verify the write landed complete."""
+    df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
+    return df.groupBy(*[F.col(c) for c in partition_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("__file").alias("n_files"),
+    )

@@ -73,3 +73,28 @@ def test_update_mode_windowed_counts(spark, sf_dir):
         & (F.col("u.item_id") == F.col("b.item_id")),
     )
     assert merged.filter(F.col("u.cnt") != F.col("b.cnt")).count() == 0
+
+
+def test_write_corpus_shards_bounded_and_manifest(spark, sf_dir, tmp_path):
+    """Corpus sink: every shard respects maxRecordsPerFile, partition dirs
+    land per language, and the manifest matches a direct groupBy."""
+    from flink_uba_spark.sources.readers import load_testdata
+    from flink_uba_spark.streaming.sinks import corpus_manifest, write_corpus_shards
+
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    path = str(tmp_path / "corpus")
+    write_corpus_shards(
+        docs, path, max_records_per_file=40, tasks_per_partition=4
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+
+    per_file = (
+        back.withColumn("f", F.input_file_name()).groupBy("f").count().collect()
+    )
+    assert max(r["count"] for r in per_file) <= 40
+
+    manifest = {r["lang"]: r for r in corpus_manifest(spark, path).collect()}
+    truth = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert {k: v["n_rows"] for k, v in manifest.items()} == truth
+    assert all(v["n_files"] >= 1 for v in manifest.values())
