@@ -86,6 +86,8 @@ HEADLINE = HEADLINE_R01 + [
     "bm25_keyword_search",
     "stream_mktseg_revenue",
     "embedding_topic_clusters",
+    "corpus_vocabulary",
+    "dedup_canonical_selection",
 ]
 
 

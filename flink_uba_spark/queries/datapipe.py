@@ -822,7 +822,103 @@ SELECT doc_id, score_q, rnk FROM (
 """
 
 
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary statistics: top-100 tokens by total occurrences
+    (tie → lexicographic) with document frequency — the corpus-level
+    inverted-index primitive behind stopword lists, df-caps, and BM25
+    statistics. Explode → (tok, doc) rollup → token rollup, top-k via
+    TakeOrderedAndProject (never a global sort)."""
+    from flink_uba_spark.operators.util import ensure_min_partitions
+    from pyspark.sql import Window
+
+    docs = ensure_min_partitions(_docs(spark, sf_dir))
+    per_doc = (
+        docs.select("doc_id", F.explode_outer(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = per_doc.groupBy("tok").agg(
+        F.sum("tf").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    top = vocab.orderBy(F.desc("n_occurrences"), F.col("tok")).limit(100)
+    w = Window.orderBy(F.desc("n_occurrences"), F.col("tok"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+CORPUS_VOCABULARY_ORACLE = """
+WITH per_doc AS (
+    SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ) GROUP BY 1, 2
+),
+vocab AS (
+    SELECT tok, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS doc_freq
+    FROM per_doc GROUP BY 1
+)
+SELECT tok, n_occurrences, doc_freq, rnk FROM (
+    SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, tok) AS rnk FROM vocab
+) WHERE rnk <= 100
+"""
+
+
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup story: one representative document per
+    near-dup cluster — longest doc wins (n_words desc, tie → lowest
+    doc_id), singletons represent themselves. Composes
+    minhash_lsh_candidates → connected_components → a per-cluster rank;
+    this is the row set a curation pipeline KEEPS."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words")
+    )
+    clusters = D.connected_components(D.minhash_lsh_candidates(_docs(spark, sf_dir)))
+    member = docs.join(clusters, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_words"), F.col("doc_id")
+    )
+    return (
+        member.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("representative_id"),
+            F.col("n_words").alias("representative_words"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+def _canonical_selection_oracle() -> str:
+    return f"""
+WITH clusters AS ({_clusters_oracle()}),
+member AS (
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY cluster_id ORDER BY n_words DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM member
+)
+SELECT cluster_id, doc_id AS representative_id, n_words AS representative_words,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "corpus_vocabulary": corpus_vocabulary,
+    "dedup_canonical_selection": dedup_canonical_selection,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "text_repetition_signals": text_repetition_signals,
     "pack_training_sequences": pack_training_sequences,
@@ -851,6 +947,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_vocabulary": CORPUS_VOCABULARY_ORACLE,
+    "dedup_canonical_selection": _canonical_selection_oracle(),
     "decontam_ngram_overlap": DECONTAM_ORACLE,
     "text_repetition_signals": TEXT_REPETITION_ORACLE,
     "pack_training_sequences": PACK_SEQUENCES_ORACLE,
