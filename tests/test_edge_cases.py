@@ -122,3 +122,41 @@ def test_jaccard_df_cap_drops_stop_shingles(spark):
     # doc0/doc1 share 'quick fox alpha' and 'fox alpha beta' after the cap
     # drops 'the quick fox'; sizes stay full-set (4 shingles each)
     assert r.n_inter == 2 and r.n_union == 6
+
+
+def test_corpus_ops_degenerate_docs(spark):
+    """Empty and single-word docs flow through every corpus operator with
+    pinned semantics (split('') yields one empty token; short docs fall
+    back to a whole-text shingle)."""
+    from flink_uba_spark.operators.corpus import (
+        chunk_text,
+        decontaminate,
+        pack_sequences,
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "solo"), (2, "a b")], "doc_id long, text string"
+    )
+    rep = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert rep[0]["n_words"] == 1 and rep[0]["n_distinct_words"] == 1
+    assert rep[1]["top_word_count"] == 1 and rep[1]["top_bigram_count"] == 1
+    assert rep[2]["top_bigram_count"] == 1  # one real bigram "a b"
+
+    ch = chunk_text(df, chunk_words=4, stride_words=3).collect()
+    assert len(ch) == 3  # one whole-doc chunk each
+    assert {r["chunk_text"] for r in ch} == {"", "solo", "a b"}
+
+    # short docs: whole-text shingle — identical text in eval contaminates
+    dec = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(df, df.filter(F.col("doc_id") == 1)).collect()
+    }
+    assert dec == {0: False, 1: True, 2: False}
+
+    packed = {r["doc_id"]: r for r in pack_sequences(
+        spark.createDataFrame([(0, 0), (1, 5)], "doc_id long, n_tokens long"),
+        capacity=4,
+    ).collect()}
+    assert packed[0]["global_offset"] == 0 and packed[0]["pack_id"] == 0
+    assert packed[1]["global_offset"] == 0  # zero-token doc consumes nothing
