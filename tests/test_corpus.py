@@ -187,3 +187,19 @@ def test_corpus_plan_contracts(spark, sf_dir):
     # bm25: top-k via TakeOrderedAndProject, not a global sort
     pb = plan_of(spark, sf_dir, dp.bm25_keyword_search)
     assert "TakeOrderedAndProject" in pb
+
+
+def test_vocabulary_and_clusters_plan_contracts(spark, sf_dir):
+    from flink_uba_spark.queries import datapipe as dp
+    from tests.test_plans import count_nodes, plan_of
+
+    # vocabulary: top-k fused into TakeOrderedAndProject, partial aggs
+    pv = plan_of(spark, sf_dir, dp.corpus_vocabulary)
+    assert "TakeOrderedAndProject" in pv and "partial_" in pv
+
+    # topic clusters: codebook rides in as ONE broadcast row (nested-loop
+    # cross join of a single-row relation), corpus side never exchanges
+    # before assignment; the only hash exchanges are the two rollups
+    pt = plan_of(spark, sf_dir, dp.embedding_topic_clusters)
+    assert "BroadcastNestedLoopJoin" in pt
+    assert "BatchEvalPython" not in pt and "ArrowEvalPython" not in pt
