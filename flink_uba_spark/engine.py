@@ -79,6 +79,41 @@ class UbaEngine:
 
         return hash_split(df, **kw)
 
+    def decontaminate(self, train, eval_docs, **kw) -> DataFrame:
+        from flink_uba_spark.operators.corpus import decontaminate
+
+        return decontaminate(train, eval_docs, **kw)
+
+    def repetition_signals(self, df, **kw) -> DataFrame:
+        from flink_uba_spark.operators.corpus import repetition_signals
+
+        return repetition_signals(df, **kw)
+
+    def pack_sequences(self, df, capacity, **kw) -> DataFrame:
+        from flink_uba_spark.operators.corpus import pack_sequences
+
+        return pack_sequences(df, capacity, **kw)
+
+    def chunk_text(self, df, **kw) -> DataFrame:
+        from flink_uba_spark.operators.corpus import chunk_text
+
+        return chunk_text(df, **kw)
+
+    def bm25_search(self, df, terms, **kw) -> DataFrame:
+        from flink_uba_spark.operators.search import bm25_topk
+
+        return bm25_topk(df, terms, **kw)
+
+    def cluster_topics(self, corpus, **kw) -> DataFrame:
+        from flink_uba_spark.operators.similarity import cluster_assign
+
+        return cluster_assign(corpus, **kw)
+
+    def write_corpus(self, df, path, **kw) -> None:
+        from flink_uba_spark.streaming.sinks import write_corpus_shards
+
+        write_corpus_shards(df, path, **kw)
+
     # ------------------------------------------------------- query catalog
     def query(self, name: str, sf_dir: str) -> DataFrame:
         """Run a named catalog query (the driver-visible surface)."""
