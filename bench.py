@@ -88,6 +88,7 @@ HEADLINE = HEADLINE_R01 + [
     "embedding_topic_clusters",
     "corpus_vocabulary",
     "dedup_canonical_selection",
+    "stream_corpus_ingest",
 ]
 
 

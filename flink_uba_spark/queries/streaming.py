@@ -625,9 +625,47 @@ WHERE day + INTERVAL 1 DAY <= (SELECT max(ts) FROM p)
 """
 
 
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion: the documents feed streams in, exact
+    duplicates are suppressed ON ARRIVAL (keyed dedup state on
+    (lang, md5(text)) — first copy wins), and a COMPLETE-mode per-language
+    rollup tracks the deduped corpus size. Complete mode is the retract/
+    changelog conversion (S6): every trigger re-emits the corrected
+    totals, the Spark analogue of the reference's toRetractStream
+    (HotItemWithSql.java:76-77) for an aggregate that updates forever.
+
+    Every output value is a function of the dedup KEY (n_chars is
+    determined by the text), so results are arrival-order independent —
+    the property that makes the batch oracle exact. Bounded-replay note:
+    dropDuplicates without a watermark keeps state forever, correct here;
+    the horizon-evicted form is covered by ``stream_dedup_events``.
+    """
+    from flink_uba_spark.streaming.runner import stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    deduped = docs.withColumn("h", F.md5("text")).dropDuplicates(["lang", "h"])
+    agg = deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return run_to_table(agg, output_mode="complete")
+
+
+STREAM_CORPUS_INGEST_ORACLE = """
+WITH distinct_docs AS (
+    SELECT lang, md5(text) AS h, min(n_chars) AS n_chars
+    FROM documents GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM distinct_docs GROUP BY lang
+"""
+
+
 QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_mktseg_revenue": stream_mktseg_revenue,
+    "stream_corpus_ingest": stream_corpus_ingest,
     "stream_user_sessions": stream_user_sessions,
     "stream_attribution_join": stream_attribution_join,
     "stream_order_timeout_states": stream_order_timeout_states,
@@ -640,6 +678,7 @@ QUERIES = {
 ORACLES = {
     "stream_hot_items": STREAM_HOT_ITEMS_ORACLE,
     "stream_mktseg_revenue": STREAM_MKTSEG_REVENUE_ORACLE,
+    "stream_corpus_ingest": STREAM_CORPUS_INGEST_ORACLE,
     "stream_user_sessions": STREAM_USER_SESSIONS_ORACLE,
     "stream_attribution_join": ATTRIBUTION_ORACLE,
     "stream_order_timeout_states": STREAM_ORDER_TIMEOUT_ORACLE,

@@ -52,6 +52,31 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the driver's documents parquet (file source) — the
+    corpus-ingestion twin of ``stream_events``; same resolved-path-keyed
+    symlink-dir exposure (testdata is read-only)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    target = (Path(sf_dir) / "documents.parquet").resolve()
+    key = hashlib.sha256(str(target).encode()).hexdigest()[:16]
+    link_dir = Path(tempfile.gettempdir()) / "spark_graft_stream" / key / "documents"
+    link_dir.mkdir(parents=True, exist_ok=True)
+    link = link_dir / "documents.parquet"
+    if link.is_symlink() and os.readlink(link) != str(target):
+        link.unlink()
+    if not link.is_symlink():
+        link.symlink_to(target)
+    return spark.readStream.schema(schema).parquet(str(link_dir))
+
+
 # bump whenever any cached replay's batch construction changes — the cache
 # key cannot see the splitting logic, only (tag, key, batch count)
 _REPLAY_CACHE_VERSION = 1
