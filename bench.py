@@ -89,6 +89,7 @@ HEADLINE = HEADLINE_R01 + [
     "corpus_vocabulary",
     "dedup_canonical_selection",
     "stream_corpus_ingest",
+    "semantic_dedup_verified",
 ]
 
 

@@ -916,8 +916,60 @@ FROM ranked WHERE rn = 1
 """
 
 
+def semantic_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage cross-modal near-dup detection — the production semantic-
+    dedup shape: DENSE candidate generation (hyperplane-LSH embedding
+    pairs, operators/similarity.py) followed by LEXICAL verification
+    (exact word-3-gram Jaccard on the joined document texts; vec_id ↔
+    doc_id align 1:1 in the testdata). Candidates are a tiny fraction of
+    the corpus, so the per-pair set intersection is cheap; the two id
+    joins hash on doc ids (unskewed). Output: the candidate pairs with
+    both signals and the lexical verdict."""
+    pairs = S.embedding_near_dup_pairs(_embs(spark, sf_dir), planes=8, threshold=0.1)
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(D.shingle_array(F.col("text"), 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).cast("long")
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "n_union",
+            (F.size("a_sh") + F.size("b_sh")).cast("long") - F.col("n_inter"),
+        )
+        .withColumn(
+            "jaccard", F.col("n_inter").cast("double") / F.col("n_union")
+        )
+        .withColumn("lexical_match", F.col("jaccard") >= 0.05)
+        .select("a_id", "b_id", "cos", "n_inter", "n_union", "jaccard", "lexical_match")
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    inner = _near_dup_oracle()
+    return f"""
+WITH pairs AS ({inner}),
+sh AS (SELECT doc_id, {_SHINGLE3_SQL} AS sh FROM documents)
+SELECT p.a_id, p.b_id, p.cos,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05
+           AS lexical_match
+FROM pairs p
+JOIN sh a ON a.doc_id = p.a_id
+JOIN sh b ON b.doc_id = p.b_id
+"""
+
+
 QUERIES = {
     "corpus_vocabulary": corpus_vocabulary,
+    "semantic_dedup_verified": semantic_dedup_verified,
     "dedup_canonical_selection": dedup_canonical_selection,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "text_repetition_signals": text_repetition_signals,
@@ -948,6 +1000,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_vocabulary": CORPUS_VOCABULARY_ORACLE,
+    "semantic_dedup_verified": _semantic_dedup_oracle(),
     "dedup_canonical_selection": _canonical_selection_oracle(),
     "decontam_ngram_overlap": DECONTAM_ORACLE,
     "text_repetition_signals": TEXT_REPETITION_ORACLE,
