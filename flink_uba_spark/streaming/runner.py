@@ -20,6 +20,40 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _expose_as_stream_dir(target: Path, tag: str) -> Path:
+    """Expose a parquet TABLE (single file or a directory of part files)
+    as a directory the file stream source can list (testdata is
+    read-only, so symlinks). Keyed by a hash of the RESOLVED path (two sf
+    dirs may share a basename); every link is verified via readlink and
+    the dir is rebuilt when its link set is stale — a broken or wrong
+    link would otherwise silently stream the wrong (or an empty)
+    dataset. Directory targets link each part file individually because
+    the file source does not follow directory symlinks."""
+    target = target.resolve()
+    key = hashlib.sha256(str(target).encode()).hexdigest()[:16]
+    link_dir = Path(tempfile.gettempdir()) / "spark_graft_stream" / key / tag
+    files = (
+        [target]
+        if target.is_file()
+        else sorted(p for p in target.glob("*.parquet") if p.is_file())
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {target}")
+    expected = {f"{i:05d}.parquet": str(f) for i, f in enumerate(files)}
+    current = {}
+    if link_dir.is_dir():
+        for p in link_dir.iterdir():
+            current[p.name] = os.readlink(p) if p.is_symlink() else None
+    if current != expected:
+        import shutil
+
+        shutil.rmtree(link_dir, ignore_errors=True)
+        link_dir.mkdir(parents=True)
+        for name, src in expected.items():
+            (link_dir / name).symlink_to(src)
+    return link_dir
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the driver's events parquet (file source), with the
     same ns→us timestamp normalization as the batch reader."""
@@ -34,20 +68,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    # the file stream source requires a directory; expose the single events
-    # file through a symlink dir (testdata is read-only). Keyed by a hash of
-    # the RESOLVED path (two sf dirs may share a basename), and verified via
-    # readlink so a stale/broken link is recreated instead of silently
-    # streaming the wrong dataset or tripping FileExistsError.
-    target = (Path(sf_dir) / "events.parquet").resolve()
-    key = hashlib.sha256(str(target).encode()).hexdigest()[:16]
-    link_dir = Path(tempfile.gettempdir()) / "spark_graft_stream" / key / "events"
-    link_dir.mkdir(parents=True, exist_ok=True)
-    link = link_dir / "events.parquet"
-    if link.is_symlink() and os.readlink(link) != str(target):
-        link.unlink()
-    if not link.is_symlink():
-        link.symlink_to(target)
+    link_dir = _expose_as_stream_dir(Path(sf_dir) / "events.parquet", "events")
     raw = spark.readStream.schema(schema).parquet(str(link_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
@@ -65,15 +86,7 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType()),
         ]
     )
-    target = (Path(sf_dir) / "documents.parquet").resolve()
-    key = hashlib.sha256(str(target).encode()).hexdigest()[:16]
-    link_dir = Path(tempfile.gettempdir()) / "spark_graft_stream" / key / "documents"
-    link_dir.mkdir(parents=True, exist_ok=True)
-    link = link_dir / "documents.parquet"
-    if link.is_symlink() and os.readlink(link) != str(target):
-        link.unlink()
-    if not link.is_symlink():
-        link.symlink_to(target)
+    link_dir = _expose_as_stream_dir(Path(sf_dir) / "documents.parquet", "documents")
     return spark.readStream.schema(schema).parquet(str(link_dir))
 
 
