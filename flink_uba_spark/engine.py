@@ -114,6 +114,52 @@ class UbaEngine:
 
         write_corpus_shards(df, path, **kw)
 
+    # ------------------------------------------------------------ pipelines
+    def curate(
+        self,
+        sf_dir: str,
+        out_path: str,
+        min_words: int = 5,
+        test_permille: int = 100,
+        max_records_per_file: int = 100_000,
+    ) -> DataFrame:
+        """End-to-end corpus curation in ONE composed run: length filter →
+        exact dedup (keep canonical) → train/test split → decontaminate
+        train against the held-out slice → drop contaminated → write
+        size-bounded shards partitioned by (lang, split) → return the
+        shard manifest. Everything up to the dedup window fuses into the
+        scan; the whole pipeline is lazy until the write."""
+        from pyspark.sql import functions as F
+
+        from flink_uba_spark.operators.corpus import decontaminate
+        from flink_uba_spark.operators.dedup import exact_dedup
+        from flink_uba_spark.operators.sampling import hash_split
+        from flink_uba_spark.streaming.sinks import corpus_manifest, write_corpus_shards
+
+        docs = self.load(sf_dir, ("documents",))["documents"].filter(
+            F.size(F.split(F.col("text"), " ")) >= min_words
+        )
+        canonical = (
+            exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
+        )
+        kept = docs.join(canonical, "doc_id")
+        split = hash_split(kept, test_permille=test_permille)
+        train = split.filter(F.col("split") == "train")
+        evald = split.filter(F.col("split") == "test")
+        contaminated = (
+            decontaminate(train, evald)
+            .filter(F.col("contaminated"))
+            .select("doc_id")
+        )
+        clean = split.join(contaminated, "doc_id", "left_anti")
+        write_corpus_shards(
+            clean,
+            out_path,
+            partition_cols=("lang", "split"),
+            max_records_per_file=max_records_per_file,
+        )
+        return corpus_manifest(self.spark, out_path, ("lang", "split"))
+
     # ------------------------------------------------------- query catalog
     def query(self, name: str, sf_dir: str) -> DataFrame:
         """Run a named catalog query (the driver-visible surface)."""

@@ -40,3 +40,44 @@ def test_catalog_lists_all_queries(spark):
     names = eng.catalog()
     assert "hot_items" in names and "dedup_minhash_lsh" in names
     assert len(names) >= 35
+
+
+def test_curate_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The composed curation pipeline: filter → dedup → split →
+    decontaminate → sharded write → manifest, verified against
+    independently computed expectations."""
+    from pyspark.sql import functions as F
+
+    from flink_uba_spark.engine import UbaEngine
+    from flink_uba_spark.operators.corpus import decontaminate
+    from flink_uba_spark.operators.dedup import exact_dedup
+    from flink_uba_spark.operators.sampling import hash_split
+
+    eng = UbaEngine(spark)
+    out = str(tmp_path / "curated")
+    manifest = eng.curate(sf_dir, out).collect()
+
+    # expectations recomputed step by step
+    docs = eng.load(sf_dir, ("documents",))["documents"].filter(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    )
+    canon = exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
+    kept = hash_split(docs.join(canon, "doc_id"))
+    contaminated = decontaminate(
+        kept.filter(F.col("split") == "train"),
+        kept.filter(F.col("split") == "test"),
+    ).filter(F.col("contaminated")).select("doc_id")
+    expect = (
+        kept.join(contaminated, "doc_id", "left_anti")
+        .groupBy("lang", "split")
+        .count()
+        .collect()
+    )
+    expect_map = {(r["lang"], r["split"]): r["count"] for r in expect}
+    got_map = {(r["lang"], r["split"]): r["n_rows"] for r in manifest}
+    assert got_map == expect_map
+
+    back = spark.read.parquet(out)
+    assert back.count() == sum(expect_map.values())
+    # every partition dir is hive-layout (lang=..., split=...)
+    assert back.select("lang", "split").distinct().count() == len(expect_map)
