@@ -90,6 +90,7 @@ HEADLINE = HEADLINE_R01 + [
     "dedup_canonical_selection",
     "stream_corpus_ingest",
     "semantic_dedup_verified",
+    "embedding_pq_topk",
 ]
 
 

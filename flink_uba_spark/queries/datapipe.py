@@ -402,6 +402,55 @@ FROM tot t JOIN ranked r ON r.cluster_id = t.cluster_id AND r.rn = 1
 """
 
 
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-5 (operators/similarity.py:pq_adc_topk):
+    corpus compressed to 8 one-byte codes per vector, queries score with
+    integer table lookups — the memory-bounded tier of the ANN stack
+    (brute → LSH → IVF → PQ). All-integer, oracle replays bit-for-bit."""
+    embs = _embs(spark, sf_dir)
+    return S.pq_adc_topk(embs, embs.filter(F.col("vec_id") < 8), k=5)
+
+
+def _pq_l2_sql(c: str, v: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, 8), i -> "
+        f"({c}[m*8+i] - {v}[m*8+i]) * ({c}[m*8+i] - {v}[m*8+i])))"
+    )
+
+
+EMBEDDING_PQ_ORACLE = f"""
+WITH n AS (SELECT vec_id, {_QUANT_SQL} AS qemb FROM embeddings),
+cbl AS (SELECT list(qemb ORDER BY vec_id) AS cb FROM n WHERE vec_id < 16),
+codes AS (
+    SELECT vec_id,
+           list_transform(generate_series(0, 7), m ->
+               list_position(
+                   list_transform(cb, c -> {_pq_l2_sql('c', 'qemb')}),
+                   list_min(list_transform(cb, c -> {_pq_l2_sql('c', 'qemb')}))
+               ) - 1) AS codes
+    FROM n CROSS JOIN cbl
+),
+tabs AS (
+    SELECT vec_id AS query_id,
+           list_transform(generate_series(0, 7), m ->
+               list_transform(cb, c -> {_pq_l2_sql('c', 'qemb')})) AS tables
+    FROM n CROSS JOIN cbl WHERE vec_id < 8
+),
+scored AS (
+    SELECT t.query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, 8), m ->
+               t.tables[m][c.codes[m] + 1])) AS BIGINT) AS approx_dist
+    FROM codes c CROSS JOIN tabs t
+    WHERE c.vec_id != t.query_id
+)
+SELECT query_id, neighbor_id, approx_dist, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_dist, neighbor_id) AS rnk
+    FROM scored
+) WHERE rnk <= 5
+"""
+
+
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(_embs(spark, sf_dir), planes=8, threshold=0.1)
 
@@ -995,6 +1044,7 @@ QUERIES = {
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_topic_clusters": embedding_topic_clusters,
+    "embedding_pq_topk": embedding_pq_topk,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
 }
 
@@ -1026,5 +1076,6 @@ ORACLES = {
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "embedding_ivf_topk": EMBEDDING_IVF_ORACLE,
     "embedding_topic_clusters": EMBEDDING_TOPIC_CLUSTERS_ORACLE,
+    "embedding_pq_topk": EMBEDDING_PQ_ORACLE,
     "embedding_near_dup_lsh": _near_dup_oracle(),
 }

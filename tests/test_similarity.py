@@ -87,3 +87,56 @@ def test_cluster_assign_nearest_and_retains_columns(spark):
     assert out[2]["cluster_id"] == 0  # exact tie → lowest centroid id
     assert out[3]["cluster_id"] == 0
     assert out[3]["tag"] == "d"  # input columns retained
+
+
+def test_pq_encode_codes_shape_and_self_match(spark, sf_dir):
+    from flink_uba_spark.operators.similarity import pq_codebook, pq_encode
+
+    embs = _embs(spark, sf_dir)
+    cb = pq_codebook(embs, n_codes=16)
+    codes = pq_encode(embs, cb)
+    rows = {r["vec_id"]: r["codes"] for r in codes.filter(F.col("vec_id") < 16).collect()}
+    # a codebook vector's nearest sub-centroid in every subspace is itself
+    # (distance 0) — its code must equal its own position in the sorted book
+    for vid, cs in rows.items():
+        assert len(cs) == 8
+        assert all(0 <= c < 16 for c in cs)
+        assert cs == [vid] * 8, f"codebook vector {vid} should self-encode"
+
+
+def test_pq_adc_approximates_exact_neighbors(spark, sf_dir):
+    """PQ approximates SQUARED-L2 (its native metric): the top-5 ADC set
+    must substantially overlap the exact L2 top-5, recomputed here with
+    the identical quantization; and the output is deterministic."""
+    import math
+
+    from flink_uba_spark.operators.similarity import pq_adc_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 4)
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * 1000) for x in r["embedding"]]
+        for r in embs.collect()
+    }
+    ex = {}
+    for q in range(4):
+        d = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(vecs[q], v)), vid)
+            for vid, v in vecs.items()
+            if vid != q
+        )
+        ex[q] = {vid for _, vid in d[:5]}
+    approx = pq_adc_topk(embs, queries, k=5).collect()
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # The synthetic embeddings are near-isotropic Gaussians — the PQ
+    # worst case (distance concentration): measured recall@5 is 0.3 with
+    # sampled AND trained codebooks alike. The floor guards against a
+    # broken encoder (random codes → recall ≈ k/N ≈ 0.01), not against
+    # the data's intrinsic hardness.
+    recall = sum(len(ex[q] & ap[q]) for q in ex) / (5 * len(ex))
+    assert recall >= 0.25, f"recall collapsed: {recall}"
+    # determinism: re-run returns the identical ranking
+    again = pq_adc_topk(embs, queries, k=5).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
