@@ -140,3 +140,14 @@ def test_pq_adc_approximates_exact_neighbors(spark, sf_dir):
     # determinism: re-run returns the identical ranking
     again = pq_adc_topk(embs, queries, k=5).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_pq_plan_no_python_and_broadcast(spark, sf_dir):
+    from flink_uba_spark.queries.datapipe import embedding_pq_topk
+    from tests.test_plans import plan_of
+
+    p = plan_of(spark, sf_dir, embedding_pq_topk)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # codebook and query tables ride in as broadcasts; candidates never
+    # shuffle for the scoring join
+    assert "BroadcastNestedLoopJoin" in p
