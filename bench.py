@@ -91,6 +91,7 @@ HEADLINE = HEADLINE_R01 + [
     "stream_corpus_ingest",
     "semantic_dedup_verified",
     "embedding_pq_topk",
+    "text_lm_quality",
 ]
 
 

@@ -227,6 +227,91 @@ def repetition_signals(
 
 
 # ---------------------------------------------------------------------------
+# LM-based quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+def lm_bigram_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality signal: an add-one-smoothed
+    bigram model is fit on the corpus ITSELF, and every document is
+    scored by the mean quantized conditional probability of its bigrams —
+    high scores read like the corpus, low scores flag gibberish and
+    boilerplate (the filtering role LM perplexity plays in CCNet/CCNet-
+    descended pipelines; the probability-domain mean replaces log-domain
+    perplexity to stay in exact integer/rational arithmetic — it induces
+    a usable quality ordering without cross-engine ln() drift).
+
+    Per-bigram: q = floor(1e6 · (c(w1,w2) + 1) / (c(w1) + V)). Output:
+    ``n_bigrams`` and ``lm_score`` = Σq / n_bigrams (NULL for docs under
+    two words). Tokens/bigrams travel as integer hashes (the canary
+    pattern: the string-semantics oracle catches any collision).
+
+    Scale: two stats rollups (bigram counts, unigram counts) keyed on
+    uniform hashes, then two probe joins and one doc_id rollup. The stats
+    tables are vocabulary-sized — bounded, broadcast-able at real scale —
+    and every explode carries one row per token occurrence, the same
+    envelope as the rest of the text family.
+    """
+    from flink_uba_spark.functions.hashing import MERSENNE31, NGRAM_C
+
+    base = df.select(id_col, F.split(F.col(text_col), " ").alias("__w")).withColumn(
+        "__th", F.transform(F.col("__w"), lambda t: _h60(t))
+    )
+    n = F.size("__th")
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("__th"), i).alias("w1h"),
+                (
+                    (F.element_at(F.col("__th"), i) % MERSENNE31) * NGRAM_C[0]
+                    + (F.element_at(F.col("__th"), i + 1) % MERSENNE31) * NGRAM_C[1]
+                ).alias("bh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1h:bigint,bh:bigint>>"))
+    ex = (
+        base.withColumn("__bg", bg)
+        .select(id_col, F.explode_outer("__bg").alias("g"))
+        .select(id_col, F.col("g.w1h").alias("w1h"), F.col("g.bh").alias("bh"))
+    )
+    uni = (
+        base.select(F.explode_outer("__th").alias("th"))
+        .filter(F.col("th").isNotNull())
+        .groupBy("th")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bigc = (
+        ex.filter(F.col("bh").isNotNull())
+        .groupBy("bh")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    q = F.floor(
+        F.lit(1000000.0) * (F.col("c12") + 1) / (F.col("c1") + F.col("v"))
+    ).cast("long")
+    per_doc = (
+        ex.filter(F.col("bh").isNotNull())
+        .join(bigc, "bh")
+        .join(uni, F.col("w1h") == F.col("th"))
+        .crossJoin(F.broadcast(v))
+        .withColumn("q", q)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("q").alias("__sq"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            (F.col("__sq").cast("double") / F.col("n_bigrams")).alias("lm_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # token-budget sequence packing (concatenate-and-chunk)
 # ---------------------------------------------------------------------------
 def pack_sequences(

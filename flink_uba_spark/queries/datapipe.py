@@ -768,6 +768,43 @@ FROM base b JOIN tw USING (doc_id) JOIN bg USING (doc_id)
 """
 
 
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/corpus.py:
+    lm_bigram_scores): corpus-fit add-one-smoothed bigram model, docs
+    scored by mean quantized conditional bigram probability."""
+    from flink_uba_spark.operators.corpus import lm_bigram_scores
+
+    return lm_bigram_scores(_docs(spark, sf_dir))
+
+
+TEXT_LM_QUALITY_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+toks AS (SELECT doc_id, unnest(w) AS t FROM w),
+uni AS (SELECT t, count(*) AS c1 FROM toks GROUP BY 1),
+v AS (SELECT count(*) AS v FROM uni),
+bg AS (
+    SELECT doc_id, w[g] AS w1, w[g] || ' ' || w[g + 1] AS b
+    FROM w CROSS JOIN LATERAL unnest(generate_series(1, len(w) - 1)) AS s(g)
+    WHERE len(w) >= 2
+),
+bigc AS (SELECT b, count(*) AS c12 FROM bg GROUP BY 1),
+scored AS (
+    SELECT bg.doc_id,
+           CAST(floor(1000000.0 * (bigc.c12 + 1) / (uni.c1 + v.v)) AS BIGINT) AS q
+    FROM bg JOIN bigc USING (b) JOIN uni ON bg.w1 = uni.t CROSS JOIN v
+),
+per_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(q) AS DOUBLE) / count(*) AS lm_score
+    FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       p.lm_score
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 PACK_CAPACITY = 2048
 
 
@@ -1022,6 +1059,7 @@ QUERIES = {
     "dedup_canonical_selection": dedup_canonical_selection,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "text_repetition_signals": text_repetition_signals,
+    "text_lm_quality": text_lm_quality,
     "pack_training_sequences": pack_training_sequences,
     "doc_chunks_overlap": doc_chunks_overlap,
     "bm25_keyword_search": bm25_keyword_search,
@@ -1054,6 +1092,7 @@ ORACLES = {
     "dedup_canonical_selection": _canonical_selection_oracle(),
     "decontam_ngram_overlap": DECONTAM_ORACLE,
     "text_repetition_signals": TEXT_REPETITION_ORACLE,
+    "text_lm_quality": TEXT_LM_QUALITY_ORACLE,
     "pack_training_sequences": PACK_SEQUENCES_ORACLE,
     "doc_chunks_overlap": DOC_CHUNKS_ORACLE,
     "bm25_keyword_search": BM25_ORACLE,

@@ -203,3 +203,17 @@ def test_vocabulary_and_clusters_plan_contracts(spark, sf_dir):
     pt = plan_of(spark, sf_dir, dp.embedding_topic_clusters)
     assert "BroadcastNestedLoopJoin" in pt
     assert "BatchEvalPython" not in pt and "ArrowEvalPython" not in pt
+
+
+def test_lm_bigram_scores_hand_computed(spark):
+    from flink_uba_spark.operators.corpus import lm_bigram_scores
+
+    # corpus: "a b" ×2, "a c" ×1, "x" ×1 → c(a)=3, V={a,b,c,x}=4
+    # bigram "a b": c12=2 → q = floor(1e6·(2+1)/(3+4)) = 428571
+    # bigram "a c": c12=1 → q = floor(1e6·(1+1)/(3+4)) = 285714
+    df = docs_df(spark, ["a b", "a b", "a c", "x"])
+    out = {r["doc_id"]: r for r in lm_bigram_scores(df).collect()}
+    assert out[0]["lm_score"] == 428571.0 and out[0]["n_bigrams"] == 1
+    assert out[1]["lm_score"] == 428571.0
+    assert out[2]["lm_score"] == 285714.0
+    assert out[3]["n_bigrams"] == 0 and out[3]["lm_score"] is None
