@@ -92,6 +92,7 @@ HEADLINE = HEADLINE_R01 + [
     "semantic_dedup_verified",
     "embedding_pq_topk",
     "text_lm_quality",
+    "doc_quota_sample",
 ]
 
 

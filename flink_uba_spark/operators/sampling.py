@@ -48,6 +48,32 @@ def hash_sample(
     return df.filter(_hash_bucket(F.col(id_col), salt) < keep_permille)
 
 
+def quota_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACT quota per stratum: keep precisely ``quota`` rows per value of
+    ``strata_col`` (all rows when the stratum is smaller), chosen by
+    md5-hash order — the corpus-mixing primitive for fixed budgets
+    ("exactly 1M docs per language"), where rate-based sampling
+    (stratified_hash_sample) only hits the target in expectation.
+    Deterministic across runs/engines/re-partitioning: the hash order is
+    row-intrinsic, ties broken by id. One exchange (the per-stratum rank
+    window, keyed on the stratum)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,

@@ -637,6 +637,27 @@ WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
 """
 
 
+def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota corpus mixing: precisely 50 docs per language (all when
+    a language has fewer), chosen by row-intrinsic md5 order
+    (operators/sampling.py:quota_hash_sample)."""
+    from flink_uba_spark.operators.sampling import quota_hash_sample
+
+    return quota_hash_sample(
+        _docs(spark, sf_dir), strata_col="lang", quota=50
+    ).select("doc_id", "lang")
+
+
+DOC_QUOTA_SAMPLE_ORACLE = """
+SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+) WHERE rn <= 50
+"""
+
+
 def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline in ONE plan: train split (hash_split) →
     exact dedup (keep canonical copy) → token counting → per-language
@@ -1065,6 +1086,7 @@ QUERIES = {
     "bm25_keyword_search": bm25_keyword_search,
     "doc_train_test_split": doc_train_test_split,
     "doc_stratified_sample": doc_stratified_sample,
+    "doc_quota_sample": doc_quota_sample,
     "corpus_curation_stats": corpus_curation_stats,
     "multimodal_decode": multimodal_decode,
     "multimodal_resize": multimodal_resize,
@@ -1098,6 +1120,7 @@ ORACLES = {
     "bm25_keyword_search": BM25_ORACLE,
     "doc_train_test_split": DOC_TRAIN_TEST_SPLIT_ORACLE,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_ORACLE,
+    "doc_quota_sample": DOC_QUOTA_SAMPLE_ORACLE,
     "corpus_curation_stats": CORPUS_CURATION_STATS_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
     "multimodal_resize": MULTIMODAL_RESIZE_ORACLE,
