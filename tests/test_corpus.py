@@ -217,3 +217,24 @@ def test_lm_bigram_scores_hand_computed(spark):
     assert out[1]["lm_score"] == 428571.0
     assert out[2]["lm_score"] == 285714.0
     assert out[3]["n_bigrams"] == 0 and out[3]["lm_score"] is None
+
+
+def test_quota_hash_sample_exact_and_stable(spark):
+    from flink_uba_spark.operators.sampling import quota_hash_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = quota_hash_sample(df, "lang", quota=10).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by["en"]) == 10 and len(by["de"]) == 10
+    # quota above stratum size → whole stratum survives
+    small = quota_hash_sample(df.filter(F.col("lang") == "de"), "lang", 1000).count()
+    assert small == 20
+    # membership is partitioning-invariant (row-intrinsic hash order)
+    again = quota_hash_sample(df.repartition(7), "lang", quota=10).collect()
+    by2 = {}
+    for r in again:
+        by2.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert by == by2
