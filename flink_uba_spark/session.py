@@ -45,10 +45,15 @@ def get_spark(
         # larger split targets keep scan task counts sane at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # The driver's events.parquet stores ts as TIMESTAMP(NANOS); Spark
-        # has no nanos timestamp — read as long, normalized to micros in
-        # sources.readers.load_testdata (DuckDB truncates ns→us the same way).
+        # The driver's testdata timestamp encoding has drifted across rounds
+        # (TIMESTAMP(NANOS) in round 1, TIMESTAMP_NTZ micros in round 2).
+        # nanosAsLong reads nanos columns as long (no nanos TimestampType
+        # exists; normalized to micros in sources.readers, matching DuckDB's
+        # ns→us truncation); inferTimestampNTZ=false reads no-tz micros
+        # columns as plain TimestampType (session tz is pinned UTC above, so
+        # wall-clock values are identical and unix_micros() stays legal).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         # keep managed-table data (bucketed tables etc.) out of the repo
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")

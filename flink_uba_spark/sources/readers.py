@@ -134,26 +134,43 @@ def stream_rate(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as nanos-since-epoch longs
-    (spark.sql.legacy.parquet.nanosAsLong); truncate to micros exactly like
-    DuckDB's ns→us read so both engines see identical values."""
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """Coerce every timestamp encoding the driver's testdata has used to
+    plain TimestampType (session tz is pinned UTC, so values are identical):
+
+    - ``ts`` as LongType — TIMESTAMP(NANOS) read under nanosAsLong; truncate
+      to micros exactly like DuckDB's ns→us read (round-1 encoding),
+    - any TimestampNTZType column — TIMESTAMP_NTZ micros (round-2 encoding);
+      cast so ``unix_micros()``/watermark paths stay legal,
+    - TimestampType — already canonical, pass through.
+
+    Shared by the batch (``load_testdata``) and streaming
+    (``streaming.runner.stream_events``) ingest paths — round 2 broke
+    because each path hard-coded one encoding."""
     from pyspark.sql import types as T
 
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             # integer div — ns values (~1.7e18) overflow double precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     return df
+
+
+# round-2 name, kept for any external caller
+_normalize_ns_timestamps = normalize_event_time
 
 
 def load_testdata(spark: SparkSession, sf_dir: str, tables=schemas.TESTDATA_TABLES) -> dict[str, DataFrame]:
     """Load the driver's synthetic parquet tables from an sf directory."""
-    # events.parquet stores TIMESTAMP(NANOS); must be set on whatever session
-    # the caller (possibly the driver, with its own config) hands us.
+    # Both confs must be set on whatever session the caller (possibly the
+    # driver, with its own config) hands us, before the reads resolve:
+    # nanos columns → long (normalized below), no-tz micros → TimestampType.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return {
-        t: _normalize_ns_timestamps(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+        t: normalize_event_time(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
         for t in tables
     }
 
