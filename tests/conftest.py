@@ -42,6 +42,9 @@ def assert_matches_oracle(spark_df, duck_con, oracle_sql):
 
     spdf = spark_df.toPandas()
     opdf = duck_con.execute(oracle_sql).df()
+    # empty-vs-empty proves nothing: round 2's stream_user_sessions returned
+    # 0 rows with no exception and an equivalence test would have passed
+    assert len(opdf) > 0, "oracle returned no rows — vacuous comparison"
     assert len(spdf) == len(opdf), f"row count {len(spdf)} != {len(opdf)}"
     assert sorted(spdf.columns) == sorted(opdf.columns)
     assert frame_hash(spdf) == frame_hash(opdf)

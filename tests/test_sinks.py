@@ -66,6 +66,7 @@ def test_update_mode_windowed_counts(spark, sf_dir):
     )
     batch = windowed_counts(vb, "item_id")
     # single bounded batch → one emission per (window, key); must equal batch
+    assert batch.count() > 0, "batch windowed counts empty — vacuous equivalence"
     assert upd.count() == batch.count()
     merged = upd.alias("u").join(
         batch.alias("b"),

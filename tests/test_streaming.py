@@ -132,5 +132,6 @@ def test_stream_join_equals_batch(spark, sf_dir):
     bounded input (watermarks bound state, not output)."""
     batch = uba.attribution_interval_join(spark, sf_dir).toPandas()
     stream = SQ.stream_attribution_join(spark, sf_dir).toPandas()
+    assert len(batch) > 0, "batch join returned no rows — vacuous equivalence"
     key = ["pay_id", "view_id"]
     assert sorted(map(tuple, batch[key].values)) == sorted(map(tuple, stream[key].values))
