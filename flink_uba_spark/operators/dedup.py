@@ -419,3 +419,106 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup — new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_verdicts(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 9,
+    bands: int = 3,
+) -> DataFrame:
+    """Continual-ingestion dedup: classify every incoming doc against an
+    EXISTING corpus — ``exact_dup`` (byte-identical text already present),
+    ``near_dup`` (shares a MinHash LSH band with a corpus doc), or ``new``.
+    Output: (id, verdict), one row per incoming doc.
+
+    This is the production shape for growing a training corpus: the corpus
+    side never re-pairs with itself (unlike minhash_lsh_candidates over the
+    union), so per-ingest cost is O(|incoming|) hashing plus two hash joins
+    against corpus-sized indexes. At real scale the two corpus projections
+    (text digests, band keys) are precomputed once and stored as bucketed
+    tables, making each ingest a join against a static index; here they are
+    derived inline from the corpus frame, same plan shape.
+
+    Joins are LEFT SEMI — Catalyst's dedup-free existence join: no
+    multiplicity blow-up when an incoming doc collides with many corpus
+    docs, no distinct needed afterwards.
+    """
+    rows_per_band = num_perm // bands
+    inc_digest = incoming.select(F.col(id_col), F.md5(F.col(text_col)).alias("__d"))
+    corp_digest = corpus.select(F.md5(F.col(text_col)).alias("__d")).distinct()
+    exact = inc_digest.join(corp_digest, "__d", "left_semi").select(id_col)
+
+    def _bands(df):
+        sig = minhash_signature(
+            ensure_min_partitions(df.select(id_col, text_col)),
+            text_col, 3, num_perm,
+        )
+        return lsh_band_keys(sig, bands, rows_per_band).select(
+            id_col, "band_idx", "band_key"
+        )
+
+    near = (
+        _bands(incoming)
+        .join(
+            _bands(corpus).select("band_idx", "band_key").distinct(),
+            ["band_idx", "band_key"],
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return (
+        incoming.select(id_col)
+        .join(exact.withColumn("__e", F.lit(1)), id_col, "left")
+        .join(near.withColumn("__nr", F.lit(1)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__e").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("__nr").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_permille: int = 100,
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-free train/test split: near-duplicate docs must land in the
+    SAME split, or the test set leaks into training through paraphrases —
+    the standard contamination failure a plain per-doc hash split cannot
+    prevent. Output: (id, cluster_id, split).
+
+    Composition: MinHash LSH pairs → connected components → every doc
+    adopts its cluster id (singletons are their own cluster) → the split
+    hash is keyed on the CLUSTER id, so membership is decided once per
+    duplicate group. The cluster-label frame is bounded by the docs that
+    appear in any near-dup pair (usually ≪ corpus), so the label join is
+    AQE-broadcastable; the split itself stays a per-row expression.
+    """
+    from flink_uba_spark.operators.sampling import hash_split
+
+    pairs = minhash_lsh_candidates(df, id_col, text_col)
+    labels = connected_components(pairs)  # (doc_id, cluster_id)
+    labeled = df.select(id_col).join(
+        labels.select(F.col("doc_id").alias(id_col), F.col("cluster_id").alias("__c")),
+        id_col,
+        "left",
+    ).select(
+        F.col(id_col), F.coalesce(F.col("__c"), F.col(id_col)).alias("cluster_id")
+    )
+    return hash_split(
+        labeled, id_col="cluster_id", test_permille=test_permille, salt=salt
+    ).select(id_col, "cluster_id", "split")

@@ -92,3 +92,89 @@ def stratified_hash_sample(
     for value, permille in sorted(rates_permille.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(permille)).otherwise(rate)
     return df.filter(_hash_bucket(F.col(id_col), salt) < rate)
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training order: adds ``shard``
+    (which output shard the row lands in) and ``pos`` (its position within
+    that shard). Iterating shards in any order and rows by ``pos`` yields a
+    reproducible pseudo-random permutation of the corpus.
+
+    Scale shape — the reason this is NOT ``ORDER BY rand()``: a true global
+    sort ranks every row through one range exchange and a global
+    zipWithIndex; at 100 TB the rank assignment serializes. Instead the
+    md5 hash routes each row to a shard (one hash exchange) and a per-shard
+    window ranks within the shard — rank windows run per-partition in
+    parallel because the partition key IS the shard. Training readers
+    consume shards independently (the standard webdataset/TFRecord layout),
+    so no global order is ever needed. Deterministic across runs, engines,
+    task retries, and input re-splits (hash is row-intrinsic; ties broken
+    by id). ``salt`` derives fresh epoch permutations from the same ids.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    total: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-corpus rebalance:
+    sample source s proportionally to n_s^alpha, alpha=0.5, so dominant
+    sources are down-weighted and rare ones up-weighted), with EXACT
+    deterministic quotas summing to ≤ ``total``.
+
+    quota_s = min(n_s, (total * w_s) div Σw)  with  w_s = floor(√n_s · 10⁶)
+
+    alpha is fixed at 0.5 because IEEE-754 sqrt is correctly rounded —
+    bit-identical on every engine — where pow(n, alpha) is not; quantizing
+    the weight to an integer BEFORE the sum makes Σw order-independent
+    (bigint addition commutes; a float sum would drift with aggregation
+    order and flip quotas at floor boundaries). Every arithmetic step is
+    exact integer after that, so Spark and any SQL oracle agree to the row.
+
+    Plan: one tiny groupBy (|strata| rows) → window-total → quota frame
+    joined back (AQE broadcasts it — it is strata-sized) → one per-stratum
+    rank window picks the quota by md5 order. Two exchanges of the corpus
+    at any scale (quota join co-partitions with the rank window key).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    wgt = F.floor(F.sqrt(F.col("__n")) * F.lit(1_000_000)).cast("long")
+    quotas = (
+        counts.withColumn("__w", wgt)
+        .withColumn("__tw", F.sum("__w").over(Window.partitionBy()))
+        .withColumn(
+            "__quota",
+            F.least(F.col("__n"), F.expr(f"({total} * __w) div __tw")),
+        )
+        .select(strata_col, "__quota")
+    )
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.join(quotas, on=strata_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

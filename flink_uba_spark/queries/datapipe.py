@@ -123,7 +123,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
-def _minhash_oracle() -> str:
+def _minhash_bands_sql() -> str:
+    """Full SELECT yielding (doc_id, band_idx, band_key) — the DuckDB twin
+    of operators/dedup.py:lsh_band_keys ∘ minhash_signature, reused by the
+    pair, cluster, and incremental-dedup oracles."""
     from flink_uba_spark.functions.hashing import (
         MERSENNE31,
         NGRAM_C,
@@ -154,12 +157,16 @@ mh AS (
     SELECT doc_id,
            [{perms}] AS mh
     FROM bases
-),
-bands AS (
-    SELECT doc_id, g.b AS band_idx,
-           md5(array_to_string(mh[g.b*3 + 1 : g.b*3 + 3], '|')) AS band_key
-    FROM mh CROSS JOIN generate_series(0, 2) AS g(b)
 )
+SELECT doc_id, g.b AS band_idx,
+       md5(array_to_string(mh[g.b*3 + 1 : g.b*3 + 3], '|')) AS band_key
+FROM mh CROSS JOIN generate_series(0, 2) AS g(b)
+"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH bands AS (SELECT * FROM ({_minhash_bands_sql()}) t)
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -1074,6 +1081,116 @@ JOIN sh b ON b.doc_id = p.b_id
 """
 
 
+# --------------------------------------------------- round-3 pipeline ops
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: (doc_id, shard, pos). Shard =
+    md5 bucket (one hash exchange), pos = per-shard md5-order rank — never
+    a global sort, so rank assignment parallelizes at any corpus size
+    (operators/sampling.py:global_shuffle)."""
+    from flink_uba_spark.operators.sampling import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir), n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+CORPUS_GLOBAL_SHUFFLE_ORACLE = """
+WITH h AS (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (sample ∝ n^0.5): exact integer
+    quotas per source — dominant sources down-weighted, rare up-weighted —
+    every arithmetic step integer-quantized so the mix is bit-reproducible
+    on any engine (operators/sampling.py:temperature_mixture_sample)."""
+    from flink_uba_spark.operators.sampling import temperature_mixture_sample
+
+    return temperature_mixture_sample(
+        _docs(spark, sf_dir), strata_col="source", total=200
+    ).select("doc_id", "source")
+
+
+DOC_MIXTURE_SAMPLE_ORACLE = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+q AS (SELECT source, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS w FROM c),
+qq AS (SELECT source, least(n, (200 * w) // (SELECT sum(w) FROM q)) AS quota FROM q),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+SELECT r.doc_id, r.source
+FROM r JOIN qq USING (source)
+WHERE r.rn <= qq.quota
+"""
+
+
+def split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/test split: near-duplicate docs (MinHash LSH →
+    connected components) share one split decision keyed on the CLUSTER id,
+    so paraphrases can never straddle train and test
+    (operators/dedup.py:cluster_aware_split)."""
+    return D.cluster_aware_split(_docs(spark, sf_dir)).select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+def _split_no_leakage_oracle() -> str:
+    return f"""
+WITH cl AS (SELECT * FROM ({_clusters_oracle()}) t),
+ad AS (
+    SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000 < 100
+            THEN 'test' ELSE 'train' END AS split
+FROM ad
+"""
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingestion dedup: docs with doc_id ≡ 7 (mod 10) play the
+    incoming batch, the rest the existing corpus; each incoming doc is
+    classified exact_dup / near_dup / new against the corpus only
+    (operators/dedup.py:incremental_dedup_verdicts)."""
+    docs = _docs(spark, sf_dir)
+    incoming = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return D.incremental_dedup_verdicts(incoming, corpus)
+
+
+def _dedup_incremental_oracle() -> str:
+    return f"""
+WITH bands AS (SELECT * FROM ({_minhash_bands_sql()}) t),
+inc AS (SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 10 = 7),
+corp AS (SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 10 <> 7),
+exact AS (SELECT DISTINCT i.doc_id FROM inc i JOIN corp c ON i.d = c.d),
+corpb AS (SELECT DISTINCT band_idx, band_key FROM bands WHERE doc_id % 10 <> 7),
+near AS (
+    SELECT DISTINCT b.doc_id
+    FROM bands b JOIN corpb cb
+      ON b.band_idx = cb.band_idx AND b.band_key = cb.band_key
+    WHERE b.doc_id % 10 = 7
+)
+SELECT i.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict
+FROM inc i
+LEFT JOIN exact e ON i.doc_id = e.doc_id
+LEFT JOIN near n ON i.doc_id = n.doc_id
+"""
+
+
 QUERIES = {
     "corpus_vocabulary": corpus_vocabulary,
     "semantic_dedup_verified": semantic_dedup_verified,
@@ -1106,10 +1223,18 @@ QUERIES = {
     "embedding_topic_clusters": embedding_topic_clusters,
     "embedding_pq_topk": embedding_pq_topk,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "corpus_global_shuffle": corpus_global_shuffle,
+    "doc_mixture_sample": doc_mixture_sample,
+    "split_no_leakage": split_no_leakage,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLES = {
     "corpus_vocabulary": CORPUS_VOCABULARY_ORACLE,
+    "corpus_global_shuffle": CORPUS_GLOBAL_SHUFFLE_ORACLE,
+    "doc_mixture_sample": DOC_MIXTURE_SAMPLE_ORACLE,
+    "split_no_leakage": _split_no_leakage_oracle(),
+    "dedup_incremental": _dedup_incremental_oracle(),
     "semantic_dedup_verified": _semantic_dedup_oracle(),
     "dedup_canonical_selection": _canonical_selection_oracle(),
     "decontam_ngram_overlap": DECONTAM_ORACLE,
