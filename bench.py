@@ -93,6 +93,11 @@ HEADLINE = HEADLINE_R01 + [
     "embedding_pq_topk",
     "text_lm_quality",
     "doc_quota_sample",
+    # round-3 additions
+    "corpus_global_shuffle",
+    "doc_mixture_sample",
+    "split_no_leakage",
+    "dedup_incremental",
 ]
 
 

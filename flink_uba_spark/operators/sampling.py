@@ -48,12 +48,58 @@ def hash_sample(
     return df.filter(_hash_bucket(F.col(id_col), salt) < keep_permille)
 
 
+def _stratified_topk_by_hash(
+    df: DataFrame,
+    strata_col: str,
+    quota,  # int or Column (per-stratum quota column)
+    order_h: Column,
+    id_col: str,
+    sub_buckets: int = 32,
+) -> DataFrame:
+    """EXACT per-stratum top-``quota`` rows by ``order_h`` order, computed
+    as a skew-proof two-level rank.
+
+    A single ``Window.partitionBy(strata)`` rank funnels each ENTIRE
+    stratum through one task — at 100 TB a dominant stratum (80%
+    common-crawl) serializes on one executor. Instead:
+
+    1. prune within (stratum, sub_bucket): any row in the true stratum
+       top-quota is also in its sub-bucket's top-quota (a subset can only
+       rank it higher), so keeping quota rows per sub-bucket loses
+       nothing. Max window partition = stratum/sub_buckets.
+    2. exact rank over the ≤ sub_buckets×quota survivors per stratum —
+       a candidates-sized window, not a corpus-sized one.
+
+    The sub-bucket hash (xxhash64) routes PRUNING only — it can never
+    change the result, so cross-engine reproducibility still rests solely
+    on the md5 ``order_h``. ``sub_buckets`` trades stage-1 parallelism
+    against stage-2 candidate count; for corpus-scale quotas raise it so
+    stratum/sub_buckets fits a task.
+    """
+    from pyspark.sql import Window
+
+    q = F.lit(quota) if isinstance(quota, int) else quota
+    out = df.withColumn("__h", order_h).withColumn(
+        "__sb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(sub_buckets))
+    )
+    w1 = Window.partitionBy(strata_col, "__sb").orderBy(F.col("__h"), F.col(id_col))
+    w2 = Window.partitionBy(strata_col).orderBy(F.col("__h"), F.col(id_col))
+    return (
+        out.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= q)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= q)
+        .drop("__h", "__sb", "__rn1", "__rn")
+    )
+
+
 def quota_hash_sample(
     df: DataFrame,
     strata_col: str,
     quota: int,
     id_col: str = "doc_id",
     salt: str = "",
+    sub_buckets: int = 32,
 ) -> DataFrame:
     """EXACT quota per stratum: keep precisely ``quota`` rows per value of
     ``strata_col`` (all rows when the stratum is smaller), chosen by
@@ -61,17 +107,10 @@ def quota_hash_sample(
     ("exactly 1M docs per language"), where rate-based sampling
     (stratified_hash_sample) only hits the target in expectation.
     Deterministic across runs/engines/re-partitioning: the hash order is
-    row-intrinsic, ties broken by id. One exchange (the per-stratum rank
-    window, keyed on the stratum)."""
-    from pyspark.sql import Window
-
+    row-intrinsic, ties broken by id. Skew-proof two-level rank
+    (_stratified_topk_by_hash): no stratum ever funnels through one task."""
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= quota)
-        .drop("__rn")
-    )
+    return _stratified_topk_by_hash(df, strata_col, quota, h, id_col, sub_buckets)
 
 
 def stratified_hash_sample(
@@ -153,9 +192,9 @@ def temperature_mixture_sample(
     exact integer after that, so Spark and any SQL oracle agree to the row.
 
     Plan: one tiny groupBy (|strata| rows) → window-total → quota frame
-    joined back (AQE broadcasts it — it is strata-sized) → one per-stratum
-    rank window picks the quota by md5 order. Two exchanges of the corpus
-    at any scale (quota join co-partitions with the rank window key).
+    joined back (AQE broadcasts it — it is strata-sized) → skew-proof
+    two-level per-stratum rank (_stratified_topk_by_hash) picks the quota
+    by md5 order, so a dominant stratum never serializes on one task.
     """
     from pyspark.sql import Window
 
@@ -171,10 +210,6 @@ def temperature_mixture_sample(
         .select(strata_col, "__quota")
     )
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
-    return (
-        df.join(quotas, on=strata_col)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= F.col("__quota"))
-        .drop("__rn", "__quota")
-    )
+    return _stratified_topk_by_hash(
+        df.join(quotas, on=strata_col), strata_col, F.col("__quota"), h, id_col
+    ).drop("__quota")

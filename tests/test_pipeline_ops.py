@@ -101,3 +101,21 @@ def test_incremental_dedup_verdicts_consistent(spark, sf_dir):
     assert out.filter(F.col("verdict") == "near_dup").count() >= 0  # schema smoke
     vals = {r["verdict"] for r in out.select("verdict").distinct().collect()}
     assert vals <= {"exact_dup", "near_dup", "new"}
+
+
+def test_quota_rank_is_two_level_skew_proof(spark, sf_dir):
+    """The per-stratum rank must prune within (stratum, sub_bucket) before
+    the stratum-wide rank: the plan carries BOTH window partitionings, so
+    no stratum ever funnels the whole corpus through one task."""
+    from flink_uba_spark.operators.sampling import quota_hash_sample
+
+    docs = _docs(spark, sf_dir)
+    plan = quota_hash_sample(docs, "lang", 50)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "hashpartitioning(lang" in plan
+    two_key = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning(lang" in ln and "__sb" in ln
+    ]
+    assert two_key, "stage-1 (stratum, sub_bucket) exchange missing — skew-prone single rank"
