@@ -98,6 +98,8 @@ HEADLINE = HEADLINE_R01 + [
     "doc_mixture_sample",
     "split_no_leakage",
     "dedup_incremental",
+    "event_transition_matrix",
+    "daily_anomaly_days",
 ]
 
 

@@ -264,8 +264,106 @@ def daily_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive events of the same user
+    within a 30-minute gap — the "what do users do NEXT" path analysis of a
+    UBA suite (the reference's page-view domain, HotPages.java, asks the
+    aggregate form of the same question).
+
+    Plan: one lag window keyed on user_id (high-cardinality, skew-free) →
+    gap filter → (src,dst) count with map-side partial agg. Two exchanges
+    total at any scale; the second carries ≤ |event_type|² rows."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("src"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return (
+        o.filter(
+            F.col("src").isNotNull()
+            & (F.col("ts") <= F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy(F.col("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+EVENT_TRANSITION_ORACLE = """
+WITH o AS (
+    SELECT user_id, event_type, ts,
+           lag(event_type) OVER w AS src,
+           lag(ts)        OVER w AS prev_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT src, event_type AS dst, count(*) AS cnt
+FROM o
+WHERE src IS NOT NULL AND ts <= prev_ts + INTERVAL 30 MINUTE
+GROUP BY src, dst
+"""
+
+
+def daily_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count anomaly flags per event type: a day is anomalous
+    when its count deviates from the type's mean by more than 2 population
+    standard deviations — computed ENTIRELY in integer/decimal arithmetic
+    so both engines agree exactly:
+
+        z² > k²  ⇔  (c·n − Σc)² > k²·(n·Σc² − (Σc)²)        (k = 2)
+
+    No sqrt, no float mean/stddev (whose engine-specific summation order
+    would drift at the flag boundary). DECIMAL(38,0) keeps the squares
+    exact even at 100 TB daily counts (~1e12 → squares ~1e29, past BIGINT).
+    Plan: one daily rollup exchange; the stats window runs over the
+    days-sized aggregate, not the corpus."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type")
+    c = F.col("cnt").cast("decimal(38,0)")
+    n = F.count(F.lit(1)).over(w).cast("decimal(38,0)")
+    s1 = F.sum("cnt").over(w).cast("decimal(38,0)")
+    s2 = F.sum(c * F.col("cnt")).over(w).cast("decimal(38,0)")
+    lhs = (c * n - s1) * (c * n - s1)
+    rhs = F.lit(4) * (n * s2 - s1 * s1)
+    return daily.select(
+        "event_type", "day", "cnt", (lhs > rhs).alias("is_anomaly")
+    )
+
+
+DAILY_ANOMALY_ORACLE = """
+WITH d AS (
+    SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT event_type, day, cnt,
+           CAST(count(*) OVER w AS DECIMAL(38,0)) AS n,
+           CAST(sum(cnt) OVER w AS DECIMAL(38,0)) AS s1,
+           CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) OVER w AS DECIMAL(38,0)) AS s2
+    FROM d WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, day, cnt,
+       (CAST(cnt AS DECIMAL(38,0))*n - s1)*(CAST(cnt AS DECIMAL(38,0))*n - s1)
+           > 4*(n*s2 - s1*s1) AS is_anomaly
+FROM s
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
+    "event_transition_matrix": event_transition_matrix,
+    "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
     "rolling_7d_purchase_value": rolling_7d_purchase_value,
     "daily_active_users": daily_active_users,
@@ -277,6 +375,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_transition_matrix": EVENT_TRANSITION_ORACLE,
+    "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,
     "rolling_7d_purchase_value": ROLLING_7D_ORACLE,
     "daily_active_users": DAILY_ACTIVE_USERS_ORACLE,
