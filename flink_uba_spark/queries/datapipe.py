@@ -235,15 +235,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # postings form mirroring the operator exactly: df-capped inverted index,
-# pair count = shared KEPT shingles, set sizes stay full-set.
-DEDUP_JACCARD_ORACLE = f"""
-WITH s AS (
-    SELECT doc_id, lang, n_chars // 128 AS len_bucket,
-           list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-                THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
-                                    i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
-                ELSE [text] END) AS sh
+# pair count = shared KEPT shingles, set sizes stay full-set. Shingles are
+# the same integer 3-gram hashes as the Spark side (round 3 — one md5 per
+# token, arithmetic combine; see operators/dedup.py:shingle_hash_expr).
+def _jaccard_oracle() -> str:
+    from flink_uba_spark.functions.hashing import MERSENNE31, NGRAM_C
+
+    c0, c1, c2 = NGRAM_C
+    return f"""
+WITH dt AS (
+    SELECT doc_id, lang, n_chars // 128 AS len_bucket, text,
+           list_transform(string_split(text, ' '),
+                          t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % {MERSENNE31}) AS th
     FROM documents
+),
+s AS (
+    SELECT doc_id, lang, len_bucket,
+           list_distinct(CASE WHEN len(th) >= 3
+                THEN list_transform(generate_series(1, len(th) - 2),
+                                    i -> (th[i]*{c0} + th[i+1]*{c1} + th[i+2]*{c2}) % {MERSENNE31})
+                ELSE [('0x' || substring(md5(text), 1, 15))::BIGINT % {MERSENNE31}] END) AS sh
+    FROM dt
 ),
 post AS (
     SELECT doc_id, lang, len_bucket, len(sh) AS sz, unnest(sh) AS sg FROM s
@@ -1259,7 +1271,7 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_clusters": _clusters_oracle(),
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
-    "dedup_ngram_jaccard": DEDUP_JACCARD_ORACLE,
+    "dedup_ngram_jaccard": _jaccard_oracle(),
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "embedding_ivf_topk": EMBEDDING_IVF_ORACLE,
     "embedding_topic_clusters": EMBEDDING_TOPIC_CLUSTERS_ORACLE,
