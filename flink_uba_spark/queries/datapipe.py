@@ -1052,8 +1052,26 @@ def semantic_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins hash on doc ids (unskewed). Output: the candidate pairs with
     both signals and the lexical verdict."""
     pairs = S.embedding_near_dup_pairs(_embs(spark, sf_dir), planes=8, threshold=0.1)
-    sh = _docs(spark, sf_dir).select(
-        "doc_id", F.array_distinct(D.shingle_array(F.col("text"), 3)).alias("sh")
+    # round 3: shingle ONLY the candidate docs (left-semi on the pair ids —
+    # candidates are a tiny fraction of the corpus, AQE broadcasts them),
+    # and use integer shingle hashes (shingle_hash_expr, shared with
+    # minhash/jaccard) instead of per-shingle string building. The verify
+    # stage cost now follows |candidates|, not |corpus|.
+    cand_ids = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        _docs(spark, sf_dir)
+        .join(cand_ids, "doc_id", "left_semi")
+        .withColumn("__th", F.transform(F.split(F.col("text"), " "), D._token_hash))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                D.shingle_hash_expr(F.col("__th"), F.col("text"), 3)
+            ).alias("sh"),
+        )
     )
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
@@ -1075,10 +1093,26 @@ def semantic_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle() -> str:
+    from flink_uba_spark.functions.hashing import MERSENNE31, NGRAM_C
+
     inner = _near_dup_oracle()
+    c0, c1, c2 = NGRAM_C
     return f"""
 WITH pairs AS ({inner}),
-sh AS (SELECT doc_id, {_SHINGLE3_SQL} AS sh FROM documents)
+dt AS (
+    SELECT doc_id, text,
+           list_transform(string_split(text, ' '),
+                          t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % {MERSENNE31}) AS th
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(th) >= 3
+                THEN list_transform(generate_series(1, len(th) - 2),
+                                    i -> (th[i]*{c0} + th[i+1]*{c1} + th[i+2]*{c2}) % {MERSENNE31})
+                ELSE [('0x' || substring(md5(text), 1, 15))::BIGINT % {MERSENNE31}] END) AS sh
+    FROM dt
+)
 SELECT p.a_id, p.b_id, p.cos,
        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
