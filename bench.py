@@ -100,6 +100,7 @@ HEADLINE = HEADLINE_R01 + [
     "dedup_incremental",
     "event_transition_matrix",
     "daily_anomaly_days",
+    "stream_dedup_incremental",
 ]
 
 

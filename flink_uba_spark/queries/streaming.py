@@ -662,6 +662,57 @@ FROM distinct_docs GROUP BY lang
 """
 
 
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingestion dedup as a STREAM: incoming docs (doc_id ≡ 7
+    mod 10) arrive on the documents stream and are classified exact_dup /
+    near_dup / new against the STATIC existing corpus — the streaming twin
+    of ``dedup_incremental`` and the shape a production ingest service
+    runs: per-batch hashing + stream-static joins against precomputed
+    corpus indexes (here derived inline; at scale, bucketed tables).
+
+    One pipeline, no stream-stream joins: digest left-join (exact marker)
+    → posexplode to LSH band rows → band-key left-join (near marker) →
+    per-doc max-marker aggregate. The aggregate runs in complete mode over
+    the bounded replay (doc-keyed state; an unbounded deployment would key
+    the same agg on arrival-time windows + watermark). Verdict precedence
+    matches the batch operator: exact > near > new.
+    """
+    from flink_uba_spark.operators.dedup import lsh_band_keys, minhash_signature
+    from flink_uba_spark.sources.readers import load_testdata
+    from flink_uba_spark.streaming.runner import stream_documents
+
+    corpus = (
+        load_testdata(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") % 10 != 7)
+    )
+    corp_digest = (
+        corpus.select(F.md5("text").alias("__d")).distinct().withColumn("__e", F.lit(1))
+    )
+    corp_bands = (
+        lsh_band_keys(minhash_signature(corpus.select("doc_id", "text")))
+        .select("band_idx", "band_key")
+        .distinct()
+        .withColumn("__nr", F.lit(1))
+    )
+
+    inc = stream_documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 7)
+    flagged = inc.withColumn("__d", F.md5("text")).join(corp_digest, "__d", "left")
+    banded = lsh_band_keys(minhash_signature(flagged.select("doc_id", "text", "__e")))
+    probed = banded.join(corp_bands, ["band_idx", "band_key"], "left")
+    verdicts = (
+        probed.groupBy("doc_id")
+        .agg(F.max("__e").alias("__e"), F.max("__nr").alias("__nr"))
+        .select(
+            "doc_id",
+            F.when(F.col("__e").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("__nr").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+    return run_to_table(verdicts, output_mode="complete")
+
+
 QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_mktseg_revenue": stream_mktseg_revenue,
@@ -673,9 +724,18 @@ QUERIES = {
     "stream_hot_pages": stream_hot_pages,
     "stream_hot_pages_allowed_lateness": stream_hot_pages_allowed_lateness,
     "stream_dedup_events": stream_dedup_events,
+    "stream_dedup_incremental": stream_dedup_incremental,
 }
 
+
+def _stream_dedup_incremental_oracle() -> str:
+    from flink_uba_spark.queries.datapipe import _dedup_incremental_oracle
+
+    return _dedup_incremental_oracle()
+
+
 ORACLES = {
+    "stream_dedup_incremental": _stream_dedup_incremental_oracle(),
     "stream_hot_items": STREAM_HOT_ITEMS_ORACLE,
     "stream_mktseg_revenue": STREAM_MKTSEG_REVENUE_ORACLE,
     "stream_corpus_ingest": STREAM_CORPUS_INGEST_ORACLE,
