@@ -101,6 +101,8 @@ HEADLINE = HEADLINE_R01 + [
     "event_transition_matrix",
     "daily_anomaly_days",
     "stream_dedup_incremental",
+    "corpus_length_histogram",
+    "doc_oov_rate",
 ]
 
 

@@ -1237,8 +1237,94 @@ LEFT JOIN near n ON i.doc_id = n.doc_id
 """
 
 
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram per language — the profiling
+    rollup every curation run starts with (what to truncate, what to drop,
+    how skewed the corpus is). Exact integer buckets (floor(log2) via
+    bit_length of the BIGINT char count, no float log), one partial-agg
+    exchange carrying ≤ langs×buckets rows at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    # floor(log2(n)) = length(bin(n)) - 1 for n >= 1: pure integer — float
+    # log2 can disagree between engines exactly at bucket edges
+    return (
+        docs.select(
+            "lang",
+            (F.length(F.expr("bin(n_chars)")) - 1).alias("len_bucket"),
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+CORPUS_LENGTH_HISTOGRAM_ORACLE = """
+SELECT lang,
+       CAST(length(bin(n_chars)) - 1 AS INT) AS len_bucket,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage profiling: per-doc out-of-vocabulary rate against
+    the corpus's own top-256 tokens (standing in for a fixed tokenizer
+    vocab). The vocab is a two-exchange rollup whose result is vocab-sized
+    → broadcast back; the probe is explode → broadcast-hash marker join →
+    per-doc rollup. Exact integers plus one final double division."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    # orderBy+limit = TakeOrderedAndProject: distributed per-partition
+    # top-256 then a 256-row merge — never a global single-task sort/window
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("tok"))
+        .limit(256)
+        .select("tok")
+        .withColumn("__inv", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+DOC_OOV_RATE_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS r
+        FROM toks GROUP BY tok
+    ) WHERE r <= 256
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+           AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "corpus_vocabulary": corpus_vocabulary,
+    "corpus_length_histogram": corpus_length_histogram,
+    "doc_oov_rate": doc_oov_rate,
     "semantic_dedup_verified": semantic_dedup_verified,
     "dedup_canonical_selection": dedup_canonical_selection,
     "decontam_ngram_overlap": decontam_ngram_overlap,
@@ -1277,6 +1363,8 @@ QUERIES = {
 
 ORACLES = {
     "corpus_vocabulary": CORPUS_VOCABULARY_ORACLE,
+    "corpus_length_histogram": CORPUS_LENGTH_HISTOGRAM_ORACLE,
+    "doc_oov_rate": DOC_OOV_RATE_ORACLE,
     "corpus_global_shuffle": CORPUS_GLOBAL_SHUFFLE_ORACLE,
     "doc_mixture_sample": DOC_MIXTURE_SAMPLE_ORACLE,
     "split_no_leakage": _split_no_leakage_oracle(),
