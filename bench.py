@@ -103,6 +103,7 @@ HEADLINE = HEADLINE_R01 + [
     "stream_dedup_incremental",
     "corpus_length_histogram",
     "doc_oov_rate",
+    "hot_items_sql",  # SQL-string entry point; same plan family as hot_items
 ]
 
 
