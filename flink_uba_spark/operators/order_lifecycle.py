@@ -97,3 +97,88 @@ def classify_order_states(
         F.lit(PAY_NO_CREATE).alias("state"),
     )
     return anchored.unionByName(orphans)
+
+
+def classify_order_states_single_pass(
+    anchors: DataFrame,
+    follows: DataFrame,
+    key: str,
+    deadline: str = "INTERVAL 15 MINUTES",
+    anchor_id: str = "event_id",
+    follow_id: str = "event_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Same four-state classification as ``classify_order_states`` with a
+    LINEAR plan: union the tagged streams, ONE hash exchange on the key,
+    and two frame windows over the per-key time order —
+
+    - each anchor's follow = suffix-min of the follow (ts, id) structs
+      (rows CURRENT → UNBOUNDED FOLLOWING; Spark executes shrinking-frame
+      mins as a reversed running aggregate, O(rows)),
+    - a follow is an orphan iff the running anchor count at its row is 0.
+
+    The join form fans out anchors×follows per key before aggregating —
+    quadratic in per-key density (SCALE.md round-1: ratio 3.7 at 10×);
+    this form is the batch twin of the streaming state machine
+    (streaming/order_timeout.py), which walks the same per-key time order
+    with O(1) state. Equal-timestamp semantics match the join exactly:
+    anchors sort before follows at the same ts, so an equal-ts follow is
+    inside its anchor's suffix frame and an equal-ts anchor counts for
+    orphanhood (both `>=`/`<=` in the join form).
+    """
+    from pyspark.sql import Window
+
+    a = anchors.select(
+        F.col(anchor_id).alias("anchor_id"),
+        F.lit(None).cast("long").alias("follow_id"),
+        F.col(key).alias(key),
+        F.col(ts).alias("__t"),
+        F.lit(0).alias("__tag"),  # anchors first at equal ts
+    )
+    f = follows.select(
+        F.lit(None).cast("long").alias("anchor_id"),
+        F.col(follow_id).alias("follow_id"),
+        F.col(key).alias(key),
+        F.col(ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+    )
+    u = a.unionByName(f)
+    order = [F.col("__t"), F.col("__tag"), F.coalesce("anchor_id", "follow_id")]
+    w_next = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_seen = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    follow_struct = F.when(
+        F.col("__tag") == 1, F.struct(F.col("__t").alias("fts"), F.col("follow_id").alias("fid"))
+    )
+    enriched = u.withColumn("__nf", F.min(follow_struct).over(w_next)).withColumn(
+        "__anchors_seen", F.count(F.when(F.col("__tag") == 0, 1)).over(w_seen)
+    )
+    anchored = enriched.filter(F.col("__tag") == 0).select(
+        "anchor_id",
+        F.col("__nf.fid").alias("follow_id"),
+        key,
+        F.col("__t").alias("anchor_ts"),
+        F.col("__nf.fts").alias("follow_ts"),
+        F.when(F.col("__nf").isNull(), F.lit(TIMEOUT))
+        .when(F.col("__nf.fts") <= F.expr(f"__t + {deadline}"), F.lit(PAYED))
+        .otherwise(F.lit(PAYED_LATE))
+        .alias("state"),
+    )
+    orphans = enriched.filter(
+        (F.col("__tag") == 1) & (F.col("__anchors_seen") == 0)
+    ).select(
+        F.lit(None).cast("long").alias("anchor_id"),
+        "follow_id",
+        key,
+        F.lit(None).cast("timestamp").alias("anchor_ts"),
+        F.col("__t").alias("follow_ts"),
+        F.lit(PAY_NO_CREATE).alias("state"),
+    )
+    return anchored.unionByName(orphans)

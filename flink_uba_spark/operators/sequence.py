@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from flink_uba_spark.operators.order_lifecycle import (
     PAYED,
-    classify_order_states,
+    classify_order_states_single_pass,
 )
 
 
@@ -41,7 +41,11 @@ def sequence_detect(
     """
     anchors = events.filter(first_pred)
     follows = events.filter(then_pred)
-    return classify_order_states(
+    # round 3: the single-pass window form — one key exchange, linear in
+    # per-key density, where the join form fans out anchors×follows per key
+    # before aggregating (SCALE.md round-1 ratio 3.7 at 10×); equivalence
+    # with the join form is pinned by tests/test_joins.py
+    return classify_order_states_single_pass(
         anchors, follows, key=key, deadline=within, anchor_id=event_id, follow_id=event_id, ts=ts
     )
 

@@ -88,3 +88,27 @@ def test_order_states_fixture(spark):
 def test_uba_queries_match_oracle(spark, duck, sf_dir):
     for name in ("hot_pages", "order_timeout_states", "attribution_interval_join", "tx_reconcile_full_outer"):
         assert_matches_oracle(uba.QUERIES[name](spark, sf_dir), duck, uba.ORACLES[name])
+
+
+def test_order_states_single_pass_equals_join_form(spark, sf_dir):
+    """The round-3 single-pass window form (one key exchange, linear in
+    per-key density) must equal the original join form on the real events
+    table — including orphan follows and equal-timestamp edge cases."""
+    from pyspark.sql import functions as F
+
+    from flink_uba_spark.operators.order_lifecycle import (
+        classify_order_states,
+        classify_order_states_single_pass,
+    )
+    from flink_uba_spark.sources.readers import load_testdata
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    anchors = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    follows = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    old = classify_order_states(anchors, follows, "user_id").toPandas()
+    new = classify_order_states_single_pass(anchors, follows, "user_id").toPandas()
+    assert len(old) > 0, "no order states — vacuous equivalence"
+    cols = sorted(old.columns)
+    o = old[cols].sort_values(cols).reset_index(drop=True)
+    n = new[cols].sort_values(cols).reset_index(drop=True)
+    assert o.equals(n)
