@@ -160,25 +160,22 @@ def classify_order_states_single_pass(
     enriched = u.withColumn("__nf", F.min(follow_struct).over(w_next)).withColumn(
         "__anchors_seen", F.count(F.when(F.col("__tag") == 0, 1)).over(w_seen)
     )
-    anchored = enriched.filter(F.col("__tag") == 0).select(
-        "anchor_id",
-        F.col("__nf.fid").alias("follow_id"),
+    # ONE branch for both row kinds (a filter-then-union of anchored and
+    # orphan rows would duplicate the whole union+exchange+window subtree —
+    # Catalyst does not reuse it — doubling the scans and exchanges): keep
+    # anchors and orphan follows, shape each row with CASE on the tag.
+    is_anchor = F.col("__tag") == 0
+    return enriched.filter(
+        is_anchor | (F.col("__anchors_seen") == 0)
+    ).select(
+        F.when(is_anchor, F.col("anchor_id")).alias("anchor_id"),
+        F.when(is_anchor, F.col("__nf.fid")).otherwise(F.col("follow_id")).alias("follow_id"),
         key,
-        F.col("__t").alias("anchor_ts"),
-        F.col("__nf.fts").alias("follow_ts"),
-        F.when(F.col("__nf").isNull(), F.lit(TIMEOUT))
+        F.when(is_anchor, F.col("__t")).alias("anchor_ts"),
+        F.when(is_anchor, F.col("__nf.fts")).otherwise(F.col("__t")).alias("follow_ts"),
+        F.when(~is_anchor, F.lit(PAY_NO_CREATE))
+        .when(F.col("__nf").isNull(), F.lit(TIMEOUT))
         .when(F.col("__nf.fts") <= F.expr(f"__t + {deadline}"), F.lit(PAYED))
         .otherwise(F.lit(PAYED_LATE))
         .alias("state"),
     )
-    orphans = enriched.filter(
-        (F.col("__tag") == 1) & (F.col("__anchors_seen") == 0)
-    ).select(
-        F.lit(None).cast("long").alias("anchor_id"),
-        "follow_id",
-        key,
-        F.lit(None).cast("timestamp").alias("anchor_ts"),
-        F.col("__t").alias("follow_ts"),
-        F.lit(PAY_NO_CREATE).alias("state"),
-    )
-    return anchored.unionByName(orphans)

@@ -112,3 +112,25 @@ def test_order_states_single_pass_equals_join_form(spark, sf_dir):
     o = old[cols].sort_values(cols).reset_index(drop=True)
     n = new[cols].sort_values(cols).reset_index(drop=True)
     assert o.equals(n)
+
+
+def test_order_states_single_pass_plans_one_exchange(spark, sf_dir):
+    """The single-pass form must shuffle the union exactly once (the key
+    exchange both frame windows reuse) — the property that makes it linear."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from flink_uba_spark.operators.order_lifecycle import classify_order_states_single_pass
+    from flink_uba_spark.sources.readers import load_testdata
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    anchors = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    follows = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    df = classify_order_states_single_pass(anchors, follows, "user_id")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, f"expected 1 exchange, plan has {n_exchange}"
+    assert "Join" not in plan, "single-pass form must not contain a join node"
