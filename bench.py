@@ -104,6 +104,9 @@ HEADLINE = HEADLINE_R01 + [
     "corpus_length_histogram",
     "doc_oov_rate",
     "hot_items_sql",  # SQL-string entry point; same plan family as hot_items
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_lapsed_customers",
 ]
 
 

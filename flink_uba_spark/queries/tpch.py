@@ -608,7 +608,143 @@ FROM r GROUP BY priority
 """
 
 
+# -------------------------------------------------------------------- q15
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 (top supplier): per-supplier revenue over one quarter, return
+    the supplier(s) hitting the maximum (ties kept, per the spec's view
+    formulation). The max is a 1-row broadcast joined back — never a
+    corpus-wide window — so the plan is two exchanges (supplier rollup,
+    nothing else): revenue agg → 1-row max → broadcast-filter → dim join."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "supplier"))
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "total_revenue_cents"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue_cents").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue_cents"] == mx["__mx"])
+        .join(F.broadcast(t["supplier"]), rev["l_suppkey"] == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+TPCH_Q15_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS total_revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+"""
+
+
+# -------------------------------------------------------------------- q17
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 (small-quantity-order revenue), adapted to the testdata schema:
+    p_container is not carried, so the part filter is brand-only. The
+    fractional-average condition qty < 0.2·avg(qty per part) is evaluated
+    in pure integers (5·qty·n < Σqty — l_quantity is integral in this
+    data, asserted by the cast), so the boundary cannot drift between
+    engines. Per-part stats join back on the part key; one lineitem
+    rollup exchange + one co-keyed join."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty"), "l_extendedprice"
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("qty").alias("__sq")
+    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.join(pa, "l_partkey")
+        .join(F.broadcast(brand), li["l_partkey"] == F.col("p_partkey"))
+        .filter(F.lit(5) * F.col("qty") * F.col("__n") < F.col("__sq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+        )
+    )
+
+
+TPCH_Q17_ORACLE = """
+WITH pa AS (
+    SELECT l_partkey, count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS sq
+    FROM lineitem GROUP BY 1
+)
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN pa ON pa.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND 5 * CAST(l.l_quantity AS BIGINT) * pa.n < pa.sq
+"""
+
+
+# -------------------------------------------------------------------- q22
+def tpch_q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 (global sales opportunity), adapted to the testdata schema:
+    c_phone is not carried, so the country code is c_nationkey, and every
+    customer has old orders, so "no orders" becomes "no orders since
+    1997-06-01" (lapsed high-balance customers). Above-average balance is
+    decided in integers (bal·n > Σbal over cents) — no float-average
+    boundary. Anti-join on the filtered orders; the (n, Σ) scalar is a
+    1-row broadcast."""
+    t = load_testdata(spark, sf_dir, ("customer", "orders"))
+    cust = t["customer"].select(
+        "c_custkey", "c_nationkey", _cents(F.col("c_acctbal")).alias("__bal")
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__bal").alias("__s")
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(tot), F.col("__bal") * F.col("__n") > F.col("__s"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("__bal").alias("total_acctbal_cents"),
+        )
+    )
+
+
+TPCH_Q22_ORACLE = """
+WITH cents AS (
+    SELECT c_custkey, c_nationkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+    FROM customer
+),
+tot AS (SELECT count(*) AS n, sum(bal) AS s FROM cents)
+SELECT c_nationkey, count(*) AS n_custs,
+       CAST(sum(bal) AS BIGINT) AS total_acctbal_cents
+FROM cents, tot
+WHERE bal * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cents.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1997-06-01')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q17_small_qty_revenue": tpch_q17_small_qty_revenue,
+    "tpch_q22_lapsed_customers": tpch_q22_lapsed_customers,
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
     "tpch_q19_brand_bands": tpch_q19_brand_bands,
@@ -626,6 +762,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q15_top_supplier": TPCH_Q15_ORACLE,
+    "tpch_q17_small_qty_revenue": TPCH_Q17_ORACLE,
+    "tpch_q22_lapsed_customers": TPCH_Q22_ORACLE,
     "tpch_q8_market_share": TPCH_Q8_ORACLE,
     "tpch_q13_customer_distribution": TPCH_Q13_ORACLE,
     "tpch_q19_brand_bands": TPCH_Q19_ORACLE,
