@@ -119,3 +119,33 @@ def test_quota_rank_is_two_level_skew_proof(spark, sf_dir):
         if "hashpartitioning(lang" in ln and "__sb" in ln
     ]
     assert two_key, "stage-1 (stratum, sub_bucket) exchange missing — skew-prone single rank"
+
+
+def test_round3_ops_on_empty_and_degenerate_inputs(spark):
+    """Empty frames and single-stratum corpora must flow through the
+    round-3 sampling operators without error (empty shuffles/windows are a
+    real state at the tail of filtered pipelines)."""
+    from pyspark.sql import types as T
+
+    from flink_uba_spark.operators.sampling import quota_hash_sample
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert global_shuffle(empty, n_shards=4).count() == 0
+    assert temperature_mixture_sample(empty, "source", total=10).count() == 0
+    assert quota_hash_sample(empty, "source", 5).count() == 0
+
+    one = spark.createDataFrame(
+        [(i, f"doc {i} text", "only") for i in range(7)], schema
+    )
+    m = temperature_mixture_sample(one, "source", total=3)
+    # single stratum gets the whole budget (w/Σw = 1), capped at its size
+    assert m.count() == 3
+    s = global_shuffle(one, n_shards=2)
+    assert s.count() == 7
