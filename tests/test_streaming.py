@@ -135,3 +135,35 @@ def test_stream_join_equals_batch(spark, sf_dir):
     assert len(batch) > 0, "batch join returned no rows — vacuous equivalence"
     key = ["pay_id", "view_id"]
     assert sorted(map(tuple, batch[key].values)) == sorted(map(tuple, stream[key].values))
+
+
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    """The RocksDB state store — the production provider once streaming
+    state exceeds executor heap (100 TB hot-items windows, dedup keys) —
+    must produce byte-identical results to the default HDFS-backed store."""
+    from pyspark.sql import functions as F
+
+    from flink_uba_spark.streaming.runner import run_to_table, stream_events
+    from flink_uba_spark.streaming.windows import stream_windowed_counts
+
+    def q():
+        ev = stream_events(spark, sf_dir)
+        views = ev.filter(F.col("event_type") == "view").select(
+            F.get_json_object("props", "$.k").cast("long").alias("item_id"), "ts"
+        )
+        return run_to_table(stream_windowed_counts(views, F.col("item_id"), "item_id"))
+
+    base = q().toPandas()
+    assert len(base) > 0, "no windows — vacuous equivalence"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = q().toPandas()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    cols = sorted(base.columns)
+    b = base[cols].sort_values(cols).reset_index(drop=True)
+    r = rocks[cols].sort_values(cols).reset_index(drop=True)
+    assert b.equals(r)
