@@ -114,6 +114,26 @@ class UbaEngine:
 
         write_corpus_shards(df, path, **kw)
 
+    def mixture_sample(self, df, strata_col, total, **kw) -> DataFrame:
+        from flink_uba_spark.operators.sampling import temperature_mixture_sample
+
+        return temperature_mixture_sample(df, strata_col, total, **kw)
+
+    def shuffle_corpus(self, df, **kw) -> DataFrame:
+        from flink_uba_spark.operators.sampling import global_shuffle
+
+        return global_shuffle(df, **kw)
+
+    def split_without_leakage(self, df, **kw) -> DataFrame:
+        from flink_uba_spark.operators.dedup import cluster_aware_split
+
+        return cluster_aware_split(df, **kw)
+
+    def dedup_against_corpus(self, incoming, corpus, **kw) -> DataFrame:
+        from flink_uba_spark.operators.dedup import incremental_dedup_verdicts
+
+        return incremental_dedup_verdicts(incoming, corpus, **kw)
+
     # ------------------------------------------------------------ pipelines
     def curate(
         self,
@@ -122,9 +142,13 @@ class UbaEngine:
         min_words: int = 5,
         test_permille: int = 100,
         max_records_per_file: int = 100_000,
+        mixture_total: int | None = None,
+        leakage_free_split: bool = False,
     ) -> DataFrame:
         """End-to-end corpus curation in ONE composed run: length filter →
-        exact dedup (keep canonical) → train/test split → decontaminate
+        exact dedup (keep canonical) → [optional temperature mixture
+        rebalance by source] → train/test split (per-doc hash, or
+        cluster-aware so near-dups never straddle splits) → decontaminate
         train against the held-out slice → drop contaminated → write
         size-bounded shards partitioned by (lang, split) → return the
         shard manifest. Everything up to the dedup window fuses into the
@@ -132,8 +156,11 @@ class UbaEngine:
         from pyspark.sql import functions as F
 
         from flink_uba_spark.operators.corpus import decontaminate
-        from flink_uba_spark.operators.dedup import exact_dedup
-        from flink_uba_spark.operators.sampling import hash_split
+        from flink_uba_spark.operators.dedup import cluster_aware_split, exact_dedup
+        from flink_uba_spark.operators.sampling import (
+            hash_split,
+            temperature_mixture_sample,
+        )
         from flink_uba_spark.streaming.sinks import corpus_manifest, write_corpus_shards
 
         docs = self.load(sf_dir, ("documents",))["documents"].filter(
@@ -143,7 +170,15 @@ class UbaEngine:
             exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
         )
         kept = docs.join(canonical, "doc_id")
-        split = hash_split(kept, test_permille=test_permille)
+        if mixture_total is not None:
+            kept = temperature_mixture_sample(kept, "source", mixture_total)
+        if leakage_free_split:
+            assignment = cluster_aware_split(
+                kept, test_permille=test_permille
+            ).select("doc_id", "split")
+            split = kept.join(assignment, "doc_id")
+        else:
+            split = hash_split(kept, test_permille=test_permille)
         train = split.filter(F.col("split") == "train")
         evald = split.filter(F.col("split") == "test")
         contaminated = (

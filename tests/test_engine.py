@@ -81,3 +81,32 @@ def test_curate_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert back.count() == sum(expect_map.values())
     # every partition dir is hive-layout (lang=..., split=...)
     assert back.select("lang", "split").distinct().count() == len(expect_map)
+
+
+def test_curate_with_mixture_and_leakage_free_split(spark, sf_dir, tmp_path):
+    """The round-3 curate options: temperature mixture bounds the corpus to
+    the requested budget, and the cluster-aware split never separates an
+    LSH near-dup pair."""
+    from pyspark.sql import functions as F
+
+    from flink_uba_spark.engine import UbaEngine
+    from flink_uba_spark.operators.dedup import minhash_lsh_candidates
+
+    eng = UbaEngine(spark)
+    manifest = eng.curate(
+        sf_dir,
+        str(tmp_path / "corpus"),
+        mixture_total=300,
+        leakage_free_split=True,
+        max_records_per_file=64,
+    )
+    total = sum(r["n_rows"] for r in manifest.collect())
+    assert 0 < total <= 300
+    back = spark.read.parquet(str(tmp_path / "corpus"))
+    # no near-dup pair straddles the split among surviving docs
+    pairs = minhash_lsh_candidates(back.select("doc_id", "text"))
+    j = (
+        pairs.join(back.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa")), "a_id")
+        .join(back.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb")), "b_id")
+    )
+    assert j.filter(F.col("sa") != F.col("sb")).count() == 0
