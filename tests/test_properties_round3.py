@@ -102,3 +102,60 @@ def test_anomaly_flag_matches_bruteforce(sparkm, daily):
         for row in rows
     }
     assert got == want
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),      # key
+        st.integers(0, 8),      # coarse ts (seconds) — forces collisions
+        st.booleans(),          # is_follow
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evs=events_strategy)
+def test_order_states_single_pass_matches_bruteforce(sparkm, evs):
+    """The round-3 single-pass window form vs a plain-Python reference on
+    adversarial tiny inputs — especially equal timestamps across and
+    within the anchor/follow sides, where the >=/<= frame semantics live."""
+    import datetime as dt
+
+    from flink_uba_spark.operators.order_lifecycle import (
+        classify_order_states_single_pass,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, k, base + dt.timedelta(seconds=ts), fol)
+        for i, (k, ts, fol) in enumerate(evs)
+    ]
+    anchors = [(i, k, t) for i, k, t, fol in rows if not fol]
+    follows = [(i, k, t) for i, k, t, fol in rows if fol]
+    if not anchors and not follows:
+        return
+    adf = sparkm.createDataFrame(anchors or [], "event_id long, user_id long, ts timestamp")
+    fdf = sparkm.createDataFrame(follows or [], "event_id long, user_id long, ts timestamp")
+    deadline_s = 2
+    got = {
+        (r["anchor_id"], r["follow_id"], r["state"])
+        for r in classify_order_states_single_pass(
+            adf, fdf, "user_id", deadline=f"INTERVAL {deadline_s} SECONDS"
+        ).collect()
+    }
+
+    want = set()
+    for aid, ak, at in anchors:
+        cands = [(t, i) for i, k, t in follows if k == ak and t >= at]
+        if not cands:
+            want.add((aid, None, "timeout"))
+        else:
+            ft, fid = min(cands)
+            state = "payed" if ft <= at + dt.timedelta(seconds=deadline_s) else "payed_late"
+            want.add((aid, fid, state))
+    for fid, fk, ft in follows:
+        if not any(k == fk and t <= ft for _, k, t in anchors):
+            want.add((None, fid, "pay_no_create"))
+    assert got == want
