@@ -285,21 +285,28 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    def _propagate(lbls):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(lbls, edges.dst == lbls.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        return lbls.join(neighbor_min, lbls.node == neighbor_min.src, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+
+    for _ in range(max_iters):
+        # TWO propagation steps per driver round (the fixpoint is the same;
+        # it is just reached in half the synchronization barriers): each
+        # eager checkpoint + convergence count is a driver round-trip, and
+        # most near-dup clusters have diameter ≤ 2, so doubling the hop per
+        # round typically converges in ONE round instead of two.
+        stepped = _propagate(_propagate(labels)).withColumnRenamed("label", "new_label")
         updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                "label",
-            )
+            labels.join(stepped, "node")
         ).localCheckpoint(eager=True)
         changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
