@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import Column
 
-from flink_uba_spark.operators.dedup import shingle_array
 from flink_uba_spark.operators.util import ensure_min_partitions
 
 

@@ -379,7 +379,7 @@ def ngram_jaccard_pairs(
     # exchange — re-evaluating the (interpreted) shingle lambda 3× per doc
     # at the scan. Measured 2× on the whole query at sf0.1. explode_outer
     # blocks the inference; the post-hoc null filter restores exact
-    # explode semantics (shingle_array yields ≥1 element on non-null text).
+    # explode semantics (shingle_hash_expr yields ≥1 element on non-null text).
     postings = base.select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.size("sh").cast("long").alias("sz"),
