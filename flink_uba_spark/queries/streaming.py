@@ -713,6 +713,40 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(verdicts, output_mode="complete")
 
 
+def stream_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``daily_anomaly_days``: the per-(type, day) counts
+    accumulate as a COMPLETE-mode streaming rollup (the ever-updating
+    aggregate shape, S6); the cross-day 2σ flags are then computed over the
+    materialized days-sized table with the same integer/DECIMAL(38,0)
+    arithmetic as the batch query — global statistics over all days cannot
+    stream incrementally (every new day shifts every flag), which is
+    exactly why the production shape is a streaming rollup + tiny batch
+    flag pass."""
+    from pyspark.sql import Window
+
+    ev = stream_events(spark, sf_dir)
+    daily = run_to_table(
+        ev.groupBy(
+            F.col("event_type"), F.window("ts", "1 day").alias("w")
+        ).agg(F.count(F.lit(1)).alias("cnt")),
+        output_mode="complete",
+    ).select("event_type", F.col("w.start").alias("day"), "cnt")
+    w = Window.partitionBy("event_type")
+    c = F.col("cnt").cast("decimal(38,0)")
+    n = F.count(F.lit(1)).over(w).cast("decimal(38,0)")
+    s1 = F.sum("cnt").over(w).cast("decimal(38,0)")
+    s2 = F.sum(c * F.col("cnt")).over(w).cast("decimal(38,0)")
+    lhs = (c * n - s1) * (c * n - s1)
+    rhs = F.lit(4) * (n * s2 - s1 * s1)
+    return daily.select("event_type", "day", "cnt", (lhs > rhs).alias("is_anomaly"))
+
+
+def _stream_daily_anomaly_oracle() -> str:
+    from flink_uba_spark.queries.behavior import DAILY_ANOMALY_ORACLE
+
+    return DAILY_ANOMALY_ORACLE
+
+
 QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_mktseg_revenue": stream_mktseg_revenue,
@@ -725,6 +759,7 @@ QUERIES = {
     "stream_hot_pages_allowed_lateness": stream_hot_pages_allowed_lateness,
     "stream_dedup_events": stream_dedup_events,
     "stream_dedup_incremental": stream_dedup_incremental,
+    "stream_daily_anomaly": stream_daily_anomaly,
 }
 
 
@@ -736,6 +771,7 @@ def _stream_dedup_incremental_oracle() -> str:
 
 ORACLES = {
     "stream_dedup_incremental": _stream_dedup_incremental_oracle(),
+    "stream_daily_anomaly": _stream_daily_anomaly_oracle(),
     "stream_hot_items": STREAM_HOT_ITEMS_ORACLE,
     "stream_mktseg_revenue": STREAM_MKTSEG_REVENUE_ORACLE,
     "stream_corpus_ingest": STREAM_CORPUS_INGEST_ORACLE,
