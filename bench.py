@@ -108,6 +108,7 @@ HEADLINE = HEADLINE_R01 + [
     "tpch_q17_small_qty_revenue",
     "tpch_q22_lapsed_customers",
     "stream_daily_anomaly",
+    "stream_event_transitions",
 ]
 
 

@@ -747,6 +747,25 @@ def _stream_daily_anomaly_oracle() -> str:
     return DAILY_ANOMALY_ORACLE
 
 
+def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``event_transition_matrix``: per-user transition
+    pairs extracted by an O(1)-state ``applyInPandasWithState`` operator
+    (streaming/transitions.py — the last event per user is the whole
+    state), then the (src, dst) count rollup over the materialized pairs.
+    On the bounded replay the answer equals the batch lag-window form."""
+    from flink_uba_spark.streaming.transitions import stream_transition_pairs
+
+    ev = stream_events(spark, sf_dir)
+    pairs = run_to_table(stream_transition_pairs(ev))
+    return pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _stream_event_transitions_oracle() -> str:
+    from flink_uba_spark.queries.behavior import EVENT_TRANSITION_ORACLE
+
+    return EVENT_TRANSITION_ORACLE
+
+
 QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_mktseg_revenue": stream_mktseg_revenue,
@@ -760,6 +779,7 @@ QUERIES = {
     "stream_dedup_events": stream_dedup_events,
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_daily_anomaly": stream_daily_anomaly,
+    "stream_event_transitions": stream_event_transitions,
 }
 
 
@@ -772,6 +792,7 @@ def _stream_dedup_incremental_oracle() -> str:
 ORACLES = {
     "stream_dedup_incremental": _stream_dedup_incremental_oracle(),
     "stream_daily_anomaly": _stream_daily_anomaly_oracle(),
+    "stream_event_transitions": _stream_event_transitions_oracle(),
     "stream_hot_items": STREAM_HOT_ITEMS_ORACLE,
     "stream_mktseg_revenue": STREAM_MKTSEG_REVENUE_ORACLE,
     "stream_corpus_ingest": STREAM_CORPUS_INGEST_ORACLE,

@@ -167,3 +167,39 @@ def test_rocksdb_state_store_matches_default(spark, sf_dir):
     b = base[cols].sort_values(cols).reset_index(drop=True)
     r = rocks[cols].sort_values(cols).reset_index(drop=True)
     assert b.equals(r)
+
+
+def test_transition_state_links_across_micro_batches(spark, sf_dir):
+    """The transition extractor's state must chain the LAST event of one
+    micro-batch to the FIRST of the next — split the events into two
+    time-ordered replay batches and require the same pair multiset as the
+    batch lag-window form."""
+    from pyspark.sql import functions as F
+
+    from flink_uba_spark.queries.behavior import event_transition_matrix
+    from flink_uba_spark.sources.readers import load_testdata
+    from flink_uba_spark.streaming.runner import run_to_table, write_replay
+    from flink_uba_spark.streaming.transitions import stream_transition_pairs
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    mid = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    first = ev.filter(F.unix_micros("ts") <= mid)
+    second = ev.filter(F.unix_micros("ts") > mid)
+    replay = write_replay([first, second], tag="transitions_2b")
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    pairs = run_to_table(stream_transition_pairs(sdf))
+    got = (
+        pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt")).toPandas()
+    )
+    want = event_transition_matrix(spark, sf_dir).toPandas()
+    assert len(want) > 0, "no transitions — vacuous"
+    cols = sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.equals(w)
