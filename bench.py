@@ -109,6 +109,7 @@ HEADLINE = HEADLINE_R01 + [
     "tpch_q22_lapsed_customers",
     "stream_daily_anomaly",
     "stream_event_transitions",
+    "stream_user_sessions_dynamic_gap",
 ]
 
 

@@ -570,6 +570,61 @@ HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
 """
 
 
+def stream_user_sessions_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization in streaming form: the per-event gap
+    expression (errors hold the session 5 min, everything else 30) runs
+    inside a watermarked streaming session_window — state merges claims
+    incrementally exactly as the fixed-gap twin does. Append mode
+    finalizes a session once the watermark passes its END (max claim-end),
+    which is the oracle's HAVING filter."""
+    ev = stream_events(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "error", F.expr("make_interval(0,0,0,0,0,5,0)")
+    ).otherwise(F.expr("make_interval(0,0,0,0,0,30,0)"))
+    sdf = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_table(sdf)
+
+
+STREAM_USER_SESSIONS_DYNAMIC_GAP_ORACLE = """
+WITH g AS (
+    SELECT user_id, ts,
+           epoch_us(ts)
+             + CASE WHEN event_type = 'error' THEN 300 ELSE 1800 END * 1000000
+               AS claim_end
+    FROM events
+), o AS (
+    SELECT user_id, ts, claim_end,
+           max(claim_end) OVER (PARTITION BY user_id ORDER BY ts, claim_end
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+    FROM g
+), f AS (
+    SELECT *, CASE WHEN prev_max IS NULL OR epoch_us(ts) > prev_max
+                   THEN 1 ELSE 0 END AS new_s
+    FROM o
+), s AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, claim_end
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM f
+)
+SELECT user_id, min(ts) AS session_start,
+       make_timestamp(max(claim_end)) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+HAVING make_timestamp(max(claim_end)) <= (SELECT max(ts) FROM events)
+"""
+
+
 def stream_mktseg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC enrichment join — the streaming join flavor the rest
     of the catalog doesn't cover (stream-stream inner/full-outer exist;
@@ -771,6 +826,7 @@ QUERIES = {
     "stream_mktseg_revenue": stream_mktseg_revenue,
     "stream_corpus_ingest": stream_corpus_ingest,
     "stream_user_sessions": stream_user_sessions,
+    "stream_user_sessions_dynamic_gap": stream_user_sessions_dynamic_gap,
     "stream_attribution_join": stream_attribution_join,
     "stream_order_timeout_states": stream_order_timeout_states,
     "stream_tx_reconcile": stream_tx_reconcile,
@@ -797,6 +853,7 @@ ORACLES = {
     "stream_mktseg_revenue": STREAM_MKTSEG_REVENUE_ORACLE,
     "stream_corpus_ingest": STREAM_CORPUS_INGEST_ORACLE,
     "stream_user_sessions": STREAM_USER_SESSIONS_ORACLE,
+    "stream_user_sessions_dynamic_gap": STREAM_USER_SESSIONS_DYNAMIC_GAP_ORACLE,
     "stream_attribution_join": ATTRIBUTION_ORACLE,
     "stream_order_timeout_states": STREAM_ORDER_TIMEOUT_ORACLE,
     "stream_tx_reconcile": STREAM_TX_RECONCILE_ORACLE,
