@@ -51,17 +51,30 @@ def make_transition_extractor(gap_us: int):
         if len(rows) == 0:
             return
         rows["ts_us"] = rows["ts"].astype("int64") // 1000
-        rows = rows.sort_values(["ts_us", "event_id"], kind="mergesort")
-        prev_us, prev_type = state.get if state.exists else (None, None)
-        out = []
-        for r in rows.itertuples(index=False):
-            us = int(r.ts_us)
-            if prev_type is not None and us <= prev_us + gap_us:
-                out.append((key[0], prev_type, r.event_type))
-            prev_us, prev_type = us, r.event_type
-        state.update((prev_us, prev_type))
-        if out:
-            yield pd.DataFrame(out, columns=["user_id", "src", "dst"])
+        rows = rows.sort_values(["ts_us", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        # vectorized linking: each row's predecessor is the previous sorted
+        # row (pandas shift), with the STATE seam — the last event of the
+        # previous micro-batch — spliced in as row 0's predecessor. No
+        # per-event Python loop; the whole batch links in O(n) numpy ops.
+        prev_us = rows["ts_us"].shift(1)
+        prev_type = rows["event_type"].shift(1)
+        if state.exists:
+            seam_us, seam_type = state.get
+            prev_us.iloc[0] = seam_us
+            prev_type.iloc[0] = seam_type
+        mask = prev_type.notna() & (rows["ts_us"] <= prev_us + gap_us)
+        state.update((int(rows["ts_us"].iloc[-1]), rows["event_type"].iloc[-1]))
+        if mask.any():
+            out = pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "src": prev_type[mask],
+                    "dst": rows["event_type"][mask],
+                }
+            )
+            yield out
 
     return fn
 
