@@ -29,6 +29,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -63,62 +64,126 @@ def _ts(us: int):
 
 def make_detector(deadline_us: int, anchor_type: str = "signup", follow_type: str = "purchase"):
     """Build the per-key state function (returned separately so unit tests
-    can drive it with a fake GroupState)."""
+    can drive it with a fake GroupState).
+
+    The whole micro-batch resolves in O(n log n) numpy ops — sort once, then
+    each anchor's resolver is the first follow after it in sort order
+    (``searchsorted``), state-pending anchors resolve against the batch's
+    first follow, and orphan pays are the follow prefix before the first
+    anchor ever seen. No per-event Python loop: at 100 TB micro-batch sizes
+    the per-key cost is vectorized pandas, same treatment as
+    transitions.py's shift-based linker.
+    """
+
+    def _frame(a_ids, f_ids, user_id, a_us, f_us, st):
+        """One output block; None for a_* / f_* means that side is absent
+        for the whole block (NaT/NA broadcast), so every column stays a
+        single concrete dtype — no object columns, no per-row branching."""
+        n = len(st)
+        return pd.DataFrame(
+            {
+                "anchor_id": pd.array(a_ids if a_ids is not None else [None] * n, dtype="Int64"),
+                "follow_id": pd.array(f_ids if f_ids is not None else [None] * n, dtype="Int64"),
+                "user_id": pd.array([user_id] * n, dtype="int64"),
+                "anchor_ts": (
+                    pd.to_datetime(np.asarray(a_us, dtype="int64"), unit="us")
+                    if a_us is not None
+                    else pd.DatetimeIndex([pd.NaT] * n)
+                ),
+                "follow_ts": (
+                    pd.to_datetime(np.asarray(f_us, dtype="int64"), unit="us")
+                    if f_us is not None
+                    else pd.DatetimeIndex([pd.NaT] * n)
+                ),
+                "state": pd.array(st, dtype=object),
+            }
+        )
 
     def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
             anchor_ids, anchor_ts_us, seen = state.get
-            pending = list(zip(anchor_ids, anchor_ts_us))
+            pend_ids = np.asarray(anchor_ids, dtype="int64")
+            pend_us = np.asarray(anchor_ts_us, dtype="int64")
         else:
-            pending, seen = [], False
+            pend_ids = pend_us = np.empty(0, dtype="int64")
+            seen = False
 
-        out: list[tuple] = []
+        out: list[pd.DataFrame] = []
 
-        if not state.hasTimedOut:
-            rows = pd.concat(list(pdfs), ignore_index=True)
-            # anchors first at equal timestamps (batch uses follow_ts >= anchor_ts)
-            rows["__anchor_first"] = (rows["event_type"] != anchor_type).astype(int)
-            rows = rows.sort_values(["ts", "__anchor_first", "event_id"])
-            for ev_id, ev_ts, ev_type in zip(
-                rows["event_id"], rows["ts"], rows["event_type"]
-            ):
-                ts_us = ev_ts.value // 1000  # pandas ns → us
-                if ev_type == anchor_type:
-                    pending.append((int(ev_id), ts_us))
+        chunks = [] if state.hasTimedOut else list(pdfs)
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True)
+            if len(rows):
+                # anchors first at equal timestamps (batch uses follow_ts >= anchor_ts)
+                rows["__anchor_first"] = (rows["event_type"] != anchor_type).astype(int)
+                rows = rows.sort_values(
+                    ["ts", "__anchor_first", "event_id"], kind="mergesort"
+                ).reset_index(drop=True)
+                # explicit ns resolution before the //1000 → us conversion
+                ts_us = rows["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+                ev_ids = rows["event_id"].to_numpy()
+                anchor_pos = np.flatnonzero((rows["event_type"] == anchor_type).to_numpy())
+                follow_pos = np.flatnonzero((rows["event_type"] == follow_type).to_numpy())
+
+                # orphan pays: follows before the first anchor this key ever saw
+                if not seen and anchor_pos.size == 0:
+                    orphans = follow_pos
+                elif not seen:
+                    orphans = follow_pos[follow_pos < anchor_pos[0]]
+                else:
+                    orphans = np.empty(0, dtype="int64")
+                if orphans.size:
+                    out.append(
+                        _frame(None, ev_ids[orphans], user_id, None, ts_us[orphans], ["pay_no_create"] * orphans.size)
+                    )
+
+                # state-pending anchors resolve against the batch's first follow
+                if follow_pos.size and pend_ids.size:
+                    f0 = follow_pos[0]
+                    f0_us = np.full(pend_ids.size, ts_us[f0])
+                    verdicts = np.where(f0_us <= pend_us + deadline_us, "payed", "payed_late")
+                    out.append(
+                        _frame(pend_ids, np.full(pend_ids.size, ev_ids[f0]), user_id, pend_us, f0_us, verdicts)
+                    )
+                    pend_ids = pend_us = np.empty(0, dtype="int64")
+
+                # each batch anchor's resolver: first follow strictly after it
+                if anchor_pos.size:
                     seen = True
-                elif ev_type == follow_type:
-                    if pending:
-                        for a_id, a_us in pending:
-                            st = "payed" if ts_us <= a_us + deadline_us else "payed_late"
-                            out.append((a_id, int(ev_id), user_id, _ts(a_us), _ts(ts_us), st))
-                        pending = []
-                    elif not seen:
-                        out.append((None, int(ev_id), user_id, None, _ts(ts_us), "pay_no_create"))
+                    j = np.searchsorted(follow_pos, anchor_pos)
+                    hit = j < follow_pos.size
+                    if hit.any():
+                        a_pos = anchor_pos[hit]
+                        f_pos = follow_pos[j[hit]]
+                        verdicts = np.where(
+                            ts_us[f_pos] <= ts_us[a_pos] + deadline_us, "payed", "payed_late"
+                        )
+                        out.append(
+                            _frame(ev_ids[a_pos], ev_ids[f_pos], user_id, ts_us[a_pos], ts_us[f_pos], verdicts)
+                        )
+                    unresolved = anchor_pos[~hit]
+                    if unresolved.size:
+                        pend_ids = np.concatenate([pend_ids, ev_ids[unresolved].astype("int64")])
+                        pend_us = np.concatenate([pend_us, ts_us[unresolved]])
 
         # fire timers: watermark passed a pending deadline → timeout
         wm_us = state.getCurrentWatermarkMs() * 1000
-        still = []
-        for a_id, a_us in pending:
-            if wm_us > 0 and a_us + deadline_us <= wm_us:
-                out.append((a_id, None, user_id, _ts(a_us), None, "timeout"))
-            else:
-                still.append((a_id, a_us))
-        pending = still
+        if pend_ids.size:
+            fired = (pend_us + deadline_us <= wm_us) if wm_us > 0 else np.zeros(pend_ids.size, dtype=bool)
+            if fired.any():
+                out.append(
+                    _frame(pend_ids[fired], None, user_id, pend_us[fired], None, ["timeout"] * int(fired.sum()))
+                )
+            pend_ids, pend_us = pend_ids[~fired], pend_us[~fired]
 
-        state.update((
-            [a for a, _ in pending],
-            [u for _, u in pending],
-            seen,
-        ))
-        if pending:
-            next_fire_ms = min(u for _, u in pending) // 1000 + deadline_us // 1000
+        state.update((pend_ids.tolist(), pend_us.tolist(), seen))
+        if pend_ids.size:
+            next_fire_ms = int(pend_us.min()) // 1000 + deadline_us // 1000
             state.setTimeoutTimestamp(max(next_fire_ms, state.getCurrentWatermarkMs() + 1))
 
-        yield pd.DataFrame(
-            out,
-            columns=["anchor_id", "follow_id", "user_id", "anchor_ts", "follow_ts", "state"],
-        )
+        if out:
+            yield pd.concat(out, ignore_index=True)
 
     return detect
 

@@ -50,7 +50,10 @@ def make_transition_extractor(gap_us: int):
         rows = pd.concat(list(pdfs), ignore_index=True)
         if len(rows) == 0:
             return
-        rows["ts_us"] = rows["ts"].astype("int64") // 1000
+        # pin the resolution before the integer view: Arrow→pandas hands
+        # datetime64[ns] today, but a [us]-resolution future would silently
+        # compress timestamps 1000× without the explicit cast
+        rows["ts_us"] = rows["ts"].astype("datetime64[ns]").astype("int64") // 1000
         rows = rows.sort_values(["ts_us", "event_id"], kind="mergesort").reset_index(
             drop=True
         )
@@ -79,9 +82,7 @@ def make_transition_extractor(gap_us: int):
     return fn
 
 
-def stream_transition_pairs(
-    events: DataFrame, gap: str = "30 minutes", gap_us: int = 30 * 60 * _US
-) -> DataFrame:
+def stream_transition_pairs(events: DataFrame, gap_us: int = 30 * 60 * _US) -> DataFrame:
     """(user_id, src, dst) transition pairs from a watermarked stream."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 

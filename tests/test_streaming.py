@@ -52,8 +52,18 @@ def _rows(*evs):
     )
 
 
+_OUT_COLS = ["anchor_id", "follow_id", "user_id", "anchor_ts", "follow_ts", "state"]
+
+
+def _collect(gen):
+    frames = list(gen)
+    if not frames:
+        return pd.DataFrame(columns=_OUT_COLS)
+    return pd.concat(frames, ignore_index=True)
+
+
 def _run(detector, pdf, state):
-    return pd.concat(list(detector((7,), iter([pdf]), state)), ignore_index=True)
+    return _collect(detector((7,), iter([pdf]), state))
 
 
 @pytest.fixture(scope="module")
@@ -89,7 +99,7 @@ def test_detector_timer_fires_timeout(detector):
     assert len(out) == 0 and st.timeout_set is not None
     # watermark passes the deadline → timeout emitted on the timer call
     st2 = FakeState(watermark_ms=(H6 + US) // 1000, value=st._v, timed_out=True)
-    out2 = pd.concat(list(detector((7,), iter([]), st2)), ignore_index=True)
+    out2 = _collect(detector((7,), iter([]), st2))
     assert list(out2["state"]) == ["timeout"]
     assert out2.loc[0, "anchor_id"] == 1
 
@@ -103,13 +113,13 @@ def test_detector_timer_boundary_is_ms_floored(detector):
     st = FakeState()
     _run(detector, _rows((1, 400, "signup")), st)
     st2 = FakeState(watermark_ms=H6 // 1000, value=st._v, timed_out=True)
-    out = pd.concat(list(detector((7,), iter([]), st2)), ignore_index=True)
+    out = _collect(detector((7,), iter([]), st2))
     assert len(out) == 0 and st2._v[0] == [1]
     # anchor at 0: deadline == wm_ms*1000 exactly → fires (<= is non-strict)
     st3 = FakeState()
     _run(detector, _rows((1, 0, "signup")), st3)
     st4 = FakeState(watermark_ms=H6 // 1000, value=st3._v, timed_out=True)
-    out2 = pd.concat(list(detector((7,), iter([]), st4)), ignore_index=True)
+    out2 = _collect(detector((7,), iter([]), st4))
     assert list(out2["state"]) == ["timeout"]
 
 
@@ -117,7 +127,7 @@ def test_detector_unfired_timer_stays_pending(detector):
     st = FakeState()
     _run(detector, _rows((1, 0, "signup")), st)
     st2 = FakeState(watermark_ms=US // 1000, value=st._v, timed_out=True)  # before deadline
-    out = pd.concat(list(detector((7,), iter([]), st2)), ignore_index=True)
+    out = _collect(detector((7,), iter([]), st2))
     assert len(out) == 0
     assert st2._v[0] == [1]  # anchor still pending
 
