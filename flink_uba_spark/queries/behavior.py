@@ -360,8 +360,58 @@ FROM s
 """
 
 
+def pattern_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step CEP chain per anchor: view → click (within 30 min) → purchase
+    (within 2 h), the N-step generalization of the reference's 2-step
+    ``Pattern.begin("create").followedBy("pay").within(...)`` chain
+    (OrderPayTimeout.java:52-64 — the Pattern API chains arbitrarily; this
+    exercises the 3-deep form the reference never needed).
+
+    Plan: operators/sequence.py pattern_detect — two min-of-struct windows
+    sharing ONE hash exchange + sort on user_id; no joins, linear per key.
+    """
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "view", None),
+            (F.col("event_type") == "click", "INTERVAL 30 MINUTES"),
+            (F.col("event_type") == "purchase", "INTERVAL 2 HOURS"),
+        ],
+    )
+
+
+PATTERN_VCP_ORACLE = """
+WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+s2 AS (
+  SELECT v.user_id, v.event_id AS anchor_id, v.ts AS t1,
+         (SELECT min(c.ts) FROM c WHERE c.user_id = v.user_id AND c.ts >= v.ts) AS t2
+  FROM v
+),
+s3 AS (
+  SELECT s2.*,
+         (SELECT min(p.ts) FROM p WHERE p.user_id = s2.user_id AND p.ts >= s2.t2) AS t3
+  FROM s2
+)
+SELECT user_id, anchor_id, t1, t2, t3,
+       CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN t3 IS NULL THEN 'incomplete'
+            WHEN t2 <= t1 + INTERVAL 30 MINUTE AND t3 <= t2 + INTERVAL 2 HOUR
+              THEN 'matched'
+            ELSE 'matched_late' END AS state
+FROM s3
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
+    "pattern_view_click_purchase": pattern_view_click_purchase,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -375,6 +425,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pattern_view_click_purchase": PATTERN_VCP_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,

@@ -141,3 +141,68 @@ def test_daily_users_approx_within_rsd(spark, sf_dir):
     assert len(rows) > 0
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.15 * r.exact_users), r
+
+
+def test_pattern_detect_n2_equals_sequence_detect(spark, sf_dir):
+    """Property: the N-step compiler restricted to 2 steps reproduces the
+    reference 2-step state machine's anchor rows exactly (payed ↔ matched,
+    payed_late ↔ matched_late, timeout ↔ incomplete) — same first-follow
+    binding, same equal-ts anchors-first rule."""
+    from flink_uba_spark.operators.sequence import pattern_detect, sequence_detect
+
+    events = load_testdata(spark, sf_dir, ("events",))["events"]
+    two = (
+        sequence_detect(
+            events,
+            "user_id",
+            F.col("event_type") == "signup",
+            F.col("event_type") == "purchase",
+            within="INTERVAL 6 HOURS",
+        )
+        .filter(F.col("anchor_id").isNotNull())  # orphan pays: no N-step analogue
+        .select("anchor_id", "anchor_ts", "follow_ts", "state")
+        .toPandas()
+    )
+    n2 = (
+        pattern_detect(
+            events,
+            key="user_id",
+            steps=[
+                (F.col("event_type") == "signup", None),
+                (F.col("event_type") == "purchase", "INTERVAL 6 HOURS"),
+            ],
+        )
+        .select(
+            "anchor_id",
+            F.col("t1").alias("anchor_ts"),
+            F.col("t2").alias("follow_ts"),
+            F.expr(
+                "CASE state WHEN 'matched' THEN 'payed' WHEN 'matched_late' "
+                "THEN 'payed_late' ELSE 'timeout' END"
+            ).alias("state"),
+        )
+        .toPandas()
+    )
+    assert len(two) > 0, "no anchors — vacuous equivalence"
+    cols = ["anchor_id", "anchor_ts", "follow_ts", "state"]
+    t = two[cols].sort_values("anchor_id").reset_index(drop=True)
+    n = n2[cols].sort_values("anchor_id").reset_index(drop=True)
+    assert t.equals(n)
+
+
+def test_pattern_detect_single_exchange(spark, sf_dir):
+    """The N-step compile must stay one hash exchange + one sort however
+    many steps chain — the property that makes it linear at 100 TB."""
+    import re
+
+    from flink_uba_spark.queries.behavior import pattern_view_click_purchase
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = (
+        pattern_view_click_purchase(spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 1
+    assert "pythonUDF" not in plan
