@@ -245,14 +245,11 @@ FROM s GROUP BY user_id, sid
 """
 
 
-def daily_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ daily uniques next to the exact count. Intentionally
-    has NO oracle entry: the sketch estimate is deterministic for a given
-    Spark version but engine-specific, so the driver records the weaker
-    rows-only check — the honest contract for approximate aggregates.
-    At 100 TB this is the DAU you actually run: the sketch shrinks the
-    per-day exchange from user-id sets to ~kilobyte registers. A sanity
-    bound vs the exact count is pinned in tests/test_behavior.py."""
+def daily_users_approx_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ daily uniques next to the exact count — the production
+    form (returns the raw estimate). At 100 TB this is the DAU you actually
+    run: the sketch shrinks the per-day exchange from user-id sets to
+    ~kilobyte registers."""
     ev = _events(spark, sf_dir)
     return (
         ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
@@ -262,6 +259,33 @@ def daily_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("exact_users"),
         )
     )
+
+
+def daily_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of the HLL++ DAU with the error bound folded INTO the
+    output: the raw sketch estimate is engine-specific (no cross-engine
+    hash can match it), so the verifiable contract is the bound itself —
+    ``approx_ok`` is true iff |approx − exact| ≤ max(3, 3·rsd·exact) per
+    day (3 relative standard deviations, small-count floor). The DuckDB
+    oracle asserts exact_users and ``approx_ok = TRUE`` row-by-row, so the
+    driver's hash gate now verifies the estimator's error bound instead of
+    recording a rows-only check. Raw-estimate form: daily_users_approx_raw."""
+    raw = daily_users_approx_raw(spark, sf_dir)
+    bound = F.greatest(F.lit(3.0), F.lit(3 * 0.05) * F.col("exact_users"))
+    return raw.select(
+        "day",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= bound).alias("approx_ok"),
+    )
+
+
+DAILY_USERS_APPROX_ORACLE = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_ok
+FROM events
+GROUP BY 1
+"""
 
 
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,6 +449,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "daily_users_approx": DAILY_USERS_APPROX_ORACLE,
     "pattern_view_click_purchase": PATTERN_VCP_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,

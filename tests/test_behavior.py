@@ -134,13 +134,17 @@ def test_funnel_single_pass_equals_join_form(spark, sf_dir):
 
 def test_daily_users_approx_within_rsd(spark, sf_dir):
     """HLL++ estimate stays within ~3 relative standard deviations of the
-    exact daily uniques (rows-only query — this test is its local gate)."""
-    from flink_uba_spark.queries.behavior import daily_users_approx
+    exact daily uniques — the raw form; the catalog form folds this bound
+    into its output, and its DuckDB oracle asserts approx_ok=TRUE so the
+    driver's hash gate verifies the same bound per day."""
+    from flink_uba_spark.queries.behavior import daily_users_approx, daily_users_approx_raw
 
-    rows = daily_users_approx(spark, sf_dir).collect()
+    rows = daily_users_approx_raw(spark, sf_dir).collect()
     assert len(rows) > 0
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.15 * r.exact_users), r
+    flags = daily_users_approx(spark, sf_dir).collect()
+    assert len(flags) == len(rows) and all(r.approx_ok for r in flags)
 
 
 def test_pattern_detect_n2_equals_sequence_detect(spark, sf_dir):
