@@ -127,17 +127,22 @@ def stream_hot_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("event_type").rlike(HOT_PAGES_EXCLUDE))
         .select("event_id", F.col("event_type").alias("page"), "ts")
     )
-    tmax = pages.agg(F.max("ts")).collect()[0][0]  # scalar cutoff, not a data collect
-    import datetime as _dt
+    def _batches():
+        # event-time max as a broadcast one-row join, not a driver collect —
+        # the cutoff predicates stay fully declarative, and the builder only
+        # runs on replay-cache miss (zero jobs when cached)
+        p = pages.crossJoin(F.broadcast(pages.agg(F.max("ts").alias("__tmax"))))
+        is_late = (F.col("ts") <= F.col("__tmax") - F.expr("INTERVAL 12 HOURS")) & (
+            F.col("event_id") % 19 == 0
+        )
+        is_pusher = F.col("ts") > F.col("__tmax") - F.expr("INTERVAL 1 HOUR")
+        return [
+            p.filter(~is_late & ~is_pusher).select("page", "ts"),
+            p.filter(is_pusher).select("page", "ts"),
+            p.filter(is_late).select("page", "ts"),
+        ]
 
-    cut_pusher = tmax - _dt.timedelta(hours=1)
-    cut_late = tmax - _dt.timedelta(hours=12)
-    is_late = (F.col("ts") <= F.lit(cut_late)) & (F.col("event_id") % 19 == 0)
-    is_pusher = F.col("ts") > F.lit(cut_pusher)
-    batch_a = pages.filter(~is_late & ~is_pusher).select("page", "ts")
-    batch_p = pages.filter(is_pusher).select("page", "ts")
-    batch_l = pages.filter(is_late).select("page", "ts")
-    replay_dir = write_replay([batch_a, batch_p, batch_l], tag="hot_pages", cache_key=sf_dir)
+    replay_dir = write_replay(_batches, tag="hot_pages", cache_key=sf_dir)
 
     schema = T.StructType(
         [T.StructField("page", T.StringType()), T.StructField("ts", T.TimestampType())]
@@ -225,17 +230,20 @@ def stream_hot_pages_allowed_lateness(spark: SparkSession, sf_dir: str) -> DataF
         .filter(~F.col("event_type").rlike(HOT_PAGES_EXCLUDE))
         .select("event_id", F.col("event_type").alias("page"), "ts")
     )
-    tmax = pages.agg(F.max("ts")).collect()[0][0]  # scalar cutoff, not a data collect
-    import datetime as _dt
+    def _batches():
+        # same declarative cutoff construction as stream_hot_pages
+        p = pages.crossJoin(F.broadcast(pages.agg(F.max("ts").alias("__tmax"))))
+        is_late = (F.col("ts") <= F.col("__tmax") - F.expr("INTERVAL 12 HOURS")) & (
+            F.col("event_id") % 19 == 0
+        )
+        is_pusher = F.col("ts") > F.col("__tmax") - F.expr("INTERVAL 1 HOUR")
+        return [
+            p.filter(~is_late & ~is_pusher).select("page", "ts"),
+            p.filter(is_pusher).select("page", "ts"),
+            p.filter(is_late).select("page", "ts"),
+        ]
 
-    cut_pusher = tmax - _dt.timedelta(hours=1)
-    cut_late = tmax - _dt.timedelta(hours=12)
-    is_late = (F.col("ts") <= F.lit(cut_late)) & (F.col("event_id") % 19 == 0)
-    is_pusher = F.col("ts") > F.lit(cut_pusher)
-    batch_a = pages.filter(~is_late & ~is_pusher).select("page", "ts")
-    batch_p = pages.filter(is_pusher).select("page", "ts")
-    batch_l = pages.filter(is_late).select("page", "ts")
-    replay_dir = write_replay([batch_a, batch_p, batch_l], tag="hot_pages_al", cache_key=sf_dir)
+    replay_dir = write_replay(_batches, tag="hot_pages_al", cache_key=sf_dir)
 
     schema = T.StructType(
         [T.StructField("page", T.StringType()), T.StructField("ts", T.TimestampType())]
@@ -493,19 +501,22 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_testdata(spark, sf_dir, ("events",))["events"].select(
         "event_id", "user_id", "ts"
     )
-    tmax = ev.agg(F.max("ts")).collect()[0][0]
-    import datetime as _dt
+    def _batches():
+        # broadcast one-row max instead of a driver collect (builder runs
+        # only on replay-cache miss)
+        e = ev.crossJoin(F.broadcast(ev.agg(F.max("ts").alias("__tmax"))))
+        recent_dups = e.filter(
+            (F.col("ts") > F.col("__tmax") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("event_id") % 7 == 0)
+        )
+        late_dups = e.filter(
+            (F.col("ts") <= F.col("__tmax") - F.expr("INTERVAL 12 HOURS"))
+            & (F.col("event_id") % 23 == 0)
+        )
+        cols = ["event_id", "user_id", "ts"]
+        return [ev, recent_dups.unionByName(late_dups).select(*cols)]
 
-    recent_dups = ev.filter(
-        (F.col("ts") > F.lit(tmax - _dt.timedelta(hours=1))) & (F.col("event_id") % 7 == 0)
-    )
-    late_dups = ev.filter(
-        (F.col("ts") <= F.lit(tmax - _dt.timedelta(hours=12)))
-        & (F.col("event_id") % 23 == 0)
-    )
-    replay_dir = write_replay(
-        [ev, recent_dups.unionByName(late_dups)], tag="dedup_ev", cache_key=sf_dir
-    )
+    replay_dir = write_replay(_batches, tag="dedup_ev", cache_key=sf_dir)
 
     schema = T.StructType(
         [

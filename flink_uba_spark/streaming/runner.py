@@ -93,11 +93,13 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # bump whenever any cached replay's batch construction changes — the cache
 # key cannot see the splitting logic, only (tag, key, batch count)
-_REPLAY_CACHE_VERSION = 1
+_REPLAY_CACHE_VERSION = 2
 
 
 def write_replay(
-    dfs: list[DataFrame], tag: str = "replay", cache_key: str | None = None
+    dfs: "list[DataFrame] | Callable[[], list[DataFrame]]",
+    tag: str = "replay",
+    cache_key: str | None = None,
 ) -> str:
     """Materialize DataFrames as an ordered multi-batch file-stream replay.
 
@@ -110,15 +112,20 @@ def write_replay(
 
     ``cache_key``: when the batch frames are a deterministic function of
     some input (e.g. the sf_dir), pass that input here — the replay is
-    written once per (tag, key, batch count) and reused, keyed like the
-    source symlink cache by a hash of the resolved key and guarded by a
-    completion marker so a torn write is never reused.
+    written once per (tag, key) and reused, keyed like the source symlink
+    cache by a hash of the resolved key and guarded by a completion marker
+    so a torn write is never reused.
+
+    ``dfs`` may be a zero-argument callable returning the batch list: the
+    frames (and any bound computations inside them, e.g. an event-time max
+    used in split predicates) are then constructed ONLY on cache miss —
+    a cached replay costs zero Spark jobs.
     """
     import shutil
 
     if cache_key is not None:
         digest = hashlib.sha256(
-            f"{tag}|{_REPLAY_CACHE_VERSION}|{len(dfs)}|{Path(cache_key).resolve()}".encode()
+            f"{tag}|{_REPLAY_CACHE_VERSION}|{Path(cache_key).resolve()}".encode()
         ).hexdigest()[:16]
         base = Path(tempfile.gettempdir()) / "spark_graft_stream" / f"replay_{tag}_{digest}"
         if (base / "_COMPLETE").exists():
@@ -130,6 +137,8 @@ def write_replay(
             / "spark_graft_stream"
             / f"{tag}_{uuid.uuid4().hex[:12]}"
         )
+    if callable(dfs):
+        dfs = dfs()
     base.mkdir(parents=True)
     t0 = 1_000_000_000  # fixed epoch base; only relative order matters
     for i, df in enumerate(dfs):
