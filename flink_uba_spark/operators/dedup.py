@@ -76,24 +76,24 @@ def _token_hash(col: Column) -> Column:
 
 
 def shingle_hash_expr(th_col: Column, text_col: Column, n_shingle: int = 3) -> Column:
-    """array<long> of word-3-gram hashes from a token-hash array: hash each
+    """array<long> of word-n-gram hashes from a token-hash array: hash each
     TOKEN once (``_token_hash``), combine per shingle arithmetically — no
     per-shingle string building, n_shingle× fewer md5 calls than hashing
-    joined shingle strings. Docs shorter than the shingle fall back to one
-    whole-text hash. Shared by minhash_signature and ngram_jaccard_pairs
-    (and mirrored token-for-token in their DuckDB oracles)."""
+    joined shingle strings. ``n_shingle`` ∈ (2, 3), the NGRAM_C arity
+    (corpus.shingle_hash_array supports the same range). Docs shorter than
+    the shingle fall back to one whole-text hash. Shared by
+    minhash_signature and ngram_jaccard_pairs (and mirrored
+    token-for-token in their DuckDB oracles)."""
     from flink_uba_spark.functions.hashing import MERSENNE31, NGRAM_C
 
-    if n_shingle != 3:
-        raise ValueError("shingle_hash_expr supports n_shingle=3 (NGRAM_C arity)")
+    if n_shingle not in (2, 3):
+        raise ValueError("shingle_hash_expr supports n_shingle in (2, 3) (NGRAM_C arity)")
     return F.when(
         F.size(th_col) >= n_shingle,
         F.transform(
             F.sequence(F.lit(1), F.size(th_col) - (n_shingle - 1)),
-            lambda i: (
-                F.element_at(th_col, i) * NGRAM_C[0]
-                + F.element_at(th_col, i + 1) * NGRAM_C[1]
-                + F.element_at(th_col, i + 2) * NGRAM_C[2]
+            lambda i: sum(
+                F.element_at(th_col, i + j) * NGRAM_C[j] for j in range(n_shingle)
             )
             % MERSENNE31,
         ),

@@ -154,6 +154,15 @@ def global_shuffle(
     so no global order is ever needed. Deterministic across runs, engines,
     task retries, and input re-splits (hash is row-intrinsic; ties broken
     by id). ``salt`` derives fresh epoch permutations from the same ids.
+
+    Position assignment is a two-level exact rank (the same skew-proof
+    treatment as ``_stratified_topk_by_hash``): rows rank within
+    (shard, sub-bucket) — the sub-bucket is the md5 PREFIX, i.e. a prefix
+    of the rank order, so bucket-major concatenation IS the shard order —
+    and a (shards × 256)-row offset table, broadcast back, lifts local
+    ranks to shard positions. Max single-task window = shard/256, so the
+    rank never serializes however few shards a caller asks for; positions
+    are bit-identical to the single-window form.
     """
     from pyspark.sql import Window
 
@@ -161,12 +170,32 @@ def global_shuffle(
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
     ).alias("shard")
-    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    # first two hex chars: 256 sub-buckets, ordered consistently with the
+    # full-h sort (lowercase hex compares in value order)
+    sb = F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("long")
+    hashed = df.withColumn("__h", h).withColumn("shard", shard).withColumn("__sb", sb)
+    w1 = Window.partitionBy("shard", "__sb").orderBy(F.col("__h"), F.col(id_col))
+    offsets = (
+        hashed.groupBy("shard", "__sb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.partitionBy("shard")
+                    .orderBy("__sb")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard", "__sb", "__off")
+    )
     return (
-        df.withColumn("__h", h)
-        .withColumn("shard", shard)
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .drop("__h")
+        hashed.withColumn("__rn", F.row_number().over(w1))
+        .join(F.broadcast(offsets), on=["shard", "__sb"])
+        .withColumn("pos", (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__h", "__sb", "__rn", "__off")
     )
 
 
@@ -204,8 +233,17 @@ def temperature_mixture_sample(
         counts.withColumn("__w", wgt)
         .withColumn("__tw", F.sum("__w").over(Window.partitionBy()))
         .withColumn(
+            # the product runs in DECIMAL(38,0): total·w can pass 2^63 at
+            # real corpus scale (total~1e7 × w~1e12), where bigint
+            # arithmetic would wrap (non-ANSI) or error (ANSI) — decimal
+            # keeps the quota exact at any scale, same value when small
             "__quota",
-            F.least(F.col("__n"), F.expr(f"({total} * __w) div __tw")),
+            F.least(
+                F.col("__n"),
+                F.expr(
+                    f"CAST((CAST({total} AS DECIMAL(38,0)) * __w) div __tw AS BIGINT)"
+                ),
+            ),
         )
         .select(strata_col, "__quota")
     )
