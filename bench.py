@@ -110,6 +110,8 @@ HEADLINE = HEADLINE_R01 + [
     "stream_daily_anomaly",
     "stream_event_transitions",
     "stream_user_sessions_dynamic_gap",
+    # round-4 additions
+    "pattern_view_click_purchase",
 ]
 
 
@@ -154,19 +156,35 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
-    # Second pass with compiled plans: the cold pass above charges each
+    # Warm passes with compiled plans: the cold pass above charges each
     # query its one-time Janino/JIT compile (codegen-heavy plans like
     # dedup_simhash's 32-sum aggregate pay ~3-5s); that cost is constant
     # and amortized to zero in any long-lived deployment, so the warm
-    # number is the one that predicts 100 TB throughput. Both are
-    # reported; "queries"/"value" stay cold for comparability with
-    # BENCH_r01/r02 history.
-    warm: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.time() - t0, 3)
-        print(f"# warm {name}: {warm[name]}s", file=sys.stderr)
+    # number is the one that predicts 100 TB throughput. Cold can only be
+    # measured once per JVM, so variance is pinned on the warm side:
+    # THREE warm passes, per-query MEDIAN reported (the GC/JIT-noise-free
+    # signal) plus the min-max spread so a reader can see which queries
+    # are noisy rather than regressed. "queries"/"value" stay cold for
+    # comparability with BENCH_r01-r03 history.
+    n_warm_passes = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
+    warm_runs: dict[str, list[float]] = {name: [] for name in names}
+    for p in range(n_warm_passes):
+        for name in names:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            warm_runs[name].append(dt)
+            print(f"# warm[{p}] {name}: {dt}s", file=sys.stderr)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    warm = {name: round(median(runs), 3) for name, runs in warm_runs.items()}
+    warm_spread = {
+        name: round(max(runs) - min(runs), 3) for name, runs in warm_runs.items()
+    }
 
     total = round(sum(timings.values()), 3)
     r01_subset = round(sum(timings[n] for n in HEADLINE_R01 if n in timings), 3)
@@ -184,6 +202,8 @@ def main() -> None:
                 "r01_subset_wall": r01_subset,
                 "r01_subset_warm_wall": r01_subset_warm,
                 "queries_warm": warm,
+                "queries_warm_spread": warm_spread,
+                "warm_passes": n_warm_passes,
                 "warm_total_wall": round(sum(warm.values()), 3),
                 "note": (
                     f"value sums {len(names)} queries (round-2 breadth); "
@@ -194,8 +214,12 @@ def main() -> None:
                     f"is one-time Janino/JIT codegen compile (constant, "
                     f"amortized at scale — e.g. dedup_simhash is ~4s cold vs "
                     f"~1s warm because its 32-sum hash aggregate is "
-                    f"expensive to COMPILE, not to run; round-2 VERDICT item "
-                    f"7 resolved). ~2-3s of the cold subset delta vs r01 is "
+                    f"expensive to COMPILE, not to run). queries_warm is the "
+                    f"per-query MEDIAN of warm_passes runs; "
+                    f"queries_warm_spread is each query's max-min across "
+                    f"those runs (round-3 VERDICT item 4: cold varies ~1.5x "
+                    f"run-to-run on GC/page-cache, the warm median is the "
+                    f"stable signal). ~2-3s of the cold subset delta vs r01 is "
                     f"the deliberate round-1-ADVICE change: forced fact-side "
                     f"broadcasts (orders/customer in q3/q5/q7/q10) were "
                     f"removed because they OOM at real SF; AQE now picks the "
