@@ -78,20 +78,30 @@ def pattern_detect(
     ts: str = "ts",
 ) -> DataFrame:
     """Compile an N-step ``begin → followedBy → …`` pattern into chained
-    window aggregates (one key exchange total).
+    window aggregates (one key exchange for the plain-step chain).
 
-    ``steps`` is an ordered list of ``(predicate, within)`` where ``within``
-    (an ``INTERVAL`` literal, or None for unbounded) bounds the transition
-    INTO that step; the first step's bound is ignored.
+    ``steps`` is an ordered list of ``(predicate, within)`` or
+    ``(predicate, within, max_reps)`` where ``within`` (an ``INTERVAL``
+    literal, or None for unbounded) bounds the transition INTO that step
+    (first step's bound is ignored) and a present ``max_reps`` makes the
+    step a bounded Kleene ``oneOrMore``: the step binds a greedy RUN of
+    matching events — each repetition within ``within`` of the previous
+    one, capped at ``max_reps`` (the reference Pattern API's
+    ``oneOrMore().until(...)`` family, bounded because an uncapped greedy
+    run is unbounded state in any engine). The step after a Kleene step
+    binds strictly after the run's LAST repetition.
 
     Semantics (followed-by / skip-till-next-match): every event matching
     step 1 anchors a potential match; step k+1 binds to the earliest
     step-(k+1) event after step k's event (same-timestamp events count,
     with earlier pattern steps ordered first — the 2-step form's
-    ``follow_ts >= anchor_ts`` rule). One output row per anchor:
+    ``follow_ts >= anchor_ts`` rule; residual ties break by event id).
+    One output row per anchor:
 
-    - ``t1..tN`` — the bound chain timestamps (null from the first unbound
-      step onward),
+    - ``t1..tN`` — the bound chain timestamps (first repetition for Kleene
+      steps; null from the first unbound step onward),
+    - ``tK_last``/``nK`` — per Kleene step: the run's last repetition and
+      the repetition count (≤ max_reps),
     - ``max_step`` — number of steps bound,
     - ``state`` — ``matched`` (complete, every bound respected),
       ``matched_late`` (complete, some transition exceeded its bound —
@@ -99,26 +109,44 @@ def pattern_detect(
       not re-searched), ``incomplete`` (chain broke: some step never
       occurred after its predecessor).
 
-    Construction: per key, sort once by (ts, step_rank, event_id). For the
-    last step the chain struct is just its timestamp; walking backwards,
-    each step's chain = struct(own ts, fields of min(next-step chain) over
-    the rows-following frame). min-of-struct orders by the leading ts, so
-    it picks the earliest next-step event; equal-ts candidates of the same
-    step carry identical downstream fields (later-step events sort after
-    ALL equal-ts earlier-step events), keeping the pick deterministic.
-    All N-1 windows share one partitioning and sort → a single exchange +
-    sort in the plan, linear in per-key density at 100 TB.
+    Construction: rows matching no step are dropped at the scan (they can
+    never contribute), then per key everything sorts ONCE by
+    (ts, step_rank, event_id). For the last step the chain struct is its
+    (ts, id); walking backwards, each step's chain = struct(own ts, id,
+    fields of min(next-step chain) over the rows-following frame) —
+    min-of-struct picks the earliest next-step event. A Kleene step adds a
+    per-step session pass over ITS rows only (runs = ``within``-gap
+    sessions of the step's events; a run from any entry row extends to the
+    session end, capped at max_reps via lead()), and the downstream lookup
+    is evaluated at the run's LAST row and carried back to the entry row
+    through the session partition. Plain chains cost one exchange + one
+    sort total; each Kleene step adds one (key)-window pass on its own
+    rows, a broadcast-sized id join, and one (key, session) window —
+    still linear in per-key density, no self-joins, at 100 TB.
     """
     n = len(steps)
     if n < 2:
         raise ValueError("pattern_detect needs at least 2 steps")
-    preds = [p for p, _ in steps]
+    preds = [s[0] for s in steps]
+    withins = [s[1] for s in steps]
+    reps = [(s[2] if len(s) > 2 else None) for s in steps]
+    if reps[0] is not None:
+        raise ValueError("oneOrMore is not supported on the first step")
+    if any(r is not None and r < 1 for r in reps):
+        raise ValueError("max_reps must be >= 1")
 
     base = events.select(
         F.col(key).alias("__k"),
         F.col(event_id).alias("__id"),
         F.col(ts).alias("__ts"),
         *[p.cast("boolean").alias(f"__p{i}") for i, p in enumerate(preds, start=1)],
+    )
+    # rows matching no step never contribute to any window min and are
+    # never anchors — drop them at the scan (predicate pushdown)
+    base = base.filter(
+        F.greatest(*[F.col(f"__p{i}") for i in range(1, n + 1)])
+        if n > 1
+        else F.col("__p1")
     )
     # earliest pattern step a row can serve — earlier steps sort first at
     # equal timestamps so a same-ts successor is still "after" its anchor
@@ -129,35 +157,122 @@ def pattern_detect(
             F.lit(n + 1),
         ),
     )
+
+    # Kleene prep: assign each step-k row its within-gap session id (runs),
+    # computed on the step's own rows and joined back by event id
+    for k in range(2, n + 1):
+        if reps[k - 1] is None:
+            continue
+        wk = Window.partitionBy("__k").orderBy("__ts", "__id")
+        pk = base.filter(F.col(f"__p{k}")).select("__k", "__id", "__ts")
+        prev = F.lag("__ts").over(wk)
+        gap_break = (
+            prev.isNull() | (F.col("__ts") > prev + F.expr(withins[k - 1]))
+            if withins[k - 1] is not None
+            else prev.isNull()
+        )
+        sess = pk.withColumn(
+            f"__sess{k}",
+            F.sum(F.when(gap_break, 1).otherwise(0)).over(
+                wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).select("__id", f"__sess{k}")
+        base = base.join(sess, on="__id", how="left")
+
     w_after = (
         Window.partitionBy("__k")
         .orderBy("__ts", "__rank", "__id")
         .rowsBetween(1, Window.unboundedFollowing)
     )
 
-    df = base.withColumn(
-        f"__c{n}", F.when(F.col(f"__p{n}"), F.struct(F.col("__ts").alias(f"t{n}")))
-    )
-    for k in range(n - 1, 0, -1):
-        nxt = F.min(F.col(f"__c{k+1}")).over(w_after)
-        fields = [F.col("__ts").alias(f"t{k}")] + [
-            nxt.getField(f"t{j}").alias(f"t{j}") for j in range(k + 1, n + 1)
+    # chain field names carried by each step's struct (built backwards)
+    def own_fields(k: int) -> list[str]:
+        names = [f"t{k}", f"i{k}"]
+        if reps[k - 1] is not None:
+            names += [f"t{k}_last", f"n{k}"]
+        return names
+
+    chain_fields: dict[int, list[str]] = {n + 1: []}
+    for k in range(n, 0, -1):
+        chain_fields[k] = own_fields(k) + chain_fields[k + 1]
+
+    def build_step(df: DataFrame, k: int) -> DataFrame:
+        downstream = chain_fields[k + 1]
+        if k == n:
+            nxt = None
+        else:
+            df = df.withColumn(
+                f"__nx{k}", F.min(F.col(f"__c{k+1}")).over(w_after)
+            )
+            nxt = F.col(f"__nx{k}")
+        if reps[k - 1] is None:
+            fields = [F.col("__ts").alias(f"t{k}"), F.col("__id").alias(f"i{k}")] + [
+                nxt.getField(f).alias(f) for f in downstream
+            ]
+            return df.withColumn(f"__c{k}", F.when(F.col(f"__p{k}"), F.struct(*fields)))
+
+        # Kleene step: capped greedy run within the session
+        cap = reps[k - 1]
+        w_sess = Window.partitionBy("__k", f"__sess{k}").orderBy("__ts", "__id")
+        w_sess_full = w_sess.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        df = (
+            df.withColumn(f"__lead_ts{k}", F.lead("__ts", cap - 1).over(w_sess))
+            .withColumn(f"__last_ts{k}", F.max("__ts").over(w_sess_full))
+            .withColumn(f"__cnt{k}", F.count(F.lit(1)).over(w_sess_full))
+            .withColumn(f"__rn{k}", F.row_number().over(w_sess))
+        )
+        capped = F.col(f"__lead_ts{k}").isNotNull()
+        run_last = F.coalesce(F.col(f"__lead_ts{k}"), F.col(f"__last_ts{k}"))
+        n_reps = F.least(
+            F.lit(cap).cast("long"),
+            (F.col(f"__cnt{k}") - F.col(f"__rn{k}") + 1).cast("long"),
+        )
+        fields = [
+            F.col("__ts").alias(f"t{k}"),
+            F.col("__id").alias(f"i{k}"),
+            run_last.alias(f"t{k}_last"),
+            n_reps.alias(f"n{k}"),
         ]
-        df = df.withColumn(f"__c{k}", F.when(F.col(f"__p{k}"), F.struct(*fields)))
+        if downstream:
+            # the downstream lookup must happen AFTER the run's last row:
+            # carry next-chain from the cap-th (or session-last) row back
+            # to the entry row through the session partition
+            df = df.withColumn(f"__lead_nx{k}", F.lead(f"__nx{k}", cap - 1).over(w_sess))
+            df = df.withColumn(
+                f"__last_nx{k}", F.last(f"__nx{k}").over(w_sess_full)
+            )
+            nxt_at_last = F.when(capped, F.col(f"__lead_nx{k}")).otherwise(
+                F.col(f"__last_nx{k}")
+            )
+            fields += [nxt_at_last.getField(f).alias(f) for f in downstream]
+        return df.withColumn(f"__c{k}", F.when(F.col(f"__p{k}"), F.struct(*fields)))
+
+    df = base
+    for k in range(n, 0, -1):
+        df = build_step(df, k)
 
     anchors = df.filter(F.col("__p1"))
-    t_cols = [F.col("__c1").getField(f"t{k}").alias(f"t{k}") for k in range(1, n + 1)]
+    out_fields = [f for f in chain_fields[1] if not f.startswith("i")]
+    t_cols = [F.col("__c1").getField(f).alias(f) for f in out_fields]
     out = anchors.select(
         F.col("__k").alias(key), F.col("__id").alias("anchor_id"), *t_cols
     )
 
+    def prev_ts_col(k: int) -> Column:
+        # predecessor time for the transition into step k: a Kleene
+        # predecessor hands off from its run's LAST repetition
+        if reps[k - 2] is not None:
+            return F.col(f"t{k-1}_last")
+        return F.col(f"t{k-1}")
+
     complete = F.col(f"t{n}").isNotNull()
     bounds_ok = F.lit(True)
     for k in range(2, n + 1):
-        within = steps[k - 1][1]
-        if within is not None:
+        if withins[k - 1] is not None:
             bounds_ok = bounds_ok & (
-                F.col(f"t{k}") <= F.col(f"t{k-1}") + F.expr(within)
+                F.col(f"t{k}") <= prev_ts_col(k) + F.expr(withins[k - 1])
             )
     max_step = F.lit(1) + sum(
         F.when(F.col(f"t{k}").isNotNull(), 1).otherwise(0) for k in range(2, n + 1)

@@ -433,9 +433,83 @@ FROM s3
 """
 
 
+def pattern_error_burst_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleene CEP chain: signup → error.oneOrMore (each repetition within
+    30 min of the previous, capped at 5) → purchase within 2 h of the LAST
+    error — the bounded ``oneOrMore()`` family of the reference Pattern API
+    (OrderPayTimeout.java:52-64 chains; oneOrMore is the natural next
+    surface), compiled by operators/sequence.py pattern_detect.
+
+    Output per signup anchor: t2/t2_last/n2 describe the greedy error run,
+    t3 the recovery purchase after the run ends."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "signup", None),
+            (F.col("event_type") == "error", "INTERVAL 30 MINUTES", 5),
+            (F.col("event_type") == "purchase", "INTERVAL 2 HOURS"),
+        ],
+    )
+
+
+PATTERN_ERROR_BURST_ORACLE = """
+WITH err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts,
+         COALESCE(lead(ts, 4) OVER ws, max(ts) OVER wf) AS run_last,
+         LEAST(5, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*,
+    (SELECT r.ts FROM runs r WHERE r.user_id = a.user_id AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t2,
+    (SELECT r.run_last FROM runs r WHERE r.user_id = a.user_id AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t2_last,
+    (SELECT r.n_reps FROM runs r WHERE r.user_id = a.user_id AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS n2
+  FROM a
+),
+a3 AS (
+  SELECT a2.*,
+    (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+)
+SELECT user_id, anchor_id, t1, t2, t2_last, CAST(n2 AS BIGINT) AS n2, t3,
+       CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN t3 IS NULL THEN 'incomplete'
+            WHEN t2 <= t1 + INTERVAL 30 MINUTE AND t3 <= t2_last + INTERVAL 2 HOUR
+              THEN 'matched'
+            ELSE 'matched_late' END AS state
+FROM a3
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "pattern_view_click_purchase": pattern_view_click_purchase,
+    "pattern_error_burst_recovery": pattern_error_burst_recovery,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -451,6 +525,7 @@ QUERIES = {
 ORACLES = {
     "daily_users_approx": DAILY_USERS_APPROX_ORACLE,
     "pattern_view_click_purchase": PATTERN_VCP_ORACLE,
+    "pattern_error_burst_recovery": PATTERN_ERROR_BURST_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,

@@ -210,3 +210,61 @@ def test_pattern_detect_single_exchange(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 1
     assert "pythonUDF" not in plan
+
+
+def test_pattern_detect_kleene_runs(spark):
+    """oneOrMore pins: greedy run extension within the gap, the max_reps
+    cap truncating both count and hand-off time, gap breaks ending runs,
+    and the next step binding after the run's LAST repetition."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    M = 60_000_000  # one minute in us
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(i, "2024-01-01 00:00:00", t) for i, t in rows], "event_id long, base string, event_type string"
+        ).selectExpr(
+            "event_id",
+            "cast(1 as long) AS user_id",
+            "timestampadd(MICROSECOND, event_id * 300000000, cast(base as timestamp)) AS ts",  # 5 min apart
+            "event_type",
+        )
+
+    steps = [
+        (F.col("event_type") == "signup", None),
+        (F.col("event_type") == "error", "INTERVAL 30 MINUTES", 5),
+        (F.col("event_type") == "purchase", "INTERVAL 2 HOURS"),
+    ]
+
+    # run of 3 errors 5 min apart, purchase after: matched, n2=3
+    out = pattern_detect(
+        ev([(0, "signup"), (1, "error"), (2, "error"), (3, "error"), (4, "purchase")]),
+        key="user_id", steps=steps,
+    ).collect()
+    assert len(out) == 1 and out[0].state == "matched" and out[0].n2 == 3
+    assert out[0].t2_last > out[0].t2 and out[0].t3 > out[0].t2_last
+
+    # 7-error burst with cap 5: n2=5, t3 binds after the 5th error — the
+    # purchase BEFORE the 5th error (id 4) must not match; the one after
+    # (id 8) does
+    rows = [(0, "signup")] + [(i, "error") for i in (1, 2, 3, 4)] + [(5, "purchase")] + [
+        (i, "error") for i in (6, 7, 8)
+    ] + [(9, "purchase")]
+    out = pattern_detect(ev(rows), key="user_id", steps=steps).collect()
+    assert len(out) == 1 and out[0].n2 == 5
+    # 5th error is id 7 (errors: 1,2,3,4,6 → wait ids 1,2,3,4 then 6,7,8;
+    # cap-5 run = ids 1,2,3,4,6) → t2_last = ts of id 6; first purchase at
+    # ts >= that is id 9
+    assert out[0].t2_last.minute == 30  # id 6 → 30 min
+    assert out[0].t3.minute == 45  # id 9 → 45 min
+    assert out[0].state == "matched"
+
+    # gap > 30 min breaks the run: errors at 0h05 and 8h (ids 1, 96):
+    # run = just the first error; purchase binds after it
+    out = pattern_detect(
+        ev([(0, "signup"), (1, "error"), (96, "error"), (97, "purchase")]),
+        key="user_id", steps=steps,
+    ).collect()
+    assert len(out) == 1 and out[0].n2 == 1 and out[0].t2_last == out[0].t2
+    # purchase at id 97 = 8h05 is > 2h after t2_last (0h05) → matched_late
+    assert out[0].state == "matched_late"
