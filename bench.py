@@ -112,6 +112,9 @@ HEADLINE = HEADLINE_R01 + [
     "stream_user_sessions_dynamic_gap",
     # round-4 additions
     "pattern_view_click_purchase",
+    "pattern_error_burst_recovery",
+    "tpch_q12_ship_priority_classes",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

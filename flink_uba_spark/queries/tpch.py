@@ -741,7 +741,128 @@ GROUP BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------- q12
+def tpch_q12_ship_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping modes and order priority (TPC-H q12 shape: fact⋈fact join +
+    conditional two-way count split). This schema has no l_shipmode /
+    l_commitdate, so the canonical mapping used throughout this catalog
+    applies: class = l_linestatus, late = shipped > 60 days after the
+    order date, one shipdate year window.
+
+    Plan: the only exchange pair is the orders⋈lineitem equi-join on
+    orderkey (both fact-sized — AQE picks the strategy; no forced
+    broadcast, same q3/q4 rule), then a partial-agg count split into a
+    |classes|-row result."""
+    t = load_testdata(spark, sf_dir, ("orders", "lineitem"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    j = t["orders"].join(li, F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+TPCH_Q12_ORACLE = """
+SELECT l_linestatus AS ship_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------- q21
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H q21 shape: the
+    EXISTS / NOT-EXISTS double-correlation). A supplier counts once per
+    LATE lineitem of a finalized multi-supplier order on which it was the
+    ONLY late supplier. Late = shipped > 90 days after the order date
+    (this schema's q4 lateness rule; no l_receiptdate).
+
+    Spark-first: the two correlated EXISTS collapse into ONE per-order
+    aggregate — countDistinct(supplier) and countDistinct(late supplier)
+    — reused for both conditions, so lineitem is scanned once and joined
+    once instead of three times (the canonical l1/l2/l3 self-joins). The
+    DuckDB oracle keeps the canonical EXISTS formulation, making the
+    rewrite equivalence the verified property. nation is broadcast;
+    the per-order aggregate reuses the orderkey exchange."""
+    t = load_testdata(spark, sf_dir, ("orders", "lineitem", "supplier", "nation"))
+    li = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .withColumn(
+            "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    waiting = (
+        li.filter(F.col("late"))
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            on="l_orderkey",
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+TPCH_Q21_ORACLE = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "tpch_q12_ship_priority_classes": tpch_q12_ship_priority_classes,
+    "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     "tpch_q15_top_supplier": tpch_q15_top_supplier,
     "tpch_q17_small_qty_revenue": tpch_q17_small_qty_revenue,
     "tpch_q22_lapsed_customers": tpch_q22_lapsed_customers,
@@ -762,6 +883,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q12_ship_priority_classes": TPCH_Q12_ORACLE,
+    "tpch_q21_waiting_suppliers": TPCH_Q21_ORACLE,
     "tpch_q15_top_supplier": TPCH_Q15_ORACLE,
     "tpch_q17_small_qty_revenue": TPCH_Q17_ORACLE,
     "tpch_q22_lapsed_customers": TPCH_Q22_ORACLE,

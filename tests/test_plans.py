@@ -54,6 +54,8 @@ def test_broadcast_reserved_for_true_dimensions(spark, sf_dir):
         tpch.tpch_q7_volume_shipping: 3,     # supplier, n1, n2
         tpch.tpch_q18_large_orders: 0,
         tpch.tpch_q14_promo_effect: 1,       # part
+        tpch.tpch_q12_ship_priority_classes: 0,  # fact-fact: AQE decides
+        tpch.tpch_q21_waiting_suppliers: 1,  # nation
         tpch.revenue_rollup: 1,              # nation
     }
     for fn, n in expected.items():
