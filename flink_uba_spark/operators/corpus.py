@@ -408,3 +408,62 @@ def chunk_text(
             F.concat_ws(" ", F.col("__cw")).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source curation rollup — the domain-level keep/drop decision
+# ---------------------------------------------------------------------------
+
+
+def source_curation_rollup(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_high_share_permille: int = 300,
+    max_dup_permille: int = 500,
+) -> DataFrame:
+    """Domain/source-level curation verdicts — the CCNet/RefinedWeb-style
+    stage that decides whether a whole SOURCE (domain, crawl segment,
+    feed) is worth keeping, from per-doc quality + duplication evidence
+    rolled up per source. Output, one row per source: doc counts, exact
+    duplicate share, aggregate token/stopword mass, high-quality share,
+    and a deterministic ``keep`` verdict.
+
+    All ratios divide exact integer sums (no double accumulation — float
+    sums are partition-order-dependent; integer sums are not), so values
+    are bit-identical across engines and executor counts. Thresholds are
+    permille integers for the same reason.
+
+    Scale shape: one exchange on the md5 text digest (the exact-dup
+    window, shared with exact_dedup's plan), then one exchange to the
+    per-source partial agg. Source cardinality is tiny next to doc count,
+    and map-side combine reduces each partition to |sources| rows before
+    the final exchange, so the 20-group (or 20k-group) reducer side sees
+    kilobytes regardless of corpus size.
+    """
+    from flink_uba_spark.operators import text as TX
+
+    q = TX.quality_score(df, text_col=text_col)
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    q = q.withColumn("__is_dup", F.col(id_col) != F.min(id_col).over(w))
+    agg = q.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__is_dup").cast("long")).alias("n_dup_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_stop").alias("total_stop"),
+        F.sum((F.col("quality") == "high").cast("long")).alias("n_high"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        (F.col("n_dup_docs").cast("double") / F.col("n_docs")).alias("dup_rate"),
+        "total_words",
+        (F.col("total_stop").cast("double") / F.col("total_words")).alias("stop_ratio"),
+        (F.col("n_high").cast("double") / F.col("n_docs")).alias("high_share"),
+        (
+            (F.col("n_high") * 1000 >= F.lit(min_high_share_permille) * F.col("n_docs"))
+            & (F.col("n_dup_docs") * 1000 <= F.lit(max_dup_permille) * F.col("n_docs"))
+        ).alias("keep"),
+    )

@@ -553,3 +553,76 @@ def cluster_aware_split(
     return hash_split(
         labeled, id_col="cluster_id", test_permille=test_permille, salt=salt
     ).select(id_col, "cluster_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# span-level exact substring dedup
+# ---------------------------------------------------------------------------
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Exact substring-level duplication signal at word-span granularity:
+    for every ``width``-token sliding window, find spans whose content
+    recurs in a SECOND document, and report per doc how much of it is
+    made of such cross-document spans. This is the span analogue of
+    exact_dedup — the signal behind substring-level training-data dedup
+    (repeated boilerplate/quotes that whole-doc or near-dup hashing
+    misses). Output: (id, n_spans, n_dup_spans, dup_span_frac), one row
+    per input doc (docs shorter than ``width`` tokens report 0 spans).
+
+    Scale shape: the span table is ~|tokens| rows per doc — linear in
+    corpus bytes, never pairwise. Spans are hashed (md5 of the joined
+    window, computed AFTER the position explode so the digest stays in
+    whole-stage codegen), reduced to one row per (span_hash, doc) by a
+    partial-agg groupBy, and cross-document recurrence is a count(*)
+    window over span_hash on that reduced frame — a span shared by k docs
+    costs k rows, not k². Three exchanges total, all on uniformly
+    distributed keys; the only skew risk is a single span recurring in
+    millions of docs, which the (hash, doc) pre-reduction caps at one row
+    per doc before the window sees it.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n_pos = F.greatest(F.size(toks) - (width - 1), F.lit(0))
+    spans = (
+        df.select(F.col(id_col), toks.alias("__w"), n_pos.alias("__np"))
+        .filter(F.col("__np") > 0)
+        .select(
+            id_col,
+            "__w",
+            F.explode(F.sequence(F.lit(1), F.col("__np"))).alias("__i"),
+        )
+        .select(
+            id_col,
+            F.md5(F.concat_ws(" ", F.slice(F.col("__w"), F.col("__i"), width))).alias(
+                "span_h"
+            ),
+        )
+    )
+    per_doc = spans.groupBy("span_h", id_col).agg(F.count(F.lit(1)).alias("__occ"))
+    w = Window.partitionBy("span_h")
+    flagged = per_doc.withColumn("__nd", F.count(F.lit(1)).over(w))
+    stats = flagged.groupBy(id_col).agg(
+        F.sum("__occ").alias("n_spans"),
+        F.sum(F.when(F.col("__nd") >= 2, F.col("__occ")).otherwise(F.lit(0))).alias(
+            "n_dup_spans"
+        ),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(F.col("n_spans").isNull() | (F.col("n_spans") == 0), F.lit(0.0))
+            .otherwise(F.col("n_dup_spans").cast("double") / F.col("n_spans"))
+            .alias("dup_span_frac"),
+        )
+    )

@@ -1321,8 +1321,83 @@ GROUP BY t.doc_id
 """
 
 
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-document duplicated-span coverage (8-token windows)."""
+    return D.span_dedup_stats(_docs(spark, sf_dir))
+
+
+DEDUP_SPAN_EXACT_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+    SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS span_h
+    FROM t, unnest(range(1, len(w) - 6)) AS u(i)
+),
+pd AS (SELECT span_h, doc_id, count(*) AS occ FROM s GROUP BY 1, 2),
+ph AS (SELECT doc_id, occ, count(*) OVER (PARTITION BY span_h) AS n_docs_h FROM pd),
+st AS (
+    SELECT doc_id,
+           sum(occ) AS n_spans,
+           sum(CASE WHEN n_docs_h >= 2 THEN occ ELSE 0 END) AS n_dup_spans
+    FROM ph GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(st.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN st.n_spans IS NULL OR st.n_spans = 0 THEN 0.0
+            ELSE CAST(st.n_dup_spans AS DOUBLE) / st.n_spans END AS dup_span_frac
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+
+
+def source_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level keep/drop verdicts from per-doc quality + dup evidence."""
+    from flink_uba_spark.operators import corpus as C
+
+    return C.source_curation_rollup(_docs(spark, sf_dir))
+
+
+SOURCE_CURATION_ROLLUP_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, string_split(text, ' ') AS w, md5(text) AS h
+    FROM documents
+),
+q AS (
+    SELECT source, doc_id, h,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(list_filter(w, x -> list_contains({_STOP_EN_SQL}, x))) AS BIGINT)
+               AS n_stop
+    FROM t
+),
+d AS (
+    SELECT source, n_words, n_stop,
+           doc_id != min(doc_id) OVER (PARTITION BY h) AS is_dup,
+           CASE WHEN n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words >= 0.05
+                THEN 1 ELSE 0 END AS is_high
+    FROM q
+),
+a AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_stop) AS BIGINT) AS total_stop,
+           CAST(sum(is_high) AS BIGINT) AS n_high
+    FROM d GROUP BY 1
+)
+SELECT source, n_docs, n_dup_docs,
+       CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_rate,
+       total_words,
+       CAST(total_stop AS DOUBLE) / total_words AS stop_ratio,
+       CAST(n_high AS DOUBLE) / n_docs AS high_share,
+       (n_high * 1000 >= 300 * n_docs AND n_dup_docs * 1000 <= 500 * n_docs) AS keep
+FROM a
+"""
+
+
 QUERIES = {
     "corpus_vocabulary": corpus_vocabulary,
+    "dedup_span_exact": dedup_span_exact,
+    "source_curation_rollup": source_curation_rollup,
     "corpus_length_histogram": corpus_length_histogram,
     "doc_oov_rate": doc_oov_rate,
     "semantic_dedup_verified": semantic_dedup_verified,
@@ -1363,6 +1438,8 @@ QUERIES = {
 
 ORACLES = {
     "corpus_vocabulary": CORPUS_VOCABULARY_ORACLE,
+    "dedup_span_exact": DEDUP_SPAN_EXACT_ORACLE,
+    "source_curation_rollup": SOURCE_CURATION_ROLLUP_ORACLE,
     "corpus_length_histogram": CORPUS_LENGTH_HISTOGRAM_ORACLE,
     "doc_oov_rate": DOC_OOV_RATE_ORACLE,
     "corpus_global_shuffle": CORPUS_GLOBAL_SHUFFLE_ORACLE,

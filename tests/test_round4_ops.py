@@ -1,0 +1,118 @@
+"""Unit tests for the round-4 corpus operators: span-level exact substring
+dedup (operators/dedup.py:span_dedup_stats) and the per-source curation
+rollup (operators/corpus.py:source_curation_rollup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+# ------------------------------------------------------------ span dedup
+def test_span_dedup_flags_shared_window(spark):
+    from flink_uba_spark.operators.dedup import span_dedup_stats
+
+    shared = "a b c d e f g h"  # exactly one 8-token span
+    df = docs_df(
+        spark,
+        [
+            (1, "s", shared + " x y z"),        # 4 spans, 1 shared
+            (2, "s", "q r " + shared),          # 3 spans, 1 shared
+            (3, "s", "totally different words here so nothing matches at all"),
+            (4, "s", "short doc"),               # < 8 tokens → 0 spans
+        ],
+    ).select("doc_id", "text")
+    out = {r["doc_id"]: r.asDict() for r in span_dedup_stats(df).collect()}
+    assert out[1]["n_spans"] == 4 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 3 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0
+    assert out[4]["n_spans"] == 0 and out[4]["dup_span_frac"] == 0.0
+    assert abs(out[1]["dup_span_frac"] - 0.25) < 1e-12
+
+
+def test_span_dedup_within_doc_repeat_not_cross(spark):
+    """A span repeated WITHIN one doc but in no other doc is not a dup."""
+    from flink_uba_spark.operators.dedup import span_dedup_stats
+
+    span = "p q r s t u v w"
+    df = spark.createDataFrame(
+        [(1, span + " gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 " + span)],
+        "doc_id long, text string",
+    )
+    row = span_dedup_stats(df).collect()[0]
+    assert row["n_dup_spans"] == 0
+
+
+def test_span_dedup_counts_occurrences_when_cross(spark):
+    """When a span IS cross-document, every occurrence of it counts."""
+    from flink_uba_spark.operators.dedup import span_dedup_stats
+
+    span = "p q r s t u v w"
+    df = spark.createDataFrame(
+        [
+            (1, span + " gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 " + span),
+            (2, span),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in span_dedup_stats(df).collect()}
+    assert out[1]["n_dup_spans"] == 2  # both occurrences in doc 1
+    assert out[2]["n_dup_spans"] == 1
+
+
+def test_span_dedup_matches_oracle_at_sf(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    from flink_uba_spark.queries.datapipe import (
+        DEDUP_SPAN_EXACT_ORACLE,
+        dedup_span_exact,
+    )
+
+    import tests.conftest as c
+
+    assert_matches_oracle(dedup_span_exact(spark, c.SF_DIR), duck, DEDUP_SPAN_EXACT_ORACLE)
+
+
+# ------------------------------------------------------ source rollup
+def test_source_rollup_verdicts(spark):
+    from flink_uba_spark.operators.corpus import source_curation_rollup
+
+    high = " ".join(["the word"] * 15)  # 30 words, half stopwords → high
+    low = "tiny"
+    df = docs_df(
+        spark,
+        [
+            (1, "good", high),
+            (2, "good", high + " extra"),
+            (3, "dupfarm", high),
+            (4, "dupfarm", high),      # exact dup of 3? no — same text as 1/3…
+            (5, "junk", low),
+            (6, "junk", low + " bit"),
+        ],
+    )
+    out = {r["source"]: r.asDict() for r in source_curation_rollup(df).collect()}
+    # docs 1,3,4 share identical text: canonical is doc 1, so 3 and 4 are dups
+    assert out["dupfarm"]["n_dup_docs"] == 2
+    assert out["dupfarm"]["keep"] is False      # dup_rate 1.0 > 0.5
+    assert out["good"]["n_dup_docs"] == 0
+    assert out["good"]["keep"] is True          # high_share 1.0, no dups
+    assert out["junk"]["keep"] is False         # no high-quality docs
+    assert out["good"]["total_words"] == 61
+
+
+def test_source_rollup_matches_oracle_at_sf(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    from flink_uba_spark.queries.datapipe import (
+        SOURCE_CURATION_ROLLUP_ORACLE,
+        source_curation_rollup,
+    )
+
+    import tests.conftest as c
+
+    assert_matches_oracle(
+        source_curation_rollup(spark, c.SF_DIR), duck, SOURCE_CURATION_ROLLUP_ORACLE
+    )
