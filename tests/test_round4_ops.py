@@ -116,3 +116,50 @@ def test_source_rollup_matches_oracle_at_sf(spark, duck):
     assert_matches_oracle(
         source_curation_rollup(spark, c.SF_DIR), duck, SOURCE_CURATION_ROLLUP_ORACLE
     )
+
+
+# ------------------------------------------------------ property: span dedup
+def _brute_span_stats(texts, width=8):
+    """Brute-force reference for span_dedup_stats."""
+    spans = {}  # doc -> list of span tuples
+    for did, t in texts:
+        w = t.split(" ")
+        spans[did] = [tuple(w[i : i + width]) for i in range(len(w) - width + 1)]
+    docs_of = {}
+    for did, ss in spans.items():
+        for s in set(ss):
+            docs_of.setdefault(s, set()).add(did)
+    out = {}
+    for did, ss in spans.items():
+        n = len(ss)
+        nd = sum(1 for s in ss if len(docs_of[s]) >= 2)
+        out[did] = (n, nd, 0.0 if n == 0 else nd / n)
+    return out
+
+
+def test_span_dedup_property(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_uba_spark.operators.dedup import span_dedup_stats
+
+    texts_strategy = st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=1, max_size=20).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts=texts_strategy)
+    def run(texts):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_frac"])
+            for r in span_dedup_stats(df, width=3).collect()
+        }
+        assert got == _brute_span_stats(rows, width=3)
+
+    run()
