@@ -134,6 +134,16 @@ class UbaEngine:
 
         return incremental_dedup_verdicts(incoming, corpus, **kw)
 
+    def span_dedup(self, df, **kw) -> DataFrame:
+        from flink_uba_spark.operators.dedup import span_dedup_stats
+
+        return span_dedup_stats(df, **kw)
+
+    def rollup_sources(self, df, **kw) -> DataFrame:
+        from flink_uba_spark.operators.corpus import source_curation_rollup
+
+        return source_curation_rollup(df, **kw)
+
     # ------------------------------------------------------------ pipelines
     def curate(
         self,

@@ -626,3 +626,24 @@ def span_dedup_stats(
             .alias("dup_span_frac"),
         )
     )
+
+
+def span_hash_array(text: Column, width: int = 8) -> Column:
+    """Array of md5 span hashes for every ``width``-token sliding window
+    (empty array when the doc is shorter than ``width`` tokens). The
+    array form of span_dedup_stats' explode path, for callers that need
+    the spans without a generator node (e.g. explode_outer in streams,
+    where zero-span docs must still emit a row).
+
+    Guarded sequence: Spark's ``sequence(1, 0)`` DESCENDS ([1, 0]) rather
+    than returning empty, so the position list must be gated on n_pos ≥ 1.
+    """
+    toks = F.split(text, " ")
+    n_pos = F.size(toks) - (width - 1)
+    return F.when(
+        n_pos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -832,8 +832,95 @@ def _stream_event_transitions_oracle() -> str:
     return EVENT_TRANSITION_ORACLE
 
 
+def stream_span_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination firewall at INGEST: incoming docs
+    (doc_id ≡ 7 mod 10) stream in and every 8-token window is probed
+    against the span-hash index of the STATIC existing corpus; each doc
+    reports how much of it already exists verbatim elsewhere. The
+    streaming companion to span_dedup_stats and the shape a production
+    ingest gate runs — the corpus span index is derived inline here but
+    precomputable as a bucketed table at scale, making each micro-batch a
+    stream-static left join (stream side never shuffles for the join
+    beyond the span-key exchange) plus a per-doc rollup.
+
+    explode_outer keeps zero-span (sub-width) docs in the output so the
+    result covers every incoming doc. The rollup runs in complete mode
+    over the bounded replay (doc-keyed state); an unbounded deployment
+    would window it by arrival time + watermark.
+    """
+    from flink_uba_spark.operators.dedup import span_hash_array
+    from flink_uba_spark.sources.readers import load_testdata
+    from flink_uba_spark.streaming.runner import stream_documents
+
+    corpus = (
+        load_testdata(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") % 10 != 7)
+    )
+    corp_idx = (
+        corpus.select(F.explode(span_hash_array(F.col("text"))).alias("span_h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+
+    inc = stream_documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 7)
+    spans = inc.select(
+        "doc_id", F.explode_outer(span_hash_array(F.col("text"))).alias("span_h")
+    )
+    probed = spans.join(corp_idx, "span_h", "left")
+    stats = probed.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("span_h").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans"),
+        F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit_spans"),
+    )
+    out = stats.select(
+        "doc_id",
+        "n_spans",
+        "n_hit_spans",
+        F.when(F.col("n_spans") == 0, F.lit(0.0))
+        .otherwise(F.col("n_hit_spans").cast("double") / F.col("n_spans"))
+        .alias("hit_frac"),
+    )
+    return run_to_table(out, output_mode="complete")
+
+
+STREAM_SPAN_DECONTAM_ORACLE = """
+WITH corpus AS (
+    SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 != 7
+),
+cidx AS (
+    SELECT DISTINCT md5(array_to_string(w[i:i+7], ' ')) AS span_h
+    FROM corpus, unnest(range(1, len(w) - 6)) AS u(i)
+),
+inc AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 7
+),
+s AS (
+    SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS span_h
+    FROM inc, unnest(range(1, len(w) - 6)) AS u(i)
+),
+st AS (
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           sum(CASE WHEN c.span_h IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+    FROM s LEFT JOIN cidx c ON s.span_h = c.span_h
+    GROUP BY 1
+)
+SELECT i.doc_id,
+       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(st.n_hit, 0) AS BIGINT) AS n_hit_spans,
+       CASE WHEN st.n_spans IS NULL OR st.n_spans = 0 THEN 0.0
+            ELSE CAST(st.n_hit AS DOUBLE) / st.n_spans END AS hit_frac
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) i
+LEFT JOIN st ON i.doc_id = st.doc_id
+"""
+
+
 QUERIES = {
     "stream_hot_items": stream_hot_items,
+    "stream_span_decontam": stream_span_decontam,
     "stream_mktseg_revenue": stream_mktseg_revenue,
     "stream_corpus_ingest": stream_corpus_ingest,
     "stream_user_sessions": stream_user_sessions,
@@ -858,6 +945,7 @@ def _stream_dedup_incremental_oracle() -> str:
 
 ORACLES = {
     "stream_dedup_incremental": _stream_dedup_incremental_oracle(),
+    "stream_span_decontam": STREAM_SPAN_DECONTAM_ORACLE,
     "stream_daily_anomaly": _stream_daily_anomaly_oracle(),
     "stream_event_transitions": _stream_event_transitions_oracle(),
     "stream_hot_items": STREAM_HOT_ITEMS_ORACLE,

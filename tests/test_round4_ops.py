@@ -163,3 +163,27 @@ def test_span_dedup_property(spark):
         assert got == _brute_span_stats(rows, width=3)
 
     run()
+
+
+# ------------------------------------------- streaming span decontamination
+def test_stream_span_decontam_matches_oracle(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    from flink_uba_spark.queries.streaming import (
+        STREAM_SPAN_DECONTAM_ORACLE,
+        stream_span_decontam,
+    )
+
+    assert_matches_oracle(
+        stream_span_decontam(spark, sf_dir), duck, STREAM_SPAN_DECONTAM_ORACLE
+    )
+
+
+def test_span_hash_array_empty_for_short_docs(spark):
+    from flink_uba_spark.operators.dedup import span_hash_array
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e f g h i")], "doc_id long, text string"
+    ).select("doc_id", F.size(span_hash_array(F.col("text"))).alias("n"))
+    got = {r["doc_id"]: r["n"] for r in df.collect()}
+    assert got == {1: 0, 2: 2}
