@@ -115,6 +115,10 @@ HEADLINE = HEADLINE_R01 + [
     "pattern_error_burst_recovery",
     "tpch_q12_ship_priority_classes",
     "tpch_q21_waiting_suppliers",
+    "dedup_span_exact",
+    "source_curation_rollup",
+    "stream_span_decontam",
+    "hybrid_search_rrf",
 ]
 
 

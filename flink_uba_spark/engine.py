@@ -134,6 +134,11 @@ class UbaEngine:
 
         return incremental_dedup_verdicts(incoming, corpus, **kw)
 
+    def fuse_rankings(self, ranked, **kw) -> DataFrame:
+        from flink_uba_spark.operators.search import rrf_fuse
+
+        return rrf_fuse(ranked, **kw)
+
     def span_dedup(self, df, **kw) -> DataFrame:
         from flink_uba_spark.operators.dedup import span_dedup_stats
 

@@ -86,3 +86,47 @@ def bm25_topk(
     return topk.withColumn("rnk", F.row_number().over(w)).select(
         id_col, "score_q", "rnk"
     )
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (the standard
+    hybrid-retrieval combiner): score = Σ 1/(c+rank) over the lists that
+    contain the doc, then re-rank. Output: (id, score_rrf, rnk ≤ k).
+
+    Determinism: each term is one IEEE double division of exact integers
+    and the terms are added in fixed left-to-right order, so scores are
+    bit-identical across engines; ties break on id.
+
+    Scale shape: inputs are top-k lists — already reduced to O(k) rows by
+    the upstream retrievers (BM25 TakeOrderedAndProject, cosine top-k
+    window), so the full-outer fusion join and the single global
+    row_number window run over ≤ N·k rows regardless of corpus size. The
+    fusion layer is cheap BY CONSTRUCTION; all heavy lifting stays in the
+    retrievers.
+    """
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    out = None
+    for i, df in enumerate(ranked):
+        side = df.select(F.col(id_col), F.col(rank_col).alias(f"__r{i}"))
+        out = side if out is None else out.join(side, id_col, "full_outer")
+    terms = [
+        F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col(f"__r{i}")), F.lit(0.0))
+        for i in range(len(ranked))
+    ]
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    w = Window.orderBy(F.desc("score_rrf"), F.asc(id_col))
+    return (
+        out.withColumn("score_rrf", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "score_rrf", "rnk")
+    )

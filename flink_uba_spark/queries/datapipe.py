@@ -1394,10 +1394,88 @@ FROM a
 """
 
 
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical BM25 top-20 and dense cosine top-20 (query
+    vector 0, vec_id ≡ doc_id in the testdata) fused with reciprocal-rank
+    fusion (operators/search.py:rrf_fuse) — the standard production
+    two-tower + keyword combiner. The fusion layer joins two already-top-k
+    lists, so its cost is O(k) regardless of corpus size."""
+    from flink_uba_spark.operators.search import bm25_topk, rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    lex = bm25_topk(docs, BM25_TERMS, k=20).select("doc_id", "rnk")
+    dense = (
+        S.cosine_topk(embs, embs.filter(F.col("vec_id") == 0), k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), "rnk")
+    )
+    return rrf_fuse([lex, dense], k=10)
+
+
+HYBRID_SEARCH_RRF_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS w,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+    FROM documents
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM d
+),
+hits AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+tf AS (
+    SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+    FROM hits WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT t.doc_id,
+           CAST(floor(((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                      * ((t.tf * 2.2) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)))
+                      * 1000000) AS BIGINT) AS term_q
+    FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
+),
+per AS (SELECT doc_id, CAST(sum(term_q) AS BIGINT) AS score_q FROM scored GROUP BY 1),
+lex AS (
+    SELECT doc_id, rnk FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk FROM per
+    ) WHERE rnk <= 20
+),
+n AS (
+    SELECT vec_id, {_QUANT_SQL} AS qemb,
+           list_dot_product({_QUANT_SQL}, {_QUANT_SQL}) AS qq
+    FROM embeddings
+),
+dscored AS (
+    SELECT c.vec_id AS doc_id,
+           list_dot_product(q.qemb, c.qemb) / (sqrt(q.qq) * sqrt(c.qq)) AS cos
+    FROM n q JOIN n c ON c.vec_id != q.vec_id
+    WHERE q.vec_id = 0
+),
+dense AS (
+    SELECT doc_id, rnk FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rnk FROM dscored
+    ) WHERE rnk <= 20
+),
+fused AS (
+    SELECT coalesce(l.doc_id, de.doc_id) AS doc_id,
+           coalesce(CAST(1 AS DOUBLE) / (60.0 + l.rnk), CAST(0 AS DOUBLE))
+           + coalesce(CAST(1 AS DOUBLE) / (60.0 + de.rnk), CAST(0 AS DOUBLE))
+               AS score_rrf
+    FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id
+)
+SELECT doc_id, score_rrf, rnk FROM (
+    SELECT *, row_number() OVER (ORDER BY score_rrf DESC, doc_id) AS rnk FROM fused
+) WHERE rnk <= 10
+"""
+
+
 QUERIES = {
     "corpus_vocabulary": corpus_vocabulary,
     "dedup_span_exact": dedup_span_exact,
     "source_curation_rollup": source_curation_rollup,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "corpus_length_histogram": corpus_length_histogram,
     "doc_oov_rate": doc_oov_rate,
     "semantic_dedup_verified": semantic_dedup_verified,
@@ -1440,6 +1518,7 @@ ORACLES = {
     "corpus_vocabulary": CORPUS_VOCABULARY_ORACLE,
     "dedup_span_exact": DEDUP_SPAN_EXACT_ORACLE,
     "source_curation_rollup": SOURCE_CURATION_ROLLUP_ORACLE,
+    "hybrid_search_rrf": HYBRID_SEARCH_RRF_ORACLE,
     "corpus_length_histogram": CORPUS_LENGTH_HISTOGRAM_ORACLE,
     "doc_oov_rate": DOC_OOV_RATE_ORACLE,
     "corpus_global_shuffle": CORPUS_GLOBAL_SHUFFLE_ORACLE,

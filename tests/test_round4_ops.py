@@ -187,3 +187,41 @@ def test_span_hash_array_empty_for_short_docs(spark):
     ).select("doc_id", F.size(span_hash_array(F.col("text"))).alias("n"))
     got = {r["doc_id"]: r["n"] for r in df.collect()}
     assert got == {1: 0, 2: 2}
+
+
+# ------------------------------------------------------------- RRF fusion
+def test_rrf_fuse_hand_computed(spark):
+    from flink_uba_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rnk int")
+    dense = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rnk int")
+    rows = {r["doc_id"]: r for r in rrf_fuse([lex, dense], k=10).collect()}
+    # doc 3: 1/63 + 1/61 (both lists) beats doc 1: 1/61 (lex only)
+    assert rows[3]["rnk"] == 1
+    assert rows[1]["rnk"] == 2
+    assert abs(rows[3]["score_rrf"] - (1 / 63 + 1 / 61)) < 1e-15
+    assert abs(rows[4]["score_rrf"] - 1 / 62) < 1e-15
+    assert set(rows) == {1, 2, 3, 4}
+
+
+def test_rrf_fuse_k_cap_and_tie_break(spark):
+    from flink_uba_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 8)], "doc_id long, rnk int")
+    b = spark.createDataFrame([(i, i) for i in range(1, 8)], "doc_id long, rnk int")
+    out = rrf_fuse([a, b], k=3).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [1, 2, 3]
+
+
+def test_hybrid_search_matches_oracle_at_sf(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    import tests.conftest as c
+    from flink_uba_spark.queries.datapipe import (
+        HYBRID_SEARCH_RRF_ORACLE,
+        hybrid_search_rrf,
+    )
+
+    assert_matches_oracle(
+        hybrid_search_rrf(spark, c.SF_DIR), duck, HYBRID_SEARCH_RRF_ORACLE
+    )
