@@ -918,8 +918,44 @@ LEFT JOIN st ON i.doc_id = st.doc_id
 """
 
 
+def stream_pattern_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-step CEP chain (view → click within 30 min → purchase within
+    2 h) in its native streaming form: a per-key NFA in
+    ``applyInPandasWithState`` (streaming/pattern.py) with vectorized
+    micro-batch resolution — the streaming twin of the batch compiler
+    behind ``pattern_view_click_purchase`` and the chained Pattern-API
+    surface (OrderPayTimeout.java:52-64) run as a continuous query.
+
+    A chain emits the moment its final step binds; chains the stream never
+    completes stay pending (``within`` classifies matched vs matched_late,
+    it does not expire a wait — the first-candidate-decides rule). The
+    oracle is therefore the batch pattern result minus its ``incomplete``
+    rows."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="user_id",
+            steps=[
+                ("view", None),
+                ("click", "INTERVAL 30 MINUTES"),
+                ("purchase", "INTERVAL 2 HOURS"),
+            ],
+        )
+    )
+
+
+def _stream_pattern_vcp_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_VCP_ORACLE
+
+    return f"SELECT * FROM ({PATTERN_VCP_ORACLE}) WHERE state != 'incomplete'"
+
+
 QUERIES = {
     "stream_hot_items": stream_hot_items,
+    "stream_pattern_view_click_purchase": stream_pattern_view_click_purchase,
     "stream_span_decontam": stream_span_decontam,
     "stream_mktseg_revenue": stream_mktseg_revenue,
     "stream_corpus_ingest": stream_corpus_ingest,
@@ -945,6 +981,7 @@ def _stream_dedup_incremental_oracle() -> str:
 
 ORACLES = {
     "stream_dedup_incremental": _stream_dedup_incremental_oracle(),
+    "stream_pattern_view_click_purchase": _stream_pattern_vcp_oracle(),
     "stream_span_decontam": STREAM_SPAN_DECONTAM_ORACLE,
     "stream_daily_anomaly": _stream_daily_anomaly_oracle(),
     "stream_event_transitions": _stream_event_transitions_oracle(),

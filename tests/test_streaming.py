@@ -213,3 +213,151 @@ def test_transition_state_links_across_micro_batches(spark, sf_dir):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     assert g.equals(w)
+
+
+# --- streaming N-step pattern matcher (streaming/pattern.py) ---
+
+_P_STEPS = ["view", "click", "purchase"]
+_P_WITHINS = [None, 30 * 60 * US, 2 * 3600 * US]
+
+
+def _p_collect(gen):
+    frames = list(gen)
+    if not frames:
+        return pd.DataFrame(
+            columns=["user_id", "anchor_id", "t1", "t2", "t3", "max_step", "state"]
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _p_rows(*evs):
+    return pd.DataFrame(
+        [
+            {"event_id": i, "ts": pd.Timestamp(ts_us, unit="us"), "event_type": t}
+            for i, ts_us, t in evs
+        ]
+    )
+
+
+def test_pattern_matcher_single_batch_match_and_late():
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    detect = make_pattern_matcher(_P_STEPS, _P_WITHINS)
+    st = FakeState()
+    out = _p_collect(
+        detect(
+            (7,),
+            iter(
+                [
+                    _p_rows(
+                        (1, 0, "view"),
+                        (2, 10 * 60 * US, "click"),          # within 30m
+                        (3, 60 * 60 * US, "purchase"),       # within 2h of click
+                        (4, 61 * 60 * US, "view"),
+                        (5, 100 * 60 * US, "click"),         # 39m after view 4 -> late
+                        (6, 110 * 60 * US, "purchase"),
+                    )
+                ]
+            ),
+            st,
+        )
+    )
+    out = out.sort_values("anchor_id").reset_index(drop=True)
+    assert list(out["anchor_id"]) == [1, 4]
+    assert list(out["state"]) == ["matched", "matched_late"]
+    assert st._v is None  # all chains resolved -> state removed
+
+
+def test_pattern_matcher_chains_across_batches_and_shares_successors():
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    detect = make_pattern_matcher(_P_STEPS, _P_WITHINS)
+    st = FakeState()
+    # batch 1: two anchors + one click; nothing completes
+    out1 = _p_collect(
+        detect(
+            (7,),
+            iter([_p_rows((1, 0, "view"), (2, 5 * 60 * US, "view"), (3, 6 * 60 * US, "click"))]),
+            st,
+        )
+    )
+    assert len(out1) == 0 and st.exists
+    # anchor 1 and 2 both bound click 3; both wait for purchase
+    a_ids, steps, flat = st.get
+    assert sorted(a_ids) == [1, 2] and list(steps) == [2, 2]
+    # batch 2: one purchase completes BOTH chains off the shared click
+    out2 = _p_collect(
+        detect((7,), iter([_p_rows((9, 20 * 60 * US, "purchase"))]), st)
+    )
+    out2 = out2.sort_values("anchor_id").reset_index(drop=True)
+    assert list(out2["anchor_id"]) == [1, 2]
+    assert list(out2["state"]) == ["matched", "matched"]
+    assert list(out2["t2"].astype("datetime64[ns]").astype("int64") // 1000) == [6 * 60 * US] * 2
+    assert st._v is None
+
+
+def test_pattern_matcher_same_ts_successor_counts():
+    """A same-timestamp successor binds (the batch compiler's
+    earlier-steps-first tie rule) and the (ts, id)-minimal candidate wins."""
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    detect = make_pattern_matcher(_P_STEPS, _P_WITHINS)
+    st = FakeState()
+    out = _p_collect(
+        detect(
+            (7,),
+            iter(
+                [
+                    _p_rows(
+                        (5, 0, "view"),
+                        (4, 0, "click"),       # same ts as the view -> still binds
+                        (9, 60, "purchase"),
+                        (2, 60, "purchase"),   # equal ts: min id wins
+                    )
+                ]
+            ),
+            st,
+        )
+    )
+    assert len(out) == 1 and out.loc[0, "anchor_id"] == 5
+    assert out.loc[0, "state"] == "matched"
+
+
+def test_stream_pattern_matches_batch_on_two_batch_replay(spark, sf_dir):
+    """End-to-end: the streaming NFA over a two-batch event-time replay
+    equals the batch pattern compiler minus its incomplete rows."""
+    from pyspark.sql import functions as F
+
+    from flink_uba_spark.queries.behavior import pattern_view_click_purchase
+    from flink_uba_spark.sources.readers import load_testdata
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+    from flink_uba_spark.streaming.runner import run_to_table, write_replay
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    mid = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    replay = write_replay(
+        [ev.filter(F.unix_micros("ts") <= mid), ev.filter(F.unix_micros("ts") > mid)],
+        tag="pattern_2b",
+    )
+    sdf = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(replay)
+    )
+    got = run_to_table(
+        stream_pattern_detect(
+            sdf,
+            key="user_id",
+            steps=[("view", None), ("click", "INTERVAL 30 MINUTES"), ("purchase", "INTERVAL 2 HOURS")],
+        )
+    ).toPandas()
+    want = (
+        pattern_view_click_purchase(spark, sf_dir)
+        .filter("state != 'incomplete'")
+        .toPandas()
+    )
+    assert len(want) > 100, "vacuous"
+    cols = sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.equals(w)
