@@ -587,6 +587,58 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch tier of ``order_value_percentiles``: Spark's
+    ``percentile_approx`` (Greenwald-Khanna summaries, merged map-side) with
+    the rank-error guarantee folded INTO the output — the same contract
+    shape as ``daily_users_approx``. The raw estimate is merge-order- and
+    engine-specific, so the verifiable cross-engine fact is the GUARANTEE:
+    for accuracy A the returned value's rank interval [cnt_lt+1, cnt_le]
+    must intersect [(p−e)·n, (p+e)·n] with e = 1/A — an invariant GK
+    maintains under ANY merge order, so ``pXX_ok`` is deterministically
+    TRUE and the DuckDB oracle asserts it row-by-row (±1 rank slack guards
+    the integer boundary).
+
+    At 100 TB this is the percentile you actually run: the exact
+    nearest-rank form must rank every row per key, the sketch reduces the
+    exchange to O(A·log n) summary tuples per key, merged associatively.
+    Plan: one scan feeds both the sketch agg and the verification counts;
+    the 5-row sketch frame broadcasts back.
+    """
+    t = load_testdata(spark, sf_dir, ("orders",))
+    cents = t["orders"].select(
+        F.col("o_orderpriority").alias("priority"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    acc = 100  # e = 1% relative rank error
+    appx = cents.groupBy("priority").agg(
+        F.percentile_approx("cents", [0.5, 0.9, 0.99], acc).alias("v")
+    )
+    j = cents.join(F.broadcast(appx), "priority")
+    pmille = {"p50": 500, "p90": 900, "p99": 990}
+    emille = 1000 // acc
+    aggs = [F.count(F.lit(1)).alias("n_orders")]
+    for i, name in enumerate(["p50", "p90", "p99"]):
+        v = F.col("v")[i]
+        aggs.append(F.sum((F.col("cents") <= v).cast("long")).alias(f"__le_{name}"))
+        aggs.append(F.sum((F.col("cents") < v).cast("long")).alias(f"__lt_{name}"))
+    g = j.groupBy("priority").agg(*aggs)
+    out_cols = [F.col("priority"), F.col("n_orders")]
+    for name in ["p50", "p90", "p99"]:
+        p, e = pmille[name], emille
+        lo_ok = (F.col(f"__le_{name}") + 1) * 1000 >= F.lit(p - e) * F.col("n_orders")
+        hi_ok = F.col(f"__lt_{name}") * 1000 <= F.lit(p + e) * F.col("n_orders") + 1000
+        out_cols.append((lo_ok & hi_ok).alias(f"{name}_ok"))
+    return g.select(*out_cols)
+
+
+ORDER_VALUE_PERCENTILES_APPROX_ORACLE = """
+SELECT o_orderpriority AS priority, count(*) AS n_orders,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM orders GROUP BY 1
+"""
+
+
 ORDER_VALUE_PERCENTILES_ORACLE = """
 WITH c AS (
     SELECT o_orderpriority AS priority,
@@ -870,6 +922,7 @@ QUERIES = {
     "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
     "tpch_q19_brand_bands": tpch_q19_brand_bands,
     "order_value_percentiles": order_value_percentiles,
+    "order_value_percentiles_approx": order_value_percentiles_approx,
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "tpch_q14_promo_effect": tpch_q14_promo_effect,
@@ -892,6 +945,7 @@ ORACLES = {
     "tpch_q13_customer_distribution": TPCH_Q13_ORACLE,
     "tpch_q19_brand_bands": TPCH_Q19_ORACLE,
     "order_value_percentiles": ORDER_VALUE_PERCENTILES_ORACLE,
+    "order_value_percentiles_approx": ORDER_VALUE_PERCENTILES_APPROX_ORACLE,
     "tpch_q1_pricing_summary": TPCH_Q1_ORACLE,
     "tpch_q10_returned_items": TPCH_Q10_ORACLE,
     "tpch_q14_promo_effect": TPCH_Q14_ORACLE,

@@ -225,3 +225,34 @@ def test_hybrid_search_matches_oracle_at_sf(spark, duck):
     assert_matches_oracle(
         hybrid_search_rrf(spark, c.SF_DIR), duck, HYBRID_SEARCH_RRF_ORACLE
     )
+
+
+def test_order_value_percentiles_approx_bound_holds(spark):
+    """The GK rank-error guarantee must hold (all ok flags TRUE) and the
+    check must not be vacuous: recomputing with a zero-width acceptance
+    band around a deliberately wrong 'estimate' must flag FALSE."""
+    import tests.conftest as c
+    from pyspark.sql import functions as F
+    from flink_uba_spark.queries.tpch import order_value_percentiles_approx
+
+    out = order_value_percentiles_approx(spark, c.SF_DIR).collect()
+    assert len(out) > 0
+    assert all(r["p50_ok"] and r["p90_ok"] and r["p99_ok"] for r in out)
+
+    # teeth: the same rank-interval test applied to the column MIN (rank 1)
+    # as a fake p99 estimate must reject at any n where p99 has slack
+    from flink_uba_spark.sources.readers import load_testdata
+
+    t = load_testdata(spark, c.SF_DIR, ("orders",))
+    g = (
+        t["orders"]
+        .select(F.col("o_orderpriority").alias("priority"),
+                F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("cents").alias("vmin"))
+        .collect()
+    )
+    for r in g:
+        cnt_le, cnt_lt, n = 1, 0, r["n"]  # min is unique-ish: rank interval starts at 1
+        lo_ok = (cnt_le + 1) * 1000 >= (990 - 10) * n
+        assert not lo_ok, "bound check accepts an arbitrarily wrong estimate"
