@@ -506,8 +506,61 @@ FROM a3
 """
 
 
+def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item importance by weighted PageRank over the co-view transition
+    graph — the ranking that survives popularity laundering, vs the raw
+    counts the reference's HotItem ranks by (HotItem.java:26-73; same
+    domain, the graph-global question). Edges: consecutive view-item pairs
+    per user within 30 min (event_transition_matrix's recurrence,
+    item-granular); 10 synchronous iterations in pure BIGINT arithmetic
+    (operators/graph.py) so the DuckDB oracle — the same recurrence
+    unrolled as 10 chained CTEs — hash-matches bit-for-bit."""
+    from flink_uba_spark.operators.graph import coview_edges, pagerank
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
+    edges = coview_edges(ev, F.get_json_object("props", "$.k").cast("long"))
+    return pagerank(edges).select(F.col("node").alias("item_id"), "score")
+
+
+def _item_pagerank_oracle(iters: int = 10) -> str:
+    step = """, s{nxt} AS (
+  SELECT e.dst AS item_id,
+         CAST(150000 + (850 * sum(e.w * (p.score // COALESCE(o.ow, 1)))) // 1000 AS BIGINT) AS score
+  FROM s{cur} p JOIN e_aug e ON e.src = p.item_id
+  LEFT JOIN outw o ON o.src = p.item_id
+  GROUP BY 1)"""
+    steps = "".join(step.format(cur=i, nxt=i + 1) for i in range(iters))
+    return f"""
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT item, lag(item) OVER w AS prev_item, ts, lag(ts) OVER w AS prev_ts
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+edges AS (
+  SELECT prev_item AS src, item AS dst, count(*) AS w FROM p
+  WHERE prev_item IS NOT NULL AND ts <= prev_ts + INTERVAL 30 MINUTE
+    AND prev_item != item
+  GROUP BY 1, 2
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+e_aug AS (SELECT src, dst, w FROM edges
+          UNION ALL SELECT node, node, 0 FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+s0 AS (SELECT node AS item_id, CAST(1000000 AS BIGINT) AS score FROM nodes){steps}
+SELECT item_id, score FROM s{iters}
+"""
+
+
+ITEM_PAGERANK_ORACLE = _item_pagerank_oracle()
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
+    "item_pagerank": item_pagerank,
     "pattern_view_click_purchase": pattern_view_click_purchase,
     "pattern_error_burst_recovery": pattern_error_burst_recovery,
     "event_transition_matrix": event_transition_matrix,
@@ -524,6 +577,7 @@ QUERIES = {
 
 ORACLES = {
     "daily_users_approx": DAILY_USERS_APPROX_ORACLE,
+    "item_pagerank": ITEM_PAGERANK_ORACLE,
     "pattern_view_click_purchase": PATTERN_VCP_ORACLE,
     "pattern_error_burst_recovery": PATTERN_ERROR_BURST_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,

@@ -256,3 +256,28 @@ def test_order_value_percentiles_approx_bound_holds(spark):
         cnt_le, cnt_lt, n = 1, 0, r["n"]  # min is unique-ish: rank interval starts at 1
         lo_ok = (cnt_le + 1) * 1000 >= (990 - 10) * n
         assert not lo_ok, "bound check accepts an arbitrarily wrong estimate"
+
+
+def test_pagerank_matches_bruteforce_integer_reference(spark):
+    """10-iteration integer PageRank on a small weighted digraph (with a
+    dangling node) must equal the same recurrence run in plain Python."""
+    from flink_uba_spark.operators.graph import SCALE, pagerank
+
+    edges = [(1, 2, 3), (2, 3, 1), (3, 1, 2), (1, 3, 1), (4, 1, 5)]  # 4 dangles... no: 4->1
+    # make node 5 dangling (in-edges only)
+    edges.append((2, 5, 2))
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["score"] for r in pagerank(df).collect()}
+
+    nodes = {n for e in edges for n in e[:2]}
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    scores = {n: SCALE for n in nodes}
+    for _ in range(10):
+        contrib = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            contrib[d] += w * (scores[s] // outw[s])
+        scores = {n: 150000 + (850 * contrib[n]) // 1000 for n in nodes}
+    assert got == scores
+    assert 5 in got and outw.get(5) is None  # dangling node kept, mass dropped
