@@ -148,3 +148,56 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+def hashed_classifier_weights(spark, n_buckets: int = 256, salt: str = "w") -> DataFrame:
+    """The weight table of a hashed-feature linear classifier: one row per
+    feature bucket with an integer weight in [-8, 7], derived
+    deterministically from md5 so Spark and the DuckDB oracle agree
+    bit-for-bit. This frame is the plug-in point for a TRAINED model — a
+    real pipeline (GPT-3/LLaMA-style quality classifier) overwrites it
+    with learned weights; everything downstream (broadcast join + integer
+    sum) is unchanged."""
+    b = F.col("id").cast("int")
+    w = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), b.cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+        % 16
+        - 8
+    )
+    return spark.range(n_buckets).select(b.alias("bucket"), w.alias("weight"))
+
+
+def classifier_quality_scores(
+    df: DataFrame, text_col: str = "text", weights: DataFrame | None = None, n_buckets: int = 256
+) -> DataFrame:
+    """Model-based quality filtering — the classifier stage of an LLM data
+    pipeline (a linear scorer over hashed token features; the production
+    counterpart loads trained weights into the same 256-row frame).
+
+    Plan: tokens explode, feature bucket = md5 of the token (the hashing
+    trick — no vocabulary table at any corpus size), BROADCAST join the
+    bucket→weight dim (256 rows), one partial-agg exchange on doc_id for
+    the integer score sum. ``keep`` = score ≥ 0. All integer arithmetic —
+    deterministic across engines, partitionings, and executor counts."""
+    spark = df.sparkSession
+    w = weights if weights is not None else hashed_classifier_weights(spark, n_buckets)
+    toks = df.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn(
+        "bucket",
+        (F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long") % n_buckets)
+        .cast("int"),
+    )
+    scored = (
+        toks.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    # docs whose text has no tokens (empty string still yields one '' token
+    # after split, so every doc appears) — keep the contract total anyway
+    return df.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+        (F.coalesce(F.col("score"), F.lit(0)) >= 0).alias("keep"),
+    )

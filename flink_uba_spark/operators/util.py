@@ -13,6 +13,10 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     a cheap round-robin shuffle of the raw rows buys full parallelism. At
     real scale inputs already have >cores splits and this is a no-op.
     """
+    if df.isStreaming:
+        # micro-batch parallelism is the source's concern (file splits /
+        # kafka partitions); inputFiles/rdd are undefined on streams
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
         # file-backed frames: #input files bounds #scan splits for the small

@@ -1471,7 +1471,41 @@ SELECT doc_id, score_rrf, rnk FROM (
 """
 
 
+def classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the classifier gate of an LLM data
+    pipeline (the GPT-3/LLaMA quality-classifier stage): a linear scorer
+    over hashed token features, integer weights broadcast from a 256-row
+    dim (operators/text.py:classifier_quality_scores; a trained model
+    plugs into the same frame). Deterministic integer arithmetic end to
+    end, so the DuckDB oracle replicates it exactly."""
+    from flink_uba_spark.operators.text import classifier_quality_scores
+
+    return classifier_quality_scores(_docs(spark, sf_dir))
+
+
+CLASSIFIER_QUALITY_FILTER_ORACLE = """
+WITH w AS (
+  SELECT CAST(b AS INTEGER) AS bucket,
+         CAST(('0x' || substring(md5('w' || CAST(b AS VARCHAR)), 1, 4))::BIGINT % 16 - 8
+              AS BIGINT) AS weight
+  FROM generate_series(0, 255) AS g(b)
+),
+t AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 4))::BIGINT % 256 AS INTEGER) AS bucket
+  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+),
+s AS (
+  SELECT t.doc_id, sum(w.weight) AS score FROM t JOIN w USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+       COALESCE(s.score, 0) >= 0 AS keep
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 QUERIES = {
+    "classifier_quality_filter": classifier_quality_filter,
     "corpus_vocabulary": corpus_vocabulary,
     "dedup_span_exact": dedup_span_exact,
     "source_curation_rollup": source_curation_rollup,
@@ -1515,6 +1549,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "classifier_quality_filter": CLASSIFIER_QUALITY_FILTER_ORACLE,
     "corpus_vocabulary": CORPUS_VOCABULARY_ORACLE,
     "dedup_span_exact": DEDUP_SPAN_EXACT_ORACLE,
     "source_curation_rollup": SOURCE_CURATION_ROLLUP_ORACLE,

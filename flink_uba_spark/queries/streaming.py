@@ -947,6 +947,52 @@ def stream_pattern_view_click_purchase(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def stream_embedding_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector ingestion with index-time topic assignment: embeddings STREAM
+    in and every vector is assigned its nearest centroid against the
+    broadcast codebook derived from the static corpus — the IVF/topic
+    partitioning step a production vector pipeline runs at ingest
+    (operators/similarity.py:cluster_assign over a stream-static broadcast;
+    the stream side never shuffles). Per-vector output (the ingest shape),
+    vs the batch query's per-cluster purity rollup."""
+    from flink_uba_spark.operators import similarity as S
+    from flink_uba_spark.sources.readers import load_testdata
+    from flink_uba_spark.streaming.runner import stream_embeddings
+
+    static = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
+    cb = S.default_codebook(static, 8)
+    inc = stream_embeddings(spark, sf_dir)
+    out = S.cluster_assign(inc, codebook=cb).select(
+        "vec_id", F.col("label").cast("long").alias("label"), "cluster_id"
+    )
+    return run_to_table(out)
+
+
+def _stream_embedding_topic_assign_oracle() -> str:
+    from flink_uba_spark.queries.datapipe import _QUANT_SQL
+
+    return f"""
+WITH n AS (
+    SELECT vec_id, label, {_QUANT_SQL} AS qemb,
+           list_dot_product({_QUANT_SQL}, {_QUANT_SQL}) AS qq
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS ck, qemb AS cemb, qq AS cqq FROM n WHERE vec_id < 8),
+cosses AS (
+    SELECT v.vec_id, v.label, c.ck,
+           list_dot_product(v.qemb, c.cemb) / (sqrt(v.qq) * sqrt(c.cqq)) AS cos
+    FROM n v CROSS JOIN cent c
+),
+assign AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label, ck AS cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ck ASC) AS rn
+        FROM cosses
+    ) WHERE rn = 1
+)
+SELECT vec_id, label, cluster_id FROM assign
+"""
+
+
 def _stream_pattern_vcp_oracle() -> str:
     from flink_uba_spark.queries.behavior import PATTERN_VCP_ORACLE
 
@@ -956,6 +1002,7 @@ def _stream_pattern_vcp_oracle() -> str:
 QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_pattern_view_click_purchase": stream_pattern_view_click_purchase,
+    "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_span_decontam": stream_span_decontam,
     "stream_mktseg_revenue": stream_mktseg_revenue,
     "stream_corpus_ingest": stream_corpus_ingest,
@@ -982,6 +1029,7 @@ def _stream_dedup_incremental_oracle() -> str:
 ORACLES = {
     "stream_dedup_incremental": _stream_dedup_incremental_oracle(),
     "stream_pattern_view_click_purchase": _stream_pattern_vcp_oracle(),
+    "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_span_decontam": STREAM_SPAN_DECONTAM_ORACLE,
     "stream_daily_anomaly": _stream_daily_anomaly_oracle(),
     "stream_event_transitions": _stream_event_transitions_oracle(),

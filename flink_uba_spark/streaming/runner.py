@@ -91,6 +91,12 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_table(spark, sf_dir, "documents")
 
 
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the driver's embeddings parquet (file source) — the
+    vector-ingestion twin (index-time assignment runs on this stream)."""
+    return _stream_table(spark, sf_dir, "embeddings")
+
+
 # bump whenever any cached replay's batch construction changes — the cache
 # key cannot see the splitting logic, only (tag, key, batch count)
 _REPLAY_CACHE_VERSION = 2
