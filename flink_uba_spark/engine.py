@@ -159,15 +159,19 @@ class UbaEngine:
         max_records_per_file: int = 100_000,
         mixture_total: int | None = None,
         leakage_free_split: bool = False,
+        classifier_weights: DataFrame | None = None,
+        quality_gate: bool = False,
     ) -> DataFrame:
         """End-to-end corpus curation in ONE composed run: length filter →
-        exact dedup (keep canonical) → [optional temperature mixture
-        rebalance by source] → train/test split (per-doc hash, or
-        cluster-aware so near-dups never straddle splits) → decontaminate
-        train against the held-out slice → drop contaminated → write
-        size-bounded shards partitioned by (lang, split) → return the
-        shard manifest. Everything up to the dedup window fuses into the
-        scan; the whole pipeline is lazy until the write."""
+        [optional model-based quality gate (hashed linear classifier;
+        ``classifier_weights`` plugs a trained model in)] → exact dedup
+        (keep canonical) → [optional temperature mixture rebalance by
+        source] → train/test split (per-doc hash, or cluster-aware so
+        near-dups never straddle splits) → decontaminate train against the
+        held-out slice → drop contaminated → write size-bounded shards
+        partitioned by (lang, split) → return the shard manifest.
+        Everything up to the dedup window fuses into the scan; the whole
+        pipeline is lazy until the write."""
         from pyspark.sql import functions as F
 
         from flink_uba_spark.operators.corpus import decontaminate
@@ -176,11 +180,19 @@ class UbaEngine:
             hash_split,
             temperature_mixture_sample,
         )
+        from flink_uba_spark.operators.text import classifier_quality_scores
         from flink_uba_spark.streaming.sinks import corpus_manifest, write_corpus_shards
 
         docs = self.load(sf_dir, ("documents",))["documents"].filter(
             F.size(F.split(F.col("text"), " ")) >= min_words
         )
+        if quality_gate or classifier_weights is not None:
+            kept_ids = (
+                classifier_quality_scores(docs, weights=classifier_weights)
+                .filter(F.col("keep"))
+                .select("doc_id")
+            )
+            docs = docs.join(kept_ids, "doc_id")
         canonical = (
             exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
         )

@@ -110,3 +110,26 @@ def test_curate_with_mixture_and_leakage_free_split(spark, sf_dir, tmp_path):
         .join(back.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb")), "b_id")
     )
     assert j.filter(F.col("sa") != F.col("sb")).count() == 0
+
+
+def test_curate_with_quality_gate(spark, sf_dir, tmp_path):
+    """quality_gate=True drops exactly the classifier-rejected docs before
+    dedup; the written corpus contains no doc with a negative score."""
+    from pyspark.sql import functions as F
+
+    from flink_uba_spark.engine import UbaEngine
+    from flink_uba_spark.operators.text import classifier_quality_scores
+
+    eng = UbaEngine(spark)
+    out = str(tmp_path / "curated_q")
+    manifest = eng.curate(sf_dir, out, quality_gate=True).collect()
+    assert sum(r["n_rows"] for r in manifest) > 0
+
+    docs = eng.load(sf_dir, ("documents",))["documents"]
+    rejected = set(
+        r["doc_id"]
+        for r in classifier_quality_scores(docs).filter(~F.col("keep")).collect()
+    )
+    assert rejected, "classifier rejects nothing at this SF — gate untested"
+    written = set(r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect())
+    assert not (written & rejected)

@@ -76,6 +76,24 @@ def build(spark) -> None:
         c = t["embeddings"].withColumn("vec_id", F.col("vec_id") + i * 1_000_000)
         embs = c if embs is None else embs.unionByName(c)
     embs.repartition(32).write.mode("overwrite").parquet(f"{SCALE_DIR}/embeddings.parquet")
+    build_orders(spark)
+
+
+def build_orders(spark) -> None:
+    """Orders at 10× (added round 4 for the orders-based probes; built
+    incrementally so existing scale dirs just gain the table)."""
+    from pyspark.sql import functions as F
+
+    from flink_uba_spark.sources.readers import load_testdata
+
+    if os.path.exists(f"{SCALE_DIR}/orders.parquet"):
+        return
+    o = load_testdata(spark, BASE, ("orders",))["orders"]
+    out = None
+    for i in range(COPIES):
+        c = o.withColumn("o_orderkey", F.col("o_orderkey") + i * 100_000_000)
+        out = c if out is None else out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(f"{SCALE_DIR}/orders.parquet")
 
 
 def build_const(spark, factor: int, out_dir: str) -> None:
@@ -165,6 +183,7 @@ def main() -> None:
 
     if not os.path.exists(f"{SCALE_DIR}/events.parquet"):
         build(spark)
+    build_orders(spark)
     # warm
     spark.read.parquet(f"{BASE}/region.parquet").count()
     spark.range(256).repartition(32).mapInPandas(lambda it: it, "id long").write.format(
