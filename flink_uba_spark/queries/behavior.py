@@ -512,13 +512,15 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts the reference's HotItem ranks by (HotItem.java:26-73; same
     domain, the graph-global question). Edges: consecutive view-item pairs
     per user within 30 min (event_transition_matrix's recurrence,
-    item-granular); 10 synchronous iterations in pure BIGINT arithmetic
+    item-granular, 6 h same-session revisit window); 10 synchronous iterations in pure BIGINT arithmetic
     (operators/graph.py) so the DuckDB oracle — the same recurrence
     unrolled as 10 chained CTEs — hash-matches bit-for-bit."""
     from flink_uba_spark.operators.graph import coview_edges, pagerank
 
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
-    edges = coview_edges(ev, F.get_json_object("props", "$.k").cast("long"))
+    edges = coview_edges(
+        ev, F.get_json_object("props", "$.k").cast("long"), gap="INTERVAL 6 HOURS"
+    )
     return pagerank(edges).select(F.col("node").alias("item_id"), "score")
 
 
@@ -542,7 +544,7 @@ p AS (
 ),
 edges AS (
   SELECT prev_item AS src, item AS dst, count(*) AS w FROM p
-  WHERE prev_item IS NOT NULL AND ts <= prev_ts + INTERVAL 30 MINUTE
+  WHERE prev_item IS NOT NULL AND ts <= prev_ts + INTERVAL 6 HOUR
     AND prev_item != item
   GROUP BY 1, 2
 ),
