@@ -91,25 +91,38 @@ def _suffix_argmin_ts_id(ts: np.ndarray, ids: np.ndarray) -> np.ndarray:
     return order[suf_min_ordinal]
 
 
-def make_pattern_matcher(step_types: list[str], withins_us: list[int | None]):
+def make_pattern_matcher(
+    step_types: list[str],
+    withins_us: list[int | None],
+    ttl_us: int | None = None,
+):
     """Build the per-key state function (separate so unit tests can drive
-    it with a fake GroupState, as for order_timeout/transitions)."""
+    it with a fake GroupState, as for order_timeout/transitions).
+
+    ``ttl_us`` is the bounded-state policy knob the module docstring
+    promises: when set, a pending chain idle past its last bound event +
+    ttl (by watermark) is FLUSHED as an ``incomplete`` row and evicted —
+    state becomes O(chains inside the ttl horizon), the property an
+    unbounded deployment needs. The trade (documented): a binder arriving
+    after the flush no longer produces ``matched_late``; exact batch
+    equality holds only for the default ttl_us=None."""
     n = len(step_types)
     if n < 2:
         raise ValueError("pattern matcher needs at least 2 steps")
     if len(withins_us) != n:
         raise ValueError("withins_us must have one entry per step")
 
-    def _emit(user_id: int, a_ids, bounds_us, st) -> pd.DataFrame:
+    def _emit(user_id: int, a_ids, steps_arr, bounds_us, st) -> pd.DataFrame:
         cols = {
             "user_id": pd.array([user_id] * len(a_ids), dtype="int64"),
             "anchor_id": pd.array(a_ids, dtype="Int64"),
         }
         for k in range(1, n + 1):
-            cols[f"t{k}"] = pd.to_datetime(
-                np.asarray(bounds_us[:, k - 1], dtype="int64"), unit="us"
-            )
-        cols["max_step"] = pd.array([n] * len(a_ids), dtype="int64")
+            arr = np.asarray(bounds_us[:, k - 1], dtype="int64")
+            dt = pd.Series(pd.to_datetime(arr, unit="us"))
+            dt[arr < 0] = pd.NaT  # unbound steps of flushed chains
+            cols[f"t{k}"] = dt
+        cols["max_step"] = pd.array(np.asarray(steps_arr, dtype="int64"), dtype="int64")
         cols["state"] = pd.array(st, dtype=object)
         return pd.DataFrame(cols)
 
@@ -187,7 +200,7 @@ def make_pattern_matcher(step_types: list[str], withins_us: list[int | None]):
                 steps_arr[upd] = s
         # (no-data invocations can only be timeouts; nothing to do)
 
-        out: pd.DataFrame | None = None
+        frames: list[pd.DataFrame] = []
         done = steps_arr == n
         if done.any():
             d_bounds = bounds[done]
@@ -197,15 +210,39 @@ def make_pattern_matcher(step_types: list[str], withins_us: list[int | None]):
                 if w is not None:
                     ok &= d_bounds[:, s - 1] <= d_bounds[:, s - 2] + w
             st = np.where(ok, "matched", "matched_late")
-            out = _emit(user_id, a_ids[done], d_bounds, st)
+            frames.append(_emit(user_id, a_ids[done], steps_arr[done], d_bounds, st))
             a_ids, steps_arr, bounds = a_ids[~done], steps_arr[~done], bounds[~done]
+
+        if ttl_us is not None and a_ids.size:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            last_us = bounds.max(axis=1)
+            expired = (last_us + ttl_us <= wm_us) if wm_us > 0 else np.zeros(a_ids.size, dtype=bool)
+            if expired.any():
+                frames.append(
+                    _emit(
+                        user_id,
+                        a_ids[expired],
+                        steps_arr[expired],
+                        bounds[expired],
+                        ["incomplete"] * int(expired.sum()),
+                    )
+                )
+                a_ids, steps_arr, bounds = (
+                    a_ids[~expired],
+                    steps_arr[~expired],
+                    bounds[~expired],
+                )
 
         if a_ids.size:
             state.update((a_ids.tolist(), steps_arr.tolist(), bounds.reshape(-1).tolist()))
+            if ttl_us is not None:
+                next_ms = int(bounds.max(axis=1).min() + ttl_us) // 1000
+                state.setTimeoutTimestamp(max(next_ms, state.getCurrentWatermarkMs() + 1))
         elif state.exists:
             state.remove()
-        if out is not None and len(out):
-            yield out
+        out = [f for f in frames if len(f)]
+        if out:
+            yield pd.concat(out, ignore_index=True)
 
     return detect
 
@@ -216,6 +253,8 @@ def stream_pattern_detect(
     steps: list[tuple[str, str | None]],
     event_id: str = "event_id",
     ts: str = "ts",
+    state_ttl: str | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Wire the matcher over a streaming events frame.
 
@@ -223,19 +262,27 @@ def stream_pattern_detect(
     ``within`` (an ``INTERVAL`` literal or None) bounds — and only
     classifies — the transition INTO that step, exactly as in the batch
     ``pattern_detect``. Rows matching no step are dropped before the keyed
-    exchange (the batch compiler's scan filter)."""
+    exchange (the batch compiler's scan filter).
+
+    ``state_ttl`` (e.g. ``"INTERVAL 1 DAY"``) turns on the bounded-state
+    policy: event-time timers flush chains idle past the ttl as
+    ``incomplete`` rows (see make_pattern_matcher) — the knob an unbounded
+    deployment sets; leave None for exact batch equality on replays."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    def _us(interval: str) -> int:
+        parts = interval.split()
+        qty, unit = int(parts[-2]), parts[-1].lower().rstrip("s")
+        unit_us = {
+            "second": _US,
+            "minute": 60 * _US,
+            "hour": 3600 * _US,
+            "day": 86400 * _US,
+        }[unit]
+        return qty * unit_us
+
     step_types = [s for s, _ in steps]
-    withins_us = []
-    for _, w in steps:
-        if w is None:
-            withins_us.append(None)
-        else:
-            parts = w.split()
-            qty, unit = int(parts[1]), parts[2].lower().rstrip("s")
-            unit_us = {"second": _US, "minute": 60 * _US, "hour": 3600 * _US}[unit]
-            withins_us.append(qty * unit_us)
+    withins_us = [None if w is None else _us(w) for _, w in steps]
 
     filtered = events.filter(F.col("event_type").isin(*step_types)).select(
         F.col(event_id).alias("event_id"),
@@ -243,10 +290,13 @@ def stream_pattern_detect(
         F.col(key).alias("user_id"),
         "event_type",
     )
+    ttl_us = None if state_ttl is None else _us(state_ttl)
+    if ttl_us is not None:
+        filtered = filtered.withWatermark("ts", watermark_delay)
     return filtered.groupBy("user_id").applyInPandasWithState(
-        make_pattern_matcher(step_types, withins_us),
+        make_pattern_matcher(step_types, withins_us, ttl_us=ttl_us),
         pattern_output_schema(len(steps)),
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout if ttl_us is None else GroupStateTimeout.EventTimeTimeout,
     )

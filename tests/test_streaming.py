@@ -361,3 +361,47 @@ def test_stream_pattern_matches_batch_on_two_batch_replay(spark, sf_dir):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     assert g.equals(w)
+
+
+def test_pattern_matcher_ttl_flushes_stale_chains_as_incomplete():
+    """With state_ttl set, a chain idle past last-bound-ts + ttl (by
+    watermark) flushes as an incomplete row and leaves state; fresh chains
+    survive the same timer pass."""
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    ttl = 3600 * US
+    detect = make_pattern_matcher(_P_STEPS, _P_WITHINS, ttl_us=ttl)
+    st = FakeState()
+    # two anchors: one stale (t=0), one fresh (t = ttl - 1s); wm still 0
+    out1 = _p_collect(
+        detect((7,), iter([_p_rows((1, 0, "view"), (2, ttl - US, "view"))]), st)
+    )
+    assert len(out1) == 0 and st.exists and st.timeout_set is not None
+    # timer fires: watermark passes anchor-1's deadline only
+    st.hasTimedOut = True
+    st._wm = (ttl + 1000) // 1000  # ms, just past t1=0 + ttl
+    out2 = _p_collect(detect((7,), iter([]), st))
+    assert list(out2["anchor_id"]) == [1]
+    assert list(out2["state"]) == ["incomplete"]
+    assert list(out2["max_step"]) == [1]
+    assert pd.isna(out2.loc[0, "t2"]) and pd.isna(out2.loc[0, "t3"])
+    a_ids, steps, _ = st.get
+    assert list(a_ids) == [2]  # fresh chain survives
+
+
+def test_pattern_matcher_ttl_zero_none_is_exact():
+    """ttl_us=None (the default) never flushes — state persists across an
+    arbitrarily late binder, producing matched_late exactly as batch."""
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    detect = make_pattern_matcher(_P_STEPS, _P_WITHINS)
+    st = FakeState()
+    _p_collect(detect((7,), iter([_p_rows((1, 0, "view"))]), st))
+    out = _p_collect(
+        detect(
+            (7,),
+            iter([_p_rows((2, 10**10, "click"), (3, 10**10 + 1, "purchase"))]),
+            st,
+        )
+    )
+    assert list(out["state"]) == ["matched_late"]
