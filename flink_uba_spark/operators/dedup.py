@@ -457,13 +457,48 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def incremental_dedup_verdicts(
-    incoming: DataFrame,
+def _fused_band(band_idx, band_key):
+    return F.concat(band_idx.cast("string"), F.lit("|"), band_key)
+
+
+def build_dedup_index(
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 9,
     bands: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The two corpus-side dedup indexes (text digests, LSH band keys) as
+    standalone frames, so a deployment can persist them ONCE as bucketed
+    tables (operators/skew.py:write_bucketed on __d / band_key) and serve
+    every subsequent ingest with a join in which the 100 TB corpus side
+    never shuffles — the claim incremental_dedup_verdicts documents, made
+    executable (plan-asserted in tests/test_skew.py)."""
+    rows_per_band = num_perm // bands
+    digests = corpus.select(F.md5(F.col(text_col)).alias("__d")).distinct()
+    sig = minhash_signature(
+        ensure_min_partitions(corpus.select(id_col, text_col)), text_col, 3, num_perm
+    )
+    # (band_idx, band_key) fused into ONE probe column so the index can be
+    # bucketed on a single key and every probe join satisfies the bucket
+    # partitioning exactly (a two-column join key over one-column bucketing
+    # forces a corpus-side exchange — the thing this index exists to avoid)
+    band_keys = (
+        lsh_band_keys(sig, bands, rows_per_band)
+        .select(_fused_band(F.col("band_idx"), F.col("band_key")).alias("__bk"))
+        .distinct()
+    )
+    return digests, band_keys
+
+
+def incremental_dedup_verdicts(
+    incoming: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 9,
+    bands: int = 3,
+    corpus_index: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Continual-ingestion dedup: classify every incoming doc against an
     EXISTING corpus — ``exact_dup`` (byte-identical text already present),
@@ -483,8 +518,12 @@ def incremental_dedup_verdicts(
     docs, no distinct needed afterwards.
     """
     rows_per_band = num_perm // bands
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("provide corpus or corpus_index")
+        corpus_index = build_dedup_index(corpus, id_col, text_col, num_perm, bands)
+    corp_digest, corp_bands = corpus_index
     inc_digest = incoming.select(F.col(id_col), F.md5(F.col(text_col)).alias("__d"))
-    corp_digest = corpus.select(F.md5(F.col(text_col)).alias("__d")).distinct()
     exact = inc_digest.join(corp_digest, "__d", "left_semi").select(id_col)
 
     def _bands(df):
@@ -498,11 +537,8 @@ def incremental_dedup_verdicts(
 
     near = (
         _bands(incoming)
-        .join(
-            _bands(corpus).select("band_idx", "band_key").distinct(),
-            ["band_idx", "band_key"],
-            "left_semi",
-        )
+        .select(id_col, _fused_band(F.col("band_idx"), F.col("band_key")).alias("__bk"))
+        .join(corp_bands, "__bk", "left_semi")
         .select(id_col)
         .distinct()
     )

@@ -61,3 +61,57 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     plan = joined._jdf.queryExecution().explainString(mode)
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
     assert joined.count() == t["lineitem"].count()
+
+
+def test_incremental_dedup_against_bucketed_index_corpus_never_shuffles(spark, sf_dir):
+    """The production ingest shape: the corpus dedup indexes persisted ONCE
+    as bucketed tables; every ingest probes them with semi-joins in which
+    the corpus side has ZERO exchanges (only the small incoming batch
+    shuffles to the bucket layout). Verdicts must equal the inline form."""
+    import uuid
+
+    from flink_uba_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_verdicts,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    incoming = docs.filter(F.col("doc_id") % 10 == 7)
+
+    digests, band_keys = build_dedup_index(corpus)
+    write_bucketed(digests, f"dd_digest_{suffix}", "__d", 8)
+    write_bucketed(band_keys, f"dd_bands_{suffix}", "__bk", 8)
+
+    # pin the sort-merge path: at test SF the tiny indexes would broadcast
+    # (also exchange-free, but the bucketing claim is about the at-scale
+    # shape where the corpus index exceeds any broadcast threshold)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        indexed = incremental_dedup_verdicts(
+            incoming,
+            corpus_index=(
+                spark.table(f"dd_digest_{suffix}"),
+                spark.table(f"dd_bands_{suffix}"),
+            ),
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = indexed._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # every Exchange in the plan must hash on incoming-side derivations
+    # (__d probe / band probe / doc_id rollup) — none may follow a scan of
+    # the bucketed index tables
+    for m in re.finditer(r"^\(\d+\) Exchange[^\n]*\n(?:.+\n)*?\s*Input \[[^\]]*\]: \[([^\]]*)\]", plan, re.M):
+        cols = m.group(1)
+        assert f"dd_digest_{suffix}" not in cols and f"dd_bands_{suffix}" not in cols
+    # structural check: the two index scans feed their joins with no
+    # Exchange between scan and join
+    assert plan.count("SelectedBucketsCount") >= 2
+
+    inline = incremental_dedup_verdicts(incoming, corpus)
+    a = {(r.doc_id, r.verdict) for r in indexed.collect()}
+    b = {(r.doc_id, r.verdict) for r in inline.collect()}
+    assert a == b and len(a) > 0
