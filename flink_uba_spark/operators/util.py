@@ -30,3 +30,30 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     if n < target:
         return df.repartition(target)
     return df
+
+
+def profile_columns(df, cols: "list[str] | None" = None):
+    """Data-profiling rollup — per column: row count, null count, exact
+    distinct count. The QA primitive a pipeline runs before/after every
+    curation stage (schema drift, null regressions, key-cardinality
+    checks).
+
+    Plan: ONE aggregate over the scan; multi-distinct compiles to a single
+    Expand (one row per profiled column per input row) + two-level
+    hash aggregate — the standard Spark multi-count-distinct shape, linear
+    in rows × profiled columns with map-side partial aggregation. The wide
+    one-row result unpivots via stack() to (column, n_rows, n_null,
+    n_distinct) — driver never sees data, only the p-row profile."""
+    from pyspark.sql import functions as F
+
+    cols = cols if cols is not None else df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', __null_{c}, __dist_{c}" for c in cols)
+    return wide.select(
+        F.expr(f"stack({len(cols)}, {stack}) AS (column, n_null, n_distinct)"),
+        F.col("__n").alias("n_rows"),
+    ).select("column", "n_rows", "n_null", "n_distinct")

@@ -1504,8 +1504,39 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling rollup over the events table — per-column null and
+    exact-distinct counts in one pass (operators/util.py:profile_columns:
+    single Expand + two-level hash aggregate, the multi-distinct shape)."""
+    from flink_uba_spark.operators.util import profile_columns
+    from flink_uba_spark.sources.readers import load_testdata
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    return profile_columns(ev, ["event_id", "user_id", "event_type", "props"])
+
+
+EVENTS_PROFILE_ORACLE = """
+SELECT 'event_id' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT event_id) AS n_distinct FROM events
+UNION ALL
+SELECT 'user_id', count(*),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', count(*),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'props', count(*),
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT props) FROM events
+"""
+
+
 QUERIES = {
     "classifier_quality_filter": classifier_quality_filter,
+    "events_profile": events_profile,
     "corpus_vocabulary": corpus_vocabulary,
     "dedup_span_exact": dedup_span_exact,
     "source_curation_rollup": source_curation_rollup,
@@ -1550,6 +1581,7 @@ QUERIES = {
 
 ORACLES = {
     "classifier_quality_filter": CLASSIFIER_QUALITY_FILTER_ORACLE,
+    "events_profile": EVENTS_PROFILE_ORACLE,
     "corpus_vocabulary": CORPUS_VOCABULARY_ORACLE,
     "dedup_span_exact": DEDUP_SPAN_EXACT_ORACLE,
     "source_curation_rollup": SOURCE_CURATION_ROLLUP_ORACLE,
