@@ -182,22 +182,19 @@ def classifier_quality_scores(
     deterministic across engines, partitionings, and executor counts."""
     spark = df.sparkSession
     w = weights if weights is not None else hashed_classifier_weights(spark, n_buckets)
+    # coalesce(text,'') makes the explode total (split('',' ') yields one ''
+    # token), so every doc reaches the rollup and no join-back / second
+    # scan of the corpus is needed — ONE scan, one broadcast, one exchange
     toks = df.select(
-        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+        "doc_id", F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok")
     ).withColumn(
         "bucket",
         (F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long") % n_buckets)
         .cast("int"),
     )
-    scored = (
+    return (
         toks.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum("weight").alias("score"))
-    )
-    # docs whose text has no tokens (empty string still yields one '' token
-    # after split, so every doc appears) — keep the contract total anyway
-    return df.select("doc_id").join(scored, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
-        (F.coalesce(F.col("score"), F.lit(0)) >= 0).alias("keep"),
+        .agg(F.sum("weight").cast("long").alias("score"))
+        .select("doc_id", "score", (F.col("score") >= 0).alias("keep"))
     )
