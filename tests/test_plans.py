@@ -114,3 +114,24 @@ def test_round2_additions_plan_contracts(spark, sf_dir):
     ps = plan_of(spark, sf_dir, dp.doc_train_test_split)
     assert count_nodes(ps, "Exchange") == 0
     assert "pythonUDF" not in ps and "BatchEvalPython" not in ps
+
+
+def test_classifier_quality_filter_single_scan_broadcast_weights(spark, sf_dir):
+    """Round-4 shape lock: one corpus scan, broadcast weight dim, one
+    shuffle (the doc_id rollup) — no join-back second scan."""
+    from flink_uba_spark.queries import datapipe
+
+    p = plan_of(spark, sf_dir, datapipe.classifier_quality_filter)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+
+
+def test_events_profile_single_pass_expand(spark, sf_dir):
+    """Multi-distinct profiling runs as ONE scan with the Expand-based
+    two-level aggregate — not one job per column."""
+    from flink_uba_spark.queries import datapipe
+
+    p = plan_of(spark, sf_dir, datapipe.events_profile)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "Expand" in p
