@@ -148,8 +148,20 @@ def make_pattern_matcher(
             else pd.DataFrame(columns=["event_id", "ts", "event_type"])
         )
         if len(rows):
-            et = rows["event_type"].to_numpy()
-            match = np.stack([et == t for t in step_types], axis=1)
+            if "__p1" in rows.columns:
+                # general-predicate mode: step membership precomputed
+                # JVM-side (stream_pattern_detect) — the payload carries n
+                # booleans instead of the raw predicate inputs
+                match = np.stack(
+                    [
+                        rows[f"__p{s}"].fillna(False).to_numpy().astype(bool)
+                        for s in range(1, n + 1)
+                    ],
+                    axis=1,
+                )
+            else:
+                et = rows["event_type"].to_numpy()
+                match = np.stack([et == t for t in step_types], axis=1)
             keep = match.any(axis=1)
             rows = rows.loc[keep].reset_index(drop=True)
             match = match[keep]
@@ -267,7 +279,13 @@ def stream_pattern_detect(
     ``state_ttl`` (e.g. ``"INTERVAL 1 DAY"``) turns on the bounded-state
     policy: event-time timers flush chains idle past the ttl as
     ``incomplete`` rows (see make_pattern_matcher) — the knob an unbounded
-    deployment sets; leave None for exact batch equality on replays."""
+    deployment sets; leave None for exact batch equality on replays.
+
+    Each step's first element may be an event-type STRING or an arbitrary
+    ``Column`` predicate (the batch compiler's surface): predicates are
+    evaluated JVM-side before the keyed exchange, so the state operator's
+    payload carries N booleans, not the predicate inputs."""
+    from pyspark.sql import Column
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def _us(interval: str) -> int:
@@ -281,15 +299,33 @@ def stream_pattern_detect(
         }[unit]
         return qty * unit_us
 
-    step_types = [s for s, _ in steps]
+    specs = [s for s, _ in steps]
     withins_us = [None if w is None else _us(w) for _, w in steps]
-
-    filtered = events.filter(F.col("event_type").isin(*step_types)).select(
-        F.col(event_id).alias("event_id"),
-        F.col(ts).alias("ts"),
-        F.col(key).alias("user_id"),
-        "event_type",
+    preds = [
+        (F.col("event_type") == s) if isinstance(s, str) else s.cast("boolean")
+        for s in specs
+    ]
+    n = len(preds)
+    flag_cols = [
+        F.coalesce(p, F.lit(False)).alias(f"__p{i}") for i, p in enumerate(preds, 1)
+    ]
+    # rows matching no step are dropped at the scan (an OR of the raw
+    # predicates — pushdown-friendly, unlike greatest() over aliases), and
+    # only the N booleans ride through the keyed shuffle
+    any_step = preds[0]
+    for p in preds[1:]:
+        any_step = any_step | p
+    filtered = (
+        events.filter(any_step)
+        .withColumns({f"__p{i}": c for i, c in zip(range(1, n + 1), flag_cols)})
+        .select(
+            F.col(event_id).alias("event_id"),
+            F.col(ts).alias("ts"),
+            F.col(key).alias("user_id"),
+            *[f"__p{i}" for i in range(1, n + 1)],
+        )
     )
+    step_types = [s if isinstance(s, str) else f"step{i}" for i, s in enumerate(specs, 1)]
     ttl_us = None if state_ttl is None else _us(state_ttl)
     if ttl_us is not None:
         filtered = filtered.withWatermark("ts", watermark_delay)

@@ -405,3 +405,54 @@ def test_pattern_matcher_ttl_zero_none_is_exact():
         )
     )
     assert list(out["state"]) == ["matched_late"]
+
+
+def test_stream_pattern_arbitrary_predicates_match_batch(spark, sf_dir):
+    """The streaming NFA accepts Column predicates (the batch compiler's
+    surface): a value-filtered 3-step pattern over a two-batch replay must
+    equal batch pattern_detect minus incomplete rows."""
+    from pyspark.sql import functions as F
+
+    from flink_uba_spark.operators.sequence import pattern_detect
+    from flink_uba_spark.sources.readers import load_testdata
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+    from flink_uba_spark.streaming.runner import run_to_table, write_replay
+
+    preds = [
+        (F.col("event_type") == "view") & (F.col("value") >= 0.3),
+        F.col("event_type") == "click",
+        (F.col("event_type") == "purchase") | (F.col("event_type") == "signup"),
+    ]
+    ev = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mid = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    replay = write_replay(
+        [ev.filter(F.unix_micros("ts") <= mid), ev.filter(F.unix_micros("ts") > mid)],
+        tag="pattern_pred_2b",
+    )
+    sdf = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(replay)
+    )
+    got = run_to_table(
+        stream_pattern_detect(
+            sdf,
+            key="user_id",
+            steps=[(preds[0], None), (preds[1], "INTERVAL 30 MINUTES"), (preds[2], "INTERVAL 2 HOURS")],
+        )
+    ).toPandas()
+    want = (
+        pattern_detect(
+            ev,
+            key="user_id",
+            steps=[(preds[0], None), (preds[1], "INTERVAL 30 MINUTES"), (preds[2], "INTERVAL 2 HOURS")],
+        )
+        .filter("state != 'incomplete'")
+        .withColumnRenamed("anchor_id", "anchor_id")
+        .toPandas()
+    )
+    assert len(want) > 20, "vacuous"
+    cols = sorted(set(got.columns) & set(want.columns))
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.equals(w)
