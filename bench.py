@@ -119,6 +119,12 @@ HEADLINE = HEADLINE_R01 + [
     "source_curation_rollup",
     "stream_span_decontam",
     "hybrid_search_rrf",
+    "stream_pattern_view_click_purchase",
+    "order_value_percentiles_approx",
+    "item_pagerank",
+    "classifier_quality_filter",
+    "stream_embedding_topic_assign",
+    "events_profile",
 ]
 
 
