@@ -993,6 +993,53 @@ SELECT vec_id, label, cluster_id FROM assign
 """
 
 
+def stream_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier quality gate at INGEST: documents stream through the
+    hashed-feature linear scorer with the 256-row weight dim broadcast per
+    micro-batch (stream-static; the stream side shuffles only for the
+    doc_id rollup) — where a production pipeline actually runs its quality
+    model. Same operator, stream input; oracle = the batch contract. The
+    per-doc score rollup runs in complete mode over the bounded replay
+    (doc-keyed state, same as stream_span_decontam); an unbounded
+    deployment windows it by arrival time + watermark."""
+    from flink_uba_spark.operators.text import classifier_quality_scores
+    from flink_uba_spark.streaming.runner import stream_documents
+
+    return run_to_table(
+        classifier_quality_scores(stream_documents(spark, sf_dir)),
+        output_mode="complete",
+    )
+
+
+def _stream_classifier_oracle() -> str:
+    from flink_uba_spark.queries.datapipe import CLASSIFIER_QUALITY_FILTER_ORACLE
+
+    return CLASSIFIER_QUALITY_FILTER_ORACLE
+
+
+def stream_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU as a streaming query — the distinct-count-in-streaming
+    pattern: keyed dedup state (``dropDuplicates`` on (day, user)) feeds a
+    COMPLETE-mode per-day count, so each user counts once per day no
+    matter how many events arrive. State is one entry per active
+    (day, user); a production deployment bounds it with the watermark
+    horizon (dropDuplicatesWithinWatermark). Oracle: the batch DAU."""
+    ev = stream_events(spark, sf_dir)
+    pairs = ev.select(
+        F.date_trunc("DAY", "ts").alias("day"), "user_id"
+    ).dropDuplicates(["day", "user_id"])
+    return run_to_table(
+        pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau")),
+        output_mode="complete",
+    )
+
+
+STREAM_DAU_ORACLE = """
+SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS dau
+FROM events GROUP BY 1
+"""
+
+
 def _stream_pattern_vcp_oracle() -> str:
     from flink_uba_spark.queries.behavior import PATTERN_VCP_ORACLE
 
@@ -1003,6 +1050,8 @@ QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_pattern_view_click_purchase": stream_pattern_view_click_purchase,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
+    "stream_classifier_quality_filter": stream_classifier_quality_filter,
+    "stream_daily_active_users": stream_daily_active_users,
     "stream_span_decontam": stream_span_decontam,
     "stream_mktseg_revenue": stream_mktseg_revenue,
     "stream_corpus_ingest": stream_corpus_ingest,
@@ -1030,6 +1079,8 @@ ORACLES = {
     "stream_dedup_incremental": _stream_dedup_incremental_oracle(),
     "stream_pattern_view_click_purchase": _stream_pattern_vcp_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
+    "stream_classifier_quality_filter": _stream_classifier_oracle(),
+    "stream_daily_active_users": STREAM_DAU_ORACLE,
     "stream_span_decontam": STREAM_SPAN_DECONTAM_ORACLE,
     "stream_daily_anomaly": _stream_daily_anomaly_oracle(),
     "stream_event_transitions": _stream_event_transitions_oracle(),
