@@ -125,6 +125,8 @@ HEADLINE = HEADLINE_R01 + [
     "classifier_quality_filter",
     "stream_embedding_topic_assign",
     "events_profile",
+    "stream_classifier_quality_filter",
+    "stream_daily_active_users",
 ]
 
 
