@@ -1040,6 +1040,59 @@ FROM events GROUP BY 1
 """
 
 
+def stream_pattern_error_burst_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-Kleene CEP chain (signup → error.oneOrMore(30 min gap,
+    cap 5) → purchase within 2 h of the run's LAST error) in its native
+    streaming form: streaming/pattern.py:stream_kleene_detect — a per-key
+    NFA whose open runs close on cap, on in-batch gap evidence, or at the
+    stream's end via event-time timers; recovery candidates that arrive
+    while a run is open wait in a gap-horizon buffer.
+
+    The oracle is the batch Kleene result restricted to chains whose run
+    CLOSED before the stream ended: cap reached, a same-key event beyond
+    the gap, or the final (ms-floored, order-timeout-style) watermark
+    passing last_rep + gap."""
+    from flink_uba_spark.streaming.pattern import stream_kleene_detect
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_kleene_detect(
+            ev,
+            key="user_id",
+            anchor="signup",
+            repeat="error",
+            final="purchase",
+            gap="INTERVAL 30 MINUTES",
+            cap=5,
+            within1="INTERVAL 30 MINUTES",
+            within3="INTERVAL 2 HOURS",
+        )
+    )
+
+
+def _stream_kleene_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_ERROR_BURST_ORACLE
+
+    gap_us = 30 * 60 * 1_000_000
+    return f"""
+WITH batchform AS ({PATTERN_ERROR_BURST_ORACLE}),
+relevant AS (
+  SELECT user_id, ts FROM events
+  WHERE event_type IN ('signup', 'error', 'purchase')
+),
+keymax AS (SELECT user_id, max(ts) AS kmax FROM relevant GROUP BY 1),
+gmax AS (SELECT max(ts) AS g FROM relevant)
+SELECT b.user_id, b.anchor_id, b.t1, b.t2, b.t2_last, b.n2, b.t3,
+       b.max_step, b.state
+FROM batchform b JOIN keymax k ON k.user_id = b.user_id
+WHERE b.state != 'incomplete'
+  AND (b.n2 = 5
+       OR k.kmax > b.t2_last + INTERVAL 30 MINUTE
+       OR epoch_us(b.t2_last) + {gap_us}
+            <= (epoch_us((SELECT g FROM gmax)) // 1000) * 1000)
+"""
+
+
 def _stream_pattern_vcp_oracle() -> str:
     from flink_uba_spark.queries.behavior import PATTERN_VCP_ORACLE
 
@@ -1049,6 +1102,7 @@ def _stream_pattern_vcp_oracle() -> str:
 QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_pattern_view_click_purchase": stream_pattern_view_click_purchase,
+    "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_classifier_quality_filter": stream_classifier_quality_filter,
     "stream_daily_active_users": stream_daily_active_users,
@@ -1078,6 +1132,7 @@ def _stream_dedup_incremental_oracle() -> str:
 ORACLES = {
     "stream_dedup_incremental": _stream_dedup_incremental_oracle(),
     "stream_pattern_view_click_purchase": _stream_pattern_vcp_oracle(),
+    "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_classifier_quality_filter": _stream_classifier_oracle(),
     "stream_daily_active_users": STREAM_DAU_ORACLE,

@@ -336,3 +336,414 @@ def stream_pattern_detect(
         "append",
         GroupStateTimeout.NoTimeout if ttl_us is None else GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded-Kleene streaming: A -> B.oneOrMore(gap, cap) -> C
+# --------------------------------------------------------------------------
+
+KLEENE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("anchor_id", T.LongType()),
+        T.StructField("t1", T.TimestampType()),
+        T.StructField("t2", T.TimestampType()),
+        T.StructField("t2_last", T.TimestampType()),
+        T.StructField("n2", T.LongType()),
+        T.StructField("t3", T.TimestampType()),
+        T.StructField("max_step", T.LongType()),
+        T.StructField("state", T.StringType()),
+    ]
+)
+
+KLEENE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("anchor_ids", T.ArrayType(T.LongType())),
+        T.StructField("phases", T.ArrayType(T.LongType())),
+        T.StructField("t1_us", T.ArrayType(T.LongType())),
+        T.StructField("t2_us", T.ArrayType(T.LongType())),
+        T.StructField("last_us", T.ArrayType(T.LongType())),
+        T.StructField("last_rank", T.ArrayType(T.LongType())),
+        T.StructField("last_id", T.ArrayType(T.LongType())),
+        T.StructField("n_reps", T.ArrayType(T.LongType())),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_rank", T.ArrayType(T.LongType())),
+        T.StructField("buf_id", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_kleene_matcher(
+    step_types: list[str],
+    gap_us: int,
+    cap: int,
+    within1_us: int | None,
+    within3_us: int | None,
+):
+    """Per-key NFA for the 3-step bounded-Kleene chain — the streaming twin
+    of ``pattern_detect`` with steps [(A, None), (B, gap, cap), (C, w3)]
+    (``pattern_error_burst_recovery``'s shape). Semantics replicated from
+    the batch compiler:
+
+    - entry: the (ts, id)-min B row strictly after the anchor in
+      (ts, rank, id) order;
+    - the run: successive B rows each within ``gap`` of the previous (the
+      within-gap session), greedily from the entry row, capped at ``cap``;
+    - C binds to the (ts, id)-min C row strictly after the run's LAST
+      repetition;
+    - ``within1`` classifies the anchor→entry transition, ``within3`` the
+      run-last→C transition (matched vs matched_late).
+
+    The streaming delta is WHEN a run is known closed: cap reached, a
+    later in-batch event proves no B can extend it (event-time-ordered
+    batches), or — at the stream's end — the watermark passes
+    last_rep + gap (event-time timer). C candidates that arrive while a
+    run is open are kept in a per-key buffer bounded by the gap horizon
+    (they are exactly the rows between the run's final repetition and the
+    closure evidence); on closure the binder is the (ts, id)-min of
+    eligible buffered + in-batch candidates. Runs still open when the
+    final watermark lands never close — the oracle excludes those chains
+    with the same ms-floored watermark predicate the order-timeout twin
+    uses.
+
+    Micro-batch work is numpy-vectorized over chains (searchsorted binder
+    tables, shared leading-run prefix for open runs); nothing iterates per
+    event."""
+    n = 3
+    if gap_us is None:
+        raise ValueError("streaming Kleene needs a finite gap (state closure evidence)")
+
+    P1, P2, P3 = 1, 2, 3  # phases: waiting entry / open run / waiting C
+
+    def _emit(user_id, a_ids, t1, t2, t2l, nr, t3):
+        ok = np.ones(len(a_ids), dtype=bool)
+        if within1_us is not None:
+            ok &= t2 <= t1 + within1_us
+        if within3_us is not None:
+            ok &= t3 <= t2l + within3_us
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([user_id] * len(a_ids), dtype="int64"),
+                "anchor_id": pd.array(a_ids, dtype="Int64"),
+                "t1": pd.to_datetime(np.asarray(t1, dtype="int64"), unit="us"),
+                "t2": pd.to_datetime(np.asarray(t2, dtype="int64"), unit="us"),
+                "t2_last": pd.to_datetime(np.asarray(t2l, dtype="int64"), unit="us"),
+                "n2": pd.array(np.asarray(nr, dtype="int64"), dtype="int64"),
+                "t3": pd.to_datetime(np.asarray(t3, dtype="int64"), unit="us"),
+                "max_step": pd.array([3] * len(a_ids), dtype="int64"),
+                "state": pd.array(
+                    np.where(ok, "matched", "matched_late"), dtype=object
+                ),
+            }
+        )
+
+    def detect(key: tuple, pdfs, state) -> "Iterator[pd.DataFrame]":
+        (user_id,) = key
+        if state.exists:
+            (aid, ph, t1a, t2a, lus, lrk, lid, nrp, bts, brk, bid) = state.get
+            aid = np.asarray(aid, dtype="int64")
+            ph = np.asarray(ph, dtype="int64")
+            t1a = np.asarray(t1a, dtype="int64")
+            t2a = np.asarray(t2a, dtype="int64")
+            lus = np.asarray(lus, dtype="int64")
+            lrk = np.asarray(lrk, dtype="int64")
+            lid = np.asarray(lid, dtype="int64")
+            nrp = np.asarray(nrp, dtype="int64")
+            buf = (
+                np.asarray(bts, dtype="int64"),
+                np.asarray(brk, dtype="int64"),
+                np.asarray(bid, dtype="int64"),
+            )
+        else:
+            aid = ph = t1a = t2a = lus = lrk = lid = nrp = np.empty(0, dtype="int64")
+            buf = tuple(np.empty(0, dtype="int64") for _ in range(3))
+
+        frames: list[pd.DataFrame] = []
+
+        def buf_binder(sel, Lts, Lrk, Lid):
+            """(ts, id)-min buffered C row lexicographically after the
+            (Lts, Lrk, Lid) position; (ts, id) = (-1,-1) if none."""
+            bts_, brk_, bid_ = buf
+            if not bts_.size:
+                return -1, -1
+            elig = (
+                (bts_ > Lts)
+                | ((bts_ == Lts) & (brk_ > Lrk))
+                | ((bts_ == Lts) & (brk_ == Lrk) & (bid_ > Lid))
+            ) & sel
+            if not elig.any():
+                return -1, -1
+            order = np.lexsort((bid_[elig], bts_[elig]))[0]
+            return bts_[elig][order], bid_[elig][order]
+
+        def close_and_bind(idxs, batch_c=None):
+            """Chains at positions ``idxs`` just closed their runs at the
+            state triple (lus, lrk, lid): bind C from buffer (+ optional
+            in-batch candidates valid for ALL, i.e. state-position runs)
+            and emit completions; survivors go to phase 3."""
+            done_rows = []
+            for ci in idxs:  # O(pending closures), not O(events)
+                bts3, bid3 = buf_binder(
+                    np.ones(buf[0].size, dtype=bool), lus[ci], lrk[ci], lid[ci]
+                )
+                if batch_c is not None and batch_c[0] >= 0:
+                    if bts3 < 0 or (batch_c[0], batch_c[1]) < (bts3, bid3):
+                        bts3, bid3 = batch_c
+                if bts3 >= 0:
+                    done_rows.append((ci, bts3))
+                else:
+                    ph[ci] = P3
+            if done_rows:
+                cis = np.array([c for c, _ in done_rows], dtype="int64")
+                t3s = np.array([t for _, t in done_rows], dtype="int64")
+                frames.append(
+                    _emit(user_id, aid[cis], t1a[cis], t2a[cis], lus[cis], nrp[cis], t3s)
+                )
+                ph[cis] = -1  # mark done
+            return
+
+        chunks = [] if getattr(state, "hasTimedOut", False) else list(pdfs)
+        rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(rows):
+            if "__p1" in rows.columns:
+                match = np.stack(
+                    [rows[f"__p{s}"].fillna(False).to_numpy().astype(bool) for s in (1, 2, 3)],
+                    axis=1,
+                )
+            else:
+                et = rows["event_type"].to_numpy()
+                match = np.stack([et == t for t in step_types], axis=1)
+            keep = match.any(axis=1)
+            rows = rows.loc[keep].reset_index(drop=True)
+            match = match[keep]
+
+        if len(rows):
+            # chains already waiting for C when this batch STARTED — their
+            # run-last lies in a previous batch, so every batch C row is a
+            # candidate; chains that close DURING the batch bind inline at
+            # closure and must not be re-offered earlier rows
+            pre_p3 = np.flatnonzero(ph == P3)
+            ts_us = rows["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+            ev_ids = rows["event_id"].to_numpy().astype("int64")
+            rank = match.argmax(axis=1) + 1
+            order = np.lexsort((ev_ids, rank, ts_us))
+            ts_us, ev_ids, rank, match = ts_us[order], ev_ids[order], rank[order], match[order]
+            bmax = ts_us.max()
+
+            # B structure: batch-order occs + (ts, id)-ordered session view
+            b_bidx = np.flatnonzero(match[:, 1])
+            b_sorted = b_bidx[np.lexsort((ev_ids[b_bidx], ts_us[b_bidx]))]
+            b_ts, b_id, b_rk = ts_us[b_sorted], ev_ids[b_sorted], rank[b_sorted]
+            numB = b_ts.size
+            if numB:
+                link = np.empty(numB, dtype=bool)
+                link[:-1] = b_ts[1:] <= b_ts[:-1] + gap_us
+                link[-1] = False
+                # run end for a run entered at position i = the first
+                # break (link False) at or after i; link[numB-1] is False
+                brk_pos = np.flatnonzero(~link)
+                gl = brk_pos[np.searchsorted(brk_pos, np.arange(numB))]
+                b_sufmin = _suffix_argmin_ts_id(ts_us[b_bidx], ev_ids[b_bidx])
+            c_bidx = np.flatnonzero(match[:, 2])
+            c_sufmin = (
+                _suffix_argmin_ts_id(ts_us[c_bidx], ev_ids[c_bidx]) if c_bidx.size else None
+            )
+
+            def batch_c_binder(after_bidx):
+                """(ts,id)-min batch C row strictly after batch index
+                ``after_bidx`` (-1 = all)."""
+                if not c_bidx.size:
+                    return -1, -1
+                j0 = np.searchsorted(c_bidx, after_bidx, side="right")
+                if j0 >= c_bidx.size:
+                    return -1, -1
+                p = c_sufmin[j0]
+                return ts_us[c_bidx[p]], ev_ids[c_bidx[p]]
+
+            # ---- 1. extend / close open runs (shared leading B prefix)
+            open_idx = np.flatnonzero(ph == P2)
+            if open_idx.size:
+                if numB:
+                    lp1 = int(gl[0]) + 1  # leading linked-prefix length
+                    for ci in open_idx:  # O(open runs)
+                        if b_ts[0] <= lus[ci] + gap_us:
+                            t = min(cap - int(nrp[ci]), lp1)
+                            if t > 0:
+                                p = t - 1
+                                lus[ci], lrk[ci], lid[ci] = b_ts[p], b_rk[p], b_id[p]
+                                nrp[ci] += t
+                            consumed_all = t == lp1
+                            closed = (
+                                nrp[ci] == cap
+                                or (consumed_all and lp1 < numB)
+                                or (consumed_all and lp1 == numB and bmax > b_ts[lp1 - 1] + gap_us)
+                            )
+                            if closed:
+                                ph[ci] = P3
+                                close_and_bind(
+                                    [ci], batch_c_binder(b_sorted[t - 1] if t > 0 else -1)
+                                )
+                        else:
+                            # first B beyond gap (or none in reach): closed at L
+                            ph[ci] = P3
+                            close_and_bind([ci], batch_c_binder(-1))
+                else:
+                    stale = open_idx[bmax > lus[open_idx] + gap_us]
+                    if stale.size:
+                        ph[stale] = P3
+                        close_and_bind(list(stale), batch_c_binder(-1))
+
+            # ---- 2. new anchors
+            a_bidx = np.flatnonzero(match[:, 0])
+            if a_bidx.size:
+                aid = np.concatenate([aid, ev_ids[a_bidx]])
+                ph = np.concatenate([ph, np.full(a_bidx.size, P1, dtype="int64")])
+                t1a = np.concatenate([t1a, ts_us[a_bidx]])
+                t2a = np.concatenate([t2a, np.full(a_bidx.size, -1, dtype="int64")])
+                lus = np.concatenate([lus, np.full(a_bidx.size, -1, dtype="int64")])
+                lrk = np.concatenate([lrk, np.full(a_bidx.size, -1, dtype="int64")])
+                lid = np.concatenate([lid, np.full(a_bidx.size, -1, dtype="int64")])
+                nrp = np.concatenate([nrp, np.zeros(a_bidx.size, dtype="int64")])
+                anchor_pos = np.concatenate(
+                    [np.full(ph.size - a_bidx.size, -1, dtype="int64"), a_bidx]
+                )
+            else:
+                anchor_pos = np.full(ph.size, -1, dtype="int64")
+
+            # ---- 3. phase-1 chains bind their entry + greedy run
+            wait1 = np.flatnonzero(ph == P1)
+            if wait1.size and numB:
+                j0 = np.searchsorted(b_bidx, anchor_pos[wait1], side="right")
+                hit = j0 < b_bidx.size
+                for w, j in zip(wait1[hit], j0[hit]):  # O(entering chains)
+                    p_batch = b_bidx[b_sufmin[j]]
+                    # entry position in (ts,id) session order
+                    e_pos = int(np.flatnonzero(b_sorted == p_batch)[0])
+                    run_limit = int(gl[e_pos])
+                    t = min(cap, run_limit - e_pos + 1)
+                    last_pos = e_pos + t - 1
+                    t2a[w] = b_ts[e_pos]
+                    lus[w], lrk[w], lid[w] = b_ts[last_pos], b_rk[last_pos], b_id[last_pos]
+                    nrp[w] = t
+                    closed = (
+                        t == cap
+                        or run_limit < numB - 1
+                        or (run_limit == numB - 1 and bmax > b_ts[run_limit] + gap_us)
+                    )
+                    if closed:
+                        ph[w] = P3
+                        close_and_bind([w], batch_c_binder(b_sorted[last_pos]))
+                    else:
+                        ph[w] = P2
+
+            # ---- 4. phase-3 chains from EARLIER batches only (see pre_p3)
+            wait3 = pre_p3[ph[pre_p3] == P3]
+            if wait3.size:
+                close_and_bind(list(wait3), batch_c_binder(-1))
+
+            # ---- 5. buffer: C candidates after the earliest open run-last
+            live = ph >= 0
+            open_now = np.flatnonzero((ph == P2) & live)
+            if open_now.size:
+                mi = open_now[np.argmin(lus[open_now])]
+                Lts, Lr, Li = lus[mi], lrk[mi], lid[mi]
+                keep_old = (
+                    (buf[0] > Lts)
+                    | ((buf[0] == Lts) & (buf[1] > Lr))
+                    | ((buf[0] == Lts) & (buf[1] == Lr) & (buf[2] > Li))
+                )
+                newc = c_bidx[
+                    (ts_us[c_bidx] > Lts)
+                    | ((ts_us[c_bidx] == Lts) & (rank[c_bidx] > Lr))
+                    | ((ts_us[c_bidx] == Lts) & (rank[c_bidx] == Lr) & (ev_ids[c_bidx] > Li))
+                ]
+                buf = (
+                    np.concatenate([buf[0][keep_old], ts_us[newc]]),
+                    np.concatenate([buf[1][keep_old], rank[newc]]),
+                    np.concatenate([buf[2][keep_old], ev_ids[newc]]),
+                )
+            else:
+                buf = tuple(np.empty(0, dtype="int64") for _ in range(3))
+        else:
+            # timer invocation: watermark closes stale open runs from buffer
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            stale = np.flatnonzero((ph == P2) & (lus + gap_us <= wm_us)) if wm_us > 0 else np.empty(0, dtype="int64")
+            if stale.size:
+                ph[stale] = P3
+                close_and_bind(list(stale))
+            if not (ph == P2).any():
+                buf = tuple(np.empty(0, dtype="int64") for _ in range(3))
+
+        live = ph >= 0
+        aid, ph, t1a, t2a, lus, lrk, lid, nrp = (
+            a[live] for a in (aid, ph, t1a, t2a, lus, lrk, lid, nrp)
+        )
+        if aid.size or buf[0].size:
+            state.update(
+                (
+                    aid.tolist(), ph.tolist(), t1a.tolist(), t2a.tolist(),
+                    lus.tolist(), lrk.tolist(), lid.tolist(), nrp.tolist(),
+                    buf[0].tolist(), buf[1].tolist(), buf[2].tolist(),
+                )
+            )
+            open_now = ph == P2
+            if open_now.any():
+                next_ms = int(lus[open_now].min() + gap_us) // 1000 + 1
+                state.setTimeoutTimestamp(max(next_ms, state.getCurrentWatermarkMs() + 1))
+        elif state.exists:
+            state.remove()
+
+        out = [f for f in frames if len(f)]
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return detect
+
+
+def stream_kleene_detect(
+    events: DataFrame,
+    key: str,
+    anchor: str,
+    repeat: str,
+    final: str,
+    gap: str,
+    cap: int,
+    within1: str | None = None,
+    within3: str | None = None,
+    event_id: str = "event_id",
+    ts: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Wire the bounded-Kleene NFA (A → B.oneOrMore(gap, cap) → C) over a
+    streaming events frame; event-time timers provide end-of-stream run
+    closure, so the watermark is always applied."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _us2(interval):
+        parts = interval.split()
+        qty, unit = int(parts[-2]), parts[-1].lower().rstrip("s")
+        return qty * {"second": _US, "minute": 60 * _US, "hour": 3600 * _US, "day": 86400 * _US}[unit]
+
+    filtered = (
+        events.filter(F.col("event_type").isin(anchor, repeat, final))
+        .select(
+            F.col(event_id).alias("event_id"),
+            F.col(ts).alias("ts"),
+            F.col(key).alias("user_id"),
+            "event_type",
+        )
+        .withWatermark("ts", watermark_delay)
+    )
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        make_kleene_matcher(
+            [anchor, repeat, final],
+            _us2(gap),
+            cap,
+            None if within1 is None else _us2(within1),
+            None if within3 is None else _us2(within3),
+        ),
+        KLEENE_OUTPUT_SCHEMA,
+        KLEENE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

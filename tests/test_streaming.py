@@ -456,3 +456,178 @@ def test_stream_pattern_arbitrary_predicates_match_batch(spark, sf_dir):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     assert g.equals(w)
+
+
+# --- bounded-Kleene streaming NFA (streaming/pattern.py) ---
+
+_K_OUT = ["user_id", "anchor_id", "t1", "t2", "t2_last", "n2", "t3", "max_step", "state"]
+
+
+def _k_collect(gen):
+    frames = list(gen)
+    if not frames:
+        return pd.DataFrame(columns=_K_OUT)
+    return pd.concat(frames, ignore_index=True)
+
+
+def _k_detector(gap_s=100, cap=3):
+    from flink_uba_spark.streaming.pattern import make_kleene_matcher
+
+    return make_kleene_matcher(["A", "B", "C"], gap_s * US, cap, None, None)
+
+
+def _k_rows(*evs):
+    return pd.DataFrame(
+        [
+            {"event_id": i, "ts": pd.Timestamp(ts_s * US, unit="us"), "event_type": t}
+            for i, ts_s, t in evs
+        ]
+    )
+
+
+def test_kleene_run_extends_across_batches_then_gap_closes():
+    det = _k_detector()
+    st = FakeState()
+    out1 = _k_collect(det((7,), iter([_k_rows((1, 0, "A"), (2, 10, "B"))]), st))
+    assert len(out1) == 0 and st.exists
+    out2 = _k_collect(
+        det((7,), iter([_k_rows((3, 50, "B"), (4, 400, "B"), (5, 500, "C"))]), st)
+    )
+    assert len(out2) == 1
+    r = out2.iloc[0]
+    assert (r["anchor_id"], r["n2"], r["state"]) == (1, 2, "matched")
+    assert pd.Timestamp(r["t2_last"]).value // 1000 == 50 * US
+    assert pd.Timestamp(r["t3"]).value // 1000 == 500 * US
+
+
+def test_kleene_watermark_closure_binds_buffered_candidate():
+    det = _k_detector(gap_s=100, cap=5)
+    st = FakeState()
+    # C arrives while the run is still open -> buffered, not bound
+    out1 = _k_collect(
+        det((7,), iter([_k_rows((1, 0, "A"), (2, 10, "B"), (3, 50, "C"))]), st)
+    )
+    assert len(out1) == 0 and st.exists and st.timeout_set is not None
+    st.hasTimedOut = True
+    st._wm = ((10 + 100) * US) // 1000 + 1  # ms, past last_rep + gap
+    out2 = _k_collect(det((7,), iter([]), st))
+    assert len(out2) == 1
+    r = out2.iloc[0]
+    assert (r["anchor_id"], r["n2"]) == (1, 1)
+    assert pd.Timestamp(r["t3"]).value // 1000 == 50 * US
+    assert st._v is None
+
+
+def test_kleene_cap_closure_ignores_overflow_reps():
+    det = _k_detector(gap_s=100, cap=3)
+    st = FakeState()
+    out = _k_collect(
+        det(
+            (7,),
+            iter(
+                [
+                    _k_rows(
+                        (1, 0, "A"), (2, 1, "B"), (3, 2, "B"), (4, 3, "B"),
+                        (5, 4, "B"),               # beyond cap: not in the run
+                        (6, 3, "C"), (7, 5, "C"),  # C@3 ties run-last ts; C@5 binds
+                    )
+                ]
+            ),
+            st,
+        )
+    )
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["n2"], pd.Timestamp(r["t2_last"]).value // 1000 // US) == (3, 3)
+    # run-last row (B@3, rank 2) precedes C@3 (rank 3) at equal ts -> C@3 binds
+    assert pd.Timestamp(r["t3"]).value // 1000 == 3 * US
+
+
+def _k_brute(events, gap_s=100, cap=3, final_wm_ms=None):
+    """Batch Kleene semantics + the streaming closure filter."""
+    gap = gap_s * US
+    rank = {"A": 1, "B": 2, "C": 3}
+    evs = sorted(
+        [(i, s * US, t) for i, s, t in events if t in rank],
+        key=lambda e: (e[1], rank[e[2]], e[0]),
+    )
+    if not evs:
+        return []
+    bpos = [(p, e) for p, e in enumerate(evs) if e[2] == "B"]
+    bs = sorted(bpos, key=lambda pe: (pe[1][1], pe[1][0]))  # (ts, id) session order
+    maxts = max(e[1] for e in evs)
+    out = []
+    for p0, (aid, ats, t) in enumerate(evs):
+        if t != "A":
+            continue
+        entries = [(e[1], e[0], p, si) for si, (p, e) in enumerate(bs) if p > p0]
+        if not entries:
+            continue
+        ets, eid, epos, esi = min(entries)
+        # greedy run through (ts,id)-ordered B rows from esi
+        n = 1
+        last_si = esi
+        while n < cap and last_si + 1 < len(bs):
+            if bs[last_si + 1][1][1] <= bs[last_si][1][1] + gap:
+                last_si += 1
+                n += 1
+            else:
+                break
+        lpos, (lid, lts, _) = bs[last_si][0], (bs[last_si][1][0], bs[last_si][1][1], 0)
+        cands = [(e[1], e[0]) for p, e in enumerate(evs) if p > lpos and e[2] == "C"]
+        if not cands:
+            continue
+        t3, _ = min(cands)
+        closed = (
+            n == cap
+            or any(e[1] > lts + gap for e in evs)
+            or (final_wm_ms is not None and lts + gap <= final_wm_ms * 1000)
+        )
+        if closed:
+            out.append((aid, ets, lts, n, t3))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_kleene_nfa_matches_bruteforce_across_random_splits(seed):
+    import random
+
+    rnd = random.Random(seed)
+    events = [
+        (i, rnd.randint(0, 1500), rnd.choice("ABBCX"))
+        for i in range(rnd.randint(0, 28))
+    ]
+    cuts = sorted(rnd.sample(range(1, 1500), rnd.randint(0, 3))) + [10**7]
+    det = _k_detector(gap_s=100, cap=3)
+    st = FakeState()
+    got = []
+
+    def drain(gen):
+        for f in gen:
+            for r in f.itertuples(index=False):
+                got.append(
+                    (
+                        r.anchor_id,
+                        pd.Timestamp(r.t2).value // 1000,
+                        pd.Timestamp(r.t2_last).value // 1000,
+                        r.n2,
+                        pd.Timestamp(r.t3).value // 1000,
+                    )
+                )
+
+    lo = -1
+    for hi in cuts:
+        batch = [e for e in events if lo < e[1] <= hi]
+        lo = hi
+        if batch:
+            drain(det((7,), iter([_k_rows(*batch)]), st))
+    # final watermark = max event time (ms floor), timers fire
+    if events:
+        wm_ms = (max(s for _, s, _ in events) * US) // 1000
+        st.hasTimedOut = True
+        st._wm = wm_ms
+        drain(det((7,), iter([]), st))
+        want = _k_brute(events, final_wm_ms=wm_ms)
+    else:
+        want = []
+    assert sorted(got) == want
