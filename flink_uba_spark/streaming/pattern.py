@@ -544,6 +544,10 @@ def make_kleene_matcher(
                 brk_pos = np.flatnonzero(~link)
                 gl = brk_pos[np.searchsorted(brk_pos, np.arange(numB))]
                 b_sufmin = _suffix_argmin_ts_id(ts_us[b_bidx], ev_ids[b_bidx])
+                # batch-order position -> (ts,id) session position
+                b_order_perm = np.lexsort((ev_ids[b_bidx], ts_us[b_bidx]))
+                b_inv_perm = np.empty(numB, dtype="int64")
+                b_inv_perm[b_order_perm] = np.arange(numB)
             c_bidx = np.flatnonzero(match[:, 2])
             c_sufmin = (
                 _suffix_argmin_ts_id(ts_us[c_bidx], ev_ids[c_bidx]) if c_bidx.size else None
@@ -610,31 +614,46 @@ def make_kleene_matcher(
             else:
                 anchor_pos = np.full(ph.size, -1, dtype="int64")
 
-            # ---- 3. phase-1 chains bind their entry + greedy run
+            # ---- 3. phase-1 chains bind their entry + greedy run — the
+            # per-anchor hot path, fully vectorized (searchsorted + gathers)
             wait1 = np.flatnonzero(ph == P1)
             if wait1.size and numB:
                 j0 = np.searchsorted(b_bidx, anchor_pos[wait1], side="right")
                 hit = j0 < b_bidx.size
-                for w, j in zip(wait1[hit], j0[hit]):  # O(entering chains)
-                    p_batch = b_bidx[b_sufmin[j]]
-                    # entry position in (ts,id) session order
-                    e_pos = int(np.flatnonzero(b_sorted == p_batch)[0])
-                    run_limit = int(gl[e_pos])
-                    t = min(cap, run_limit - e_pos + 1)
+                w = wait1[hit]
+                if w.size:
+                    e_pos = b_inv_perm[b_sufmin[j0[hit]]]
+                    run_limit = gl[e_pos]
+                    t = np.minimum(cap, run_limit - e_pos + 1)
                     last_pos = e_pos + t - 1
                     t2a[w] = b_ts[e_pos]
                     lus[w], lrk[w], lid[w] = b_ts[last_pos], b_rk[last_pos], b_id[last_pos]
                     nrp[w] = t
                     closed = (
-                        t == cap
-                        or run_limit < numB - 1
-                        or (run_limit == numB - 1 and bmax > b_ts[run_limit] + gap_us)
+                        (t == cap)
+                        | (run_limit < numB - 1)
+                        | ((run_limit == numB - 1) & (bmax > b_ts[run_limit] + gap_us))
                     )
-                    if closed:
-                        ph[w] = P3
-                        close_and_bind([w], batch_c_binder(b_sorted[last_pos]))
-                    else:
-                        ph[w] = P2
+                    ph[w] = np.where(closed, P3, P2)
+                    wc = w[closed]
+                    if wc.size:
+                        # in-batch closure: binder is in-batch only (buffer
+                        # rows all precede the run-last row)
+                        if c_bidx.size:
+                            j0c = np.searchsorted(
+                                c_bidx, b_sorted[last_pos[closed]], side="right"
+                            )
+                            hitc = j0c < c_bidx.size
+                            bp = c_sufmin[j0c[hitc]]
+                            done = wc[hitc]
+                            if done.size:
+                                frames.append(
+                                    _emit(
+                                        user_id, aid[done], t1a[done], t2a[done],
+                                        lus[done], nrp[done], ts_us[c_bidx[bp]],
+                                    )
+                                )
+                                ph[done] = -1
 
             # ---- 4. phase-3 chains from EARLIER batches only (see pre_p3)
             wait3 = pre_p3[ph[pre_p3] == P3]
