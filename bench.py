@@ -127,6 +127,7 @@ HEADLINE = HEADLINE_R01 + [
     "events_profile",
     "stream_classifier_quality_filter",
     "stream_daily_active_users",
+    "stream_pattern_error_burst_recovery",
 ]
 
 
