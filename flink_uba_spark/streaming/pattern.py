@@ -2,8 +2,10 @@
 (``Pattern.begin(...).followedBy(...)...within(...)``,
 OrderPayTimeout.java:52-64) in its native streaming form: a per-key NFA in
 ``applyInPandasWithState``, the streaming twin of the batch compiler
-``operators/sequence.py:pattern_detect`` (plain steps; Kleene steps remain
-batch-only for now).
+``operators/sequence.py:pattern_detect``. Plain chains of any length run
+through ``stream_pattern_detect``; the bounded-Kleene 3-step shape
+(A → B.oneOrMore(gap, cap) → C) runs through ``stream_kleene_detect``
+below.
 
 Semantics (identical to the batch compiler's followed-by /
 skip-till-next-match):
