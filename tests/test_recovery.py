@@ -87,3 +87,67 @@ def test_windowed_agg_recovers_from_checkpoint(spark, sf_dir):
     w_rows = sorted(map(tuple, win.collect()))
     assert g == w_rows
     assert len(g) == len(set(g))  # no duplicate emissions after restart
+
+
+def test_pattern_nfa_recovers_from_checkpoint(spark, sf_dir):
+    """The custom pattern NFA's state (pending chains) must survive a
+    crash/restart between micro-batches: run 1 sees only the early events
+    and "crashes"; the recovered run processes the rest from the same
+    checkpoint, and the union of emissions equals the batch compiler's
+    complete rows — chains anchored before the cut complete after it."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    events = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    mid = events.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    b0 = events.filter(F.unix_micros("ts") <= mid)
+    b1 = events.filter(F.unix_micros("ts") > mid)
+    replay = write_replay([b0, b1], tag=f"recov_nfa_{uuid.uuid4().hex[:8]}")
+    second = Path(replay) / "01.parquet"
+    hidden = Path(replay).parent / (Path(replay).name + "_hidden01")
+    second.rename(hidden)
+
+    ckpt = str(Path(tempfile.mkdtemp(prefix="spark_graft_ckpt_nfa_")))
+    out_dir = str(Path(tempfile.mkdtemp(prefix="spark_graft_recov_nfa_out_")))
+    steps = [("view", None), ("click", "INTERVAL 30 MINUTES"), ("purchase", "INTERVAL 2 HOURS")]
+
+    def run_until_drained():
+        sdf = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay)
+        )
+        q = (
+            stream_pattern_detect(sdf, key="user_id", steps=steps)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_until_drained()
+    n_after_crash = spark.read.parquet(out_dir).count()
+    hidden.rename(second)
+    run_until_drained()
+
+    assert n_after_crash > 0
+
+    got = spark.read.parquet(out_dir).toPandas()
+    batch_steps = [
+        (F.col("event_type") == t, w) for t, w in steps
+    ]
+    want = (
+        pattern_detect(events, key="user_id", steps=batch_steps)
+        .filter("state != 'incomplete'")
+        .toPandas()
+    )
+    assert len(want) > n_after_crash, "every chain completed pre-cut — vacuous recovery"
+    cols = sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.equals(w)
