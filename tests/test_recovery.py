@@ -151,3 +151,62 @@ def test_pattern_nfa_recovers_from_checkpoint(spark, sf_dir):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     assert g.equals(w)
+
+
+def test_kleene_nfa_recovers_from_checkpoint(spark, sf_dir):
+    """The Kleene NFA's richer state (open runs + the gap-horizon candidate
+    buffer) must round-trip the state store: a crash/recover execution over
+    the same two-batch replay equals the uninterrupted execution exactly."""
+    from flink_uba_spark.streaming.pattern import stream_kleene_detect
+
+    events = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    mid = events.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    b0 = events.filter(F.unix_micros("ts") <= mid)
+    b1 = events.filter(F.unix_micros("ts") > mid)
+    replay = write_replay([b0, b1], tag=f"recov_kl_{uuid.uuid4().hex[:8]}")
+
+    def run(ckpt, out_dir, until_drained=True):
+        sdf = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay)
+        )
+        q = (
+            stream_kleene_detect(
+                sdf, key="user_id", anchor="signup", repeat="error",
+                final="purchase", gap="INTERVAL 30 MINUTES", cap=5,
+                within1="INTERVAL 30 MINUTES", within3="INTERVAL 2 HOURS",
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # uninterrupted reference execution
+    ck_a = str(Path(tempfile.mkdtemp(prefix="ck_kl_a_")))
+    out_a = str(Path(tempfile.mkdtemp(prefix="out_kl_a_")))
+    run(ck_a, out_a)
+
+    # crash/recover execution over the identical replay
+    second = Path(replay) / "01.parquet"
+    hidden = Path(replay).parent / (Path(replay).name + "_hidden01")
+    second.rename(hidden)
+    ck_b = str(Path(tempfile.mkdtemp(prefix="ck_kl_b_")))
+    out_b = str(Path(tempfile.mkdtemp(prefix="out_kl_b_")))
+    run(ck_b, out_b)
+    hidden.rename(second)
+    run(ck_b, out_b)
+
+    a = spark.read.parquet(out_a).toPandas()
+    b = spark.read.parquet(out_b).toPandas()
+    assert len(a) > 0, "no emissions — vacuous"
+    cols = sorted(a.columns)
+    ga = a[cols].sort_values(cols).reset_index(drop=True)
+    gb = b[cols].sort_values(cols).reset_index(drop=True)
+    assert ga.equals(gb)
