@@ -112,9 +112,14 @@ def classify_order_states_single_pass(
     LINEAR plan: union the tagged streams, ONE hash exchange on the key,
     and two frame windows over the per-key time order —
 
-    - each anchor's follow = suffix-min of the follow (ts, id) structs
-      (rows CURRENT → UNBOUNDED FOLLOWING; Spark executes shrinking-frame
-      mins as a reversed running aggregate, O(rows)),
+    - each anchor's follow = suffix-min of the follow (ts, id) structs,
+      computed as a RUNNING min over the reversed sort order (the ordering
+      triple is a total key, so the desc sort is the exact reverse
+      permutation and the suffix frame becomes a growing
+      unboundedPreceding→currentRow frame — Spark's incremental
+      UnboundedPrecedingWindowFunctionFrame, O(rows); the natural
+      currentRow→unboundedFollowing form recomputes per row, O(rows²)
+      under a hot key),
     - a follow is an orphan iff the running anchor count at its row is 0.
 
     The join form fans out anchors×follows per key before aggregating —
@@ -144,10 +149,12 @@ def classify_order_states_single_pass(
     )
     u = a.unionByName(f)
     order = [F.col("__t"), F.col("__tag"), F.coalesce("anchor_id", "follow_id")]
+    # suffix min as a growing frame over the reversed (total-key) order —
+    # O(rows) incremental, vs O(rows^2) for currentRow→unboundedFollowing
     w_next = (
         Window.partitionBy(key)
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*[c.desc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_seen = (
         Window.partitionBy(key)

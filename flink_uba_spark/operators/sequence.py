@@ -179,10 +179,20 @@ def pattern_detect(
         ).select("__id", f"__sess{k}")
         base = base.join(sess, on="__id", how="left")
 
+    # "earliest strictly-after row": the natural shrinking frame
+    # (rowsBetween(1, unboundedFollowing) over the ascending order) makes
+    # Spark recompute the min FROM SCRATCH per row
+    # (UnboundedFollowingWindowFunctionFrame) — O(rows^2) in a key
+    # partition, quadratic under one hot key. The identical row set is a
+    # GROWING frame over the reversed sort — (__ts,__rank,__id) is a total
+    # key, so desc order is the exact reverse permutation and "rows
+    # strictly after me in time" = "rows strictly before me in the desc
+    # sort" — which Spark executes as an incremental running min
+    # (UnboundedPrecedingWindowFunctionFrame), O(rows).
     w_after = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__rank", "__id")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc("__ts"), F.desc("__rank"), F.desc("__id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
 
     # chain field names carried by each step's struct (built backwards)

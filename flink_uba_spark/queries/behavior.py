@@ -511,8 +511,8 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — the ranking that survives popularity laundering, vs the raw
     counts the reference's HotItem ranks by (HotItem.java:26-73; same
     domain, the graph-global question). Edges: consecutive view-item pairs
-    per user within 30 min (event_transition_matrix's recurrence,
-    item-granular, 6 h same-session revisit window); 10 synchronous iterations in pure BIGINT arithmetic
+    per user within a 6-hour gap (event_transition_matrix's recurrence,
+    item-granular); 10 synchronous iterations in pure BIGINT arithmetic
     (operators/graph.py) so the DuckDB oracle — the same recurrence
     unrolled as 10 chained CTEs — hash-matches bit-for-bit."""
     from flink_uba_spark.operators.graph import coview_edges, pagerank

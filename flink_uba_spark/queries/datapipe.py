@@ -1493,7 +1493,9 @@ WITH w AS (
 t AS (
   SELECT doc_id,
          CAST(('0x' || substring(md5(tok), 1, 4))::BIGINT % 256 AS INTEGER) AS bucket
-  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+  -- COALESCE inside string_split: a NULL text must yield one '' token
+  -- (matching Spark's coalesce(text,'') -> split), not zero rows
+  FROM documents, unnest(string_split(COALESCE(text, ''), ' ')) AS u(tok)
 ),
 s AS (
   SELECT t.doc_id, sum(w.weight) AS score FROM t JOIN w USING (bucket) GROUP BY 1

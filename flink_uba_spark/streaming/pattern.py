@@ -709,7 +709,13 @@ def make_kleene_matcher(
             )
             open_now = ph == P2
             if open_now.any():
-                next_ms = int(lus[open_now].min() + gap_us) // 1000 + 1
+                # fire as soon as floor_ms(wm)*1000 >= lus+gap (Spark fires on
+                # wm > timeout, so ceil-1; a final watermark landing EXACTLY at
+                # last_rep+gap must still close the chain — the closure
+                # predicate is re-checked in the timer branch, so an early fire
+                # is harmless and the timer re-arms)
+                due_us = int(lus[open_now].min() + gap_us)
+                next_ms = -(-due_us // 1000) - 1
                 state.setTimeoutTimestamp(max(next_ms, state.getCurrentWatermarkMs() + 1))
         elif state.exists:
             state.remove()

@@ -29,11 +29,11 @@ def canon_cell(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "\\N"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         # shortest round-trip repr: bit-identical doubles hash equal and ANY
         # cross-engine ulp drift fails — at least as strict as the driver's
-        # gate (the determinism contract promises bit-identical doubles)
+        # gate (the determinism contract promises bit-identical doubles).
+        # Integral floats are NOT folded to ints: the driver's hash is
+        # type-sensitive (3 != 3.0), and folding masked the r04 q12 red cell.
         return repr(v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
@@ -100,13 +100,17 @@ def main() -> int:
         if sorted(spdf.columns) != sorted(opdf.columns):
             problems.append(f"cols {sorted(spdf.columns)} != {sorted(opdf.columns)}")
         else:
-            # dtype-kind drift (int vs float vs ts vs obj) is a schema
-            # mismatch the driver may flag even when values hash equal
+            # dtype-kind drift (int vs float vs ts) is a FAIL: the driver's
+            # value hash is type-sensitive, so an engine returning 3 where the
+            # other returns 3.0 red-cells even when values are equal (the r04
+            # q12 lesson — this was a WARN and got ignored).
             for c in spdf.columns:
                 ks, ko = spdf[c].dtype.kind, opdf[c].dtype.kind
                 norm = lambda k: {"u": "i"}.get(k, k)  # noqa: E731
                 if norm(ks) != norm(ko) and "O" not in (ks, ko):
-                    print(f"        WARN dtype {c}: spark {spdf[c].dtype} vs oracle {opdf[c].dtype}")
+                    problems.append(
+                        f"dtype {c}: spark {spdf[c].dtype} vs oracle {opdf[c].dtype}"
+                    )
         if not problems:
             hs, ho = frame_hash(spdf), frame_hash(opdf)
             if hs != ho:
