@@ -2,48 +2,61 @@
 (``Pattern.begin(...).followedBy(...)...within(...)``,
 OrderPayTimeout.java:52-64) in its native streaming form: a per-key NFA in
 ``applyInPandasWithState``, the streaming twin of the batch compiler
-``operators/sequence.py:pattern_detect``. Plain chains of any length run
-through ``stream_pattern_detect``; the bounded-Kleene 3-step shape
-(A → B.oneOrMore(gap, cap) → C) runs through ``stream_kleene_detect``
-below.
+``operators/sequence.py:pattern_detect``. ONE engine covers plain chains of
+any length AND bounded-Kleene (``oneOrMore(gap, cap)``) steps at any
+position ≥ 2 — the same generality as the batch compiler (round 5;
+previously the Kleene form was hardwired to the 3-step A → B⁺ → C shape).
 
 Semantics (identical to the batch compiler's followed-by /
 skip-till-next-match):
 
 - every event matching step 1 anchors an independent match attempt —
   events are NOT consumed, two anchors may bind the same successor;
-- step k+1 binds to the candidate event minimizing (ts, event_id) among
-  step-(k+1) events strictly after step k's event in (ts, step_rank,
-  event_id) order — the batch form's min-of-struct over the rows-following
-  frame, reproduced exactly (same-ts successors count; earlier pattern
-  steps order first at equal timestamps);
+- a plain step k+1 binds to the candidate event minimizing (ts, event_id)
+  among step-(k+1) events strictly after step k's bound row in
+  (ts, step_rank, event_id) order — the batch form's min-of-struct over
+  the rows-after frame, reproduced exactly (same-ts successors count;
+  earlier pattern steps order first at equal timestamps);
+- a Kleene step binds its ENTRY the same way, then extends through the
+  greedy run: successive step-k rows (in (ts, id) order among the step's
+  own rows) each within ``gap`` of the previous, capped at ``cap`` — the
+  batch compiler's within-gap session. The next step binds strictly after
+  the run's LAST repetition;
 - ``within`` bounds CLASSIFY a complete chain as ``matched`` vs
   ``matched_late`` (the payed vs payed_late rule — the first candidate
   decides, later ones are not re-searched); they never reject a binding.
+  The bound INTO a Kleene step applies to its entry; the bound INTO the
+  step after a Kleene applies from the run's last repetition.
 
 Streaming delta vs batch: a chain is emitted the moment its last step
-binds; chains whose chain never completes stay pending forever (``within``
-does not evict, because a later binder still produces ``matched_late`` —
-the bound classifies, it does not expire). On a bounded replay the output
-is therefore exactly the batch result minus its ``incomplete`` rows, which
-is what the oracle encodes. A production deployment would add a state TTL
-that flushes pending chains as ``incomplete`` once the business is done
-waiting (the one place the unbounded-wait semantics must be traded for
-bounded state); that changes late chains from matched_late to dropped, so
-it is a policy knob, not a default.
+binds. A Kleene run is only known CLOSED when cap is reached, a same-key
+row proves the gap lapsed (event-time-ordered batches: any observed row
+with ts > last_rep + gap), or the watermark passes last_rep + gap
+(event-time timer). While a run is open the chain cannot bind its next
+step, so rows that might serve LATER steps are kept in a per-key buffer
+bounded by the gap horizon (an open run's last rep is always within gap
+of the newest observed row, else evidence would have closed it); on
+closure the chain resolves against buffer + current batch. Chains whose
+runs never close by the final watermark never emit — the oracle excludes
+them with the same ms-floored watermark predicate the order-timeout twin
+uses. ``state_ttl`` optionally flushes idle chains as ``incomplete``
+(bounded-state policy knob; trades matched_late for dropped — see
+make_pattern_matcher).
 
 Vectorized micro-batch resolution (no per-event Python loop — the
-round-3-verdict anti-pattern): per key, the batch sorts ONCE by
-(ts, rank, id); each step's occurrence list carries a precomputed
-suffix-argmin by (ts, id), so every pending chain binds via one
-``np.searchsorted`` + one gather per step — O(m log m) in batch rows,
-looping only over the N pattern steps. Cross-batch state per key is
-O(pending chains) fixed-width integer rows.
+round-3-verdict anti-pattern): per key, buffer ⊕ batch forms a TIMELINE
+sorted once by (ts, rank, id); each step's occurrence list carries a
+precomputed suffix-argmin by (ts, id), Kleene steps additionally a
+session (linked-run) table, so every pending chain binds via one
+``np.searchsorted`` + gathers per step — O(m log m) in timeline rows,
+looping only over the N pattern steps (plus one O(open runs) loop for
+carried-run extension). Cross-batch state per key is O(pending chains)
+fixed-width integer rows + the gap-horizon buffer.
 
 Cross-batch ordering contract: replays split micro-batches by event time
 (equal-ts rows land together), so every prior-batch event precedes every
-current-batch event in the global sort — carried chains resolve with
-position −∞ (all current-batch candidates are "after" them).
+current-batch event in the global sort — buffer rows always precede batch
+rows and the concatenated timeline is sorted.
 """
 
 from __future__ import annotations
@@ -61,29 +74,49 @@ from pyspark.sql import types as T
 _US = 1_000_000
 
 
-def pattern_output_schema(n_steps: int) -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("anchor_id", T.LongType()),
-            *[T.StructField(f"t{k}", T.TimestampType()) for k in range(1, n_steps + 1)],
-            T.StructField("max_step", T.LongType()),
-            T.StructField("state", T.StringType()),
-        ]
-    )
+def pattern_output_schema(
+    n_steps: int, kleenes: list[tuple[int, int] | None] | None = None
+) -> T.StructType:
+    """Output columns mirror the batch compiler: t{k} per step, plus
+    t{k}_last / n{k} after each Kleene step's entry column."""
+    kleenes = kleenes or [None] * n_steps
+    fields = [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("anchor_id", T.LongType()),
+    ]
+    for k in range(1, n_steps + 1):
+        fields.append(T.StructField(f"t{k}", T.TimestampType()))
+        if kleenes[k - 1] is not None:
+            fields.append(T.StructField(f"t{k}_last", T.TimestampType()))
+            fields.append(T.StructField(f"n{k}", T.LongType()))
+    fields.append(T.StructField("max_step", T.LongType()))
+    fields.append(T.StructField("state", T.StringType()))
+    return T.StructType(fields)
 
 
+# per-chain fixed-width integers + the gap-horizon row buffer (step
+# membership packed as a bitmask — n ≤ 62 steps)
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("anchor_ids", T.ArrayType(T.LongType())),
-        T.StructField("steps", T.ArrayType(T.LongType())),
+        T.StructField("cur_step", T.ArrayType(T.LongType())),
+        T.StructField("open_flag", T.ArrayType(T.LongType())),
+        T.StructField("f_ts", T.ArrayType(T.LongType())),
+        T.StructField("f_rank", T.ArrayType(T.LongType())),
+        T.StructField("f_id", T.ArrayType(T.LongType())),
         T.StructField("bounds_flat", T.ArrayType(T.LongType())),
+        T.StructField("kl_last_flat", T.ArrayType(T.LongType())),
+        T.StructField("kl_n_flat", T.ArrayType(T.LongType())),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_rank", T.ArrayType(T.LongType())),
+        T.StructField("buf_id", T.ArrayType(T.LongType())),
+        T.StructField("buf_mask", T.ArrayType(T.LongType())),
     ]
 )
 
 
 def _suffix_argmin_ts_id(ts: np.ndarray, ids: np.ndarray) -> np.ndarray:
-    """For an occurrence list in batch-sort order, return for each start
+    """For an occurrence list in timeline-sort order, return for each start
     position j the position of the (ts, id)-minimal element in the suffix
     [j:] — the vectorized equivalent of the batch min-of-struct binder."""
     order = np.lexsort((ids, ts))
@@ -93,55 +126,116 @@ def _suffix_argmin_ts_id(ts: np.ndarray, ids: np.ndarray) -> np.ndarray:
     return order[suf_min_ordinal]
 
 
+def _insertion_pos(
+    tl_ts: np.ndarray, tl_rk: np.ndarray, tl_id: np.ndarray,
+    q_ts: np.ndarray, q_rk: np.ndarray, q_id: np.ndarray,
+) -> np.ndarray:
+    """Index of the LAST timeline row with triple ≤ each query triple
+    (lexicographic on (ts, rank, id)); -1 if none. Vectorized merge —
+    O((m+q) log(m+q)), no per-query scans."""
+    ns, nq = tl_ts.size, q_ts.size
+    if ns == 0 or nq == 0:
+        return np.full(nq, -1, dtype="int64")
+    all_ts = np.concatenate([tl_ts, q_ts])
+    all_rk = np.concatenate([tl_rk, q_rk])
+    all_id = np.concatenate([tl_id, q_id])
+    # queries tag-sort AFTER equal timeline triples → inclusive count
+    tag = np.concatenate([np.zeros(ns, dtype="int64"), np.ones(nq, dtype="int64")])
+    order = np.lexsort((tag, all_id, all_rk, all_ts))
+    sortedpos = np.empty(ns + nq, dtype="int64")
+    sortedpos[order] = np.arange(ns + nq)
+    cnt = np.cumsum((order < ns).astype("int64"))
+    return cnt[sortedpos[ns:]] - 1
+
+
 def make_pattern_matcher(
     step_types: list[str],
     withins_us: list[int | None],
     ttl_us: int | None = None,
+    kleenes: list[tuple[int, int] | None] | None = None,
 ):
     """Build the per-key state function (separate so unit tests can drive
     it with a fake GroupState, as for order_timeout/transitions).
 
-    ``ttl_us`` is the bounded-state policy knob the module docstring
-    promises: when set, a pending chain idle past its last bound event +
-    ttl (by watermark) is FLUSHED as an ``incomplete`` row and evicted —
-    state becomes O(chains inside the ttl horizon), the property an
-    unbounded deployment needs. The trade (documented): a binder arriving
-    after the flush no longer produces ``matched_late``; exact batch
-    equality holds only for the default ttl_us=None."""
+    ``kleenes[k]`` is ``(gap_us, cap)`` to make step k+1 a bounded Kleene
+    ``oneOrMore`` (None = plain step). ``withins_us[k]`` classifies the
+    transition INTO step k+1 (entry, for Kleene steps) — for batch parity
+    a Kleene step's within usually equals its gap, but they may differ.
+
+    ``ttl_us`` is the bounded-state policy knob: when set, a pending chain
+    idle past its last bound event + ttl (by watermark) is FLUSHED as an
+    ``incomplete`` row and evicted — state becomes O(chains inside the ttl
+    horizon), the property an unbounded deployment needs. The trade
+    (documented): a binder arriving after the flush no longer produces
+    ``matched_late``; exact batch equality holds only for ttl_us=None."""
     n = len(step_types)
+    kleenes = list(kleenes) if kleenes is not None else [None] * n
     if n < 2:
         raise ValueError("pattern matcher needs at least 2 steps")
-    if len(withins_us) != n:
-        raise ValueError("withins_us must have one entry per step")
+    if len(withins_us) != n or len(kleenes) != n:
+        raise ValueError("withins_us/kleenes must have one entry per step")
+    if kleenes[0] is not None:
+        raise ValueError("oneOrMore is not supported on the first step")
+    if any(k is not None and (k[0] is None or k[1] < 1) for k in kleenes):
+        raise ValueError("Kleene steps need a finite gap and max_reps >= 1")
+    has_kleene = any(k is not None for k in kleenes)
+    timers = has_kleene or ttl_us is not None
 
-    def _emit(user_id: int, a_ids, steps_arr, bounds_us, st) -> pd.DataFrame:
+    def _emit(user_id, a_ids, cur, bnd, klast, kln, st) -> pd.DataFrame:
         cols = {
             "user_id": pd.array([user_id] * len(a_ids), dtype="int64"),
             "anchor_id": pd.array(a_ids, dtype="Int64"),
         }
         for k in range(1, n + 1):
-            arr = np.asarray(bounds_us[:, k - 1], dtype="int64")
+            arr = np.asarray(bnd[:, k - 1], dtype="int64")
             dt = pd.Series(pd.to_datetime(arr, unit="us"))
             dt[arr < 0] = pd.NaT  # unbound steps of flushed chains
             cols[f"t{k}"] = dt
-        cols["max_step"] = pd.array(np.asarray(steps_arr, dtype="int64"), dtype="int64")
+            if kleenes[k - 1] is not None:
+                la = np.asarray(klast[:, k - 1], dtype="int64")
+                ldt = pd.Series(pd.to_datetime(la, unit="us"))
+                ldt[la < 0] = pd.NaT
+                cols[f"t{k}_last"] = ldt
+                nk = pd.array(np.asarray(kln[:, k - 1], dtype="int64"), dtype="Int64")
+                nk[np.asarray(kln[:, k - 1]) <= 0] = pd.NA
+                cols[f"n{k}"] = nk
+        cols["max_step"] = pd.array(np.asarray(cur, dtype="int64"), dtype="int64")
         cols["state"] = pd.array(st, dtype=object)
         return pd.DataFrame(cols)
 
     def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            s_ids, s_steps, s_flat = state.get
-            a_ids = np.asarray(s_ids, dtype="int64")
-            steps_arr = np.asarray(s_steps, dtype="int64")
-            bounds = (
-                np.asarray(s_flat, dtype="int64").reshape(-1, n)
-                if len(s_ids)
-                else np.empty((0, n), dtype="int64")
+            (s_aid, s_cur, s_opn, s_fts, s_frk, s_fid,
+             s_bnd, s_kl, s_kn, s_bts, s_brk, s_bid, s_bmk) = state.get
+            aid = np.asarray(s_aid, dtype="int64")
+            cur = np.asarray(s_cur, dtype="int64")
+            opn = np.asarray(s_opn, dtype="int64").astype(bool)
+            fts = np.asarray(s_fts, dtype="int64")
+            frk = np.asarray(s_frk, dtype="int64")
+            fid = np.asarray(s_fid, dtype="int64")
+            nc = aid.size
+            bnd = (
+                np.asarray(s_bnd, dtype="int64").reshape(-1, n)
+                if nc else np.empty((0, n), dtype="int64")
             )
+            klast = (
+                np.asarray(s_kl, dtype="int64").reshape(-1, n)
+                if nc else np.empty((0, n), dtype="int64")
+            )
+            kln = (
+                np.asarray(s_kn, dtype="int64").reshape(-1, n)
+                if nc else np.empty((0, n), dtype="int64")
+            )
+            bts = np.asarray(s_bts, dtype="int64")
+            brk = np.asarray(s_brk, dtype="int64")
+            bid = np.asarray(s_bid, dtype="int64")
+            bmk = np.asarray(s_bmk, dtype="int64")
         else:
-            a_ids = steps_arr = np.empty(0, dtype="int64")
-            bounds = np.empty((0, n), dtype="int64")
+            aid = cur = fts = frk = fid = np.empty(0, dtype="int64")
+            opn = np.empty(0, dtype=bool)
+            bnd = klast = kln = np.empty((0, n), dtype="int64")
+            bts = brk = bid = bmk = np.empty(0, dtype="int64")
 
         chunks = [] if getattr(state, "hasTimedOut", False) else list(pdfs)
         rows = (
@@ -176,84 +270,242 @@ def make_pattern_matcher(
             rank = match.argmax(axis=1) + 1  # earliest step a row serves
             order = np.lexsort((ev_ids, rank, ts_us))
             ts_us, ev_ids, rank, match = ts_us[order], ev_ids[order], rank[order], match[order]
+        else:
+            ts_us = ev_ids = rank = np.empty(0, dtype="int64")
+            match = np.empty((0, n), dtype=bool)
 
-            # per-step occurrence lists + suffix-argmin binder tables
-            occ: dict[int, tuple] = {}
-            for s in range(1, n + 1):
-                idxs = np.flatnonzero(match[:, s - 1])
-                if idxs.size:
-                    occ[s] = (idxs, _suffix_argmin_ts_id(ts_us[idxs], ev_ids[idxs]))
+        # timeline = buffer ⊕ batch (sorted: prior-batch rows precede)
+        nbuf = bts.size
+        tl_ts = np.concatenate([bts, ts_us])
+        tl_rk = np.concatenate([brk, rank])
+        tl_id = np.concatenate([bid, ev_ids])
+        buf_match = (
+            ((bmk[:, None] >> np.arange(n)) & 1).astype(bool)
+            if nbuf else np.empty((0, n), dtype=bool)
+        )
+        tl_match = np.concatenate([buf_match, match], axis=0)
+        M = tl_ts.size
 
-            # carried chains resolve from position −∞; new anchors from
-            # their own batch index (binders are strictly after)
-            posidx = np.full(a_ids.size, -1, dtype="int64")
-            if 1 in occ:
-                new_idx = occ[1][0]
-                a_ids = np.concatenate([a_ids, ev_ids[new_idx]])
-                steps_arr = np.concatenate(
-                    [steps_arr, np.ones(new_idx.size, dtype="int64")]
-                )
-                new_bounds = np.full((new_idx.size, n), -1, dtype="int64")
-                new_bounds[:, 0] = ts_us[new_idx]
-                bounds = np.concatenate([bounds, new_bounds])
-                posidx = np.concatenate([posidx, new_idx])
+        try:
+            # raises on a watermark-free stream (plain, no-ttl patterns run
+            # without withWatermark); 0 = "no watermark yet" either way
+            wm_us = state.getCurrentWatermarkMs() * 1000
+        except Exception:  # noqa: BLE001
+            wm_us = 0
+        # external closure evidence: any observed row beyond last_rep+gap
+        # proves no future row can extend (event-time-ordered batches); a
+        # buffered row works too — future rows are later than ALL past rows
+        evid_ts = int(tl_ts.max()) if M else None
 
-            for s in range(2, n + 1):
-                if s not in occ:
-                    continue
-                occ_idx, best_pos = occ[s]
-                wait = np.flatnonzero(steps_arr == s - 1)
-                if not wait.size:
-                    continue
-                j0 = np.searchsorted(occ_idx, posidx[wait], side="right")
-                hit = j0 < occ_idx.size
-                upd = wait[hit]
-                bp = best_pos[j0[hit]]
-                bounds[upd, s - 1] = ts_us[occ_idx[bp]]
-                posidx[upd] = occ_idx[bp]
-                steps_arr[upd] = s
-        # (no-data invocations can only be timeouts; nothing to do)
+        # per-step occurrence lists + binder / session tables
+        occ: dict[int, tuple] = {}
+        ksess: dict[int, tuple] = {}
+        for s in range(1, n + 1):
+            idxs = np.flatnonzero(tl_match[:, s - 1])
+            if not idxs.size:
+                continue
+            occ[s] = (idxs, _suffix_argmin_ts_id(tl_ts[idxs], tl_id[idxs]))
+            if kleenes[s - 1] is not None:
+                perm = np.lexsort((tl_id[idxs], tl_ts[idxs]))  # session order
+                srt = idxs[perm]
+                inv = np.empty(idxs.size, dtype="int64")
+                inv[perm] = np.arange(idxs.size)
+                sts = tl_ts[srt]
+                link = np.empty(idxs.size, dtype=bool)
+                link[:-1] = sts[1:] <= sts[:-1] + kleenes[s - 1][0]
+                link[-1] = False
+                brkpos = np.flatnonzero(~link)
+                gl = brkpos[np.searchsorted(brkpos, np.arange(idxs.size))]
+                ksess[s] = (srt, inv, gl)
+
+        # carried chains: frontier position in the timeline (buffer rows may
+        # precede or follow a chain's frontier; batch rows always follow)
+        posidx = _insertion_pos(tl_ts, tl_rk, tl_id, fts, frk, fid)
 
         frames: list[pd.DataFrame] = []
-        done = steps_arr == n
-        if done.any():
-            d_bounds = bounds[done]
-            ok = np.ones(int(done.sum()), dtype=bool)
-            for s in range(2, n + 1):
-                w = withins_us[s - 1]
-                if w is not None:
-                    ok &= d_bounds[:, s - 1] <= d_bounds[:, s - 2] + w
-            st = np.where(ok, "matched", "matched_late")
-            frames.append(_emit(user_id, a_ids[done], steps_arr[done], d_bounds, st))
-            a_ids, steps_arr, bounds = a_ids[~done], steps_arr[~done], bounds[~done]
 
-        if ttl_us is not None and a_ids.size:
-            wm_us = state.getCurrentWatermarkMs() * 1000
-            last_us = bounds.max(axis=1)
-            expired = (last_us + ttl_us <= wm_us) if wm_us > 0 else np.zeros(a_ids.size, dtype=bool)
+        # ---- 1. extend / close carried open runs — O(open chains)
+        for ci in np.flatnonzero(opn):
+            s = int(cur[ci])
+            gap_us, cap = kleenes[s - 1]
+            closed = False
+            if s in ksess:
+                srt, inv, gl = ksess[s]
+                numS = srt.size
+                # batch step-s rows form a session-order SUFFIX (their ts
+                # exceed all buffer ts); buffer step-s rows all precede an
+                # open run's last rep (they extended it on arrival)
+                q0 = int(np.count_nonzero(srt < nbuf))
+                if q0 < numS:
+                    if tl_ts[srt[q0]] <= fts[ci] + gap_us:
+                        lp = int(gl[q0]) - q0 + 1
+                        t = min(cap - int(kln[ci, s - 1]), lp)
+                        if t > 0:
+                            lastp = srt[q0 + t - 1]
+                            fts[ci], frk[ci], fid[ci] = tl_ts[lastp], tl_rk[lastp], tl_id[lastp]
+                            klast[ci, s - 1] = tl_ts[lastp]
+                            kln[ci, s - 1] += t
+                            posidx[ci] = lastp
+                        closed = (
+                            kln[ci, s - 1] >= cap
+                            or (t == lp and gl[q0] < numS - 1)
+                            or (
+                                t == lp and gl[q0] == numS - 1
+                                and evid_ts is not None
+                                and evid_ts > fts[ci] + gap_us
+                            )
+                        )
+                    else:
+                        closed = True  # next step-s row beyond gap: break
+                else:
+                    closed = evid_ts is not None and evid_ts > fts[ci] + gap_us
+            else:
+                closed = evid_ts is not None and evid_ts > fts[ci] + gap_us
+            if not closed and wm_us > 0 and fts[ci] + gap_us <= wm_us:
+                closed = True
+            if closed:
+                opn[ci] = False
+
+        # ---- 2. new anchors (batch rows matching step 1; buffer rows
+        # anchored when they first arrived)
+        if 1 in occ:
+            a_tl = occ[1][0]
+            a_tl = a_tl[a_tl >= nbuf]
+            if a_tl.size:
+                aid = np.concatenate([aid, tl_id[a_tl]])
+                cur = np.concatenate([cur, np.ones(a_tl.size, dtype="int64")])
+                opn = np.concatenate([opn, np.zeros(a_tl.size, dtype=bool)])
+                fts = np.concatenate([fts, tl_ts[a_tl]])
+                frk = np.concatenate([frk, tl_rk[a_tl]])
+                fid = np.concatenate([fid, tl_id[a_tl]])
+                nb = np.full((a_tl.size, n), -1, dtype="int64")
+                nb[:, 0] = tl_ts[a_tl]
+                bnd = np.concatenate([bnd, nb])
+                klast = np.concatenate([klast, np.full((a_tl.size, n), -1, dtype="int64")])
+                kln = np.concatenate([kln, np.zeros((a_tl.size, n), dtype="int64")])
+                posidx = np.concatenate([posidx, a_tl])
+
+        # ---- 3. resolution sweep — vectorized over chains per step
+        for s in range(2, n + 1):
+            w = np.flatnonzero((cur == s - 1) & ~opn)
+            if not w.size or s not in occ:
+                continue
+            occ_idx, sufmin = occ[s]
+            j0 = np.searchsorted(occ_idx, posidx[w], side="right")
+            hit = j0 < occ_idx.size
+            w, j0 = w[hit], j0[hit]
+            if not w.size:
+                continue
+            bp = sufmin[j0]          # occ-order position of (ts,id)-min binder
+            rowpos = occ_idx[bp]     # timeline position of the entry/bound row
+            bnd[w, s - 1] = tl_ts[rowpos]
+            cur[w] = s
+            if kleenes[s - 1] is None:
+                fts[w], frk[w], fid[w] = tl_ts[rowpos], tl_rk[rowpos], tl_id[rowpos]
+                posidx[w] = rowpos
+            else:
+                gap_us, cap = kleenes[s - 1]
+                srt, inv, gl = ksess[s]
+                numS = srt.size
+                se = inv[bp]                     # entry session position
+                rl = gl[se]                      # run limit (session end)
+                t = np.minimum(cap, rl - se + 1)
+                lastp = srt[se + t - 1]
+                klast[w, s - 1] = tl_ts[lastp]
+                kln[w, s - 1] = t
+                fts[w], frk[w], fid[w] = tl_ts[lastp], tl_rk[lastp], tl_id[lastp]
+                posidx[w] = lastp
+                closed = (t == cap) | (rl < numS - 1)
+                if evid_ts is not None:
+                    closed |= (rl == numS - 1) & (evid_ts > tl_ts[lastp] + gap_us)
+                if wm_us > 0:
+                    closed |= tl_ts[lastp] + gap_us <= wm_us
+                opn[w] = ~closed
+
+        # ---- 4. emit complete chains (run closed for a last-step Kleene)
+        done = (cur == n) & ~opn
+        if done.any():
+            d_bnd = bnd[done]
+            ok = np.ones(int(done.sum()), dtype=bool)
+            for k in range(2, n + 1):
+                wv = withins_us[k - 1]
+                if wv is not None:
+                    prev = (
+                        klast[done, k - 2]
+                        if kleenes[k - 2] is not None
+                        else d_bnd[:, k - 2]
+                    )
+                    ok &= d_bnd[:, k - 1] <= prev + wv
+            st = np.where(ok, "matched", "matched_late")
+            frames.append(_emit(user_id, aid[done], cur[done], d_bnd, klast[done], kln[done], st))
+        alive = ~((cur == n) & ~opn)
+
+        # ---- 5. ttl flush (bounded-state policy)
+        if ttl_us is not None and alive.any():
+            expired = (
+                alive & (fts + ttl_us <= wm_us)
+                if wm_us > 0
+                else np.zeros(aid.size, dtype=bool)
+            )
             if expired.any():
                 frames.append(
                     _emit(
-                        user_id,
-                        a_ids[expired],
-                        steps_arr[expired],
-                        bounds[expired],
+                        user_id, aid[expired], cur[expired], bnd[expired],
+                        klast[expired], kln[expired],
                         ["incomplete"] * int(expired.sum()),
                     )
                 )
-                a_ids, steps_arr, bounds = (
-                    a_ids[~expired],
-                    steps_arr[~expired],
-                    bounds[~expired],
-                )
+                alive &= ~expired
 
-        if a_ids.size:
-            state.update((a_ids.tolist(), steps_arr.tolist(), bounds.reshape(-1).tolist()))
-            if ttl_us is not None:
-                next_ms = int(bounds.max(axis=1).min() + ttl_us) // 1000
-                state.setTimeoutTimestamp(max(next_ms, state.getCurrentWatermarkMs() + 1))
+        aid, cur, opn, fts, frk, fid = (
+            a[alive] for a in (aid, cur, opn, fts, frk, fid)
+        )
+        bnd, klast, kln = bnd[alive], klast[alive], kln[alive]
+
+        # ---- 6. buffer: rows after the earliest open-run frontier may bind
+        # later steps once that run closes; everything else is consumed
+        if opn.any():
+            oi = np.flatnonzero(opn)
+            mi = oi[np.lexsort((fid[oi], frk[oi], fts[oi]))[0]]
+            lt, lr, li = fts[mi], frk[mi], fid[mi]
+            keep = (tl_ts > lt) | (
+                (tl_ts == lt) & ((tl_rk > lr) | ((tl_rk == lr) & (tl_id > li)))
+            )
+            bts, brk, bid = tl_ts[keep], tl_rk[keep], tl_id[keep]
+            bmk = (tl_match[keep].astype("int64") << np.arange(n)).sum(axis=1)
+        else:
+            bts = brk = bid = bmk = np.empty(0, dtype="int64")
+
+        # ---- 7. persist + timers
+        if aid.size or bts.size:
+            state.update(
+                (
+                    aid.tolist(), cur.tolist(), opn.astype("int64").tolist(),
+                    fts.tolist(), frk.tolist(), fid.tolist(),
+                    bnd.reshape(-1).tolist(), klast.reshape(-1).tolist(),
+                    kln.reshape(-1).tolist(),
+                    bts.tolist(), brk.tolist(), bid.tolist(), bmk.tolist(),
+                )
+            )
+            if timers:
+                # fire as soon as floor_ms(wm)*1000 >= due (Spark fires on
+                # wm > timeout, so ceil-1; the closure/flush predicates are
+                # re-checked on firing, so an early fire is harmless and
+                # the timer re-arms)
+                cands = []
+                oi = np.flatnonzero(opn)
+                if oi.size:
+                    due = min(int(fts[c]) + kleenes[int(cur[c]) - 1][0] for c in oi)
+                    cands.append(-(-due // 1000) - 1)
+                if ttl_us is not None and aid.size:
+                    cands.append(-(-(int(fts.min()) + ttl_us) // 1000) - 1)
+                if cands:
+                    state.setTimeoutTimestamp(
+                        max(min(cands), state.getCurrentWatermarkMs() + 1)
+                    )
         elif state.exists:
             state.remove()
+
         out = [f for f in frames if len(f)]
         if out:
             yield pd.concat(out, ignore_index=True)
@@ -261,10 +513,22 @@ def make_pattern_matcher(
     return detect
 
 
+def _interval_us(interval: str) -> int:
+    parts = interval.split()
+    qty, unit = int(parts[-2]), parts[-1].lower().rstrip("s")
+    unit_us = {
+        "second": _US,
+        "minute": 60 * _US,
+        "hour": 3600 * _US,
+        "day": 86400 * _US,
+    }[unit]
+    return qty * unit_us
+
+
 def stream_pattern_detect(
     events: DataFrame,
     key: str,
-    steps: list[tuple[str, str | None]],
+    steps: list[tuple],
     event_id: str = "event_id",
     ts: str = "ts",
     state_ttl: str | None = None,
@@ -272,37 +536,36 @@ def stream_pattern_detect(
 ) -> DataFrame:
     """Wire the matcher over a streaming events frame.
 
-    ``steps`` is an ordered list of ``(event_type, within)`` where
-    ``within`` (an ``INTERVAL`` literal or None) bounds — and only
-    classifies — the transition INTO that step, exactly as in the batch
-    ``pattern_detect``. Rows matching no step are dropped before the keyed
-    exchange (the batch compiler's scan filter).
+    ``steps`` mirrors the batch ``pattern_detect`` surface: an ordered list
+    of ``(spec, within)`` or ``(spec, within, max_reps)`` where ``within``
+    (an ``INTERVAL`` literal or None) bounds — and only classifies — the
+    transition INTO that step, and a present ``max_reps`` makes the step a
+    bounded Kleene ``oneOrMore`` whose repetition gap is ``within`` (batch
+    parity: the Kleene within doubles as the session gap). Rows matching
+    no step are dropped before the keyed exchange (the batch compiler's
+    scan filter).
 
     ``state_ttl`` (e.g. ``"INTERVAL 1 DAY"``) turns on the bounded-state
     policy: event-time timers flush chains idle past the ttl as
     ``incomplete`` rows (see make_pattern_matcher) — the knob an unbounded
     deployment sets; leave None for exact batch equality on replays.
 
-    Each step's first element may be an event-type STRING or an arbitrary
+    Each step's spec may be an event-type STRING or an arbitrary
     ``Column`` predicate (the batch compiler's surface): predicates are
     evaluated JVM-side before the keyed exchange, so the state operator's
-    payload carries N booleans, not the predicate inputs."""
-    from pyspark.sql import Column
+    payload carries N booleans, not the predicate inputs.
+
+    Kleene steps need event-time timers for end-of-stream run closure, so
+    their presence (like ``state_ttl``) applies the watermark."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def _us(interval: str) -> int:
-        parts = interval.split()
-        qty, unit = int(parts[-2]), parts[-1].lower().rstrip("s")
-        unit_us = {
-            "second": _US,
-            "minute": 60 * _US,
-            "hour": 3600 * _US,
-            "day": 86400 * _US,
-        }[unit]
-        return qty * unit_us
-
-    specs = [s for s, _ in steps]
-    withins_us = [None if w is None else _us(w) for _, w in steps]
+    specs = [s[0] for s in steps]
+    withins = [s[1] for s in steps]
+    withins_us = [None if w is None else _interval_us(w) for w in withins]
+    kleenes = [
+        (_interval_us(s[1]), s[2]) if len(s) > 2 and s[2] is not None else None
+        for s in steps
+    ]
     preds = [
         (F.col("event_type") == s) if isinstance(s, str) else s.cast("boolean")
         for s in specs
@@ -328,51 +591,26 @@ def stream_pattern_detect(
         )
     )
     step_types = [s if isinstance(s, str) else f"step{i}" for i, s in enumerate(specs, 1)]
-    ttl_us = None if state_ttl is None else _us(state_ttl)
-    if ttl_us is not None:
+    ttl_us = None if state_ttl is None else _interval_us(state_ttl)
+    timers = ttl_us is not None or any(k is not None for k in kleenes)
+    if timers:
         filtered = filtered.withWatermark("ts", watermark_delay)
     return filtered.groupBy("user_id").applyInPandasWithState(
-        make_pattern_matcher(step_types, withins_us, ttl_us=ttl_us),
-        pattern_output_schema(len(steps)),
+        make_pattern_matcher(step_types, withins_us, ttl_us=ttl_us, kleenes=kleenes),
+        pattern_output_schema(n, kleenes),
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout if ttl_us is None else GroupStateTimeout.EventTimeTimeout,
+        GroupStateTimeout.EventTimeTimeout if timers else GroupStateTimeout.NoTimeout,
     )
 
 
 # --------------------------------------------------------------------------
-# Bounded-Kleene streaming: A -> B.oneOrMore(gap, cap) -> C
+# Bounded-Kleene 3-step compatibility surface (A → B.oneOrMore(gap, cap) → C)
+# — now thin wrappers over the general engine (round 5; the dedicated NFA
+# this replaced is superseded by make_pattern_matcher's kleenes support).
 # --------------------------------------------------------------------------
 
-KLEENE_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("anchor_id", T.LongType()),
-        T.StructField("t1", T.TimestampType()),
-        T.StructField("t2", T.TimestampType()),
-        T.StructField("t2_last", T.TimestampType()),
-        T.StructField("n2", T.LongType()),
-        T.StructField("t3", T.TimestampType()),
-        T.StructField("max_step", T.LongType()),
-        T.StructField("state", T.StringType()),
-    ]
-)
-
-KLEENE_STATE_SCHEMA = T.StructType(
-    [
-        T.StructField("anchor_ids", T.ArrayType(T.LongType())),
-        T.StructField("phases", T.ArrayType(T.LongType())),
-        T.StructField("t1_us", T.ArrayType(T.LongType())),
-        T.StructField("t2_us", T.ArrayType(T.LongType())),
-        T.StructField("last_us", T.ArrayType(T.LongType())),
-        T.StructField("last_rank", T.ArrayType(T.LongType())),
-        T.StructField("last_id", T.ArrayType(T.LongType())),
-        T.StructField("n_reps", T.ArrayType(T.LongType())),
-        T.StructField("buf_ts", T.ArrayType(T.LongType())),
-        T.StructField("buf_rank", T.ArrayType(T.LongType())),
-        T.StructField("buf_id", T.ArrayType(T.LongType())),
-    ]
-)
+KLEENE_OUTPUT_SCHEMA = pattern_output_schema(3, [None, (1, 1), None])
 
 
 def make_kleene_matcher(
@@ -382,349 +620,18 @@ def make_kleene_matcher(
     within1_us: int | None,
     within3_us: int | None,
 ):
-    """Per-key NFA for the 3-step bounded-Kleene chain — the streaming twin
-    of ``pattern_detect`` with steps [(A, None), (B, gap, cap), (C, w3)]
-    (``pattern_error_burst_recovery``'s shape). Semantics replicated from
-    the batch compiler:
-
-    - entry: the (ts, id)-min B row strictly after the anchor in
-      (ts, rank, id) order;
-    - the run: successive B rows each within ``gap`` of the previous (the
-      within-gap session), greedily from the entry row, capped at ``cap``;
-    - C binds to the (ts, id)-min C row strictly after the run's LAST
-      repetition;
-    - ``within1`` classifies the anchor→entry transition, ``within3`` the
-      run-last→C transition (matched vs matched_late).
-
-    The streaming delta is WHEN a run is known closed: cap reached, a
-    later in-batch event proves no B can extend it (event-time-ordered
-    batches), or — at the stream's end — the watermark passes
-    last_rep + gap (event-time timer). C candidates that arrive while a
-    run is open are kept in a per-key buffer bounded by the gap horizon
-    (they are exactly the rows between the run's final repetition and the
-    closure evidence); on closure the binder is the (ts, id)-min of
-    eligible buffered + in-batch candidates. Runs still open when the
-    final watermark lands never close — the oracle excludes those chains
-    with the same ms-floored watermark predicate the order-timeout twin
-    uses.
-
-    Micro-batch work is numpy-vectorized over chains (searchsorted binder
-    tables, shared leading-run prefix for open runs); nothing iterates per
-    event."""
-    n = 3
+    """Per-key NFA for the 3-step bounded-Kleene chain — kept as the
+    historical test surface; delegates to the general matcher. ``within1``
+    classifies the anchor→entry transition, ``within3`` the run-last→C
+    transition (they may differ from ``gap``, unlike the batch compiler's
+    merged within)."""
     if gap_us is None:
         raise ValueError("streaming Kleene needs a finite gap (state closure evidence)")
-
-    P1, P2, P3 = 1, 2, 3  # phases: waiting entry / open run / waiting C
-
-    def _emit(user_id, a_ids, t1, t2, t2l, nr, t3):
-        ok = np.ones(len(a_ids), dtype=bool)
-        if within1_us is not None:
-            ok &= t2 <= t1 + within1_us
-        if within3_us is not None:
-            ok &= t3 <= t2l + within3_us
-        return pd.DataFrame(
-            {
-                "user_id": pd.array([user_id] * len(a_ids), dtype="int64"),
-                "anchor_id": pd.array(a_ids, dtype="Int64"),
-                "t1": pd.to_datetime(np.asarray(t1, dtype="int64"), unit="us"),
-                "t2": pd.to_datetime(np.asarray(t2, dtype="int64"), unit="us"),
-                "t2_last": pd.to_datetime(np.asarray(t2l, dtype="int64"), unit="us"),
-                "n2": pd.array(np.asarray(nr, dtype="int64"), dtype="int64"),
-                "t3": pd.to_datetime(np.asarray(t3, dtype="int64"), unit="us"),
-                "max_step": pd.array([3] * len(a_ids), dtype="int64"),
-                "state": pd.array(
-                    np.where(ok, "matched", "matched_late"), dtype=object
-                ),
-            }
-        )
-
-    def detect(key: tuple, pdfs, state) -> "Iterator[pd.DataFrame]":
-        (user_id,) = key
-        if state.exists:
-            (aid, ph, t1a, t2a, lus, lrk, lid, nrp, bts, brk, bid) = state.get
-            aid = np.asarray(aid, dtype="int64")
-            ph = np.asarray(ph, dtype="int64")
-            t1a = np.asarray(t1a, dtype="int64")
-            t2a = np.asarray(t2a, dtype="int64")
-            lus = np.asarray(lus, dtype="int64")
-            lrk = np.asarray(lrk, dtype="int64")
-            lid = np.asarray(lid, dtype="int64")
-            nrp = np.asarray(nrp, dtype="int64")
-            buf = (
-                np.asarray(bts, dtype="int64"),
-                np.asarray(brk, dtype="int64"),
-                np.asarray(bid, dtype="int64"),
-            )
-        else:
-            aid = ph = t1a = t2a = lus = lrk = lid = nrp = np.empty(0, dtype="int64")
-            buf = tuple(np.empty(0, dtype="int64") for _ in range(3))
-
-        frames: list[pd.DataFrame] = []
-
-        def buf_binder(sel, Lts, Lrk, Lid):
-            """(ts, id)-min buffered C row lexicographically after the
-            (Lts, Lrk, Lid) position; (ts, id) = (-1,-1) if none."""
-            bts_, brk_, bid_ = buf
-            if not bts_.size:
-                return -1, -1
-            elig = (
-                (bts_ > Lts)
-                | ((bts_ == Lts) & (brk_ > Lrk))
-                | ((bts_ == Lts) & (brk_ == Lrk) & (bid_ > Lid))
-            ) & sel
-            if not elig.any():
-                return -1, -1
-            order = np.lexsort((bid_[elig], bts_[elig]))[0]
-            return bts_[elig][order], bid_[elig][order]
-
-        def close_and_bind(idxs, batch_c=None):
-            """Chains at positions ``idxs`` just closed their runs at the
-            state triple (lus, lrk, lid): bind C from buffer (+ optional
-            in-batch candidates valid for ALL, i.e. state-position runs)
-            and emit completions; survivors go to phase 3."""
-            done_rows = []
-            for ci in idxs:  # O(pending closures), not O(events)
-                bts3, bid3 = buf_binder(
-                    np.ones(buf[0].size, dtype=bool), lus[ci], lrk[ci], lid[ci]
-                )
-                if batch_c is not None and batch_c[0] >= 0:
-                    if bts3 < 0 or (batch_c[0], batch_c[1]) < (bts3, bid3):
-                        bts3, bid3 = batch_c
-                if bts3 >= 0:
-                    done_rows.append((ci, bts3))
-                else:
-                    ph[ci] = P3
-            if done_rows:
-                cis = np.array([c for c, _ in done_rows], dtype="int64")
-                t3s = np.array([t for _, t in done_rows], dtype="int64")
-                frames.append(
-                    _emit(user_id, aid[cis], t1a[cis], t2a[cis], lus[cis], nrp[cis], t3s)
-                )
-                ph[cis] = -1  # mark done
-            return
-
-        chunks = [] if getattr(state, "hasTimedOut", False) else list(pdfs)
-        rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
-        if len(rows):
-            if "__p1" in rows.columns:
-                match = np.stack(
-                    [rows[f"__p{s}"].fillna(False).to_numpy().astype(bool) for s in (1, 2, 3)],
-                    axis=1,
-                )
-            else:
-                et = rows["event_type"].to_numpy()
-                match = np.stack([et == t for t in step_types], axis=1)
-            keep = match.any(axis=1)
-            rows = rows.loc[keep].reset_index(drop=True)
-            match = match[keep]
-
-        if len(rows):
-            # chains already waiting for C when this batch STARTED — their
-            # run-last lies in a previous batch, so every batch C row is a
-            # candidate; chains that close DURING the batch bind inline at
-            # closure and must not be re-offered earlier rows
-            pre_p3 = np.flatnonzero(ph == P3)
-            ts_us = rows["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
-            ev_ids = rows["event_id"].to_numpy().astype("int64")
-            rank = match.argmax(axis=1) + 1
-            order = np.lexsort((ev_ids, rank, ts_us))
-            ts_us, ev_ids, rank, match = ts_us[order], ev_ids[order], rank[order], match[order]
-            bmax = ts_us.max()
-
-            # B structure: batch-order occs + (ts, id)-ordered session view
-            b_bidx = np.flatnonzero(match[:, 1])
-            b_sorted = b_bidx[np.lexsort((ev_ids[b_bidx], ts_us[b_bidx]))]
-            b_ts, b_id, b_rk = ts_us[b_sorted], ev_ids[b_sorted], rank[b_sorted]
-            numB = b_ts.size
-            if numB:
-                link = np.empty(numB, dtype=bool)
-                link[:-1] = b_ts[1:] <= b_ts[:-1] + gap_us
-                link[-1] = False
-                # run end for a run entered at position i = the first
-                # break (link False) at or after i; link[numB-1] is False
-                brk_pos = np.flatnonzero(~link)
-                gl = brk_pos[np.searchsorted(brk_pos, np.arange(numB))]
-                b_sufmin = _suffix_argmin_ts_id(ts_us[b_bidx], ev_ids[b_bidx])
-                # batch-order position -> (ts,id) session position
-                b_order_perm = np.lexsort((ev_ids[b_bidx], ts_us[b_bidx]))
-                b_inv_perm = np.empty(numB, dtype="int64")
-                b_inv_perm[b_order_perm] = np.arange(numB)
-            c_bidx = np.flatnonzero(match[:, 2])
-            c_sufmin = (
-                _suffix_argmin_ts_id(ts_us[c_bidx], ev_ids[c_bidx]) if c_bidx.size else None
-            )
-
-            def batch_c_binder(after_bidx):
-                """(ts,id)-min batch C row strictly after batch index
-                ``after_bidx`` (-1 = all)."""
-                if not c_bidx.size:
-                    return -1, -1
-                j0 = np.searchsorted(c_bidx, after_bidx, side="right")
-                if j0 >= c_bidx.size:
-                    return -1, -1
-                p = c_sufmin[j0]
-                return ts_us[c_bidx[p]], ev_ids[c_bidx[p]]
-
-            # ---- 1. extend / close open runs (shared leading B prefix)
-            open_idx = np.flatnonzero(ph == P2)
-            if open_idx.size:
-                if numB:
-                    lp1 = int(gl[0]) + 1  # leading linked-prefix length
-                    for ci in open_idx:  # O(open runs)
-                        if b_ts[0] <= lus[ci] + gap_us:
-                            t = min(cap - int(nrp[ci]), lp1)
-                            if t > 0:
-                                p = t - 1
-                                lus[ci], lrk[ci], lid[ci] = b_ts[p], b_rk[p], b_id[p]
-                                nrp[ci] += t
-                            consumed_all = t == lp1
-                            closed = (
-                                nrp[ci] == cap
-                                or (consumed_all and lp1 < numB)
-                                or (consumed_all and lp1 == numB and bmax > b_ts[lp1 - 1] + gap_us)
-                            )
-                            if closed:
-                                ph[ci] = P3
-                                close_and_bind(
-                                    [ci], batch_c_binder(b_sorted[t - 1] if t > 0 else -1)
-                                )
-                        else:
-                            # first B beyond gap (or none in reach): closed at L
-                            ph[ci] = P3
-                            close_and_bind([ci], batch_c_binder(-1))
-                else:
-                    stale = open_idx[bmax > lus[open_idx] + gap_us]
-                    if stale.size:
-                        ph[stale] = P3
-                        close_and_bind(list(stale), batch_c_binder(-1))
-
-            # ---- 2. new anchors
-            a_bidx = np.flatnonzero(match[:, 0])
-            if a_bidx.size:
-                aid = np.concatenate([aid, ev_ids[a_bidx]])
-                ph = np.concatenate([ph, np.full(a_bidx.size, P1, dtype="int64")])
-                t1a = np.concatenate([t1a, ts_us[a_bidx]])
-                t2a = np.concatenate([t2a, np.full(a_bidx.size, -1, dtype="int64")])
-                lus = np.concatenate([lus, np.full(a_bidx.size, -1, dtype="int64")])
-                lrk = np.concatenate([lrk, np.full(a_bidx.size, -1, dtype="int64")])
-                lid = np.concatenate([lid, np.full(a_bidx.size, -1, dtype="int64")])
-                nrp = np.concatenate([nrp, np.zeros(a_bidx.size, dtype="int64")])
-                anchor_pos = np.concatenate(
-                    [np.full(ph.size - a_bidx.size, -1, dtype="int64"), a_bidx]
-                )
-            else:
-                anchor_pos = np.full(ph.size, -1, dtype="int64")
-
-            # ---- 3. phase-1 chains bind their entry + greedy run — the
-            # per-anchor hot path, fully vectorized (searchsorted + gathers)
-            wait1 = np.flatnonzero(ph == P1)
-            if wait1.size and numB:
-                j0 = np.searchsorted(b_bidx, anchor_pos[wait1], side="right")
-                hit = j0 < b_bidx.size
-                w = wait1[hit]
-                if w.size:
-                    e_pos = b_inv_perm[b_sufmin[j0[hit]]]
-                    run_limit = gl[e_pos]
-                    t = np.minimum(cap, run_limit - e_pos + 1)
-                    last_pos = e_pos + t - 1
-                    t2a[w] = b_ts[e_pos]
-                    lus[w], lrk[w], lid[w] = b_ts[last_pos], b_rk[last_pos], b_id[last_pos]
-                    nrp[w] = t
-                    closed = (
-                        (t == cap)
-                        | (run_limit < numB - 1)
-                        | ((run_limit == numB - 1) & (bmax > b_ts[run_limit] + gap_us))
-                    )
-                    ph[w] = np.where(closed, P3, P2)
-                    wc = w[closed]
-                    if wc.size:
-                        # in-batch closure: binder is in-batch only (buffer
-                        # rows all precede the run-last row)
-                        if c_bidx.size:
-                            j0c = np.searchsorted(
-                                c_bidx, b_sorted[last_pos[closed]], side="right"
-                            )
-                            hitc = j0c < c_bidx.size
-                            bp = c_sufmin[j0c[hitc]]
-                            done = wc[hitc]
-                            if done.size:
-                                frames.append(
-                                    _emit(
-                                        user_id, aid[done], t1a[done], t2a[done],
-                                        lus[done], nrp[done], ts_us[c_bidx[bp]],
-                                    )
-                                )
-                                ph[done] = -1
-
-            # ---- 4. phase-3 chains from EARLIER batches only (see pre_p3)
-            wait3 = pre_p3[ph[pre_p3] == P3]
-            if wait3.size:
-                close_and_bind(list(wait3), batch_c_binder(-1))
-
-            # ---- 5. buffer: C candidates after the earliest open run-last
-            live = ph >= 0
-            open_now = np.flatnonzero((ph == P2) & live)
-            if open_now.size:
-                mi = open_now[np.argmin(lus[open_now])]
-                Lts, Lr, Li = lus[mi], lrk[mi], lid[mi]
-                keep_old = (
-                    (buf[0] > Lts)
-                    | ((buf[0] == Lts) & (buf[1] > Lr))
-                    | ((buf[0] == Lts) & (buf[1] == Lr) & (buf[2] > Li))
-                )
-                newc = c_bidx[
-                    (ts_us[c_bidx] > Lts)
-                    | ((ts_us[c_bidx] == Lts) & (rank[c_bidx] > Lr))
-                    | ((ts_us[c_bidx] == Lts) & (rank[c_bidx] == Lr) & (ev_ids[c_bidx] > Li))
-                ]
-                buf = (
-                    np.concatenate([buf[0][keep_old], ts_us[newc]]),
-                    np.concatenate([buf[1][keep_old], rank[newc]]),
-                    np.concatenate([buf[2][keep_old], ev_ids[newc]]),
-                )
-            else:
-                buf = tuple(np.empty(0, dtype="int64") for _ in range(3))
-        else:
-            # timer invocation: watermark closes stale open runs from buffer
-            wm_us = state.getCurrentWatermarkMs() * 1000
-            stale = np.flatnonzero((ph == P2) & (lus + gap_us <= wm_us)) if wm_us > 0 else np.empty(0, dtype="int64")
-            if stale.size:
-                ph[stale] = P3
-                close_and_bind(list(stale))
-            if not (ph == P2).any():
-                buf = tuple(np.empty(0, dtype="int64") for _ in range(3))
-
-        live = ph >= 0
-        aid, ph, t1a, t2a, lus, lrk, lid, nrp = (
-            a[live] for a in (aid, ph, t1a, t2a, lus, lrk, lid, nrp)
-        )
-        if aid.size or buf[0].size:
-            state.update(
-                (
-                    aid.tolist(), ph.tolist(), t1a.tolist(), t2a.tolist(),
-                    lus.tolist(), lrk.tolist(), lid.tolist(), nrp.tolist(),
-                    buf[0].tolist(), buf[1].tolist(), buf[2].tolist(),
-                )
-            )
-            open_now = ph == P2
-            if open_now.any():
-                # fire as soon as floor_ms(wm)*1000 >= lus+gap (Spark fires on
-                # wm > timeout, so ceil-1; a final watermark landing EXACTLY at
-                # last_rep+gap must still close the chain — the closure
-                # predicate is re-checked in the timer branch, so an early fire
-                # is harmless and the timer re-arms)
-                due_us = int(lus[open_now].min() + gap_us)
-                next_ms = -(-due_us // 1000) - 1
-                state.setTimeoutTimestamp(max(next_ms, state.getCurrentWatermarkMs() + 1))
-        elif state.exists:
-            state.remove()
-
-        out = [f for f in frames if len(f)]
-        if out:
-            yield pd.concat(out, ignore_index=True)
-
-    return detect
+    return make_pattern_matcher(
+        step_types,
+        [None, within1_us, within3_us],
+        kleenes=[None, (gap_us, cap), None],
+    )
 
 
 def stream_kleene_detect(
@@ -746,11 +653,7 @@ def stream_kleene_detect(
     closure, so the watermark is always applied."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def _us2(interval):
-        parts = interval.split()
-        qty, unit = int(parts[-2]), parts[-1].lower().rstrip("s")
-        return qty * {"second": _US, "minute": 60 * _US, "hour": 3600 * _US, "day": 86400 * _US}[unit]
-
+    kleenes = [None, (_interval_us(gap), cap), None]
     filtered = (
         events.filter(F.col("event_type").isin(anchor, repeat, final))
         .select(
@@ -764,13 +667,13 @@ def stream_kleene_detect(
     return filtered.groupBy("user_id").applyInPandasWithState(
         make_kleene_matcher(
             [anchor, repeat, final],
-            _us2(gap),
+            _interval_us(gap),
             cap,
-            None if within1 is None else _us2(within1),
-            None if within3 is None else _us2(within3),
+            None if within1 is None else _interval_us(within1),
+            None if within3 is None else _interval_us(within3),
         ),
-        KLEENE_OUTPUT_SCHEMA,
-        KLEENE_STATE_SCHEMA,
+        pattern_output_schema(3, kleenes),
+        STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )

@@ -283,7 +283,7 @@ def test_pattern_matcher_chains_across_batches_and_shares_successors():
     )
     assert len(out1) == 0 and st.exists
     # anchor 1 and 2 both bound click 3; both wait for purchase
-    a_ids, steps, flat = st.get
+    a_ids, steps = st.get[0], st.get[1]
     assert sorted(a_ids) == [1, 2] and list(steps) == [2, 2]
     # batch 2: one purchase completes BOTH chains off the shared click
     out2 = _p_collect(
@@ -385,7 +385,7 @@ def test_pattern_matcher_ttl_flushes_stale_chains_as_incomplete():
     assert list(out2["state"]) == ["incomplete"]
     assert list(out2["max_step"]) == [1]
     assert pd.isna(out2.loc[0, "t2"]) and pd.isna(out2.loc[0, "t3"])
-    a_ids, steps, _ = st.get
+    a_ids, steps = st.get[0], st.get[1]
     assert list(a_ids) == [2]  # fresh chain survives
 
 
