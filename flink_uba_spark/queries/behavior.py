@@ -560,11 +560,96 @@ SELECT item_id, score FROM s{iters}
 ITEM_PAGERANK_ORACLE = _item_pagerank_oracle()
 
 
+def pattern_signup_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step CEP chain with a MID-CHAIN bounded Kleene: signup → view
+    (within 1 h) → error.oneOrMore (6 h rep gap, capped at 3) → purchase
+    within 12 h of the LAST error — the arbitrary-position ``oneOrMore``
+    chaining of the reference Pattern API
+    (Pattern.begin/followedBy/oneOrMore, OrderPayTimeout.java:52-64),
+    compiled by operators/sequence.py pattern_detect. Round 5: proves the
+    compiler's Kleene support at positions other than the canonical
+    second step (pattern_error_burst_recovery's shape)."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "signup", None),
+            (F.col("event_type") == "view", "INTERVAL 1 HOUR"),
+            (F.col("event_type") == "error", "INTERVAL 6 HOURS", 3),
+            (F.col("event_type") == "purchase", "INTERVAL 12 HOURS"),
+        ],
+    )
+
+
+PATTERN_SIGNUP_JOURNEY_ORACLE = """
+WITH err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 6 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts,
+         COALESCE(lead(ts, 2) OVER ws, max(ts) OVER wf) AS run_last,
+         LEAST(3, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*,
+    (SELECT v.ts FROM events v
+     WHERE v.event_type = 'view' AND v.user_id = a.user_id AND v.ts >= a.t1
+     ORDER BY v.ts, v.event_id LIMIT 1) AS t2
+  FROM a
+),
+a3 AS (
+  SELECT a2.*,
+    (SELECT r.ts FROM runs r WHERE r.user_id = a2.user_id AND r.ts >= a2.t2
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t3,
+    (SELECT r.run_last FROM runs r WHERE r.user_id = a2.user_id AND r.ts >= a2.t2
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t3_last,
+    (SELECT r.n_reps FROM runs r WHERE r.user_id = a2.user_id AND r.ts >= a2.t2
+     ORDER BY r.ts, r.event_id LIMIT 1) AS n3
+  FROM a2
+),
+a4 AS (
+  SELECT a3.*,
+    (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a3.user_id
+       AND p.ts >= a3.t3_last) AS t4
+  FROM a3
+)
+SELECT user_id, anchor_id, t1, t2, t3, t3_last, CAST(n3 AS BIGINT) AS n3, t4,
+       CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t4 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN t4 IS NULL THEN 'incomplete'
+            WHEN t2 <= t1 + INTERVAL 1 HOUR
+             AND t3 <= t2 + INTERVAL 6 HOUR
+             AND t4 <= t3_last + INTERVAL 12 HOUR
+              THEN 'matched'
+            ELSE 'matched_late' END AS state
+FROM a4
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
     "pattern_view_click_purchase": pattern_view_click_purchase,
     "pattern_error_burst_recovery": pattern_error_burst_recovery,
+    "pattern_signup_journey": pattern_signup_journey,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -582,6 +667,7 @@ ORACLES = {
     "item_pagerank": ITEM_PAGERANK_ORACLE,
     "pattern_view_click_purchase": PATTERN_VCP_ORACLE,
     "pattern_error_burst_recovery": PATTERN_ERROR_BURST_ORACLE,
+    "pattern_signup_journey": PATTERN_SIGNUP_JOURNEY_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,

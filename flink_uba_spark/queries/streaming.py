@@ -1099,10 +1099,64 @@ def _stream_pattern_vcp_oracle() -> str:
     return f"SELECT * FROM ({PATTERN_VCP_ORACLE}) WHERE state != 'incomplete'"
 
 
+def stream_pattern_signup_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-step MID-CHAIN-Kleene CEP chain (signup → view within 1 h →
+    error.oneOrMore(6 h gap, cap 3) → purchase within 12 h of the run's
+    LAST error) in its native streaming form — round 5's generalized NFA
+    (streaming/pattern.py:stream_pattern_detect with a (pred, within,
+    max_reps) step at position 3), the streaming twin of the batch
+    compiler behind ``pattern_signup_journey``. Proves the streaming
+    engine handles ``oneOrMore`` at arbitrary step positions, closing
+    round-4 VERDICT item 2 (the prior NFA was hardwired to A → B⁺ → C).
+
+    The oracle is the batch result restricted to chains whose Kleene run
+    CLOSED before the stream ended: cap reached, a same-key event beyond
+    the gap, or the final (ms-floored) watermark passing last_rep + gap."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="user_id",
+            steps=[
+                ("signup", None),
+                ("view", "INTERVAL 1 HOUR"),
+                ("error", "INTERVAL 6 HOURS", 3),
+                ("purchase", "INTERVAL 12 HOURS"),
+            ],
+        )
+    )
+
+
+def _stream_pattern_signup_journey_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_SIGNUP_JOURNEY_ORACLE
+
+    gap_us = 6 * 3600 * 1_000_000
+    return f"""
+WITH batchform AS ({PATTERN_SIGNUP_JOURNEY_ORACLE}),
+relevant AS (
+  SELECT user_id, ts FROM events
+  WHERE event_type IN ('signup', 'view', 'error', 'purchase')
+),
+keymax AS (SELECT user_id, max(ts) AS kmax FROM relevant GROUP BY 1),
+gmax AS (SELECT max(ts) AS g FROM relevant)
+SELECT b.user_id, b.anchor_id, b.t1, b.t2, b.t3, b.t3_last, b.n3, b.t4,
+       b.max_step, b.state
+FROM batchform b JOIN keymax k ON k.user_id = b.user_id
+WHERE b.state != 'incomplete'
+  AND (b.n3 = 3
+       OR k.kmax > b.t3_last + INTERVAL 6 HOUR
+       OR epoch_us(b.t3_last) + {gap_us}
+            <= (epoch_us((SELECT g FROM gmax)) // 1000) * 1000)
+"""
+
+
 QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_pattern_view_click_purchase": stream_pattern_view_click_purchase,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
+    "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_classifier_quality_filter": stream_classifier_quality_filter,
     "stream_daily_active_users": stream_daily_active_users,
@@ -1133,6 +1187,7 @@ ORACLES = {
     "stream_dedup_incremental": _stream_dedup_incremental_oracle(),
     "stream_pattern_view_click_purchase": _stream_pattern_vcp_oracle(),
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
+    "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_classifier_quality_filter": _stream_classifier_oracle(),
     "stream_daily_active_users": STREAM_DAU_ORACLE,
