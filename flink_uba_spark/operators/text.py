@@ -168,6 +168,80 @@ def hashed_classifier_weights(spark, n_buckets: int = 256, salt: str = "w") -> D
     return spark.range(n_buckets).select(b.alias("bucket"), w.alias("weight"))
 
 
+def token_bucket(tok: Column, n_buckets: int = 256) -> Column:
+    """The hashing-trick feature bucket — md5-derived so every engine
+    (Spark, DuckDB oracle, the trainer below) agrees bit-for-bit."""
+    return (
+        (F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long") % n_buckets)
+        .cast("int")
+    )
+
+
+def train_classifier_weights(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    doc_id: str = "doc_id",
+    n_buckets: int = 256,
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+    quant_max: int = 127,
+) -> DataFrame:
+    """Fit REAL classifier-gate weights (round-5 VERDICT item 5): logistic
+    regression over the same md5-hashed token-count features
+    ``classifier_quality_scores`` scores with, coefficients quantized to
+    integers — the GPT-3/CCNet quality-classifier stage with a trained
+    model instead of the synthetic ``hashed_classifier_weights`` dim.
+
+    ``labeled`` needs (doc_id, text, label∈{0,1}) where label 1 = keep.
+    Returns the 256-row ``(bucket, weight)`` frame that plugs straight
+    into ``classifier_quality_scores(weights=...)`` — the serving path is
+    unchanged (broadcast integer dim, codegen'd scoring, deterministic
+    integer arithmetic), so the oracle contract of the catalog query is
+    untouched. Persist with ``.write.parquet`` and reload at serving time.
+
+    Training is the one place Python objects are fine: the labeled set is
+    small (thousands of docs, human- or LLM-annotated), pyspark.ml's
+    LogisticRegression (the k-means‖ precedent, similarity.py) runs
+    distributed L-BFGS, and the SparseVector assembly UDF touches only the
+    labeled set — never the corpus. ``fitIntercept=False`` keeps the
+    serving rule ``keep = score >= 0`` bias-free (train on roughly
+    balanced labels)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    spark = labeled.sparkSession
+    counts = (
+        labeled.select(
+            F.col(doc_id).alias("__doc"),
+            F.col(label_col).cast("double").alias("__label"),
+            F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
+        )
+        .withColumn("bucket", token_bucket(F.col("tok"), n_buckets))
+        .groupBy("__doc", "__label", "bucket")
+        .count()
+    )
+
+    @F.udf(returnType=VectorUDT())
+    def _to_vec(pairs):
+        d = {int(p["bucket"]): float(p["count"]) for p in pairs}
+        idx = sorted(d)
+        return SparseVector(n_buckets, idx, [d[i] for i in idx])
+
+    train = (
+        counts.groupBy("__doc", "__label")
+        .agg(F.collect_list(F.struct("bucket", "count")).alias("__pairs"))
+        .select(F.col("__label").alias("label"), _to_vec("__pairs").alias("features"))
+    )
+    model = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, fitIntercept=False
+    ).fit(train)
+    coef = model.coefficients.toArray()
+    peak = float(abs(coef).max()) or 1.0
+    w = [(int(i), int(round(c / peak * quant_max))) for i, c in enumerate(coef)]
+    return spark.createDataFrame(w, "bucket int, weight long")
+
+
 def classifier_quality_scores(
     df: DataFrame, text_col: str = "text", weights: DataFrame | None = None, n_buckets: int = 256
 ) -> DataFrame:
@@ -187,11 +261,7 @@ def classifier_quality_scores(
     # scan of the corpus is needed — ONE scan, one broadcast, one exchange
     toks = df.select(
         "doc_id", F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok")
-    ).withColumn(
-        "bucket",
-        (F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long") % n_buckets)
-        .cast("int"),
-    )
+    ).withColumn("bucket", token_bucket(F.col("tok"), n_buckets))
     return (
         toks.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")
