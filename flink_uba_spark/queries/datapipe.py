@@ -356,6 +356,81 @@ SELECT query_id, neighbor_id, cos, rnk FROM (
 """
 
 
+def ivf_index_upsert_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (round-5): a simulated ingest —
+    every 5th vector arrives, every 3rd of those with a CHANGED embedding
+    (deterministic negation) — is re-assigned against the persisted
+    centroid table via the broadcast-codebook argmax and classified
+    against the existing inverted file (built over the corpus = vectors
+    with vec_id % 7 != 0): op ∈ {new, moved, unchanged}. Only the delta is
+    ever assigned; the corpus index is probed, never rebuilt
+    (operators/similarity.py:ivf_index_upsert — the dedup-index pattern
+    applied to vector search; exchange-free probe plan asserted in
+    tests/test_skew.py)."""
+    embs = _embs(spark, sf_dir)
+    cb = S.default_codebook(embs, 8)
+    index = S.build_ivf_index(embs.filter(F.col("vec_id") % 7 != 0), codebook=cb)
+    incoming = embs.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 3 == 0,
+            F.transform(F.col("embedding"), lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    return S.ivf_index_upsert(incoming, index, cb)
+
+
+IVF_INDEX_UPSERT_ORACLE = f"""
+WITH n AS (
+    SELECT vec_id, {_QUANT_SQL} AS qemb,
+           list_dot_product({_QUANT_SQL}, {_QUANT_SQL}) AS qq
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS ck, qemb AS cemb, qq AS cqq FROM n WHERE vec_id < 8),
+corp AS (
+    SELECT vec_id, ck AS prev_bucket FROM (
+        SELECT v.vec_id, c.ck,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.qemb, c.cemb)
+                              / (sqrt(v.qq) * sqrt(c.cqq)) DESC, c.ck ASC
+               ) AS rn
+        FROM n v CROSS JOIN cent c WHERE v.vec_id % 7 != 0
+    ) WHERE rn = 1
+),
+inc_raw AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 3 = 0
+                THEN list_transform(embedding, x -> -CAST(x AS DOUBLE))
+                ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END
+               AS embedding
+    FROM embeddings WHERE vec_id % 5 = 0
+),
+ni AS (
+    SELECT vec_id, {_QUANT_SQL} AS qemb,
+           list_dot_product({_QUANT_SQL}, {_QUANT_SQL}) AS qq
+    FROM inc_raw
+),
+newb AS (
+    SELECT vec_id, ck AS bucket FROM (
+        SELECT v.vec_id, c.ck,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.qemb, c.cemb)
+                              / (sqrt(v.qq) * sqrt(c.cqq)) DESC, c.ck ASC
+               ) AS rn
+        FROM ni v CROSS JOIN cent c
+    ) WHERE rn = 1
+)
+SELECT nb.vec_id, CAST(nb.bucket AS BIGINT) AS bucket,
+       CAST(corp.prev_bucket AS BIGINT) AS prev_bucket,
+       CASE WHEN corp.prev_bucket IS NULL THEN 'new'
+            WHEN corp.prev_bucket != nb.bucket THEN 'moved'
+            ELSE 'unchanged' END AS op
+FROM newb nb LEFT JOIN corp ON corp.vec_id = nb.vec_id
+"""
+
+
 def embedding_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic clustering over embeddings: nearest-centroid assignment
     (operators/similarity.py:cluster_assign — broadcast codebook argmax,
@@ -1572,6 +1647,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
+    "ivf_index_upsert": ivf_index_upsert_ops,
     "embedding_topic_clusters": embedding_topic_clusters,
     "embedding_pq_topk": embedding_pq_topk,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
@@ -1621,6 +1697,7 @@ ORACLES = {
     "dedup_ngram_jaccard": _jaccard_oracle(),
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "embedding_ivf_topk": EMBEDDING_IVF_ORACLE,
+    "ivf_index_upsert": IVF_INDEX_UPSERT_ORACLE,
     "embedding_topic_clusters": EMBEDDING_TOPIC_CLUSTERS_ORACLE,
     "embedding_pq_topk": EMBEDDING_PQ_ORACLE,
     "embedding_near_dup_lsh": _near_dup_oracle(),

@@ -993,6 +993,33 @@ SELECT vec_id, label, cluster_id FROM assign
 """
 
 
+def stream_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance at INGEST (round-5): vectors
+    stream in (every 5th, every 3rd of those with a changed embedding),
+    each is assigned against the broadcast centroid table — map-only, the
+    stream side never shuffles — and classified against the STATIC
+    inverted file with a stream-static left join: op ∈ {new, moved,
+    unchanged}. Only ``new``/``moved`` rows need writing back; the corpus
+    index is probed, never rebuilt (operators/similarity.py:
+    ivf_index_upsert). Stream-static joins on bounded input converge to
+    the batch answer, so the oracle is the batch query's."""
+    from flink_uba_spark.operators import similarity as S
+    from flink_uba_spark.sources.readers import load_testdata
+    from flink_uba_spark.streaming.runner import stream_embeddings
+
+    static = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
+    cb = S.default_codebook(static, 8)
+    index = S.build_ivf_index(static.filter(F.col("vec_id") % 7 != 0), codebook=cb)
+    inc = stream_embeddings(spark, sf_dir).filter(F.col("vec_id") % 5 == 0).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 3 == 0,
+            F.transform(F.col("embedding"), lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    return run_to_table(S.ivf_index_upsert(inc, index, cb))
+
+
 def stream_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classifier quality gate at INGEST: documents stream through the
     hashed-feature linear scorer with the 256-row weight dim broadcast per
@@ -1158,6 +1185,7 @@ QUERIES = {
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
+    "stream_ivf_upsert": stream_ivf_upsert,
     "stream_classifier_quality_filter": stream_classifier_quality_filter,
     "stream_daily_active_users": stream_daily_active_users,
     "stream_span_decontam": stream_span_decontam,
@@ -1189,6 +1217,7 @@ ORACLES = {
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
+    "stream_ivf_upsert": __import__("flink_uba_spark.queries.datapipe", fromlist=["IVF_INDEX_UPSERT_ORACLE"]).IVF_INDEX_UPSERT_ORACLE,
     "stream_classifier_quality_filter": _stream_classifier_oracle(),
     "stream_daily_active_users": STREAM_DAU_ORACLE,
     "stream_span_decontam": STREAM_SPAN_DECONTAM_ORACLE,

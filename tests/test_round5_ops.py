@@ -96,3 +96,56 @@ def test_trained_weights_roundtrip_parquet(spark, tmp_path):
     a = classifier_quality_scores(df, weights=w).toPandas().sort_values("doc_id")
     b = classifier_quality_scores(df, weights=w2).toPandas().sort_values("doc_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_ivf_upsert_against_bucketed_index_corpus_never_shuffles(spark, sf_dir):
+    """The production IVF-maintenance shape: the inverted file persisted
+    ONCE bucketed on vec_id; every ingest re-assigns ONLY its delta
+    (broadcast-codebook argmax, map-only) and probes the index with a join
+    in which the corpus side has ZERO exchanges. Ops must equal the inline
+    form."""
+    import re
+    import uuid
+
+    from flink_uba_spark.operators.similarity import (
+        build_ivf_index,
+        default_codebook,
+        ivf_index_upsert,
+    )
+    from flink_uba_spark.operators.skew import write_bucketed
+    from flink_uba_spark.sources.readers import load_testdata
+
+    suffix = uuid.uuid4().hex[:8]
+    embs = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
+    cb = default_codebook(embs, 8)
+    corpus = embs.filter(F.col("vec_id") % 7 != 0)
+    incoming = embs.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+
+    index = build_ivf_index(corpus, codebook=cb)
+    tbl = f"ivf_index_{suffix}"
+    write_bucketed(index, tbl, "vec_id", 8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        upserts = ivf_index_upsert(incoming, spark.table(tbl), cb)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = upserts._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # no Exchange may consume columns scanned from the bucketed index table
+    for m in re.finditer(
+        r"^\(\d+\) Exchange[^\n]*\n(?:.+\n)*?\s*Input \[[^\]]*\]: \[([^\]]*)\]",
+        plan,
+        re.M,
+    ):
+        assert tbl not in m.group(1)
+    assert "SelectedBucketsCount" in plan
+
+    inline = ivf_index_upsert(incoming, index, cb)
+    a = {(r.vec_id, r.bucket, r.prev_bucket, r.op) for r in upserts.collect()}
+    b = {(r.vec_id, r.bucket, r.prev_bucket, r.op) for r in inline.collect()}
+    assert a == b and len(a) > 0
+    assert {r[3] for r in a} >= {"new", "unchanged"}
