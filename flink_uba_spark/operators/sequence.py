@@ -76,6 +76,7 @@ def pattern_detect(
     steps: list[tuple[Column, str | None]],
     event_id: str = "event_id",
     ts: str = "ts",
+    not_followed_by: dict[int, Column] | None = None,
 ) -> DataFrame:
     """Compile an N-step ``begin → followedBy → …`` pattern into chained
     window aggregates (one key exchange for the plain-step chain).
@@ -90,6 +91,18 @@ def pattern_detect(
     ``oneOrMore().until(...)`` family, bounded because an uncapped greedy
     run is unbounded state in any engine). The step after a Kleene step
     binds strictly after the run's LAST repetition.
+
+    ``not_followed_by`` maps a step index k (1..n-1) to a FORBIDDEN
+    predicate — the reference Pattern API's ``notFollowedBy`` between step
+    k and k+1 (Pattern.begin/followedBy/notFollowedBy chaining): if an
+    event matching the forbidden predicate occurs strictly between step
+    k's bound row and the step-(k+1) binder (or after step k while no
+    binder ever arrives), the match is KILLED — Flink's NFA discards the
+    pending path. The batch form keeps the anchor row with
+    ``state='negated'`` for auditability; the streaming twin emits
+    nothing. Position order at equal timestamps: the guard slot sits
+    between its neighboring steps (forbidden row at the same ts as step k
+    counts as after it; at the same ts as the binder counts as before it).
 
     Semantics (followed-by / skip-till-next-match): every event matching
     step 1 anchors a potential match; step k+1 binds to the earliest
@@ -134,28 +147,42 @@ def pattern_detect(
         raise ValueError("oneOrMore is not supported on the first step")
     if any(r is not None and r < 1 for r in reps):
         raise ValueError("max_reps must be >= 1")
+    negs = dict(not_followed_by or {})
+    if any(k < 1 or k >= n for k in negs):
+        raise ValueError("not_followed_by keys must be step indexes 1..n-1")
 
+    # slot ranks: positive step k at 2k-1, a notFollowedBy guard between k
+    # and k+1 at 2k — so at equal timestamps a forbidden row sorts after
+    # its preceding step and before its following step (the position order
+    # the guard comparison runs on). Guard-free patterns see only the
+    # positives at 2k-1: same relative order as the old 1..n ranks, so
+    # binding semantics are unchanged.
+    flag_cols = [
+        p.cast("boolean").alias(f"__p{i}") for i, p in enumerate(preds, start=1)
+    ] + [negs[k].cast("boolean").alias(f"__g{k}") for k in sorted(negs)]
     base = events.select(
         F.col(key).alias("__k"),
         F.col(event_id).alias("__id"),
         F.col(ts).alias("__ts"),
-        *[p.cast("boolean").alias(f"__p{i}") for i, p in enumerate(preds, start=1)],
+        *flag_cols,
     )
-    # rows matching no step never contribute to any window min and are
-    # never anchors — drop them at the scan (predicate pushdown)
+    # rows matching no step (and no guard) never contribute to any window
+    # min / guard check and are never anchors — drop them at the scan
+    all_flags = [F.col(f"__p{i}") for i in range(1, n + 1)] + [
+        F.col(f"__g{k}") for k in sorted(negs)
+    ]
     base = base.filter(
-        F.greatest(*[F.col(f"__p{i}") for i in range(1, n + 1)])
-        if n > 1
-        else F.col("__p1")
+        F.greatest(*all_flags) if len(all_flags) > 1 else all_flags[0]
     )
-    # earliest pattern step a row can serve — earlier steps sort first at
-    # equal timestamps so a same-ts successor is still "after" its anchor
+    # earliest slot a row can serve — earlier slots sort first at equal
+    # timestamps so a same-ts successor is still "after" its anchor
+    rank_cases = []
+    for i in range(1, n + 1):
+        rank_cases.append(F.when(F.col(f"__p{i}"), F.lit(2 * i - 1)))
+        if i in negs:
+            rank_cases.append(F.when(F.col(f"__g{i}"), F.lit(2 * i)))
     base = base.withColumn(
-        "__rank",
-        F.coalesce(
-            *[F.when(F.col(f"__p{i}"), F.lit(i)) for i in range(1, n + 1)],
-            F.lit(n + 1),
-        ),
+        "__rank", F.coalesce(*rank_cases, F.lit(2 * n + 1))
     )
 
     # Kleene prep: assign each step-k row its within-gap session id (runs),
@@ -195,30 +222,68 @@ def pattern_detect(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
 
-    # chain field names carried by each step's struct (built backwards)
+    # chain field names carried by each step's struct (built backwards).
+    # Field ORDER matters only through (t{k}, i{k}) — they are unique per
+    # row, so min-of-struct binding never compares past them; r{k} (the
+    # bound row's actual rank, for guard position compares) and b{k} (this
+    # transition's guard verdict) ride behind.
     def own_fields(k: int) -> list[str]:
         names = [f"t{k}", f"i{k}"]
+        if k - 1 in negs:
+            names.append(f"r{k}")
         if reps[k - 1] is not None:
             names += [f"t{k}_last", f"n{k}"]
+        if k in negs:
+            names.append(f"b{k}")
         return names
 
     chain_fields: dict[int, list[str]] = {n + 1: []}
     for k in range(n, 0, -1):
         chain_fields[k] = own_fields(k) + chain_fields[k + 1]
 
+    def guard_broken(fb: Column, nxt, k: int) -> Column:
+        """The notFollowedBy verdict for transition k→k+1 at the row where
+        both lookups were evaluated: the earliest forbidden row after this
+        position exists AND precedes the bound step-(k+1) row (or nothing
+        ever bound) in (ts, rank, id) position order."""
+        if nxt is None:
+            return fb.isNotNull()
+        bound = F.struct(
+            nxt.getField(f"t{k+1}"),
+            nxt.getField(f"r{k+1}"),
+            nxt.getField(f"i{k+1}"),
+        )
+        return fb.isNotNull() & (nxt.isNull() | (fb < bound))
+
     def build_step(df: DataFrame, k: int) -> DataFrame:
         downstream = chain_fields[k + 1]
-        if k == n:
-            nxt = None
-        else:
+        nxt = fb = None
+        if k < n:
             df = df.withColumn(
                 f"__nx{k}", F.min(F.col(f"__c{k+1}")).over(w_after)
             )
             nxt = F.col(f"__nx{k}")
+        if k in negs:
+            df = df.withColumn(
+                f"__fb{k}",
+                F.min(
+                    F.when(
+                        F.col(f"__g{k}"),
+                        F.struct(F.col("__ts"), F.col("__rank"), F.col("__id")),
+                    )
+                ).over(w_after),
+            )
+            fb = F.col(f"__fb{k}")
+        own = [F.col("__ts").alias(f"t{k}"), F.col("__id").alias(f"i{k}")]
+        if k - 1 in negs:
+            own.append(F.col("__rank").alias(f"r{k}"))
         if reps[k - 1] is None:
-            fields = [F.col("__ts").alias(f"t{k}"), F.col("__id").alias(f"i{k}")] + [
-                nxt.getField(f).alias(f) for f in downstream
-            ]
+            fields = own
+            if k in negs:
+                fields = fields + [guard_broken(fb, nxt, k).alias(f"b{k}")]
+            fields = fields + (
+                [nxt.getField(f).alias(f) for f in downstream] if nxt is not None else []
+            )
             return df.withColumn(f"__c{k}", F.when(F.col(f"__p{k}"), F.struct(*fields)))
 
         # Kleene step: capped greedy run within the session
@@ -239,24 +304,29 @@ def pattern_detect(
             F.lit(cap).cast("long"),
             (F.col(f"__cnt{k}") - F.col(f"__rn{k}") + 1).cast("long"),
         )
-        fields = [
-            F.col("__ts").alias(f"t{k}"),
-            F.col("__id").alias(f"i{k}"),
+        fields = own + [
             run_last.alias(f"t{k}_last"),
             n_reps.alias(f"n{k}"),
         ]
-        if downstream:
-            # the downstream lookup must happen AFTER the run's last row:
-            # carry next-chain from the cap-th (or session-last) row back
-            # to the entry row through the session partition
+        # downstream lookups (next chain AND this transition's guard) must
+        # happen AFTER the run's last row: carry them from the cap-th (or
+        # session-last) row back to the entry row through the session
+        nxt_at_last = None
+        if k < n:
             df = df.withColumn(f"__lead_nx{k}", F.lead(f"__nx{k}", cap - 1).over(w_sess))
-            df = df.withColumn(
-                f"__last_nx{k}", F.last(f"__nx{k}").over(w_sess_full)
-            )
+            df = df.withColumn(f"__last_nx{k}", F.last(f"__nx{k}").over(w_sess_full))
             nxt_at_last = F.when(capped, F.col(f"__lead_nx{k}")).otherwise(
                 F.col(f"__last_nx{k}")
             )
-            fields += [nxt_at_last.getField(f).alias(f) for f in downstream]
+        if k in negs:
+            df = df.withColumn(f"__lead_fb{k}", F.lead(f"__fb{k}", cap - 1).over(w_sess))
+            df = df.withColumn(f"__last_fb{k}", F.last(f"__fb{k}").over(w_sess_full))
+            fb_at_last = F.when(capped, F.col(f"__lead_fb{k}")).otherwise(
+                F.col(f"__last_fb{k}")
+            )
+            fields = fields + [guard_broken(fb_at_last, nxt_at_last, k).alias(f"b{k}")]
+        if nxt_at_last is not None:
+            fields = fields + [nxt_at_last.getField(f).alias(f) for f in downstream]
         return df.withColumn(f"__c{k}", F.when(F.col(f"__p{k}"), F.struct(*fields)))
 
     df = base
@@ -264,10 +334,15 @@ def pattern_detect(
         df = build_step(df, k)
 
     anchors = df.filter(F.col("__p1"))
-    out_fields = [f for f in chain_fields[1] if not f.startswith("i")]
+    out_fields = [
+        f for f in chain_fields[1] if not (f[0] in "irb" and f[1:].isdigit())
+    ]
     t_cols = [F.col("__c1").getField(f).alias(f) for f in out_fields]
+    b_cols = [
+        F.col("__c1").getField(f"b{k}").alias(f"__b{k}") for k in sorted(negs)
+    ]
     out = anchors.select(
-        F.col("__k").alias(key), F.col("__id").alias("anchor_id"), *t_cols
+        F.col("__k").alias(key), F.col("__id").alias("anchor_id"), *t_cols, *b_cols
     )
 
     def prev_ts_col(k: int) -> Column:
@@ -287,9 +362,18 @@ def pattern_detect(
     max_step = F.lit(1) + sum(
         F.when(F.col(f"t{k}").isNotNull(), 1).otherwise(0) for k in range(2, n + 1)
     )
-    return out.withColumn("max_step", max_step.cast("long")).withColumn(
+    # a fired notFollowedBy guard KILLS the match in the reference
+    # (Pattern.notFollowedBy — the NFA discards the pending path); the
+    # batch form keeps the row with state='negated' for auditability, and
+    # the streaming twin emits nothing for it
+    negated = F.lit(False)
+    for k in sorted(negs):
+        negated = negated | F.coalesce(F.col(f"__b{k}"), F.lit(False))
+    out = out.withColumn("max_step", max_step.cast("long")).withColumn(
         "state",
-        F.when(~complete, F.lit("incomplete"))
+        F.when(negated, F.lit("negated"))
+        .when(~complete, F.lit("incomplete"))
         .when(bounds_ok, F.lit("matched"))
         .otherwise(F.lit("matched_late")),
     )
+    return out.drop(*[f"__b{k}" for k in sorted(negs)])

@@ -644,12 +644,77 @@ FROM a4
 """
 
 
+def pattern_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP chain with a NEGATIVE pattern: view → click (within 30 min) →
+    purchase (within 2 h) with ``notFollowedBy(error)`` between click and
+    purchase — the reference Pattern API's negative-pattern surface
+    (Pattern.notFollowedBy; OrderPayTimeout.java:52-64 chains), round 5.
+    An error landing between the bound click and the purchase binder (or
+    after the click while no purchase ever arrives) KILLS the match; the
+    batch form keeps the anchor row with state='negated' for
+    auditability (the streaming twin emits nothing for it)."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "view", None),
+            (F.col("event_type") == "click", "INTERVAL 30 MINUTES"),
+            (F.col("event_type") == "purchase", "INTERVAL 2 HOURS"),
+        ],
+        not_followed_by={2: F.col("event_type") == "error"},
+    )
+
+
+PATTERN_PURCHASE_NO_ERROR_ORACLE = """
+WITH a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events WHERE event_type = 'view'),
+a2 AS (
+  SELECT a.*,
+    (SELECT c.ts FROM events c
+     WHERE c.event_type = 'click' AND c.user_id = a.user_id AND c.ts >= a.t1
+     ORDER BY c.ts, c.event_id LIMIT 1) AS t2
+  FROM a
+),
+a3 AS (
+  SELECT a2.*,
+    (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2) AS t3
+  FROM a2
+),
+a4 AS (
+  -- notFollowedBy(error) between click and purchase: slot order puts the
+  -- guard after click and before purchase at equal timestamps, so both
+  -- boundaries are inclusive; with no purchase ever bound, any error
+  -- after the click kills the pending match
+  SELECT a3.*,
+    EXISTS (SELECT 1 FROM events e
+            WHERE e.event_type = 'error' AND e.user_id = a3.user_id
+              AND a3.t2 IS NOT NULL AND e.ts >= a3.t2
+              AND (a3.t3 IS NULL OR e.ts <= a3.t3)) AS killed
+  FROM a3
+)
+SELECT user_id, anchor_id, t1, t2, t3,
+       CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN killed THEN 'negated'
+            WHEN t3 IS NULL THEN 'incomplete'
+            WHEN t2 <= t1 + INTERVAL 30 MINUTE AND t3 <= t2 + INTERVAL 2 HOUR
+              THEN 'matched'
+            ELSE 'matched_late' END AS state
+FROM a4
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
     "pattern_view_click_purchase": pattern_view_click_purchase,
     "pattern_error_burst_recovery": pattern_error_burst_recovery,
     "pattern_signup_journey": pattern_signup_journey,
+    "pattern_purchase_no_error": pattern_purchase_no_error,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -668,6 +733,7 @@ ORACLES = {
     "pattern_view_click_purchase": PATTERN_VCP_ORACLE,
     "pattern_error_burst_recovery": PATTERN_ERROR_BURST_ORACLE,
     "pattern_signup_journey": PATTERN_SIGNUP_JOURNEY_ORACLE,
+    "pattern_purchase_no_error": PATTERN_PURCHASE_NO_ERROR_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,

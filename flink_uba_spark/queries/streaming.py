@@ -993,6 +993,41 @@ SELECT vec_id, label, cluster_id FROM assign
 """
 
 
+def stream_pattern_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The negative-pattern CEP chain (view → click within 30 min →
+    purchase within 2 h, ``notFollowedBy(error)`` between click and
+    purchase) in its native streaming form — the generalized NFA's guard
+    slots (streaming/pattern.py, round 5): a forbidden row landing before
+    the binder (or while no binder ever arrives) KILLS the chain
+    silently, reproducing Flink's pending-path discard
+    (Pattern.notFollowedBy). The oracle is the batch form minus its
+    incomplete AND negated rows."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="user_id",
+            steps=[
+                ("view", None),
+                ("click", "INTERVAL 30 MINUTES"),
+                ("purchase", "INTERVAL 2 HOURS"),
+            ],
+            not_followed_by={2: "error"},
+        )
+    )
+
+
+def _stream_pattern_no_error_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_PURCHASE_NO_ERROR_ORACLE
+
+    return (
+        f"SELECT * FROM ({PATTERN_PURCHASE_NO_ERROR_ORACLE}) "
+        "WHERE state IN ('matched', 'matched_late')"
+    )
+
+
 def stream_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance at INGEST (round-5): vectors
     stream in (every 5th, every 3rd of those with a changed embedding),
@@ -1184,6 +1219,7 @@ QUERIES = {
     "stream_pattern_view_click_purchase": stream_pattern_view_click_purchase,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
+    "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_ivf_upsert": stream_ivf_upsert,
     "stream_classifier_quality_filter": stream_classifier_quality_filter,
@@ -1216,6 +1252,7 @@ ORACLES = {
     "stream_pattern_view_click_purchase": _stream_pattern_vcp_oracle(),
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
+    "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_ivf_upsert": __import__("flink_uba_spark.queries.datapipe", fromlist=["IVF_INDEX_UPSERT_ORACLE"]).IVF_INDEX_UPSERT_ORACLE,
     "stream_classifier_quality_filter": _stream_classifier_oracle(),

@@ -153,6 +153,7 @@ def make_pattern_matcher(
     withins_us: list[int | None],
     ttl_us: int | None = None,
     kleenes: list[tuple[int, int] | None] | None = None,
+    negations: dict[int, str] | None = None,
 ):
     """Build the per-key state function (separate so unit tests can drive
     it with a fake GroupState, as for order_timeout/transitions).
@@ -162,6 +163,14 @@ def make_pattern_matcher(
     transition INTO step k+1 (entry, for Kleene steps) — for batch parity
     a Kleene step's within usually equals its gap, but they may differ.
 
+    ``negations`` maps a step index k (1..n-1) to a forbidden event-type
+    string — the reference Pattern API's ``notFollowedBy`` between step k
+    and k+1: a forbidden row landing strictly between step k's bound row
+    and the step-(k+1) binder (or after step k while no binder ever
+    arrives) KILLS the chain — nothing is emitted, matching Flink's
+    pending-path discard. In general-predicate mode the wiring sends
+    ``__g{k}`` boolean columns and the mapped string is ignored.
+
     ``ttl_us`` is the bounded-state policy knob: when set, a pending chain
     idle past its last bound event + ttl (by watermark) is FLUSHED as an
     ``incomplete`` row and evicted — state becomes O(chains inside the ttl
@@ -170,6 +179,7 @@ def make_pattern_matcher(
     ``matched_late``; exact batch equality holds only for ttl_us=None."""
     n = len(step_types)
     kleenes = list(kleenes) if kleenes is not None else [None] * n
+    negs = dict(negations or {})
     if n < 2:
         raise ValueError("pattern matcher needs at least 2 steps")
     if len(withins_us) != n or len(kleenes) != n:
@@ -178,8 +188,24 @@ def make_pattern_matcher(
         raise ValueError("oneOrMore is not supported on the first step")
     if any(k is not None and (k[0] is None or k[1] < 1) for k in kleenes):
         raise ValueError("Kleene steps need a finite gap and max_reps >= 1")
+    if any(k < 1 or k >= n for k in negs):
+        raise ValueError("negations keys must be step indexes 1..n-1")
     has_kleene = any(k is not None for k in kleenes)
     timers = has_kleene or ttl_us is not None
+
+    # slot layout in (ts, rank, id) tie-order: positive step k, then its
+    # notFollowedBy guard (if any) — mirrors the batch compiler's
+    # 2k-1 / 2k rank interleave (only relative order matters)
+    pslot: dict[int, int] = {}
+    gslot: dict[int, int] = {}
+    _slots: list[tuple[str, int]] = []
+    for k in range(1, n + 1):
+        pslot[k] = len(_slots)
+        _slots.append(("p", k))
+        if k in negs and k < n:
+            gslot[k] = len(_slots)
+            _slots.append(("g", k))
+    nslots = len(_slots)
 
     def _emit(user_id, a_ids, cur, bnd, klast, kln, st) -> pd.DataFrame:
         cols = {
@@ -245,19 +271,25 @@ def make_pattern_matcher(
         )
         if len(rows):
             if "__p1" in rows.columns:
-                # general-predicate mode: step membership precomputed
-                # JVM-side (stream_pattern_detect) — the payload carries n
-                # booleans instead of the raw predicate inputs
+                # general-predicate mode: slot membership precomputed
+                # JVM-side (stream_pattern_detect) — the payload carries
+                # one boolean per slot instead of the raw predicate inputs
                 match = np.stack(
                     [
-                        rows[f"__p{s}"].fillna(False).to_numpy().astype(bool)
-                        for s in range(1, n + 1)
+                        rows[f"__{kind}{k}"].fillna(False).to_numpy().astype(bool)
+                        for kind, k in _slots
                     ],
                     axis=1,
                 )
             else:
                 et = rows["event_type"].to_numpy()
-                match = np.stack([et == t for t in step_types], axis=1)
+                match = np.stack(
+                    [
+                        et == (step_types[k - 1] if kind == "p" else negs[k])
+                        for kind, k in _slots
+                    ],
+                    axis=1,
+                )
             keep = match.any(axis=1)
             rows = rows.loc[keep].reset_index(drop=True)
             match = match[keep]
@@ -272,7 +304,7 @@ def make_pattern_matcher(
             ts_us, ev_ids, rank, match = ts_us[order], ev_ids[order], rank[order], match[order]
         else:
             ts_us = ev_ids = rank = np.empty(0, dtype="int64")
-            match = np.empty((0, n), dtype=bool)
+            match = np.empty((0, nslots), dtype=bool)
 
         # timeline = buffer ⊕ batch (sorted: prior-batch rows precede)
         nbuf = bts.size
@@ -280,8 +312,8 @@ def make_pattern_matcher(
         tl_rk = np.concatenate([brk, rank])
         tl_id = np.concatenate([bid, ev_ids])
         buf_match = (
-            ((bmk[:, None] >> np.arange(n)) & 1).astype(bool)
-            if nbuf else np.empty((0, n), dtype=bool)
+            ((bmk[:, None] >> np.arange(nslots)) & 1).astype(bool)
+            if nbuf else np.empty((0, nslots), dtype=bool)
         )
         tl_match = np.concatenate([buf_match, match], axis=0)
         M = tl_ts.size
@@ -297,26 +329,28 @@ def make_pattern_matcher(
         # buffered row works too — future rows are later than ALL past rows
         evid_ts = int(tl_ts.max()) if M else None
 
-        # per-step occurrence lists + binder / session tables
+        # per-slot occurrence lists (timeline order = position order) +
+        # binder / session tables for positive slots
         occ: dict[int, tuple] = {}
         ksess: dict[int, tuple] = {}
-        for s in range(1, n + 1):
-            idxs = np.flatnonzero(tl_match[:, s - 1])
+        for si in range(nslots):
+            idxs = np.flatnonzero(tl_match[:, si])
             if not idxs.size:
                 continue
-            occ[s] = (idxs, _suffix_argmin_ts_id(tl_ts[idxs], tl_id[idxs]))
-            if kleenes[s - 1] is not None:
+            occ[si] = (idxs, _suffix_argmin_ts_id(tl_ts[idxs], tl_id[idxs]))
+            kind, k = _slots[si]
+            if kind == "p" and kleenes[k - 1] is not None:
                 perm = np.lexsort((tl_id[idxs], tl_ts[idxs]))  # session order
                 srt = idxs[perm]
                 inv = np.empty(idxs.size, dtype="int64")
                 inv[perm] = np.arange(idxs.size)
                 sts = tl_ts[srt]
                 link = np.empty(idxs.size, dtype=bool)
-                link[:-1] = sts[1:] <= sts[:-1] + kleenes[s - 1][0]
+                link[:-1] = sts[1:] <= sts[:-1] + kleenes[k - 1][0]
                 link[-1] = False
                 brkpos = np.flatnonzero(~link)
                 gl = brkpos[np.searchsorted(brkpos, np.arange(idxs.size))]
-                ksess[s] = (srt, inv, gl)
+                ksess[si] = (srt, inv, gl)
 
         # carried chains: frontier position in the timeline (buffer rows may
         # precede or follow a chain's frontier; batch rows always follow)
@@ -329,8 +363,8 @@ def make_pattern_matcher(
             s = int(cur[ci])
             gap_us, cap = kleenes[s - 1]
             closed = False
-            if s in ksess:
-                srt, inv, gl = ksess[s]
+            if pslot[s] in ksess:
+                srt, inv, gl = ksess[pslot[s]]
                 numS = srt.size
                 # batch step-s rows form a session-order SUFFIX (their ts
                 # exceed all buffer ts); buffer step-s rows all precede an
@@ -368,8 +402,8 @@ def make_pattern_matcher(
 
         # ---- 2. new anchors (batch rows matching step 1; buffer rows
         # anchored when they first arrived)
-        if 1 in occ:
-            a_tl = occ[1][0]
+        if pslot[1] in occ:
+            a_tl = occ[pslot[1]][0]
             a_tl = a_tl[a_tl >= nbuf]
             if a_tl.size:
                 aid = np.concatenate([aid, tl_id[a_tl]])
@@ -386,13 +420,37 @@ def make_pattern_matcher(
                 posidx = np.concatenate([posidx, a_tl])
 
         # ---- 3. resolution sweep — vectorized over chains per step
+        dead = np.zeros(aid.size, dtype=bool)
         for s in range(2, n + 1):
-            w = np.flatnonzero((cur == s - 1) & ~opn)
-            if not w.size or s not in occ:
+            has_guard = (s - 1) in negs and gslot.get(s - 1) in occ
+            w = np.flatnonzero((cur == s - 1) & ~opn & ~dead)
+            if not w.size or (pslot[s] not in occ and not has_guard):
                 continue
-            occ_idx, sufmin = occ[s]
-            j0 = np.searchsorted(occ_idx, posidx[w], side="right")
-            hit = j0 < occ_idx.size
+            if pslot[s] in occ:
+                occ_idx, sufmin = occ[pslot[s]]
+                j0 = np.searchsorted(occ_idx, posidx[w], side="right")
+                hit = j0 < occ_idx.size
+            else:
+                occ_idx = sufmin = None
+                j0 = np.empty(w.size, dtype="int64")
+                hit = np.zeros(w.size, dtype=bool)
+            if has_guard:
+                # notFollowedBy kill: the FIRST forbidden row after the
+                # frontier (occ lists are in position order, so it's a
+                # plain searchsorted gather) precedes the binder's
+                # timeline position — or no binder ever arrives
+                g_idx = occ[gslot[s - 1]][0]
+                jg = np.searchsorted(g_idx, posidx[w], side="right")
+                has_fb = jg < g_idx.size
+                fb_pos = np.where(has_fb, g_idx[np.minimum(jg, g_idx.size - 1)], -1)
+                binder_pos = np.full(w.size, np.iinfo(np.int64).max, dtype="int64")
+                if occ_idx is not None:
+                    binder_pos[hit] = occ_idx[sufmin[j0[hit]]]
+                kill = has_fb & (fb_pos < binder_pos)
+                if kill.any():
+                    dead[w[kill]] = True
+                    keepm = ~kill
+                    w, j0, hit = w[keepm], j0[keepm], hit[keepm]
             w, j0 = w[hit], j0[hit]
             if not w.size:
                 continue
@@ -405,7 +463,7 @@ def make_pattern_matcher(
                 posidx[w] = rowpos
             else:
                 gap_us, cap = kleenes[s - 1]
-                srt, inv, gl = ksess[s]
+                srt, inv, gl = ksess[pslot[s]]
                 numS = srt.size
                 se = inv[bp]                     # entry session position
                 rl = gl[se]                      # run limit (session end)
@@ -422,8 +480,9 @@ def make_pattern_matcher(
                     closed |= tl_ts[lastp] + gap_us <= wm_us
                 opn[w] = ~closed
 
-        # ---- 4. emit complete chains (run closed for a last-step Kleene)
-        done = (cur == n) & ~opn
+        # ---- 4. emit complete chains (run closed for a last-step Kleene);
+        # guard-killed chains emit nothing and are dropped below
+        done = (cur == n) & ~opn & ~dead
         if done.any():
             d_bnd = bnd[done]
             ok = np.ones(int(done.sum()), dtype=bool)
@@ -438,7 +497,7 @@ def make_pattern_matcher(
                     ok &= d_bnd[:, k - 1] <= prev + wv
             st = np.where(ok, "matched", "matched_late")
             frames.append(_emit(user_id, aid[done], cur[done], d_bnd, klast[done], kln[done], st))
-        alive = ~((cur == n) & ~opn)
+        alive = ~done & ~dead
 
         # ---- 5. ttl flush (bounded-state policy)
         if ttl_us is not None and alive.any():
@@ -472,7 +531,7 @@ def make_pattern_matcher(
                 (tl_ts == lt) & ((tl_rk > lr) | ((tl_rk == lr) & (tl_id > li)))
             )
             bts, brk, bid = tl_ts[keep], tl_rk[keep], tl_id[keep]
-            bmk = (tl_match[keep].astype("int64") << np.arange(n)).sum(axis=1)
+            bmk = (tl_match[keep].astype("int64") << np.arange(nslots)).sum(axis=1)
         else:
             bts = brk = bid = bmk = np.empty(0, dtype="int64")
 
@@ -533,6 +592,7 @@ def stream_pattern_detect(
     ts: str = "ts",
     state_ttl: str | None = None,
     watermark_delay: str = "0 seconds",
+    not_followed_by: dict | None = None,
 ) -> DataFrame:
     """Wire the matcher over a streaming events frame.
 
@@ -555,6 +615,11 @@ def stream_pattern_detect(
     evaluated JVM-side before the keyed exchange, so the state operator's
     payload carries N booleans, not the predicate inputs.
 
+    ``not_followed_by`` maps step index k (1..n-1) to a forbidden
+    event-type string or ``Column`` predicate — ``Pattern.notFollowedBy``
+    between step k and k+1; killed chains emit nothing (the batch
+    compiler's ``negated`` rows).
+
     Kleene steps need event-time timers for end-of-stream run closure, so
     their presence (like ``state_ttl``) applies the watermark."""
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -566,37 +631,54 @@ def stream_pattern_detect(
         (_interval_us(s[1]), s[2]) if len(s) > 2 and s[2] is not None else None
         for s in steps
     ]
+    nfb = dict(not_followed_by or {})
     preds = [
         (F.col("event_type") == s) if isinstance(s, str) else s.cast("boolean")
         for s in specs
     ]
+    gpreds = {
+        k: (F.col("event_type") == v) if isinstance(v, str) else v.cast("boolean")
+        for k, v in nfb.items()
+    }
     n = len(preds)
-    flag_cols = [
-        F.coalesce(p, F.lit(False)).alias(f"__p{i}") for i, p in enumerate(preds, 1)
-    ]
-    # rows matching no step are dropped at the scan (an OR of the raw
-    # predicates — pushdown-friendly, unlike greatest() over aliases), and
-    # only the N booleans ride through the keyed shuffle
+    flag_cols = {
+        f"__p{i}": F.coalesce(p, F.lit(False)).alias(f"__p{i}")
+        for i, p in enumerate(preds, 1)
+    }
+    flag_cols.update(
+        {f"__g{k}": F.coalesce(p, F.lit(False)).alias(f"__g{k}") for k, p in gpreds.items()}
+    )
+    # rows matching no step (and no guard) are dropped at the scan (an OR
+    # of the raw predicates — pushdown-friendly, unlike greatest() over
+    # aliases), and only the slot booleans ride through the keyed shuffle
     any_step = preds[0]
     for p in preds[1:]:
         any_step = any_step | p
+    for p in gpreds.values():
+        any_step = any_step | p
     filtered = (
         events.filter(any_step)
-        .withColumns({f"__p{i}": c for i, c in zip(range(1, n + 1), flag_cols)})
+        .withColumns(flag_cols)
         .select(
             F.col(event_id).alias("event_id"),
             F.col(ts).alias("ts"),
             F.col(key).alias("user_id"),
-            *[f"__p{i}" for i in range(1, n + 1)],
+            *flag_cols.keys(),
         )
     )
     step_types = [s if isinstance(s, str) else f"step{i}" for i, s in enumerate(specs, 1)]
+    negations = {
+        k: (v if isinstance(v, str) else f"not{k}") for k, v in nfb.items()
+    }
     ttl_us = None if state_ttl is None else _interval_us(state_ttl)
     timers = ttl_us is not None or any(k is not None for k in kleenes)
     if timers:
         filtered = filtered.withWatermark("ts", watermark_delay)
     return filtered.groupBy("user_id").applyInPandasWithState(
-        make_pattern_matcher(step_types, withins_us, ttl_us=ttl_us, kleenes=kleenes),
+        make_pattern_matcher(
+            step_types, withins_us, ttl_us=ttl_us, kleenes=kleenes,
+            negations=negations,
+        ),
         pattern_output_schema(n, kleenes),
         STATE_SCHEMA,
         "append",

@@ -45,41 +45,68 @@ class _FakeState:
         self._v = None
 
 
-def brute_chain(events, steps, final_wm_ms=None):
-    """Reference for the batch compiler's followed-by semantics plus the
-    streaming run-closure filter.
+def slot_layout(n, guards):
+    """Engine-identical slot order: positive step k, then its
+    notFollowedBy guard (if any, and k < n)."""
+    slots = []
+    pslot, gslot = {}, {}
+    for k in range(1, n + 1):
+        pslot[k] = len(slots)
+        slots.append(("p", k))
+        if k in guards and k < n:
+            gslot[k] = len(slots)
+            slots.append(("g", k))
+    return slots, pslot, gslot
 
-    ``events``: (eid, ts_us, mask) with bit k-1 = matches step k.
-    ``steps``: list of (within_us | None, kleene (gap_us, cap) | None).
+
+def brute_chain(events, steps, final_wm_ms=None, guards=frozenset()):
+    """Reference for the batch compiler's followed-by semantics plus the
+    streaming run-closure filter and notFollowedBy kills.
+
+    ``events``: (eid, ts_us, mask) with bit j = matches SLOT j (slot
+    layout per ``slot_layout``). ``steps``: list of
+    (within_us | None, kleene (gap_us, cap) | None). ``guards``: step
+    indexes k with a forbidden predicate between k and k+1.
     Returns sorted (anchor_id, bound-tuple, state) for chains the STREAM
-    emits: complete AND every Kleene run closed (cap, same-key evidence,
-    or final watermark past last_rep + gap)."""
+    emits: complete, NOT killed by a guard, AND every Kleene run closed
+    (cap, same-key evidence, or final watermark past last_rep + gap)."""
     n = len(steps)
-    full = (1 << n) - 1
+    slots, pslot, gslot = slot_layout(n, guards)
+    nslots = len(slots)
+    full = (1 << nslots) - 1
     evs = [(eid, ts, m & full) for eid, ts, m in events if m & full]
 
     def rank(m):
-        return (m & -m).bit_length()  # lowest set bit, 1-based
+        return (m & -m).bit_length()  # lowest set slot, 1-based
 
     evs.sort(key=lambda e: (e[1], rank(e[2]), e[0]))
     srows = {
-        s: sorted(
-            (e[1], e[0], p) for p, e in enumerate(evs) if e[2] >> (s - 1) & 1
-        )
-        for s in range(1, n + 1)
+        j: sorted((e[1], e[0], p) for p, e in enumerate(evs) if e[2] >> j & 1)
+        for j in range(nslots)
     }
     out = []
     for p0, (aid, ats, am) in enumerate(evs):
-        if not (am & 1):
+        if not (am >> pslot[1] & 1):
             continue
         bounds = {1: ats}
         klast, kn = {}, {}
         posidx = p0
         complete = closed_all = True
+        killed = False
         for s in range(2, n + 1):
             cands = [
-                (ts, eid, p, i) for i, (ts, eid, p) in enumerate(srows[s]) if p > posidx
+                (ts, eid, p, i)
+                for i, (ts, eid, p) in enumerate(srows[pslot[s]])
+                if p > posidx
             ]
+            if (s - 1) in gslot:
+                g_after = [p for (_, _, p) in srows[gslot[s - 1]] if p > posidx]
+                fb_pos = min(g_after) if g_after else None
+                if fb_pos is not None and (
+                    not cands or fb_pos < min(cands)[2]
+                ):
+                    killed = True
+                    break
             if not cands:
                 complete = False
                 break
@@ -90,7 +117,7 @@ def brute_chain(events, steps, final_wm_ms=None):
                 posidx = p_e
             else:
                 gap, cap = kl
-                rows = srows[s]
+                rows = srows[pslot[s]]
                 j, cnt = i_e, 1
                 while cnt < cap and j + 1 < len(rows) and rows[j + 1][0] <= rows[j][0] + gap:
                     j += 1
@@ -106,7 +133,7 @@ def brute_chain(events, steps, final_wm_ms=None):
                     or (final_wm_ms is not None and last + gap <= final_wm_ms * 1000)
                 )
                 closed_all = closed_all and closed
-        if not complete or not closed_all:
+        if killed or not complete or not closed_all:
             continue
         ok = True
         for s in range(2, n + 1):
@@ -123,16 +150,20 @@ def brute_chain(events, steps, final_wm_ms=None):
     return sorted(out)
 
 
-def _drive(events, steps, cuts):
+def _drive(events, steps, cuts, guards=frozenset()):
     """Run the NFA over event-time-split batches + a final timer firing at
-    the ms-floored max event time; return (emitted rows, final_wm_ms)."""
+    the ms-floored max event time; return (emitted rows, final_wm_ms).
+    Events carry SLOT masks (per slot_layout); batches send __p/__g
+    columns, exercising the general-predicate wire format."""
     from flink_uba_spark.streaming.pattern import make_pattern_matcher
 
     n = len(steps)
+    slots, pslot, gslot = slot_layout(n, guards)
     detect = make_pattern_matcher(
         [f"s{k}" for k in range(1, n + 1)],
         [w for w, _ in steps],
         kleenes=[k for _, k in steps],
+        negations={k: f"x{k}" for k in gslot},
     )
     state = _FakeState()
     got = []
@@ -160,7 +191,10 @@ def _drive(events, steps, cuts):
                 {
                     "event_id": eid,
                     "ts": pd.Timestamp(ts, unit="us"),
-                    **{f"__p{k}": bool(m >> (k - 1) & 1) for k in range(1, n + 1)},
+                    **{
+                        f"__{kind}{k}": bool(m >> j & 1)
+                        for j, (kind, k) in enumerate(slots)
+                    },
                 }
                 for eid, ts, m in batch
             ]
@@ -238,4 +272,57 @@ def test_deep_chain_random_kleene_positions_match_bruteforce(seed):
     cuts = set(rnd.sample(range(1, 300), rnd.randint(0, 4)))
     got, wm_ms = _drive(events, steps, cuts)
     want = brute_chain(events, steps, final_wm_ms=wm_ms)
+    assert sorted(got) == want
+
+
+# 3 positive steps + guards after steps 1 and 2 → 5 slots:
+# A(0) X1(1) B(2) X2(3) C(4); masks include overlap combos
+NFB_STEPS = [(None, None), (8, None), (12, None)]
+NFB_GUARDS = frozenset({1, 2})
+nfb_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 30),
+        st.sampled_from([1, 2, 4, 8, 16, 5, 18, 6, 12, 0]),
+    ),
+    min_size=0,
+    max_size=26,
+)
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=list(HealthCheck))
+@given(raw=nfb_events_strategy, cuts=st.sets(st.integers(1, 30), max_size=4))
+def test_not_followed_by_matches_bruteforce(raw, cuts):
+    """notFollowedBy guards on both transitions: a forbidden row landing
+    before the binder (or while no binder ever arrives) kills the chain
+    silently, across arbitrary micro-batch splits."""
+    events = [(i, ts, m) for i, (ts, m) in enumerate(raw)]
+    got, wm_ms = _drive(events, NFB_STEPS, cuts, guards=NFB_GUARDS)
+    want = brute_chain(events, NFB_STEPS, final_wm_ms=wm_ms, guards=NFB_GUARDS)
+    assert sorted(got) == want
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_deep_chain_kleene_and_guards_match_bruteforce(seed):
+    """5-step chains with 1-2 Kleene steps AND 1-2 notFollowedBy guards at
+    random positions, overlap masks, random splits — the full generalized
+    surface in one harness."""
+    rnd = random.Random(seed + 100)
+    n = 5
+    kpos = rnd.sample(range(1, n), rnd.choice([1, 2]))
+    guards = frozenset(rnd.sample(range(1, n), rnd.choice([1, 2])))
+    steps = [
+        (
+            rnd.choice([None, rnd.randint(3, 60)]),
+            (rnd.randint(3, 25), rnd.randint(1, 3)) if i in kpos else None,
+        )
+        for i in range(n)
+    ]
+    nslots = len(slot_layout(n, guards)[0])
+    events = [
+        (i, rnd.randint(0, 300), rnd.getrandbits(nslots) if rnd.random() < 0.9 else 0)
+        for i in range(rnd.randint(0, 40))
+    ]
+    cuts = set(rnd.sample(range(1, 300), rnd.randint(0, 4)))
+    got, wm_ms = _drive(events, steps, cuts, guards=guards)
+    want = brute_chain(events, steps, final_wm_ms=wm_ms, guards=guards)
     assert sorted(got) == want
