@@ -431,6 +431,119 @@ FROM newb nb LEFT JOIN corp ON corp.vec_id = nb.vec_id
 """
 
 
+def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement (round-5): recall@5 of the IVF index vs the
+    exact brute-force cosine ranking, swept over the probe budget
+    (n_probe ∈ 1, 2, 4, 8) — the accuracy/cost dial every production ANN
+    deployment tunes. recall_pct is integer-exact (hits × 20), so the
+    DuckDB oracle hash-matches bit-for-bit. At n_probe = 8 (= all
+    centroids) IVF degenerates to exact search: recall must be 100 — a
+    built-in self-check the oracle also encodes."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(embs, queries, k=5).select("query_id", "neighbor_id")
+    parts = []
+    for p in (1, 2, 4, 8):
+        approx = S.ivf_topk(embs, queries, k=5, n_centroids=8, n_probe=p).select(
+            "query_id", "neighbor_id"
+        )
+        parts.append(
+            exact.join(approx, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(p).cast("long").alias("n_probe"), "query_id", "n_hits")
+        )
+    hits = parts[0]
+    for part in parts[1:]:
+        hits = hits.unionByName(part)
+    base = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
+        F.broadcast(
+            spark.range(4).select(
+                F.element_at(F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8)), F.col("id").cast("int") + 1)
+                .cast("long")
+                .alias("n_probe")
+            )
+        )
+    )
+    return base.join(hits, ["n_probe", "query_id"], "left").select(
+        "n_probe",
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) * 20).cast("long").alias("recall_pct"),
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    probes = []
+    for p in (1, 2, 4, 8):
+        probes.append(
+            f"SELECT {p} AS n_probe, vec_id AS query_id, ck AS bucket "
+            f"FROM ranked_c WHERE rn <= {p} AND vec_id < 8"
+        )
+    probe_union = " UNION ALL ".join(probes)
+    return f"""
+WITH n AS (
+    SELECT vec_id, {_QUANT_SQL} AS qemb,
+           list_dot_product({_QUANT_SQL}, {_QUANT_SQL}) AS qq
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS ck, qemb AS cemb, qq AS cqq FROM n WHERE vec_id < 8),
+cosses AS (
+    SELECT v.vec_id, c.ck,
+           list_dot_product(v.qemb, c.cemb) / (sqrt(v.qq) * sqrt(c.cqq)) AS cos
+    FROM n v CROSS JOIN cent c
+),
+ranked_c AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ck ASC) AS rn
+    FROM cosses
+),
+assign AS (SELECT vec_id, ck AS bucket FROM ranked_c WHERE rn = 1),
+probes AS ({probe_union}),
+approx AS (
+    SELECT n_probe, query_id, neighbor_id FROM (
+        SELECT p.n_probe, p.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY p.n_probe, p.query_id
+                   ORDER BY list_dot_product(q.qemb, v.qemb) / (sqrt(q.qq) * sqrt(v.qq)) DESC,
+                            v.vec_id
+               ) AS rnk
+        FROM probes p
+        JOIN assign a ON a.bucket = p.bucket
+        JOIN n v ON v.vec_id = a.vec_id
+        JOIN n q ON q.vec_id = p.query_id
+        WHERE v.vec_id != p.query_id
+    ) WHERE rnk <= 5
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qemb, c.qemb) / (sqrt(q.qq) * sqrt(c.qq)) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+    ) WHERE rnk <= 5
+),
+h AS (
+    SELECT a.n_probe, e.query_id, count(*) AS n
+    FROM exact e JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1, 2
+),
+grid AS (
+    SELECT p.n_probe, q.vec_id AS query_id
+    FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 8) q
+    CROSS JOIN (VALUES (1), (2), (4), (8)) AS p(n_probe)
+)
+SELECT CAST(g.n_probe AS BIGINT) AS n_probe, g.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n, 0) * 20 AS BIGINT) AS recall_pct
+FROM grid g LEFT JOIN h ON h.n_probe = g.n_probe AND h.query_id = g.query_id
+"""
+
+
 def embedding_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic clustering over embeddings: nearest-centroid assignment
     (operators/similarity.py:cluster_assign — broadcast codebook argmax,
@@ -1648,6 +1761,7 @@ QUERIES = {
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "ivf_index_upsert": ivf_index_upsert_ops,
+    "ivf_recall_sweep": ivf_recall_sweep,
     "embedding_topic_clusters": embedding_topic_clusters,
     "embedding_pq_topk": embedding_pq_topk,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
@@ -1698,6 +1812,7 @@ ORACLES = {
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "embedding_ivf_topk": EMBEDDING_IVF_ORACLE,
     "ivf_index_upsert": IVF_INDEX_UPSERT_ORACLE,
+    "ivf_recall_sweep": _ivf_recall_oracle(),
     "embedding_topic_clusters": EMBEDDING_TOPIC_CLUSTERS_ORACLE,
     "embedding_pq_topk": EMBEDDING_PQ_ORACLE,
     "embedding_near_dup_lsh": _near_dup_oracle(),
