@@ -142,11 +142,23 @@ def pattern_detect(
         raise ValueError("pattern_detect needs at least 2 steps")
     preds = [s[0] for s in steps]
     withins = [s[1] for s in steps]
-    reps = [(s[2] if len(s) > 2 else None) for s in steps]
+    # a repetition spec is max_reps (oneOrMore, min 1) or (min_reps,
+    # max_reps) — the reference Pattern API's times(n) / times(from, to):
+    # an entry whose within-gap run holds fewer than min_reps rows is NOT
+    # a valid binding (the previous step binds the next valid entry)
+    reps: list[tuple[int, int] | None] = []
+    for s in steps:
+        r = s[2] if len(s) > 2 else None
+        if r is None:
+            reps.append(None)
+        elif isinstance(r, tuple):
+            reps.append((int(r[0]), int(r[1])))
+        else:
+            reps.append((1, int(r)))
     if reps[0] is not None:
-        raise ValueError("oneOrMore is not supported on the first step")
-    if any(r is not None and r < 1 for r in reps):
-        raise ValueError("max_reps must be >= 1")
+        raise ValueError("oneOrMore/times is not supported on the first step")
+    if any(r is not None and (r[0] < 1 or r[1] < r[0]) for r in reps):
+        raise ValueError("need 1 <= min_reps <= max_reps")
     negs = dict(not_followed_by or {})
     if any(k < 1 or k >= n for k in negs):
         raise ValueError("not_followed_by keys must be step indexes 1..n-1")
@@ -286,8 +298,9 @@ def pattern_detect(
             )
             return df.withColumn(f"__c{k}", F.when(F.col(f"__p{k}"), F.struct(*fields)))
 
-        # Kleene step: capped greedy run within the session
-        cap = reps[k - 1]
+        # Kleene step: capped greedy run within the session; an entry with
+        # fewer than min_reps rows available is not a valid binding
+        mn, cap = reps[k - 1]
         w_sess = Window.partitionBy("__k", f"__sess{k}").orderBy("__ts", "__id")
         w_sess_full = w_sess.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
@@ -327,7 +340,13 @@ def pattern_detect(
             fields = fields + [guard_broken(fb_at_last, nxt_at_last, k).alias(f"b{k}")]
         if nxt_at_last is not None:
             fields = fields + [nxt_at_last.getField(f).alias(f) for f in downstream]
-        return df.withColumn(f"__c{k}", F.when(F.col(f"__p{k}"), F.struct(*fields)))
+        # times(from, to): entries with avail < min_reps yield a null
+        # struct, so the previous step's min-of-struct binder skips them
+        # and binds the next VALID entry (skip-till-next-match)
+        valid = F.col(f"__p{k}") & (
+            (F.col(f"__cnt{k}") - F.col(f"__rn{k}") + 1) >= F.lit(mn)
+        )
+        return df.withColumn(f"__c{k}", F.when(valid, F.struct(*fields)))
 
     df = base
     for k in range(n, 0, -1):

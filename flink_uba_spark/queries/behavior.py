@@ -644,6 +644,80 @@ FROM a4
 """
 
 
+def pattern_error_streak_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """times(from, to) CEP chain: signup → error.times(2, 4) (each
+    repetition within 6 h of the previous) → purchase within 12 h of the
+    LAST error — the reference Pattern API's exact-repetition surface
+    (``Pattern.times(from, to)``), round 5. An error run shorter than 2 is
+    NOT a valid binding: the anchor skips it and binds the next streak of
+    ≥ 2 (skip-till-next-match through invalid entries), so this detects
+    users who recovered after a real error STREAK, not a single blip."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "signup", None),
+            (F.col("event_type") == "error", "INTERVAL 6 HOURS", (2, 4)),
+            (F.col("event_type") == "purchase", "INTERVAL 12 HOURS"),
+        ],
+    )
+
+
+PATTERN_ERROR_STREAK_ORACLE = """
+WITH err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 6 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts,
+         COALESCE(lead(ts, 3) OVER ws, max(ts) OVER wf) AS run_last,
+         LEAST(4, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps,
+         count(*) OVER wf - row_number() OVER ws + 1 AS avail
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+vruns AS (SELECT * FROM runs WHERE avail >= 2),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*,
+    (SELECT r.ts FROM vruns r WHERE r.user_id = a.user_id AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t2,
+    (SELECT r.run_last FROM vruns r WHERE r.user_id = a.user_id AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t2_last,
+    (SELECT r.n_reps FROM vruns r WHERE r.user_id = a.user_id AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS n2
+  FROM a
+),
+a3 AS (
+  SELECT a2.*,
+    (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+)
+SELECT user_id, anchor_id, t1, t2, t2_last, CAST(n2 AS BIGINT) AS n2, t3,
+       CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN t3 IS NULL THEN 'incomplete'
+            WHEN t2 <= t1 + INTERVAL 6 HOUR AND t3 <= t2_last + INTERVAL 12 HOUR
+              THEN 'matched'
+            ELSE 'matched_late' END AS state
+FROM a3
+"""
+
+
 def pattern_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP chain with a NEGATIVE pattern: view → click (within 30 min) →
     purchase (within 2 h) with ``notFollowedBy(error)`` between click and
@@ -715,6 +789,7 @@ QUERIES = {
     "pattern_error_burst_recovery": pattern_error_burst_recovery,
     "pattern_signup_journey": pattern_signup_journey,
     "pattern_purchase_no_error": pattern_purchase_no_error,
+    "pattern_error_streak_recovery": pattern_error_streak_recovery,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -734,6 +809,7 @@ ORACLES = {
     "pattern_error_burst_recovery": PATTERN_ERROR_BURST_ORACLE,
     "pattern_signup_journey": PATTERN_SIGNUP_JOURNEY_ORACLE,
     "pattern_purchase_no_error": PATTERN_PURCHASE_NO_ERROR_ORACLE,
+    "pattern_error_streak_recovery": PATTERN_ERROR_STREAK_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,

@@ -993,6 +993,54 @@ SELECT vec_id, label, cluster_id FROM assign
 """
 
 
+def stream_pattern_error_streak_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The times(from, to) CEP chain (signup → error.times(2, 4) within
+    6 h gaps → purchase within 12 h of the run's LAST error) in its
+    native streaming form — the generalized NFA's min_reps-restricted
+    binding (round 5): error streaks shorter than 2 are transparent, and
+    a tentatively-bound open run that closes short of 2 resets the chain
+    to waiting. The oracle is the batch result restricted to chains whose
+    streak CLOSED before the stream ended (cap 4, same-key gap evidence,
+    or the final ms-floored watermark)."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="user_id",
+            steps=[
+                ("signup", None),
+                ("error", "INTERVAL 6 HOURS", (2, 4)),
+                ("purchase", "INTERVAL 12 HOURS"),
+            ],
+        )
+    )
+
+
+def _stream_pattern_streak_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_ERROR_STREAK_ORACLE
+
+    gap_us = 6 * 3600 * 1_000_000
+    return f"""
+WITH batchform AS ({PATTERN_ERROR_STREAK_ORACLE}),
+relevant AS (
+  SELECT user_id, ts FROM events
+  WHERE event_type IN ('signup', 'error', 'purchase')
+),
+keymax AS (SELECT user_id, max(ts) AS kmax FROM relevant GROUP BY 1),
+gmax AS (SELECT max(ts) AS g FROM relevant)
+SELECT b.user_id, b.anchor_id, b.t1, b.t2, b.t2_last, b.n2, b.t3,
+       b.max_step, b.state
+FROM batchform b JOIN keymax k ON k.user_id = b.user_id
+WHERE b.state != 'incomplete'
+  AND (b.n2 = 4
+       OR k.kmax > b.t2_last + INTERVAL 6 HOUR
+       OR epoch_us(b.t2_last) + {gap_us}
+            <= (epoch_us((SELECT g FROM gmax)) // 1000) * 1000)
+"""
+
+
 def stream_pattern_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The negative-pattern CEP chain (view → click within 30 min →
     purchase within 2 h, ``notFollowedBy(error)`` between click and
@@ -1220,6 +1268,7 @@ QUERIES = {
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
+    "stream_pattern_error_streak_recovery": stream_pattern_error_streak_recovery,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_ivf_upsert": stream_ivf_upsert,
     "stream_classifier_quality_filter": stream_classifier_quality_filter,
@@ -1253,6 +1302,7 @@ ORACLES = {
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),
+    "stream_pattern_error_streak_recovery": _stream_pattern_streak_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_ivf_upsert": __import__("flink_uba_spark.queries.datapipe", fromlist=["IVF_INDEX_UPSERT_ORACLE"]).IVF_INDEX_UPSERT_ORACLE,
     "stream_classifier_quality_filter": _stream_classifier_oracle(),

@@ -178,16 +178,24 @@ def make_pattern_matcher(
     (documented): a binder arriving after the flush no longer produces
     ``matched_late``; exact batch equality holds only for ttl_us=None."""
     n = len(step_types)
-    kleenes = list(kleenes) if kleenes is not None else [None] * n
+    # a Kleene spec is (gap_us, max_reps) or (gap_us, max_reps, min_reps)
+    # — times(from, to): entries whose run holds fewer than min_reps rows
+    # are not valid bindings. Normalize to (gap, cap, mn).
+    kleenes = [
+        (None if k is None else (k[0], k[1], k[2] if len(k) > 2 else 1))
+        for k in (kleenes if kleenes is not None else [None] * n)
+    ]
     negs = dict(negations or {})
     if n < 2:
         raise ValueError("pattern matcher needs at least 2 steps")
     if len(withins_us) != n or len(kleenes) != n:
         raise ValueError("withins_us/kleenes must have one entry per step")
     if kleenes[0] is not None:
-        raise ValueError("oneOrMore is not supported on the first step")
-    if any(k is not None and (k[0] is None or k[1] < 1) for k in kleenes):
-        raise ValueError("Kleene steps need a finite gap and max_reps >= 1")
+        raise ValueError("oneOrMore/times is not supported on the first step")
+    if any(
+        k is not None and (k[0] is None or k[2] < 1 or k[1] < k[2]) for k in kleenes
+    ):
+        raise ValueError("Kleene steps need a finite gap and 1 <= min_reps <= max_reps")
     if any(k < 1 or k >= n for k in negs):
         raise ValueError("negations keys must be step indexes 1..n-1")
     has_kleene = any(k is not None for k in kleenes)
@@ -330,8 +338,10 @@ def make_pattern_matcher(
         evid_ts = int(tl_ts.max()) if M else None
 
         # per-slot occurrence lists (timeline order = position order) +
-        # binder / session tables for positive slots
+        # binder / session tables for positive slots; occ_bind = the
+        # BINDING view (min_reps-restricted for times() Kleene steps)
         occ: dict[int, tuple] = {}
+        occ_bind: dict[int, tuple] = {}
         ksess: dict[int, tuple] = {}
         for si in range(nslots):
             idxs = np.flatnonzero(tl_match[:, si])
@@ -340,17 +350,41 @@ def make_pattern_matcher(
             occ[si] = (idxs, _suffix_argmin_ts_id(tl_ts[idxs], tl_id[idxs]))
             kind, k = _slots[si]
             if kind == "p" and kleenes[k - 1] is not None:
+                gap_us, cap, mn = kleenes[k - 1]
                 perm = np.lexsort((tl_id[idxs], tl_ts[idxs]))  # session order
                 srt = idxs[perm]
                 inv = np.empty(idxs.size, dtype="int64")
                 inv[perm] = np.arange(idxs.size)
                 sts = tl_ts[srt]
                 link = np.empty(idxs.size, dtype=bool)
-                link[:-1] = sts[1:] <= sts[:-1] + kleenes[k - 1][0]
+                link[:-1] = sts[1:] <= sts[:-1] + gap_us
                 link[-1] = False
                 brkpos = np.flatnonzero(~link)
                 gl = brkpos[np.searchsorted(brkpos, np.arange(idxs.size))]
                 ksess[si] = (srt, inv, gl)
+                if mn > 1:
+                    # times(from, to): restrict BINDING to entries that are
+                    # already valid (avail >= min_reps) or still undecided
+                    # (the final session, not yet provably unextendable) —
+                    # invalid entries are transparent, exactly as the batch
+                    # compiler's null structs make them
+                    avail = gl - np.arange(idxs.size) + 1
+                    valid = avail >= mn
+                    final_closed = (
+                        evid_ts is not None and evid_ts > sts[-1] + gap_us
+                    ) or (wm_us > 0 and sts[-1] + gap_us <= wm_us)
+                    ok = valid.copy()
+                    if not final_closed:
+                        ok |= gl == idxs.size - 1
+                    keep_occ = ok[inv]  # occ-order mask
+                    f_idxs = idxs[keep_occ]
+                    if f_idxs.size:
+                        occ_bind[si] = (
+                            f_idxs,
+                            _suffix_argmin_ts_id(tl_ts[f_idxs], tl_id[f_idxs]),
+                        )
+                    continue
+            occ_bind[si] = occ[si]
 
         # carried chains: frontier position in the timeline (buffer rows may
         # precede or follow a chain's frontier; batch rows always follow)
@@ -361,7 +395,7 @@ def make_pattern_matcher(
         # ---- 1. extend / close carried open runs — O(open chains)
         for ci in np.flatnonzero(opn):
             s = int(cur[ci])
-            gap_us, cap = kleenes[s - 1]
+            gap_us, cap, mn = kleenes[s - 1]
             closed = False
             if pslot[s] in ksess:
                 srt, inv, gl = ksess[pslot[s]]
@@ -399,6 +433,17 @@ def make_pattern_matcher(
                 closed = True
             if closed:
                 opn[ci] = False
+                if kln[ci, s - 1] < mn:
+                    # a tentatively-bound times() entry whose run closed
+                    # short of min_reps: the binding is INVALID — reset to
+                    # waiting. The frontier stays at the run's last row:
+                    # every other entry of the closed session has even
+                    # fewer rows available, so the next valid entry can
+                    # only be in a later session, after this position.
+                    cur[ci] = s - 1
+                    bnd[ci, s - 1] = -1
+                    klast[ci, s - 1] = -1
+                    kln[ci, s - 1] = 0
 
         # ---- 2. new anchors (batch rows matching step 1; buffer rows
         # anchored when they first arrived)
@@ -424,10 +469,10 @@ def make_pattern_matcher(
         for s in range(2, n + 1):
             has_guard = (s - 1) in negs and gslot.get(s - 1) in occ
             w = np.flatnonzero((cur == s - 1) & ~opn & ~dead)
-            if not w.size or (pslot[s] not in occ and not has_guard):
+            if not w.size or (pslot[s] not in occ_bind and not has_guard):
                 continue
-            if pslot[s] in occ:
-                occ_idx, sufmin = occ[pslot[s]]
+            if pslot[s] in occ_bind:
+                occ_idx, sufmin = occ_bind[pslot[s]]
                 j0 = np.searchsorted(occ_idx, posidx[w], side="right")
                 hit = j0 < occ_idx.size
             else:
@@ -462,10 +507,13 @@ def make_pattern_matcher(
                 fts[w], frk[w], fid[w] = tl_ts[rowpos], tl_rk[rowpos], tl_id[rowpos]
                 posidx[w] = rowpos
             else:
-                gap_us, cap = kleenes[s - 1]
+                gap_us, cap, mn = kleenes[s - 1]
                 srt, inv, gl = ksess[pslot[s]]
                 numS = srt.size
-                se = inv[bp]                     # entry session position
+                # bp indexes the RESTRICTED binding list; map its rows back
+                # to session positions via the full occ inverse
+                full_idx, _ = occ[pslot[s]]
+                se = inv[np.searchsorted(full_idx, rowpos)]  # entry session position
                 rl = gl[se]                      # run limit (session end)
                 t = np.minimum(cap, rl - se + 1)
                 lastp = srt[se + t - 1]
@@ -627,10 +675,15 @@ def stream_pattern_detect(
     specs = [s[0] for s in steps]
     withins = [s[1] for s in steps]
     withins_us = [None if w is None else _interval_us(w) for w in withins]
-    kleenes = [
-        (_interval_us(s[1]), s[2]) if len(s) > 2 and s[2] is not None else None
-        for s in steps
-    ]
+    def _kspec(s):
+        if len(s) <= 2 or s[2] is None:
+            return None
+        r = s[2]
+        if isinstance(r, tuple):  # times(from, to)
+            return (_interval_us(s[1]), r[1], r[0])
+        return (_interval_us(s[1]), r)  # oneOrMore capped
+
+    kleenes = [_kspec(s) for s in steps]
     nfb = dict(not_followed_by or {})
     preds = [
         (F.col("event_type") == s) if isinstance(s, str) else s.cast("boolean")

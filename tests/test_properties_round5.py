@@ -94,11 +94,26 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset()):
         complete = closed_all = True
         killed = False
         for s in range(2, n + 1):
-            cands = [
-                (ts, eid, p, i)
-                for i, (ts, eid, p) in enumerate(srows[pslot[s]])
-                if p > posidx
-            ]
+            kl = steps[s - 1][1]
+            mn_s = kl[2] if kl is not None and len(kl) > 2 else 1
+            rows_s = srows[pslot[s]]
+            if kl is not None and mn_s > 1:
+                # times(from, to): entries with a linked run shorter than
+                # min_reps are not valid bindings
+                gap_s = kl[0]
+                avail = [1] * len(rows_s)
+                for i in range(len(rows_s) - 2, -1, -1):
+                    if rows_s[i + 1][0] <= rows_s[i][0] + gap_s:
+                        avail[i] += avail[i + 1]
+                cands = [
+                    (ts, eid, p, i)
+                    for i, (ts, eid, p) in enumerate(rows_s)
+                    if p > posidx and avail[i] >= mn_s
+                ]
+            else:
+                cands = [
+                    (ts, eid, p, i) for i, (ts, eid, p) in enumerate(rows_s) if p > posidx
+                ]
             if (s - 1) in gslot:
                 g_after = [p for (_, _, p) in srows[gslot[s - 1]] if p > posidx]
                 fb_pos = min(g_after) if g_after else None
@@ -111,12 +126,11 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset()):
                 complete = False
                 break
             ts_e, _, p_e, i_e = min(cands)
-            kl = steps[s - 1][1]
             if kl is None:
                 bounds[s] = ts_e
                 posidx = p_e
             else:
-                gap, cap = kl
+                gap, cap = kl[0], kl[1]
                 rows = srows[pslot[s]]
                 j, cnt = i_e, 1
                 while cnt < cap and j + 1 < len(rows) and rows[j + 1][0] <= rows[j][0] + gap:
@@ -315,6 +329,57 @@ def test_deep_chain_kleene_and_guards_match_bruteforce(seed):
             rnd.choice([None, rnd.randint(3, 60)]),
             (rnd.randint(3, 25), rnd.randint(1, 3)) if i in kpos else None,
         )
+        for i in range(n)
+    ]
+    nslots = len(slot_layout(n, guards)[0])
+    events = [
+        (i, rnd.randint(0, 300), rnd.getrandbits(nslots) if rnd.random() < 0.9 else 0)
+        for i in range(rnd.randint(0, 40))
+    ]
+    cuts = set(rnd.sample(range(1, 300), rnd.randint(0, 4)))
+    got, wm_ms = _drive(events, steps, cuts, guards=guards)
+    want = brute_chain(events, steps, final_wm_ms=wm_ms, guards=guards)
+    assert sorted(got) == want
+
+
+# times(2,3) mid-chain: entries with runs shorter than 2 are invalid
+TIMES_STEPS = [(None, None), (None, (6, 3, 2)), (15, None)]
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from([1, 2, 4, 3, 6, 0])),
+        min_size=0,
+        max_size=26,
+    ),
+    cuts=st.sets(st.integers(1, 30), max_size=4),
+)
+def test_times_min_reps_matches_bruteforce(raw, cuts):
+    """times(from, to): a Kleene entry whose within-gap run holds fewer
+    than min_reps rows is transparent — the previous step binds the next
+    VALID entry; a tentatively-bound open run that closes short resets to
+    waiting. Across arbitrary micro-batch splits."""
+    events = [(i, ts, m) for i, (ts, m) in enumerate(raw)]
+    got, wm_ms = _drive(events, TIMES_STEPS, cuts)
+    want = brute_chain(events, TIMES_STEPS, final_wm_ms=wm_ms)
+    assert sorted(got) == want
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_deep_chain_times_kleene_guards_match_bruteforce(seed):
+    """The full surface in one harness: 5-step chains with randomized
+    times(from, to) Kleene steps AND notFollowedBy guards, overlap masks,
+    random splits."""
+    rnd = random.Random(seed + 200)
+    n = 5
+    kpos = rnd.sample(range(1, n), rnd.choice([1, 2]))
+    guards = frozenset(rnd.sample(range(1, n), rnd.choice([0, 1, 2])))
+    def kspec():
+        mx = rnd.randint(1, 4)
+        return (rnd.randint(3, 25), mx, rnd.randint(1, mx))
+    steps = [
+        (rnd.choice([None, rnd.randint(3, 60)]), kspec() if i in kpos else None)
         for i in range(n)
     ]
     nslots = len(slot_layout(n, guards)[0])
