@@ -77,6 +77,7 @@ def pattern_detect(
     event_id: str = "event_id",
     ts: str = "ts",
     not_followed_by: dict[int, Column] | None = None,
+    optional: set[int] | None = None,
 ) -> DataFrame:
     """Compile an N-step ``begin → followedBy → …`` pattern into chained
     window aggregates (one key exchange for the plain-step chain).
@@ -162,6 +163,19 @@ def pattern_detect(
     negs = dict(not_followed_by or {})
     if any(k < 1 or k >= n for k in negs):
         raise ValueError("not_followed_by keys must be step indexes 1..n-1")
+    opts = set(optional or ())
+    # optional steps: greedy-race single-match semantics (see docstring).
+    # Kept composable-but-bounded: never first/last, never adjacent to
+    # another optional (the pairwise race is complete only then), never a
+    # Kleene step, and never adjacent to a notFollowedBy guard.
+    if any(k <= 1 or k >= n for k in opts):
+        raise ValueError("optional steps must be interior (2..n-1)")
+    if any(k + 1 in opts for k in opts):
+        raise ValueError("two consecutive optional steps are not supported")
+    if any(reps[k - 1] is not None for k in opts):
+        raise ValueError("an optional step cannot be a Kleene/times step")
+    if any(k in opts or k + 1 in opts for k in negs):
+        raise ValueError("a notFollowedBy guard cannot touch an optional step")
 
     # slot ranks: positive step k at 2k-1, a notFollowedBy guard between k
     # and k+1 at 2k — so at equal timestamps a forbidden row sorts after
@@ -241,7 +255,7 @@ def pattern_detect(
     # transition's guard verdict) ride behind.
     def own_fields(k: int) -> list[str]:
         names = [f"t{k}", f"i{k}"]
-        if k - 1 in negs:
+        if k - 1 in negs or k in opts or k - 1 in opts:
             names.append(f"r{k}")
         if reps[k - 1] is not None:
             names += [f"t{k}_last", f"n{k}"]
@@ -275,6 +289,42 @@ def pattern_detect(
                 f"__nx{k}", F.min(F.col(f"__c{k+1}")).over(w_after)
             )
             nxt = F.col(f"__nx{k}")
+        if k + 1 in opts:
+            # optional step j = k+1: the greedy race — take j iff its
+            # earliest candidate precedes the earliest step-(j+2) candidate
+            # in (ts, rank, id) position order, else skip (t_j stays null
+            # and the chain continues from step j+2's candidate directly)
+            j = k + 1
+            df = df.withColumn(
+                f"__nxskip{k}", F.min(F.col(f"__c{j+1}")).over(w_after)
+            )
+            nx, sk = F.col(f"__nx{k}"), F.col(f"__nxskip{k}")
+            take = nx.isNotNull() & (
+                sk.isNull()
+                | (
+                    F.struct(
+                        nx.getField(f"t{j}"), nx.getField(f"r{j}"), nx.getField(f"i{j}")
+                    )
+                    < F.struct(
+                        sk.getField(f"t{j+1}"),
+                        sk.getField(f"r{j+1}"),
+                        sk.getField(f"i{j+1}"),
+                    )
+                )
+            )
+            own_j = [f"t{j}", f"i{j}", f"r{j}"]
+            merged = F.when(
+                nx.isNotNull() | sk.isNotNull(),
+                F.struct(
+                    *[F.when(take, nx.getField(f)).alias(f) for f in own_j],
+                    *[
+                        F.when(take, nx.getField(f)).otherwise(sk.getField(f)).alias(f)
+                        for f in chain_fields[j + 1]
+                    ],
+                ),
+            )
+            df = df.withColumn(f"__nxm{k}", merged)
+            nxt = F.col(f"__nxm{k}")
         if k in negs:
             df = df.withColumn(
                 f"__fb{k}",
@@ -287,7 +337,7 @@ def pattern_detect(
             )
             fb = F.col(f"__fb{k}")
         own = [F.col("__ts").alias(f"t{k}"), F.col("__id").alias(f"i{k}")]
-        if k - 1 in negs:
+        if k - 1 in negs or k in opts or k - 1 in opts:
             own.append(F.col("__rank").alias(f"r{k}"))
         if reps[k - 1] is None:
             fields = own
@@ -366,18 +416,26 @@ def pattern_detect(
 
     def prev_ts_col(k: int) -> Column:
         # predecessor time for the transition into step k: a Kleene
-        # predecessor hands off from its run's LAST repetition
-        if reps[k - 2] is not None:
-            return F.col(f"t{k-1}_last")
-        return F.col(f"t{k-1}")
+        # predecessor hands off from its run's LAST repetition; a SKIPPED
+        # optional predecessor falls through to the step before it
+        def own_t(kk: int) -> Column:
+            return (
+                F.col(f"t{kk}_last") if reps[kk - 1] is not None else F.col(f"t{kk}")
+            )
+
+        if (k - 1) in opts:
+            return F.coalesce(own_t(k - 1), own_t(k - 2))
+        return own_t(k - 1)
 
     complete = F.col(f"t{n}").isNotNull()
     bounds_ok = F.lit(True)
     for k in range(2, n + 1):
         if withins[k - 1] is not None:
-            bounds_ok = bounds_ok & (
-                F.col(f"t{k}") <= prev_ts_col(k) + F.expr(withins[k - 1])
-            )
+            term = F.col(f"t{k}") <= prev_ts_col(k) + F.expr(withins[k - 1])
+            if k in opts:
+                # a skipped optional step has no transition to classify
+                term = F.col(f"t{k}").isNull() | term
+            bounds_ok = bounds_ok & term
     max_step = F.lit(1) + sum(
         F.when(F.col(f"t{k}").isNotNull(), 1).otherwise(0) for k in range(2, n + 1)
     )

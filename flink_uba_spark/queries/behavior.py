@@ -718,6 +718,72 @@ FROM a3
 """
 
 
+def pattern_optional_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """optional() CEP chain: view → click? (optional, within 30 min when
+    taken) → purchase (within 2 h of the click if taken, else of the
+    view) — the reference Pattern API's ``optional()`` combinator, round
+    5, under this engine's single-match greedy-race semantics: the
+    optional step binds iff its earliest candidate precedes the earliest
+    purchase candidate in (ts, rank, id) order, else the chain skips it
+    (t2 null, not counted in max_step). Flink's optional() branches into
+    BOTH matches; the one-row-per-anchor output model here takes the
+    greedy branch and documents the divergence."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "view", None),
+            (F.col("event_type") == "click", "INTERVAL 30 MINUTES"),
+            (F.col("event_type") == "purchase", "INTERVAL 2 HOURS"),
+        ],
+        optional={2},
+    )
+
+
+PATTERN_OPTIONAL_CLICK_ORACLE = """
+WITH a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events WHERE event_type = 'view'),
+a2 AS (
+  SELECT a.*,
+    (SELECT c.ts FROM events c
+     WHERE c.event_type = 'click' AND c.user_id = a.user_id AND c.ts >= a.t1
+     ORDER BY c.ts, c.event_id LIMIT 1) AS cand2,
+    (SELECT p.ts FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a.user_id AND p.ts >= a.t1
+     ORDER BY p.ts, p.event_id LIMIT 1) AS cand3
+  FROM a
+),
+a3 AS (
+  -- greedy race: take the click iff it precedes the purchase candidate;
+  -- at equal timestamps the click (earlier step rank) sorts first
+  SELECT a2.*,
+    CASE WHEN cand2 IS NOT NULL AND (cand3 IS NULL OR cand2 <= cand3)
+         THEN cand2 END AS t2
+  FROM a2
+),
+a4 AS (
+  SELECT a3.*,
+    CASE WHEN t2 IS NOT NULL THEN
+      (SELECT min(p.ts) FROM events p
+       WHERE p.event_type = 'purchase' AND p.user_id = a3.user_id
+         AND p.ts >= a3.t2)
+    ELSE cand3 END AS t3
+  FROM a3
+)
+SELECT user_id, anchor_id, t1, t2, t3,
+       CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN t3 IS NULL THEN 'incomplete'
+            WHEN (t2 IS NULL OR t2 <= t1 + INTERVAL 30 MINUTE)
+             AND t3 <= COALESCE(t2, t1) + INTERVAL 2 HOUR
+              THEN 'matched'
+            ELSE 'matched_late' END AS state
+FROM a4
+"""
+
+
 def pattern_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP chain with a NEGATIVE pattern: view → click (within 30 min) →
     purchase (within 2 h) with ``notFollowedBy(error)`` between click and
@@ -790,6 +856,7 @@ QUERIES = {
     "pattern_signup_journey": pattern_signup_journey,
     "pattern_purchase_no_error": pattern_purchase_no_error,
     "pattern_error_streak_recovery": pattern_error_streak_recovery,
+    "pattern_optional_click_purchase": pattern_optional_click_purchase,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -810,6 +877,7 @@ ORACLES = {
     "pattern_signup_journey": PATTERN_SIGNUP_JOURNEY_ORACLE,
     "pattern_purchase_no_error": PATTERN_PURCHASE_NO_ERROR_ORACLE,
     "pattern_error_streak_recovery": PATTERN_ERROR_STREAK_ORACLE,
+    "pattern_optional_click_purchase": PATTERN_OPTIONAL_CLICK_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,

@@ -1041,6 +1041,41 @@ WHERE b.state != 'incomplete'
 """
 
 
+def stream_pattern_optional_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optional() CEP chain (view → click? within 30 min → purchase
+    within 2 h of the click if taken, else of the view) in its native
+    streaming form — the generalized NFA's greedy race (round 5): the
+    optional step binds iff its earliest candidate precedes the earliest
+    purchase candidate in (ts, rank, id) order, decided stably across
+    micro-batches by event-time ordering (a candidate observed first wins
+    any race against one not yet observed). The oracle is the batch form
+    minus its incomplete rows."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="user_id",
+            steps=[
+                ("view", None),
+                ("click", "INTERVAL 30 MINUTES"),
+                ("purchase", "INTERVAL 2 HOURS"),
+            ],
+            optional={2},
+        )
+    )
+
+
+def _stream_pattern_optional_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_OPTIONAL_CLICK_ORACLE
+
+    return (
+        f"SELECT * FROM ({PATTERN_OPTIONAL_CLICK_ORACLE}) "
+        "WHERE state != 'incomplete'"
+    )
+
+
 def stream_pattern_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The negative-pattern CEP chain (view → click within 30 min →
     purchase within 2 h, ``notFollowedBy(error)`` between click and
@@ -1269,6 +1304,7 @@ QUERIES = {
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
     "stream_pattern_error_streak_recovery": stream_pattern_error_streak_recovery,
+    "stream_pattern_optional_click_purchase": stream_pattern_optional_click_purchase,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_ivf_upsert": stream_ivf_upsert,
     "stream_classifier_quality_filter": stream_classifier_quality_filter,
@@ -1303,6 +1339,7 @@ ORACLES = {
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),
     "stream_pattern_error_streak_recovery": _stream_pattern_streak_oracle(),
+    "stream_pattern_optional_click_purchase": _stream_pattern_optional_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_ivf_upsert": __import__("flink_uba_spark.queries.datapipe", fromlist=["IVF_INDEX_UPSERT_ORACLE"]).IVF_INDEX_UPSERT_ORACLE,
     "stream_classifier_quality_filter": _stream_classifier_oracle(),

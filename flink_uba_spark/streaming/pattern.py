@@ -154,6 +154,7 @@ def make_pattern_matcher(
     ttl_us: int | None = None,
     kleenes: list[tuple[int, int] | None] | None = None,
     negations: dict[int, str] | None = None,
+    optionals: set[int] | None = None,
 ):
     """Build the per-key state function (separate so unit tests can drive
     it with a fake GroupState, as for order_timeout/transitions).
@@ -196,6 +197,15 @@ def make_pattern_matcher(
         k is not None and (k[0] is None or k[2] < 1 or k[1] < k[2]) for k in kleenes
     ):
         raise ValueError("Kleene steps need a finite gap and 1 <= min_reps <= max_reps")
+    opts = set(optionals or ())
+    if any(k <= 1 or k >= n for k in opts):
+        raise ValueError("optional steps must be interior (2..n-1)")
+    if any(k + 1 in opts for k in opts):
+        raise ValueError("two consecutive optional steps are not supported")
+    if any(kleenes[k - 1] is not None for k in opts):
+        raise ValueError("an optional step cannot be a Kleene/times step")
+    if any(k in opts or k + 1 in opts for k in negs):
+        raise ValueError("a notFollowedBy guard cannot touch an optional step")
     if any(k < 1 or k >= n for k in negs):
         raise ValueError("negations keys must be step indexes 1..n-1")
     has_kleene = any(k is not None for k in kleenes)
@@ -233,7 +243,12 @@ def make_pattern_matcher(
                 nk = pd.array(np.asarray(kln[:, k - 1], dtype="int64"), dtype="Int64")
                 nk[np.asarray(kln[:, k - 1]) <= 0] = pd.NA
                 cols[f"n{k}"] = nk
-        cols["max_step"] = pd.array(np.asarray(cur, dtype="int64"), dtype="int64")
+        # bound-step count, not the frontier step: a skipped optional step
+        # is not counted (batch-compiler parity)
+        cols["max_step"] = pd.array(
+            (np.asarray(bnd, dtype="int64").reshape(len(a_ids), -1) >= 0).sum(axis=1),
+            dtype="int64",
+        )
         cols["state"] = pd.array(st, dtype=object)
         return pd.DataFrame(cols)
 
@@ -469,6 +484,29 @@ def make_pattern_matcher(
         for s in range(2, n + 1):
             has_guard = (s - 1) in negs and gslot.get(s - 1) in occ
             w = np.flatnonzero((cur == s - 1) & ~opn & ~dead)
+            if s in opts and w.size:
+                # greedy race for an optional step: skip it when the
+                # earliest step-(s+1) candidate precedes the earliest
+                # step-s candidate in (ts, rank, id) position order (both
+                # are timeline indexes, so a plain integer compare); the
+                # skipped chain advances to cur=s WITHOUT binding and the
+                # next sweep iteration binds step s+1 from the same
+                # frontier. Event-time ordering makes the decision stable
+                # across batches: a candidate observed first wins any race
+                # against one not yet observed.
+                sentinel = np.iinfo(np.int64).max
+                a_pos = np.full(w.size, sentinel, dtype="int64")
+                b_pos = np.full(w.size, sentinel, dtype="int64")
+                for tgt, slot_i in ((a_pos, pslot[s]), (b_pos, pslot[s + 1])):
+                    if slot_i in occ_bind:
+                        o_idx, o_suf = occ_bind[slot_i]
+                        jj = np.searchsorted(o_idx, posidx[w], side="right")
+                        hh = jj < o_idx.size
+                        tgt[hh] = o_idx[o_suf[jj[hh]]]
+                skip = b_pos < a_pos
+                if skip.any():
+                    cur[w[skip]] = s  # advance unbound; frontier unchanged
+                    w = w[~skip]
             if not w.size or (pslot[s] not in occ_bind and not has_guard):
                 continue
             if pslot[s] in occ_bind:
@@ -534,15 +572,23 @@ def make_pattern_matcher(
         if done.any():
             d_bnd = bnd[done]
             ok = np.ones(int(done.sum()), dtype=bool)
+
+            def _prev_of(k):
+                return (
+                    klast[done, k - 1] if kleenes[k - 1] is not None else d_bnd[:, k - 1]
+                )
+
             for k in range(2, n + 1):
                 wv = withins_us[k - 1]
                 if wv is not None:
-                    prev = (
-                        klast[done, k - 2]
-                        if kleenes[k - 2] is not None
-                        else d_bnd[:, k - 2]
-                    )
-                    ok &= d_bnd[:, k - 1] <= prev + wv
+                    prev = _prev_of(k - 1)
+                    if (k - 1) in opts:
+                        # a skipped optional predecessor falls through
+                        prev = np.where(d_bnd[:, k - 2] >= 0, prev, _prev_of(k - 2))
+                    term = d_bnd[:, k - 1] <= prev + wv
+                    if k in opts:
+                        term |= d_bnd[:, k - 1] < 0  # skipped: nothing to classify
+                    ok &= term
             st = np.where(ok, "matched", "matched_late")
             frames.append(_emit(user_id, aid[done], cur[done], d_bnd, klast[done], kln[done], st))
         alive = ~done & ~dead
@@ -641,6 +687,7 @@ def stream_pattern_detect(
     state_ttl: str | None = None,
     watermark_delay: str = "0 seconds",
     not_followed_by: dict | None = None,
+    optional: set[int] | None = None,
 ) -> DataFrame:
     """Wire the matcher over a streaming events frame.
 
@@ -730,7 +777,7 @@ def stream_pattern_detect(
     return filtered.groupBy("user_id").applyInPandasWithState(
         make_pattern_matcher(
             step_types, withins_us, ttl_us=ttl_us, kleenes=kleenes,
-            negations=negations,
+            negations=negations, optionals=optional,
         ),
         pattern_output_schema(n, kleenes),
         STATE_SCHEMA,

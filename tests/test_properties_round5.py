@@ -59,7 +59,7 @@ def slot_layout(n, guards):
     return slots, pslot, gslot
 
 
-def brute_chain(events, steps, final_wm_ms=None, guards=frozenset()):
+def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozenset()):
     """Reference for the batch compiler's followed-by semantics plus the
     streaming run-closure filter and notFollowedBy kills.
 
@@ -84,6 +84,25 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset()):
         j: sorted((e[1], e[0], p) for p, e in enumerate(evs) if e[2] >> j & 1)
         for j in range(nslots)
     }
+    def step_cands(s2, posidx):
+        """Valid binding candidates of step s2 strictly after posidx —
+        times(from, to) entries with short runs excluded."""
+        kl2 = steps[s2 - 1][1]
+        mn2 = kl2[2] if kl2 is not None and len(kl2) > 2 else 1
+        rows2 = srows[pslot[s2]]
+        if kl2 is not None and mn2 > 1:
+            gap2 = kl2[0]
+            avail = [1] * len(rows2)
+            for i in range(len(rows2) - 2, -1, -1):
+                if rows2[i + 1][0] <= rows2[i][0] + gap2:
+                    avail[i] += avail[i + 1]
+            return [
+                (ts, eid, p, i)
+                for i, (ts, eid, p) in enumerate(rows2)
+                if p > posidx and avail[i] >= mn2
+            ]
+        return [(ts, eid, p, i) for i, (ts, eid, p) in enumerate(rows2) if p > posidx]
+
     out = []
     for p0, (aid, ats, am) in enumerate(evs):
         if not (am >> pslot[1] & 1):
@@ -95,25 +114,7 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset()):
         killed = False
         for s in range(2, n + 1):
             kl = steps[s - 1][1]
-            mn_s = kl[2] if kl is not None and len(kl) > 2 else 1
-            rows_s = srows[pslot[s]]
-            if kl is not None and mn_s > 1:
-                # times(from, to): entries with a linked run shorter than
-                # min_reps are not valid bindings
-                gap_s = kl[0]
-                avail = [1] * len(rows_s)
-                for i in range(len(rows_s) - 2, -1, -1):
-                    if rows_s[i + 1][0] <= rows_s[i][0] + gap_s:
-                        avail[i] += avail[i + 1]
-                cands = [
-                    (ts, eid, p, i)
-                    for i, (ts, eid, p) in enumerate(rows_s)
-                    if p > posidx and avail[i] >= mn_s
-                ]
-            else:
-                cands = [
-                    (ts, eid, p, i) for i, (ts, eid, p) in enumerate(rows_s) if p > posidx
-                ]
+            cands = step_cands(s, posidx)
             if (s - 1) in gslot:
                 g_after = [p for (_, _, p) in srows[gslot[s - 1]] if p > posidx]
                 fb_pos = min(g_after) if g_after else None
@@ -122,6 +123,14 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset()):
                 ):
                     killed = True
                     break
+            if s in opts:
+                # greedy race: skip s when the earliest step-(s+1)
+                # candidate precedes the earliest step-s candidate
+                b_cands = step_cands(s + 1, posidx)
+                a_after = min(cands)[2] if cands else None
+                b_min = min(b_cands)[2] if b_cands else None
+                if b_min is not None and (a_after is None or b_min < a_after):
+                    continue  # skipped: bounds[s] stays unset, posidx unchanged
             if not cands:
                 complete = False
                 break
@@ -153,18 +162,23 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset()):
         for s in range(2, n + 1):
             w = steps[s - 1][0]
             if w is not None:
-                prev = klast.get(s - 1, bounds[s - 1])
+                if s not in bounds:
+                    continue  # skipped optional: nothing to classify
+                pk = s - 1
+                if pk not in bounds:  # skipped optional predecessor
+                    pk -= 1
+                prev = klast.get(pk, bounds[pk])
                 ok = ok and bounds[s] <= prev + w
         key = []
         for s in range(1, n + 1):
-            key.append(bounds[s])
+            key.append(bounds.get(s))
             if steps[s - 1][1] is not None:
                 key += [klast[s], kn[s]]
         out.append((aid, tuple(key), "matched" if ok else "matched_late"))
     return sorted(out)
 
 
-def _drive(events, steps, cuts, guards=frozenset()):
+def _drive(events, steps, cuts, guards=frozenset(), opts=frozenset()):
     """Run the NFA over event-time-split batches + a final timer firing at
     the ms-floored max event time; return (emitted rows, final_wm_ms).
     Events carry SLOT masks (per slot_layout); batches send __p/__g
@@ -178,18 +192,23 @@ def _drive(events, steps, cuts, guards=frozenset()):
         [w for w, _ in steps],
         kleenes=[k for _, k in steps],
         negations={k: f"x{k}" for k in gslot},
+        optionals=set(opts),
     )
     state = _FakeState()
     got = []
+
+    def _us_or_none(v):
+        t = pd.Timestamp(v)
+        return None if pd.isna(t) else t.value // 1000
 
     def drain(gen):
         for f in gen:
             for r in f.itertuples(index=False):
                 key = []
                 for s in range(1, n + 1):
-                    key.append(pd.Timestamp(getattr(r, f"t{s}")).value // 1000)
+                    key.append(_us_or_none(getattr(r, f"t{s}")))
                     if steps[s - 1][1] is not None:
-                        key.append(pd.Timestamp(getattr(r, f"t{s}_last")).value // 1000)
+                        key.append(_us_or_none(getattr(r, f"t{s}_last")))
                         key.append(int(getattr(r, f"n{s}")))
                 got.append((r.anchor_id, tuple(key), r.state))
 
@@ -390,4 +409,63 @@ def test_deep_chain_times_kleene_guards_match_bruteforce(seed):
     cuts = set(rnd.sample(range(1, 300), rnd.randint(0, 4)))
     got, wm_ms = _drive(events, steps, cuts, guards=guards)
     want = brute_chain(events, steps, final_wm_ms=wm_ms, guards=guards)
+    assert sorted(got) == want
+
+
+# 4 steps, step 2 optional (greedy race), step 3 a capped Kleene
+OPT_STEPS = [(None, None), (8, None), (10, (5, 2)), (20, None)]
+OPT_SET = frozenset({2})
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from([1, 2, 4, 8, 3, 6, 12, 0])),
+        min_size=0,
+        max_size=26,
+    ),
+    cuts=st.sets(st.integers(1, 30), max_size=4),
+)
+def test_optional_step_matches_bruteforce(raw, cuts):
+    """optional(): the greedy race — the step binds iff its earliest
+    candidate precedes the earliest next-step candidate in (ts, rank, id)
+    order, else the chain skips it (t null, not counted in max_step) —
+    across arbitrary micro-batch splits, with a Kleene step downstream."""
+    events = [(i, ts, m) for i, (ts, m) in enumerate(raw)]
+    got, wm_ms = _drive(events, OPT_STEPS, cuts, opts=OPT_SET)
+    want = brute_chain(events, OPT_STEPS, final_wm_ms=wm_ms, opts=OPT_SET)
+    assert sorted(got) == want
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_deep_chain_full_surface_matches_bruteforce(seed):
+    """Everything at once: 5-step chains with randomized times() Kleene
+    steps, notFollowedBy guards, AND optional steps (where the adjacency
+    rules allow), overlap masks, random splits."""
+    rnd = random.Random(seed + 300)
+    n = 5
+    kpos = set(rnd.sample(range(1, n), rnd.choice([1, 2])))
+    opt_cands = [k for k in range(2, n) if (k - 1) not in kpos]
+    opts = frozenset(rnd.sample(opt_cands, 1)) if opt_cands and rnd.random() < 0.8 else frozenset()
+    guard_cands = [
+        k for k in range(1, n) if k not in opts and (k + 1) not in opts
+    ]
+    guards = frozenset(rnd.sample(guard_cands, min(len(guard_cands), rnd.choice([0, 1, 2]))))
+
+    def kspec():
+        mx = rnd.randint(1, 4)
+        return (rnd.randint(3, 25), mx, rnd.randint(1, mx))
+
+    steps = [
+        (rnd.choice([None, rnd.randint(3, 60)]), kspec() if i in kpos else None)
+        for i in range(n)
+    ]
+    nslots = len(slot_layout(n, guards)[0])
+    events = [
+        (i, rnd.randint(0, 300), rnd.getrandbits(nslots) if rnd.random() < 0.9 else 0)
+        for i in range(rnd.randint(0, 40))
+    ]
+    cuts = set(rnd.sample(range(1, 300), rnd.randint(0, 4)))
+    got, wm_ms = _drive(events, steps, cuts, guards=guards, opts=opts)
+    want = brute_chain(events, steps, final_wm_ms=wm_ms, guards=guards, opts=opts)
     assert sorted(got) == want
