@@ -128,6 +128,18 @@ HEADLINE = HEADLINE_R01 + [
     "stream_classifier_quality_filter",
     "stream_daily_active_users",
     "stream_pattern_error_burst_recovery",
+    # round-5 additions
+    "pattern_signup_journey",
+    "stream_pattern_signup_journey",
+    "pattern_purchase_no_error",
+    "stream_pattern_purchase_no_error",
+    "pattern_error_streak_recovery",
+    "stream_pattern_error_streak_recovery",
+    "pattern_optional_click_purchase",
+    "stream_pattern_optional_click_purchase",
+    "ivf_index_upsert",
+    "stream_ivf_upsert",
+    "ivf_recall_sweep",
 ]
 
 
