@@ -107,6 +107,16 @@ STATE_SCHEMA = T.StructType(
         T.StructField("bounds_flat", T.ArrayType(T.LongType())),
         T.StructField("kl_last_flat", T.ArrayType(T.LongType())),
         T.StructField("kl_n_flat", T.ArrayType(T.LongType())),
+        # pre-bind frontier + step of a TENTATIVE times() run (kln < min
+        # so the bind may prove invalid): on invalid closure the chain is
+        # RESTORED to this point and binding replays against the buffer,
+        # which protects rows back to the earliest such frontier — so
+        # provisional notFollowedBy/optional decisions re-run with full
+        # information instead of being remembered wrong. -1 = not set.
+        T.StructField("pv_ts", T.ArrayType(T.LongType())),
+        T.StructField("pv_rank", T.ArrayType(T.LongType())),
+        T.StructField("pv_id", T.ArrayType(T.LongType())),
+        T.StructField("pv_cur", T.ArrayType(T.LongType())),
         T.StructField("buf_ts", T.ArrayType(T.LongType())),
         T.StructField("buf_rank", T.ArrayType(T.LongType())),
         T.StructField("buf_id", T.ArrayType(T.LongType())),
@@ -256,7 +266,8 @@ def make_pattern_matcher(
         (user_id,) = key
         if state.exists:
             (s_aid, s_cur, s_opn, s_fts, s_frk, s_fid,
-             s_bnd, s_kl, s_kn, s_bts, s_brk, s_bid, s_bmk) = state.get
+             s_bnd, s_kl, s_kn, s_pts, s_prk, s_pid, s_pcur,
+             s_bts, s_brk, s_bid, s_bmk) = state.get
             aid = np.asarray(s_aid, dtype="int64")
             cur = np.asarray(s_cur, dtype="int64")
             opn = np.asarray(s_opn, dtype="int64").astype(bool)
@@ -276,6 +287,10 @@ def make_pattern_matcher(
                 np.asarray(s_kn, dtype="int64").reshape(-1, n)
                 if nc else np.empty((0, n), dtype="int64")
             )
+            pv_ts = np.asarray(s_pts, dtype="int64")
+            pv_rk = np.asarray(s_prk, dtype="int64")
+            pv_id = np.asarray(s_pid, dtype="int64")
+            pv_cur = np.asarray(s_pcur, dtype="int64")
             bts = np.asarray(s_bts, dtype="int64")
             brk = np.asarray(s_brk, dtype="int64")
             bid = np.asarray(s_bid, dtype="int64")
@@ -284,6 +299,7 @@ def make_pattern_matcher(
             aid = cur = fts = frk = fid = np.empty(0, dtype="int64")
             opn = np.empty(0, dtype=bool)
             bnd = klast = kln = np.empty((0, n), dtype="int64")
+            pv_ts = pv_rk = pv_id = pv_cur = np.empty(0, dtype="int64")
             bts = brk = bid = bmk = np.empty(0, dtype="int64")
 
         chunks = [] if getattr(state, "hasTimedOut", False) else list(pdfs)
@@ -408,6 +424,7 @@ def make_pattern_matcher(
         frames: list[pd.DataFrame] = []
 
         # ---- 1. extend / close carried open runs — O(open chains)
+        restored: list[int] = []
         for ci in np.flatnonzero(opn):
             s = int(cur[ci])
             gap_us, cap, mn = kleenes[s - 1]
@@ -446,19 +463,34 @@ def make_pattern_matcher(
                 closed = evid_ts is not None and evid_ts > fts[ci] + gap_us
             if not closed and wm_us > 0 and fts[ci] + gap_us <= wm_us:
                 closed = True
+            if not closed and kln[ci, s - 1] >= mn:
+                # the run can no longer prove invalid — drop the
+                # protection early (shrinks the buffer horizon)
+                pv_ts[ci] = pv_rk[ci] = pv_id[ci] = pv_cur[ci] = -1
             if closed:
                 opn[ci] = False
                 if kln[ci, s - 1] < mn:
                     # a tentatively-bound times() entry whose run closed
-                    # short of min_reps: the binding is INVALID — reset to
-                    # waiting. The frontier stays at the run's last row:
-                    # every other entry of the closed session has even
-                    # fewer rows available, so the next valid entry can
-                    # only be in a later session, after this position.
-                    cur[ci] = s - 1
-                    bnd[ci, s - 1] = -1
-                    klast[ci, s - 1] = -1
-                    kln[ci, s - 1] = 0
+                    # short of min_reps: the binding is INVALID — RESTORE
+                    # the chain to its pre-bind state (frontier + step)
+                    # and let the sweep replay from there. The buffer kept
+                    # every row since the pre-bind frontier, so guard
+                    # kills and optional races that were decided against
+                    # the now-invalid binder re-run with full information.
+                    pc = int(pv_cur[ci])
+                    cur[ci] = pc
+                    fts[ci], frk[ci], fid[ci] = pv_ts[ci], pv_rk[ci], pv_id[ci]
+                    bnd[ci, pc:] = -1
+                    klast[ci, pc:] = -1
+                    kln[ci, pc:] = 0
+                    restored.append(ci)
+                pv_ts[ci] = pv_rk[ci] = pv_id[ci] = pv_cur[ci] = -1
+
+        if restored:
+            ri = np.asarray(restored, dtype="int64")
+            posidx[ri] = _insertion_pos(
+                tl_ts, tl_rk, tl_id, fts[ri], frk[ri], fid[ri]
+            )
 
         # ---- 2. new anchors (batch rows matching step 1; buffer rows
         # anchored when they first arrived)
@@ -477,6 +509,11 @@ def make_pattern_matcher(
                 bnd = np.concatenate([bnd, nb])
                 klast = np.concatenate([klast, np.full((a_tl.size, n), -1, dtype="int64")])
                 kln = np.concatenate([kln, np.zeros((a_tl.size, n), dtype="int64")])
+                neg1 = np.full(a_tl.size, -1, dtype="int64")
+                pv_ts = np.concatenate([pv_ts, neg1])
+                pv_rk = np.concatenate([pv_rk, neg1])
+                pv_id = np.concatenate([pv_id, neg1])
+                pv_cur = np.concatenate([pv_cur, neg1])
                 posidx = np.concatenate([posidx, a_tl])
 
         # ---- 3. resolution sweep — vectorized over chains per step
@@ -555,6 +592,7 @@ def make_pattern_matcher(
                 rl = gl[se]                      # run limit (session end)
                 t = np.minimum(cap, rl - se + 1)
                 lastp = srt[se + t - 1]
+                pf_ts, pf_rk, pf_id = fts[w].copy(), frk[w].copy(), fid[w].copy()
                 klast[w, s - 1] = tl_ts[lastp]
                 kln[w, s - 1] = t
                 fts[w], frk[w], fid[w] = tl_ts[lastp], tl_rk[lastp], tl_id[lastp]
@@ -565,6 +603,17 @@ def make_pattern_matcher(
                 if wm_us > 0:
                     closed |= tl_ts[lastp] + gap_us <= wm_us
                 opn[w] = ~closed
+                # tentative = the run could still prove invalid (short of
+                # min_reps): snapshot the pre-bind restore point — the last
+                # SOLID (frontier-moving) step, stepping over a skipped
+                # optional predecessor so its race replays too
+                tent = ~closed & (t < mn)
+                if tent.any():
+                    wt = w[tent]
+                    pv_ts[wt], pv_rk[wt], pv_id[wt] = (
+                        pf_ts[tent], pf_rk[tent], pf_id[tent]
+                    )
+                    pv_cur[wt] = np.where(bnd[wt, s - 2] >= 0, s - 1, s - 2)
 
         # ---- 4. emit complete chains (run closed for a last-step Kleene);
         # guard-killed chains emit nothing and are dropped below
@@ -614,16 +663,27 @@ def make_pattern_matcher(
             a[alive] for a in (aid, cur, opn, fts, frk, fid)
         )
         bnd, klast, kln = bnd[alive], klast[alive], kln[alive]
+        pv_ts, pv_rk, pv_id, pv_cur = (
+            a[alive] for a in (pv_ts, pv_rk, pv_id, pv_cur)
+        )
 
-        # ---- 6. buffer: rows after the earliest open-run frontier may bind
-        # later steps once that run closes; everything else is consumed
+        # ---- 6. buffer: rows after the earliest open-run PROTECTED
+        # frontier (the pre-bind restore point for tentative times() runs,
+        # else the run-last) may bind later steps once that run closes —
+        # or replay a restored chain; everything else is consumed
         if opn.any():
             oi = np.flatnonzero(opn)
-            mi = oi[np.lexsort((fid[oi], frk[oi], fts[oi]))[0]]
-            lt, lr, li = fts[mi], frk[mi], fid[mi]
-            keep = (tl_ts > lt) | (
-                (tl_ts == lt) & ((tl_rk > lr) | ((tl_rk == lr) & (tl_id > li)))
-            )
+            pr_ts = np.where(pv_ts[oi] >= 0, pv_ts[oi], fts[oi])
+            pr_rk = np.where(pv_ts[oi] >= 0, pv_rk[oi], frk[oi])
+            pr_id = np.where(pv_ts[oi] >= 0, pv_id[oi], fid[oi])
+            # keep whole TIMESTAMP cohorts from the earliest protected
+            # frontier on: a Kleene run extends through its step's rows in
+            # (ts, id) order, which can include a row at the same ts as
+            # the frontier but with a LOWER (ts, rank, id) position — the
+            # strictly-after-triple rule dropped exactly those and broke a
+            # cross-batch run continuation (soak seed 6997)
+            lt = int(pr_ts.min())
+            keep = tl_ts >= lt
             bts, brk, bid = tl_ts[keep], tl_rk[keep], tl_id[keep]
             bmk = (tl_match[keep].astype("int64") << np.arange(nslots)).sum(axis=1)
         else:
@@ -637,6 +697,7 @@ def make_pattern_matcher(
                     fts.tolist(), frk.tolist(), fid.tolist(),
                     bnd.reshape(-1).tolist(), klast.reshape(-1).tolist(),
                     kln.reshape(-1).tolist(),
+                    pv_ts.tolist(), pv_rk.tolist(), pv_id.tolist(), pv_cur.tolist(),
                     bts.tolist(), brk.tolist(), bid.tolist(), bmk.tolist(),
                 )
             )

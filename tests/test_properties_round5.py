@@ -469,3 +469,34 @@ def test_deep_chain_full_surface_matches_bruteforce(seed):
     got, wm_ms = _drive(events, steps, cuts, guards=guards, opts=opts)
     want = brute_chain(events, steps, final_wm_ms=wm_ms, guards=guards, opts=opts)
     assert sorted(got) == want
+
+
+def test_regression_tentative_guard_kill_replays_after_restore():
+    """Soak seed 1293: a notFollowedBy guard decision made against a
+    TENTATIVE times() binder (the same row served as both guard and
+    undecided entry) must replay after the run proves invalid — the
+    forbidden row then precedes the true binder and kills the chain."""
+    steps = [(52, None), (45, (15, 3, 3))]
+    guards = frozenset({1})
+    # slots: p1=0 g1=1 p2=2; masks: 3 = p1+g1, 6 = g1+p2, 4 = p2, 7 = all
+    events = [(5, 185, 4), (11, 164, 4), (18, 62, 3), (20, 143, 6), (21, 172, 7)]
+    cuts = {160}
+    got, wm = _drive(events, steps, cuts, guards=guards)
+    want = brute_chain(events, steps, final_wm_ms=wm, guards=guards)
+    assert sorted(got) == want == []
+
+
+def test_regression_buffer_keeps_same_ts_cohort_for_run_continuation():
+    """Soak seed 6997: a Kleene run extends through its step's rows in
+    (ts, id) order, which can include a row at the SAME timestamp as the
+    chain's frontier but a lower (ts, rank, id) position — the buffer
+    must keep whole timestamp cohorts, not strictly-after-triple rows."""
+    steps = [(None, None), (48, (4, 3, 2)), (None, (12, 3, 1)), (None, None)]
+    guards = frozenset({1, 3})
+    # slots: p1 g1 p2 p3 g3 p4
+    events = [(25, 60, 46), (34, 60, 13), (37, 151, 57)]
+    cuts = {85}
+    got, wm = _drive(events, steps, cuts, guards=guards)
+    want = brute_chain(events, steps, final_wm_ms=wm, guards=guards)
+    assert sorted(got) == want
+    assert want and want[0][1][6] == 2  # n3 counts BOTH same-ts repetitions
