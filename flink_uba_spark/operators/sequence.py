@@ -299,16 +299,19 @@ def pattern_detect(
                 f"__nxskip{k}", F.min(F.col(f"__c{j+1}")).over(w_after)
             )
             nx, sk = F.col(f"__nx{k}"), F.col(f"__nxskip{k}")
+            # take unless the skip candidate STRICTLY precedes — a tie
+            # (the same row serving both steps) takes, matching the
+            # streaming race's strict b_pos < a_pos skip rule
             take = nx.isNotNull() & (
                 sk.isNull()
-                | (
+                | ~(
                     F.struct(
-                        nx.getField(f"t{j}"), nx.getField(f"r{j}"), nx.getField(f"i{j}")
-                    )
-                    < F.struct(
                         sk.getField(f"t{j+1}"),
                         sk.getField(f"r{j+1}"),
                         sk.getField(f"i{j+1}"),
+                    )
+                    < F.struct(
+                        nx.getField(f"t{j}"), nx.getField(f"r{j}"), nx.getField(f"i{j}")
                     )
                 )
             )
@@ -376,8 +379,11 @@ def pattern_detect(
         # session-last) row back to the entry row through the session
         nxt_at_last = None
         if k < n:
-            df = df.withColumn(f"__lead_nx{k}", F.lead(f"__nx{k}", cap - 1).over(w_sess))
-            df = df.withColumn(f"__last_nx{k}", F.last(f"__nx{k}").over(w_sess_full))
+            # carry the column `nxt` points to — the race-MERGED struct
+            # when step k+1 is optional, else the raw next-chain min
+            nxcol = f"__nxm{k}" if k + 1 in opts else f"__nx{k}"
+            df = df.withColumn(f"__lead_nx{k}", F.lead(nxcol, cap - 1).over(w_sess))
+            df = df.withColumn(f"__last_nx{k}", F.last(nxcol).over(w_sess_full))
             nxt_at_last = F.when(capped, F.col(f"__lead_nx{k}")).otherwise(
                 F.col(f"__last_nx{k}")
             )

@@ -133,3 +133,65 @@ def test_pattern_combinator_validation(spark):
                 (F.col("event_type") == "C", None),
             ],
         )
+
+
+def test_optional_race_tie_takes_when_one_row_serves_both_steps(spark):
+    """Batch-soak regression: when the SAME event is the earliest
+    candidate for both the optional step and its successor (one row
+    matching both predicates), the race is a tie and the optional step is
+    TAKEN — matching the streaming race's strict skip rule."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    df = _df(spark, [(1, 1, "A", 0)]).unionByName(
+        spark.createDataFrame(
+            [(2, 1, "BC", datetime.datetime(2020, 1, 1, 0, 0, 10)),
+             (3, 1, "C", datetime.datetime(2020, 1, 1, 0, 0, 20))],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        )
+    )
+    out = pattern_detect(
+        df, key="user_id",
+        steps=[
+            (F.col("event_type") == "A", None),
+            (F.col("event_type").isin("B", "BC"), None),        # optional
+            (F.col("event_type").isin("C", "BC"), None),
+        ],
+        optional={2},
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # row 2 serves step 2 (taken); step 3 then binds the SAME row? no —
+    # strictly after → row 3
+    assert r.t2 == datetime.datetime(2020, 1, 1, 0, 0, 10)
+    assert r.t3 == datetime.datetime(2020, 1, 1, 0, 0, 20)
+    assert r.state == "matched"
+
+
+def test_kleene_then_optional_carries_race_from_run_last(spark):
+    """Batch-soak regression (seed 39): when a Kleene step precedes an
+    optional step, the race lookup must be evaluated at the run's LAST
+    repetition and carried back — previously the unmerged next-chain was
+    carried and the skip branch was lost."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    rows = [
+        (1, 1, "A", 0),       # anchor
+        (2, 1, "B", 10),      # kleene rep (oneOrMore cap 1)
+        (3, 1, "D", 20),      # step-4 row arrives BEFORE any step-3 row
+        (4, 1, "C", 30),      # optional step-3 candidate (after D!)
+    ]
+    out = pattern_detect(
+        _df(spark, rows), key="user_id",
+        steps=[
+            (F.col("event_type") == "A", None),
+            (F.col("event_type") == "B", "INTERVAL 1 MINUTE", 1),
+            (F.col("event_type") == "C", None),   # optional
+            (F.col("event_type") == "D", None),
+        ],
+        optional={3},
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.t3 is None  # D precedes C → race skips the optional step
+    assert r.t4 == datetime.datetime(2020, 1, 1, 0, 0, 20)
+    assert r.state == "matched"
