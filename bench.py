@@ -140,6 +140,7 @@ HEADLINE = HEADLINE_R01 + [
     "ivf_index_upsert",
     "stream_ivf_upsert",
     "ivf_recall_sweep",
+    "pattern_optional_branching",
 ]
 
 

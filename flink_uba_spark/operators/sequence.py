@@ -460,3 +460,61 @@ def pattern_detect(
         .otherwise(F.lit("matched_late")),
     )
     return out.drop(*[f"__b{k}" for k in sorted(negs)])
+
+
+def pattern_detect_branching(
+    events: DataFrame,
+    key: str,
+    steps: list[tuple[Column, str | None]],
+    optional: set[int],
+    event_id: str = "event_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Flink-faithful MULTI-MATCH ``optional()``: emit BOTH branches — the
+    chain that takes each optional step and the chain that skips it — as
+    separate rows, exactly as the reference's branching NFA does
+    (Pattern.optional(), OrderPayTimeout.java:52-64 chains). This closes
+    the single-match divergence ``pattern_detect(optional=...)``
+    documents: that form races greedily and emits one row per anchor;
+    this form compiles one plan per optional-subset (2^|optional| plans —
+    optional steps are few by construction) and unions them, with a
+    ``branch`` column naming the taken subset.
+
+    Each branch is a plain ``pattern_detect`` chain (no race), so every
+    branch row classifies independently (matched / matched_late /
+    incomplete). Skipped steps appear as null t-columns with the within
+    bound re-anchored on the surviving predecessor, mirroring how Flink
+    evaluates the shortened chain. Branches whose own chain is incomplete
+    are still emitted (per-anchor visibility), so downstream consumers
+    filter on state like with pattern_detect."""
+    from itertools import combinations
+
+    n = len(steps)
+    opts = sorted(optional or ())
+    if any(k <= 1 or k >= n for k in opts):
+        raise ValueError("optional steps must be interior (2..n-1)")
+
+    out = None
+    for r in range(len(opts) + 1):
+        for skip in combinations(opts, r):
+            kept = [k for k in range(1, n + 1) if k not in skip]
+            sub = [steps[k - 1] for k in kept]
+            branch = pattern_detect(events, key, sub, event_id=event_id, ts=ts)
+            # re-map the branch's t1..tm columns back to the FULL step
+            # numbering; skipped steps become null columns
+            sel = [F.col(key), F.col("anchor_id")]
+            for pos, k in enumerate(kept, start=1):
+                sel.append(F.col(f"t{pos}").alias(f"t{k}"))
+            for k in skip:
+                sel.append(F.lit(None).cast("timestamp").alias(f"t{k}"))
+            sel += [
+                F.col("max_step"),
+                F.col("state"),
+                F.lit(",".join(str(k) for k in skip) or "none").alias("skipped"),
+            ]
+            b = branch.select(*sel).select(
+                key, "anchor_id", *[f"t{k}" for k in range(1, n + 1)],
+                "max_step", "state", "skipped",
+            )
+            out = b if out is None else out.unionByName(b)
+    return out

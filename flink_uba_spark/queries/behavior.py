@@ -784,6 +784,73 @@ FROM a4
 """
 
 
+def pattern_optional_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-faithful MULTI-MATCH optional(): view → click? → purchase
+    emitting BOTH branches per anchor — the taken chain (view → click
+    within 30 min → purchase within 2 h) AND the skipped chain (view →
+    purchase within 2 h) — exactly as the reference's branching NFA
+    (Pattern.optional()). Closes the single-match divergence the greedy
+    `pattern_optional_click_purchase` documents; `skipped` names the
+    branch. operators/sequence.py:pattern_detect_branching — one compiled
+    plan per optional subset, unioned."""
+    from flink_uba_spark.operators.sequence import pattern_detect_branching
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect_branching(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "view", None),
+            (F.col("event_type") == "click", "INTERVAL 30 MINUTES"),
+            (F.col("event_type") == "purchase", "INTERVAL 2 HOURS"),
+        ],
+        optional={2},
+    )
+
+
+PATTERN_OPTIONAL_BRANCHING_ORACLE = """
+WITH a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events WHERE event_type = 'view'),
+taken AS (
+  SELECT a.*,
+    (SELECT c.ts FROM events c
+     WHERE c.event_type = 'click' AND c.user_id = a.user_id AND c.ts >= a.t1
+     ORDER BY c.ts, c.event_id LIMIT 1) AS t2
+  FROM a
+),
+taken2 AS (
+  SELECT taken.*,
+    (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = taken.user_id
+       AND p.ts >= taken.t2) AS t3
+  FROM taken
+),
+skipped2 AS (
+  SELECT a.*,
+    (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a.user_id
+       AND p.ts >= a.t1) AS t3
+  FROM a
+)
+SELECT user_id, anchor_id, t1, t2, t3,
+       CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN t3 IS NULL THEN 'incomplete'
+            WHEN t2 <= t1 + INTERVAL 30 MINUTE AND t3 <= t2 + INTERVAL 2 HOUR
+              THEN 'matched'
+            ELSE 'matched_late' END AS state,
+       'none' AS skipped
+FROM taken2
+UNION ALL
+SELECT user_id, anchor_id, t1, CAST(NULL AS TIMESTAMP) AS t2, t3,
+       CAST(1 + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN t3 IS NULL THEN 'incomplete'
+            WHEN t3 <= t1 + INTERVAL 2 HOUR THEN 'matched'
+            ELSE 'matched_late' END AS state,
+       '2' AS skipped
+FROM skipped2
+"""
+
+
 def pattern_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP chain with a NEGATIVE pattern: view → click (within 30 min) →
     purchase (within 2 h) with ``notFollowedBy(error)`` between click and
@@ -857,6 +924,7 @@ QUERIES = {
     "pattern_purchase_no_error": pattern_purchase_no_error,
     "pattern_error_streak_recovery": pattern_error_streak_recovery,
     "pattern_optional_click_purchase": pattern_optional_click_purchase,
+    "pattern_optional_branching": pattern_optional_branching,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -878,6 +946,7 @@ ORACLES = {
     "pattern_purchase_no_error": PATTERN_PURCHASE_NO_ERROR_ORACLE,
     "pattern_error_streak_recovery": PATTERN_ERROR_STREAK_ORACLE,
     "pattern_optional_click_purchase": PATTERN_OPTIONAL_CLICK_ORACLE,
+    "pattern_optional_branching": PATTERN_OPTIONAL_BRANCHING_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,
