@@ -15,8 +15,8 @@ the first 4000-case stream soak surfaced two real NFA bugs (provisional
 guard/race decisions against tentative times() binders; buffer trimming a
 same-timestamp run continuation) and the first 120-case batch soak two
 more (optional-race tie direction; Kleene→optional race carry) — all
-fixed and pinned as regression tests. Current status: clean over 20k
-stream + 12k dense-tie + 12k timer + 250 batch cases.
+fixed and pinned as regression tests. Current status: clean over 50k
+stream + 12k dense-tie + 27k timer + 330 batch cases.
 """
 
 from __future__ import annotations
