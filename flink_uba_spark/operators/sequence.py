@@ -86,12 +86,17 @@ def pattern_detect(
     ``(predicate, within, max_reps)`` where ``within`` (an ``INTERVAL``
     literal, or None for unbounded) bounds the transition INTO that step
     (first step's bound is ignored) and a present ``max_reps`` makes the
-    step a bounded Kleene ``oneOrMore``: the step binds a greedy RUN of
-    matching events — each repetition within ``within`` of the previous
-    one, capped at ``max_reps`` (the reference Pattern API's
-    ``oneOrMore().until(...)`` family, bounded because an uncapped greedy
-    run is unbounded state in any engine). The step after a Kleene step
-    binds strictly after the run's LAST repetition.
+    step a Kleene ``oneOrMore``: the step binds a greedy RUN of matching
+    events — each repetition within ``within`` of the previous one,
+    capped at ``max_reps`` (the reference Pattern API's
+    ``oneOrMore().until(...)`` family). ``max_reps=float("inf")`` is the
+    reference's UNCAPPED ``oneOrMore``: the run extends through the whole
+    within-gap session (round 6; safe because state is bounded by the
+    repetition GAP, not the cap — batch keeps no per-rep state at all,
+    and the streaming twin keeps one fixed-width frontier per run plus a
+    gap-horizon row buffer, so a finite ``within`` is what an unbounded
+    deployment must set). The step after a Kleene step binds strictly
+    after the run's LAST repetition.
 
     ``not_followed_by`` maps a step index k (1..n-1) to a FORBIDDEN
     predicate — the reference Pattern API's ``notFollowedBy`` between step
@@ -148,18 +153,34 @@ def pattern_detect(
     # an entry whose within-gap run holds fewer than min_reps rows is NOT
     # a valid binding (the previous step binds the next valid entry)
     reps: list[tuple[int, int] | None] = []
+    # cap None = UNCAPPED oneOrMore (the run extends through the whole
+    # within-gap session); spelled max_reps=float("inf") at the API
     for s in steps:
         r = s[2] if len(s) > 2 else None
         if r is None:
             reps.append(None)
         elif isinstance(r, tuple):
-            reps.append((int(r[0]), int(r[1])))
+            reps.append(
+                (int(r[0]), None if r[1] == float("inf") else int(r[1]))
+            )
         else:
-            reps.append((1, int(r)))
+            reps.append((1, None) if r == float("inf") else (1, int(r)))
     if reps[0] is not None:
         raise ValueError("oneOrMore/times is not supported on the first step")
-    if any(r is not None and (r[0] < 1 or r[1] < r[0]) for r in reps):
+    if any(
+        r is not None and (r[0] < 1 or (r[1] is not None and r[1] < r[0]))
+        for r in reps
+    ):
         raise ValueError("need 1 <= min_reps <= max_reps")
+    if any(
+        r is not None and r[1] is None and withins[k] is None
+        for k, r in enumerate(reps)
+    ):
+        raise ValueError(
+            "an uncapped oneOrMore step needs a finite within interval "
+            "(the repetition gap is what bounds the run and the streaming "
+            "twin's state)"
+        )
     negs = dict(not_followed_by or {})
     if any(k < 1 or k >= n for k in negs):
         raise ValueError("not_followed_by keys must be step indexes 1..n-1")
@@ -359,17 +380,22 @@ def pattern_detect(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
         df = (
-            df.withColumn(f"__lead_ts{k}", F.lead("__ts", cap - 1).over(w_sess))
-            .withColumn(f"__last_ts{k}", F.max("__ts").over(w_sess_full))
+            df.withColumn(f"__last_ts{k}", F.max("__ts").over(w_sess_full))
             .withColumn(f"__cnt{k}", F.count(F.lit(1)).over(w_sess_full))
             .withColumn(f"__rn{k}", F.row_number().over(w_sess))
         )
-        capped = F.col(f"__lead_ts{k}").isNotNull()
-        run_last = F.coalesce(F.col(f"__lead_ts{k}"), F.col(f"__last_ts{k}"))
-        n_reps = F.least(
-            F.lit(cap).cast("long"),
-            (F.col(f"__cnt{k}") - F.col(f"__rn{k}") + 1).cast("long"),
-        )
+        avail_reps = (F.col(f"__cnt{k}") - F.col(f"__rn{k}") + 1).cast("long")
+        if cap is None:
+            # uncapped oneOrMore: every run extends to its session end —
+            # the lead(cap-1) probe degenerates away entirely
+            capped = F.lit(False)
+            run_last = F.col(f"__last_ts{k}")
+            n_reps = avail_reps
+        else:
+            df = df.withColumn(f"__lead_ts{k}", F.lead("__ts", cap - 1).over(w_sess))
+            capped = F.col(f"__lead_ts{k}").isNotNull()
+            run_last = F.coalesce(F.col(f"__lead_ts{k}"), F.col(f"__last_ts{k}"))
+            n_reps = F.least(F.lit(cap).cast("long"), avail_reps)
         fields = own + [
             run_last.alias(f"t{k}_last"),
             n_reps.alias(f"n{k}"),
@@ -382,17 +408,25 @@ def pattern_detect(
             # carry the column `nxt` points to — the race-MERGED struct
             # when step k+1 is optional, else the raw next-chain min
             nxcol = f"__nxm{k}" if k + 1 in opts else f"__nx{k}"
-            df = df.withColumn(f"__lead_nx{k}", F.lead(nxcol, cap - 1).over(w_sess))
             df = df.withColumn(f"__last_nx{k}", F.last(nxcol).over(w_sess_full))
-            nxt_at_last = F.when(capped, F.col(f"__lead_nx{k}")).otherwise(
-                F.col(f"__last_nx{k}")
-            )
+            if cap is None:
+                nxt_at_last = F.col(f"__last_nx{k}")
+            else:
+                df = df.withColumn(f"__lead_nx{k}", F.lead(nxcol, cap - 1).over(w_sess))
+                nxt_at_last = F.when(capped, F.col(f"__lead_nx{k}")).otherwise(
+                    F.col(f"__last_nx{k}")
+                )
         if k in negs:
-            df = df.withColumn(f"__lead_fb{k}", F.lead(f"__fb{k}", cap - 1).over(w_sess))
             df = df.withColumn(f"__last_fb{k}", F.last(f"__fb{k}").over(w_sess_full))
-            fb_at_last = F.when(capped, F.col(f"__lead_fb{k}")).otherwise(
-                F.col(f"__last_fb{k}")
-            )
+            if cap is None:
+                fb_at_last = F.col(f"__last_fb{k}")
+            else:
+                df = df.withColumn(
+                    f"__lead_fb{k}", F.lead(f"__fb{k}", cap - 1).over(w_sess)
+                )
+                fb_at_last = F.when(capped, F.col(f"__lead_fb{k}")).otherwise(
+                    F.col(f"__last_fb{k}")
+                )
             fields = fields + [guard_broken(fb_at_last, nxt_at_last, k).alias(f"b{k}")]
         if nxt_at_last is not None:
             fields = fields + [nxt_at_last.getField(f).alias(f) for f in downstream]
@@ -486,13 +520,24 @@ def pattern_detect_branching(
     bound re-anchored on the surviving predecessor, mirroring how Flink
     evaluates the shortened chain. Branches whose own chain is incomplete
     are still emitted (per-anchor visibility), so downstream consumers
-    filter on state like with pattern_detect."""
+    filter on state like with pattern_detect.
+
+    At most 4 optional steps are accepted: the plan is a union over
+    2^|optional| branches (16 at the bound — fine for Catalyst; real
+    patterns carry 1-2 optionals), and an unguarded wide set would blow
+    the planner up with a 2^k-branch union."""
     from itertools import combinations
 
     n = len(steps)
     opts = sorted(optional or ())
     if any(k <= 1 or k >= n for k in opts):
         raise ValueError("optional steps must be interior (2..n-1)")
+    if len(opts) > 4:
+        raise ValueError(
+            f"pattern_detect_branching compiles 2^|optional| branch plans; "
+            f"{len(opts)} optional steps would union {2 ** len(opts)} "
+            "branches — at most 4 are supported"
+        )
 
     out = None
     for r in range(len(opts) + 1):

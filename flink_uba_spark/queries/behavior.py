@@ -915,6 +915,87 @@ FROM a4
 """
 
 
+def pattern_uncapped_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCAPPED oneOrMore CEP chain (round 6): per event SHARD
+    (user_id % 8 — the load-sharded system-monitoring keying, where
+    error cascades are a shard property, not a user property), detect
+    signup → error.oneOrMore(30 min repetition gap, NO cap) → purchase
+    within 2 h of the cascade's LAST error — the reference Pattern API's
+    plain ``oneOrMore()`` (no ``.times()`` bound), which Flink's NFA runs
+    unbounded. Shard-keyed so runs are genuinely long (up to 63 reps at
+    sf0.1 — no fixed cap reproduces this). Safe at scale because the
+    repetition GAP is what bounds everything: the batch compile keeps no
+    per-rep state (the run is the whole within-gap session —
+    operators/sequence.py pattern_detect with max_reps=float('inf')), and
+    the streaming twin's per-run state is one fixed-width frontier plus
+    the gap-horizon buffer."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    ev = _events(spark, sf_dir).withColumn("shard", F.col("user_id") % 8)
+    return pattern_detect(
+        ev,
+        key="shard",
+        steps=[
+            (F.col("event_type") == "signup", None),
+            (F.col("event_type") == "error", "INTERVAL 30 MINUTES", float("inf")),
+            (F.col("event_type") == "purchase", "INTERVAL 2 HOURS"),
+        ],
+    )
+
+
+# the burst oracle minus its cap arithmetic: a run is its ENTIRE 30-min-gap
+# session (run_last = session max, n_reps = rows from entry to session end)
+PATTERN_UNCAPPED_ERROR_RUN_ORACLE = """
+WITH err AS (
+  SELECT user_id % 8 AS shard, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id % 8 ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT shard, event_id, ts,
+         sum(ns) OVER (PARTITION BY shard ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT shard, event_id, ts,
+         max(ts) OVER wf AS run_last,
+         count(*) OVER wf - row_number() OVER ws + 1 AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY shard, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY shard, sid)
+),
+a AS (SELECT user_id % 8 AS shard, event_id AS anchor_id, ts AS t1
+      FROM events WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*,
+    (SELECT r.ts FROM runs r WHERE r.shard = a.shard AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t2,
+    (SELECT r.run_last FROM runs r WHERE r.shard = a.shard AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t2_last,
+    (SELECT r.n_reps FROM runs r WHERE r.shard = a.shard AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS n2
+  FROM a
+),
+a3 AS (
+  SELECT a2.*,
+    (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id % 8 = a2.shard
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+)
+SELECT shard, anchor_id, t1, t2, t2_last, CAST(n2 AS BIGINT) AS n2, t3,
+       CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN t3 IS NULL THEN 'incomplete'
+            WHEN t2 <= t1 + INTERVAL 30 MINUTE AND t3 <= t2_last + INTERVAL 2 HOUR
+              THEN 'matched'
+            ELSE 'matched_late' END AS state
+FROM a3
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
@@ -925,6 +1006,7 @@ QUERIES = {
     "pattern_error_streak_recovery": pattern_error_streak_recovery,
     "pattern_optional_click_purchase": pattern_optional_click_purchase,
     "pattern_optional_branching": pattern_optional_branching,
+    "pattern_uncapped_error_run": pattern_uncapped_error_run,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -947,6 +1029,7 @@ ORACLES = {
     "pattern_error_streak_recovery": PATTERN_ERROR_STREAK_ORACLE,
     "pattern_optional_click_purchase": PATTERN_OPTIONAL_CLICK_ORACLE,
     "pattern_optional_branching": PATTERN_OPTIONAL_BRANCHING_ORACLE,
+    "pattern_uncapped_error_run": PATTERN_UNCAPPED_ERROR_RUN_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,

@@ -1076,6 +1076,93 @@ def _stream_pattern_optional_oracle() -> str:
     )
 
 
+def stream_pattern_optional_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-faithful MULTI-MATCH optional() in its native streaming form
+    (round 6 — the last batch/streaming CEP divergence closed): view →
+    click? → purchase emitting BOTH branches per anchor, exactly as the
+    reference's branching NFA (Pattern.optional()).
+    streaming/pattern.py:stream_pattern_detect_branching — each
+    optional-subset runs as its own plain-chain NFA (within bounds
+    re-anchored on the surviving predecessor) and the branches union into
+    one append stream; `skipped` names the branch. The oracle is the
+    batch branching form minus its incomplete rows (a streaming chain
+    that never completes never emits)."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect_branching
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect_branching(
+            ev,
+            key="user_id",
+            steps=[
+                ("view", None),
+                ("click", "INTERVAL 30 MINUTES"),
+                ("purchase", "INTERVAL 2 HOURS"),
+            ],
+            optional={2},
+        )
+    )
+
+
+def _stream_pattern_branching_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_OPTIONAL_BRANCHING_ORACLE
+
+    return (
+        f"SELECT * FROM ({PATTERN_OPTIONAL_BRANCHING_ORACLE}) "
+        "WHERE state != 'incomplete'"
+    )
+
+
+def stream_pattern_uncapped_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCAPPED oneOrMore CEP chain in its native streaming form
+    (round 6): per event shard (user_id % 8), signup →
+    error.oneOrMore(30 min gap, NO cap) → purchase within 2 h of the
+    cascade's LAST error. The NFA carries cap=∞ as an int64 sentinel so a
+    run closes ONLY when its gap lapses (in-batch evidence or event-time
+    timer) — per-run state stays one fixed-width frontier plus the
+    gap-horizon buffer, which is why the uncapped form is deployable: the
+    repetition GAP bounds state, not the cap. The oracle is the batch
+    form restricted to chains whose cascade CLOSED before the stream
+    ended (a same-shard event beyond the gap, or the final ms-floored
+    watermark passing last_rep + gap — no cap term, there is no cap)."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir).withColumn("shard", F.col("user_id") % 8)
+    return run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="shard",
+            steps=[
+                ("signup", None),
+                ("error", "INTERVAL 30 MINUTES", float("inf")),
+                ("purchase", "INTERVAL 2 HOURS"),
+            ],
+        )
+    ).withColumnRenamed("user_id", "shard")
+
+
+def _stream_pattern_uncapped_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_UNCAPPED_ERROR_RUN_ORACLE
+
+    gap_us = 30 * 60 * 1_000_000
+    return f"""
+WITH batchform AS ({PATTERN_UNCAPPED_ERROR_RUN_ORACLE}),
+relevant AS (
+  SELECT user_id % 8 AS shard, ts FROM events
+  WHERE event_type IN ('signup', 'error', 'purchase')
+),
+keymax AS (SELECT shard, max(ts) AS kmax FROM relevant GROUP BY 1),
+gmax AS (SELECT max(ts) AS g FROM relevant)
+SELECT b.shard, b.anchor_id, b.t1, b.t2, b.t2_last, b.n2, b.t3,
+       b.max_step, b.state
+FROM batchform b JOIN keymax k ON k.shard = b.shard
+WHERE b.state != 'incomplete'
+  AND (k.kmax > b.t2_last + INTERVAL 30 MINUTE
+       OR epoch_us(b.t2_last) + {gap_us}
+            <= (epoch_us((SELECT g FROM gmax)) // 1000) * 1000)
+"""
+
+
 def stream_pattern_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The negative-pattern CEP chain (view → click within 30 min →
     purchase within 2 h, ``notFollowedBy(error)`` between click and
@@ -1305,6 +1392,8 @@ QUERIES = {
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
     "stream_pattern_error_streak_recovery": stream_pattern_error_streak_recovery,
     "stream_pattern_optional_click_purchase": stream_pattern_optional_click_purchase,
+    "stream_pattern_optional_branching": stream_pattern_optional_branching,
+    "stream_pattern_uncapped_error_run": stream_pattern_uncapped_error_run,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_ivf_upsert": stream_ivf_upsert,
     "stream_classifier_quality_filter": stream_classifier_quality_filter,
@@ -1340,6 +1429,8 @@ ORACLES = {
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),
     "stream_pattern_error_streak_recovery": _stream_pattern_streak_oracle(),
     "stream_pattern_optional_click_purchase": _stream_pattern_optional_oracle(),
+    "stream_pattern_optional_branching": _stream_pattern_branching_oracle(),
+    "stream_pattern_uncapped_error_run": _stream_pattern_uncapped_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_ivf_upsert": __import__("flink_uba_spark.queries.datapipe", fromlist=["IVF_INDEX_UPSERT_ORACLE"]).IVF_INDEX_UPSERT_ORACLE,
     "stream_classifier_quality_filter": _stream_classifier_oracle(),

@@ -57,6 +57,16 @@ Cross-batch ordering contract: replays split micro-batches by event time
 (equal-ts rows land together), so every prior-batch event precedes every
 current-batch event in the global sort — buffer rows always precede batch
 rows and the concatenated timeline is sorted.
+
+CHECKPOINT COMPATIBILITY: round 5 widened ``STATE_SCHEMA`` from 3 to 17
+fields (the general-chain state replaced the dedicated 3-step layouts,
+and ``stream_kleene_detect`` switched from the 11-field
+``KLEENE_STATE_SCHEMA`` to it). ``applyInPandasWithState`` cannot migrate
+a checkpointed state layout: a streaming job resuming from a checkpoint
+written by a pre-round-5 build will fail to restore — restart such jobs
+with a NEW checkpoint directory (replays are deterministic, so a fresh
+``availableNow`` replay reproduces the stream). Any future field change
+to ``STATE_SCHEMA`` carries the same break; note it here.
 """
 
 from __future__ import annotations
@@ -72,6 +82,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _US = 1_000_000
+
+# uncapped-oneOrMore sentinel: large enough that "cap reached" never
+# fires, small enough that cap-arithmetic (cap - kln, minimum(cap, t))
+# stays inside int64
+UNCAPPED_REPS = 1 << 62
 
 
 def pattern_output_schema(
@@ -95,7 +110,9 @@ def pattern_output_schema(
 
 
 # per-chain fixed-width integers + the gap-horizon row buffer (step
-# membership packed as a bitmask — n ≤ 62 steps)
+# membership packed as an int64 bitmask over SLOTS = positive steps +
+# notFollowedBy guard slots — at most 63 slots total; make_pattern_matcher
+# rejects wider patterns rather than silently overflowing the mask)
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("anchor_ids", T.ArrayType(T.LongType())),
@@ -191,9 +208,16 @@ def make_pattern_matcher(
     n = len(step_types)
     # a Kleene spec is (gap_us, max_reps) or (gap_us, max_reps, min_reps)
     # — times(from, to): entries whose run holds fewer than min_reps rows
-    # are not valid bindings. Normalize to (gap, cap, mn).
+    # are not valid bindings. Normalize to (gap, cap, mn); max_reps of
+    # None / float("inf") = UNCAPPED oneOrMore, carried as an int64-safe
+    # sentinel so every cap comparison ("run closed at cap?") is simply
+    # never true — the run closes only when its GAP lapses (evidence row
+    # or watermark timer), which is also what bounds its state.
+    def _cap(c):
+        return UNCAPPED_REPS if c is None or c == float("inf") else int(c)
+
     kleenes = [
-        (None if k is None else (k[0], k[1], k[2] if len(k) > 2 else 1))
+        (None if k is None else (k[0], _cap(k[1]), k[2] if len(k) > 2 else 1))
         for k in (kleenes if kleenes is not None else [None] * n)
     ]
     negs = dict(negations or {})
@@ -234,6 +258,15 @@ def make_pattern_matcher(
             gslot[k] = len(_slots)
             _slots.append(("g", k))
     nslots = len(_slots)
+    if nslots > 63:
+        # buffer step-membership is packed into a single int64 bitmask
+        # (one bit per slot = positive step or notFollowedBy guard); more
+        # slots would silently overflow and corrupt buffered-row
+        # membership across batches
+        raise ValueError(
+            f"pattern too wide: {nslots} slots (steps + notFollowedBy "
+            "guards) exceed the 63-bit buffer-membership mask"
+        )
 
     def _emit(user_id, a_ids, cur, bnd, klast, kln, st) -> pd.DataFrame:
         cols = {
@@ -786,6 +819,10 @@ def stream_pattern_detect(
     def _kspec(s):
         if len(s) <= 2 or s[2] is None:
             return None
+        if s[1] is None:
+            raise ValueError(
+                "Kleene steps need a within interval (the repetition gap)"
+            )
         r = s[2]
         if isinstance(r, tuple):  # times(from, to)
             return (_interval_us(s[1]), r[1], r[0])
@@ -844,6 +881,266 @@ def stream_pattern_detect(
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout if timers else GroupStateTimeout.NoTimeout,
+    )
+
+
+# outer state of the BRANCHING matcher: every STATE_SCHEMA field holds the
+# branch-major concatenation of the per-branch arrays, and seg_lens
+# ([branch][field] lengths, len = n_branches * n_fields) restores the
+# segmentation — ONE state row carries all 2^|optional| branch NFAs, since
+# Spark allows only a single applyInPandasWithState per streaming query
+_N_STATE_FIELDS = len(STATE_SCHEMA.fields)
+BRANCHING_STATE_SCHEMA = T.StructType(
+    list(STATE_SCHEMA.fields)
+    + [T.StructField("seg_lens", T.ArrayType(T.LongType()))]
+)
+
+
+def branching_output_schema(n_steps: int) -> T.StructType:
+    fields = [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("anchor_id", T.LongType()),
+    ]
+    for k in range(1, n_steps + 1):
+        fields.append(T.StructField(f"t{k}", T.TimestampType()))
+    fields += [
+        T.StructField("max_step", T.LongType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("skipped", T.StringType()),
+    ]
+    return T.StructType(fields)
+
+
+class _BranchStateSlot:
+    """GroupState facade handed to one branch's detect function; captures
+    its update/remove/timer calls so the branching matcher can pack all
+    branch states into the single real state row."""
+
+    def __init__(self, value, wm_ms, timed_out, timer_sink):
+        self.value = value
+        self._wm = wm_ms
+        self.hasTimedOut = timed_out
+        self._timers = timer_sink
+
+    @property
+    def exists(self):
+        return self.value is not None
+
+    @property
+    def get(self):
+        return self.value
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def update(self, v):
+        self.value = v
+
+    def remove(self):
+        self.value = None
+
+    def setTimeoutTimestamp(self, ms):
+        self._timers.append(ms)
+
+
+def make_branching_matcher(
+    step_types: list[str],
+    withins_us: list[int | None],
+    optionals: list[int],
+    ttl_us: int | None = None,
+):
+    """Build the multi-match ``optional()`` state function: one stateful
+    operator internally running 2^|optional| PLAIN-chain NFAs — exactly
+    Flink's branching NFA, whose partial-match set is also the set of
+    live branches. Each branch is the ``make_pattern_matcher`` chain for
+    one optional-subset (within bounds re-anchored on the surviving
+    predecessor via the shortened step list); emitted rows are remapped
+    to the full step numbering with ``skipped`` naming the branch."""
+    from itertools import combinations
+
+    n = len(step_types)
+    branches = []
+    for r in range(len(optionals) + 1):
+        for skip in combinations(sorted(optionals), r):
+            kept = [k for k in range(1, n + 1) if k not in skip]
+            det = make_pattern_matcher(
+                [step_types[k - 1] for k in kept],
+                [withins_us[k - 1] for k in kept],
+                ttl_us=ttl_us,
+            )
+            tag = ",".join(str(k) for k in skip) or "none"
+            branches.append((skip, kept, tag, det))
+    B = len(branches)
+
+    def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        timed_out = getattr(state, "hasTimedOut", False)
+        chunks = [] if timed_out else [c for c in pdfs if len(c)]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else None
+        try:
+            # raises on a watermark-free stream (no-ttl branching runs
+            # without withWatermark); 0 = "no watermark yet" either way
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:  # noqa: BLE001
+            wm_ms = 0
+
+        if state.exists:
+            *flat, seg = state.get
+            seg = [int(x) for x in seg]
+            bvals: list[tuple | None] = []
+            pos = [0] * _N_STATE_FIELDS
+            for b in range(B):
+                tup, empty = [], True
+                for f in range(_N_STATE_FIELDS):
+                    ln = seg[b * _N_STATE_FIELDS + f]
+                    tup.append(list(flat[f][pos[f]:pos[f] + ln]))
+                    pos[f] += ln
+                    empty = empty and ln == 0
+                bvals.append(None if empty else tuple(tup))
+        else:
+            bvals = [None] * B
+
+        timer_cands: list[int] = []
+        new_vals: list[tuple | None] = [None] * B
+        out_frames: list[pd.DataFrame] = []
+        for bi, (skip, kept, tag, det) in enumerate(branches):
+            slot = _BranchStateSlot(bvals[bi], wm_ms, timed_out, timer_cands)
+            if pdf is not None:
+                bpdf = pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"],
+                        "ts": pdf["ts"],
+                        **{
+                            f"__p{j}": pdf[f"__p{k}"]
+                            for j, k in enumerate(kept, start=1)
+                        },
+                    }
+                )
+                it: Iterator[pd.DataFrame] = iter([bpdf])
+            else:
+                it = iter([])
+            for frame in det(key, it, slot):
+                cols = {
+                    "user_id": frame["user_id"],
+                    "anchor_id": frame["anchor_id"],
+                }
+                for j, k in enumerate(kept, start=1):
+                    cols[f"t{k}"] = frame[f"t{j}"]
+                for k in skip:
+                    cols[f"t{k}"] = pd.Series(
+                        pd.NaT, index=frame.index, dtype="datetime64[ns]"
+                    )
+                cols["max_step"] = frame["max_step"]
+                cols["state"] = frame["state"]
+                cols["skipped"] = pd.array([tag] * len(frame), dtype=object)
+                out_frames.append(
+                    pd.DataFrame(cols)[
+                        ["user_id", "anchor_id"]
+                        + [f"t{k}" for k in range(1, n + 1)]
+                        + ["max_step", "state", "skipped"]
+                    ]
+                )
+            new_vals[bi] = slot.value
+
+        if any(v is not None for v in new_vals):
+            flat_out: list[list] = [[] for _ in range(_N_STATE_FIELDS)]
+            seg_out: list[int] = []
+            for v in new_vals:
+                for f in range(_N_STATE_FIELDS):
+                    arr = [] if v is None else list(v[f])
+                    flat_out[f].extend(arr)
+                    seg_out.append(len(arr))
+            state.update(tuple([*flat_out, seg_out]))
+            if timer_cands:
+                # each branch already clamped its request to wm+1
+                state.setTimeoutTimestamp(max(min(timer_cands), wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True)
+
+    return detect
+
+
+def stream_pattern_detect_branching(
+    events: DataFrame,
+    key: str,
+    steps: list[tuple],
+    optional: set[int],
+    event_id: str = "event_id",
+    ts: str = "ts",
+    state_ttl: str | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Flink-faithful MULTI-MATCH ``optional()`` in its native streaming
+    form — the streaming twin of the batch
+    ``operators/sequence.py:pattern_detect_branching`` (round 6, closing
+    the last batch/streaming divergence: ``stream_pattern_detect``'s
+    ``optional=`` races greedily to ONE match per anchor, while the
+    reference's branching NFA (Pattern.optional()) emits BOTH the taken
+    and the skipped chain).
+
+    ONE stateful operator (Spark permits a single
+    ``applyInPandasWithState`` per streaming query, so the batch form's
+    union-of-plans cannot be transplanted) internally running the
+    2^|optional| plain-chain NFAs — exactly how Flink's branching NFA
+    carries one partial match per live branch. Every branch is a plain
+    chain, where the streaming engine is batch-equivalent, so the output
+    equals the batch branching result minus its ``incomplete`` rows (a
+    streaming chain that never completes never emits). The ≤4 optional
+    bound (16 branches) caps both the plan and the per-key state
+    multiplier. Steps must be plain ``(spec, within)`` pairs (batch
+    parity: the branching surface excludes Kleene steps)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n = len(steps)
+    opts = sorted(optional or ())
+    if any(k <= 1 or k >= n for k in opts):
+        raise ValueError("optional steps must be interior (2..n-1)")
+    if len(opts) > 4:
+        raise ValueError(
+            f"stream_pattern_detect_branching runs 2^|optional| branch "
+            f"NFAs; {len(opts)} optional steps would mean "
+            f"{2 ** len(opts)} branches — at most 4 are supported"
+        )
+    if any(len(s) > 2 and s[2] is not None for s in steps):
+        raise ValueError("branching steps must be plain (no oneOrMore/times)")
+
+    specs = [s[0] for s in steps]
+    withins_us = [None if s[1] is None else _interval_us(s[1]) for s in steps]
+    preds = [
+        (F.col("event_type") == s) if isinstance(s, str) else s.cast("boolean")
+        for s in specs
+    ]
+    flag_cols = {
+        f"__p{i}": F.coalesce(p, F.lit(False)).alias(f"__p{i}")
+        for i, p in enumerate(preds, 1)
+    }
+    any_step = preds[0]
+    for p in preds[1:]:
+        any_step = any_step | p
+    filtered = (
+        events.filter(any_step)
+        .withColumns(flag_cols)
+        .select(
+            F.col(event_id).alias("event_id"),
+            F.col(ts).alias("ts"),
+            F.col(key).alias("user_id"),
+            *flag_cols.keys(),
+        )
+    )
+    step_types = [s if isinstance(s, str) else f"step{i}" for i, s in enumerate(specs, 1)]
+    ttl_us = None if state_ttl is None else _interval_us(state_ttl)
+    if ttl_us is not None:
+        filtered = filtered.withWatermark("ts", watermark_delay)
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        make_branching_matcher(step_types, withins_us, opts, ttl_us=ttl_us),
+        branching_output_schema(n),
+        BRANCHING_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout
+        if ttl_us is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 
