@@ -1005,16 +1005,21 @@ def make_branching_matcher(
         for bi, (skip, kept, tag, det) in enumerate(branches):
             slot = _BranchStateSlot(bvals[bi], wm_ms, timed_out, timer_cands)
             if pdf is not None:
-                bpdf = pd.DataFrame(
-                    {
-                        "event_id": pdf["event_id"],
-                        "ts": pdf["ts"],
-                        **{
-                            f"__p{j}": pdf[f"__p{k}"]
-                            for j, k in enumerate(kept, start=1)
-                        },
-                    }
-                )
+                if "__p1" in pdf.columns:
+                    bpdf = pd.DataFrame(
+                        {
+                            "event_id": pdf["event_id"],
+                            "ts": pdf["ts"],
+                            **{
+                                f"__p{j}": pdf[f"__p{k}"]
+                                for j, k in enumerate(kept, start=1)
+                            },
+                        }
+                    )
+                else:
+                    # event_type test mode: each branch matches its own
+                    # (subset) step_types against the raw column
+                    bpdf = pdf
                 it: Iterator[pd.DataFrame] = iter([bpdf])
             else:
                 it = iter([])

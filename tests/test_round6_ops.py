@@ -1,0 +1,356 @@
+"""Round-6 pins: uncapped oneOrMore (both engines), the single-operator
+streaming branching NFA, the bounded-state argument under an endless hot
+run, and the round-6 guard rails (ADVICE r5 items + verdict item 6)."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+US = 1_000_000
+
+
+class FakeState:
+    def __init__(self, watermark_ms=0, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self._wm = watermark_ms
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def update(self, v):
+        self._v = v
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+    def remove(self):
+        self._v = None
+
+
+def _rows(*evs):
+    return pd.DataFrame(
+        [
+            {"event_id": i, "ts": pd.Timestamp(ts_us, unit="us"), "event_type": t}
+            for i, ts_us, t in evs
+        ]
+    )
+
+
+def _collect(gen):
+    frames = list(gen)
+    return (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame()
+    )
+
+
+# ---------------------------------------------------------------------------
+# uncapped oneOrMore — batch compiler
+# ---------------------------------------------------------------------------
+
+
+def _bdf(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, u, t, datetime.datetime(2020, 1, 1) + datetime.timedelta(seconds=s))
+            for i, u, t, s in rows
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_uncapped_one_or_more_batch_binds_whole_session(spark):
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    rows = [(1, 1, "A", 0)]
+    # a 10-rep run at 10..100 (gap 10 s <= 30 s), then a session break,
+    # then a second 2-rep run no uncapped binding should stop short of
+    rows += [(i + 2, 1, "B", 10 + 10 * i) for i in range(10)]
+    rows += [(20, 1, "B", 500), (21, 1, "B", 510)]
+    rows += [(30, 1, "C", 600)]
+    out = pattern_detect(
+        _bdf(spark, rows),
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "A", None),
+            (F.col("event_type") == "B", "INTERVAL 30 SECONDS", float("inf")),
+            (F.col("event_type") == "C", None),
+        ],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the run is the ENTIRE first gap-session — 10 reps, no cap truncation
+    assert r.n2 == 10
+    assert r.t2 == datetime.datetime(2020, 1, 1, 0, 0, 10)
+    assert r.t2_last == datetime.datetime(2020, 1, 1, 0, 1, 40)
+    # C binds strictly after the run's LAST repetition
+    assert r.t3 == datetime.datetime(2020, 1, 1, 0, 10, 0)
+    assert r.state == "matched"
+
+
+def test_uncapped_min_reps_still_enforced(spark):
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    # times(3, inf): a 2-run is not a valid entry; the 4-run after it is
+    rows = [(1, 1, "A", 0)]
+    rows += [(2, 1, "B", 10), (3, 1, "B", 20)]
+    rows += [(i + 4, 1, "B", 200 + 10 * i) for i in range(4)]
+    rows += [(10, 1, "C", 300)]
+    out = pattern_detect(
+        _bdf(spark, rows),
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "A", None),
+            (F.col("event_type") == "B", "INTERVAL 30 SECONDS", (3, float("inf"))),
+            (F.col("event_type") == "C", None),
+        ],
+    ).collect()
+    assert len(out) == 1 and out[0].n2 == 4
+    assert out[0].t2 == datetime.datetime(2020, 1, 1, 0, 3, 20)
+
+
+def test_uncapped_requires_finite_within(spark):
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    with pytest.raises(ValueError, match="uncapped oneOrMore"):
+        pattern_detect(
+            _bdf(spark, [(1, 1, "A", 0)]),
+            key="user_id",
+            steps=[
+                (F.col("event_type") == "A", None),
+                (F.col("event_type") == "B", None, float("inf")),
+                (F.col("event_type") == "C", None),
+            ],
+        )
+
+
+# ---------------------------------------------------------------------------
+# uncapped oneOrMore — streaming NFA
+# ---------------------------------------------------------------------------
+
+_UNCAPPED_STEPS = ["A", "B", "C"]
+_UNCAPPED_WITHINS = [None, 30 * US, None]
+_UNCAPPED_KLEENES = [None, (30 * US, None), None]  # gap 30 s, NO cap
+
+
+def test_uncapped_stream_run_crosses_batches_then_closes():
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    detect = make_pattern_matcher(
+        _UNCAPPED_STEPS, _UNCAPPED_WITHINS, kleenes=_UNCAPPED_KLEENES
+    )
+    st = FakeState()
+    # batch 1: anchor + 40 reps (10 s apart — far beyond any small cap)
+    b1 = [(1, 0, "A")] + [(i + 2, (10 + 10 * i) * US, "B") for i in range(40)]
+    out1 = _collect(detect((1,), iter([_rows(*b1)]), st))
+    assert len(out1) == 0 and st.exists
+    # batch 2: 10 more reps continuing the run, then the gap lapses and C
+    last = 10 + 10 * 39
+    b2 = [(100 + i, (last + 10 + 10 * i) * US, "B") for i in range(10)]
+    b2 += [(200, (last + 100 + 31) * US, "C")]
+    out2 = _collect(detect((1,), iter([_rows(*b2)]), st))
+    assert len(out2) == 1
+    r = out2.iloc[0]
+    assert int(r["n2"]) == 50  # the whole 50-rep run, uncapped
+    assert r["state"] == "matched"
+    assert st._v is None
+
+
+def test_uncapped_stream_state_stays_bounded_under_endless_hot_run():
+    """The deployability claim behind uncapped oneOrMore (verdict item 2):
+    an endless run grows the REP COUNTER, never the state — the frontier
+    is fixed-width and the row buffer holds only the gap-horizon cohort
+    at the protected frontier, regardless of how many reps have passed."""
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    detect = make_pattern_matcher(
+        _UNCAPPED_STEPS, _UNCAPPED_WITHINS, kleenes=_UNCAPPED_KLEENES
+    )
+    st = FakeState()
+    _collect(detect((1,), iter([_rows((1, 0, "A"))]), st))
+    eid, t, max_buf, max_chains = 2, 10, 0, 0
+    for _ in range(50):  # 50 batches x 20 reps = a 1000-rep open run
+        batch = []
+        for _ in range(20):
+            batch.append((eid, t * US, "B"))
+            eid, t = eid + 1, t + 10
+        _collect(detect((1,), iter([_rows(*batch)]), st))
+        assert st.exists
+        aid, buf_ts = st.get[0], st.get[13]
+        max_chains = max(max_chains, len(aid))
+        max_buf = max(max_buf, len(buf_ts))
+    # 1000 reps observed; state stayed O(1): one pending chain, and a
+    # buffer that never exceeded the frontier's same-timestamp cohort
+    assert max_chains == 1
+    assert max_buf <= 25
+    # the counter did see every rep
+    assert int(np.asarray(st.get[8]).reshape(-1, 3)[0, 1]) == 1000
+
+
+def test_uncapped_kleene_matches_bruteforce_property():
+    """The uncapped sentinel path vs the round-5 brute-force reference:
+    the matcher runs cap=None (the int64 sentinel), the brute runs an
+    effectively-infinite integer cap — identical semantics required on
+    randomized streams and micro-batch splits, including times(2, inf)."""
+    import random
+
+    from test_properties_round5 import _drive, brute_chain
+
+    rng = random.Random(60601)
+    for case in range(120):
+        n_ev = rng.randint(0, 24)
+        events = [
+            (i, rng.randint(0, 40), rng.choice([1, 2, 4, 5, 6, 0]))
+            for i in range(n_ev)
+        ]
+        cuts = {rng.randint(1, 40) for _ in range(rng.randint(0, 3))}
+        mn = rng.choice([1, 2])
+        steps_m = [(None, None), (6, (3, None, mn)), (None, None)]
+        steps_b = [(None, None), (6, (3, 1 << 40, mn)), (None, None)]
+        got, wm_ms = _drive(events, steps_m, cuts)
+        want = brute_chain(events, steps_b, final_wm_ms=wm_ms)
+        assert sorted(got) == want, (case, events, cuts, mn)
+
+
+def test_kleene_step_requires_within_interval_in_stream_wiring(spark):
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = _bdf(spark, [(1, 1, "A", 0)])
+    with pytest.raises(ValueError, match="Kleene steps need a within"):
+        stream_pattern_detect(
+            ev, key="user_id", steps=[("A", None), ("B", None, 3)]
+        )
+
+
+# ---------------------------------------------------------------------------
+# guard rails (ADVICE r5 + verdict item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_matcher_rejects_over_63_slots():
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    n = 64
+    with pytest.raises(ValueError, match="63-bit"):
+        make_pattern_matcher([f"s{i}" for i in range(n)], [None] * n)
+    # guard slots count toward the bound: 32 steps + 32 guards = 64 slots
+    n = 33
+    with pytest.raises(ValueError, match="63-bit"):
+        make_pattern_matcher(
+            [f"s{i}" for i in range(n)],
+            [None] * n,
+            negations={k: f"x{k}" for k in range(1, n)},
+        )
+    # 63 slots is accepted
+    make_pattern_matcher([f"s{i}" for i in range(63)], [None] * 63)
+
+
+def test_branching_optional_bound_is_four(spark):
+    from flink_uba_spark.operators.sequence import pattern_detect_branching
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect_branching
+
+    ev = _bdf(spark, [(1, 1, "A", 0)])
+    steps_b = [(F.col("event_type") == f"s{i}", None) for i in range(12)]
+    with pytest.raises(ValueError, match="at most 4"):
+        pattern_detect_branching(
+            ev, key="user_id", steps=steps_b, optional={2, 4, 6, 8, 10}
+        )
+    steps_s = [(f"s{i}", None) for i in range(12)]
+    with pytest.raises(ValueError, match="at most 4"):
+        stream_pattern_detect_branching(
+            ev, key="user_id", steps=steps_s, optional={2, 4, 6, 8, 10}
+        )
+
+
+def test_stream_branching_rejects_kleene_steps(spark):
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect_branching
+
+    ev = _bdf(spark, [(1, 1, "A", 0)])
+    with pytest.raises(ValueError, match="plain"):
+        stream_pattern_detect_branching(
+            ev,
+            key="user_id",
+            steps=[("A", None), ("B", "INTERVAL 1 MINUTE", 3), ("C", None)],
+            optional={2},
+        )
+
+
+# ---------------------------------------------------------------------------
+# single-operator streaming branching NFA
+# ---------------------------------------------------------------------------
+
+_BR_STEPS = ["view", "click", "purchase"]
+_BR_WITHINS = [None, 30 * 60 * US, 120 * 60 * US]
+
+
+def test_branching_matcher_emits_both_branches_across_batches():
+    from flink_uba_spark.streaming.pattern import make_branching_matcher
+
+    detect = make_branching_matcher(_BR_STEPS, _BR_WITHINS, [2])
+    st = FakeState()
+    # batch 1: anchor + click; neither branch completes, BOTH persist in
+    # the one packed state row
+    out1 = _collect(
+        detect(
+            (1,),
+            iter([_rows((1, 0, "view"), (2, 10 * 60 * US, "click"))]),
+            st,
+        )
+    )
+    assert len(out1) == 0 and st.exists
+    seg = [int(x) for x in st.get[-1]]
+    n_fields = len(st.get) - 1
+    per_branch_nonempty = [
+        any(seg[b * n_fields + f] for f in range(n_fields)) for b in range(2)
+    ]
+    assert per_branch_nonempty == [True, True]
+    # batch 2: one purchase completes BOTH branches
+    out2 = _collect(
+        detect((1,), iter([_rows((3, 60 * 60 * US, "purchase"))]), st)
+    )
+    out2 = out2.sort_values("skipped").reset_index(drop=True)
+    assert list(out2["skipped"]) == ["2", "none"]
+    assert list(out2["state"]) == ["matched", "matched"]
+    taken = out2[out2["skipped"] == "none"].iloc[0]
+    skipped = out2[out2["skipped"] == "2"].iloc[0]
+    assert pd.Timestamp(taken["t2"]).value // 1000 == 10 * 60 * US
+    assert pd.isna(skipped["t2"])
+    assert int(taken["max_step"]) == 3 and int(skipped["max_step"]) == 2
+    assert st._v is None  # all branches resolved -> packed state removed
+
+
+def test_branching_matcher_skipped_branch_can_outlive_taken():
+    """No click ever arrives: the taken branch stays incomplete (emits
+    nothing), the skipped branch still matches — per-branch independence,
+    exactly the reference's branching NFA."""
+    from flink_uba_spark.streaming.pattern import make_branching_matcher
+
+    detect = make_branching_matcher(_BR_STEPS, _BR_WITHINS, [2])
+    st = FakeState()
+    out = _collect(
+        detect(
+            (1,),
+            iter([_rows((1, 0, "view"), (2, 60 * 60 * US, "purchase"))]),
+            st,
+        )
+    )
+    assert len(out) == 1 and out.iloc[0]["skipped"] == "2"
+    assert out.iloc[0]["state"] == "matched"
+    # the taken branch is still pending (waiting on a click)
+    assert st.exists
