@@ -164,7 +164,10 @@ class UbaEngine:
     ) -> DataFrame:
         """End-to-end corpus curation in ONE composed run: length filter →
         [optional model-based quality gate (hashed linear classifier;
-        ``classifier_weights`` plugs a trained model in)] → exact dedup
+        ``classifier_weights`` plugs a trained model in — e.g. the
+        committed trained dim
+        ``spark.read.parquet("fixtures/classifier_weights.parquet")``
+        produced by tools/train_classifier_fixture.py)] → exact dedup
         (keep canonical) → [optional temperature mixture rebalance by
         source] → train/test split (per-doc hash, or cluster-aware so
         near-dups never straddle splits) → decontaminate train against the

@@ -292,6 +292,32 @@ def test_stream_branching_rejects_kleene_steps(spark):
 
 
 # ---------------------------------------------------------------------------
+# trained classifier fixture (r5 verdict item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_trained_classifier_fixture_is_committed_and_served(spark, sf_dir):
+    """The committed trained dim: 256 quantized integer rows, and the
+    catalog query serves it with the unchanged contract (doc_id, score,
+    keep) over every document."""
+    import os
+
+    from flink_uba_spark.queries.datapipe import (
+        _CLASSIFIER_FIXTURE,
+        classifier_quality_filter_trained,
+    )
+
+    assert os.path.exists(_CLASSIFIER_FIXTURE)
+    w = spark.read.parquet(_CLASSIFIER_FIXTURE).collect()
+    assert len(w) == 256
+    assert all(-127 <= r.weight <= 127 for r in w)
+    assert any(r.weight != 0 for r in w)
+    out = classifier_quality_filter_trained(spark, sf_dir).toPandas()
+    assert list(out.columns) == ["doc_id", "score", "keep"]
+    assert len(out) > 0 and str(out["score"].dtype) == "int64"
+
+
+# ---------------------------------------------------------------------------
 # single-operator streaming branching NFA
 # ---------------------------------------------------------------------------
 
