@@ -78,9 +78,28 @@ def pattern_detect(
     ts: str = "ts",
     not_followed_by: dict[int, Column] | None = None,
     optional: set[int] | None = None,
+    strict: set[int] | None = None,
+    not_next: dict[int, Column] | None = None,
 ) -> DataFrame:
     """Compile an N-step ``begin → followedBy → …`` pattern into chained
     window aggregates (one key exchange for the plain-step chain).
+
+    ``strict`` marks transitions as STRICT CONTIGUITY — the reference
+    Pattern API's ``next()`` (round 6): ``s ∈ strict`` means step s must
+    be the IMMEDIATELY NEXT event of the key after step s-1's bound row —
+    any intervening event (pattern-relevant or not) breaks the chain
+    (``incomplete``; Flink discards the partial match). ``not_next`` maps
+    step index k to a forbidden predicate — ``notNext()``: if the
+    immediately-next event after step k's bound row matches, the match is
+    KILLED (``state='negated'``, like notFollowedBy; the streaming twin
+    emits nothing); otherwise step k+1 binds by normal followed-by
+    search. "Immediately next" is evaluated in the engine's total event
+    order (ts, step_rank, id) over ALL events of the key — strict
+    patterns therefore disable the match-nothing scan filter (the price
+    of the semantics: every key row must be witnessed, exactly as in
+    Flink's NFA). Strict transitions compose with plain steps only: not
+    into/out of Kleene steps, not touching optional steps, and not
+    stacked on a notFollowedBy guard at the same transition.
 
     ``steps`` is an ordered list of ``(predicate, within)`` or
     ``(predicate, within, max_reps)`` where ``within`` (an ``INTERVAL``
@@ -197,16 +216,41 @@ def pattern_detect(
         raise ValueError("an optional step cannot be a Kleene/times step")
     if any(k in opts or k + 1 in opts for k in negs):
         raise ValueError("a notFollowedBy guard cannot touch an optional step")
+    stricts = set(strict or ())
+    nnx = dict(not_next or {})
+    if any(s <= 1 or s > n for s in stricts):
+        raise ValueError("strict transitions are into steps 2..n")
+    if any(k < 1 or k >= n for k in nnx):
+        raise ValueError("not_next keys must be step indexes 1..n-1")
+    if any(
+        reps[s - 1] is not None or reps[s - 2] is not None
+        for s in stricts
+    ) or any(reps[k - 1] is not None for k in nnx):
+        raise ValueError("strict/notNext transitions must not touch Kleene steps")
+    if any(s in opts or s - 1 in opts or s + 1 in opts for s in stricts) or any(
+        k in opts or k + 1 in opts for k in nnx
+    ):
+        raise ValueError("strict/notNext transitions must not touch optional steps")
+    if any(s - 1 in negs or s - 1 in nnx for s in stricts) or any(
+        k in negs for k in nnx
+    ):
+        raise ValueError(
+            "a transition takes ONE of next/notNext/notFollowedBy, not several"
+        )
 
-    # slot ranks: positive step k at 2k-1, a notFollowedBy guard between k
-    # and k+1 at 2k — so at equal timestamps a forbidden row sorts after
-    # its preceding step and before its following step (the position order
-    # the guard comparison runs on). Guard-free patterns see only the
-    # positives at 2k-1: same relative order as the old 1..n ranks, so
-    # binding semantics are unchanged.
-    flag_cols = [
-        p.cast("boolean").alias(f"__p{i}") for i, p in enumerate(preds, start=1)
-    ] + [negs[k].cast("boolean").alias(f"__g{k}") for k in sorted(negs)]
+    # slot ranks: positive step k at 2k-1, a notFollowedBy guard OR a
+    # notNext forbidden slot between k and k+1 at 2k — so at equal
+    # timestamps a forbidden row sorts after its preceding step and before
+    # its following step (the position order the guard comparison runs
+    # on; guard and notNext are mutually exclusive per transition, so the
+    # rank never collides). Guard-free patterns see only the positives at
+    # 2k-1: same relative order as the old 1..n ranks, so binding
+    # semantics are unchanged.
+    flag_cols = (
+        [p.cast("boolean").alias(f"__p{i}") for i, p in enumerate(preds, start=1)]
+        + [negs[k].cast("boolean").alias(f"__g{k}") for k in sorted(negs)]
+        + [nnx[k].cast("boolean").alias(f"__x{k}") for k in sorted(nnx)]
+    )
     base = events.select(
         F.col(key).alias("__k"),
         F.col(event_id).alias("__id"),
@@ -214,13 +258,16 @@ def pattern_detect(
         *flag_cols,
     )
     # rows matching no step (and no guard) never contribute to any window
-    # min / guard check and are never anchors — drop them at the scan
-    all_flags = [F.col(f"__p{i}") for i in range(1, n + 1)] + [
-        F.col(f"__g{k}") for k in sorted(negs)
-    ]
-    base = base.filter(
-        F.greatest(*all_flags) if len(all_flags) > 1 else all_flags[0]
-    )
+    # min / guard check and are never anchors — drop them at the scan.
+    # EXCEPT under strict/notNext semantics: there EVERY event of the key
+    # is a potential contiguity witness, so the filter must stay off
+    if not stricts and not nnx:
+        all_flags = [F.col(f"__p{i}") for i in range(1, n + 1)] + [
+            F.col(f"__g{k}") for k in sorted(negs)
+        ]
+        base = base.filter(
+            F.greatest(*all_flags) if len(all_flags) > 1 else all_flags[0]
+        )
     # earliest slot a row can serve — earlier slots sort first at equal
     # timestamps so a same-ts successor is still "after" its anchor
     rank_cases = []
@@ -228,6 +275,8 @@ def pattern_detect(
         rank_cases.append(F.when(F.col(f"__p{i}"), F.lit(2 * i - 1)))
         if i in negs:
             rank_cases.append(F.when(F.col(f"__g{i}"), F.lit(2 * i)))
+        if i in nnx:
+            rank_cases.append(F.when(F.col(f"__x{i}"), F.lit(2 * i)))
     base = base.withColumn(
         "__rank", F.coalesce(*rank_cases, F.lit(2 * n + 1))
     )
@@ -268,6 +317,9 @@ def pattern_detect(
         .orderBy(F.desc("__ts"), F.desc("__rank"), F.desc("__id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # strict contiguity looks at ONE row — the immediate successor in the
+    # ascending total order; lead(1) is an O(1)-per-row incremental frame
+    w_lead = Window.partitionBy("__k").orderBy("__ts", "__rank", "__id")
 
     # chain field names carried by each step's struct (built backwards).
     # Field ORDER matters only through (t{k}, i{k}) — they are unique per
@@ -282,6 +334,8 @@ def pattern_detect(
             names += [f"t{k}_last", f"n{k}"]
         if k in negs:
             names.append(f"b{k}")
+        if k in nnx:
+            names.append(f"bx{k}")
         return names
 
     chain_fields: dict[int, list[str]] = {n + 1: []}
@@ -306,9 +360,18 @@ def pattern_detect(
         downstream = chain_fields[k + 1]
         nxt = fb = None
         if k < n:
-            df = df.withColumn(
-                f"__nx{k}", F.min(F.col(f"__c{k+1}")).over(w_after)
-            )
+            if k + 1 in stricts:
+                # next(): the binder is the IMMEDIATE successor row or
+                # nothing — __c{k+1} is non-null exactly on step-(k+1)
+                # rows, so a non-matching successor yields null and the
+                # chain breaks, Flink's strict-contiguity discard
+                df = df.withColumn(
+                    f"__nx{k}", F.lead(F.col(f"__c{k+1}")).over(w_lead)
+                )
+            else:
+                df = df.withColumn(
+                    f"__nx{k}", F.min(F.col(f"__c{k+1}")).over(w_after)
+                )
             nxt = F.col(f"__nx{k}")
         if k + 1 in opts:
             # optional step j = k+1: the greedy race — take j iff its
@@ -367,6 +430,15 @@ def pattern_detect(
             fields = own
             if k in negs:
                 fields = fields + [guard_broken(fb, nxt, k).alias(f"b{k}")]
+            if k in nnx:
+                # notNext(): killed iff the immediate successor of step
+                # k's bound row matches the forbidden predicate; no
+                # successor (end of data) = trivially satisfied
+                df = df.withColumn(
+                    f"__xn{k}",
+                    F.coalesce(F.lead(F.col(f"__x{k}")).over(w_lead), F.lit(False)),
+                )
+                fields = fields + [F.col(f"__xn{k}").alias(f"bx{k}")]
             fields = fields + (
                 [nxt.getField(f).alias(f) for f in downstream] if nxt is not None else []
             )
@@ -444,11 +516,16 @@ def pattern_detect(
 
     anchors = df.filter(F.col("__p1"))
     out_fields = [
-        f for f in chain_fields[1] if not (f[0] in "irb" and f[1:].isdigit())
+        f
+        for f in chain_fields[1]
+        if not (f[0] in "irb" and f[1:].isdigit())
+        and not (f.startswith("bx") and f[2:].isdigit())
     ]
     t_cols = [F.col("__c1").getField(f).alias(f) for f in out_fields]
     b_cols = [
         F.col("__c1").getField(f"b{k}").alias(f"__b{k}") for k in sorted(negs)
+    ] + [
+        F.col("__c1").getField(f"bx{k}").alias(f"__bx{k}") for k in sorted(nnx)
     ]
     out = anchors.select(
         F.col("__k").alias(key), F.col("__id").alias("anchor_id"), *t_cols, *b_cols
@@ -486,6 +563,8 @@ def pattern_detect(
     negated = F.lit(False)
     for k in sorted(negs):
         negated = negated | F.coalesce(F.col(f"__b{k}"), F.lit(False))
+    for k in sorted(nnx):
+        negated = negated | F.coalesce(F.col(f"__bx{k}"), F.lit(False))
     out = out.withColumn("max_step", max_step.cast("long")).withColumn(
         "state",
         F.when(negated, F.lit("negated"))
@@ -493,7 +572,9 @@ def pattern_detect(
         .when(bounds_ok, F.lit("matched"))
         .otherwise(F.lit("matched_late")),
     )
-    return out.drop(*[f"__b{k}" for k in sorted(negs)])
+    return out.drop(
+        *[f"__b{k}" for k in sorted(negs)], *[f"__bx{k}" for k in sorted(nnx)]
+    )
 
 
 def pattern_detect_branching(

@@ -996,6 +996,116 @@ FROM a3
 """
 
 
+def pattern_impulse_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-CONTIGUITY CEP (round 6 — the reference Pattern API's
+    ``next()``, Flink's other core temporal relation beside followedBy):
+    the impulse-buy detector — a view whose IMMEDIATELY NEXT user event
+    (any event, not just pattern-relevant ones) is a purchase, classified
+    matched within 1 h. An intervening click/error/anything breaks the
+    chain (``incomplete``), exactly Flink's strict-contiguity discard.
+    operators/sequence.py pattern_detect(strict={2}): the binder is one
+    ``lead()`` over the (ts, step_rank, id) total order — O(1) per row —
+    and the match-nothing scan filter is off, since every row is a
+    contiguity witness."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "view", None),
+            (F.col("event_type") == "purchase", "INTERVAL 1 HOUR"),
+        ],
+        strict={2},
+    )
+
+
+# successor = lead over the SAME (ts, step_rank, id) total order the
+# compiler binds in: view rank 1, purchase rank 3, everything else 5
+PATTERN_IMPULSE_PURCHASE_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'purchase' THEN 3 ELSE 5 END AS rnk
+  FROM events
+),
+nxt AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type) OVER w AS nx_type,
+         lead(ts) OVER w AS nx_ts
+  FROM ranked
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, rnk, event_id)
+)
+SELECT user_id, event_id AS anchor_id, ts AS t1,
+       CASE WHEN nx_type = 'purchase' THEN nx_ts END AS t2,
+       CAST(CASE WHEN nx_type = 'purchase' THEN 2 ELSE 1 END AS BIGINT) AS max_step,
+       CASE WHEN nx_type IS DISTINCT FROM 'purchase' THEN 'incomplete'
+            WHEN nx_ts <= ts + INTERVAL 1 HOUR THEN 'matched'
+            ELSE 'matched_late' END AS state
+FROM nxt WHERE event_type = 'view'
+"""
+
+
+def pattern_clean_onboarding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE strict contiguity (round 6 — the reference Pattern API's
+    ``notNext()``): signups whose IMMEDIATELY NEXT user event is NOT an
+    error ("clean onboarding"), then the first purchase within 24 h by
+    normal followed-by search. A signup immediately followed by an error
+    is ``negated`` (Flink kills the partial match; the streaming twin
+    emits nothing); with no next event at all the probe is trivially
+    satisfied. operators/sequence.py pattern_detect(not_next={1: ...})."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "signup", None),
+            (F.col("event_type") == "purchase", "INTERVAL 24 HOURS"),
+        ],
+        not_next={1: F.col("event_type") == "error"},
+    )
+
+
+# ranks: signup 1, error (the notNext slot between 1 and 2) 2, purchase 3,
+# everything else 5 — the forbidden row sorts between its neighbors at
+# equal timestamps, exactly as the compiler's 2k-1/2k interleave
+PATTERN_CLEAN_ONBOARDING_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE event_type WHEN 'signup' THEN 1 WHEN 'error' THEN 2
+                         WHEN 'purchase' THEN 3 ELSE 5 END AS rnk
+  FROM events
+),
+nxt AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type) OVER w AS nx_type
+  FROM ranked
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, rnk, event_id)
+),
+a AS (
+  SELECT user_id, event_id AS anchor_id, ts AS t1,
+         COALESCE(nx_type = 'error', FALSE) AS killed
+  FROM nxt WHERE event_type = 'signup'
+),
+a2 AS (
+  SELECT a.*,
+    (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a.user_id
+       AND p.ts >= a.t1) AS t2
+  FROM a
+)
+SELECT user_id, anchor_id, t1, t2,
+       CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN killed THEN 'negated'
+            WHEN t2 IS NULL THEN 'incomplete'
+            WHEN t2 <= t1 + INTERVAL 24 HOUR THEN 'matched'
+            ELSE 'matched_late' END AS state
+FROM a2
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
@@ -1007,6 +1117,8 @@ QUERIES = {
     "pattern_optional_click_purchase": pattern_optional_click_purchase,
     "pattern_optional_branching": pattern_optional_branching,
     "pattern_uncapped_error_run": pattern_uncapped_error_run,
+    "pattern_impulse_purchase": pattern_impulse_purchase,
+    "pattern_clean_onboarding": pattern_clean_onboarding,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -1030,6 +1142,8 @@ ORACLES = {
     "pattern_optional_click_purchase": PATTERN_OPTIONAL_CLICK_ORACLE,
     "pattern_optional_branching": PATTERN_OPTIONAL_BRANCHING_ORACLE,
     "pattern_uncapped_error_run": PATTERN_UNCAPPED_ERROR_RUN_ORACLE,
+    "pattern_impulse_purchase": PATTERN_IMPULSE_PURCHASE_ORACLE,
+    "pattern_clean_onboarding": PATTERN_CLEAN_ONBOARDING_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,

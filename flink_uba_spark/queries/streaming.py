@@ -1113,6 +1113,67 @@ def _stream_pattern_branching_oracle() -> str:
     )
 
 
+def stream_pattern_impulse_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strict-contiguity CEP chain (view ``next()`` purchase within
+    1 h) in its native streaming form (round 6): the NFA binds a pending
+    chain to the IMMEDIATE timeline successor of its frontier or kills it
+    — across micro-batches, the next batch's first row IS the true
+    successor, since event-time-ordered replays never reorder. Strict
+    semantics turn the match-nothing scan filter off (every key row is a
+    contiguity witness), the same cost Flink's NFA pays. The oracle is
+    the batch form minus its incomplete rows."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="user_id",
+            steps=[("view", None), ("purchase", "INTERVAL 1 HOUR")],
+            strict={2},
+        )
+    )
+
+
+def _stream_pattern_impulse_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_IMPULSE_PURCHASE_ORACLE
+
+    return (
+        f"SELECT * FROM ({PATTERN_IMPULSE_PURCHASE_ORACLE}) "
+        "WHERE state != 'incomplete'"
+    )
+
+
+def stream_pattern_clean_onboarding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``notNext()`` CEP chain (signup NOT immediately followed by an
+    error, then purchase within 24 h) in its native streaming form
+    (round 6): the NFA probes the immediate successor once and LATCHES
+    the cleared decision in state (nn_flags), so a later micro-batch
+    never re-probes against its own first row — the cross-batch trap the
+    latch exists for. Killed chains emit nothing (Flink's discard); the
+    oracle is the batch form minus incomplete AND negated rows."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="user_id",
+            steps=[("signup", None), ("purchase", "INTERVAL 24 HOURS")],
+            not_next={1: "error"},
+        )
+    )
+
+
+def _stream_pattern_onboarding_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_CLEAN_ONBOARDING_ORACLE
+
+    return (
+        f"SELECT * FROM ({PATTERN_CLEAN_ONBOARDING_ORACLE}) "
+        "WHERE state IN ('matched', 'matched_late')"
+    )
+
+
 def stream_pattern_uncapped_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UNCAPPED oneOrMore CEP chain in its native streaming form
     (round 6): per event shard (user_id % 8), signup →
@@ -1394,6 +1455,8 @@ QUERIES = {
     "stream_pattern_optional_click_purchase": stream_pattern_optional_click_purchase,
     "stream_pattern_optional_branching": stream_pattern_optional_branching,
     "stream_pattern_uncapped_error_run": stream_pattern_uncapped_error_run,
+    "stream_pattern_impulse_purchase": stream_pattern_impulse_purchase,
+    "stream_pattern_clean_onboarding": stream_pattern_clean_onboarding,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_ivf_upsert": stream_ivf_upsert,
     "stream_classifier_quality_filter": stream_classifier_quality_filter,
@@ -1431,6 +1494,8 @@ ORACLES = {
     "stream_pattern_optional_click_purchase": _stream_pattern_optional_oracle(),
     "stream_pattern_optional_branching": _stream_pattern_branching_oracle(),
     "stream_pattern_uncapped_error_run": _stream_pattern_uncapped_oracle(),
+    "stream_pattern_impulse_purchase": _stream_pattern_impulse_oracle(),
+    "stream_pattern_clean_onboarding": _stream_pattern_onboarding_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_ivf_upsert": __import__("flink_uba_spark.queries.datapipe", fromlist=["IVF_INDEX_UPSERT_ORACLE"]).IVF_INDEX_UPSERT_ORACLE,
     "stream_classifier_quality_filter": _stream_classifier_oracle(),

@@ -61,12 +61,13 @@ rows and the concatenated timeline is sorted.
 CHECKPOINT COMPATIBILITY: round 5 widened ``STATE_SCHEMA`` from 3 to 17
 fields (the general-chain state replaced the dedicated 3-step layouts,
 and ``stream_kleene_detect`` switched from the 11-field
-``KLEENE_STATE_SCHEMA`` to it). ``applyInPandasWithState`` cannot migrate
-a checkpointed state layout: a streaming job resuming from a checkpoint
-written by a pre-round-5 build will fail to restore — restart such jobs
-with a NEW checkpoint directory (replays are deterministic, so a fresh
-``availableNow`` replay reproduces the stream). Any future field change
-to ``STATE_SCHEMA`` carries the same break; note it here.
+``KLEENE_STATE_SCHEMA`` to it); round 6 appended the 18th field
+(``nn_flags``, the latched notNext decisions). ``applyInPandasWithState``
+cannot migrate a checkpointed state layout: a streaming job resuming from
+a checkpoint written by an earlier build will fail to restore — restart
+such jobs with a NEW checkpoint directory (replays are deterministic, so
+a fresh ``availableNow`` replay reproduces the stream). Any future field
+change to ``STATE_SCHEMA`` carries the same break; note it here.
 """
 
 from __future__ import annotations
@@ -138,6 +139,11 @@ STATE_SCHEMA = T.StructType(
         T.StructField("buf_rank", T.ArrayType(T.LongType())),
         T.StructField("buf_id", T.ArrayType(T.LongType())),
         T.StructField("buf_mask", T.ArrayType(T.LongType())),
+        # round 6 (another documented checkpoint break, 17 -> 18 fields):
+        # per-chain bitmask, bit k = the notNext() probe after step k was
+        # witnessed CLEAR — a cross-batch decision that must not be
+        # re-evaluated against a later batch's first row
+        T.StructField("nn_flags", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -182,6 +188,8 @@ def make_pattern_matcher(
     kleenes: list[tuple[int, int] | None] | None = None,
     negations: dict[int, str] | None = None,
     optionals: set[int] | None = None,
+    stricts: set[int] | None = None,
+    not_nexts: dict[int, str] | None = None,
 ):
     """Build the per-key state function (separate so unit tests can drive
     it with a fake GroupState, as for order_timeout/transitions).
@@ -242,14 +250,38 @@ def make_pattern_matcher(
         raise ValueError("a notFollowedBy guard cannot touch an optional step")
     if any(k < 1 or k >= n for k in negs):
         raise ValueError("negations keys must be step indexes 1..n-1")
+    strict_set = set(stricts or ())
+    nnx = dict(not_nexts or {})
+    if any(s <= 1 or s > n for s in strict_set):
+        raise ValueError("strict transitions are into steps 2..n")
+    if any(k < 1 or k >= n for k in nnx):
+        raise ValueError("not_nexts keys must be step indexes 1..n-1")
+    if any(
+        kleenes[s - 1] is not None or kleenes[s - 2] is not None
+        for s in strict_set
+    ) or any(kleenes[k - 1] is not None for k in nnx):
+        raise ValueError("strict/notNext transitions must not touch Kleene steps")
+    if any(s in opts or s - 1 in opts or s + 1 in opts for s in strict_set) or any(
+        k in opts or k + 1 in opts for k in nnx
+    ):
+        raise ValueError("strict/notNext transitions must not touch optional steps")
+    if any(s - 1 in negs or s - 1 in nnx for s in strict_set) or any(
+        k in negs for k in nnx
+    ):
+        raise ValueError(
+            "a transition takes ONE of next/notNext/notFollowedBy, not several"
+        )
+    strict_mode = bool(strict_set or nnx)  # every key row is a witness
     has_kleene = any(k is not None for k in kleenes)
     timers = has_kleene or ttl_us is not None
 
     # slot layout in (ts, rank, id) tie-order: positive step k, then its
-    # notFollowedBy guard (if any) — mirrors the batch compiler's
-    # 2k-1 / 2k rank interleave (only relative order matters)
+    # notFollowedBy guard OR notNext forbidden slot (if any) — mirrors the
+    # batch compiler's 2k-1 / 2k rank interleave (only relative order
+    # matters; guard and notNext are mutually exclusive per transition)
     pslot: dict[int, int] = {}
     gslot: dict[int, int] = {}
+    xslot: dict[int, int] = {}
     _slots: list[tuple[str, int]] = []
     for k in range(1, n + 1):
         pslot[k] = len(_slots)
@@ -257,6 +289,9 @@ def make_pattern_matcher(
         if k in negs and k < n:
             gslot[k] = len(_slots)
             _slots.append(("g", k))
+        if k in nnx and k < n:
+            xslot[k] = len(_slots)
+            _slots.append(("x", k))
     nslots = len(_slots)
     if nslots > 63:
         # buffer step-membership is packed into a single int64 bitmask
@@ -300,7 +335,7 @@ def make_pattern_matcher(
         if state.exists:
             (s_aid, s_cur, s_opn, s_fts, s_frk, s_fid,
              s_bnd, s_kl, s_kn, s_pts, s_prk, s_pid, s_pcur,
-             s_bts, s_brk, s_bid, s_bmk) = state.get
+             s_bts, s_brk, s_bid, s_bmk, s_nnf) = state.get
             aid = np.asarray(s_aid, dtype="int64")
             cur = np.asarray(s_cur, dtype="int64")
             opn = np.asarray(s_opn, dtype="int64").astype(bool)
@@ -328,12 +363,14 @@ def make_pattern_matcher(
             brk = np.asarray(s_brk, dtype="int64")
             bid = np.asarray(s_bid, dtype="int64")
             bmk = np.asarray(s_bmk, dtype="int64")
+            nnf = np.asarray(s_nnf, dtype="int64")
         else:
             aid = cur = fts = frk = fid = np.empty(0, dtype="int64")
             opn = np.empty(0, dtype=bool)
             bnd = klast = kln = np.empty((0, n), dtype="int64")
             pv_ts = pv_rk = pv_id = pv_cur = np.empty(0, dtype="int64")
             bts = brk = bid = bmk = np.empty(0, dtype="int64")
+            nnf = np.empty(0, dtype="int64")
 
         chunks = [] if getattr(state, "hasTimedOut", False) else list(pdfs)
         rows = (
@@ -355,23 +392,34 @@ def make_pattern_matcher(
                 )
             else:
                 et = rows["event_type"].to_numpy()
+
+                def _slot_type(kind, k):
+                    if kind == "p":
+                        return step_types[k - 1]
+                    return negs[k] if kind == "g" else nnx[k]
+
                 match = np.stack(
-                    [
-                        et == (step_types[k - 1] if kind == "p" else negs[k])
-                        for kind, k in _slots
-                    ],
+                    [et == _slot_type(kind, k) for kind, k in _slots],
                     axis=1,
                 )
-            keep = match.any(axis=1)
-            rows = rows.loc[keep].reset_index(drop=True)
-            match = match[keep]
+            if not strict_mode:
+                # under strict/notNext semantics EVERY row is a
+                # contiguity witness and must stay in the timeline
+                keep = match.any(axis=1)
+                rows = rows.loc[keep].reset_index(drop=True)
+                match = match[keep]
 
         if len(rows):
             # explicit ns resolution before //1000 → us (ADVICE r3: never
             # trust the Arrow->pandas datetime unit implicitly)
             ts_us = rows["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
             ev_ids = rows["event_id"].to_numpy().astype("int64")
-            rank = match.argmax(axis=1) + 1  # earliest step a row serves
+            # earliest slot a row serves; a no-slot witness row (strict
+            # mode keeps them) sorts LAST at its timestamp, mirroring the
+            # batch compiler's 2n+1 default rank
+            rank = np.where(
+                match.any(axis=1), match.argmax(axis=1) + 1, nslots + 1
+            )
             order = np.lexsort((ev_ids, rank, ts_us))
             ts_us, ev_ids, rank, match = ts_us[order], ev_ids[order], rank[order], match[order]
         else:
@@ -516,6 +564,10 @@ def make_pattern_matcher(
                     bnd[ci, pc:] = -1
                     klast[ci, pc:] = -1
                     kln[ci, pc:] = 0
+                    # notNext decisions for transitions past the restore
+                    # point must re-run; the decision AT pc stays valid
+                    # (same frontier row, same successor)
+                    nnf[ci] &= (1 << (pc + 1)) - 1
                     restored.append(ci)
                 pv_ts[ci] = pv_rk[ci] = pv_id[ci] = pv_cur[ci] = -1
 
@@ -547,13 +599,56 @@ def make_pattern_matcher(
                 pv_rk = np.concatenate([pv_rk, neg1])
                 pv_id = np.concatenate([pv_id, neg1])
                 pv_cur = np.concatenate([pv_cur, neg1])
+                nnf = np.concatenate([nnf, np.zeros(a_tl.size, dtype="int64")])
                 posidx = np.concatenate([posidx, a_tl])
 
         # ---- 3. resolution sweep — vectorized over chains per step
         dead = np.zeros(aid.size, dtype=bool)
         for s in range(2, n + 1):
+            if s in strict_set:
+                # next(): the binder is the immediate timeline successor
+                # of the frontier or nothing — a non-matching successor
+                # kills the chain (Flink's strict-contiguity discard); no
+                # successor yet = still pending (the next batch's first
+                # row is the true successor, since event-time-ordered
+                # replays never reorder across batches)
+                w = np.flatnonzero((cur == s - 1) & ~opn & ~dead)
+                if w.size:
+                    succ = posidx[w] + 1
+                    have = succ < M
+                    w2, succ2 = w[have], succ[have]
+                    if w2.size:
+                        okm = tl_match[succ2, pslot[s]]
+                        dead[w2[~okm]] = True
+                        bw, rp = w2[okm], succ2[okm]
+                        bnd[bw, s - 1] = tl_ts[rp]
+                        cur[bw] = s
+                        fts[bw], frk[bw], fid[bw] = (
+                            tl_ts[rp], tl_rk[rp], tl_id[rp]
+                        )
+                        posidx[bw] = rp
+                continue
+            if (s - 1) in xslot:
+                # notNext(): probe the immediate successor once — kill on
+                # a forbidden match, otherwise latch the cleared bit so a
+                # later batch never re-probes against ITS first row
+                wx = np.flatnonzero(
+                    (cur == s - 1) & ~opn & ~dead
+                    & (((nnf >> (s - 1)) & 1) == 0)
+                )
+                if wx.size:
+                    succ = posidx[wx] + 1
+                    have = succ < M
+                    w2, succ2 = wx[have], succ[have]
+                    if w2.size:
+                        bad = tl_match[succ2, xslot[s - 1]]
+                        dead[w2[bad]] = True
+                        nnf[w2[~bad]] |= 1 << (s - 1)
             has_guard = (s - 1) in negs and gslot.get(s - 1) in occ
             w = np.flatnonzero((cur == s - 1) & ~opn & ~dead)
+            if (s - 1) in xslot and w.size:
+                # only notNext-cleared chains may bind step s
+                w = w[((nnf[w] >> (s - 1)) & 1) == 1]
             if s in opts and w.size:
                 # greedy race for an optional step: skip it when the
                 # earliest step-(s+1) candidate precedes the earliest
@@ -696,8 +791,8 @@ def make_pattern_matcher(
             a[alive] for a in (aid, cur, opn, fts, frk, fid)
         )
         bnd, klast, kln = bnd[alive], klast[alive], kln[alive]
-        pv_ts, pv_rk, pv_id, pv_cur = (
-            a[alive] for a in (pv_ts, pv_rk, pv_id, pv_cur)
+        pv_ts, pv_rk, pv_id, pv_cur, nnf = (
+            a[alive] for a in (pv_ts, pv_rk, pv_id, pv_cur, nnf)
         )
 
         # ---- 6. buffer: rows after the earliest open-run PROTECTED
@@ -732,6 +827,7 @@ def make_pattern_matcher(
                     kln.reshape(-1).tolist(),
                     pv_ts.tolist(), pv_rk.tolist(), pv_id.tolist(), pv_cur.tolist(),
                     bts.tolist(), brk.tolist(), bid.tolist(), bmk.tolist(),
+                    nnf.tolist(),
                 )
             )
             if timers:
@@ -782,6 +878,8 @@ def stream_pattern_detect(
     watermark_delay: str = "0 seconds",
     not_followed_by: dict | None = None,
     optional: set[int] | None = None,
+    strict: set[int] | None = None,
+    not_next: dict | None = None,
 ) -> DataFrame:
     """Wire the matcher over a streaming events frame.
 
@@ -809,6 +907,15 @@ def stream_pattern_detect(
     between step k and k+1; killed chains emit nothing (the batch
     compiler's ``negated`` rows).
 
+    ``strict`` / ``not_next`` are the strict-contiguity combinators
+    (round 6, Flink's ``next()`` / ``notNext()``): ``s ∈ strict`` means
+    step s must be the IMMEDIATELY NEXT event of the key after step s-1;
+    ``not_next[k]`` kills the chain when the immediately-next event after
+    step k matches. Either disables the match-nothing scan filter — every
+    key row is a contiguity witness and rides the keyed exchange, the
+    inherent price of strict semantics (Flink's NFA sees every row too).
+    Killed chains emit nothing (batch: ``incomplete`` / ``negated``).
+
     Kleene steps need event-time timers for end-of-stream run closure, so
     their presence (like ``state_ttl``) applies the watermark."""
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -830,6 +937,8 @@ def stream_pattern_detect(
 
     kleenes = [_kspec(s) for s in steps]
     nfb = dict(not_followed_by or {})
+    nnx = dict(not_next or {})
+    stricts = set(strict or ())
     preds = [
         (F.col("event_type") == s) if isinstance(s, str) else s.cast("boolean")
         for s in specs
@@ -837,6 +946,10 @@ def stream_pattern_detect(
     gpreds = {
         k: (F.col("event_type") == v) if isinstance(v, str) else v.cast("boolean")
         for k, v in nfb.items()
+    }
+    xpreds = {
+        k: (F.col("event_type") == v) if isinstance(v, str) else v.cast("boolean")
+        for k, v in nnx.items()
     }
     n = len(preds)
     flag_cols = {
@@ -846,27 +959,34 @@ def stream_pattern_detect(
     flag_cols.update(
         {f"__g{k}": F.coalesce(p, F.lit(False)).alias(f"__g{k}") for k, p in gpreds.items()}
     )
+    flag_cols.update(
+        {f"__x{k}": F.coalesce(p, F.lit(False)).alias(f"__x{k}") for k, p in xpreds.items()}
+    )
     # rows matching no step (and no guard) are dropped at the scan (an OR
     # of the raw predicates — pushdown-friendly, unlike greatest() over
-    # aliases), and only the slot booleans ride through the keyed shuffle
-    any_step = preds[0]
-    for p in preds[1:]:
-        any_step = any_step | p
-    for p in gpreds.values():
-        any_step = any_step | p
-    filtered = (
-        events.filter(any_step)
-        .withColumns(flag_cols)
-        .select(
-            F.col(event_id).alias("event_id"),
-            F.col(ts).alias("ts"),
-            F.col(key).alias("user_id"),
-            *flag_cols.keys(),
-        )
+    # aliases), and only the slot booleans ride through the keyed shuffle.
+    # Strict/notNext semantics disable the drop: every key row is a
+    # contiguity witness (the inherent price of next()/notNext())
+    src = events
+    if not stricts and not nnx:
+        any_step = preds[0]
+        for p in preds[1:]:
+            any_step = any_step | p
+        for p in gpreds.values():
+            any_step = any_step | p
+        src = events.filter(any_step)
+    filtered = src.withColumns(flag_cols).select(
+        F.col(event_id).alias("event_id"),
+        F.col(ts).alias("ts"),
+        F.col(key).alias("user_id"),
+        *flag_cols.keys(),
     )
     step_types = [s if isinstance(s, str) else f"step{i}" for i, s in enumerate(specs, 1)]
     negations = {
         k: (v if isinstance(v, str) else f"not{k}") for k, v in nfb.items()
+    }
+    not_nexts = {
+        k: (v if isinstance(v, str) else f"nx{k}") for k, v in nnx.items()
     }
     ttl_us = None if state_ttl is None else _interval_us(state_ttl)
     timers = ttl_us is not None or any(k is not None for k in kleenes)
@@ -876,6 +996,7 @@ def stream_pattern_detect(
         make_pattern_matcher(
             step_types, withins_us, ttl_us=ttl_us, kleenes=kleenes,
             negations=negations, optionals=optional,
+            stricts=stricts, not_nexts=not_nexts,
         ),
         pattern_output_schema(n, kleenes),
         STATE_SCHEMA,

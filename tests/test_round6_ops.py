@@ -292,6 +292,132 @@ def test_stream_branching_rejects_kleene_steps(spark):
 
 
 # ---------------------------------------------------------------------------
+# strict contiguity next()/notNext() — randomized brute equivalence
+# ---------------------------------------------------------------------------
+
+
+def _brute_strict(events, types, withins_us, stricts, not_nexts):
+    """Plain-chain reference with next()/notNext(): events are
+    (eid, ts_us, type) over arbitrary type strings; the total order is
+    (ts, rank, id) with rank = first slot served (steps interleaved with
+    notNext slots, non-slot rows last) — the engines' shared contract.
+    Returns the rows the STREAM emits (complete, not killed)."""
+    n = len(types)
+    slot_of = {}
+    rank_of_type = {}
+    r = 1
+    for k in range(1, n + 1):
+        rank_of_type.setdefault(types[k - 1], r)
+        slot_of[("p", k)] = r
+        r += 1
+        if k in not_nexts and k < n:
+            rank_of_type.setdefault(not_nexts[k], r)
+            r += 1
+    default_rank = r
+
+    def rank(t):
+        return rank_of_type.get(t, default_rank)
+
+    evs = sorted(events, key=lambda e: (e[1], rank(e[2]), e[0]))
+    out = []
+    for p0, (aid, ats, at) in enumerate(evs):
+        if at != types[0]:
+            continue
+        bounds = {1: ats}
+        pos = p0
+        ok_complete = True
+        killed = False
+        for s in range(2, n + 1):
+            if (s - 1) in not_nexts:
+                if pos + 1 < len(evs) and evs[pos + 1][2] == not_nexts[s - 1]:
+                    killed = True
+                    break
+            if s in stricts:
+                if pos + 1 >= len(evs) or evs[pos + 1][2] != types[s - 1]:
+                    ok_complete = False
+                    break
+                pos += 1
+                bounds[s] = evs[pos][1]
+            else:
+                cands = [
+                    (e[1], e[0], q)
+                    for q, e in enumerate(evs)
+                    if q > pos and e[2] == types[s - 1]
+                ]
+                if not cands:
+                    ok_complete = False
+                    break
+                ts_e, _, q_e = min(cands)
+                bounds[s] = ts_e
+                pos = q_e
+        if killed or not ok_complete:
+            continue
+        in_time = all(
+            withins_us[s - 1] is None or bounds[s] <= bounds[s - 1] + withins_us[s - 1]
+            for s in range(2, n + 1)
+        )
+        out.append(
+            (aid, tuple(bounds[s] for s in range(1, n + 1)),
+             "matched" if in_time else "matched_late")
+        )
+    return sorted(out)
+
+
+def test_strict_and_not_next_match_bruteforce_property():
+    """NFA vs brute on randomized streams and micro-batch splits — the
+    strict successor check and the notNext cross-batch latch against an
+    independent walk."""
+    import random
+
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    rng = random.Random(60606)
+    shapes = [
+        (["A", "B", "C"], [None, 20 * US, None], {2}, {}),
+        (["A", "B", "C"], [None, None, 15 * US], {3}, {}),
+        (["A", "B", "C"], [None, 25 * US, None], {2, 3}, {}),
+        (["A", "B", "C"], [None, 20 * US, None], set(), {1: "X"}),
+        (["A", "B", "C"], [None, None, None], set(), {1: "X", 2: "Y"}),
+        (["A", "B", "C"], [None, 20 * US, None], {3}, {1: "X"}),
+    ]
+    for case in range(240):
+        types, withins, stricts, nnx = shapes[case % len(shapes)]
+        n_ev = rng.randint(0, 22)
+        evs = [
+            (i, rng.randint(0, 30) * US,
+             rng.choice(["A", "B", "C", "X", "Y", "Z"]))
+            for i in range(n_ev)
+        ]
+        cuts = sorted({rng.randint(1, 30) * US for _ in range(rng.randint(0, 3))})
+        detect = make_pattern_matcher(
+            types, withins, stricts=stricts, not_nexts=nnx
+        )
+        st = FakeState()
+        got = []
+        bounds = cuts + [10 ** 12]
+        lo = -1
+        for hi in bounds:
+            batch = [e for e in evs if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            for f in detect((1,), iter([_rows(*batch)]), st):
+                for r in f.itertuples(index=False):
+                    got.append(
+                        (
+                            r.anchor_id,
+                            tuple(
+                                pd.Timestamp(getattr(r, f"t{s}")).value // 1000
+                                for s in range(1, len(types) + 1)
+                            ),
+                            r.state,
+                        )
+                    )
+        want = _brute_strict(evs, types, withins, stricts, nnx)
+        assert sorted(got) == want, (case, types, stricts, nnx, evs, cuts)
+
+
+# ---------------------------------------------------------------------------
 # trained classifier fixture (r5 verdict item 5)
 # ---------------------------------------------------------------------------
 
