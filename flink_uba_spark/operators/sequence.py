@@ -299,8 +299,10 @@ def pattern_detect(
             F.sum(F.when(gap_break, 1).otherwise(0)).over(
                 wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
-        ).select("__id", f"__sess{k}")
-        base = base.join(sess, on="__id", how="left")
+        ).select("__k", "__id", f"__sess{k}")
+        # join on (key, id): event ids need only be unique PER KEY — an
+        # id-only join would fan out across keys that reuse ids
+        base = base.join(sess, on=["__k", "__id"], how="left")
 
     # "earliest strictly-after row": the natural shrinking frame
     # (rowsBetween(1, unboundedFollowing) over the ascending order) makes

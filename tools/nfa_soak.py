@@ -3,20 +3,31 @@ specs — plain/Kleene-times steps, notFollowedBy guards, optional steps,
 overlapping slot masks — checked against the brute-force reference in
 tests/test_properties_round5.py.
 
-Three modes:
-  python tools/nfa_soak.py stream [N]   # fake-state NFA, final-timer drive
-  python tools/nfa_soak.py timers [N]   # + mid-stream timer firings and
-                                        #   lagged watermarks (Spark's real
-                                        #   mechanics)
-  python tools/nfa_soak.py batch [N]    # the batch compiler on Spark
+Five modes:
+  python tools/nfa_soak.py stream [N]    # fake-state NFA, final-timer drive
+  python tools/nfa_soak.py timers [N]    # + mid-stream timer firings and
+                                         #   lagged watermarks (Spark's real
+                                         #   mechanics)
+  python tools/nfa_soak.py batch [N]     # the batch compiler on Spark —
+                                         #   VECTORIZED (round 6): 100 cases
+                                         #   ride one compiled plan as
+                                         #   separate keys, ~15 cases/s
+  python tools/nfa_soak.py branching [N] # pattern_detect_branching vs a
+                                         #   both-branches brute (round 6)
+  python tools/nfa_soak.py strict [N]    # next()/notNext() NFA vs the
+                                         #   independent brute walk (round 6)
 
-The stream soak runs ~100 cases/s; the batch soak ~0.7/s. Round-5 history:
-the first 4000-case stream soak surfaced two real NFA bugs (provisional
-guard/race decisions against tentative times() binders; buffer trimming a
-same-timestamp run continuation) and the first 120-case batch soak two
-more (optional-race tie direction; Kleene→optional race carry) — all
-fixed and pinned as regression tests. Current status: clean over 50k
-stream + 12k dense-tie + 27k timer + 330 batch cases.
+Round-5 history: the first 4000-case stream soak surfaced two real NFA
+bugs (provisional guard/race decisions against tentative times() binders;
+buffer trimming a same-timestamp run continuation) and the first 120-case
+batch soak two more (optional-race tie direction; Kleene→optional race
+carry) — all fixed and pinned as regression tests. Round-6 history: the
+batch-soak vectorization itself found a latent per-key event-id
+assumption (the Kleene session join was on __id alone; colliding ids
+across keys fanned out ~100× — fixed to join on (__k, __id)). Uncapped
+oneOrMore specs are mixed into every Kleene-bearing mode (25% of kspecs).
+Current totals, all clean: 50k stream + 12k dense-tie + 27k timer (r5)
++ 10k vectorized batch + 5k branching + 50k strict (r6).
 """
 
 from __future__ import annotations
@@ -46,8 +57,14 @@ def random_case(rnd, max_steps=6, ts_range=200):
     )
 
     def kspec():
-        mx = rnd.randint(1, 3)
-        return (rnd.randint(2, max(3, ts_range // 7)), mx, rnd.randint(1, mx))
+        # 25% UNCAPPED oneOrMore (round 6): a cap no run can reach —
+        # identical arithmetic to the engines' uncapped sentinel
+        mx = (1 << 40) if rnd.random() < 0.25 else rnd.randint(1, 3)
+        return (
+            rnd.randint(2, max(3, ts_range // 7)),
+            mx,
+            rnd.randint(1, min(mx, 3)),
+        )
 
     steps = [
         (
@@ -157,10 +174,37 @@ def soak_stream(n_cases, timers=False):
     return fails
 
 
-def soak_batch(n_cases):
+UNCAPPED = 1 << 40  # soak spelling of an uncapped oneOrMore (huge int for
+# the brute's bounded walk; the batch API gets float('inf') — lead(cap-1)
+# must not see it — and the NFA's cap arithmetic is identical for any
+# never-reached integer, so this covers the round-6 sentinel semantics)
+
+
+def _extract_batch_rows(pdf, n, steps, epoch0=1577836800000000):
+    import pandas as pd
+
+    got = []
+    for _, r in pdf.iterrows():
+        key = []
+        for s in range(1, n + 1):
+            v = r[f"t{s}"]
+            key.append(None if pd.isna(v) else int(pd.Timestamp(v).value // 1000) - epoch0)
+            if steps[s - 1][1] is not None:
+                lv = r[f"t{s}_last"]
+                key.append(None if pd.isna(lv) else int(pd.Timestamp(lv).value // 1000) - epoch0)
+                key.append(int(r[f"n{s}"]))
+        got.append((int(r["anchor_id"]), tuple(key), r["state"]))
+    return got
+
+
+def soak_batch(n_cases, cases_per_spec=100):
+    """Batch-compiler soak, VECTORIZED over cases (round 6 — the r5 form
+    ran one Spark job per case at ~0.7/s, capping the round at 330): each
+    random pattern spec compiles ONE plan and runs ``cases_per_spec``
+    independent event streams through it as separate keys, so 10k+ cases
+    cost ~100 Spark jobs. Kleene caps are occasionally UNCAPPED."""
     import datetime
 
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from test_properties_round5 import brute_chain, slot_layout
@@ -168,17 +212,28 @@ def soak_batch(n_cases):
     from flink_uba_spark.session import get_spark
 
     spark = get_spark("nfa_soak")
-    t0, fails = time.time(), 0
-    for seed in range(n_cases):
-        rnd = random.Random(seed * 271 + 5)
-        steps, guards, opts, events, _ = random_case(rnd, max_steps=5, ts_range=120)
+    t0, fails, done, spec_seed = time.time(), 0, 0, 0
+    while done < n_cases and fails <= 5:
+        rnd = random.Random(spec_seed * 7919 + 11)
+        spec_seed += 1
+        steps, guards, opts, _, _ = random_case(rnd, max_steps=5, ts_range=120)
         slots, pslot, gslot = slot_layout(len(steps), guards)
         n, nslots = len(steps), len(slots)
-        rows = [
-            (eid, 1, datetime.datetime(2020, 1, 1) + datetime.timedelta(microseconds=ts),
-             *[bool(m >> j & 1) for j in range(nslots)])
-            for eid, ts, m in events
-        ]
+        ncase = min(cases_per_spec, n_cases - done)
+        case_events, rows = [], []
+        for c in range(ncase):
+            events = [
+                (c * 1000 + i, rnd.randint(0, 120),
+                 rnd.getrandbits(nslots) if rnd.random() < 0.92 else 0)
+                for i in range(rnd.randint(0, 45))
+            ]
+            case_events.append(events)
+            rows += [
+                (eid, c,
+                 datetime.datetime(2020, 1, 1) + datetime.timedelta(microseconds=ts),
+                 *[bool(m >> j & 1) for j in range(nslots)])
+                for eid, ts, m in events
+            ]
         schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
             f"c{j} boolean" for j in range(nslots)
         )
@@ -188,7 +243,8 @@ def soak_batch(n_cases):
             w, kl = steps[k - 1]
             if kl is not None:
                 gap, mx, mn = kl
-                spec.append((F.col(f"c{pslot[k]}"), f"INTERVAL {gap} MICROSECONDS", (mn, mx)))
+                api_mx = float("inf") if mx >= UNCAPPED else mx
+                spec.append((F.col(f"c{pslot[k]}"), f"INTERVAL {gap} MICROSECONDS", (mn, api_mx)))
             else:
                 spec.append((
                     F.col(f"c{pslot[k]}"),
@@ -200,39 +256,201 @@ def soak_batch(n_cases):
             optional=set(opts),
         )
         pdf = out.filter(F.col("state").isin("matched", "matched_late")).toPandas()
-        epoch0 = 1577836800000000
-        got = []
-        for _, r in pdf.iterrows():
-            key = []
-            for s in range(1, n + 1):
-                v = r[f"t{s}"]
-                key.append(None if pd.isna(v) else int(pd.Timestamp(v).value // 1000) - epoch0)
-                if steps[s - 1][1] is not None:
-                    lv = r[f"t{s}_last"]
-                    key.append(None if pd.isna(lv) else int(pd.Timestamp(lv).value // 1000) - epoch0)
-                    key.append(int(r[f"n{s}"]))
-            got.append((int(r["anchor_id"]), tuple(key), r["state"]))
-        # batch emits all runs regardless of closure; a Kleene step's
-        # within IS its gap in the batch API
-        want = brute_chain(
-            events,
-            [((kl[0] if kl is not None else w), kl) for (w, kl) in steps],
-            final_wm_ms=10 ** 15, guards=guards, opts=frozenset(opts),
+        for c in range(ncase):
+            got = _extract_batch_rows(pdf[pdf["user_id"] == c], n, steps)
+            # batch emits all runs regardless of closure; a Kleene step's
+            # within IS its gap in the batch API
+            want = brute_chain(
+                case_events[c],
+                [((kl[0] if kl is not None else w), kl) for (w, kl) in steps],
+                final_wm_ms=10 ** 15, guards=guards, opts=frozenset(opts),
+            )
+            if sorted(got) != want:
+                fails += 1
+                print(f"MISMATCH spec_seed={spec_seed - 1} case={c} steps={steps} "
+                      f"guards={guards} opts={opts} events={case_events[c]}")
+                if fails > 5:
+                    break
+        done += ncase
+        if spec_seed % 10 == 0:
+            print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{done} batch cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
+def soak_branching(n_cases, cases_per_spec=100):
+    """Multi-match optional() branching soak (round 6 — the r5 verdict's
+    thinnest-coverage component): random plain chains with 1-2 optional
+    steps through ``pattern_detect_branching``, checked against a
+    both-branches brute built by running the per-subset sub-chain brute
+    and remapping to the full step numbering with the ``skipped`` tag."""
+    import datetime
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from test_properties_round5 import brute_chain
+    from flink_uba_spark.operators.sequence import pattern_detect_branching
+    from flink_uba_spark.session import get_spark
+
+    spark = get_spark("nfa_soak")
+    t0, fails, done, spec_seed = time.time(), 0, 0, 0
+    epoch0 = 1577836800000000
+    while done < n_cases and fails <= 5:
+        rnd = random.Random(spec_seed * 104729 + 3)
+        spec_seed += 1
+        n = rnd.randint(3, 5)
+        opt_cands = list(range(2, n))
+        n_opt = rnd.randint(1, min(2, len(opt_cands)))
+        opts = set()
+        for k in sorted(rnd.sample(opt_cands, len(opt_cands))):
+            if len(opts) < n_opt and (k - 1) not in opts and (k + 1) not in opts:
+                opts.add(k)
+        withins = [
+            rnd.choice([None, rnd.randint(2, 40)]) for _ in range(n)
+        ]
+        ncase = min(cases_per_spec, n_cases - done)
+        case_events, rows = [], []
+        for c in range(ncase):
+            events = [
+                (c * 1000 + i, rnd.randint(0, 120),
+                 rnd.getrandbits(n) if rnd.random() < 0.92 else 0)
+                for i in range(rnd.randint(0, 40))
+            ]
+            case_events.append(events)
+            rows += [
+                (eid, c,
+                 datetime.datetime(2020, 1, 1) + datetime.timedelta(microseconds=ts),
+                 *[bool(m >> j & 1) for j in range(n)])
+                for eid, ts, m in events
+            ]
+        schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
+            f"c{j} boolean" for j in range(n)
         )
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        spec = [
+            (F.col(f"c{k - 1}"),
+             f"INTERVAL {withins[k - 1]} MICROSECONDS" if withins[k - 1] is not None else None)
+            for k in range(1, n + 1)
+        ]
+        out = pattern_detect_branching(df, key="user_id", steps=spec, optional=opts)
+        pdf = out.filter(F.col("state").isin("matched", "matched_late")).toPandas()
+        import pandas as pd
+
+        for c in range(ncase):
+            sub = pdf[pdf["user_id"] == c]
+            got = []
+            for _, r in sub.iterrows():
+                key = tuple(
+                    None if pd.isna(r[f"t{s}"])
+                    else int(pd.Timestamp(r[f"t{s}"]).value // 1000) - epoch0
+                    for s in range(1, n + 1)
+                )
+                got.append((int(r["anchor_id"]), key, r["state"], r["skipped"]))
+            want = []
+            for rr in range(len(opts) + 1):
+                for skip in combinations(sorted(opts), rr):
+                    kept = [k for k in range(1, n + 1) if k not in skip]
+                    # sub-chain events: slot j of the sub = full step kept[j]
+                    sev = [
+                        (eid, ts,
+                         sum(((m >> (k - 1)) & 1) << j for j, k in enumerate(kept)))
+                        for eid, ts, m in case_events[c]
+                    ]
+                    sw = [(withins[k - 1], None) for k in kept]
+                    tag = ",".join(str(k) for k in skip) or "none"
+                    for aid, key, st in brute_chain(sev, sw, final_wm_ms=10 ** 15):
+                        full = [None] * n
+                        for j, k in enumerate(kept):
+                            full[k - 1] = key[j]
+                        want.append((aid, tuple(full), st, tag))
+            def _nkey(row):
+                aid, key, st, tag = row
+                return (aid, tuple(-1 if v is None else v for v in key), st, tag)
+
+            if sorted(got, key=_nkey) != sorted(want, key=_nkey):
+                fails += 1
+                print(f"MISMATCH spec_seed={spec_seed - 1} case={c} n={n} "
+                      f"opts={opts} withins={withins} events={case_events[c]}")
+                if fails > 5:
+                    break
+        done += ncase
+        if spec_seed % 10 == 0:
+            print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{done} branching cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
+def soak_strict(n_cases):
+    """Strict-contiguity soak (round 6): randomized plain chains with
+    next()/notNext() transitions, the NFA over random micro-batch splits
+    vs the independent brute walk in tests/test_round6_ops.py."""
+    from test_round6_ops import FakeState, _brute_strict, _rows
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+    import pandas as pd
+
+    t0, fails = time.time(), 0
+    pool = ["A", "B", "C", "D", "X", "Y", "Z"]
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 911 + 77)
+        n = rnd.randint(2, 5)
+        types = [rnd.choice(pool[:4]) for _ in range(n)]
+        stricts = {s for s in range(2, n + 1) if rnd.random() < 0.4}
+        nnx = {
+            k: rnd.choice(pool)
+            for k in range(1, n)
+            if (k + 1) not in stricts and rnd.random() < 0.3
+        }
+        withins = [
+            rnd.choice([None, rnd.randint(2, 40) * 1_000_000]) for _ in range(n)
+        ]
+        evs = [
+            (i, rnd.randint(0, 30) * 1_000_000, rnd.choice(pool))
+            for i in range(rnd.randint(0, 25))
+        ]
+        cuts = sorted({rnd.randint(1, 30) * 1_000_000 for _ in range(rnd.randint(0, 4))})
+        detect = make_pattern_matcher(
+            types, withins, stricts=stricts, not_nexts=nnx
+        )
+        st = FakeState()
+        got = []
+        lo = -1
+        for hi in cuts + [10 ** 15]:
+            batch = [e for e in evs if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            for f in detect((1,), iter([_rows(*batch)]), st):
+                for r in f.itertuples(index=False):
+                    got.append(
+                        (r.anchor_id,
+                         tuple(pd.Timestamp(getattr(r, f"t{s}")).value // 1000
+                               for s in range(1, n + 1)),
+                         r.state)
+                    )
+        want = _brute_strict(evs, types, withins, stricts, nnx)
         if sorted(got) != want:
             fails += 1
-            print(f"MISMATCH seed={seed} steps={steps} guards={guards} opts={opts}")
+            print(f"MISMATCH seed={seed} types={types} stricts={stricts} "
+                  f"nnx={nnx} withins={withins} evs={evs} cuts={cuts}")
             if fails > 5:
                 break
-    print(f"{n_cases} batch cases, {fails} failures, {time.time() - t0:.0f}s")
+        if (seed + 1) % 5000 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} strict cases, {fails} failures, {time.time() - t0:.0f}s")
     return fails
 
 
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else (2000 if mode != "batch" else 60)
+    defaults = {"batch": 1000, "branching": 1000, "strict": 5000}
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "batch":
         return 1 if soak_batch(n) else 0
+    if mode == "branching":
+        return 1 if soak_branching(n) else 0
+    if mode == "strict":
+        return 1 if soak_strict(n) else 0
     return 1 if soak_stream(n, timers=(mode == "timers")) else 0
 
 

@@ -117,10 +117,35 @@ def probes(spark, path):
         )
         return pairs.groupBy("event_type", "nxt").count()
 
+    def p_pattern_uncapped():
+        # round 6: uncapped oneOrMore — the hot key's error runs become one
+        # giant session; the plan must stay O(rows) (no lead(cap-1) at all)
+        return pattern_detect(
+            ev, key="user_id",
+            steps=[
+                (F.col("event_type") == "signup", None),
+                (F.col("event_type") == "error", "INTERVAL 6 HOURS", float("inf")),
+                (F.col("event_type") == "purchase", "INTERVAL 12 HOURS"),
+            ],
+        )
+
+    def p_pattern_strict():
+        # round 6: next() — one lead() over the unfiltered key stream
+        return pattern_detect(
+            ev, key="user_id",
+            steps=[
+                (F.col("event_type") == "view", None),
+                (F.col("event_type") == "purchase", "INTERVAL 2 HOURS"),
+            ],
+            strict={2},
+        )
+
     return {
         "seq_single_pass": p_seq_single_pass,
         "pattern_3step": p_pattern_3step,
         "pattern_kleene_mid": p_pattern_kleene_mid,
+        "pattern_uncapped": p_pattern_uncapped,
+        "pattern_strict": p_pattern_strict,
         "sessions": p_sessions,
         "transitions": p_transitions,
     }
@@ -166,7 +191,22 @@ def nfa_probe(copies: int) -> float:
     t0 = time.time()
     for _ in detect((0,), iter([pdf]), st):
         pass
-    return time.time() - t0
+    dt = time.time() - t0
+
+    # round-6 variant on the same hot-key frame: strict entry + UNCAPPED
+    # mid-chain run + a notNext probe — the new combinator family's
+    # per-key cost
+    detect6 = make_pattern_matcher(
+        ["signup", "view", "error", "purchase"],
+        [None, 3600 * 10**6, 6 * 3600 * 10**6, 12 * 3600 * 10**6],
+        kleenes=[None, None, (6 * 3600 * 10**6, None), None],
+        stricts={2},
+    )
+    st = _S()
+    t0 = time.time()
+    for _ in detect6((0,), iter([pdf]), st):
+        pass
+    return dt, time.time() - t0
 
 
 def main() -> int:
@@ -183,9 +223,13 @@ def main() -> int:
             dt = time.time() - t0
             results.setdefault(name, {})[copies] = (dt, nrows)
             print(f"{copies}x {name}: {dt:.2f}s rows={nrows}", flush=True)
-        dt = nfa_probe(copies)
+        dt, dt6 = nfa_probe(copies)
         results.setdefault("stream_nfa_hotkey", {})[copies] = (dt, N1 // 10 * copies)
         print(f"{copies}x stream_nfa_hotkey: {dt:.2f}s", flush=True)
+        results.setdefault("stream_nfa_strict_uncapped", {})[copies] = (
+            dt6, N1 // 10 * copies
+        )
+        print(f"{copies}x stream_nfa_strict_uncapped: {dt6:.2f}s", flush=True)
 
     rows = {}
     for name, r in results.items():
