@@ -1745,6 +1745,98 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TOKENIZER TRAINING (round 6): learn 6 BPE merge rules
+    from the corpus — the missing piece beside vocabulary/token-count/OOV:
+    a pipeline must LEARN the subword vocab it tokenizes with.
+    operators/tokenizer.py:bpe_train — corpus scanned ONCE into the
+    cached (word, count) vocab (Sennrich-style learn-BPE), each merge =
+    one pair-count hash aggregate over the vocab + a one-row argmax +
+    one literal replace; the corpus is never rescanned. Integer counts,
+    (count DESC, lhs, rhs) tie-break, and the two-space-delimiter greedy
+    replace make the DuckDB oracle — the same 6 iterations unrolled as
+    chained CTEs, the PageRank precedent — hash-match bit-for-bit."""
+    from flink_uba_spark.operators.tokenizer import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=6)
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the tokenizer: apply the learned merges and
+    count BPE tokens per document (the token-budget accounting a training
+    pipeline schedules by). The 6 rules fold into the plan as chained
+    codegen'd literal replaces (no per-row Python, no rules join);
+    production persists the merge table once and reuses it —
+    re-training here keeps the query self-contained and deterministic."""
+    from flink_uba_spark.operators.tokenizer import bpe_segment, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    rules = [(r.lhs, r.rhs) for r in bpe_train(docs, n_merges=6).collect()]
+    return bpe_segment(docs, rules)
+
+
+def _bpe_chain_sql(n_merges: int = 6) -> str:
+    """The learn-BPE iterations unrolled as DuckDB CTEs (shared by both
+    BPE oracles): w0 = the char-symbol vocab, then per merge i a
+    pair-count (p), a deterministic argmax (b), and the greedy
+    two-space-delimiter replace (w)."""
+    base = """w0 AS (
+  SELECT word, cnt,
+         ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS syms
+  FROM (
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS word FROM documents)
+    WHERE regexp_matches(word, '^[A-Za-z]+$')
+    GROUP BY word
+  )
+)"""
+    parts = [base]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS (
+  SELECT l[i] AS lhs, l[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (
+    SELECT cnt, l, unnest(generate_series(1, len(l) - 1)) AS i
+    FROM (SELECT cnt, string_split(trim(syms), '  ') AS l FROM w{i - 1})
+  )
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT lhs, rhs, pair_count FROM p{i} ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+w{i} AS (
+  SELECT w.word, w.cnt,
+         replace(w.syms, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                         ' ' || b.lhs || b.rhs || ' ') AS syms
+  FROM w{i - 1} w CROSS JOIN b{i} b
+)""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int = 6) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return _bpe_chain_sql(n_merges) + "\n" + union
+
+
+def _bpe_token_counts_oracle(n_merges: int = 6) -> str:
+    return _bpe_chain_sql(n_merges) + f""",
+docw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[A-Za-z]+$')
+)
+SELECT dw.doc_id,
+       CAST(sum(len(string_split(trim(wk.syms), '  '))) AS BIGINT) AS bpe_tokens
+FROM docw dw JOIN w{n_merges} wk USING (word)
+GROUP BY 1
+"""
+
+
+BPE_TRAIN_MERGES_ORACLE = _bpe_train_oracle()
+BPE_TOKEN_COUNTS_ORACLE = _bpe_token_counts_oracle()
+
+
 def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling rollup over the events table — per-column null and
     exact-distinct counts in one pass (operators/util.py:profile_columns:
@@ -1778,6 +1870,8 @@ SELECT 'props', count(*),
 QUERIES = {
     "classifier_quality_filter": classifier_quality_filter,
     "classifier_quality_filter_trained": classifier_quality_filter_trained,
+    "bpe_train_merges": bpe_train_merges,
+    "bpe_token_counts": bpe_token_counts,
     "events_profile": events_profile,
     "corpus_vocabulary": corpus_vocabulary,
     "dedup_span_exact": dedup_span_exact,
@@ -1826,6 +1920,8 @@ QUERIES = {
 ORACLES = {
     "classifier_quality_filter": CLASSIFIER_QUALITY_FILTER_ORACLE,
     "classifier_quality_filter_trained": CLASSIFIER_QUALITY_FILTER_TRAINED_ORACLE,
+    "bpe_train_merges": BPE_TRAIN_MERGES_ORACLE,
+    "bpe_token_counts": BPE_TOKEN_COUNTS_ORACLE,
     "events_profile": EVENTS_PROFILE_ORACLE,
     "corpus_vocabulary": CORPUS_VOCABULARY_ORACLE,
     "dedup_span_exact": DEDUP_SPAN_EXACT_ORACLE,

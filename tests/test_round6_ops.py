@@ -444,6 +444,46 @@ def test_trained_classifier_fixture_is_committed_and_served(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_learns_expected_merges_and_segments(spark):
+    """Hand-verifiable corpus: 'aaab' x3 + 'ab' x2. Char pairs:
+    (a,a) appears 2x per 'aaab' = 6; (a,b) = 3 + 2 = 5 → merge 1 = (a,a)
+    with the GREEDY run rule ('a a a' -> '(aa) a', so post-merge 'aaab'
+    is [aa, a, b]). Then (aa,a)=3, (a,b)=5 -> merge 2 = (a,b)."""
+    from flink_uba_spark.operators.tokenizer import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab ab"), (3, "ab")],
+        "doc_id long, text string",
+    )
+    rules = bpe_train(docs, n_merges=2).collect()
+    assert [(r.step, r.lhs, r.rhs, r.pair_count) for r in rules] == [
+        (1, "a", "a", 6),
+        (2, "a", "b", 5),
+    ]
+    seg = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_segment(docs, [(r.lhs, r.rhs) for r in rules]).collect()
+    }
+    # 'aaab' -> [aa, a, b] -> merge(a,b) binds a+b -> [aa, ab] = 2 tokens
+    # 'ab' -> [ab] = 1 token
+    assert seg == {1: 4, 2: 3, 3: 1}
+
+
+def test_bpe_tie_break_is_deterministic(spark):
+    """Equal-count pairs break by (lhs, rhs) lexicographic — the
+    cross-engine determinism contract."""
+    from flink_uba_spark.operators.tokenizer import bpe_train
+
+    docs = spark.createDataFrame([(1, "xy cd")], "doc_id long, text string")
+    rules = bpe_train(docs, n_merges=1).collect()
+    assert (rules[0].lhs, rules[0].rhs, rules[0].pair_count) == ("c", "d", 1)
+
+
+# ---------------------------------------------------------------------------
 # single-operator streaming branching NFA
 # ---------------------------------------------------------------------------
 
