@@ -203,6 +203,57 @@ def test_uncapped_stream_state_stays_bounded_under_endless_hot_run():
     assert int(np.asarray(st.get[8]).reshape(-1, 3)[0, 1]) == 1000
 
 
+def test_strict_entry_composes_with_downstream_kleene():
+    """strict and Kleene in ONE pattern (non-adjacent, the allowed
+    composition): A →(next) B → C.oneOrMore(gap, uncapped) → D. The
+    strict probe must bind B only as the immediate successor, and the
+    Kleene run machinery (buffer, closure) must be undisturbed by the
+    unfiltered witness rows strict mode keeps in the timeline."""
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    detect = make_pattern_matcher(
+        ["A", "B", "C", "D"],
+        [None, None, 30 * US, None],
+        kleenes=[None, None, (30 * US, None), None],
+        stricts={2},
+    )
+    # key 1: A, B immediately, C-run of 3 (cross-batch), gap lapse, D
+    st = FakeState()
+    out1 = _collect(
+        detect(
+            (1,),
+            iter([_rows((1, 0, "A"), (2, 5 * US, "B"), (3, 10 * US, "C"))]),
+            st,
+        )
+    )
+    assert len(out1) == 0 and st.exists
+    out2 = _collect(
+        detect(
+            (1,),
+            iter([_rows((4, 20 * US, "C"), (5, 30 * US, "C"),
+                        (6, 100 * US, "D"))]),
+            st,
+        )
+    )
+    assert len(out2) == 1
+    r = out2.iloc[0]
+    assert int(r["n3"]) == 3 and r["state"] == "matched"
+    assert pd.Timestamp(r["t2"]).value // 1000 == 5 * US
+
+    # key 2: an irrelevant witness row between A and B breaks the chain
+    # even though B would be the earliest followedBy binder
+    st2 = FakeState()
+    out3 = _collect(
+        detect(
+            (2,),
+            iter([_rows((1, 0, "A"), (2, 3 * US, "Z"), (3, 5 * US, "B"),
+                        (4, 10 * US, "C"), (5, 100 * US, "D"))]),
+            st2,
+        )
+    )
+    assert len(out3) == 0
+
+
 def test_uncapped_kleene_matches_bruteforce_property():
     """The uncapped sentinel path vs the round-5 brute-force reference:
     the matcher runs cap=None (the int64 sentinel), the brute runs an
