@@ -141,6 +141,17 @@ HEADLINE = HEADLINE_R01 + [
     "stream_ivf_upsert",
     "ivf_recall_sweep",
     "pattern_optional_branching",
+    # round-6 additions
+    "pattern_uncapped_error_run",
+    "stream_pattern_uncapped_error_run",
+    "pattern_impulse_purchase",
+    "stream_pattern_impulse_purchase",
+    "pattern_clean_onboarding",
+    "stream_pattern_clean_onboarding",
+    "stream_pattern_optional_branching",
+    "classifier_quality_filter_trained",
+    "bpe_train_merges",
+    "bpe_token_counts",
 ]
 
 

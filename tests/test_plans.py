@@ -135,3 +135,27 @@ def test_events_profile_single_pass_expand(spark, sf_dir):
     p = plan_of(spark, sf_dir, datapipe.events_profile)
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
     assert "Expand" in p
+
+
+def test_strict_pattern_single_exchange_single_lead_window(spark, sf_dir):
+    """next() compiles to ONE key exchange and ONE window whose binder is
+    a single lead() — strict contiguity must not add sorts-of-sorts or a
+    second shuffle (round 6)."""
+    from flink_uba_spark.queries import behavior
+
+    p = plan_of(spark, sf_dir, behavior.pattern_impulse_purchase)
+    assert count_nodes(p, "Exchange") == 1
+    assert count_nodes(p, "Window") == 1
+    assert p.count("lead(") >= 1
+
+
+def test_uncapped_kleene_has_no_lead_probe(spark, sf_dir):
+    """Uncapped oneOrMore removes the lead(cap-1) probe entirely — the
+    run is the session, computed by running aggregates only (round 6)."""
+    from flink_uba_spark.queries import behavior
+
+    p = plan_of(spark, sf_dir, behavior.pattern_uncapped_error_run)
+    assert "lead(" not in p
+    # same exchange budget as the capped Kleene family: the key exchange
+    # plus the session-id join-back
+    assert count_nodes(p, "Exchange") <= 3
