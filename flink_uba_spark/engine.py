@@ -54,6 +54,24 @@ class UbaEngine:
 
         return sequence_detect(events, key, first_pred, then_pred, **kw)
 
+    def detect_pattern(self, events, key, steps, **kw) -> DataFrame:
+        """The full Pattern-API chain (begin/followedBy/within/oneOrMore —
+        uncapped with max_reps=float('inf') — /times/notFollowedBy/
+        optional/next/notNext), compiled to window aggregates."""
+        from flink_uba_spark.operators.sequence import pattern_detect
+
+        return pattern_detect(events, key, steps, **kw)
+
+    def train_bpe(self, docs, n_merges=6, **kw) -> DataFrame:
+        from flink_uba_spark.operators.tokenizer import bpe_train
+
+        return bpe_train(docs, n_merges, **kw)
+
+    def bpe_tokens(self, docs, merge_rules, **kw) -> DataFrame:
+        from flink_uba_spark.operators.tokenizer import bpe_segment
+
+        return bpe_segment(docs, merge_rules, **kw)
+
     def sessionize(self, df, **kw) -> DataFrame:
         from flink_uba_spark.operators.sessions import sessionize
 

@@ -59,14 +59,18 @@ def slot_layout(n, guards):
     return slots, pslot, gslot
 
 
-def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozenset()):
+def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozenset(), stricts=frozenset()):
     """Reference for the batch compiler's followed-by semantics plus the
     streaming run-closure filter and notFollowedBy kills.
 
     ``events``: (eid, ts_us, mask) with bit j = matches SLOT j (slot
     layout per ``slot_layout``). ``steps``: list of
     (within_us | None, kleene (gap_us, cap) | None). ``guards``: step
-    indexes k with a forbidden predicate between k and k+1.
+    indexes k with a forbidden predicate between k and k+1. ``stricts``
+    (round 6): step indexes s whose transition is STRICT CONTIGUITY —
+    the binder must be the immediate successor in the total order; every
+    event (matching or not) is then a contiguity witness, so match-zero
+    rows are KEPT and rank last at their timestamp, as in the engines.
     Returns sorted (anchor_id, bound-tuple, state) for chains the STREAM
     emits: complete, NOT killed by a guard, AND every Kleene run closed
     (cap, same-key evidence, or final watermark past last_rep + gap)."""
@@ -74,10 +78,14 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
     slots, pslot, gslot = slot_layout(n, guards)
     nslots = len(slots)
     full = (1 << nslots) - 1
-    evs = [(eid, ts, m & full) for eid, ts, m in events if m & full]
+    if stricts:
+        evs = [(eid, ts, m & full) for eid, ts, m in events]
+    else:
+        evs = [(eid, ts, m & full) for eid, ts, m in events if m & full]
 
     def rank(m):
-        return (m & -m).bit_length()  # lowest set slot, 1-based
+        # lowest set slot, 1-based; witness rows (strict mode) rank LAST
+        return (m & -m).bit_length() if m else nslots + 1
 
     evs.sort(key=lambda e: (e[1], rank(e[2]), e[0]))
     srows = {
@@ -113,6 +121,17 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
         complete = closed_all = True
         killed = False
         for s in range(2, n + 1):
+            if s in stricts:
+                # next(): bind the immediate successor or die; no guard /
+                # optional / Kleene ever touches a strict transition
+                if posidx + 1 >= len(evs) or not (
+                    evs[posidx + 1][2] >> pslot[s] & 1
+                ):
+                    complete = False
+                    break
+                posidx += 1
+                bounds[s] = evs[posidx][1]
+                continue
             kl = steps[s - 1][1]
             cands = step_cands(s, posidx)
             if (s - 1) in gslot:
@@ -178,7 +197,7 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
     return sorted(out)
 
 
-def _drive(events, steps, cuts, guards=frozenset(), opts=frozenset()):
+def _drive(events, steps, cuts, guards=frozenset(), opts=frozenset(), stricts=frozenset()):
     """Run the NFA over event-time-split batches + a final timer firing at
     the ms-floored max event time; return (emitted rows, final_wm_ms).
     Events carry SLOT masks (per slot_layout); batches send __p/__g
@@ -193,6 +212,7 @@ def _drive(events, steps, cuts, guards=frozenset(), opts=frozenset()):
         kleenes=[k for _, k in steps],
         negations={k: f"x{k}" for k in gslot},
         optionals=set(opts),
+        stricts=set(stricts),
     )
     state = _FakeState()
     got = []

@@ -73,13 +73,22 @@ def random_case(rnd, max_steps=6, ts_range=200):
         )
         for i in range(n)
     ]
+    # round 6: strict transitions on plain, guard-free, optional-free
+    # steps not touching a Kleene (the engine's composition constraints)
+    strict_cands = [
+        s for s in range(2, n + 1)
+        if (s - 1) not in kpos and (s - 2) not in kpos
+        and s not in opts and (s - 1) not in opts and (s + 1) not in opts
+        and (s - 1) not in guards
+    ]
+    stricts = frozenset(s for s in strict_cands if rnd.random() < 0.3)
     nslots = len(slot_layout(n, guards)[0])
     events = [
         (i, rnd.randint(0, ts_range), rnd.getrandbits(nslots) if rnd.random() < 0.92 else 0)
         for i in range(rnd.randint(0, 45))
     ]
     cuts = set(rnd.sample(range(1, ts_range), rnd.randint(0, 5)))
-    return steps, guards, opts, events, cuts
+    return steps, guards, opts, stricts, events, cuts
 
 
 def soak_stream(n_cases, timers=False):
@@ -88,7 +97,7 @@ def soak_stream(n_cases, timers=False):
     from test_properties_round5 import _FakeState, brute_chain, _drive, slot_layout
     from flink_uba_spark.streaming.pattern import make_pattern_matcher
 
-    def drive_timers(events, steps, cuts, guards, opts):
+    def drive_timers(events, steps, cuts, guards, opts, stricts):
         n = len(steps)
         slots, pslot, gslot = slot_layout(n, guards)
         detect = make_pattern_matcher(
@@ -97,6 +106,7 @@ def soak_stream(n_cases, timers=False):
             kleenes=[k for _, k in steps],
             negations={k: f"x{k}" for k in gslot},
             optionals=set(opts),
+            stricts=set(stricts),
         )
         state = _FakeState()
         got = []
@@ -158,15 +168,20 @@ def soak_stream(n_cases, timers=False):
     t0, fails = time.time(), 0
     for seed in range(n_cases):
         rnd = random.Random(seed * 7919 + 13)
-        steps, guards, opts, events, cuts = random_case(rnd)
+        steps, guards, opts, stricts, events, cuts = random_case(rnd)
         if timers:
-            got, wm = drive_timers(events, steps, cuts, guards, opts)
+            got, wm = drive_timers(events, steps, cuts, guards, opts, stricts)
         else:
-            got, wm = _drive(events, steps, cuts, guards=guards, opts=opts)
-        want = brute_chain(events, steps, final_wm_ms=wm, guards=guards, opts=opts)
+            got, wm = _drive(
+                events, steps, cuts, guards=guards, opts=opts, stricts=stricts
+            )
+        want = brute_chain(
+            events, steps, final_wm_ms=wm, guards=guards, opts=opts, stricts=stricts
+        )
         if sorted(got) != want:
             fails += 1
-            print(f"MISMATCH seed={seed} steps={steps} guards={guards} opts={opts}")
+            print(f"MISMATCH seed={seed} steps={steps} guards={guards} "
+                  f"opts={opts} stricts={stricts}")
             if fails > 5:
                 break
     print(f"{n_cases} cases ({'timers' if timers else 'final-wm'}), "
@@ -216,7 +231,7 @@ def soak_batch(n_cases, cases_per_spec=100):
     while done < n_cases and fails <= 5:
         rnd = random.Random(spec_seed * 7919 + 11)
         spec_seed += 1
-        steps, guards, opts, _, _ = random_case(rnd, max_steps=5, ts_range=120)
+        steps, guards, opts, stricts, _, _ = random_case(rnd, max_steps=5, ts_range=120)
         slots, pslot, gslot = slot_layout(len(steps), guards)
         n, nslots = len(steps), len(slots)
         ncase = min(cases_per_spec, n_cases - done)
@@ -254,6 +269,7 @@ def soak_batch(n_cases, cases_per_spec=100):
             df, key="user_id", steps=spec,
             not_followed_by={k: F.col(f"c{gslot[k]}") for k in guards},
             optional=set(opts),
+            strict=set(stricts),
         )
         pdf = out.filter(F.col("state").isin("matched", "matched_late")).toPandas()
         for c in range(ncase):
@@ -264,11 +280,13 @@ def soak_batch(n_cases, cases_per_spec=100):
                 case_events[c],
                 [((kl[0] if kl is not None else w), kl) for (w, kl) in steps],
                 final_wm_ms=10 ** 15, guards=guards, opts=frozenset(opts),
+                stricts=stricts,
             )
             if sorted(got) != want:
                 fails += 1
                 print(f"MISMATCH spec_seed={spec_seed - 1} case={c} steps={steps} "
-                      f"guards={guards} opts={opts} events={case_events[c]}")
+                      f"guards={guards} opts={opts} stricts={stricts} "
+                      f"events={case_events[c]}")
                 if fails > 5:
                     break
         done += ncase
