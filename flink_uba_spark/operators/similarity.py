@@ -535,3 +535,90 @@ def embedding_near_dup_pairs(
             "cos",
         )
     )
+
+
+def kmeans_train_exact(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic distributed k-means (Lloyd's) over quantized-integer
+    embeddings — the ORACLE-VERIFIABLE clustering twin of
+    ``kmeans_codebook`` (pyspark.ml k-means||, whose training is
+    nondeterministic and therefore un-hashable). Reference capability:
+    semantic clustering for topic diversity / semantic dedup in a
+    training-data pipeline (the cluster-then-sample curation step).
+
+    Determinism contract (so a DuckDB oracle can replay the WHOLE
+    training loop bit-for-bit): vectors quantize to int64 at QUANT
+    (``floor(x*1000)``); distances are exact integer squared-L2; argmin
+    ties break to the lowest centroid id (lexicographic (dist, cid) min);
+    init = the k lowest-``id_col`` vectors; each update is the per-dim
+    FLOOR division ``(s - pmod(s, c)) div c`` (portable across engines —
+    both truncate ``div`` on the exact multiple after subtracting the
+    positive modulus); an empty cluster keeps its previous centroid.
+
+    Scale shape: per iteration the corpus is scanned once — assignment is
+    a map-only pass against the k×dim centroid LITERALS folded into the
+    plan (no join, no shuffle), and the update is one hash aggregate on
+    (cluster, dim) (k·dim groups, map-side partial sums) collected to the
+    driver (k·dim ints — the same tiny-argmax round-trip as
+    tokenizer.py:bpe_train). k iterations = k linear scans; nothing is
+    ever all-pairs and no stage holds more than k·dim rows after the
+    aggregate. Returns the final assignment ``(id_col, cluster_id,
+    sqdist)`` — all BIGINT.
+    """
+    base = (
+        df.select(F.col(id_col), quantized(F.col(emb_col)).alias("qv"))
+        .cache()
+    )
+    init = base.orderBy(id_col).limit(k).collect()
+    cents: list[list[int]] = [list(r.qv) for r in init]
+
+    def assigned() -> DataFrame:
+        choices = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qv"),
+                            F.array(*[F.lit(int(v)).cast("long") for v in cv]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(c).cast("long").alias("c"),
+                )
+                for c, cv in enumerate(cents)
+            ]
+        )
+        best = F.array_min(choices)
+        return base.withColumn("cluster_id", best.getField("c")).withColumn(
+            "sqdist", best.getField("d")
+        )
+
+    # ``iters`` ASSIGNMENT passes total: iters-1 centroid updates, then the
+    # final assignment below — iteration t assigns against centroids c{t}
+    for _ in range(iters - 1):
+        a = assigned()
+        rows = (
+            a.select("cluster_id", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .withColumn("cv", F.expr("(s - pmod(s, c)) div c"))
+            .select("cluster_id", "pos", "cv")
+            .collect()
+        )
+        by_cid: dict[int, list[int]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r.cluster_id), [0] * dim)[int(r.pos)] = int(r.cv)
+        cents = [by_cid.get(c, cents[c]) for c in range(k)]
+
+    out = assigned().select(
+        F.col(id_col), F.col("cluster_id"), F.col("sqdist")
+    )
+    return out

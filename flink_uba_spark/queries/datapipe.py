@@ -1867,8 +1867,121 @@ SELECT 'props', count(*),
 """
 
 
+def semantic_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means clustering (round 6):
+    operators/similarity.py:kmeans_train_exact — Lloyd's over
+    quantized-int64 embeddings, init = 8 lowest-id vectors, 3 iterations,
+    integer squared-L2 with (dist, cid) lexicographic argmin, floor-div
+    centroid updates, empty clusters keep their previous centroid. The
+    DuckDB oracle replays the ENTIRE training loop (iterations unrolled
+    as CTEs, the BPE/PageRank precedent) so the hash gate covers
+    training, not just the final assignment pass. Each iteration is one
+    map-only scan against centroid literals + one (cluster, dim) hash
+    aggregate — nothing all-pairs, k·dim driver round-trip per
+    iteration."""
+    from flink_uba_spark.operators.similarity import kmeans_train_exact
+
+    return kmeans_train_exact(_embs(spark, sf_dir), k=8, iters=3)
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: train the deterministic
+    k-means, then take up to 20 vectors PER CLUSTER by md5(vec_id) order
+    — the cluster-then-sample curation step that keeps a training mix
+    topically diverse instead of letting one dense mode dominate.
+    Deterministic (md5 pseudo-order, vec_id tie-break), one extra
+    per-cluster window over the final assignment."""
+    from pyspark.sql import Window
+
+    from flink_uba_spark.operators.similarity import kmeans_train_exact
+
+    a = kmeans_train_exact(_embs(spark, sf_dir), k=8, iters=3)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        a.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= 20)
+        .select("cluster_id", "vec_id", "pick_rank")
+    )
+
+
+def _kmeans_chain_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """The k-means training loop unrolled as DuckDB CTEs (shared by both
+    clustering oracles): q = quantized vectors, c1 = lowest-id init, then
+    per iteration an assignment (a{t}: lexicographic (dist, cid) argmin
+    over the centroid list) and a floor-div centroid update (c{t+1};
+    empty clusters keep the previous centroid via the LEFT JOIN
+    coalesce). Lists are 1-indexed in DuckDB, cluster/dim ids 0-indexed —
+    hence the c-1 / i-1 shifts mirroring Spark's posexplode."""
+    parts = [
+        f"q AS (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings)",
+        (
+            "c1 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv\n"
+            f"  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k}))"
+        ),
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"cents{t} AS (SELECT list(cv ORDER BY cid) AS cbs FROM c{t})"
+        )
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, qv,
+         list_min(list_transform(generate_series(1, {k}), c ->
+             [list_sum(list_transform(generate_series(1, {dim}),
+                  i -> (qv[i] - cbs[c][i]) * (qv[i] - cbs[c][i]))), c - 1])) AS best
+  FROM q, cents{t}
+)"""
+        )
+        if t < iters:
+            parts.append(
+                f"""u{t} AS (
+  SELECT best[2] AS cid, i, CAST(sum(qv[i]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM a{t}, generate_series(1, {dim}) g(i) GROUP BY 1, 2
+)"""
+            )
+            parts.append(
+                f"cn{t} AS (SELECT cid, list((s - ((s % c) + c) % c) // c ORDER BY i) AS cv\n"
+                f"  FROM u{t} GROUP BY cid)"
+            )
+            parts.append(
+                f"c{t + 1} AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv\n"
+                f"  FROM c{t} p LEFT JOIN cn{t} n ON n.cid = p.cid)"
+            )
+    return "WITH " + ",\n".join(parts)
+
+
+def _kmeans_assign_oracle(k: int = 8, iters: int = 3) -> str:
+    return f"""{_kmeans_chain_sql(k, iters)}
+SELECT vec_id, CAST(best[2] AS BIGINT) AS cluster_id,
+       CAST(best[1] AS BIGINT) AS sqdist
+FROM a{iters}
+"""
+
+
+def _cluster_balanced_sample_oracle(k: int = 8, iters: int = 3) -> str:
+    return f"""{_kmeans_chain_sql(k, iters)}
+SELECT cluster_id, vec_id, pick_rank FROM (
+    SELECT CAST(best[2] AS BIGINT) AS cluster_id, vec_id,
+           row_number() OVER (
+               PARTITION BY best[2]
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           ) AS pick_rank
+    FROM a{iters}
+) WHERE pick_rank <= 20
+"""
+
+
+SEMANTIC_KMEANS_ASSIGN_ORACLE = _kmeans_assign_oracle()
+CLUSTER_BALANCED_SAMPLE_ORACLE = _cluster_balanced_sample_oracle()
+
+
 QUERIES = {
     "classifier_quality_filter": classifier_quality_filter,
+    "semantic_kmeans_assign": semantic_kmeans_assign,
+    "cluster_balanced_sample": cluster_balanced_sample,
     "classifier_quality_filter_trained": classifier_quality_filter_trained,
     "bpe_train_merges": bpe_train_merges,
     "bpe_token_counts": bpe_token_counts,
@@ -1919,6 +2032,8 @@ QUERIES = {
 
 ORACLES = {
     "classifier_quality_filter": CLASSIFIER_QUALITY_FILTER_ORACLE,
+    "semantic_kmeans_assign": SEMANTIC_KMEANS_ASSIGN_ORACLE,
+    "cluster_balanced_sample": CLUSTER_BALANCED_SAMPLE_ORACLE,
     "classifier_quality_filter_trained": CLASSIFIER_QUALITY_FILTER_TRAINED_ORACLE,
     "bpe_train_merges": BPE_TRAIN_MERGES_ORACLE,
     "bpe_token_counts": BPE_TOKEN_COUNTS_ORACLE,
