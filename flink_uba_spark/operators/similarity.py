@@ -575,36 +575,85 @@ def kmeans_train_exact(
         df.select(F.col(id_col), quantized(F.col(emb_col)).alias("qv"))
         .cache()
     )
+    cents = kmeans_centroids_exact(
+        base, k=k, iters=iters, id_col=id_col, dim=dim, pre_quantized=True
+    )
+    out = kmeans_assign_exact(
+        base, cents, id_col=id_col, pre_quantized=True
+    )
+    return out
+
+
+def _with_assignment(base: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Append (cluster_id, sqdist) to a quantized frame via the centroid
+    LITERALS — one map-only projection, no join, no shuffle."""
+    choices = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(int(v)).cast("long") for v in cv]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(c).cast("long").alias("c"),
+            )
+            for c, cv in enumerate(cents)
+        ]
+    )
+    best = F.array_min(choices)
+    return base.withColumn("cluster_id", best.getField("c")).withColumn(
+        "sqdist", best.getField("d")
+    )
+
+
+def kmeans_assign_exact(
+    df: DataFrame,
+    cents: list[list[int]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    pre_quantized: bool = False,
+) -> DataFrame:
+    """One map-only assignment pass against trained centroid LITERALS —
+    the serving half of ``kmeans_train_exact``, usable on a STREAM (the
+    k×dim ints fold into the plan, so the stream side never shuffles and
+    never joins). Same contract: integer sq-L2, (dist, cid) argmin."""
+    base = (
+        df
+        if pre_quantized
+        else df.select(F.col(id_col), quantized(F.col(emb_col)).alias("qv"))
+    )
+    return _with_assignment(base, cents).select(
+        F.col(id_col), F.col("cluster_id"), F.col("sqdist")
+    )
+
+
+def kmeans_centroids_exact(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    pre_quantized: bool = False,
+) -> list[list[int]]:
+    """Run the deterministic Lloyd's loop and return the trained k×dim
+    centroid list (quantized ints) — the training half of
+    ``kmeans_train_exact``; see its docstring for the full determinism and
+    scale contract. ``iters`` counts ASSIGNMENT passes: iters-1 updates
+    happen here, the caller's final assignment is pass ``iters``."""
+    base = (
+        df
+        if pre_quantized
+        else df.select(F.col(id_col), quantized(F.col(emb_col)).alias("qv"))
+    )
     init = base.orderBy(id_col).limit(k).collect()
     cents: list[list[int]] = [list(r.qv) for r in init]
-
-    def assigned() -> DataFrame:
-        choices = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("qv"),
-                            F.array(*[F.lit(int(v)).cast("long") for v in cv]),
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(c).cast("long").alias("c"),
-                )
-                for c, cv in enumerate(cents)
-            ]
-        )
-        best = F.array_min(choices)
-        return base.withColumn("cluster_id", best.getField("c")).withColumn(
-            "sqdist", best.getField("d")
-        )
-
-    # ``iters`` ASSIGNMENT passes total: iters-1 centroid updates, then the
-    # final assignment below — iteration t assigns against centroids c{t}
     for _ in range(iters - 1):
-        a = assigned()
+        a = _with_assignment(base, cents)
         rows = (
             a.select("cluster_id", F.posexplode("qv").alias("pos", "val"))
             .groupBy("cluster_id", "pos")
@@ -617,8 +666,4 @@ def kmeans_train_exact(
         for r in rows:
             by_cid.setdefault(int(r.cluster_id), [0] * dim)[int(r.pos)] = int(r.cv)
         cents = [by_cid.get(c, cents[c]) for c in range(k)]
-
-    out = assigned().select(
-        F.col(id_col), F.col("cluster_id"), F.col("sqdist")
-    )
-    return out
+    return cents

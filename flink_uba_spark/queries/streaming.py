@@ -1286,6 +1286,26 @@ def stream_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(S.ivf_index_upsert(inc, index, cb))
 
 
+def stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means SERVING at ingest (round 6): centroids are
+    trained in batch (operators/similarity.py:kmeans_centroids_exact —
+    the oracle-replayable Lloyd's loop) and folded into the streaming
+    plan as k×dim integer literals, so each arriving vector is assigned
+    map-only — the stream side never joins and never shuffles (the
+    cluster-routing step of a streaming curation pipeline). The bounded
+    replay covers every vector, so the oracle is the batch
+    train+assign query's (SEMANTIC_KMEANS_ASSIGN_ORACLE)."""
+    from flink_uba_spark.operators import similarity as S
+    from flink_uba_spark.sources.readers import load_testdata
+    from flink_uba_spark.streaming.runner import stream_embeddings
+
+    static = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents = S.kmeans_centroids_exact(static, k=8, iters=3)
+    return run_to_table(
+        S.kmeans_assign_exact(stream_embeddings(spark, sf_dir), cents)
+    )
+
+
 def stream_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classifier quality gate at INGEST: documents stream through the
     hashed-feature linear scorer with the 256-row weight dim broadcast per
@@ -1459,6 +1479,7 @@ QUERIES = {
     "stream_pattern_clean_onboarding": stream_pattern_clean_onboarding,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_ivf_upsert": stream_ivf_upsert,
+    "stream_kmeans_assign": stream_kmeans_assign,
     "stream_classifier_quality_filter": stream_classifier_quality_filter,
     "stream_daily_active_users": stream_daily_active_users,
     "stream_span_decontam": stream_span_decontam,
@@ -1498,6 +1519,7 @@ ORACLES = {
     "stream_pattern_clean_onboarding": _stream_pattern_onboarding_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_ivf_upsert": __import__("flink_uba_spark.queries.datapipe", fromlist=["IVF_INDEX_UPSERT_ORACLE"]).IVF_INDEX_UPSERT_ORACLE,
+    "stream_kmeans_assign": __import__("flink_uba_spark.queries.datapipe", fromlist=["SEMANTIC_KMEANS_ASSIGN_ORACLE"]).SEMANTIC_KMEANS_ASSIGN_ORACLE,
     "stream_classifier_quality_filter": _stream_classifier_oracle(),
     "stream_daily_active_users": STREAM_DAU_ORACLE,
     "stream_span_decontam": STREAM_SPAN_DECONTAM_ORACLE,

@@ -16,6 +16,12 @@ Five modes:
                                          #   both-branches brute (round 6)
   python tools/nfa_soak.py strict [N]    # next()/notNext() NFA vs the
                                          #   independent brute walk (round 6)
+  python tools/nfa_soak.py stream-branching [N]
+                                         # make_branching_matcher (packed
+                                         #   per-branch states, min-merged
+                                         #   timer) over micro-batch splits
+                                         #   + mid-stream merged-timer fires
+                                         #   vs the both-branches brute
 
 Round-5 history: the first 4000-case stream soak surfaced two real NFA
 bugs (provisional guard/race decisions against tentative times() binders;
@@ -27,7 +33,9 @@ assumption (the Kleene session join was on __id alone; colliding ids
 across keys fanned out ~100× — fixed to join on (__k, __id)). Uncapped
 oneOrMore specs are mixed into every Kleene-bearing mode (25% of kspecs).
 Current totals, all clean: 50k stream + 12k dense-tie + 27k timer (r5)
-+ 10k vectorized batch + 5k branching + 50k strict (r6).
++ 10k vectorized batch + 5k branching + 50k strict + 10k stream-branching
+(r6 — the last closes the one remaining unsoaked stateful component, the
+streaming branching matcher's packed-state/merged-timer mechanics).
 """
 
 from __future__ import annotations
@@ -399,6 +407,126 @@ def soak_branching(n_cases, cases_per_spec=100):
     return fails
 
 
+def soak_stream_branching(n_cases):
+    """STREAMING multi-match optional() branching soak (round 6, second
+    pass): ``make_branching_matcher`` — the single-operator NFA whose
+    per-branch states pack into one state row and whose per-branch timers
+    min-merge into one event-time timer — driven over random micro-batch
+    splits WITH mid-stream timer firings (the merged timer routes
+    hasTimedOut to every branch, so a fire for one branch must not
+    corrupt another's pending chains). Reference: the per-subset
+    sub-chain brute remapped to full step numbering with the ``skipped``
+    tag, at the driven final watermark."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    from test_properties_round5 import _FakeState, brute_chain
+    from flink_uba_spark.streaming.pattern import make_branching_matcher
+
+    t0, fails = time.time(), 0
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 15485863 + 29)
+        n = rnd.randint(3, 5)
+        opt_cands = list(range(2, n))
+        n_opt = rnd.randint(1, min(2, len(opt_cands)))
+        opts: set[int] = set()
+        for k in sorted(rnd.sample(opt_cands, len(opt_cands))):
+            if len(opts) < n_opt and (k - 1) not in opts and (k + 1) not in opts:
+                opts.add(k)
+        withins = [rnd.choice([None, rnd.randint(2, 40)]) for _ in range(n)]
+        events = [
+            (i, rnd.randint(0, 120),
+             rnd.getrandbits(n) if rnd.random() < 0.92 else 0)
+            for i in range(rnd.randint(0, 30))
+        ]
+        cuts = sorted({rnd.randint(1, 120) for _ in range(rnd.randint(0, 4))})
+
+        detect = make_branching_matcher(
+            [f"s{k}" for k in range(1, n + 1)],
+            [None if w is None else w for w in withins],
+            optionals=sorted(opts),
+        )
+        state = _FakeState()
+        got = []
+
+        def drain(gen):
+            for f in gen:
+                for r in f.itertuples(index=False):
+                    key = tuple(
+                        None if pd.isna(getattr(r, f"t{s}"))
+                        else pd.Timestamp(getattr(r, f"t{s}")).value // 1000
+                        for s in range(1, n + 1)
+                    )
+                    got.append((r.anchor_id, key, r.state, r.skipped))
+
+        lo, wm = -1, 0
+        for hi in cuts + [10 ** 9]:
+            batch = [e for e in events if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            state._wm = wm  # lags one batch, as in Spark
+            pdf = pd.DataFrame(
+                [
+                    {
+                        "event_id": eid,
+                        "ts": pd.Timestamp(ts, unit="us"),
+                        **{f"__p{k}": bool(m >> (k - 1) & 1) for k in range(1, n + 1)},
+                    }
+                    for eid, ts, m in batch
+                ]
+            )
+            state.hasTimedOut = False
+            drain(detect((1,), iter([pdf]), state))
+            wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
+            for _ in range(8):  # mid-stream merged-timer firings
+                if state._v is None or state.timeout_set is None or state.timeout_set >= wm:
+                    break
+                state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+                drain(detect((1,), iter([]), state))
+            state.hasTimedOut = False
+        if events and state._v is not None:
+            state._wm = max(ts for _, ts, _ in events) // 1000
+            state.hasTimedOut = True
+            drain(detect((1,), iter([]), state))
+        wm_final = (
+            max((ts for _, ts, _ in events), default=0) // 1000 if events else None
+        )
+
+        want = []
+        for rr in range(len(opts) + 1):
+            for skip in combinations(sorted(opts), rr):
+                kept = [k for k in range(1, n + 1) if k not in skip]
+                sev = [
+                    (eid, ts,
+                     sum(((m >> (k - 1)) & 1) << j for j, k in enumerate(kept)))
+                    for eid, ts, m in events
+                ]
+                sw = [(withins[k - 1], None) for k in kept]
+                tag = ",".join(str(k) for k in skip) or "none"
+                for aid, key, st in brute_chain(sev, sw, final_wm_ms=wm_final):
+                    full = [None] * n
+                    for j, k in enumerate(kept):
+                        full[k - 1] = key[j]
+                    want.append((aid, tuple(full), st, tag))
+
+        def _nkey(row):
+            aid, key, st, tag = row
+            return (aid, tuple(-1 if v is None else v for v in key), st, tag)
+
+        if sorted(got, key=_nkey) != sorted(want, key=_nkey):
+            fails += 1
+            print(f"MISMATCH seed={seed} n={n} opts={opts} withins={withins} "
+                  f"events={events} cuts={cuts}")
+            if fails > 5:
+                break
+        if (seed + 1) % 2000 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} stream-branching cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def soak_strict(n_cases):
     """Strict-contiguity soak (round 6): randomized plain chains with
     next()/notNext() transitions, the NFA over random micro-batch splits
@@ -461,12 +589,19 @@ def soak_strict(n_cases):
 
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
-    defaults = {"batch": 1000, "branching": 1000, "strict": 5000}
+    defaults = {
+        "batch": 1000,
+        "branching": 1000,
+        "strict": 5000,
+        "stream-branching": 5000,
+    }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "batch":
         return 1 if soak_batch(n) else 0
     if mode == "branching":
         return 1 if soak_branching(n) else 0
+    if mode == "stream-branching":
+        return 1 if soak_stream_branching(n) else 0
     if mode == "strict":
         return 1 if soak_strict(n) else 0
     return 1 if soak_stream(n, timers=(mode == "timers")) else 0
