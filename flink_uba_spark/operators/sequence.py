@@ -80,6 +80,7 @@ def pattern_detect(
     optional: set[int] | None = None,
     strict: set[int] | None = None,
     not_next: dict[int, Column] | None = None,
+    with_end_id: bool = False,
 ) -> DataFrame:
     """Compile an N-step ``begin → followedBy → …`` pattern into chained
     window aggregates (one key exchange for the plain-step chain).
@@ -524,6 +525,14 @@ def pattern_detect(
         and not (f.startswith("bx") and f[2:].isdigit())
     ]
     t_cols = [F.col("__c1").getField(f).alias(f) for f in out_fields]
+    if with_end_id:
+        # the LAST bound event's id — the after-match skip strategies
+        # (after_match_skip_past_last) need it for exact tie-breaks at
+        # equal end timestamps; only defined when the last step is plain
+        # (a Kleene run's own struct carries entry ids, not the last rep's)
+        if reps[n - 1] is not None:
+            raise ValueError("with_end_id requires a plain (non-Kleene) last step")
+        t_cols = t_cols + [F.col("__c1").getField(f"i{n}").alias("end_id")]
     b_cols = [
         F.col("__c1").getField(f"b{k}").alias(f"__b{k}") for k in sorted(negs)
     ] + [
@@ -646,3 +655,76 @@ def pattern_detect_branching(
             )
             out = b if out is None else out.unionByName(b)
     return out
+
+
+def after_match_skip_past_last(
+    matches: DataFrame,
+    key: str,
+    anchor_ts: str = "t1",
+    anchor_id: str = "anchor_id",
+    end_ts: str | None = None,
+    end_id: str = "end_id",
+) -> DataFrame:
+    """Flink's ``AfterMatchSkipStrategy.SKIP_PAST_LAST_EVENT`` over the
+    candidate matches of a compiled pattern: once a match is emitted,
+    every run that STARTED at or before the match's last event is
+    discarded, so the emitted matches per key never overlap — the alert
+    -dedup / episode-segmentation strategy of the reference Pattern API
+    (Flink CEP ``AfterMatchSkipStrategy``; the reference's
+    OrderPayTimeout chains use the default NO_SKIP = our per-anchor
+    ``pattern_detect`` output, which this operator post-processes).
+
+    ``matches`` is ``pattern_detect(..., with_end_id=True)`` output
+    FILTERED to complete in-bound matches (``state='matched'``) — late
+    or incomplete chains never emit under a skip strategy, so they do
+    not prune. ``end_ts`` defaults to the highest ``t{n}`` column
+    present.
+
+    Semantics (exactly what the NFA replay produces): candidates are
+    processed in COMPLETION order ``(end_ts, end_id, anchor_ts,
+    anchor_id)`` — the earliest-ending match wins any race, and at a
+    shared end event the earliest anchor wins. A candidate is emitted
+    iff its anchor is STRICTLY PAST the previously emitted match's last
+    event in ``(ts, id)`` order; emitting advances that horizon to the
+    candidate's own end. Bindings of surviving candidates are unchanged
+    (skip-till-next runs bind independently, and every binding is
+    strictly after its own anchor, hence past the horizon).
+
+    Scale: the greedy horizon scan is inherently sequential per key, but
+    it runs over the MATCH set, not the event set — one extra exchange
+    on the key of match-sized data, then a linear pass per key inside
+    ``applyInPandas``. At 100 TB the match set is output-sized (bounded
+    by the rarest step's frequency), orders of magnitude below the scan.
+    """
+    import pandas as pd
+
+    if end_ts is None:
+        tcols = sorted(
+            (c for c in matches.columns if c.startswith("t") and c[1:].isdigit()),
+            key=lambda c: int(c[1:]),
+        )
+        if not tcols:
+            raise ValueError("no t{k} columns to infer end_ts from")
+        end_ts = tcols[-1]
+    cols = list(matches.columns)
+    schema = matches.schema
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pdf
+        pdf = pdf.sort_values(
+            [end_ts, end_id, anchor_ts, anchor_id], kind="mergesort"
+        ).reset_index(drop=True)
+        a_ts = pdf[anchor_ts].astype("datetime64[ns]").astype("int64").to_numpy()
+        a_id = pdf[anchor_id].to_numpy().astype("int64")
+        e_ts = pdf[end_ts].astype("datetime64[ns]").astype("int64").to_numpy()
+        e_id = pdf[end_id].to_numpy().astype("int64")
+        keep = [False] * len(pdf)
+        le_ts = le_id = None
+        for i in range(len(pdf)):
+            if le_ts is None or (a_ts[i], a_id[i]) > (le_ts, le_id):
+                keep[i] = True
+                le_ts, le_id = e_ts[i], e_id[i]
+        return pdf.loc[keep, cols]
+
+    return matches.groupBy(key).applyInPandas(fold, schema)

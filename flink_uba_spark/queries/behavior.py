@@ -1106,6 +1106,94 @@ FROM a2
 """
 
 
+def pattern_nonoverlap_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER-MATCH SKIP STRATEGY (round 6 — Flink CEP's
+    ``AfterMatchSkipStrategy.SKIP_PAST_LAST_EVENT``): non-overlapping
+    view → click (4 h) → purchase (12 h) EPISODES per user. The
+    per-anchor compiler output (NO_SKIP — every view anchors a candidate)
+    is post-processed by the greedy completion-order horizon scan: once
+    an episode is emitted, every candidate anchored at or before its
+    last event is discarded, so episodes segment the user's timeline —
+    the alert-dedup semantics of the Flink skip strategy family.
+
+    Plan: pattern_detect's one exchange + windows over events, then ONE
+    extra match-sized exchange for the per-key greedy fold
+    (operators/sequence.py after_match_skip_past_last)."""
+    from flink_uba_spark.operators.sequence import (
+        after_match_skip_past_last,
+        pattern_detect,
+    )
+
+    ev = _events(spark, sf_dir)
+    m = pattern_detect(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "view", None),
+            (F.col("event_type") == "click", "INTERVAL 4 HOURS"),
+            (F.col("event_type") == "purchase", "INTERVAL 12 HOURS"),
+        ],
+        with_end_id=True,
+    ).filter(F.col("state") == "matched")
+    return after_match_skip_past_last(m, key="user_id").select(
+        "user_id", "anchor_id", "t1", "t2", "t3", "end_id"
+    )
+
+
+# candidates = the matched per-anchor chains (the PATTERN_VCP_ORACLE
+# binding rule, plus the end binder's id: min event_id among purchases at
+# the bound t3 — the engine's (ts, rank, id) min-struct tie-break); the
+# skip strategy is a per-key greedy fold in completion order, replayed as
+# a recursive CTE advancing one candidate rank per key per iteration and
+# carrying the last-emitted-end (ts, id) horizon
+PATTERN_NONOVERLAP_EPISODES_ORACLE = """
+WITH RECURSIVE
+v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+s2 AS (
+  SELECT v.user_id, v.event_id AS anchor_id, v.ts AS t1,
+         (SELECT min(c.ts) FROM c WHERE c.user_id = v.user_id AND c.ts >= v.ts) AS t2
+  FROM v
+),
+s3 AS (
+  SELECT s2.*,
+         (SELECT min(p.ts) FROM p WHERE p.user_id = s2.user_id AND p.ts >= s2.t2) AS t3
+  FROM s2
+),
+cand AS (
+  SELECT user_id, anchor_id, t1, t2, t3,
+         (SELECT min(p.event_id) FROM p
+           WHERE p.user_id = s3.user_id AND p.ts = s3.t3) AS end_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY t3, (SELECT min(p.event_id) FROM p
+                          WHERE p.user_id = s3.user_id AND p.ts = s3.t3),
+                    t1, anchor_id
+         ) AS r
+  FROM s3
+  WHERE t3 IS NOT NULL
+    AND t2 <= t1 + INTERVAL 4 HOUR AND t3 <= t2 + INTERVAL 12 HOUR
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.anchor_id, c.t1, c.t2, c.t3, c.end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
@@ -1119,6 +1207,7 @@ QUERIES = {
     "pattern_uncapped_error_run": pattern_uncapped_error_run,
     "pattern_impulse_purchase": pattern_impulse_purchase,
     "pattern_clean_onboarding": pattern_clean_onboarding,
+    "pattern_nonoverlap_episodes": pattern_nonoverlap_episodes,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -1144,6 +1233,7 @@ ORACLES = {
     "pattern_uncapped_error_run": PATTERN_UNCAPPED_ERROR_RUN_ORACLE,
     "pattern_impulse_purchase": PATTERN_IMPULSE_PURCHASE_ORACLE,
     "pattern_clean_onboarding": PATTERN_CLEAN_ONBOARDING_ORACLE,
+    "pattern_nonoverlap_episodes": PATTERN_NONOVERLAP_EPISODES_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,

@@ -1174,6 +1174,44 @@ def _stream_pattern_onboarding_oracle() -> str:
     )
 
 
+def stream_pattern_nonoverlap_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AFTER-MATCH SKIP strategy (Flink CEP's
+    ``AfterMatchSkipStrategy.SKIP_PAST_LAST_EVENT``, round 6) in its
+    native streaming form: non-overlapping view → click (4 h) → purchase
+    (12 h) episodes per user. The NFA keeps a per-key (end_ts, end_id)
+    horizon in state (field 19): matches emit in completion order, each
+    emission discards every pending run anchored at or before its last
+    event and blocks later anchors at or before it — including same-ts
+    anchors arriving in later micro-batches, which is why the horizon
+    outlives the chains. Only 'matched' rows emit (a late chain is a
+    discarded partial match under a skip strategy), so the oracle is the
+    batch greedy-fold query itself."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="user_id",
+            steps=[
+                ("view", None),
+                ("click", "INTERVAL 4 HOURS"),
+                ("purchase", "INTERVAL 12 HOURS"),
+            ],
+            after_match="skip_past_last",
+        )
+    ).select("user_id", "anchor_id", "t1", "t2", "t3")
+
+
+def _stream_pattern_nonoverlap_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_NONOVERLAP_EPISODES_ORACLE
+
+    return (
+        "SELECT user_id, anchor_id, t1, t2, t3 FROM "
+        f"({PATTERN_NONOVERLAP_EPISODES_ORACLE})"
+    )
+
+
 def stream_pattern_uncapped_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UNCAPPED oneOrMore CEP chain in its native streaming form
     (round 6): per event shard (user_id % 8), signup →
@@ -1477,6 +1515,7 @@ QUERIES = {
     "stream_pattern_uncapped_error_run": stream_pattern_uncapped_error_run,
     "stream_pattern_impulse_purchase": stream_pattern_impulse_purchase,
     "stream_pattern_clean_onboarding": stream_pattern_clean_onboarding,
+    "stream_pattern_nonoverlap_episodes": stream_pattern_nonoverlap_episodes,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_ivf_upsert": stream_ivf_upsert,
     "stream_kmeans_assign": stream_kmeans_assign,
@@ -1517,6 +1556,7 @@ ORACLES = {
     "stream_pattern_uncapped_error_run": _stream_pattern_uncapped_oracle(),
     "stream_pattern_impulse_purchase": _stream_pattern_impulse_oracle(),
     "stream_pattern_clean_onboarding": _stream_pattern_onboarding_oracle(),
+    "stream_pattern_nonoverlap_episodes": _stream_pattern_nonoverlap_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_ivf_upsert": __import__("flink_uba_spark.queries.datapipe", fromlist=["IVF_INDEX_UPSERT_ORACLE"]).IVF_INDEX_UPSERT_ORACLE,
     "stream_kmeans_assign": __import__("flink_uba_spark.queries.datapipe", fromlist=["SEMANTIC_KMEANS_ASSIGN_ORACLE"]).SEMANTIC_KMEANS_ASSIGN_ORACLE,

@@ -62,7 +62,9 @@ CHECKPOINT COMPATIBILITY: round 5 widened ``STATE_SCHEMA`` from 3 to 17
 fields (the general-chain state replaced the dedicated 3-step layouts,
 and ``stream_kleene_detect`` switched from the 11-field
 ``KLEENE_STATE_SCHEMA`` to it); round 6 appended the 18th field
-(``nn_flags``, the latched notNext decisions). ``applyInPandasWithState``
+(``nn_flags``, the latched notNext decisions) and then the 19th
+(``ams_horizon``, the SKIP_PAST_LAST_EVENT after-match horizon).
+``applyInPandasWithState``
 cannot migrate a checkpointed state layout: a streaming job resuming from
 a checkpoint written by an earlier build will fail to restore — restart
 such jobs with a NEW checkpoint directory (replays are deterministic, so
@@ -144,6 +146,12 @@ STATE_SCHEMA = T.StructType(
         # witnessed CLEAR — a cross-batch decision that must not be
         # re-evaluated against a later batch's first row
         T.StructField("nn_flags", T.ArrayType(T.LongType())),
+        # round 6 (checkpoint break, 18 -> 19 fields): the after-match
+        # skip horizon [last_emitted_end_ts_us, last_emitted_end_id] of
+        # AfterMatchSkipStrategy.SKIP_PAST_LAST_EVENT — anchors at or
+        # before it (in (ts, id) order) never start a run. [-1, -1] =
+        # no match emitted yet / skip strategy off
+        T.StructField("ams_horizon", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -190,9 +198,28 @@ def make_pattern_matcher(
     optionals: set[int] | None = None,
     stricts: set[int] | None = None,
     not_nexts: dict[int, str] | None = None,
+    after_match: str | None = None,
 ):
     """Build the per-key state function (separate so unit tests can drive
     it with a fake GroupState, as for order_timeout/transitions).
+
+    ``after_match="skip_past_last"`` is Flink CEP's
+    ``AfterMatchSkipStrategy.SKIP_PAST_LAST_EVENT`` (round 6): matches
+    emit in completion order ``(end_ts, end_id, anchor_ts, anchor_id)``;
+    emitting one discards every other run — pending or simultaneously
+    complete — whose anchor is at or before its last event in (ts, id)
+    order, and anchors at or before the horizon never start a run, so
+    emitted matches per key never overlap. Only 'matched' chains emit
+    (a late chain is a discarded partial match under a skip strategy,
+    exactly as in Flink; a ttl flush still reports ``incomplete`` rows,
+    which are not matches and do not advance the horizon). Supported for
+    plain chains with notFollowedBy guards — not with Kleene, optional,
+    or strict/notNext steps. The horizon persists as state field 19
+    (``ams_horizon``) even when no chains are pending, so a same-ts
+    anchor arriving in a later micro-batch is still excluded; same-ts
+    completion races split across micro-batches resolve in arrival
+    order, which equals the batch completion order under the engine's
+    ts-cohort-aligned replay contract (see the module docstring).
 
     ``kleenes[k]`` is ``(gap_us, cap)`` to make step k+1 a bounded Kleene
     ``oneOrMore`` (None = plain step). ``withins_us[k]`` classifies the
@@ -271,6 +298,16 @@ def make_pattern_matcher(
         raise ValueError(
             "a transition takes ONE of next/notNext/notFollowedBy, not several"
         )
+    if after_match not in (None, "skip_past_last"):
+        raise ValueError("after_match must be None or 'skip_past_last'")
+    skip_mode = after_match == "skip_past_last"
+    if skip_mode and (
+        any(k is not None for k in kleenes) or opts or strict_set or nnx
+    ):
+        raise ValueError(
+            "after_match='skip_past_last' supports plain chains with "
+            "notFollowedBy guards only (no Kleene/optional/strict/notNext)"
+        )
     strict_mode = bool(strict_set or nnx)  # every key row is a witness
     has_kleene = any(k is not None for k in kleenes)
     timers = has_kleene or ttl_us is not None
@@ -335,7 +372,7 @@ def make_pattern_matcher(
         if state.exists:
             (s_aid, s_cur, s_opn, s_fts, s_frk, s_fid,
              s_bnd, s_kl, s_kn, s_pts, s_prk, s_pid, s_pcur,
-             s_bts, s_brk, s_bid, s_bmk, s_nnf) = state.get
+             s_bts, s_brk, s_bid, s_bmk, s_nnf, s_ams) = state.get
             aid = np.asarray(s_aid, dtype="int64")
             cur = np.asarray(s_cur, dtype="int64")
             opn = np.asarray(s_opn, dtype="int64").astype(bool)
@@ -364,6 +401,9 @@ def make_pattern_matcher(
             bid = np.asarray(s_bid, dtype="int64")
             bmk = np.asarray(s_bmk, dtype="int64")
             nnf = np.asarray(s_nnf, dtype="int64")
+            le_ts, le_id = (
+                (int(s_ams[0]), int(s_ams[1])) if len(s_ams) == 2 else (-1, -1)
+            )
         else:
             aid = cur = fts = frk = fid = np.empty(0, dtype="int64")
             opn = np.empty(0, dtype=bool)
@@ -371,6 +411,7 @@ def make_pattern_matcher(
             pv_ts = pv_rk = pv_id = pv_cur = np.empty(0, dtype="int64")
             bts = brk = bid = bmk = np.empty(0, dtype="int64")
             nnf = np.empty(0, dtype="int64")
+            le_ts, le_id = -1, -1
 
         chunks = [] if getattr(state, "hasTimedOut", False) else list(pdfs)
         rows = (
@@ -582,6 +623,13 @@ def make_pattern_matcher(
         if pslot[1] in occ:
             a_tl = occ[pslot[1]][0]
             a_tl = a_tl[a_tl >= nbuf]
+            if skip_mode and a_tl.size:
+                # anchors at or before the after-match horizon never
+                # start a run (SKIP_PAST_LAST_EVENT)
+                a_tl = a_tl[
+                    (tl_ts[a_tl] > le_ts)
+                    | ((tl_ts[a_tl] == le_ts) & (tl_id[a_tl] > le_id))
+                ]
             if a_tl.size:
                 aid = np.concatenate([aid, tl_id[a_tl]])
                 cur = np.concatenate([cur, np.ones(a_tl.size, dtype="int64")])
@@ -766,8 +814,42 @@ def make_pattern_matcher(
                     if k in opts:
                         term |= d_bnd[:, k - 1] < 0  # skipped: nothing to classify
                     ok &= term
-            st = np.where(ok, "matched", "matched_late")
-            frames.append(_emit(user_id, aid[done], cur[done], d_bnd, klast[done], kln[done], st))
+            if skip_mode:
+                # SKIP_PAST_LAST_EVENT: only 'matched' chains are matches
+                # (a late chain is a discarded partial, as in Flink);
+                # process candidates in completion order (end_ts, end_id,
+                # anchor_ts, anchor_id) and keep one iff its anchor is
+                # strictly past the horizon — emitting advances it. The
+                # loop runs over this batch's COMPLETED chains only.
+                di = np.flatnonzero(done)[ok]
+                order = di[
+                    np.lexsort((aid[di], bnd[di, 0], fid[di], fts[di]))
+                ]
+                kept = []
+                for ci in order:
+                    a_t, a_i = int(bnd[ci, 0]), int(aid[ci])
+                    if (a_t, a_i) > (le_ts, le_id):
+                        kept.append(ci)
+                        le_ts, le_id = int(fts[ci]), int(fid[ci])
+                if kept:
+                    ki = np.asarray(kept, dtype="int64")
+                    frames.append(
+                        _emit(
+                            user_id, aid[ki], cur[ki], bnd[ki], klast[ki],
+                            kln[ki], ["matched"] * ki.size,
+                        )
+                    )
+                # discard every pending run anchored at or before the
+                # advanced horizon
+                pend = ~done & ~dead
+                if pend.any():
+                    at, ai = bnd[:, 0], aid
+                    dead |= pend & (
+                        (at < le_ts) | ((at == le_ts) & (ai <= le_id))
+                    )
+            else:
+                st = np.where(ok, "matched", "matched_late")
+                frames.append(_emit(user_id, aid[done], cur[done], d_bnd, klast[done], kln[done], st))
         alive = ~done & ~dead
 
         # ---- 5. ttl flush (bounded-state policy)
@@ -817,8 +899,9 @@ def make_pattern_matcher(
         else:
             bts = brk = bid = bmk = np.empty(0, dtype="int64")
 
-        # ---- 7. persist + timers
-        if aid.size or bts.size:
+        # ---- 7. persist + timers (the skip horizon outlives the chains:
+        # a later same-ts anchor must still be excluded)
+        if aid.size or bts.size or (skip_mode and le_ts >= 0):
             state.update(
                 (
                     aid.tolist(), cur.tolist(), opn.astype("int64").tolist(),
@@ -827,7 +910,7 @@ def make_pattern_matcher(
                     kln.reshape(-1).tolist(),
                     pv_ts.tolist(), pv_rk.tolist(), pv_id.tolist(), pv_cur.tolist(),
                     bts.tolist(), brk.tolist(), bid.tolist(), bmk.tolist(),
-                    nnf.tolist(),
+                    nnf.tolist(), [le_ts, le_id],
                 )
             )
             if timers:
@@ -880,8 +963,14 @@ def stream_pattern_detect(
     optional: set[int] | None = None,
     strict: set[int] | None = None,
     not_next: dict | None = None,
+    after_match: str | None = None,
 ) -> DataFrame:
     """Wire the matcher over a streaming events frame.
+
+    ``after_match="skip_past_last"`` applies Flink CEP's
+    ``AfterMatchSkipStrategy.SKIP_PAST_LAST_EVENT`` — emitted matches per
+    key never overlap; see make_pattern_matcher. Emits 'matched' rows
+    only.
 
     ``steps`` mirrors the batch ``pattern_detect`` surface: an ordered list
     of ``(spec, within)`` or ``(spec, within, max_reps)`` where ``within``
@@ -996,7 +1085,7 @@ def stream_pattern_detect(
         make_pattern_matcher(
             step_types, withins_us, ttl_us=ttl_us, kleenes=kleenes,
             negations=negations, optionals=optional,
-            stricts=stricts, not_nexts=not_nexts,
+            stricts=stricts, not_nexts=not_nexts, after_match=after_match,
         ),
         pattern_output_schema(n, kleenes),
         STATE_SCHEMA,

@@ -59,7 +59,7 @@ def slot_layout(n, guards):
     return slots, pslot, gslot
 
 
-def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozenset(), stricts=frozenset()):
+def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozenset(), stricts=frozenset(), with_end=False):
     """Reference for the batch compiler's followed-by semantics plus the
     streaming run-closure filter and notFollowedBy kills.
 
@@ -193,7 +193,37 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
             key.append(bounds.get(s))
             if steps[s - 1][1] is not None:
                 key += [klast[s], kn[s]]
-        out.append((aid, tuple(key), "matched" if ok else "matched_late"))
+        if with_end:
+            # the chain's last bound event — after-match skip strategies
+            # prune on its (ts, id)
+            out.append(
+                (aid, tuple(key), "matched" if ok else "matched_late",
+                 evs[posidx][1], evs[posidx][0])
+            )
+        else:
+            out.append((aid, tuple(key), "matched" if ok else "matched_late"))
+    return sorted(out)
+
+
+def brute_skip_past_last(events, steps, final_wm_ms=None, guards=frozenset()):
+    """Greedy SKIP_PAST_LAST_EVENT selection over the per-anchor brute
+    matches: completion order (end_ts, end_id, anchor_ts, anchor_id);
+    keep iff the anchor is strictly past the last emitted end in
+    (ts, id) order. Only 'matched' chains participate or emit."""
+    cands = [
+        (aid, key, st, e_ts, e_id)
+        for aid, key, st, e_ts, e_id in brute_chain(
+            events, steps, final_wm_ms=final_wm_ms, guards=guards, with_end=True
+        )
+        if st == "matched"
+    ]
+    cands.sort(key=lambda c: (c[3], c[4], c[1][0], c[0]))
+    le = (-1, -1)
+    out = []
+    for aid, key, st, e_ts, e_id in cands:
+        if (key[0], aid) > le:
+            out.append((aid, key, st))
+            le = (e_ts, e_id)
     return sorted(out)
 
 

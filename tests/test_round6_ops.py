@@ -597,3 +597,251 @@ def test_branching_matcher_skipped_branch_can_outlive_taken():
     assert out.iloc[0]["state"] == "matched"
     # the taken branch is still pending (waiting on a click)
     assert st.exists
+
+
+# ---------------------------------------------------------------------------
+# after-match skip strategy: SKIP_PAST_LAST_EVENT (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _skip_batch(spark, rows):
+    from flink_uba_spark.operators.sequence import (
+        after_match_skip_past_last,
+        pattern_detect,
+    )
+
+    m = pattern_detect(
+        _bdf(spark, rows),
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "view", None),
+            (F.col("event_type") == "click", None),
+            (F.col("event_type") == "purchase", None),
+        ],
+        with_end_id=True,
+    ).filter(F.col("state") == "matched")
+    return (
+        after_match_skip_past_last(m, key="user_id")
+        .orderBy("anchor_id")
+        .collect()
+    )
+
+
+def test_skip_past_last_batch_segments_episodes(spark):
+    """Overlapping view→click→purchase candidates collapse to the greedy
+    non-overlapping episode set: after the first match ends, only runs
+    anchored strictly past its last event survive."""
+    rows = [
+        (1, 7, "view", 0), (2, 7, "click", 10), (3, 7, "view", 20),
+        (4, 7, "purchase", 30), (5, 7, "view", 40), (6, 7, "click", 50),
+        (7, 7, "purchase", 60),
+    ]
+    out = _skip_batch(spark, rows)
+    # candidates: anchor 1 ends @30; anchors 3 and 5 both end @60.
+    # greedy: keep 1 (le=30); keep 3 (anchor 20s < 30s? no — anchor ts
+    # 20 <= end ts 30 ... anchor 3 @20s is NOT past le -> dropped); keep
+    # 5 (@40s > 30s, ends @60)
+    assert [r.anchor_id for r in out] == [1, 5]
+    assert [r.end_id for r in out] == [4, 7]
+
+
+def test_skip_past_last_same_end_event_earliest_anchor_wins(spark):
+    rows = [
+        (1, 7, "view", 0), (2, 7, "view", 10),
+        (3, 7, "click", 20), (4, 7, "purchase", 30),
+    ]
+    out = _skip_batch(spark, rows)
+    assert [r.anchor_id for r in out] == [1]
+
+
+def test_skip_past_last_stream_horizon_outlives_chains():
+    """The (end_ts, end_id) horizon persists in state after every chain
+    resolves, so a same-ts anchor with a smaller id arriving in a later
+    micro-batch is still excluded (SKIP_PAST_LAST_EVENT is strict)."""
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    detect = make_pattern_matcher(
+        ["view", "click", "purchase"], [None, None, None],
+        after_match="skip_past_last",
+    )
+    st = FakeState()
+    out1 = _collect(
+        detect(
+            (1,),
+            iter([_rows((1, 0, "view"), (2, 10, "click"), (5, 20, "purchase"))]),
+            st,
+        )
+    )
+    assert list(out1["anchor_id"]) == [1]
+    # no chains pending, but the horizon (20, 5) lives on as state
+    assert st.exists and list(st.get[-1]) == [20, 5]
+    assert len(st.get[0]) == 0
+    # a view at the SAME ts as the emitted end, smaller id: blocked
+    out2 = _collect(
+        detect(
+            (1,),
+            iter([_rows((3, 20, "view"), (6, 30, "click"), (7, 40, "purchase"))]),
+            st,
+        )
+    )
+    assert len(out2) == 0
+    # a view at the same ts with a LARGER id anchors normally
+    out3 = _collect(
+        detect(
+            (1,),
+            iter([_rows((8, 40, "view"), (9, 50, "click"), (10, 60, "purchase"))]),
+            st,
+        )
+    )
+    assert list(out3["anchor_id"]) == [8]
+    assert list(st.get[-1]) == [60, 10]
+
+
+def test_skip_past_last_prunes_pending_runs():
+    """A pending run anchored at or before an emitted match's last event
+    is discarded — later binders must not resurrect it."""
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    detect = make_pattern_matcher(
+        ["view", "click", "purchase"], [None, None, None],
+        after_match="skip_past_last",
+    )
+    st = FakeState()
+    out1 = _collect(
+        detect(
+            (1,),
+            iter([_rows(
+                (1, 0, "view"), (2, 5, "click"),
+                (3, 10, "view"), (4, 20, "purchase"),
+            )]),
+            st,
+        )
+    )
+    # anchor 1 completes (end @20); anchor 3 (@10 <= 20) is pruned
+    assert list(out1["anchor_id"]) == [1]
+    assert len(st.get[0]) == 0  # no pending chains survive
+    out2 = _collect(
+        detect((1,), iter([_rows((5, 30, "click"), (6, 40, "purchase"))]), st)
+    )
+    assert len(out2) == 0
+
+
+def test_skip_past_last_late_chain_is_discarded_silently():
+    """A chain completing outside its within bound is a discarded partial
+    match under a skip strategy: it neither emits nor advances the
+    horizon, so the next in-bound match still wins."""
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    detect = make_pattern_matcher(
+        ["view", "purchase"], [None, 10], after_match="skip_past_last"
+    )
+    st = FakeState()
+    out = _collect(
+        detect(
+            (1,),
+            iter([_rows(
+                (1, 0, "view"), (2, 50, "purchase"),   # late (gap 50 > 10)
+                (3, 60, "view"), (4, 65, "purchase"),  # in bound
+            )]),
+            st,
+        )
+    )
+    assert list(out["anchor_id"]) == [3]
+    assert list(out["state"]) == ["matched"]
+
+
+def test_after_match_validation():
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    with pytest.raises(ValueError, match="after_match"):
+        make_pattern_matcher(["a", "b"], [None, None], after_match="bogus")
+    with pytest.raises(ValueError, match="plain chains"):
+        make_pattern_matcher(
+            ["a", "b"], [None, 10], kleenes=[None, (10, 3)],
+            after_match="skip_past_last",
+        )
+    with pytest.raises(ValueError, match="plain chains"):
+        make_pattern_matcher(
+            ["a", "b", "c"], [None, None, None], stricts={2},
+            after_match="skip_past_last",
+        )
+
+
+def test_with_end_id_requires_plain_last_step(spark):
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    with pytest.raises(ValueError, match="plain"):
+        pattern_detect(
+            _bdf(spark, [(1, 1, "a", 0)]),
+            key="user_id",
+            steps=[
+                (F.col("event_type") == "a", None),
+                (F.col("event_type") == "b", "INTERVAL 1 MINUTE", 3),
+            ],
+            with_end_id=True,
+        )
+
+
+def test_skip_past_last_matches_bruteforce_property():
+    """Randomized NFA-over-splits vs the greedy brute fold (the soak's
+    skip mode at regression size)."""
+    import random
+
+    from test_properties_round5 import (
+        _FakeState, brute_skip_past_last, slot_layout,
+    )
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    for seed in range(150):
+        rnd = random.Random(seed * 7919 + 5)
+        n = rnd.randint(2, 4)
+        guards = (
+            frozenset([rnd.randint(1, n - 1)])
+            if rnd.random() < 0.4 else frozenset()
+        )
+        withins = [rnd.choice([None, rnd.randint(2, 40)]) for _ in range(n)]
+        slots, pslot, gslot = slot_layout(n, guards)
+        nslots = len(slots)
+        events = [
+            (i, rnd.randint(0, 120),
+             rnd.getrandbits(nslots) if rnd.random() < 0.95 else 0)
+            for i in range(rnd.randint(0, 30))
+        ]
+        cuts = sorted({rnd.randint(1, 120) for _ in range(rnd.randint(0, 4))})
+        detect = make_pattern_matcher(
+            [f"s{k}" for k in range(1, n + 1)], withins,
+            negations={k: f"x{k}" for k in gslot},
+            after_match="skip_past_last",
+        )
+        state = _FakeState()
+        got = []
+        lo = -1
+        for hi in cuts + [10 ** 9]:
+            batch = [e for e in events if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            pdf = pd.DataFrame(
+                [
+                    {
+                        "event_id": eid, "ts": pd.Timestamp(ts, unit="us"),
+                        **{
+                            f"__{kind}{k}": bool(m >> si & 1)
+                            for si, (kind, k) in enumerate(slots)
+                        },
+                    }
+                    for eid, ts, m in batch
+                ]
+            )
+            for f in detect((1,), iter([pdf]), state):
+                for r in f.itertuples(index=False):
+                    key = tuple(
+                        None if pd.isna(getattr(r, f"t{s}"))
+                        else pd.Timestamp(getattr(r, f"t{s}")).value // 1000
+                        for s in range(1, n + 1)
+                    )
+                    got.append((r.anchor_id, key, r.state))
+        want = brute_skip_past_last(
+            events, [(w, None) for w in withins], guards=guards
+        )
+        assert sorted(got) == want, (seed, n, guards, withins, events, cuts)

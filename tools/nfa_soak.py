@@ -3,7 +3,7 @@ specs — plain/Kleene-times steps, notFollowedBy guards, optional steps,
 overlapping slot masks — checked against the brute-force reference in
 tests/test_properties_round5.py.
 
-Five modes:
+Seven modes:
   python tools/nfa_soak.py stream [N]    # fake-state NFA, final-timer drive
   python tools/nfa_soak.py timers [N]    # + mid-stream timer firings and
                                          #   lagged watermarks (Spark's real
@@ -16,6 +16,12 @@ Five modes:
                                          #   both-branches brute (round 6)
   python tools/nfa_soak.py strict [N]    # next()/notNext() NFA vs the
                                          #   independent brute walk (round 6)
+  python tools/nfa_soak.py skip [N]      # after_match='skip_past_last' NFA
+                                         #   vs the brute greedy fold (round 6)
+  python tools/nfa_soak.py skip-batch [N]
+                                         # batch pattern_detect(with_end_id)
+                                         #   + after_match_skip_past_last,
+                                         #   vectorized keys, vs the same brute
   python tools/nfa_soak.py stream-branching [N]
                                          # make_branching_matcher (packed
                                          #   per-branch states, min-merged
@@ -34,8 +40,10 @@ across keys fanned out ~100× — fixed to join on (__k, __id)). Uncapped
 oneOrMore specs are mixed into every Kleene-bearing mode (25% of kspecs).
 Current totals, all clean: 50k stream + 12k dense-tie + 27k timer (r5)
 + 10k vectorized batch + 5k branching + 50k strict + 10k stream-branching
-(r6 — the last closes the one remaining unsoaked stateful component, the
-streaming branching matcher's packed-state/merged-timer mechanics).
++ 20k skip + 5k skip-batch (r6 — stream-branching closes the one remaining
+unsoaked stateful component, the streaming branching matcher's
+packed-state/merged-timer mechanics; the skip modes cover the
+SKIP_PAST_LAST_EVENT after-match strategy on both engines).
 """
 
 from __future__ import annotations
@@ -527,6 +535,169 @@ def soak_stream_branching(n_cases):
     return fails
 
 
+def soak_skip(n_cases):
+    """AFTER-MATCH SKIP soak (round 6, third pass): plain chains (with
+    notFollowedBy guards) under ``after_match='skip_past_last'`` — the
+    NFA's completion-order greedy emission + (end_ts, end_id) horizon
+    over random micro-batch splits, vs ``brute_skip_past_last`` (the
+    greedy fold over the per-anchor brute matches). Dense ts collisions
+    (0..120 us over up to 30 events) hammer the same-end-event and
+    same-ts-anchor tie-breaks."""
+    import pandas as pd
+
+    from test_properties_round5 import _FakeState, brute_skip_past_last, slot_layout
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    t0, fails = time.time(), 0
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 7919 + 5)
+        n = rnd.randint(2, 4)
+        guards = (
+            frozenset([rnd.randint(1, n - 1)]) if rnd.random() < 0.4 else frozenset()
+        )
+        withins = [rnd.choice([None, rnd.randint(2, 40)]) for _ in range(n)]
+        slots, pslot, gslot = slot_layout(n, guards)
+        nslots = len(slots)
+        events = [
+            (i, rnd.randint(0, 120),
+             rnd.getrandbits(nslots) if rnd.random() < 0.95 else 0)
+            for i in range(rnd.randint(0, 30))
+        ]
+        cuts = sorted({rnd.randint(1, 120) for _ in range(rnd.randint(0, 4))})
+        det = make_pattern_matcher(
+            [f"s{k}" for k in range(1, n + 1)], withins,
+            negations={k: f"x{k}" for k in gslot},
+            after_match="skip_past_last",
+        )
+        state = _FakeState()
+        got = []
+
+        def drain(gen):
+            for f in gen:
+                for r in f.itertuples(index=False):
+                    key = tuple(
+                        None if pd.isna(getattr(r, f"t{s}"))
+                        else pd.Timestamp(getattr(r, f"t{s}")).value // 1000
+                        for s in range(1, n + 1)
+                    )
+                    got.append((r.anchor_id, key, r.state))
+
+        lo = -1
+        for hi in cuts + [10 ** 9]:
+            batch = [e for e in events if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            pdf = pd.DataFrame(
+                [
+                    {
+                        "event_id": eid, "ts": pd.Timestamp(ts, unit="us"),
+                        **{
+                            f"__{kind}{k}": bool(m >> si & 1)
+                            for si, (kind, k) in enumerate(slots)
+                        },
+                    }
+                    for eid, ts, m in batch
+                ]
+            )
+            drain(det((1,), iter([pdf]), state))
+        want = brute_skip_past_last(
+            events, [(w, None) for w in withins], guards=guards
+        )
+        if sorted(got) != want:
+            fails += 1
+            print(f"MISMATCH seed={seed} n={n} guards={guards} "
+                  f"withins={withins} events={events} cuts={cuts}")
+            if fails > 5:
+                break
+        if (seed + 1) % 2000 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} skip cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
+def soak_skip_batch(n_cases, cases_per_spec=100):
+    """BATCH after-match skip soak (vectorized like soak_batch): plain
+    chains + guards through pattern_detect(with_end_id=True) →
+    after_match_skip_past_last, many independent keys per compiled plan,
+    vs the same brute greedy fold."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from test_properties_round5 import brute_skip_past_last, slot_layout
+    from flink_uba_spark.operators.sequence import (
+        after_match_skip_past_last,
+        pattern_detect,
+    )
+    from flink_uba_spark.session import get_spark
+
+    spark = get_spark("nfa_soak")
+    t0, fails, done, spec_seed = time.time(), 0, 0, 0
+    while done < n_cases and fails <= 5:
+        rnd = random.Random(spec_seed * 104729 + 17)
+        spec_seed += 1
+        n = rnd.randint(2, 4)
+        guards = (
+            frozenset([rnd.randint(1, n - 1)]) if rnd.random() < 0.4 else frozenset()
+        )
+        withins = [rnd.choice([None, rnd.randint(2, 40)]) for _ in range(n)]
+        slots, pslot, gslot = slot_layout(n, guards)
+        nslots = len(slots)
+        ncase = min(cases_per_spec, n_cases - done)
+        case_events, rows = [], []
+        for c in range(ncase):
+            events = [
+                (c * 1000 + i, rnd.randint(0, 120),
+                 rnd.getrandbits(nslots) if rnd.random() < 0.95 else 0)
+                for i in range(rnd.randint(0, 30))
+            ]
+            case_events.append(events)
+            rows += [
+                (eid, c,
+                 datetime.datetime(2020, 1, 1) + datetime.timedelta(microseconds=ts),
+                 *[bool(m >> j & 1) for j in range(nslots)])
+                for eid, ts, m in events
+            ]
+        schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
+            f"c{j} boolean" for j in range(nslots)
+        )
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        spec = [
+            (
+                F.col(f"c{pslot[k]}"),
+                f"INTERVAL {withins[k - 1]} MICROSECONDS"
+                if withins[k - 1] is not None else None,
+            )
+            for k in range(1, n + 1)
+        ]
+        m = pattern_detect(
+            df, key="user_id", steps=spec,
+            not_followed_by={k: F.col(f"c{gslot[k]}") for k in guards},
+            with_end_id=True,
+        ).filter(F.col("state") == "matched")
+        pdf = after_match_skip_past_last(m, key="user_id").toPandas()
+        for c in range(ncase):
+            got = _extract_batch_rows(
+                pdf[pdf["user_id"] == c], n, [(w, None) for w in withins]
+            )
+            want = brute_skip_past_last(
+                case_events[c], [(w, None) for w in withins], guards=guards
+            )
+            if sorted(got) != want:
+                fails += 1
+                print(f"MISMATCH spec_seed={spec_seed - 1} case={c} "
+                      f"guards={guards} withins={withins} "
+                      f"events={case_events[c]}")
+                if fails > 5:
+                    break
+        done += ncase
+        if spec_seed % 10 == 0:
+            print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{done} skip-batch cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def soak_strict(n_cases):
     """Strict-contiguity soak (round 6): randomized plain chains with
     next()/notNext() transitions, the NFA over random micro-batch splits
@@ -594,6 +765,8 @@ def main() -> int:
         "branching": 1000,
         "strict": 5000,
         "stream-branching": 5000,
+        "skip": 5000,
+        "skip-batch": 1000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "batch":
@@ -602,6 +775,10 @@ def main() -> int:
         return 1 if soak_branching(n) else 0
     if mode == "stream-branching":
         return 1 if soak_stream_branching(n) else 0
+    if mode == "skip":
+        return 1 if soak_skip(n) else 0
+    if mode == "skip-batch":
+        return 1 if soak_skip_batch(n) else 0
     if mode == "strict":
         return 1 if soak_strict(n) else 0
     return 1 if soak_stream(n, timers=(mode == "timers")) else 0
