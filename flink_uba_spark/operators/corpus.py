@@ -467,3 +467,76 @@ def source_curation_rollup(
             & (F.col("n_dup_docs") * 1000 <= F.lit(max_dup_permille) * F.col("n_docs"))
         ).alias("keep"),
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-level collocation mining (round 6): the top-k adjacent-token
+    bigrams by pointwise mutual information — the statistic behind
+    multiword-expression discovery and tokenizer-merge auditing (the
+    corpus-analysis sibling of BPE's pair counting, which ranks by raw
+    frequency instead).
+
+    Determinism contract: PMI = log p(xy)/(p(x)p(y)) is rank-equivalent
+    to the INTEGER ratio ``c_xy * scale * N // (c_x * c_y)`` (log is
+    monotone; N = total tokens), so the score stays engine-exact — no
+    floats, no order-dependent sums — and an oracle can replay it
+    verbatim. Ties break (score desc, w1, w2). ``min_count`` floors
+    c_xy (PMI's low-count pathology). int64 bound: c_xy·scale·N must
+    stay under 2^63 — at web scale drop ``scale`` a few decades or
+    pre-divide N; the expression is the contract, the constant is not.
+
+    Shape: one corpus scan explodes bigrams (per-row transform over the
+    token array — no self-join), ONE hash aggregate each for bigram and
+    unigram counts, then two BROADCAST joins of the vocab-sized unigram
+    table onto the bigram counts and a broadcast-scalar N; top-k is
+    TakeOrderedAndProject, never a global sort. At 100 TB: corpus-sized
+    work is the two scans; everything after is vocabulary-sized.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.split(F.col(text_col), " ").alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    n_total = uni.agg(F.sum("n_w").alias("n_tokens"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("__t") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(__t) - 2), "
+                        "i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"
+                    ),
+                ).otherwise(F.array())
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    scored = (
+        bi.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y"))), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "pmi_score",
+            F.expr(f"n_xy * CAST({scale} AS BIGINT) * n_tokens div (n_x * n_y)"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("pmi_score"), "w1", "w2"
+    ).limit(top_k)
+    w = Window.orderBy(F.desc("pmi_score"), "w1", "w2")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "w1", "w2", "n_xy", "n_x", "n_y", "pmi_score", "rnk"
+    )

@@ -1180,6 +1180,54 @@ SELECT tok, n_occurrences, doc_freq, rnk FROM (
 """
 
 
+def corpus_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by pointwise mutual information
+    (round 6) — multiword-expression discovery over the corpus, the
+    statistic a tokenizer/quality audit reads next to raw pair frequency
+    (BPE) and document frequency (corpus_vocabulary). Integer-exact: PMI
+    ranks by c_xy*scale*N // (c_x*c_y) (log is monotone), so the score
+    is engine-exact and the oracle replays it verbatim. One corpus scan
+    per counts table, vocab-sized broadcast joins, TakeOrderedAndProject
+    (operators/corpus.py collocations_pmi)."""
+    from flink_uba_spark.operators.corpus import collocations_pmi
+    from flink_uba_spark.operators.util import ensure_min_partitions
+
+    return collocations_pmi(
+        ensure_min_partitions(_docs(spark, sf_dir)), min_count=5, top_k=20
+    )
+
+
+CORPUS_COLLOCATIONS_PMI_ORACLE = """
+WITH toks AS (
+    SELECT string_split(text, ' ') AS t FROM documents
+),
+uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS n_w
+    FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+),
+n_total AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_tokens FROM uni),
+bi AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS r(i)
+    ) GROUP BY 1, 2 HAVING count(*) >= 5
+),
+scored AS (
+    SELECT bi.w1, bi.w2, bi.n_xy, ux.n_w AS n_x, uy.n_w AS n_y,
+           bi.n_xy * CAST(1000000 AS BIGINT) * n_total.n_tokens
+             // (ux.n_w * uy.n_w) AS pmi_score
+    FROM bi
+    JOIN uni ux ON ux.w = bi.w1
+    JOIN uni uy ON uy.w = bi.w2
+    CROSS JOIN n_total
+)
+SELECT w1, w2, n_xy, n_x, n_y, pmi_score, rnk FROM (
+    SELECT *, row_number() OVER (ORDER BY pmi_score DESC, w1, w2) AS rnk
+    FROM scored
+) WHERE rnk <= 20
+"""
+
+
 def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END of the dedup story: one representative document per
     near-dup cluster — longest doc wins (n_words desc, tie → lowest
@@ -1987,6 +2035,7 @@ QUERIES = {
     "bpe_token_counts": bpe_token_counts,
     "events_profile": events_profile,
     "corpus_vocabulary": corpus_vocabulary,
+    "corpus_collocations_pmi": corpus_collocations_pmi,
     "dedup_span_exact": dedup_span_exact,
     "source_curation_rollup": source_curation_rollup,
     "hybrid_search_rrf": hybrid_search_rrf,
@@ -2039,6 +2088,7 @@ ORACLES = {
     "bpe_token_counts": BPE_TOKEN_COUNTS_ORACLE,
     "events_profile": EVENTS_PROFILE_ORACLE,
     "corpus_vocabulary": CORPUS_VOCABULARY_ORACLE,
+    "corpus_collocations_pmi": CORPUS_COLLOCATIONS_PMI_ORACLE,
     "dedup_span_exact": DEDUP_SPAN_EXACT_ORACLE,
     "source_curation_rollup": SOURCE_CURATION_ROLLUP_ORACLE,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF_ORACLE,

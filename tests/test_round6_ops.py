@@ -845,3 +845,46 @@ def test_skip_past_last_matches_bruteforce_property():
             events, [(w, None) for w in withins], guards=guards
         )
         assert sorted(got) == want, (seed, n, guards, withins, events, cuts)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_collocations_pmi_matches_python_brute_and_ranks_rare_pairs(spark):
+    from collections import Counter
+
+    from flink_uba_spark.operators.corpus import collocations_pmi
+
+    texts = [
+        "x y the a the b x y the c",
+        "the a x y the b the c the a",
+        "b the c the a the b the a b",
+        "x y b a the the c a b the",
+    ]
+    out = collocations_pmi(
+        spark.createDataFrame([(t,) for t in texts], "text string"),
+        min_count=2, top_k=10,
+    ).collect()
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        w = t.split(" ")
+        uni.update(w)
+        bi.update(zip(w, w[1:]))
+    n = sum(uni.values())
+    want = [
+        (w1, w2, c, uni[w1], uni[w2], c * 1_000_000 * n // (uni[w1] * uni[w2]))
+        for (w1, w2), c in bi.items() if c >= 2
+    ]
+    want.sort(key=lambda r: (-r[5], r[0], r[1]))
+    got = [(r.w1, r.w2, r.n_xy, r.n_x, r.n_y, r.pmi_score) for r in out]
+    assert got == want[:10]
+    assert [r.rnk for r in out] == list(range(1, len(got) + 1))
+    # the perfectly-correlated rare pair (x, y) must outrank every
+    # pairing of the frequent loose token 'the'
+    assert (out[0].w1, out[0].w2) == ("x", "y")
+    assert all(
+        r.pmi_score < out[0].pmi_score for r in out if "the" in (r.w1, r.w2)
+    )
