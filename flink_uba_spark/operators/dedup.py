@@ -683,3 +683,59 @@ def span_hash_array(text: Column, width: int = 8) -> Column:
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def sorted_neighborhood_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    threshold_permille: int = 500,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (round 6) — the FIFTH candidate-generation
+    family beside exact / MinHash-LSH / SimHash / banded n-gram Jaccard:
+    the classic record-linkage SNM. Docs sort by a content prefix inside
+    a BLOCK (first token), and each doc is verified only against its
+    ``window`` successors in that order with exact shingle-set Jaccard —
+    near-dups that share a prefix land adjacent, and the comparison count
+    is ``window`` per doc by construction, never all-pairs.
+
+    Deterministic contract: total order (block, 60-char prefix, id);
+    Jaccard as integer permille (|A∩B|·1000 // |A∪B| over distinct
+    ``n_shingle``-gram sets, ``shingle_array``'s whole-text fallback for
+    short docs). Pairs keep (earlier-in-order id = doc_id_a).
+
+    Scale: one hash exchange on the block key + a within-block sort (the
+    block bounds both sort width and neighbor reach — SNM's standard
+    scale-out), then ``window`` lead() probes per row. Complements LSH:
+    SNM is exact-similarity over a deterministic neighborhood (no
+    banding probability), LSH is probabilistic over the whole corpus.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").getItem(0).alias("__blk"),
+        F.substring(F.col(text_col), 1, 60).alias("__sk"),
+        F.array_distinct(shingle_array(F.col(text_col), n_shingle)).alias("__sh"),
+    )
+    w = W.partitionBy("__blk").orderBy("__sk", "doc_id")
+    out = None
+    for j in range(1, window + 1):
+        nb = base.select(
+            "doc_id",
+            "__sh",
+            F.lead("doc_id", j).over(w).alias("__nb_id"),
+            F.lead("__sh", j).over(w).alias("__nb_sh"),
+        ).filter(F.col("__nb_id").isNotNull())
+        pairs = nb.select(
+            F.col("doc_id").alias("doc_id_a"),
+            F.col("__nb_id").alias("doc_id_b"),
+            F.expr(
+                "size(array_intersect(__sh, __nb_sh)) * CAST(1000 AS BIGINT)"
+                " div size(array_union(__sh, __nb_sh))"
+            ).alias("jaccard_permille"),
+        ).filter(F.col("jaccard_permille") >= threshold_permille)
+        out = pairs if out is None else out.unionByName(pairs)
+    return out

@@ -228,6 +228,53 @@ JACCARD_MAX_BUCKET = 64  # stop-shingle df-cap (never binds at test SF — max
 # df is 9 at sf0.1 — but bounds the quadratic postings blow-up at 100×)
 
 
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup candidates (round 6) — the fifth
+    candidate-generation family (operators/dedup.py
+    sorted_neighborhood_candidates): block by first token, sort by the
+    60-char content prefix, verify each doc against its 2 successors
+    with exact integer-permille 3-gram-shingle Jaccard (≥ 500).
+    Complements LSH: deterministic neighborhood, no banding
+    probability; window comparisons per doc, never all-pairs."""
+    from flink_uba_spark.operators.util import ensure_min_partitions
+
+    return D.sorted_neighborhood_candidates(
+        ensure_min_partitions(_docs(spark, sf_dir)),
+        window=2, threshold_permille=500,
+    )
+
+
+DEDUP_SNM_ORACLE = """
+WITH base AS (
+  SELECT doc_id, t[1] AS blk, substring(text, 1, 60) AS sk,
+         list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                ELSE [array_to_string(t, ' ')] END
+         ) AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+),
+nb AS (
+  SELECT doc_id, sh,
+         lead(doc_id, 1) OVER w AS nb1_id, lead(sh, 1) OVER w AS nb1_sh,
+         lead(doc_id, 2) OVER w AS nb2_id, lead(sh, 2) OVER w AS nb2_sh
+  FROM base WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id)
+)
+SELECT doc_id_a, doc_id_b, jaccard_permille FROM (
+  SELECT doc_id AS doc_id_a, nb1_id AS doc_id_b,
+         len(list_intersect(sh, nb1_sh)) * CAST(1000 AS BIGINT)
+           // len(list_distinct(list_concat(sh, nb1_sh))) AS jaccard_permille
+  FROM nb WHERE nb1_id IS NOT NULL
+  UNION ALL
+  SELECT doc_id, nb2_id,
+         len(list_intersect(sh, nb2_sh)) * CAST(1000 AS BIGINT)
+           // len(list_distinct(list_concat(sh, nb2_sh)))
+  FROM nb WHERE nb2_id IS NOT NULL
+)
+WHERE jaccard_permille >= 500
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("len_bucket", F.expr("n_chars div 128"))
     return D.ngram_jaccard_pairs(
@@ -2066,6 +2113,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "ivf_index_upsert": ivf_index_upsert_ops,
@@ -2123,6 +2171,7 @@ ORACLES = {
     "dedup_clusters": _clusters_oracle(),
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "dedup_ngram_jaccard": _jaccard_oracle(),
+    "dedup_sorted_neighborhood": DEDUP_SNM_ORACLE,
     "embedding_cosine_topk": EMBEDDING_TOPK_ORACLE,
     "embedding_ivf_topk": EMBEDDING_IVF_ORACLE,
     "ivf_index_upsert": IVF_INDEX_UPSERT_ORACLE,

@@ -912,6 +912,53 @@ LIMIT 100
 """
 
 
+def revenue_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP (round 6): order revenue by (nation, year) with
+    per-nation subtotals and a grand total in ONE pass —
+    ``df.rollup(...)`` compiles to a single Expand (3 grouping sets) +
+    one hash exchange, the multi-level-report shape a BI layer asks for
+    (Spark's GROUPING SETS family; DuckDB replays it verbatim with
+    GROUP BY ROLLUP). ``gid`` = grouping_id disambiguates a NULL data
+    value from a subtotal row. Cents-exact revenue; only the bounded
+    nation dim is force-broadcast (orders⋈customer stays with AQE)."""
+    t = load_testdata(spark, sf_dir, ("orders", "customer", "nation"))
+    dims = t["nation"].select("n_nationkey", "n_name")
+    # nation is the only forced broadcast (bounded dim); orders⋈customer
+    # is left to Catalyst/AQE stats — the r1-ADVICE rule
+    cust = (
+        t["customer"]
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    rows = (
+        t["orders"]
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return rows.rollup("nation", "yr").agg(
+        F.sum("cents").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+REVENUE_ROLLUP_ORACLE = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(GROUPING(n_name) * 2 + GROUPING(year(o_orderdate)) AS BIGINT) AS gid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+"""
+
+
 QUERIES = {
     "tpch_q12_ship_priority_classes": tpch_q12_ship_priority_classes,
     "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
@@ -920,6 +967,7 @@ QUERIES = {
     "tpch_q22_lapsed_customers": tpch_q22_lapsed_customers,
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+    "revenue_rollup_nation_year": revenue_rollup_nation_year,
     "tpch_q19_brand_bands": tpch_q19_brand_bands,
     "order_value_percentiles": order_value_percentiles,
     "order_value_percentiles_approx": order_value_percentiles_approx,
@@ -943,6 +991,7 @@ ORACLES = {
     "tpch_q22_lapsed_customers": TPCH_Q22_ORACLE,
     "tpch_q8_market_share": TPCH_Q8_ORACLE,
     "tpch_q13_customer_distribution": TPCH_Q13_ORACLE,
+    "revenue_rollup_nation_year": REVENUE_ROLLUP_ORACLE,
     "tpch_q19_brand_bands": TPCH_Q19_ORACLE,
     "order_value_percentiles": ORDER_VALUE_PERCENTILES_ORACLE,
     "order_value_percentiles_approx": ORDER_VALUE_PERCENTILES_APPROX_ORACLE,

@@ -888,3 +888,39 @@ def test_collocations_pmi_matches_python_brute_and_ranks_rare_pairs(spark):
     assert all(
         r.pmi_score < out[0].pmi_score for r in out if "the" in (r.w1, r.w2)
     )
+
+
+def test_revenue_rollup_single_expand_one_agg_exchange(spark, sf_dir):
+    """ROLLUP compiles to ONE Expand (3 grouping sets) feeding a single
+    partial+final hash aggregate — not one scan per grouping set — and
+    only the bounded nation dim carries a forced broadcast."""
+    from flink_uba_spark.queries import tpch
+
+    df = tpch.revenue_rollup_nation_year(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Expand") == 1
+    assert "partial_sum" in p
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1  # nation only
+
+
+def test_sorted_neighborhood_finds_adjacent_near_dups_within_blocks(spark):
+    from flink_uba_spark.operators.dedup import sorted_neighborhood_candidates
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+        (3, "alpha zz yy xx ww vv uu tt"),                     # same block, unrelated
+        (4, "omega beta gamma delta epsilon zeta eta theta"),  # other block: never compared to 1
+    ]
+    out = sorted_neighborhood_candidates(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        window=2, threshold_permille=500,
+    ).collect()
+    pairs = {(r.doc_id_a, r.doc_id_b): r.jaccard_permille for r in out}
+    # doc_id_a = earlier in the (block, prefix, id) sort order — doc 2's
+    # prefix ("...eta iota") sorts before doc 1's ("...eta theta");
+    # the block boundary isolates 4; 3 is below threshold
+    assert set(pairs) == {(2, 1)}
+    # 6 shingles each, 5 shared → union 7
+    assert pairs[(2, 1)] == 5 * 1000 // 7
