@@ -728,3 +728,74 @@ def after_match_skip_past_last(
         return pdf.loc[keep, cols]
 
     return matches.groupBy(key).applyInPandas(fold, schema)
+
+
+def pattern_detect_any(
+    events: DataFrame,
+    key: str,
+    steps: list[tuple[Column, str]],
+    event_id: str = "event_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """``followedByAny`` — the reference Pattern API's NON-DETERMINISTIC
+    relaxed contiguity (Flink ``Pattern.followedByAny``): where
+    ``pattern_detect`` (skip-till-next) binds each step to the EARLIEST
+    candidate, followedByAny branches on EVERY candidate — the output is
+    every strictly-increasing combination (e1 < e2 < … < eN in the
+    engine's (ts, rank, id) total order) with each transition inside its
+    ``within`` bound.
+
+    The combinatorial fan-out IS the semantics, so every ``within``
+    (steps 2..N) is MANDATORY — it bounds each step's candidate set to a
+    time window, making the output size the data's answer, not a plan
+    accident. Emitted rows are all in-bound by construction (Flink
+    discards out-of-window branches; there is no matched_late here).
+
+    Construction: N-1 chained range joins on the key — each is a hash
+    exchange on the key (all N scans co-partition, so AQE merges them
+    into one shuffle boundary each) with the band predicate
+    ``prev < next <= prev + within`` evaluated on the engine's total
+    order: (ts, rank, id) lexicographic, rank = the step's 2k-1 slot
+    (same-ts candidates of a LATER step count as after, exactly the
+    skip-till-next rule). At 100 TB: per-key join fan-out is bounded by
+    per-key density × the within windows; no cross-key work, no
+    cartesian term. Output: ``i1..iN`` / ``t1..tN`` per combination.
+    """
+    n = len(steps)
+    if n < 2:
+        raise ValueError("pattern_detect_any needs at least 2 steps")
+    if any(s[1] is None for s in steps[1:]):
+        raise ValueError(
+            "followedByAny needs a within interval on every step after the "
+            "first (the bound is what keeps the branching output finite)"
+        )
+    legs = []
+    for k, (pred, _w) in enumerate(steps, start=1):
+        legs.append(
+            events.filter(pred).select(
+                F.col(key).alias("__k"),
+                F.col(ts).alias(f"t{k}"),
+                F.lit(2 * k - 1).alias(f"__r{k}"),
+                F.col(event_id).alias(f"i{k}"),
+            )
+        )
+    out = legs[0]
+    for k in range(2, n + 1):
+        p, c = k - 1, k
+        after_prev = (F.col(f"t{c}") > F.col(f"t{p}")) | (
+            (F.col(f"t{c}") == F.col(f"t{p}"))
+            & (
+                (F.col(f"__r{c}") > F.col(f"__r{p}"))
+                | (
+                    (F.col(f"__r{c}") == F.col(f"__r{p}"))
+                    & (F.col(f"i{c}") > F.col(f"i{p}"))
+                )
+            )
+        )
+        in_bound = F.col(f"t{c}") <= F.col(f"t{p}") + F.expr(steps[k - 1][1])
+        out = out.join(legs[k - 1], on="__k").filter(after_prev & in_bound)
+    return out.select(
+        F.col("__k").alias(key),
+        *[F.col(f"i{k}") for k in range(1, n + 1)],
+        *[F.col(f"t{k}") for k in range(1, n + 1)],
+    )
