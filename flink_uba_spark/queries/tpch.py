@@ -947,7 +947,7 @@ def revenue_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REVENUE_ROLLUP_ORACLE = """
+REVENUE_ROLLUP_NATION_YEAR_ORACLE = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
        CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        CAST(count(*) AS BIGINT) AS n_orders,
@@ -991,7 +991,7 @@ ORACLES = {
     "tpch_q22_lapsed_customers": TPCH_Q22_ORACLE,
     "tpch_q8_market_share": TPCH_Q8_ORACLE,
     "tpch_q13_customer_distribution": TPCH_Q13_ORACLE,
-    "revenue_rollup_nation_year": REVENUE_ROLLUP_ORACLE,
+    "revenue_rollup_nation_year": REVENUE_ROLLUP_NATION_YEAR_ORACLE,
     "tpch_q19_brand_bands": TPCH_Q19_ORACLE,
     "order_value_percentiles": ORDER_VALUE_PERCENTILES_ORACLE,
     "order_value_percentiles_approx": ORDER_VALUE_PERCENTILES_APPROX_ORACLE,
