@@ -30,6 +30,7 @@ def _intentional_share(names: list[str]) -> bool:
         ("event_transition_matrix", "stream_event_transitions"),
         ("attribution_interval_join", "stream_attribution_join"),
         ("ivf_index_upsert", "stream_ivf_upsert"),
+        ("semantic_kmeans_assign", "stream_kmeans_assign"),
         ("hot_items", "hot_items_sql"),
     }
     s = sorted(names)
