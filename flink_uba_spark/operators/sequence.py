@@ -743,7 +743,10 @@ def pattern_detect_any(
     candidate, followedByAny branches on EVERY candidate — the output is
     every strictly-increasing combination (e1 < e2 < … < eN in the
     engine's (ts, rank, id) total order) with each transition inside its
-    ``within`` bound.
+    ``within`` bound. Bound events are therefore DISTINCT by construction
+    — one event never fills two steps of the same match, exactly Flink's
+    NFA (each event extends a partial match once) — the round-7 fix for
+    ADVICE r6's self-binding tie-break bug.
 
     The combinatorial fan-out IS the semantics, so every ``within``
     (steps 2..N) is MANDATORY — it bounds each step's candidate set to a
@@ -751,15 +754,24 @@ def pattern_detect_any(
     accident. Emitted rows are all in-bound by construction (Flink
     discards out-of-window branches; there is no matched_late here).
 
+    Total order: (ts, rank, id) lexicographic where rank is the EVENT's
+    global rank — the earliest step index whose predicate it matches —
+    the same determinization of same-timestamp arrival order the
+    skip-till-next engines and the brute reference use
+    (tests/test_properties_round5.py slot_layout/rank). One event has one
+    position, so strict ``>`` across adjacent steps makes every match a
+    strictly-increasing subsequence — distinct events, monotone in
+    arrival order. (The round-6 draft gave each LEG its own rank 2k-1,
+    which handed one event two positions and let it bind adjacent steps
+    of the same match.)
+
     Construction: N-1 chained range joins on the key — each is a hash
     exchange on the key (all N scans co-partition, so AQE merges them
     into one shuffle boundary each) with the band predicate
-    ``prev < next <= prev + within`` evaluated on the engine's total
-    order: (ts, rank, id) lexicographic, rank = the step's 2k-1 slot
-    (same-ts candidates of a LATER step count as after, exactly the
-    skip-till-next rule). At 100 TB: per-key join fan-out is bounded by
-    per-key density × the within windows; no cross-key work, no
-    cartesian term. Output: ``i1..iN`` / ``t1..tN`` per combination.
+    ``prev < next <= prev + within`` evaluated on the total order above.
+    At 100 TB: per-key join fan-out is bounded by per-key density × the
+    within windows; no cross-key work, no cartesian term.
+    Output: ``i1..iN`` / ``t1..tN`` per combination.
     """
     n = len(steps)
     if n < 2:
@@ -769,13 +781,18 @@ def pattern_detect_any(
             "followedByAny needs a within interval on every step after the "
             "first (the bound is what keeps the branching output finite)"
         )
+    # one global rank per EVENT: earliest step whose predicate matches
+    rank = F.coalesce(
+        *[F.when(pred, F.lit(k)) for k, (pred, _w) in enumerate(steps, start=1)]
+    )
+    tagged = events.withColumn("__rank", rank)
     legs = []
     for k, (pred, _w) in enumerate(steps, start=1):
         legs.append(
-            events.filter(pred).select(
+            tagged.filter(pred).select(
                 F.col(key).alias("__k"),
                 F.col(ts).alias(f"t{k}"),
-                F.lit(2 * k - 1).alias(f"__r{k}"),
+                F.col("__rank").alias(f"__r{k}"),
                 F.col(event_id).alias(f"i{k}"),
             )
         )

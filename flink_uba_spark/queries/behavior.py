@@ -1193,6 +1193,50 @@ FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
 WHERE s.kept
 """
 
+def pattern_any_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``followedByAny`` journey: view → click (within 12 h) → purchase
+    (within 24 h), branching on EVERY candidate — the reference Pattern
+    API's relaxed NON-DETERMINISTIC contiguity (``Pattern.followedByAny``,
+    the family of OrderPayTimeout.java:52-64), where
+    pattern_view_click_purchase keeps only the skip-till-next binding.
+
+    Output: one row per (view, click, purchase) combination with strictly
+    increasing (ts, rank, id) positions and both transitions in bound —
+    at sf0.1 that is ~2k combinations from 100k events; the within
+    windows bound per-key fan-out so output stays data-sized at 100 TB.
+
+    Plan: operators/sequence.py pattern_detect_any — two key-equi range
+    joins, no cartesian term; verified by the exhaustive brute
+    (tests/test_round7_ops.py) and a 10k-case soak (nfa_soak any).
+    """
+    from flink_uba_spark.operators.sequence import pattern_detect_any
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect_any(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "view", None),
+            (F.col("event_type") == "click", "INTERVAL 12 HOURS"),
+            (F.col("event_type") == "purchase", "INTERVAL 24 HOURS"),
+        ],
+    )
+
+
+# With disjoint step predicates every event has exactly one rank (its
+# type's step), so the engine's (ts, rank, id) "strictly after" collapses
+# to ts >= prev_ts for a later-step candidate — encoded here as >=.
+PATTERN_ANY_VCP_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS i1, c.event_id AS i2, p.event_id AS i3,
+       v.ts AS t1, c.ts AS t2, p.ts AS t3
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = v.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+"""
+
 
 QUERIES = {
     "daily_users_approx": daily_users_approx,
@@ -1208,6 +1252,7 @@ QUERIES = {
     "pattern_impulse_purchase": pattern_impulse_purchase,
     "pattern_clean_onboarding": pattern_clean_onboarding,
     "pattern_nonoverlap_episodes": pattern_nonoverlap_episodes,
+    "pattern_any_view_click_purchase": pattern_any_view_click_purchase,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -1234,6 +1279,7 @@ ORACLES = {
     "pattern_impulse_purchase": PATTERN_IMPULSE_PURCHASE_ORACLE,
     "pattern_clean_onboarding": PATTERN_CLEAN_ONBOARDING_ORACLE,
     "pattern_nonoverlap_episodes": PATTERN_NONOVERLAP_EPISODES_ORACLE,
+    "pattern_any_view_click_purchase": PATTERN_ANY_VCP_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,

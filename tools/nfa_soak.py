@@ -3,7 +3,7 @@ specs — plain/Kleene-times steps, notFollowedBy guards, optional steps,
 overlapping slot masks — checked against the brute-force reference in
 tests/test_properties_round5.py.
 
-Seven modes:
+Modes:
   python tools/nfa_soak.py stream [N]    # fake-state NFA, final-timer drive
   python tools/nfa_soak.py timers [N]    # + mid-stream timer firings and
                                          #   lagged watermarks (Spark's real
@@ -22,6 +22,9 @@ Seven modes:
                                          # batch pattern_detect(with_end_id)
                                          #   + after_match_skip_past_last,
                                          #   vectorized keys, vs the same brute
+  python tools/nfa_soak.py any [N]       # pattern_detect_any (followedByAny)
+                                         #   vs the exhaustive brute_any,
+                                         #   vectorized keys (round 7)
   python tools/nfa_soak.py stream-branching [N]
                                          # make_branching_matcher (packed
                                          #   per-branch states, min-merged
@@ -758,6 +761,77 @@ def soak_strict(n_cases):
     return fails
 
 
+def soak_any(n_cases, cases_per_spec=100):
+    """followedByAny soak (round 7): random plain-step specs with
+    OVERLAPPING slot masks — the tie-break territory where ADVICE r6's
+    self-binding bug lived — through ``pattern_detect_any`` (vectorized:
+    cases_per_spec independent streams ride one compiled plan as separate
+    keys), checked against tests/test_round7_ops.py brute_any."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from test_round7_ops import brute_any
+    from flink_uba_spark.operators.sequence import pattern_detect_any
+    from flink_uba_spark.session import get_spark
+
+    spark = get_spark("nfa_soak")
+    epoch = datetime.datetime(2020, 1, 1)
+    t0, fails, done, spec_seed = time.time(), 0, 0, 0
+    while done < n_cases and fails <= 5:
+        rnd = random.Random(spec_seed * 6151 + 3)
+        spec_seed += 1
+        n = rnd.randint(2, 4)
+        # small withins keep the combinatorial brute tractable; ties are
+        # the adversarial part, so a coarse ts grid (collisions likely)
+        withins = [0] + [rnd.randint(2, 40) for _ in range(n - 1)]
+        ncase = min(cases_per_spec, n_cases - done)
+        case_events, rows = [], []
+        for c in range(ncase):
+            events = [
+                (c * 1000 + i, rnd.randint(0, 60),
+                 rnd.getrandbits(n) if rnd.random() < 0.9 else 0)
+                for i in range(rnd.randint(0, 18))
+            ]
+            case_events.append(events)
+            rows += [
+                (eid, c, epoch + datetime.timedelta(microseconds=ts),
+                 *[bool(m >> j & 1) for j in range(n)])
+                for eid, ts, m in events
+            ]
+        schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
+            f"c{j} boolean" for j in range(n)
+        )
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        steps = [(F.col("c0"), None)] + [
+            (F.col(f"c{k - 1}"), f"INTERVAL {withins[k - 1]} MICROSECONDS")
+            for k in range(2, n + 1)
+        ]
+        pdf = pattern_detect_any(df, key="user_id", steps=steps).toPandas()
+        for c in range(ncase):
+            sub = pdf[pdf["user_id"] == c]
+            got = sorted(
+                tuple(int(r[f"i{k}"]) for k in range(1, n + 1))
+                + tuple(
+                    int((r[f"t{k}"].to_pydatetime() - epoch).total_seconds() * 1e6)
+                    for k in range(1, n + 1)
+                )
+                for _, r in sub.iterrows()
+            )
+            want = brute_any(case_events[c], withins)
+            if got != want:
+                fails += 1
+                print(f"MISMATCH spec_seed={spec_seed - 1} case={c} n={n} "
+                      f"withins={withins} events={case_events[c]}")
+                if fails > 5:
+                    break
+        done += ncase
+        if spec_seed % 10 == 0:
+            print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{done} any cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     defaults = {
@@ -767,8 +841,11 @@ def main() -> int:
         "stream-branching": 5000,
         "skip": 5000,
         "skip-batch": 1000,
+        "any": 1000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
+    if mode == "any":
+        return 1 if soak_any(n) else 0
     if mode == "batch":
         return 1 if soak_batch(n) else 0
     if mode == "branching":
