@@ -137,3 +137,38 @@ def test_cluster_balanced_sample_caps_per_cluster(spark, sf_dir):
     assert (per["max"] <= 20).all()
     assert (per["min"] == 1).all()
     assert (per["max"] == per["count"]).all()  # ranks contiguous from 1
+
+
+def test_kmeans_mid_iteration_equidistant_tie_pin(spark):
+    """Round-7 regression pin (VERDICT r6 item 4): a point that becomes
+    EXACTLY equidistant to two centroids only AFTER a floor-div update —
+    the iteration-boundary tie most likely behind the pre-4684f11 sf0.1
+    divergence. 1-D layout (×1000 quantized): init c0=0, c1=12 (the two
+    lowest-id vectors), so v6=5 is strictly c0's at pass 1 (25 < 49);
+    update 1 moves c0 to floor(8/4)=2 and c1 to floor(26/3)=8, putting
+    v6=5 at sq-dist 9 from BOTH; the (dist, cid) argmin must take cid 0,
+    exactly as the numpy replica does (iters=2 makes the FINAL assignment
+    the tie pass; iters=3 is asserted too — tie resolved upstream)."""
+    vals = [0.0, 12.0, 1.0, 2.0, 7.0, 7.0, 5.0]
+    rows = [(i, [v] + [0.0] * 3) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    qv = {i: np.array([int(v * 1000)] + [0] * 3, dtype=np.int64) for i, v in enumerate(vals)}
+    by_iters = {}
+    for iters in (2, 3):
+        got = {
+            int(r.vec_id): (int(r.cluster_id), int(r.sqdist))
+            for r in kmeans_train_exact(df, k=2, iters=iters, dim=4).collect()
+        }
+        assert got == _numpy_lloyds(qv, k=2, iters=iters)
+        by_iters[iters] = got
+    # the tie itself (iters=2 final pass): equidistant at 9 × 1000² from
+    # both updated centroids (c0=2, c1=8) and resolved to cid 0
+    assert by_iters[2][6] == (0, 9_000_000)
