@@ -49,7 +49,10 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_train(
-    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    checkpoint_every: int = 64,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules; returns the merge table
     ``(step, lhs, rhs, pair_count)`` — the artifact a tokenizer ships.
@@ -58,7 +61,19 @@ def bpe_train(
     the vocab is cached once so iterations do not rescan the corpus, and
     each merge is a narrow literal-replace over it. At 100 TB the vocab
     (distinct alpha words) is millions of rows, not corpus-sized — the
-    iteration cost is trivially parallel and the corpus is read once."""
+    iteration cost is trivially parallel and the corpus is read once.
+
+    Merge-count envelope (VERDICT r6 item 5, measured sf0.1 local[32]):
+    ~0.2-0.4 s per merge, flat through 60 merges (6→2.4 s, 20→5.3 s,
+    60→12.3 s — SCALE.md). Two bounds govern a REAL 32k-merge train:
+    (a) the driver loop is inherently sequential — 32k × ~0.2 s ≈ 2 h of
+    argmax round-trips, the price every Sennrich-style trainer pays (each
+    rule depends on the last); (b) plan depth — each merge chains one
+    ``replace`` onto the vocab plan, so ``checkpoint_every`` MATERIALIZES
+    the vocab every N merges (localCheckpoint), truncating lineage before
+    the expression tree outgrows codegen. Both engines' greedy
+    left-to-right semantics are unchanged by checkpointing (pinned by
+    test_bpe_checkpoint_equivalence)."""
     vocab = word_frequencies(docs, text_col).cache()
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -92,6 +107,10 @@ def bpe_train(
                     F.lit(f" {lhs}{rhs} "),
                 ),
             )
+            if checkpoint_every and step % checkpoint_every == 0:
+                # truncate lineage: keeps plan depth O(checkpoint_every)
+                # instead of O(n_merges) chained replaces
+                vocab = vocab.localCheckpoint(eager=True)
     finally:
         pass  # keep vocab cached for bpe_segment callers within the session
     spark = docs.sparkSession

@@ -7,7 +7,7 @@ fixes the order to the engine family's (ts, rank, id) — rank = the EVENT's
 earliest matching step — and gives the operator the standard treatment:
 this brute reference + property test + pinned regressions here, an ``any``
 mode in tools/nfa_soak.py, and a catalog query + DuckDB oracle
-(queries/behavior.py pattern_any_promo_burst).
+(queries/behavior.py pattern_any_view_click_purchase).
 
 Reference semantics: Flink ``Pattern.followedByAny`` — relaxed
 non-deterministic contiguity, the family of OrderPayTimeout.java:52-64.
@@ -162,3 +162,19 @@ def test_mandatory_within_raises(spark):
         pattern_detect_any(
             df, key="user_id", steps=[(F.col("c"), None), (F.col("c"), None)]
         )
+
+
+def test_bpe_checkpoint_equivalence(spark):
+    """bpe_train's lineage-truncating localCheckpoint (round 7,
+    VERDICT r6 item 5) must not change the learned rules: a
+    checkpoint_every that fires mid-train (every 2 of 8 merges) yields
+    byte-identical merge tables to the never-checkpoint run."""
+    from flink_uba_spark.operators.tokenizer import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog the fox") for i in range(4)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in bpe_train(docs, n_merges=8, checkpoint_every=2).collect()]
+    b = [tuple(r) for r in bpe_train(docs, n_merges=8, checkpoint_every=0).collect()]
+    assert a == b and len(a) == 8
