@@ -152,6 +152,16 @@ HEADLINE = HEADLINE_R01 + [
     "classifier_quality_filter_trained",
     "bpe_train_merges",
     "bpe_token_counts",
+    "corpus_collocations_pmi",
+    "dedup_sorted_neighborhood",
+    "pattern_nonoverlap_episodes",
+    "stream_pattern_nonoverlap_episodes",
+    "stream_kmeans_assign",
+    "revenue_rollup_nation_year",
+    "semantic_kmeans_assign",
+    "cluster_balanced_sample",
+    # round-7 additions
+    "pattern_any_view_click_purchase",
 ]
 
 
@@ -165,7 +175,10 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs] or list(qs)
+    # full-catalog coverage by construction (VERDICT r6 item 3): any query
+    # not in the curated HEADLINE ordering is appended, so new catalog
+    # entries can never silently miss the bench
+    names = [n for n in HEADLINE if n in qs] + sorted(set(qs) - set(HEADLINE))
 
     # warm the JVM (codegen/JIT via a tiny end-to-end query), parquet footer
     # caches, and the Python UDF worker pool, so the first measured query
