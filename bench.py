@@ -162,6 +162,7 @@ HEADLINE = HEADLINE_R01 + [
     "cluster_balanced_sample",
     # round-7 additions
     "pattern_any_view_click_purchase",
+    "stream_pattern_any_view_click_purchase",
 ]
 
 

@@ -1212,6 +1212,38 @@ def _stream_pattern_nonoverlap_oracle() -> str:
     )
 
 
+def stream_pattern_any_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``followedByAny`` (round 7) in its native streaming form: the
+    branch-on-every-candidate journey view → click (12 h) → purchase
+    (24 h) per user via ``streaming/pattern.py:stream_pattern_detect_any``
+    — a per-key H-horizon event buffer (H = summed withins) in
+    ``applyInPandasWithState``; every combination emits exactly once, in
+    the micro-batch where its last-arriving event lands (Flink emits each
+    followedByAny branch when its final step binds). A complete replay
+    therefore equals the batch ``pattern_any_view_click_purchase`` result
+    bit-for-bit, which is the oracle."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect_any
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect_any(
+            ev,
+            key="user_id",
+            steps=[
+                ("view", None),
+                ("click", "INTERVAL 12 HOURS"),
+                ("purchase", "INTERVAL 24 HOURS"),
+            ],
+        )
+    )
+
+
+def _stream_pattern_any_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_ANY_VCP_ORACLE
+
+    return PATTERN_ANY_VCP_ORACLE
+
+
 def stream_pattern_uncapped_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UNCAPPED oneOrMore CEP chain in its native streaming form
     (round 6): per event shard (user_id % 8), signup →
@@ -1516,6 +1548,7 @@ QUERIES = {
     "stream_pattern_impulse_purchase": stream_pattern_impulse_purchase,
     "stream_pattern_clean_onboarding": stream_pattern_clean_onboarding,
     "stream_pattern_nonoverlap_episodes": stream_pattern_nonoverlap_episodes,
+    "stream_pattern_any_view_click_purchase": stream_pattern_any_view_click_purchase,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_ivf_upsert": stream_ivf_upsert,
     "stream_kmeans_assign": stream_kmeans_assign,
@@ -1557,6 +1590,7 @@ ORACLES = {
     "stream_pattern_impulse_purchase": _stream_pattern_impulse_oracle(),
     "stream_pattern_clean_onboarding": _stream_pattern_onboarding_oracle(),
     "stream_pattern_nonoverlap_episodes": _stream_pattern_nonoverlap_oracle(),
+    "stream_pattern_any_view_click_purchase": _stream_pattern_any_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_ivf_upsert": __import__("flink_uba_spark.queries.datapipe", fromlist=["IVF_INDEX_UPSERT_ORACLE"]).IVF_INDEX_UPSERT_ORACLE,
     "stream_kmeans_assign": __import__("flink_uba_spark.queries.datapipe", fromlist=["SEMANTIC_KMEANS_ASSIGN_ORACLE"]).SEMANTIC_KMEANS_ASSIGN_ORACLE,

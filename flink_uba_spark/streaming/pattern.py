@@ -1432,3 +1432,191 @@ def stream_kleene_detect(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# followedByAny — relaxed NON-DETERMINISTIC contiguity, streaming twin
+# (round 7; batch form: operators/sequence.py:pattern_detect_any)
+# --------------------------------------------------------------------------
+
+ANY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ev_ids", T.ArrayType(T.LongType())),
+        T.StructField("ev_tss", T.ArrayType(T.LongType())),
+        T.StructField("ev_masks", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def any_output_schema(n_steps: int) -> T.StructType:
+    fields = [T.StructField("user_id", T.LongType())]
+    fields += [T.StructField(f"i{k}", T.LongType()) for k in range(1, n_steps + 1)]
+    fields += [T.StructField(f"t{k}", T.TimestampType()) for k in range(1, n_steps + 1)]
+    return T.StructType(fields)
+
+
+def _enumerate_any(ids, tss, masks, news, withins_us):
+    """All strictly-increasing step-1..N combinations over the buffered
+    events (sorted here by the engine's (ts, rank, id) total order,
+    rank = earliest matching step) whose every transition is inside its
+    within bound AND that contain at least one NEW event — i.e. exactly
+    the combinations first completed by this micro-batch (every event is
+    new once, and a combination is enumerable only once all its events
+    are present, so the any-new filter is the exactly-once rule)."""
+    n = len(withins_us)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (tss[i], (masks[i] & -masks[i]).bit_length(), ids[i]),
+    )
+    e_ids = [ids[i] for i in order]
+    e_tss = [tss[i] for i in order]
+    e_masks = [masks[i] for i in order]
+    e_news = [news[i] for i in order]
+    out = []
+
+    def dfs(step, pos, acc_ids, acc_tss, has_new):
+        if step > n:
+            if has_new:
+                out.append((tuple(acc_ids), tuple(acc_tss)))
+            return
+        bound = acc_tss[-1] + withins_us[step - 1]
+        for p in range(pos + 1, len(e_ids)):
+            if e_tss[p] > bound:  # ts-major sort → nothing later fits
+                break
+            if (e_masks[p] >> (step - 1)) & 1:
+                dfs(step + 1, p, acc_ids + [e_ids[p]], acc_tss + [e_tss[p]],
+                    has_new or e_news[p])
+
+    for p0 in range(len(e_ids)):
+        if e_masks[p0] & 1:
+            dfs(2, p0, [e_ids[p0]], [e_tss[p0]], e_news[p0])
+    return out
+
+
+def make_any_matcher(n_steps: int, withins_us: list):
+    """Per-key followedByAny matcher for ``applyInPandasWithState``.
+
+    Emission is DATA-DRIVEN (a combination emits in the micro-batch where
+    its last-arriving event lands — Flink emits each branch when its
+    final step binds), so the watermark is needed only for STATE
+    eviction: an event can still join a future combination while
+    ``ts > wm - H`` (H = the summed within bounds — any combination
+    spans at most H), and is dropped afterwards. State per key is
+    therefore the H-horizon event buffer — bounded by per-key rate × H,
+    the same bound the batch join's fan-out argument rests on. Per-batch
+    work re-walks combinations over the buffered horizon (old-only walks
+    are filtered, not skipped — bounded by the same horizon); the
+    combinatorial OUTPUT is the semantics, not overhead. Timers clear
+    idle keys once the watermark passes the whole buffer + H."""
+    horizon_us = sum(w for w in withins_us[1:])
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        out_cols = (
+            ["user_id"]
+            + [f"i{k}" for k in range(1, n_steps + 1)]
+            + [f"t{k}" for k in range(1, n_steps + 1)]
+        )
+        if state.exists:
+            o_ids, o_tss, o_masks = (list(v) for v in state.get)
+        else:
+            o_ids, o_tss, o_masks = [], [], []
+        known = set(o_ids)
+        n_ids, n_tss, n_masks = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            eid = pdf["event_id"].to_numpy()
+            flags = [pdf[f"__p{i}"].to_numpy() for i in range(1, n_steps + 1)]
+            for r in range(len(pdf)):
+                m = 0
+                for i in range(n_steps):
+                    if flags[i][r]:
+                        m |= 1 << i
+                if m and int(eid[r]) not in known:
+                    n_ids.append(int(eid[r]))
+                    n_tss.append(int(ts_us[r]))
+                    n_masks.append(m)
+                    known.add(int(eid[r]))
+        ids = o_ids + n_ids
+        tss = o_tss + n_tss
+        masks = o_masks + n_masks
+        news = [False] * len(o_ids) + [True] * len(n_ids)
+        rows = []
+        if n_ids:
+            for cid, cts in _enumerate_any(ids, tss, masks, news, withins_us):
+                rows.append(
+                    (int(key[0]), *cid, *(pd.Timestamp(t, unit="us") for t in cts))
+                )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        keep = [i for i in range(len(ids)) if tss[i] > wm_us - horizon_us]
+        if keep:
+            state.update((
+                [ids[i] for i in keep],
+                [tss[i] for i in keep],
+                [masks[i] for i in keep],
+            ))
+            state.setTimeoutTimestamp(
+                max(max(tss[i] for i in keep) + horizon_us, wm_us) // 1000 + 1
+            )
+        elif state.exists:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return fold
+
+
+def stream_pattern_detect_any(
+    events: DataFrame,
+    key: str,
+    steps: list[tuple],
+    event_id: str = "event_id",
+    ts: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """``Pattern.followedByAny`` as a continuous query — the streaming
+    twin of ``operators/sequence.py:pattern_detect_any`` (same (ts, rank,
+    id) total order, same mandatory within bounds; output equals the
+    batch result exactly on a complete replay, since emission is
+    data-driven and every combination completes at some micro-batch).
+    ``steps`` mirrors the batch surface: (event-type string | Column
+    predicate, within INTERVAL literal — mandatory after step 1)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n = len(steps)
+    if n < 2:
+        raise ValueError("stream_pattern_detect_any needs at least 2 steps")
+    if any(s[1] is None for s in steps[1:]):
+        raise ValueError("followedByAny needs a within interval on every "
+                         "step after the first")
+    withins_us = [0] + [_interval_us(s[1]) for s in steps[1:]]
+    preds = [
+        (F.col("event_type") == s[0]) if isinstance(s[0], str) else s[0].cast("boolean")
+        for s in steps
+    ]
+    flag_cols = {
+        f"__p{i}": F.coalesce(p, F.lit(False)).alias(f"__p{i}")
+        for i, p in enumerate(preds, 1)
+    }
+    any_step = preds[0]
+    for p in preds[1:]:
+        any_step = any_step | p
+    filtered = (
+        events.filter(any_step)
+        .withColumns(flag_cols)
+        .select(
+            F.col(event_id).alias("event_id"),
+            F.col(ts).alias("ts"),
+            F.col(key).alias("user_id"),
+            *flag_cols.keys(),
+        )
+        .withWatermark("ts", watermark_delay)
+    )
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        make_any_matcher(n, withins_us),
+        any_output_schema(n),
+        ANY_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -178,3 +178,151 @@ def test_bpe_checkpoint_equivalence(spark):
     a = [tuple(r) for r in bpe_train(docs, n_merges=8, checkpoint_every=2).collect()]
     b = [tuple(r) for r in bpe_train(docs, n_merges=8, checkpoint_every=0).collect()]
     assert a == b and len(a) == 8
+
+
+# ---------------------------------------------------------------- streaming
+
+
+def _drive_any(events, withins_us, n, cuts):
+    """Replay events through make_any_matcher over the given ts cuts with
+    Spark's lagging-watermark mechanics; returns sorted brute_any-shaped
+    tuples."""
+    import pandas as pd
+
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_properties_round5 import _FakeState
+    from flink_uba_spark.streaming.pattern import make_any_matcher
+
+    detect = make_any_matcher(n, withins_us)
+    state = _FakeState()
+    got = []
+
+    def drain(gen):
+        for f in gen:
+            for r in f.itertuples(index=False):
+                got.append(
+                    tuple(int(getattr(r, f"i{k}")) for k in range(1, n + 1))
+                    + tuple(
+                        pd.Timestamp(getattr(r, f"t{k}")).value // 1000
+                        for k in range(1, n + 1)
+                    )
+                )
+
+    lo, wm = -1, 0
+    for hi in cuts + [10 ** 9]:
+        batch = [e for e in events if lo < e[1] <= hi and e[2]]
+        lo = hi
+        if not batch:
+            continue
+        state._wm = wm
+        pdf = pd.DataFrame(
+            [
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp(ts, unit="us"),
+                    **{f"__p{k}": bool(m >> (k - 1) & 1) for k in range(1, n + 1)},
+                }
+                for eid, ts, m in batch
+            ]
+        )
+        state.hasTimedOut = False
+        drain(detect((1,), iter([pdf]), state))
+        wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
+    return sorted(got)
+
+
+def test_stream_any_exactly_once_across_batches():
+    """A combination spanning three micro-batches emits exactly once —
+    in the batch where its final event lands — and re-delivery of the
+    earlier events in later walks adds nothing."""
+    events = [(1, 0, 0b001), (2, 10, 0b010), (3, 20, 0b100)]
+    withins = [0, 15, 15]
+    for cuts in ([], [5], [5, 15], [0, 10, 20]):
+        assert _drive_any(events, withins, 3, cuts) == brute_any(events, withins)
+
+
+def test_stream_any_branching_across_batches():
+    """Two step-2 candidates in different micro-batches both branch."""
+    events = [(1, 0, 0b01), (2, 5, 0b10), (3, 9, 0b10)]
+    withins = [0, 20]
+    for cuts in ([], [6], [2, 7]):
+        assert _drive_any(events, withins, 2, cuts) == brute_any(events, withins)
+
+
+def test_stream_any_out_of_order_within_watermark():
+    """A middle event arriving in a LATER batch (inside the watermark
+    band: the lagging wm has not passed it) still completes the combo —
+    the any-new rule, not last-event-arrival, drives emission."""
+    import pandas as pd
+
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_properties_round5 import _FakeState
+    from flink_uba_spark.streaming.pattern import make_any_matcher
+
+    n, withins = 3, [0, 15, 15]
+    detect = make_any_matcher(n, withins)
+    state = _FakeState()
+    got = []
+
+    def drain(gen):
+        for f in gen:
+            for r in f.itertuples(index=False):
+                got.append((int(r.i1), int(r.i2), int(r.i3)))
+
+    def push(batch):
+        pdf = pd.DataFrame(
+            [
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp(ts, unit="us"),
+                    **{f"__p{k}": bool(m >> (k - 1) & 1) for k in range(1, n + 1)},
+                }
+                for eid, ts, m in batch
+            ]
+        )
+        state.hasTimedOut = False
+        drain(detect((1,), iter([pdf]), state))
+
+    push([(1, 0, 0b001), (3, 20, 0b100)])  # anchor + final, hole at step 2
+    assert got == []
+    push([(2, 10, 0b010)])  # the middle event arrives late (wm still 0)
+    assert got == [(1, 2, 3)]
+
+
+def test_stream_any_eviction_respects_horizon():
+    """State keeps only the H-horizon: after the watermark passes
+    ts + H, an event is evicted and the buffer shrinks (deployability
+    bound), without losing in-horizon combinations."""
+    import pandas as pd
+
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_properties_round5 import _FakeState
+    from flink_uba_spark.streaming.pattern import make_any_matcher
+
+    n, withins = 2, [0, 10]
+    detect = make_any_matcher(n, withins)
+    state = _FakeState()
+
+    def push(batch, wm):
+        state._wm = wm
+        pdf = pd.DataFrame(
+            [
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp(ts, unit="us"),
+                    **{f"__p{k}": bool(m >> (k - 1) & 1) for k in range(1, n + 1)},
+                }
+                for eid, ts, m in batch
+            ]
+        )
+        state.hasTimedOut = False
+        return sum(len(f) for f in detect((1,), iter([pdf]), state))
+
+    assert push([(1, 0, 0b01)], wm=0) == 0
+    assert len(state._v[0]) == 1
+    # wm (ms) far past 0+H: anchor 1 evicted; a new in-horizon pair works
+    assert push([(2, 50_000_000, 0b01), (3, 50_000_005, 0b10)], wm=40) == 1
+    assert sorted(state._v[0]) == [2, 3]

@@ -25,6 +25,8 @@ Modes:
   python tools/nfa_soak.py any [N]       # pattern_detect_any (followedByAny)
                                          #   vs the exhaustive brute_any,
                                          #   vectorized keys (round 7)
+  python tools/nfa_soak.py stream-any [N]  # make_any_matcher over micro-batch
+                                         #   splits + timers vs brute_any (r7)
   python tools/nfa_soak.py stream-branching [N]
                                          # make_branching_matcher (packed
                                          #   per-branch states, min-merged
@@ -46,7 +48,9 @@ Current totals, all clean: 50k stream + 12k dense-tie + 27k timer (r5)
 + 20k skip + 5k skip-batch (r6 — stream-branching closes the one remaining
 unsoaked stateful component, the streaming branching matcher's
 packed-state/merged-timer mechanics; the skip modes cover the
-SKIP_PAST_LAST_EVENT after-match strategy on both engines).
+SKIP_PAST_LAST_EVENT after-match strategy on both engines). Round 7:
++ 12k any + 23k stream-any (followedByAny, both engines, vs the exhaustive
+brute_any) — all clean.
 """
 
 from __future__ import annotations
@@ -832,6 +836,90 @@ def soak_any(n_cases, cases_per_spec=100):
     return fails
 
 
+def soak_stream_any(n_cases):
+    """STREAMING followedByAny soak (round 7): ``make_any_matcher`` —
+    the H-horizon buffer with data-driven exactly-once emission — driven
+    over random micro-batch splits (out-of-order inside the watermark
+    band) plus mid-stream timer firings, checked for SET equality with
+    brute_any: a complete replay must emit every combination exactly
+    once regardless of how the stream was cut."""
+    import pandas as pd
+
+    from test_properties_round5 import _FakeState
+    from test_round7_ops import brute_any
+    from flink_uba_spark.streaming.pattern import make_any_matcher
+
+    t0, fails = time.time(), 0
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 32452843 + 17)
+        n = rnd.randint(2, 4)
+        withins = [0] + [rnd.randint(2, 40) for _ in range(n - 1)]
+        events = [
+            (i, rnd.randint(0, 60),
+             rnd.getrandbits(n) if rnd.random() < 0.9 else 0)
+            for i in range(rnd.randint(0, 18))
+        ]
+        cuts = sorted({rnd.randint(1, 60) for _ in range(rnd.randint(0, 4))})
+
+        detect = make_any_matcher(n, withins)
+        state = _FakeState()
+        got = []
+
+        def drain(gen):
+            for f in gen:
+                for r in f.itertuples(index=False):
+                    got.append(
+                        tuple(int(getattr(r, f"i{k}")) for k in range(1, n + 1))
+                        + tuple(
+                            pd.Timestamp(getattr(r, f"t{k}")).value // 1000
+                            for k in range(1, n + 1)
+                        )
+                    )
+
+        lo, wm = -1, 0
+        for hi in cuts + [10 ** 9]:
+            batch = [e for e in events if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            state._wm = wm  # lags one batch, as in Spark
+            pdf = pd.DataFrame(
+                [
+                    {
+                        "event_id": eid,
+                        "ts": pd.Timestamp(ts, unit="us"),
+                        **{f"__p{k}": bool(m >> (k - 1) & 1) for k in range(1, n + 1)},
+                    }
+                    for eid, ts, m in batch
+                    if m
+                ]
+            )
+            if not len(pdf):
+                continue
+            state.hasTimedOut = False
+            drain(detect((1,), iter([pdf]), state))
+            wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
+            if (
+                state._v is not None
+                and state.timeout_set is not None
+                and state.timeout_set < wm
+            ):
+                state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+                drain(detect((1,), iter([]), state))
+                state.hasTimedOut = False
+        want = brute_any(events, withins)
+        if sorted(got) != want:
+            fails += 1
+            print(f"MISMATCH seed={seed} n={n} withins={withins} "
+                  f"events={events} cuts={cuts}")
+            if fails > 5:
+                break
+        if (seed + 1) % 2000 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} stream-any cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     defaults = {
@@ -842,10 +930,13 @@ def main() -> int:
         "skip": 5000,
         "skip-batch": 1000,
         "any": 1000,
+        "stream-any": 5000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
         return 1 if soak_any(n) else 0
+    if mode == "stream-any":
+        return 1 if soak_stream_any(n) else 0
     if mode == "batch":
         return 1 if soak_batch(n) else 0
     if mode == "branching":
