@@ -163,6 +163,7 @@ HEADLINE = HEADLINE_R01 + [
     # round-7 additions
     "pattern_any_view_click_purchase",
     "stream_pattern_any_view_click_purchase",
+    "pattern_any_skip_to_next",
 ]
 
 

@@ -816,3 +816,57 @@ def pattern_detect_any(
         *[F.col(f"i{k}") for k in range(1, n + 1)],
         *[F.col(f"t{k}") for k in range(1, n + 1)],
     )
+
+
+def after_match_skip_to_next(
+    matches: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Flink's ``AfterMatchSkipStrategy.SKIP_TO_NEXT`` over the candidate
+    matches of a compiled pattern (round 7): after a match is emitted,
+    every other match that STARTED WITH THE SAME EVENT is discarded — so
+    exactly ONE match survives per start event, the first one emitted.
+    Under the default skip-till-next compiler there is already one match
+    per anchor; the strategy becomes meaningful over ``pattern_detect_any``
+    (followedByAny), whose branching yields many matches per anchor —
+    precisely the pairing the Flink docs describe.
+
+    ``matches`` is ``pattern_detect_any`` output (``i1..iN`` / ``t1..tN``
+    per combination). Emission order is completion order: the match whose
+    END event arrives first is emitted first, so per anchor the survivor
+    is the minimum under ``(tN, iN, tN-1, iN-1, …, t2, i2)`` —
+    lexicographic completion order with a deterministic drill-down (Flink
+    leaves same-timestamp arrival races to processing order; this batch
+    fold canonicalizes them by event id, the engine family's
+    determinization, so replays are bit-stable).
+
+    Scale: unlike the sequential SKIP_PAST_LAST horizon fold, SKIP_TO_NEXT
+    is per-anchor INDEPENDENT — one hash exchange on (key, i1) and a
+    partial/final ``min_by`` struct aggregate over the MATCH set; fully
+    parallel, no per-key sequential pass, match-set-sized.
+    """
+    tcols = sorted(
+        (c for c in matches.columns if c[0] == "t" and c[1:].isdigit()),
+        key=lambda c: int(c[1:]),
+    )
+    n = len(tcols)
+    if n < 2 or any(f"i{k}" not in matches.columns for k in range(1, n + 1)):
+        raise ValueError("expected pattern_detect_any output (i1..iN/t1..tN)")
+    order = []
+    for k in range(n, 1, -1):
+        order += [F.col(f"t{k}"), F.col(f"i{k}")]
+    payload = F.struct(
+        *[F.col(f"i{k}") for k in range(2, n + 1)],
+        *[F.col(f"t{k}") for k in range(2, n + 1)],
+    )
+    won = (
+        matches.groupBy(key, "i1", "t1")
+        .agg(F.min_by(payload, F.struct(*order)).alias("__w"))
+    )
+    return won.select(
+        key,
+        F.col("i1"),
+        *[F.col(f"__w.i{k}").alias(f"i{k}") for k in range(2, n + 1)],
+        F.col("t1"),
+        *[F.col(f"__w.t{k}").alias(f"t{k}") for k in range(2, n + 1)],
+    )

@@ -1238,6 +1238,35 @@ JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
 """
 
 
+def pattern_any_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AfterMatchSkipStrategy.SKIP_TO_NEXT`` over the followedByAny
+    journey (round 7): of the many branches each view anchors, only the
+    FIRST-COMPLETING match survives — one row per start event, the Flink
+    docs' canonical SKIP_TO_NEXT × followedByAny pairing (under
+    skip-till-next there is one match per anchor and the strategy is a
+    no-op).
+
+    Plan: operators/sequence.py after_match_skip_to_next — per-anchor
+    INDEPENDENT (no sequential horizon): one hash exchange on
+    (user_id, i1) and a partial/final min_by struct aggregate over the
+    match set. Completion order (t3, i3, t2, i2) — same-ts races
+    canonicalized by event id, the engine family's determinization.
+    """
+    from flink_uba_spark.operators.sequence import after_match_skip_to_next
+
+    return after_match_skip_to_next(
+        pattern_any_view_click_purchase(spark, sf_dir), key="user_id"
+    )
+
+
+PATTERN_ANY_SKIP_TO_NEXT_ORACLE = f"""
+SELECT * FROM ({PATTERN_ANY_VCP_ORACLE})
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, i1 ORDER BY t3, i3, t2, i2
+) = 1
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
@@ -1253,6 +1282,7 @@ QUERIES = {
     "pattern_clean_onboarding": pattern_clean_onboarding,
     "pattern_nonoverlap_episodes": pattern_nonoverlap_episodes,
     "pattern_any_view_click_purchase": pattern_any_view_click_purchase,
+    "pattern_any_skip_to_next": pattern_any_skip_to_next,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -1280,6 +1310,7 @@ ORACLES = {
     "pattern_clean_onboarding": PATTERN_CLEAN_ONBOARDING_ORACLE,
     "pattern_nonoverlap_episodes": PATTERN_NONOVERLAP_EPISODES_ORACLE,
     "pattern_any_view_click_purchase": PATTERN_ANY_VCP_ORACLE,
+    "pattern_any_skip_to_next": PATTERN_ANY_SKIP_TO_NEXT_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,

@@ -326,3 +326,81 @@ def test_stream_any_eviction_respects_horizon():
     # wm (ms) far past 0+H: anchor 1 evicted; a new in-horizon pair works
     assert push([(2, 50_000_000, 0b01), (3, 50_000_005, 0b10)], wm=40) == 1
     assert sorted(state._v[0]) == [2, 3]
+
+
+# --------------------------------------------------------- SKIP_TO_NEXT
+
+
+def brute_skip_to_next(events, withins_us):
+    """Reference fold: per start event, the first-emitted (completion
+    order, id-canonicalized) brute_any match survives."""
+    n = len(withins_us)
+    best = {}
+    for m in brute_any(events, withins_us):
+        ids, tss = m[:n], m[n:]
+        emit_key = tuple(x for k in range(n - 1, 0, -1) for x in (tss[k], ids[k]))
+        if ids[0] not in best or emit_key < best[ids[0]][0]:
+            best[ids[0]] = (emit_key, m)
+    return sorted(m for _, m in best.values())
+
+
+def run_skip_to_next(spark, events, withins_us, n):
+    from flink_uba_spark.operators.sequence import (
+        after_match_skip_to_next,
+        pattern_detect_any,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
+        f"c{j} boolean" for j in range(n)
+    )
+    rows = [
+        (eid, 0, EPOCH + datetime.timedelta(microseconds=ts),
+         *[bool(m >> j & 1) for j in range(n)])
+        for eid, ts, m in events
+    ]
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    steps = [(F.col("c0"), None)] + [
+        (F.col(f"c{k - 1}"), f"INTERVAL {withins_us[k - 1]} MICROSECONDS")
+        for k in range(2, n + 1)
+    ]
+    out = after_match_skip_to_next(
+        pattern_detect_any(df, key="user_id", steps=steps), key="user_id"
+    ).toPandas()
+    got = []
+    for _, r in out.iterrows():
+        got.append(
+            tuple(int(r[f"i{k}"]) for k in range(1, n + 1))
+            + tuple(
+                int((r[f"t{k}"].to_pydatetime() - EPOCH).total_seconds() * 1e6)
+                for k in range(1, n + 1)
+            )
+        )
+    return sorted(got)
+
+
+@settings(max_examples=40, deadline=None)
+@given(any_case())
+def test_skip_to_next_matches_brute(spark, case):
+    n, withins, events = case
+    assert run_skip_to_next(spark, events, withins, n) == brute_skip_to_next(
+        events, withins
+    )
+
+
+def test_skip_to_next_keeps_first_completing_branch(spark):
+    """Two branches off one anchor: the earlier-ending one survives; a
+    second anchor keeps its own independent winner."""
+    events = [(1, 0, 0b01), (2, 5, 0b10), (3, 9, 0b10), (4, 7, 0b01), (5, 8, 0b10)]
+    got = run_skip_to_next(spark, events, [0, 20], 2)
+    assert got == brute_skip_to_next(events, [0, 20]) == [
+        (1, 2, 0, 5),   # anchor 1: end ts 5 beats end ts 8/9
+        (4, 5, 7, 8),   # anchor 4: its first completion
+    ]
+
+
+def test_skip_to_next_same_end_ts_race_canonical(spark):
+    """Two branches of one anchor ending at the SAME timestamp: the
+    lower end-event id wins (the documented id canonicalization)."""
+    events = [(1, 0, 0b01), (9, 5, 0b10), (2, 5, 0b10)]
+    got = run_skip_to_next(spark, events, [0, 20], 2)
+    assert got == brute_skip_to_next(events, [0, 20]) == [(1, 2, 0, 5)]

@@ -775,8 +775,11 @@ def soak_any(n_cases, cases_per_spec=100):
 
     from pyspark.sql import functions as F
 
-    from test_round7_ops import brute_any
-    from flink_uba_spark.operators.sequence import pattern_detect_any
+    from test_round7_ops import brute_any, brute_skip_to_next
+    from flink_uba_spark.operators.sequence import (
+        after_match_skip_to_next,
+        pattern_detect_any,
+    )
     from flink_uba_spark.session import get_spark
 
     spark = get_spark("nfa_soak")
@@ -811,7 +814,11 @@ def soak_any(n_cases, cases_per_spec=100):
             (F.col(f"c{k - 1}"), f"INTERVAL {withins[k - 1]} MICROSECONDS")
             for k in range(2, n + 1)
         ]
-        pdf = pattern_detect_any(df, key="user_id", steps=steps).toPandas()
+        any_df = pattern_detect_any(df, key="user_id", steps=steps)
+        pdf = any_df.toPandas()
+        # SKIP_TO_NEXT rides the same soak (round 7): the per-anchor
+        # min_by fold over the identical branching output vs its brute
+        sdf = after_match_skip_to_next(any_df, key="user_id").toPandas()
         for c in range(ncase):
             sub = pdf[pdf["user_id"] == c]
             got = sorted(
@@ -823,9 +830,20 @@ def soak_any(n_cases, cases_per_spec=100):
                 for _, r in sub.iterrows()
             )
             want = brute_any(case_events[c], withins)
-            if got != want:
+            ssub = sdf[sdf["user_id"] == c]
+            sgot = sorted(
+                tuple(int(r[f"i{k}"]) for k in range(1, n + 1))
+                + tuple(
+                    int((r[f"t{k}"].to_pydatetime() - epoch).total_seconds() * 1e6)
+                    for k in range(1, n + 1)
+                )
+                for _, r in ssub.iterrows()
+            )
+            swant = brute_skip_to_next(case_events[c], withins)
+            if got != want or sgot != swant:
                 fails += 1
-                print(f"MISMATCH spec_seed={spec_seed - 1} case={c} n={n} "
+                which = "any" if got != want else "skip_to_next"
+                print(f"MISMATCH[{which}] spec_seed={spec_seed - 1} case={c} n={n} "
                       f"withins={withins} events={case_events[c]}")
                 if fails > 5:
                     break
