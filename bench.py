@@ -164,6 +164,7 @@ HEADLINE = HEADLINE_R01 + [
     "pattern_any_view_click_purchase",
     "stream_pattern_any_view_click_purchase",
     "pattern_any_skip_to_next",
+    "revenue_cube_mktseg_priority",
 ]
 
 

@@ -959,6 +959,49 @@ GROUP BY ROLLUP (n_name, year(o_orderdate))
 """
 
 
+def revenue_cube_mktseg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full OLAP CUBE report (round 7, completing the grouping-sets
+    family beside ROLLUP): revenue + order counts by market segment ×
+    order priority, INCLUDING per-segment totals, per-priority totals,
+    and the grand total in ONE pass — ``df.cube`` compiles to a single
+    Expand (4 grouping sets) feeding one partial+final hash aggregate,
+    the same single-exchange shape plan-pinned for rollup
+    (test_revenue_rollup_single_expand_one_agg_exchange); DuckDB replays
+    it verbatim with GROUP BY CUBE. ``gid`` disambiguates subtotal rows.
+    At 100 TB: Expand multiplies rows 4× BEFORE the map-side partial
+    aggregate collapses them to the tiny group space (seg × priority
+    ≤ dozens) — the shuffle carries group rows only."""
+    t = load_testdata(spark, sf_dir, ("orders", "customer"))
+    rows = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("mktseg"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return rows.cube("mktseg", "priority").agg(
+        F.sum("cents").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+REVENUE_CUBE_ORACLE = """
+SELECT c_mktsegment AS mktseg, o_orderpriority AS priority,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+"""
+
+
 QUERIES = {
     "tpch_q12_ship_priority_classes": tpch_q12_ship_priority_classes,
     "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
@@ -968,6 +1011,7 @@ QUERIES = {
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
     "revenue_rollup_nation_year": revenue_rollup_nation_year,
+    "revenue_cube_mktseg_priority": revenue_cube_mktseg_priority,
     "tpch_q19_brand_bands": tpch_q19_brand_bands,
     "order_value_percentiles": order_value_percentiles,
     "order_value_percentiles_approx": order_value_percentiles_approx,
@@ -992,6 +1036,7 @@ ORACLES = {
     "tpch_q8_market_share": TPCH_Q8_ORACLE,
     "tpch_q13_customer_distribution": TPCH_Q13_ORACLE,
     "revenue_rollup_nation_year": REVENUE_ROLLUP_NATION_YEAR_ORACLE,
+    "revenue_cube_mktseg_priority": REVENUE_CUBE_ORACLE,
     "tpch_q19_brand_bands": TPCH_Q19_ORACLE,
     "order_value_percentiles": ORDER_VALUE_PERCENTILES_ORACLE,
     "order_value_percentiles_approx": ORDER_VALUE_PERCENTILES_APPROX_ORACLE,

@@ -404,3 +404,14 @@ def test_skip_to_next_same_end_ts_race_canonical(spark):
     events = [(1, 0, 0b01), (9, 5, 0b10), (2, 5, 0b10)]
     got = run_skip_to_next(spark, events, [0, 20], 2)
     assert got == brute_skip_to_next(events, [0, 20]) == [(1, 2, 0, 5)]
+
+
+def test_revenue_cube_single_expand_one_agg_exchange(spark, sf_dir):
+    """CUBE compiles the same single-exchange shape as ROLLUP: ONE Expand
+    (4 grouping sets) into a single partial+final hash aggregate."""
+    from flink_uba_spark.queries import tpch
+
+    df = tpch.revenue_cube_mktseg_priority(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Expand") == 1
+    assert "partial_sum" in p
