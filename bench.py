@@ -165,6 +165,7 @@ HEADLINE = HEADLINE_R01 + [
     "stream_pattern_any_view_click_purchase",
     "pattern_any_skip_to_next",
     "revenue_cube_mktseg_priority",
+    "heavy_hitter_bigrams",
 ]
 
 

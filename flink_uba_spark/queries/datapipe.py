@@ -1244,6 +1244,50 @@ def corpus_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (round 7): every adjacent-token bigram
+    occurring in more than 1/800 of all bigram slots, with its exact
+    count — boilerplate/template detection over a training corpus (the
+    frequency sibling of corpus_collocations_pmi, which ranks by PMI).
+
+    Plan: operators/sketch.py heavy_hitters_exact — the 2-pass
+    Misra-Gries prune (per-partition ≤ k-counter summaries → broadcast
+    candidate superset → exact counts of candidate rows only). The
+    naive groupBy.having would shuffle the whole bigram domain; here the
+    tail never leaves the mappers. Output equals the naive form
+    bit-for-bit (the superset property makes the prune lossless), which
+    is what the oracle replays."""
+    from flink_uba_spark.operators.sketch import heavy_hitters_exact
+
+    toks = _docs(spark, sf_dir).select(F.split(F.col("text"), " ").alias("__t"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(__t) - 2), "
+                    "i -> concat(__t[i], ' ', __t[i + 1]))"
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram")
+    )
+    return heavy_hitters_exact(bigrams, "bigram", k=800)
+
+
+HEAVY_HITTER_BIGRAMS_ORACLE = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+big AS (
+    SELECT t[i] || ' ' || t[i + 1] AS bigram
+    FROM toks, unnest(range(1, len(t))) AS r(i)
+),
+c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_occurrences FROM big GROUP BY 1),
+tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS n_items FROM c)
+SELECT bigram, n_occurrences, n_items
+FROM c CROSS JOIN tot
+WHERE n_occurrences * 800 > n_items
+"""
+
+
 CORPUS_COLLOCATIONS_PMI_ORACLE = """
 WITH toks AS (
     SELECT string_split(text, ' ') AS t FROM documents
@@ -2083,6 +2127,7 @@ QUERIES = {
     "events_profile": events_profile,
     "corpus_vocabulary": corpus_vocabulary,
     "corpus_collocations_pmi": corpus_collocations_pmi,
+    "heavy_hitter_bigrams": heavy_hitter_bigrams,
     "dedup_span_exact": dedup_span_exact,
     "source_curation_rollup": source_curation_rollup,
     "hybrid_search_rrf": hybrid_search_rrf,
@@ -2137,6 +2182,7 @@ ORACLES = {
     "events_profile": EVENTS_PROFILE_ORACLE,
     "corpus_vocabulary": CORPUS_VOCABULARY_ORACLE,
     "corpus_collocations_pmi": CORPUS_COLLOCATIONS_PMI_ORACLE,
+    "heavy_hitter_bigrams": HEAVY_HITTER_BIGRAMS_ORACLE,
     "dedup_span_exact": DEDUP_SPAN_EXACT_ORACLE,
     "source_curation_rollup": SOURCE_CURATION_ROLLUP_ORACLE,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF_ORACLE,

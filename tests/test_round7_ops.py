@@ -415,3 +415,54 @@ def test_revenue_cube_single_expand_one_agg_exchange(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Expand") == 1
     assert "partial_sum" in p
+
+
+# ------------------------------------------------------- Misra-Gries HH
+
+
+@st.composite
+def hh_case(draw):
+    k = draw(st.integers(2, 8))
+    n_items = draw(st.integers(0, 120))
+    vocab = draw(st.integers(1, 30))
+    items = [f"w{draw(st.integers(0, vocab - 1))}" for _ in range(n_items)]
+    parts = draw(st.integers(1, 6))
+    return k, items, parts
+
+
+@settings(max_examples=40, deadline=None)
+@given(hh_case())
+def test_heavy_hitters_exact_matches_brute(spark, case):
+    """The 2-pass Misra-Gries prune is LOSSLESS: output equals the naive
+    count-and-filter for random streams, vocab sizes (forcing summary
+    trims), and partitionings."""
+    from collections import Counter
+
+    from flink_uba_spark.operators.sketch import heavy_hitters_exact
+
+    k, items, parts = case
+    df = spark.createDataFrame(
+        [(w,) for w in items], "item string"
+    ).repartition(parts)
+    got = {
+        (r.item, int(r.n_occurrences), int(r.n_items))
+        for r in heavy_hitters_exact(df, "item", k).collect()
+    }
+    c = Counter(items)
+    n = len(items)
+    want = {(w, cnt, n) for w, cnt in c.items() if cnt * k > n}
+    assert got == want
+
+
+def test_misra_gries_summary_is_bounded_and_superset(spark):
+    """One partition, vocab ≫ k: the summary holds ≤ k counters yet every
+    true heavy hitter survives the trims (the MG guarantee)."""
+    from flink_uba_spark.operators.sketch import misra_gries_candidates
+
+    # 400 singletons + two hot items ≫ n/k
+    items = [f"tail{i}" for i in range(400)] + ["hot_a"] * 200 + ["hot_b"] * 150
+    df = spark.createDataFrame([(w,) for w in items], "item string").coalesce(1)
+    summ = misra_gries_candidates(df, "item", k=10).collect()
+    assert len(summ) <= 10
+    survivors = {r.item for r in summ}
+    assert {"hot_a", "hot_b"} <= survivors
