@@ -166,6 +166,7 @@ HEADLINE = HEADLINE_R01 + [
     "pattern_any_skip_to_next",
     "revenue_cube_mktseg_priority",
     "heavy_hitter_bigrams",
+    "stream_pattern_any_skip_to_next",
 ]
 
 

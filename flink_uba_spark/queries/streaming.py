@@ -1244,6 +1244,39 @@ def _stream_pattern_any_oracle() -> str:
     return PATTERN_ANY_VCP_ORACLE
 
 
+def stream_pattern_any_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKIP_TO_NEXT over streaming followedByAny (round 7): one survivor
+    per view anchor — the first-completing branch. Emission is
+    watermark-driven: an anchor's winner is final once the watermark
+    passes its current best's END (no later event can complete earlier),
+    so the twin emits without waiting out the anchor's full window; the
+    pending-winner timer re-fires on watermark advance and the final
+    availableNow drive flushes the stream tail. A complete replay equals
+    the batch ``pattern_any_skip_to_next`` fold bit-for-bit — the
+    oracle."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect_any
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect_any(
+            ev,
+            key="user_id",
+            steps=[
+                ("view", None),
+                ("click", "INTERVAL 12 HOURS"),
+                ("purchase", "INTERVAL 24 HOURS"),
+            ],
+            after_match="skip_to_next",
+        )
+    )
+
+
+def _stream_pattern_any_skip_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_ANY_SKIP_TO_NEXT_ORACLE
+
+    return PATTERN_ANY_SKIP_TO_NEXT_ORACLE
+
+
 def stream_pattern_uncapped_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UNCAPPED oneOrMore CEP chain in its native streaming form
     (round 6): per event shard (user_id % 8), signup →
@@ -1549,6 +1582,7 @@ QUERIES = {
     "stream_pattern_clean_onboarding": stream_pattern_clean_onboarding,
     "stream_pattern_nonoverlap_episodes": stream_pattern_nonoverlap_episodes,
     "stream_pattern_any_view_click_purchase": stream_pattern_any_view_click_purchase,
+    "stream_pattern_any_skip_to_next": stream_pattern_any_skip_to_next,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_ivf_upsert": stream_ivf_upsert,
     "stream_kmeans_assign": stream_kmeans_assign,
@@ -1591,6 +1625,7 @@ ORACLES = {
     "stream_pattern_clean_onboarding": _stream_pattern_onboarding_oracle(),
     "stream_pattern_nonoverlap_episodes": _stream_pattern_nonoverlap_oracle(),
     "stream_pattern_any_view_click_purchase": _stream_pattern_any_oracle(),
+    "stream_pattern_any_skip_to_next": _stream_pattern_any_skip_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_ivf_upsert": __import__("flink_uba_spark.queries.datapipe", fromlist=["IVF_INDEX_UPSERT_ORACLE"]).IVF_INDEX_UPSERT_ORACLE,
     "stream_kmeans_assign": __import__("flink_uba_spark.queries.datapipe", fromlist=["SEMANTIC_KMEANS_ASSIGN_ORACLE"]).SEMANTIC_KMEANS_ASSIGN_ORACLE,

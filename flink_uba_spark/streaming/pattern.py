@@ -1444,6 +1444,10 @@ ANY_STATE_SCHEMA = T.StructType(
         T.StructField("ev_ids", T.ArrayType(T.LongType())),
         T.StructField("ev_tss", T.ArrayType(T.LongType())),
         T.StructField("ev_masks", T.ArrayType(T.LongType())),
+        # anchors already emitted under after_match='skip_to_next' (empty
+        # in plain mode); pruned with the event buffer — an evicted anchor
+        # can never re-enumerate, so the set needs only live anchors
+        T.StructField("emitted_ids", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -1493,22 +1497,39 @@ def _enumerate_any(ids, tss, masks, news, withins_us):
     return out
 
 
-def make_any_matcher(n_steps: int, withins_us: list):
+def make_any_matcher(n_steps: int, withins_us: list, after_match: str | None = None):
     """Per-key followedByAny matcher for ``applyInPandasWithState``.
 
-    Emission is DATA-DRIVEN (a combination emits in the micro-batch where
-    its last-arriving event lands — Flink emits each branch when its
-    final step binds), so the watermark is needed only for STATE
-    eviction: an event can still join a future combination while
-    ``ts > wm - H`` (H = the summed within bounds — any combination
-    spans at most H), and is dropped afterwards. State per key is
-    therefore the H-horizon event buffer — bounded by per-key rate × H,
-    the same bound the batch join's fan-out argument rests on. Per-batch
-    work re-walks combinations over the buffered horizon (old-only walks
-    are filtered, not skipped — bounded by the same horizon); the
-    combinatorial OUTPUT is the semantics, not overhead. Timers clear
-    idle keys once the watermark passes the whole buffer + H."""
+    Plain mode: emission is DATA-DRIVEN (a combination emits in the
+    micro-batch where its last-arriving event lands — Flink emits each
+    branch when its final step binds), so the watermark is needed only
+    for STATE eviction: an event can still join a future combination
+    while ``ts > wm - H`` (H = the summed within bounds — any
+    combination spans at most H), and is dropped afterwards. State per
+    key is therefore the H-horizon event buffer — bounded by per-key
+    rate × H, the same bound the batch join's fan-out argument rests on.
+    Per-batch work re-walks combinations over the buffered horizon
+    (old-only walks are filtered, not skipped — bounded by the same
+    horizon); the combinatorial OUTPUT is the semantics, not overhead.
+    Timers clear idle keys once the watermark passes the whole buffer + H.
+
+    ``after_match='skip_to_next'`` (round 7): one survivor per anchor —
+    the first in completion order ``(tN, iN, …, t2, i2)``, the batch
+    ``after_match_skip_to_next`` fold. An anchor's winner is FINAL as
+    soon as the watermark passes its current best's END (later events
+    all carry ts ≥ wm, so none can complete earlier), so emission is
+    watermark-driven at millisecond granularity (``best_end_ms ≤
+    wm_ms`` — the ms-floored predicate the other NFA twins use) and
+    never needs to wait for the anchor's full H window. Emitted anchors
+    are latched in state (``emitted_ids``) and pruned with the buffer —
+    an evicted anchor cannot re-enumerate, so the latch set stays
+    buffer-sized. The pending-winner timer re-fires on watermark
+    advance, which also flushes the stream tail on the final
+    availableNow timer drive."""
+    if after_match not in (None, "skip_to_next"):
+        raise ValueError(f"unsupported after_match: {after_match!r}")
     horizon_us = sum(w for w in withins_us[1:])
+    skip_next = after_match == "skip_to_next"
 
     def fold(key, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         out_cols = (
@@ -1517,9 +1538,9 @@ def make_any_matcher(n_steps: int, withins_us: list):
             + [f"t{k}" for k in range(1, n_steps + 1)]
         )
         if state.exists:
-            o_ids, o_tss, o_masks = (list(v) for v in state.get)
+            o_ids, o_tss, o_masks, o_emit = (list(v) for v in state.get)
         else:
-            o_ids, o_tss, o_masks = [], [], []
+            o_ids, o_tss, o_masks, o_emit = [], [], [], []
         known = set(o_ids)
         n_ids, n_tss, n_masks = [], [], []
         for pdf in pdfs:
@@ -1541,23 +1562,61 @@ def make_any_matcher(n_steps: int, withins_us: list):
         ids = o_ids + n_ids
         tss = o_tss + n_tss
         masks = o_masks + n_masks
-        news = [False] * len(o_ids) + [True] * len(n_ids)
+        wm_us = state.getCurrentWatermarkMs() * 1000
         rows = []
-        if n_ids:
+        emitted = set(o_emit)
+        pending_end_ms = None
+        if skip_next:
+            if ids:
+                best: dict[int, tuple] = {}
+                for cid, cts in _enumerate_any(
+                    ids, tss, masks, [True] * len(ids), withins_us
+                ):
+                    if cid[0] in emitted:
+                        continue
+                    ekey = tuple(
+                        x for k in range(n_steps - 1, 0, -1) for x in (cts[k], cid[k])
+                    )
+                    cur = best.get(cid[0])
+                    if cur is None or ekey < cur[0]:
+                        best[cid[0]] = (ekey, cid, cts)
+                for a, (_, cid, cts) in sorted(best.items()):
+                    end_ms = cts[-1] // 1000
+                    if end_ms <= wm_us // 1000:
+                        rows.append(
+                            (int(key[0]), *cid,
+                             *(pd.Timestamp(t, unit="us") for t in cts))
+                        )
+                        emitted.add(a)
+                    else:
+                        pending_end_ms = (
+                            end_ms if pending_end_ms is None
+                            else min(pending_end_ms, end_ms)
+                        )
+        elif n_ids:
+            news = [False] * len(o_ids) + [True] * len(n_ids)
             for cid, cts in _enumerate_any(ids, tss, masks, news, withins_us):
                 rows.append(
                     (int(key[0]), *cid, *(pd.Timestamp(t, unit="us") for t in cts))
                 )
-        wm_us = state.getCurrentWatermarkMs() * 1000
         keep = [i for i in range(len(ids)) if tss[i] > wm_us - horizon_us]
         if keep:
+            kept_ids = [ids[i] for i in keep]
+            kept_set = set(kept_ids)
             state.update((
-                [ids[i] for i in keep],
+                kept_ids,
                 [tss[i] for i in keep],
                 [masks[i] for i in keep],
+                sorted(a for a in emitted if a in kept_set),
             ))
+            evict_ms = max(max(tss[i] for i in keep) + horizon_us, wm_us) // 1000 + 1
+            # timers fire on wm > timeout, so a winner pending until
+            # end_ms needs timeout end_ms - 1 (the ceil-1 rule the other
+            # NFA twins use); clamp above the current wm
             state.setTimeoutTimestamp(
-                max(max(tss[i] for i in keep) + horizon_us, wm_us) // 1000 + 1
+                min(evict_ms, max(pending_end_ms - 1, wm_us // 1000 + 1))
+                if pending_end_ms is not None
+                else evict_ms
             )
         elif state.exists:
             state.remove()
@@ -1574,6 +1633,7 @@ def stream_pattern_detect_any(
     event_id: str = "event_id",
     ts: str = "ts",
     watermark_delay: str = "0 seconds",
+    after_match: str | None = None,
 ) -> DataFrame:
     """``Pattern.followedByAny`` as a continuous query — the streaming
     twin of ``operators/sequence.py:pattern_detect_any`` (same (ts, rank,
@@ -1614,7 +1674,7 @@ def stream_pattern_detect_any(
         .withWatermark("ts", watermark_delay)
     )
     return filtered.groupBy("user_id").applyInPandasWithState(
-        make_any_matcher(n, withins_us),
+        make_any_matcher(n, withins_us, after_match=after_match),
         any_output_schema(n),
         ANY_STATE_SCHEMA,
         "append",

@@ -864,7 +864,7 @@ def soak_stream_any(n_cases):
     import pandas as pd
 
     from test_properties_round5 import _FakeState
-    from test_round7_ops import brute_any
+    from test_round7_ops import brute_any, brute_skip_to_next
     from flink_uba_spark.streaming.pattern import make_any_matcher
 
     t0, fails = time.time(), 0
@@ -879,56 +879,71 @@ def soak_stream_any(n_cases):
         ]
         cuts = sorted({rnd.randint(1, 60) for _ in range(rnd.randint(0, 4))})
 
-        detect = make_any_matcher(n, withins)
-        state = _FakeState()
-        got = []
+        def run_mode(after_match):
+            detect = make_any_matcher(n, withins, after_match=after_match)
+            state = _FakeState()
+            got = []
 
-        def drain(gen):
-            for f in gen:
-                for r in f.itertuples(index=False):
-                    got.append(
-                        tuple(int(getattr(r, f"i{k}")) for k in range(1, n + 1))
-                        + tuple(
-                            pd.Timestamp(getattr(r, f"t{k}")).value // 1000
-                            for k in range(1, n + 1)
+            def drain(gen):
+                for f in gen:
+                    for r in f.itertuples(index=False):
+                        got.append(
+                            tuple(int(getattr(r, f"i{k}")) for k in range(1, n + 1))
+                            + tuple(
+                                pd.Timestamp(getattr(r, f"t{k}")).value // 1000
+                                for k in range(1, n + 1)
+                            )
                         )
-                    )
 
-        lo, wm = -1, 0
-        for hi in cuts + [10 ** 9]:
-            batch = [e for e in events if lo < e[1] <= hi]
-            lo = hi
-            if not batch:
-                continue
-            state._wm = wm  # lags one batch, as in Spark
-            pdf = pd.DataFrame(
-                [
-                    {
-                        "event_id": eid,
-                        "ts": pd.Timestamp(ts, unit="us"),
-                        **{f"__p{k}": bool(m >> (k - 1) & 1) for k in range(1, n + 1)},
-                    }
-                    for eid, ts, m in batch
-                    if m
-                ]
-            )
-            if not len(pdf):
-                continue
-            state.hasTimedOut = False
-            drain(detect((1,), iter([pdf]), state))
-            wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
-            if (
-                state._v is not None
-                and state.timeout_set is not None
-                and state.timeout_set < wm
-            ):
-                state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+            lo, wm = -1, 0
+            for hi in cuts + [10 ** 9]:
+                batch = [e for e in events if lo < e[1] <= hi]
+                lo = hi
+                if not batch:
+                    continue
+                state._wm = wm  # lags one batch, as in Spark
+                pdf = pd.DataFrame(
+                    [
+                        {
+                            "event_id": eid,
+                            "ts": pd.Timestamp(ts, unit="us"),
+                            **{f"__p{k}": bool(m >> (k - 1) & 1) for k in range(1, n + 1)},
+                        }
+                        for eid, ts, m in batch
+                        if m
+                    ]
+                )
+                if not len(pdf):
+                    continue
+                state.hasTimedOut = False
+                drain(detect((1,), iter([pdf]), state))
+                wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
+                for _ in range(8):  # mid-stream timer firings
+                    if (
+                        state._v is None
+                        or state.timeout_set is None
+                        or state.timeout_set >= wm
+                    ):
+                        break
+                    state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+                    drain(detect((1,), iter([]), state))
+                    state.hasTimedOut = False
+            if state._v is not None and events:
+                # final availableNow timer drive at wm = max event ts
+                state._wm = max(ts for _, ts, _ in events) // 1000
+                state.hasTimedOut = True
                 drain(detect((1,), iter([]), state))
                 state.hasTimedOut = False
+            return sorted(got)
+
+        got = run_mode(None)
+        sgot = run_mode("skip_to_next")
         want = brute_any(events, withins)
-        if sorted(got) != want:
+        swant = brute_skip_to_next(events, withins)
+        if got != want or sgot != swant:
             fails += 1
-            print(f"MISMATCH seed={seed} n={n} withins={withins} "
+            which = "any" if got != want else "skip_to_next"
+            print(f"MISMATCH[{which}] seed={seed} n={n} withins={withins} "
                   f"events={events} cuts={cuts}")
             if fails > 5:
                 break
