@@ -167,6 +167,7 @@ HEADLINE = HEADLINE_R01 + [
     "revenue_cube_mktseg_priority",
     "heavy_hitter_bigrams",
     "stream_pattern_any_skip_to_next",
+    "pattern_any_skip_to_first_click",
 ]
 
 

@@ -818,6 +818,83 @@ def pattern_detect_any(
     )
 
 
+def after_match_skip_to_first(
+    matches: DataFrame,
+    key: str,
+    step: int,
+) -> DataFrame:
+    """Flink's ``AfterMatchSkipStrategy.SKIP_TO_FIRST(p)`` /
+    ``SKIP_TO_LAST(p)`` over followedByAny candidates (round 7,
+    completing the after-match family: NO_SKIP, SKIP_TO_NEXT,
+    SKIP_PAST_LAST_EVENT, SKIP_TO_FIRST, SKIP_TO_LAST): after a match
+    emits, every pending match that STARTED BEFORE the event bound to
+    step ``p`` of the emitted match is discarded; matches starting AT or
+    after it survive. Over plain (non-Kleene) chains each step binds
+    exactly ONE event, so SKIP_TO_FIRST ≡ SKIP_TO_LAST — this one
+    operator covers both strategies on the pattern_detect_any surface
+    (Kleene runs, where first/last repetition differ, stay on the
+    skip-till-next engine where after_match_skip_past_last applies).
+
+    ``matches`` is ``pattern_detect_any`` output; ``step`` ∈ [2, N] is
+    the skip target (step 1 would be a no-op: every match starts at its
+    own step-1 event). Candidates replay in COMPLETION order
+    ``(tN, iN, anchor_ts, anchor_id)`` (same-ts races canonicalized by
+    event id, as across the engine family); a candidate survives iff its
+    anchor is AT-OR-PAST the running horizon — the max ``(t_p, i_p)``
+    over emitted matches — and emitting advances the horizon. ``>=``
+    (not the strictly-past of SKIP_PAST_LAST) is Flink's "started
+    before" clause verbatim.
+
+    Scale: same class as the skip_past_last fold — one match-sized
+    exchange on the key, then a linear per-key pass in ``applyInPandas``
+    (greedy horizon replay is inherently sequential per key, but over
+    OUTPUT-sized data only).
+
+    The replay order must be TOTAL over candidates — two followedByAny
+    branches can share end AND anchor, differing only in middle
+    bindings, and whichever is processed first advances the horizon that
+    prunes the other — so the middle steps' ``(t_k, i_k)`` extend the
+    sort key ascending (earliest-binding branch first, the family's
+    canonicalization; found by the 3-SF gate on first wiring).
+    """
+    import pandas as pd
+
+    tcols = sorted(
+        (c for c in matches.columns if c[0] == "t" and c[1:].isdigit()),
+        key=lambda c: int(c[1:]),
+    )
+    n = len(tcols)
+    if not 2 <= step <= n:
+        raise ValueError(f"step must be in [2, {n}]")
+    cols = list(matches.columns)
+    schema = matches.schema
+    sort_cols = [f"t{n}", f"i{n}", "t1", "i1"] + [
+        c for k in range(2, n) for c in (f"t{k}", f"i{k}")
+    ]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pdf
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        a_ts = pdf["t1"].astype("datetime64[ns]").astype("int64").to_numpy()
+        a_id = pdf["i1"].to_numpy().astype("int64")
+        p_ts = pdf[f"t{step}"].astype("datetime64[ns]").astype("int64").to_numpy()
+        p_id = pdf[f"i{step}"].to_numpy().astype("int64")
+        keep = [False] * len(pdf)
+        h_ts = h_id = None
+        for i in range(len(pdf)):
+            if h_ts is None or (a_ts[i], a_id[i]) >= (h_ts, h_id):
+                keep[i] = True
+                if h_ts is None or (p_ts[i], p_id[i]) > (h_ts, h_id):
+                    h_ts, h_id = p_ts[i], p_id[i]
+        return pdf.loc[keep, cols]
+
+    return matches.groupBy(key).applyInPandas(fold, schema)
+
+
+after_match_skip_to_last = after_match_skip_to_first  # plain chains: 1 event/step
+
+
 def after_match_skip_to_next(
     matches: DataFrame,
     key: str,

@@ -1267,6 +1267,53 @@ QUALIFY row_number() OVER (
 """
 
 
+def pattern_any_skip_to_first_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AfterMatchSkipStrategy.SKIP_TO_FIRST(click)`` over the
+    followedByAny journey (round 7, completing the after-match family):
+    when a match emits, pending matches that started BEFORE its click
+    event are discarded (AT-or-after survives — Flink's "started before"
+    clause); the horizon replays greedily in completion order.
+
+    Plan: operators/sequence.py after_match_skip_to_first — one
+    match-sized exchange + a linear per-key horizon pass; oracle = the
+    same greedy replay as a recursive CTE over the correlated-join
+    candidates (the skip_past_last precedent)."""
+    from flink_uba_spark.operators.sequence import after_match_skip_to_first
+
+    return after_match_skip_to_first(
+        pattern_any_view_click_purchase(spark, sf_dir), key="user_id", step=2
+    )
+
+
+PATTERN_ANY_SKIP_TO_FIRST_ORACLE = f"""
+WITH RECURSIVE
+cand AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY t3, i3, t1, i1, t2, i2
+  ) AS r
+  FROM ({PATTERN_ANY_VCP_ORACLE})
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS h_ts,
+         CAST(-1 AS BIGINT) AS h_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.i1) >= (s.h_ts, s.h_id)
+                AND (c.t2, c.i2) > (s.h_ts, s.h_id)
+              THEN c.t2 ELSE s.h_ts END,
+         CASE WHEN (c.t1, c.i1) >= (s.h_ts, s.h_id)
+                AND (c.t2, c.i2) > (s.h_ts, s.h_id)
+              THEN c.i2 ELSE s.h_id END,
+         (c.t1, c.i1) >= (s.h_ts, s.h_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.i1, c.i2, c.i3, c.t1, c.t2, c.t3
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
@@ -1283,6 +1330,7 @@ QUERIES = {
     "pattern_nonoverlap_episodes": pattern_nonoverlap_episodes,
     "pattern_any_view_click_purchase": pattern_any_view_click_purchase,
     "pattern_any_skip_to_next": pattern_any_skip_to_next,
+    "pattern_any_skip_to_first_click": pattern_any_skip_to_first_click,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
@@ -1311,6 +1359,7 @@ ORACLES = {
     "pattern_nonoverlap_episodes": PATTERN_NONOVERLAP_EPISODES_ORACLE,
     "pattern_any_view_click_purchase": PATTERN_ANY_VCP_ORACLE,
     "pattern_any_skip_to_next": PATTERN_ANY_SKIP_TO_NEXT_ORACLE,
+    "pattern_any_skip_to_first_click": PATTERN_ANY_SKIP_TO_FIRST_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,

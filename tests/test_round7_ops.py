@@ -466,3 +466,96 @@ def test_misra_gries_summary_is_bounded_and_superset(spark):
     assert len(summ) <= 10
     survivors = {r.item for r in summ}
     assert {"hot_a", "hot_b"} <= survivors
+
+
+# ---------------------------------------------------- SKIP_TO_FIRST/LAST
+
+
+def brute_skip_to_first(events, withins_us, step):
+    """Reference greedy fold: completion-order replay (tN, iN, t1, i1,
+    then middle bindings ascending), horizon = max (t_p, i_p) over
+    emitted matches, survivor iff anchor AT-or-past the horizon."""
+    n = len(withins_us)
+    cands = sorted(
+        brute_any(events, withins_us),
+        key=lambda m: (
+            (m[2 * n - 1], m[n - 1], m[n], m[0])
+            + tuple(x for k in range(1, n - 1) for x in (m[n + k], m[k]))
+        ),
+    )
+    out, h = [], None
+    for m in cands:
+        ids, tss = m[:n], m[n:]
+        if h is None or (tss[0], ids[0]) >= h:
+            out.append(m)
+            hp = (tss[step - 1], ids[step - 1])
+            if h is None or hp > h:
+                h = hp
+    return sorted(out)
+
+
+def run_skip_to_first(spark, events, withins_us, n, step):
+    from flink_uba_spark.operators.sequence import (
+        after_match_skip_to_first,
+        pattern_detect_any,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
+        f"c{j} boolean" for j in range(n)
+    )
+    rows = [
+        (eid, 0, EPOCH + datetime.timedelta(microseconds=ts),
+         *[bool(m >> j & 1) for j in range(n)])
+        for eid, ts, m in events
+    ]
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    steps = [(F.col("c0"), None)] + [
+        (F.col(f"c{k - 1}"), f"INTERVAL {withins_us[k - 1]} MICROSECONDS")
+        for k in range(2, n + 1)
+    ]
+    out = after_match_skip_to_first(
+        pattern_detect_any(df, key="user_id", steps=steps), key="user_id", step=step
+    ).toPandas()
+    got = []
+    for _, r in out.iterrows():
+        got.append(
+            tuple(int(r[f"i{k}"]) for k in range(1, n + 1))
+            + tuple(
+                int((r[f"t{k}"].to_pydatetime() - EPOCH).total_seconds() * 1e6)
+                for k in range(1, n + 1)
+            )
+        )
+    return sorted(got)
+
+
+@settings(max_examples=30, deadline=None)
+@given(any_case(), st.integers(2, 4))
+def test_skip_to_first_matches_brute(spark, case, raw_step):
+    n, withins, events = case
+    step = 2 + raw_step % (n - 1)
+    assert run_skip_to_first(spark, events, withins, n, step) == brute_skip_to_first(
+        events, withins, step
+    )
+
+
+def test_skip_to_first_prunes_started_before_but_keeps_at(spark):
+    """A match anchored strictly before the emitted match's step-2 event
+    dies; one anchored AT that event (overlapping predicates) survives —
+    Flink's 'started before' clause verbatim."""
+    # e1 anchors m1=(1,2,4); e2 at ts 5 matches steps 1 AND 2; e3 anchors
+    # via e2... candidates: (1,2,4): anchor 1@0, click 2@5, end 4@8.
+    # (1,5?,..) — build:
+    events = [
+        (1, 0, 0b001),   # anchor A
+        (2, 5, 0b011),   # click for A's match AND an anchor itself
+        (3, 3, 0b001),   # anchor strictly before e2 -> pruned
+        (4, 8, 0b100),   # shared end
+        (5, 7, 0b010),   # click for e2's and e3's chains
+    ]
+    withins = [0, 20, 20]
+    got = run_skip_to_first(spark, events, withins, 3, 2)
+    assert got == brute_skip_to_first(events, withins, 2)
+    ids = {m[:3] for m in got}
+    assert (1, 2, 4) in ids            # first emitted
+    assert (2, 5, 4) in ids            # anchored AT the click event: kept
+    assert all(m[0] != 3 for m in ids)  # anchored before it: pruned

@@ -775,8 +775,9 @@ def soak_any(n_cases, cases_per_spec=100):
 
     from pyspark.sql import functions as F
 
-    from test_round7_ops import brute_any, brute_skip_to_next
+    from test_round7_ops import brute_any, brute_skip_to_first, brute_skip_to_next
     from flink_uba_spark.operators.sequence import (
+        after_match_skip_to_first,
         after_match_skip_to_next,
         pattern_detect_any,
     )
@@ -816,9 +817,12 @@ def soak_any(n_cases, cases_per_spec=100):
         ]
         any_df = pattern_detect_any(df, key="user_id", steps=steps)
         pdf = any_df.toPandas()
-        # SKIP_TO_NEXT rides the same soak (round 7): the per-anchor
-        # min_by fold over the identical branching output vs its brute
+        # SKIP_TO_NEXT and SKIP_TO_FIRST ride the same soak (round 7):
+        # the after-match folds over the identical branching output vs
+        # their brutes; the skip-to-first target step rotates per spec
         sdf = after_match_skip_to_next(any_df, key="user_id").toPandas()
+        fstep = 2 + (spec_seed % (n - 1))
+        fdf = after_match_skip_to_first(any_df, key="user_id", step=fstep).toPandas()
         for c in range(ncase):
             sub = pdf[pdf["user_id"] == c]
             got = sorted(
@@ -840,9 +844,21 @@ def soak_any(n_cases, cases_per_spec=100):
                 for _, r in ssub.iterrows()
             )
             swant = brute_skip_to_next(case_events[c], withins)
-            if got != want or sgot != swant:
+            fsub = fdf[fdf["user_id"] == c]
+            fgot = sorted(
+                tuple(int(r[f"i{k}"]) for k in range(1, n + 1))
+                + tuple(
+                    int((r[f"t{k}"].to_pydatetime() - epoch).total_seconds() * 1e6)
+                    for k in range(1, n + 1)
+                )
+                for _, r in fsub.iterrows()
+            )
+            fwant = brute_skip_to_first(case_events[c], withins, fstep)
+            if got != want or sgot != swant or fgot != fwant:
                 fails += 1
-                which = "any" if got != want else "skip_to_next"
+                which = ("any" if got != want
+                         else "skip_to_next" if sgot != swant
+                         else f"skip_to_first[{fstep}]")
                 print(f"MISMATCH[{which}] spec_seed={spec_seed - 1} case={c} n={n} "
                       f"withins={withins} events={case_events[c]}")
                 if fails > 5:
