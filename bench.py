@@ -168,6 +168,7 @@ HEADLINE = HEADLINE_R01 + [
     "heavy_hitter_bigrams",
     "stream_pattern_any_skip_to_next",
     "pattern_any_skip_to_first_click",
+    "pattern_error_run_until_purchase",
 ]
 
 

@@ -81,6 +81,7 @@ def pattern_detect(
     strict: set[int] | None = None,
     not_next: dict[int, Column] | None = None,
     with_end_id: bool = False,
+    until: dict[int, Column] | None = None,
 ) -> DataFrame:
     """Compile an N-step ``begin → followedBy → …`` pattern into chained
     window aggregates (one key exchange for the plain-step chain).
@@ -117,6 +118,17 @@ def pattern_detect(
     gap-horizon row buffer, so a finite ``within`` is what an unbounded
     deployment must set). The step after a Kleene step binds strictly
     after the run's LAST repetition.
+
+    ``until`` (round 7) maps a Kleene step index k to a STOP predicate —
+    the reference Pattern API's ``oneOrMore().until(condition)``: the
+    looping state stops accepting repetitions once a stop-row occurs, so
+    a run never spans an until-row. Compiled as session REFINEMENT: stop
+    rows split the step's within-gap sessions (in the run machinery's
+    (ts, id) order — a dual rep+stop row is its run's final repetition),
+    and caps / min_reps / the run-last handoff apply to the refined runs
+    unchanged; a fresh run may begin after the stop row. An until step
+    cannot also carry a notFollowedBy/notNext guard on its outgoing
+    transition (both own the 2k rank slot).
 
     ``not_followed_by`` maps a step index k (1..n-1) to a FORBIDDEN
     predicate — the reference Pattern API's ``notFollowedBy`` between step
@@ -238,6 +250,14 @@ def pattern_detect(
         raise ValueError(
             "a transition takes ONE of next/notNext/notFollowedBy, not several"
         )
+    untils = dict(until or {})
+    if any(reps[k - 1] is None for k in untils):
+        raise ValueError("until() applies to oneOrMore/times steps only")
+    if any(k in negs or k in nnx for k in untils):
+        raise ValueError(
+            "an until() step cannot also carry a notFollowedBy/notNext "
+            "guard on its outgoing transition (both own the 2k rank slot)"
+        )
 
     # slot ranks: positive step k at 2k-1, a notFollowedBy guard OR a
     # notNext forbidden slot between k and k+1 at 2k — so at equal
@@ -251,6 +271,7 @@ def pattern_detect(
         [p.cast("boolean").alias(f"__p{i}") for i, p in enumerate(preds, start=1)]
         + [negs[k].cast("boolean").alias(f"__g{k}") for k in sorted(negs)]
         + [nnx[k].cast("boolean").alias(f"__x{k}") for k in sorted(nnx)]
+        + [untils[k].cast("boolean").alias(f"__u{k}") for k in sorted(untils)]
     )
     base = events.select(
         F.col(key).alias("__k"),
@@ -263,9 +284,11 @@ def pattern_detect(
     # EXCEPT under strict/notNext semantics: there EVERY event of the key
     # is a potential contiguity witness, so the filter must stay off
     if not stricts and not nnx:
-        all_flags = [F.col(f"__p{i}") for i in range(1, n + 1)] + [
-            F.col(f"__g{k}") for k in sorted(negs)
-        ]
+        all_flags = (
+            [F.col(f"__p{i}") for i in range(1, n + 1)]
+            + [F.col(f"__g{k}") for k in sorted(negs)]
+            + [F.col(f"__u{k}") for k in sorted(untils)]
+        )
         base = base.filter(
             F.greatest(*all_flags) if len(all_flags) > 1 else all_flags[0]
         )
@@ -278,6 +301,10 @@ def pattern_detect(
             rank_cases.append(F.when(F.col(f"__g{i}"), F.lit(2 * i)))
         if i in nnx:
             rank_cases.append(F.when(F.col(f"__x{i}"), F.lit(2 * i)))
+        if i in untils:
+            # an until row at a repetition's timestamp sorts AFTER it —
+            # the same-ts rep still counts, the stop applies from there
+            rank_cases.append(F.when(F.col(f"__u{i}"), F.lit(2 * i)))
     base = base.withColumn(
         "__rank", F.coalesce(*rank_cases, F.lit(2 * n + 1))
     )
@@ -288,13 +315,42 @@ def pattern_detect(
         if reps[k - 1] is None:
             continue
         wk = Window.partitionBy("__k").orderBy("__ts", "__id")
-        pk = base.filter(F.col(f"__p{k}")).select("__k", "__id", "__ts")
+        sel = ["__k", "__id", "__ts"]
+        if k in untils:
+            # until(): a run may not span an until-row — count U rows
+            # strictly before each row in the (ts, id) order (the Kleene
+            # run machinery's own order, so rep-vs-stop placement at equal
+            # timestamps resolves by event id; a dual rep+stop row counts
+            # as the run's FINAL repetition, then the run ends);
+            # consecutive repetitions with differing counts straddle a U
+            # and belong to different runs (Flink stops the looping state
+            # when the condition fires; session splitting is the batch
+            # equivalent, and the machinery downstream — caps, min_reps,
+            # run_last handoff — applies to the refined runs unchanged)
+            w_before = (
+                Window.partitionBy("__k")
+                .orderBy("__ts", "__id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            base = base.withColumn(
+                f"__ucnt{k}",
+                F.coalesce(
+                    F.sum(F.when(F.col(f"__u{k}"), 1).otherwise(0)).over(w_before),
+                    F.lit(0),
+                ),
+            )
+            sel.append(f"__ucnt{k}")
+        pk = base.filter(F.col(f"__p{k}")).select(*sel)
         prev = F.lag("__ts").over(wk)
         gap_break = (
             prev.isNull() | (F.col("__ts") > prev + F.expr(withins[k - 1]))
             if withins[k - 1] is not None
             else prev.isNull()
         )
+        if k in untils:
+            gap_break = gap_break | (
+                F.col(f"__ucnt{k}") != F.lag(f"__ucnt{k}").over(wk)
+            )
         sess = pk.withColumn(
             f"__sess{k}",
             F.sum(F.when(gap_break, 1).otherwise(0)).over(

@@ -943,6 +943,98 @@ def pattern_uncapped_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pattern_error_run_until_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``oneOrMore().until(...)`` (round 7 — the stop-condition
+    combinator, completing the Kleene surface): per shard, signup →
+    error.oneOrMore(30 min gap, UNCAPPED).until(purchase) → click within
+    2 h of the cascade's last error. The first purchase on the shard
+    STOPS the error run — Flink's ``until`` ends the looping state even
+    though later errors are still inside the repetition gap — so the
+    cascade measured is "errors until service recovered", not the whole
+    gap session.
+
+    Compile: operators/sequence.py pattern_detect ``until={2: ...}`` —
+    the stop rows refine the Kleene gap-sessions (a run never spans a
+    purchase in the (ts, id) run order); caps, min_reps and the
+    run-last handoff apply to the refined runs unchanged. Verified by
+    the extended brute (untils slots) riding the 10k batch soak."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    ev = _events(spark, sf_dir).withColumn("shard", F.col("user_id") % 8)
+    return pattern_detect(
+        ev,
+        key="shard",
+        steps=[
+            (F.col("event_type") == "signup", None),
+            (F.col("event_type") == "error", "INTERVAL 30 MINUTES", float("inf")),
+            (F.col("event_type") == "click", "INTERVAL 2 HOURS"),
+        ],
+        until={2: F.col("event_type") == "purchase"},
+    )
+
+
+# the uncapped oracle with purchase-refined sessions: a run breaks on the
+# 30-min gap OR on an intervening purchase (ucnt = purchases strictly
+# before the error in the shard's (ts, id) order)
+PATTERN_ERROR_RUN_UNTIL_ORACLE = """
+WITH err AS (
+  SELECT e.user_id % 8 AS shard, e.event_id, e.ts,
+         (SELECT count(*) FROM events u
+           WHERE u.event_type = 'purchase' AND u.user_id % 8 = e.user_id % 8
+             AND (u.ts, u.event_id) < (e.ts, e.event_id)) AS ucnt
+  FROM events e WHERE e.event_type = 'error'
+),
+flagged AS (
+  SELECT shard, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                OR ucnt != lag(ucnt) OVER w THEN 1 ELSE 0 END AS ns
+  FROM err
+  WINDOW w AS (PARTITION BY shard ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT shard, event_id, ts,
+         sum(ns) OVER (PARTITION BY shard ORDER BY ts, event_id) AS sid
+  FROM flagged
+),
+runs AS (
+  SELECT shard, event_id, ts,
+         max(ts) OVER wf AS run_last,
+         count(*) OVER wf - row_number() OVER ws + 1 AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY shard, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY shard, sid)
+),
+a AS (SELECT user_id % 8 AS shard, event_id AS anchor_id, ts AS t1
+      FROM events WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*,
+    (SELECT r.ts FROM runs r WHERE r.shard = a.shard AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t2,
+    (SELECT r.run_last FROM runs r WHERE r.shard = a.shard AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t2_last,
+    (SELECT r.n_reps FROM runs r WHERE r.shard = a.shard AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS n2
+  FROM a
+),
+a3 AS (
+  SELECT a2.*,
+    (SELECT min(c.ts) FROM events c
+     WHERE c.event_type = 'click' AND c.user_id % 8 = a2.shard
+       AND c.ts >= a2.t2_last) AS t3
+  FROM a2
+)
+SELECT shard, anchor_id, t1, t2, t2_last, CAST(n2 AS BIGINT) AS n2, t3,
+       CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN t3 IS NULL THEN 'incomplete'
+            WHEN t2 <= t1 + INTERVAL 30 MINUTE AND t3 <= t2_last + INTERVAL 2 HOUR
+              THEN 'matched'
+            ELSE 'matched_late' END AS state
+FROM a3
+"""
+
+
 # the burst oracle minus its cap arithmetic: a run is its ENTIRE 30-min-gap
 # session (run_last = session max, n_reps = rows from entry to session end)
 PATTERN_UNCAPPED_ERROR_RUN_ORACLE = """
@@ -1325,6 +1417,7 @@ QUERIES = {
     "pattern_optional_click_purchase": pattern_optional_click_purchase,
     "pattern_optional_branching": pattern_optional_branching,
     "pattern_uncapped_error_run": pattern_uncapped_error_run,
+    "pattern_error_run_until_purchase": pattern_error_run_until_purchase,
     "pattern_impulse_purchase": pattern_impulse_purchase,
     "pattern_clean_onboarding": pattern_clean_onboarding,
     "pattern_nonoverlap_episodes": pattern_nonoverlap_episodes,
@@ -1354,6 +1447,7 @@ ORACLES = {
     "pattern_optional_click_purchase": PATTERN_OPTIONAL_CLICK_ORACLE,
     "pattern_optional_branching": PATTERN_OPTIONAL_BRANCHING_ORACLE,
     "pattern_uncapped_error_run": PATTERN_UNCAPPED_ERROR_RUN_ORACLE,
+    "pattern_error_run_until_purchase": PATTERN_ERROR_RUN_UNTIL_ORACLE,
     "pattern_impulse_purchase": PATTERN_IMPULSE_PURCHASE_ORACLE,
     "pattern_clean_onboarding": PATTERN_CLEAN_ONBOARDING_ORACLE,
     "pattern_nonoverlap_episodes": PATTERN_NONOVERLAP_EPISODES_ORACLE,

@@ -45,21 +45,28 @@ class _FakeState:
         self._v = None
 
 
-def slot_layout(n, guards):
+def slot_layout(n, guards, untils=frozenset()):
     """Engine-identical slot order: positive step k, then its
-    notFollowedBy guard (if any, and k < n)."""
+    notFollowedBy guard (if any, and k < n) or its until() stop slot
+    (round 7; guard and until are mutually exclusive per step — both own
+    the engine's 2k rank)."""
     slots = []
-    pslot, gslot = {}, {}
+    pslot, gslot, uslot = {}, {}, {}
     for k in range(1, n + 1):
         pslot[k] = len(slots)
         slots.append(("p", k))
         if k in guards and k < n:
             gslot[k] = len(slots)
             slots.append(("g", k))
+        if k in untils:
+            uslot[k] = len(slots)
+            slots.append(("u", k))
+    if untils:
+        return slots, pslot, gslot, uslot
     return slots, pslot, gslot
 
 
-def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozenset(), stricts=frozenset(), with_end=False):
+def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozenset(), stricts=frozenset(), with_end=False, untils=frozenset()):
     """Reference for the batch compiler's followed-by semantics plus the
     streaming run-closure filter and notFollowedBy kills.
 
@@ -75,7 +82,12 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
     emits: complete, NOT killed by a guard, AND every Kleene run closed
     (cap, same-key evidence, or final watermark past last_rep + gap)."""
     n = len(steps)
-    slots, pslot, gslot = slot_layout(n, guards)
+    if untils:
+        assert not (set(untils) & set(guards)), "until excludes a same-step guard"
+        slots, pslot, gslot, uslot = slot_layout(n, guards, untils)
+    else:
+        slots, pslot, gslot = slot_layout(n, guards)
+        uslot = {}
     nslots = len(slots)
     full = (1 << nslots) - 1
     if stricts:
@@ -100,9 +112,19 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
         rows2 = srows[pslot[s2]]
         if kl2 is not None and mn2 > 1:
             gap2 = kl2[0]
+            # until cuts compare in the run machinery's (ts, id) order:
+            # a U row at-or-after rep i and before rep i+1 splits them
+            # (a dual rep+stop row ends its own run — <= on the left)
+            ucut2 = (
+                [(ts, eid) for (ts, eid, _) in srows[uslot[s2]]]
+                if s2 in uslot
+                else []
+            )
             avail = [1] * len(rows2)
             for i in range(len(rows2) - 2, -1, -1):
-                if rows2[i + 1][0] <= rows2[i][0] + gap2:
+                if rows2[i + 1][0] <= rows2[i][0] + gap2 and not any(
+                    rows2[i][:2] <= u < rows2[i + 1][:2] for u in ucut2
+                ):
                     avail[i] += avail[i + 1]
             return [
                 (ts, eid, p, i)
@@ -160,8 +182,18 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
             else:
                 gap, cap = kl[0], kl[1]
                 rows = srows[pslot[s]]
+                ucut = (
+                    [(ts, eid) for (ts, eid, _) in srows[uslot[s]]]
+                    if s in uslot
+                    else []
+                )
                 j, cnt = i_e, 1
-                while cnt < cap and j + 1 < len(rows) and rows[j + 1][0] <= rows[j][0] + gap:
+                while (
+                    cnt < cap
+                    and j + 1 < len(rows)
+                    and rows[j + 1][0] <= rows[j][0] + gap
+                    and not any(rows[j][:2] <= u < rows[j + 1][:2] for u in ucut)
+                ):
                     j += 1
                     cnt += 1
                 bounds[s] = ts_e

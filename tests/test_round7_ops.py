@@ -559,3 +559,152 @@ def test_skip_to_first_prunes_started_before_but_keeps_at(spark):
     assert (1, 2, 4) in ids            # first emitted
     assert (2, 5, 4) in ids            # anchored AT the click event: kept
     assert all(m[0] != 3 for m in ids)  # anchored before it: pruned
+
+
+# ------------------------------------------------------------- until()
+
+
+def _run_until(spark, events, nslots, spec_builder):
+    """events: (eid, ts_us, mask) over caller-defined slots."""
+    schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
+        f"c{j} boolean" for j in range(nslots)
+    )
+    rows = [
+        (eid, 0, EPOCH + datetime.timedelta(microseconds=ts),
+         *[bool(m >> j & 1) for j in range(nslots)])
+        for eid, ts, m in events
+    ]
+    df = spark.createDataFrame(rows, schema)
+    return spec_builder(df).toPandas()
+
+
+def test_until_truncates_run_and_new_run_after_stop(spark):
+    """A stop row splits the gap-session: the run from the first entry
+    ends before it; a fresh entry after the stop starts a new run bound
+    by the NEXT anchor, exactly Flink's looping-state stop."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    # slots: c0=anchor, c1=rep, c2=stop, c3=final
+    events = [
+        (1, 0, 0b0001),   # anchor A
+        (2, 10, 0b0010),  # rep
+        (3, 20, 0b0010),  # rep
+        (4, 25, 0b0100),  # STOP
+        (5, 30, 0b0010),  # rep (same gap session, but past the stop)
+        (6, 40, 0b1000),  # final
+    ]
+
+    def build(df):
+        return pattern_detect(
+            df, key="user_id",
+            steps=[
+                (F.col("c0"), None),
+                (F.col("c1"), "INTERVAL 50 MICROSECONDS", float("inf")),
+                (F.col("c3"), "INTERVAL 100 MICROSECONDS"),
+            ],
+            until={2: F.col("c2")},
+        )
+
+    out = _run_until(spark, events, 4, build)
+    r = out[out["anchor_id"] == 1].iloc[0]
+    assert (r["t2"].microsecond, r["t2_last"].microsecond, int(r["n2"])) == (10, 20, 2)
+    assert r["state"] == "matched"
+    # without until, the run would span all three reps
+    def build_plain(df):
+        return pattern_detect(
+            df, key="user_id",
+            steps=[
+                (F.col("c0"), None),
+                (F.col("c1"), "INTERVAL 50 MICROSECONDS", float("inf")),
+                (F.col("c3"), "INTERVAL 100 MICROSECONDS"),
+            ],
+        )
+    out2 = _run_until(spark, events, 4, build_plain)
+    r2 = out2[out2["anchor_id"] == 1].iloc[0]
+    assert (r2["t2_last"].microsecond, int(r2["n2"])) == (30, 3)
+
+
+def test_until_dual_row_is_final_repetition(spark):
+    """An event matching BOTH the loop predicate and the stop condition
+    counts as the run's final repetition, then the run ends — the
+    documented (ts, id)-order canonicalization."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    events = [
+        (1, 0, 0b0001),
+        (2, 10, 0b0010),
+        (3, 20, 0b0110),  # rep AND stop
+        (4, 30, 0b0010),  # next run
+        (5, 40, 0b1000),
+    ]
+
+    def build(df):
+        return pattern_detect(
+            df, key="user_id",
+            steps=[
+                (F.col("c0"), None),
+                (F.col("c1"), "INTERVAL 50 MICROSECONDS", float("inf")),
+                (F.col("c3"), "INTERVAL 100 MICROSECONDS"),
+            ],
+            until={2: F.col("c2")},
+        )
+
+    out = _run_until(spark, events, 4, build)
+    r = out[out["anchor_id"] == 1].iloc[0]
+    assert (r["t2"].microsecond, r["t2_last"].microsecond, int(r["n2"])) == (10, 20, 2)
+
+
+def test_until_with_min_reps_invalidates_short_run(spark):
+    """times(2, ∞) + until: a stop row leaving only one rep before it
+    makes that entry INVALID — the previous step binds the next valid
+    entry after the stop."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    events = [
+        (1, 0, 0b0001),
+        (2, 10, 0b0010),  # lone rep, then stop → invalid entry
+        (3, 15, 0b0100),  # STOP
+        (4, 20, 0b0010),  # valid 2-rep run starts here
+        (5, 25, 0b0010),
+        (6, 40, 0b1000),
+    ]
+
+    def build(df):
+        return pattern_detect(
+            df, key="user_id",
+            steps=[
+                (F.col("c0"), None),
+                (F.col("c1"), "INTERVAL 50 MICROSECONDS", (2, float("inf"))),
+                (F.col("c3"), "INTERVAL 100 MICROSECONDS"),
+            ],
+            until={2: F.col("c2")},
+        )
+
+    out = _run_until(spark, events, 4, build)
+    r = out[out["anchor_id"] == 1].iloc[0]
+    assert (r["t2"].microsecond, r["t2_last"].microsecond, int(r["n2"])) == (20, 25, 2)
+
+
+def test_until_validation(spark):
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, a boolean, b boolean"
+    )
+    with pytest.raises(ValueError, match="oneOrMore"):
+        pattern_detect(
+            df, key="user_id",
+            steps=[(F.col("a"), None), (F.col("b"), "INTERVAL 1 MINUTE")],
+            until={2: F.col("a")},
+        )
+    with pytest.raises(ValueError, match="notFollowedBy"):
+        pattern_detect(
+            df, key="user_id",
+            steps=[
+                (F.col("a"), None),
+                (F.col("b"), "INTERVAL 1 MINUTE", 3),
+                (F.col("a"), "INTERVAL 1 MINUTE"),
+            ],
+            until={2: F.col("a")},
+            not_followed_by={2: F.col("b")},
+        )

@@ -63,7 +63,7 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
 
-def random_case(rnd, max_steps=6, ts_range=200):
+def random_case(rnd, max_steps=6, ts_range=200, with_untils=False):
     from test_properties_round5 import slot_layout
 
     n = rnd.randint(2, max_steps)
@@ -105,12 +105,24 @@ def random_case(rnd, max_steps=6, ts_range=200):
         and (s - 1) not in guards
     ]
     stricts = frozenset(s for s in strict_cands if rnd.random() < 0.3)
-    nslots = len(slot_layout(n, guards)[0])
+    # round 7: until() stop slots on Kleene steps without a same-step
+    # guard (the engine's mutual-exclusion rule); batch-engine soak only
+    untils = (
+        frozenset(
+            k + 1 for k in kpos
+            if (k + 1) not in guards and rnd.random() < 0.4
+        )
+        if with_untils
+        else frozenset()
+    )
+    nslots = len(slot_layout(n, guards, untils)[0])
     events = [
         (i, rnd.randint(0, ts_range), rnd.getrandbits(nslots) if rnd.random() < 0.92 else 0)
         for i in range(rnd.randint(0, 45))
     ]
     cuts = set(rnd.sample(range(1, ts_range), rnd.randint(0, 5)))
+    if with_untils:
+        return steps, guards, opts, stricts, events, cuts, untils
     return steps, guards, opts, stricts, events, cuts
 
 
@@ -254,8 +266,14 @@ def soak_batch(n_cases, cases_per_spec=100):
     while done < n_cases and fails <= 5:
         rnd = random.Random(spec_seed * 7919 + 11)
         spec_seed += 1
-        steps, guards, opts, stricts, _, _ = random_case(rnd, max_steps=5, ts_range=120)
-        slots, pslot, gslot = slot_layout(len(steps), guards)
+        steps, guards, opts, stricts, _, _, untils = random_case(
+            rnd, max_steps=5, ts_range=120, with_untils=True
+        )
+        if untils:
+            slots, pslot, gslot, uslot = slot_layout(len(steps), guards, untils)
+        else:
+            slots, pslot, gslot = slot_layout(len(steps), guards)
+            uslot = {}
         n, nslots = len(steps), len(slots)
         ncase = min(cases_per_spec, n_cases - done)
         case_events, rows = [], []
@@ -293,6 +311,7 @@ def soak_batch(n_cases, cases_per_spec=100):
             not_followed_by={k: F.col(f"c{gslot[k]}") for k in guards},
             optional=set(opts),
             strict=set(stricts),
+            until={k: F.col(f"c{uslot[k]}") for k in untils},
         )
         pdf = out.filter(F.col("state").isin("matched", "matched_late")).toPandas()
         for c in range(ncase):
@@ -303,13 +322,13 @@ def soak_batch(n_cases, cases_per_spec=100):
                 case_events[c],
                 [((kl[0] if kl is not None else w), kl) for (w, kl) in steps],
                 final_wm_ms=10 ** 15, guards=guards, opts=frozenset(opts),
-                stricts=stricts,
+                stricts=stricts, untils=untils,
             )
             if sorted(got) != want:
                 fails += 1
                 print(f"MISMATCH spec_seed={spec_seed - 1} case={c} steps={steps} "
                       f"guards={guards} opts={opts} stricts={stricts} "
-                      f"events={case_events[c]}")
+                      f"untils={untils} events={case_events[c]}")
                 if fails > 5:
                     break
         done += ncase
