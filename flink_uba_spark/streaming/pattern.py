@@ -1006,7 +1006,18 @@ def stream_pattern_detect(
     Killed chains emit nothing (batch: ``incomplete`` / ``negated``).
 
     Kleene steps need event-time timers for end-of-stream run closure, so
-    their presence (like ``state_ttl``) applies the watermark."""
+    their presence (like ``state_ttl``) applies the watermark.
+
+    ``until()`` (the Kleene stop condition, round 7) is BATCH-ONLY
+    (operators/sequence.py pattern_detect ``until=``): the streaming NFA
+    would need the stop rows carried as a new POSITIONAL closure-evidence
+    class — today's closure inputs (cap reached, same-key gap evidence,
+    watermark) are scalar per run, while an until-row closes a run at a
+    point BETWEEN repetitions, which touches all three closure paths
+    (buffer replay, incremental extension, timer flush) plus the
+    invalid-closure restore-replay. Scoped out until that surgery can
+    ship with its own soak mode; the batch form is verified by the
+    extended brute + 10k-case soak."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     specs = [s[0] for s in steps]
