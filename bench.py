@@ -169,6 +169,9 @@ HEADLINE = HEADLINE_R01 + [
     "stream_pattern_any_skip_to_next",
     "pattern_any_skip_to_first_click",
     "pattern_error_run_until_purchase",
+    "stream_heavy_hitter_bigrams",
+    "embedding_outliers",
+    "time_to_convert_histogram",
 ]
 
 

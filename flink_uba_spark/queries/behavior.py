@@ -915,6 +915,62 @@ FROM a4
 """
 
 
+def time_to_convert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution (round 7): per user, the time from
+    FIRST signup to the first purchase after it, bucketed in whole hours
+    — the funnel-latency histogram a growth dashboard plots next to
+    user_funnel's step counts. Integer buckets (floor of the second
+    delta / 3600) keep the hash gate exact; users who never convert are
+    excluded (they belong to user_funnel's drop-off columns).
+
+    Plan: one (user) aggregate for the first signup, one min-filtered
+    aggregate for the first purchase after it (per-user scalars — no
+    fan-out), then a bucket-sized hash aggregate. Linear, two exchanges.
+    """
+    ev = _events(spark, sf_dir)
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    first_purchase = (
+        purchases.join(first_signup, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"), F.first("signup_ts").alias("signup_ts"))
+    )
+    return (
+        first_purchase.withColumn(
+            "hours_bucket",
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(signup_ts)) "
+                "div 3600000000"
+            ),
+        )
+        .groupBy("hours_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+TIME_TO_CONVERT_ORACLE = """
+WITH fs AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts, min(fs.signup_ts) AS signup_ts
+  FROM events e JOIN fs ON e.user_id = fs.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fs.signup_ts
+  GROUP BY 1
+)
+SELECT CAST((epoch_us(purchase_ts) - epoch_us(signup_ts)) // 3600000000
+         AS BIGINT) AS hours_bucket,
+       count(*) AS n_users
+FROM fp GROUP BY 1
+"""
+
+
 def pattern_uncapped_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UNCAPPED oneOrMore CEP chain (round 6): per event SHARD
     (user_id % 8 — the load-sharded system-monitoring keying, where
@@ -1416,6 +1472,7 @@ QUERIES = {
     "pattern_error_streak_recovery": pattern_error_streak_recovery,
     "pattern_optional_click_purchase": pattern_optional_click_purchase,
     "pattern_optional_branching": pattern_optional_branching,
+    "time_to_convert_histogram": time_to_convert_histogram,
     "pattern_uncapped_error_run": pattern_uncapped_error_run,
     "pattern_error_run_until_purchase": pattern_error_run_until_purchase,
     "pattern_impulse_purchase": pattern_impulse_purchase,
@@ -1446,6 +1503,7 @@ ORACLES = {
     "pattern_error_streak_recovery": PATTERN_ERROR_STREAK_ORACLE,
     "pattern_optional_click_purchase": PATTERN_OPTIONAL_CLICK_ORACLE,
     "pattern_optional_branching": PATTERN_OPTIONAL_BRANCHING_ORACLE,
+    "time_to_convert_histogram": TIME_TO_CONVERT_ORACLE,
     "pattern_uncapped_error_run": PATTERN_UNCAPPED_ERROR_RUN_ORACLE,
     "pattern_error_run_until_purchase": PATTERN_ERROR_RUN_UNTIL_ORACLE,
     "pattern_impulse_purchase": PATTERN_IMPULSE_PURCHASE_ORACLE,

@@ -2113,13 +2113,71 @@ SELECT cluster_id, vec_id, pick_rank FROM (
 """
 
 
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding OUTLIER detection (round 7): vectors whose integer
+    sq-L2 distance to their own k-means centroid exceeds the cluster's
+    exact nearest-rank p90 — the curation step that drops noisy /
+    mis-embedded points before training (the distance-tail sibling of
+    cluster_balanced_sample's diversity cap). Nearest-rank keeps the
+    whole query in integer arithmetic (the order_value_percentiles
+    convention); the threshold table is k rows, broadcast back.
+
+    Scale: one kmeans training (map-only scans + k·dim aggregates), one
+    (cluster) window pass for the rank — per-cluster sort is bounded by
+    cluster size — and a broadcast join; nothing all-pairs."""
+    from pyspark.sql import Window
+
+    from flink_uba_spark.operators.similarity import kmeans_train_exact
+
+    a = kmeans_train_exact(_embs(spark, sf_dir), k=8, iters=3)
+    w = Window.partitionBy("cluster_id").orderBy("sqdist", "vec_id")
+    wf = Window.partitionBy("cluster_id")
+    ranked = a.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wf)
+    )
+    thresh = (
+        ranked.filter(F.col("rk") == F.expr("-((-9 * cnt) div 10)"))
+        .select("cluster_id", F.col("sqdist").alias("p90_sqdist"))
+    )
+    return (
+        a.join(F.broadcast(thresh), "cluster_id")
+        .filter(F.col("sqdist") > F.col("p90_sqdist"))
+        .select("vec_id", "cluster_id", "sqdist", "p90_sqdist")
+    )
+
+
+def _embedding_outliers_oracle(k: int = 8, iters: int = 3) -> str:
+    return f"""{_kmeans_chain_sql(k, iters)},
+assign AS (
+    SELECT vec_id, CAST(best[2] AS BIGINT) AS cluster_id,
+           CAST(best[1] AS BIGINT) AS sqdist
+    FROM a{iters}
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY cluster_id ORDER BY sqdist, vec_id) AS rk,
+           count(*) OVER (PARTITION BY cluster_id) AS cnt
+    FROM assign
+),
+thresh AS (
+    SELECT cluster_id, sqdist AS p90_sqdist FROM ranked
+    WHERE rk = -((-9 * cnt) // 10)
+)
+SELECT a.vec_id, a.cluster_id, a.sqdist, t.p90_sqdist
+FROM assign a JOIN thresh t USING (cluster_id)
+WHERE a.sqdist > t.p90_sqdist
+"""
+
+
 SEMANTIC_KMEANS_ASSIGN_ORACLE = _kmeans_assign_oracle()
+EMBEDDING_OUTLIERS_ORACLE = _embedding_outliers_oracle()
 CLUSTER_BALANCED_SAMPLE_ORACLE = _cluster_balanced_sample_oracle()
 
 
 QUERIES = {
     "classifier_quality_filter": classifier_quality_filter,
     "semantic_kmeans_assign": semantic_kmeans_assign,
+    "embedding_outliers": embedding_outliers,
     "cluster_balanced_sample": cluster_balanced_sample,
     "classifier_quality_filter_trained": classifier_quality_filter_trained,
     "bpe_train_merges": bpe_train_merges,
@@ -2175,6 +2233,7 @@ QUERIES = {
 ORACLES = {
     "classifier_quality_filter": CLASSIFIER_QUALITY_FILTER_ORACLE,
     "semantic_kmeans_assign": SEMANTIC_KMEANS_ASSIGN_ORACLE,
+    "embedding_outliers": EMBEDDING_OUTLIERS_ORACLE,
     "cluster_balanced_sample": CLUSTER_BALANCED_SAMPLE_ORACLE,
     "classifier_quality_filter_trained": CLASSIFIER_QUALITY_FILTER_TRAINED_ORACLE,
     "bpe_train_merges": BPE_TRAIN_MERGES_ORACLE,

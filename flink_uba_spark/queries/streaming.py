@@ -728,6 +728,52 @@ FROM distinct_docs GROUP BY lang
 """
 
 
+def stream_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter bigrams over a STREAMING corpus: documents stream in,
+    bigrams explode per micro-batch, and a COMPLETE-mode count rollup
+    (the S6 retract/changelog conversion — totals corrected every
+    trigger) maintains the frequency table; the exact ``cnt·k > n``
+    heavy-hitter threshold is a view over the materialized table (the
+    threshold needs the global n, which only the settled table carries —
+    same split as a production sketch-serving tier). Counts are
+    arrival-order independent, so the oracle is the batch
+    ``heavy_hitter_bigrams`` query's.
+
+    Scale note: COMPLETE mode re-emits the whole vocabulary-sized count
+    table per trigger — the deployment knob is the same bigram-domain
+    bound as the batch 2-pass prune; an unbounded-domain stream would
+    swap this for update-mode + the MG candidate pass."""
+    from flink_uba_spark.streaming.runner import stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    toks = docs.select(F.split(F.col("text"), " ").alias("__t"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(__t) - 2), "
+                    "i -> concat(__t[i], ' ', __t[i + 1]))"
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram")
+    )
+    agg = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    tbl = run_to_table(agg, output_mode="complete")
+    total = tbl.agg(F.sum("n_occurrences").alias("n_items"))
+    return (
+        tbl.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * 800 > F.col("n_items"))
+        .select("bigram", "n_occurrences", "n_items")
+    )
+
+
+def _stream_heavy_hitter_oracle() -> str:
+    from flink_uba_spark.queries.datapipe import HEAVY_HITTER_BIGRAMS_ORACLE
+
+    return HEAVY_HITTER_BIGRAMS_ORACLE
+
+
 def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continual-ingestion dedup as a STREAM: incoming docs (doc_id ≡ 7
     mod 10) arrive on the documents stream and are classified exact_dup /
@@ -1583,6 +1629,7 @@ QUERIES = {
     "stream_pattern_nonoverlap_episodes": stream_pattern_nonoverlap_episodes,
     "stream_pattern_any_view_click_purchase": stream_pattern_any_view_click_purchase,
     "stream_pattern_any_skip_to_next": stream_pattern_any_skip_to_next,
+    "stream_heavy_hitter_bigrams": stream_heavy_hitter_bigrams,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
     "stream_ivf_upsert": stream_ivf_upsert,
     "stream_kmeans_assign": stream_kmeans_assign,
@@ -1626,6 +1673,7 @@ ORACLES = {
     "stream_pattern_nonoverlap_episodes": _stream_pattern_nonoverlap_oracle(),
     "stream_pattern_any_view_click_purchase": _stream_pattern_any_oracle(),
     "stream_pattern_any_skip_to_next": _stream_pattern_any_skip_oracle(),
+    "stream_heavy_hitter_bigrams": _stream_heavy_hitter_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),
     "stream_ivf_upsert": __import__("flink_uba_spark.queries.datapipe", fromlist=["IVF_INDEX_UPSERT_ORACLE"]).IVF_INDEX_UPSERT_ORACLE,
     "stream_kmeans_assign": __import__("flink_uba_spark.queries.datapipe", fromlist=["SEMANTIC_KMEANS_ASSIGN_ORACLE"]).SEMANTIC_KMEANS_ASSIGN_ORACLE,
