@@ -172,6 +172,8 @@ HEADLINE = HEADLINE_R01 + [
     "stream_heavy_hitter_bigrams",
     "embedding_outliers",
     "time_to_convert_histogram",
+    "quality_decile_curriculum",
+    "event_path_trigrams",
 ]
 
 

@@ -915,6 +915,47 @@ FROM a4
 """
 
 
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order user-journey paths (round 7): counts of length-3
+    consecutive event-type sequences per user timeline — the sankey /
+    path-analysis table that generalizes event_transition_matrix's
+    first-order transitions (and the behavioral sibling of the corpus
+    bigram miners). Timeline order is the engine family's (ts, event_id).
+
+    Plan: ONE key exchange + sort for the two lead() windows, then a
+    path-sized hash aggregate (|event_types|^3 groups at most) — linear,
+    no joins."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+
+
+EVENT_PATH_TRIGRAMS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+       count(*) AS n_paths
+FROM ordered WHERE e3 IS NOT NULL
+GROUP BY 1
+"""
+
+
 def time_to_convert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion-latency distribution (round 7): per user, the time from
     FIRST signup to the first purchase after it, bucketed in whole hours
@@ -1472,6 +1513,7 @@ QUERIES = {
     "pattern_error_streak_recovery": pattern_error_streak_recovery,
     "pattern_optional_click_purchase": pattern_optional_click_purchase,
     "pattern_optional_branching": pattern_optional_branching,
+    "event_path_trigrams": event_path_trigrams,
     "time_to_convert_histogram": time_to_convert_histogram,
     "pattern_uncapped_error_run": pattern_uncapped_error_run,
     "pattern_error_run_until_purchase": pattern_error_run_until_purchase,
@@ -1503,6 +1545,7 @@ ORACLES = {
     "pattern_error_streak_recovery": PATTERN_ERROR_STREAK_ORACLE,
     "pattern_optional_click_purchase": PATTERN_OPTIONAL_CLICK_ORACLE,
     "pattern_optional_branching": PATTERN_OPTIONAL_BRANCHING_ORACLE,
+    "event_path_trigrams": EVENT_PATH_TRIGRAMS_ORACLE,
     "time_to_convert_histogram": TIME_TO_CONVERT_ORACLE,
     "pattern_uncapped_error_run": PATTERN_UNCAPPED_ERROR_RUN_ORACLE,
     "pattern_error_run_until_purchase": PATTERN_ERROR_RUN_UNTIL_ORACLE,

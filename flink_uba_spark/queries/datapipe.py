@@ -68,6 +68,78 @@ FROM t
 """
 
 
+def quality_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning (round 7): rank the corpus by an INTEGER
+    quality score (stopword permille minus punctuation permille — the
+    quality_score features kept in exact integer arithmetic) and cut it
+    into 10 ntile stages, reporting per-stage document count, score
+    range, and token mass — the stage table a curriculum-ordered
+    training run feeds its sampler (low deciles first or last, the
+    scheduler's choice).
+
+    Determinism: the ntile runs over the TOTAL order (score, doc_id), so
+    stage assignment is engine-exact; both engines give the first
+    deciles the extra documents when n % 10 != 0.
+
+    Scale: ntile needs a global sort — at 100 TB swap it for the
+    histogram-equi-depth form (approx boundaries from a quantile sketch,
+    then a broadcast range join); the stage CONTRACT (count/range/mass
+    per stage) is what this query pins."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_punct = F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9_ ]")).cast("long")
+    from flink_uba_spark.operators.text import STOPWORDS, _stop_count
+
+    n_stop = _stop_count(F.col("text"), STOPWORDS["en"])
+    scored = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("__nc"),
+        n_punct.alias("__np"),
+        n_stop.alias("__ns"),
+    ).select(
+        "doc_id",
+        "n_words",
+        (
+            F.expr("(__ns * 1000) div n_words") - F.expr("(__np * 1000) div __nc")
+        ).alias("score"),
+    )
+    w = Window.orderBy("score", "doc_id")
+    staged = scored.withColumn("stage", F.ntile(10).over(w).cast("long"))
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
+QUALITY_DECILE_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+scored AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_filter(w, x -> list_contains({_STOP_EN_SQL}, x))) * 1000
+              // len(w) AS BIGINT)
+         - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_ ]')) * 1000
+              // length(text) AS BIGINT) AS score
+  FROM t
+),
+staged AS (
+  SELECT *, CAST(ntile(10) OVER (ORDER BY score, doc_id) AS BIGINT) AS stage
+  FROM scored
+)
+SELECT stage, count(*) AS n_docs,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM staged GROUP BY stage
+"""
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.lang_id(_docs(spark, sf_dir)).select(
         "doc_id", "c_en", "c_de", "c_es", "c_fr", "lang_pred"
@@ -2208,6 +2280,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
+    "quality_decile_curriculum": quality_decile_curriculum,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
@@ -2268,6 +2341,7 @@ ORACLES = {
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
     "text_quality_score": TEXT_QUALITY_ORACLE,
+    "quality_decile_curriculum": QUALITY_DECILE_ORACLE,
     "text_lang_id": TEXT_LANG_ID_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "text_pii_scrub": TEXT_PII_SCRUB_ORACLE,
