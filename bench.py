@@ -174,6 +174,7 @@ HEADLINE = HEADLINE_R01 + [
     "time_to_convert_histogram",
     "quality_decile_curriculum",
     "event_path_trigrams",
+    "lang_id_confusion",
 ]
 
 

@@ -169,6 +169,57 @@ FROM c
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit (round 7): the confusion matrix of the
+    documents table's DECLARED ``lang`` metadata against the n-gram
+    heuristic's ``lang_pred`` — the agreement table a curation pipeline
+    reviews before trusting either label source for filtering. Counts
+    and an exact match-permille per declared language (integer ratio).
+
+    Plan: the lang-id projections are pure codegen'd expressions; one
+    (lang, lang_pred)-sized hash aggregate — scan-bound."""
+    scored = TX.lang_id(_docs(spark, sf_dir))
+    cell = scored.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_lang = cell.groupBy("lang").agg(F.sum("n_docs").alias("lang_total"))
+    return (
+        cell.join(F.broadcast(per_lang), "lang")
+        .withColumn(
+            "cell_permille", F.expr("(n_docs * 1000) div lang_total")
+        )
+        .select("lang", "lang_pred", "n_docs", "lang_total", "cell_permille")
+    )
+
+
+LANG_ID_CONFUSION_ORACLE = f"""
+WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+c AS (
+    SELECT lang,
+           CAST(len(list_filter(w, x -> list_contains({{en}}, x))) AS BIGINT) AS c_en,
+           CAST(len(list_filter(w, x -> list_contains({{de}}, x))) AS BIGINT) AS c_de,
+           CAST(len(list_filter(w, x -> list_contains({{es}}, x))) AS BIGINT) AS c_es,
+           CAST(len(list_filter(w, x -> list_contains({{fr}}, x))) AS BIGINT) AS c_fr
+    FROM t
+),
+p AS (
+    SELECT lang,
+           CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+                WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_es >= c_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM c
+),
+cell AS (SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total FROM cell GROUP BY 1)
+SELECT cell.lang, cell.lang_pred, cell.n_docs, tot.lang_total,
+       CAST(cell.n_docs * 1000 // tot.lang_total AS BIGINT) AS cell_permille
+FROM cell JOIN tot ON cell.lang = tot.lang
+""".format(
+    en=_stop_sql("en"), de=_stop_sql("de"), es=_stop_sql("es"), fr=_stop_sql("fr")
+)
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
@@ -2282,6 +2333,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "quality_decile_curriculum": quality_decile_curriculum,
     "text_lang_id": text_lang_id,
+    "lang_id_confusion": lang_id_confusion,
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
     "dedup_exact": dedup_exact,
@@ -2343,6 +2395,7 @@ ORACLES = {
     "text_quality_score": TEXT_QUALITY_ORACLE,
     "quality_decile_curriculum": QUALITY_DECILE_ORACLE,
     "text_lang_id": TEXT_LANG_ID_ORACLE,
+    "lang_id_confusion": LANG_ID_CONFUSION_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
     "text_pii_scrub": TEXT_PII_SCRUB_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
