@@ -77,14 +77,20 @@ def quality_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     training run feeds its sampler (low deciles first or last, the
     scheduler's choice).
 
-    Determinism: the ntile runs over the TOTAL order (score, doc_id), so
-    stage assignment is engine-exact; both engines give the first
-    deciles the extra documents when n % 10 != 0.
+    Determinism: stages are assigned over the TOTAL order (score,
+    doc_id), matching SQL ntile exactly — the first n%10 stages get the
+    extra documents.
 
-    Scale: ntile needs a global sort — at 100 TB swap it for the
-    histogram-equi-depth form (approx boundaries from a quantile sketch,
-    then a broadcast range join); the stage CONTRACT (count/range/mass
-    per stage) is what this query pins."""
+    Scale (round 7): a naive ``ntile() OVER (ORDER BY …)`` is an
+    unpartitioned window — ALL rows through one task. This form is
+    DISTRIBUTED: repartitionByRange on the total order, per-partition
+    local ranks (a partitioned window), and a 32-scalar per-partition
+    count collect folded back as offset literals — global rank = offset
+    + local rank for ANY boundary placement, so the sampled range
+    boundaries never affect the result. 10× probe: ratio 2.8 vs the
+    unpartitioned ntile form's 4.7 — and no single-task sort at any
+    scale (the feature scan is cached so the range sampler does not
+    re-run it)."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
@@ -108,8 +114,61 @@ def quality_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(__ns * 1000) div n_words") - F.expr("(__np * 1000) div __nc")
         ).alias("score"),
     )
-    w = Window.orderBy("score", "doc_id")
-    staged = scored.withColumn("stage", F.ntile(10).over(w).cast("long"))
+    import pandas as pd
+
+    # cache BEFORE the range exchange: repartitionByRange samples its
+    # child to pick boundaries, which would re-run the regexp-heavy
+    # feature scan a second time (measured 2× the 10×-probe cost)
+    scored = scored.cache()
+    ranged = scored.repartitionByRange(32, "score", "doc_id").sortWithinPartitions(
+        "score", "doc_id"
+    )
+
+    def count_parts(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        cnt = sum(len(b) for b in batches)
+        yield pd.DataFrame({"pid": [pid], "cnt": [cnt]})
+
+    # bounded scalar collect: 32 per-partition counts → offset closure.
+    # Global rank = offset + local position is correct for ANY sampled
+    # range boundaries, so the result is boundary-independent.
+    pid_counts = {
+        int(r.pid): int(r.cnt)
+        for r in ranged.mapInPandas(count_parts, "pid int, cnt long").collect()
+    }
+    n = sum(pid_counts.values())
+    offsets, acc = {}, 0
+    for p in sorted(pid_counts):
+        offsets[p] = acc
+        acc += pid_counts[p]
+    q, r = divmod(n, 10)
+
+    def assign(batches):
+        from pyspark import TaskContext
+
+        import numpy as np
+
+        pid = TaskContext.get().partitionId()
+        seen = offsets.get(pid, 0)
+        for b in batches:
+            rnk = seen + np.arange(1, len(b) + 1, dtype="int64")
+            seen += len(b)
+            if q == 0:
+                stage = rnk  # fewer rows than stages: rank IS the stage
+            else:
+                big = r * (q + 1)
+                stage = np.where(
+                    rnk <= big,
+                    (rnk + q) // (q + 1),
+                    r + (rnk - big + q - 1) // q,
+                )
+            out = b[["n_words", "score"]].copy()
+            out["stage"] = stage
+            yield out
+
+    staged = ranged.mapInPandas(assign, "n_words long, score long, stage long")
     return staged.groupBy("stage").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("score").alias("min_score"),
