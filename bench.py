@@ -175,6 +175,7 @@ HEADLINE = HEADLINE_R01 + [
     "quality_decile_curriculum",
     "event_path_trigrams",
     "lang_id_confusion",
+    "stream_pattern_error_run_until_purchase",
 ]
 
 

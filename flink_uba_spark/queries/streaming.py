@@ -1373,6 +1373,62 @@ WHERE b.state != 'incomplete'
 """
 
 
+def stream_pattern_error_run_until_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``oneOrMore().until(...)`` in its native streaming form (round 7):
+    per shard, signup → error.oneOrMore(30 min gap, UNCAPPED).until(
+    purchase) → click within 2 h of the truncated cascade's last error.
+    The NFA carries the stop rows as a new POSITIONAL closure-evidence
+    class: stop rows split the repetition sessions in the run machinery's
+    (ts, id) order (a dual rep+stop row is its run's final repetition),
+    an observed stop at/after a run's last rep closes it immediately
+    (definitive under the event-time-ordered replay contract — no
+    watermark wait), and the min_reps/restore machinery applies to the
+    refined runs unchanged. Oracle: the batch until query minus
+    incomplete rows, restricted to runs that CLOSED before the stream
+    ended — by gap evidence, the final watermark, or a stop row at/after
+    the run's last error (the new closure class)."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir).withColumn("shard", F.col("user_id") % 8)
+    return run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="shard",
+            steps=[
+                ("signup", None),
+                ("error", "INTERVAL 30 MINUTES", float("inf")),
+                ("click", "INTERVAL 2 HOURS"),
+            ],
+            until={2: "purchase"},
+        )
+    ).withColumnRenamed("user_id", "shard")
+
+
+def _stream_pattern_until_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_ERROR_RUN_UNTIL_ORACLE
+
+    gap_us = 30 * 60 * 1_000_000
+    return f"""
+WITH batchform AS ({PATTERN_ERROR_RUN_UNTIL_ORACLE}),
+relevant AS (
+  SELECT user_id % 8 AS shard, ts, event_type FROM events
+  WHERE event_type IN ('signup', 'error', 'click', 'purchase')
+),
+keymax AS (SELECT shard, max(ts) AS kmax FROM relevant GROUP BY 1),
+gmax AS (SELECT max(ts) AS g FROM relevant)
+SELECT b.shard, b.anchor_id, b.t1, b.t2, b.t2_last, b.n2, b.t3,
+       b.max_step, b.state
+FROM batchform b JOIN keymax k ON k.shard = b.shard
+WHERE b.state != 'incomplete'
+  AND (k.kmax > b.t2_last + INTERVAL 30 MINUTE
+       OR epoch_us(b.t2_last) + {gap_us}
+            <= (epoch_us((SELECT g FROM gmax)) // 1000) * 1000
+       OR EXISTS (SELECT 1 FROM relevant u
+                  WHERE u.shard = b.shard AND u.event_type = 'purchase'
+                    AND u.ts >= b.t2_last))
+"""
+
+
 def stream_pattern_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The negative-pattern CEP chain (view → click within 30 min →
     purchase within 2 h, ``notFollowedBy(error)`` between click and
@@ -1624,6 +1680,7 @@ QUERIES = {
     "stream_pattern_optional_click_purchase": stream_pattern_optional_click_purchase,
     "stream_pattern_optional_branching": stream_pattern_optional_branching,
     "stream_pattern_uncapped_error_run": stream_pattern_uncapped_error_run,
+    "stream_pattern_error_run_until_purchase": stream_pattern_error_run_until_purchase,
     "stream_pattern_impulse_purchase": stream_pattern_impulse_purchase,
     "stream_pattern_clean_onboarding": stream_pattern_clean_onboarding,
     "stream_pattern_nonoverlap_episodes": stream_pattern_nonoverlap_episodes,
@@ -1668,6 +1725,7 @@ ORACLES = {
     "stream_pattern_optional_click_purchase": _stream_pattern_optional_oracle(),
     "stream_pattern_optional_branching": _stream_pattern_branching_oracle(),
     "stream_pattern_uncapped_error_run": _stream_pattern_uncapped_oracle(),
+    "stream_pattern_error_run_until_purchase": _stream_pattern_until_oracle(),
     "stream_pattern_impulse_purchase": _stream_pattern_impulse_oracle(),
     "stream_pattern_clean_onboarding": _stream_pattern_onboarding_oracle(),
     "stream_pattern_nonoverlap_episodes": _stream_pattern_nonoverlap_oracle(),

@@ -199,6 +199,7 @@ def make_pattern_matcher(
     stricts: set[int] | None = None,
     not_nexts: dict[int, str] | None = None,
     after_match: str | None = None,
+    untils: dict[int, str] | None = None,
 ):
     """Build the per-key state function (separate so unit tests can drive
     it with a fake GroupState, as for order_timeout/transitions).
@@ -298,6 +299,14 @@ def make_pattern_matcher(
         raise ValueError(
             "a transition takes ONE of next/notNext/notFollowedBy, not several"
         )
+    u_steps = dict(untils or {})
+    if any(kleenes[k - 1] is None for k in u_steps):
+        raise ValueError("until() applies to oneOrMore/times steps only")
+    if any(k in negs or k in nnx for k in u_steps):
+        raise ValueError(
+            "an until() step cannot also carry a notFollowedBy/notNext "
+            "guard on its outgoing transition"
+        )
     if after_match not in (None, "skip_past_last"):
         raise ValueError("after_match must be None or 'skip_past_last'")
     skip_mode = after_match == "skip_past_last"
@@ -319,6 +328,7 @@ def make_pattern_matcher(
     pslot: dict[int, int] = {}
     gslot: dict[int, int] = {}
     xslot: dict[int, int] = {}
+    uslot: dict[int, int] = {}
     _slots: list[tuple[str, int]] = []
     for k in range(1, n + 1):
         pslot[k] = len(_slots)
@@ -329,6 +339,9 @@ def make_pattern_matcher(
         if k in nnx and k < n:
             xslot[k] = len(_slots)
             _slots.append(("x", k))
+        if k in u_steps:
+            uslot[k] = len(_slots)
+            _slots.append(("u", k))
     nslots = len(_slots)
     if nslots > 63:
         # buffer step-membership is packed into a single int64 bitmask
@@ -437,6 +450,8 @@ def make_pattern_matcher(
                 def _slot_type(kind, k):
                     if kind == "p":
                         return step_types[k - 1]
+                    if kind == "u":
+                        return u_steps[k]
                     return negs[k] if kind == "g" else nnx[k]
 
                 match = np.stack(
@@ -490,6 +505,43 @@ def make_pattern_matcher(
         # buffered row works too — future rows are later than ALL past rows
         evid_ts = int(tl_ts.max()) if M else None
 
+        # until() stop tables (round 7): per until step, the observed
+        # stop rows sorted in the run machinery's (ts, id) order. A run
+        # never spans a stop row; a dual rep+stop row is its run's final
+        # repetition (batch parity — operators/sequence.py until=).
+        # Under the event-time-ordered replay contract an OBSERVED stop
+        # row is definitive closure evidence (no future rep can precede
+        # it), so no watermark wait is needed.
+        ucuts: dict[int, tuple] = {}
+        for _us_k, _us_sl in uslot.items():
+            _uidx = np.flatnonzero(tl_match[:, _us_sl])
+            if _uidx.size:
+                _uperm = np.lexsort((tl_id[_uidx], tl_ts[_uidx]))
+                ucuts[_us_k] = (tl_ts[_uidx][_uperm], tl_id[_uidx][_uperm])
+
+        def _u_lt(us_k, ts_q, id_q):
+            """count of step-us_k stop rows strictly before (ts,id) —
+            vectorized over query arrays."""
+            ts_q = np.atleast_1d(np.asarray(ts_q, dtype="int64"))
+            id_q = np.atleast_1d(np.asarray(id_q, dtype="int64"))
+            if us_k not in ucuts:
+                return np.zeros(ts_q.size, dtype="int64")
+            uts, uidv = ucuts[us_k]
+            lo = np.searchsorted(uts, ts_q, "left")
+            hi = np.searchsorted(uts, ts_q, "right")
+            out = lo.copy()
+            for qi in np.flatnonzero(hi > lo):
+                out[qi] = lo[qi] + np.searchsorted(
+                    uidv[lo[qi]:hi[qi]], id_q[qi], "left"
+                )
+            return out
+
+        def _u_after(us_k, ts_q, id_q):
+            """a stop row AT or after (ts,id) exists (dual rows count)."""
+            if us_k not in ucuts:
+                return False
+            return int(_u_lt(us_k, ts_q, id_q)[0]) < ucuts[us_k][0].size
+
         # per-slot occurrence lists (timeline order = position order) +
         # binder / session tables for positive slots; occ_bind = the
         # BINDING view (min_reps-restricted for times() Kleene steps)
@@ -512,6 +564,13 @@ def make_pattern_matcher(
                 link = np.empty(idxs.size, dtype=bool)
                 link[:-1] = sts[1:] <= sts[:-1] + gap_us
                 link[-1] = False
+                if k in ucuts:
+                    # a stop row in [rep_i, rep_i+1) splits the run —
+                    # strictly-between stops via the (ts, id) counts, the
+                    # dual rep+stop case via the row's own stop flag
+                    _cl = _u_lt(k, sts, tl_id[srt])
+                    _dual = tl_match[srt, uslot[k]]
+                    link[:-1] &= ~((_cl[1:] > _cl[:-1]) | _dual[:-1])
                 brkpos = np.flatnonzero(~link)
                 gl = brkpos[np.searchsorted(brkpos, np.arange(idxs.size))]
                 ksess[si] = (srt, inv, gl)
@@ -525,7 +584,10 @@ def make_pattern_matcher(
                     valid = avail >= mn
                     final_closed = (
                         evid_ts is not None and evid_ts > sts[-1] + gap_us
-                    ) or (wm_us > 0 and sts[-1] + gap_us <= wm_us)
+                    ) or (wm_us > 0 and sts[-1] + gap_us <= wm_us) or (
+                        k in ucuts
+                        and _u_after(k, int(sts[-1]), int(tl_id[srt[-1]]))
+                    )
                     ok = valid.copy()
                     if not final_closed:
                         ok |= gl == idxs.size - 1
@@ -558,7 +620,13 @@ def make_pattern_matcher(
                 # exceed all buffer ts); buffer step-s rows all precede an
                 # open run's last rep (they extended it on arrival)
                 q0 = int(np.count_nonzero(srt < nbuf))
-                if q0 < numS:
+                u_blocked = s in ucuts and (
+                    q0 < numS
+                    and int(
+                        _u_lt(s, int(tl_ts[srt[q0]]), int(tl_id[srt[q0]]))[0]
+                    ) > int(_u_lt(s, int(fts[ci]), int(fid[ci]))[0])
+                )
+                if q0 < numS and not u_blocked:
                     if tl_ts[srt[q0]] <= fts[ci] + gap_us:
                         lp = int(gl[q0]) - q0 + 1
                         t = min(cap - int(kln[ci, s - 1]), lp)
@@ -580,9 +648,19 @@ def make_pattern_matcher(
                     else:
                         closed = True  # next step-s row beyond gap: break
                 else:
-                    closed = evid_ts is not None and evid_ts > fts[ci] + gap_us
+                    # no extensible batch rep (or a stop row blocks the
+                    # continuation — the run ends at its current frontier)
+                    closed = u_blocked or (
+                        evid_ts is not None and evid_ts > fts[ci] + gap_us
+                    )
             else:
                 closed = evid_ts is not None and evid_ts > fts[ci] + gap_us
+            if not closed and s in ucuts and _u_after(
+                s, int(fts[ci]), int(fid[ci])
+            ):
+                # a stop row at (dual) or after the run's last rep closes
+                # it — definitive under the event-time-ordered contract
+                closed = True
             if not closed and wm_us > 0 and fts[ci] + gap_us <= wm_us:
                 closed = True
             if not closed and kln[ci, s - 1] >= mn:
@@ -778,6 +856,11 @@ def make_pattern_matcher(
                     closed |= (rl == numS - 1) & (evid_ts > tl_ts[lastp] + gap_us)
                 if wm_us > 0:
                     closed |= tl_ts[lastp] + gap_us <= wm_us
+                if s in ucuts:
+                    # stop row at/after the run's last rep (incl. a dual
+                    # last rep) — the run is definitively over
+                    u_tot = ucuts[s][0].size
+                    closed |= _u_lt(s, tl_ts[lastp], tl_id[lastp]) < u_tot
                 opn[w] = ~closed
                 # tentative = the run could still prove invalid (short of
                 # min_reps): snapshot the pre-bind restore point — the last
@@ -964,6 +1047,7 @@ def stream_pattern_detect(
     strict: set[int] | None = None,
     not_next: dict | None = None,
     after_match: str | None = None,
+    until: dict | None = None,
 ) -> DataFrame:
     """Wire the matcher over a streaming events frame.
 
@@ -1008,16 +1092,18 @@ def stream_pattern_detect(
     Kleene steps need event-time timers for end-of-stream run closure, so
     their presence (like ``state_ttl``) applies the watermark.
 
-    ``until()`` (the Kleene stop condition, round 7) is BATCH-ONLY
-    (operators/sequence.py pattern_detect ``until=``): the streaming NFA
-    would need the stop rows carried as a new POSITIONAL closure-evidence
-    class — today's closure inputs (cap reached, same-key gap evidence,
-    watermark) are scalar per run, while an until-row closes a run at a
-    point BETWEEN repetitions, which touches all three closure paths
-    (buffer replay, incremental extension, timer flush) plus the
-    invalid-closure restore-replay. Scoped out until that surgery can
-    ship with its own soak mode; the batch form is verified by the
-    extended brute + 10k-case soak."""
+    ``until`` (round 7) maps a Kleene step index to a stop predicate —
+    ``oneOrMore().until(condition)``: stop rows ride the keyed exchange
+    as their own slot class and act as POSITIONAL closure evidence in
+    the NFA — they split repetition sessions in the run machinery's
+    (ts, id) order (a dual rep+stop row is its run's final repetition),
+    an observed stop at/after an open run's last rep closes it
+    immediately (definitive under the event-time-ordered replay
+    contract), and the min_reps/invalid-closure restore machinery
+    applies to the refined runs unchanged. Verified against the extended
+    brute by the ``timers`` soak (stop slots mixed into 40% of Kleene
+    steps). An until step cannot also carry a notFollowedBy/notNext
+    guard on its outgoing transition (batch parity)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     specs = [s[0] for s in steps]
@@ -1038,6 +1124,7 @@ def stream_pattern_detect(
     kleenes = [_kspec(s) for s in steps]
     nfb = dict(not_followed_by or {})
     nnx = dict(not_next or {})
+    unt = dict(until or {})
     stricts = set(strict or ())
     preds = [
         (F.col("event_type") == s) if isinstance(s, str) else s.cast("boolean")
@@ -1051,6 +1138,10 @@ def stream_pattern_detect(
         k: (F.col("event_type") == v) if isinstance(v, str) else v.cast("boolean")
         for k, v in nnx.items()
     }
+    upreds = {
+        k: (F.col("event_type") == v) if isinstance(v, str) else v.cast("boolean")
+        for k, v in unt.items()
+    }
     n = len(preds)
     flag_cols = {
         f"__p{i}": F.coalesce(p, F.lit(False)).alias(f"__p{i}")
@@ -1061,6 +1152,9 @@ def stream_pattern_detect(
     )
     flag_cols.update(
         {f"__x{k}": F.coalesce(p, F.lit(False)).alias(f"__x{k}") for k, p in xpreds.items()}
+    )
+    flag_cols.update(
+        {f"__u{k}": F.coalesce(p, F.lit(False)).alias(f"__u{k}") for k, p in upreds.items()}
     )
     # rows matching no step (and no guard) are dropped at the scan (an OR
     # of the raw predicates — pushdown-friendly, unlike greatest() over
@@ -1073,6 +1167,8 @@ def stream_pattern_detect(
         for p in preds[1:]:
             any_step = any_step | p
         for p in gpreds.values():
+            any_step = any_step | p
+        for p in upreds.values():
             any_step = any_step | p
         src = events.filter(any_step)
     filtered = src.withColumns(flag_cols).select(
@@ -1088,6 +1184,9 @@ def stream_pattern_detect(
     not_nexts = {
         k: (v if isinstance(v, str) else f"nx{k}") for k, v in nnx.items()
     }
+    until_types = {
+        k: (v if isinstance(v, str) else f"u{k}") for k, v in unt.items()
+    }
     ttl_us = None if state_ttl is None else _interval_us(state_ttl)
     timers = ttl_us is not None or any(k is not None for k in kleenes)
     if timers:
@@ -1097,6 +1196,7 @@ def stream_pattern_detect(
             step_types, withins_us, ttl_us=ttl_us, kleenes=kleenes,
             negations=negations, optionals=optional,
             stricts=stricts, not_nexts=not_nexts, after_match=after_match,
+            untils=until_types,
         ),
         pattern_output_schema(n, kleenes),
         STATE_SCHEMA,

@@ -205,6 +205,9 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
                     cnt == cap
                     or any(e[1] > last + gap for e in evs)
                     or (final_wm_ms is not None and last + gap <= final_wm_ms * 1000)
+                    # until(): an observed stop row at (dual) or after the
+                    # run's last rep is definitive closure evidence
+                    or any(u >= (rows[j][0], rows[j][1]) for u in ucut)
                 )
                 closed_all = closed_all and closed
         if killed or not complete or not closed_all:

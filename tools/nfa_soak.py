@@ -136,9 +136,12 @@ def soak_stream(n_cases, timers=False):
     from test_properties_round5 import _FakeState, brute_chain, _drive, slot_layout
     from flink_uba_spark.streaming.pattern import make_pattern_matcher
 
-    def drive_timers(events, steps, cuts, guards, opts, stricts):
+    def drive_timers(events, steps, cuts, guards, opts, stricts, untils=frozenset()):
         n = len(steps)
-        slots, pslot, gslot = slot_layout(n, guards)
+        if untils:
+            slots, pslot, gslot, uslot = slot_layout(n, guards, untils)
+        else:
+            slots, pslot, gslot = slot_layout(n, guards)
         detect = make_pattern_matcher(
             [f"s{k}" for k in range(1, n + 1)],
             [w for w, _ in steps],
@@ -146,6 +149,7 @@ def soak_stream(n_cases, timers=False):
             negations={k: f"x{k}" for k in gslot},
             optionals=set(opts),
             stricts=set(stricts),
+            untils={k: f"u{k}" for k in untils},
         )
         state = _FakeState()
         got = []
@@ -207,20 +211,29 @@ def soak_stream(n_cases, timers=False):
     t0, fails = time.time(), 0
     for seed in range(n_cases):
         rnd = random.Random(seed * 7919 + 13)
-        steps, guards, opts, stricts, events, cuts = random_case(rnd)
+        # round 7: the timers mode mixes until() stop slots in (the
+        # final-wm mode drives through _drive, which predates untils)
         if timers:
-            got, wm = drive_timers(events, steps, cuts, guards, opts, stricts)
+            steps, guards, opts, stricts, events, cuts, untils = random_case(
+                rnd, with_untils=True
+            )
+            got, wm = drive_timers(
+                events, steps, cuts, guards, opts, stricts, untils
+            )
         else:
+            steps, guards, opts, stricts, events, cuts = random_case(rnd)
+            untils = frozenset()
             got, wm = _drive(
                 events, steps, cuts, guards=guards, opts=opts, stricts=stricts
             )
         want = brute_chain(
-            events, steps, final_wm_ms=wm, guards=guards, opts=opts, stricts=stricts
+            events, steps, final_wm_ms=wm, guards=guards, opts=opts,
+            stricts=stricts, untils=untils,
         )
         if sorted(got) != want:
             fails += 1
             print(f"MISMATCH seed={seed} steps={steps} guards={guards} "
-                  f"opts={opts} stricts={stricts}")
+                  f"opts={opts} stricts={stricts} untils={untils}")
             if fails > 5:
                 break
     print(f"{n_cases} cases ({'timers' if timers else 'final-wm'}), "
