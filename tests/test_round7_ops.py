@@ -708,3 +708,76 @@ def test_until_validation(spark):
             until={2: F.col("a")},
             not_followed_by={2: F.col("b")},
         )
+
+
+def test_stream_until_truncates_run_cross_batch():
+    """Streaming until(): a stop row arriving in a LATER micro-batch
+    closes the open run at its carried frontier — the run never extends
+    past the stop even though later reps are within gap."""
+    import pandas as pd
+
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_properties_round5 import _FakeState
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    detect = make_pattern_matcher(
+        ["a", "b", "c"],
+        [None, 50, 100],
+        kleenes=[None, (50, None), None],
+        untils={2: "u"},
+    )
+    state = _FakeState()
+    got = []
+
+    def push(rows, wm):
+        state._wm = wm
+        state.hasTimedOut = False
+        pdf = pd.DataFrame(
+            [
+                {"event_id": eid, "ts": pd.Timestamp(ts, unit="us"),
+                 "event_type": et}
+                for eid, ts, et in rows
+            ]
+        )
+        for f in detect((1,), iter([pdf]), state):
+            for r in f.itertuples(index=False):
+                got.append((r.anchor_id, r.state, int(r.n2)))
+
+    push([(1, 0, "a"), (2, 10, "b"), (3, 20, "b")], wm=0)
+    push([(4, 25, "u"), (5, 30, "b"), (6, 40, "c")], wm=0)
+    # run truncated at ts 20 (2 reps); c at 40 binds within 100us of 20
+    assert got == [(1, "matched", 2)]
+
+
+def test_stream_until_dual_row_ends_run():
+    """A dual rep+stop row is the run's final repetition in the NFA,
+    exactly as in the batch compiler."""
+    import pandas as pd
+
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_properties_round5 import _FakeState
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    detect = make_pattern_matcher(
+        ["a", "b", "c"],
+        [None, 50, 100],
+        kleenes=[None, (50, None), None],
+        untils={2: "b"},  # every rep is ALSO a stop: runs are length-1
+    )
+    state = _FakeState()
+    got = []
+    pdf = pd.DataFrame(
+        [
+            {"event_id": 1, "ts": pd.Timestamp(0, unit="us"), "event_type": "a"},
+            {"event_id": 2, "ts": pd.Timestamp(10, unit="us"), "event_type": "b"},
+            {"event_id": 3, "ts": pd.Timestamp(15, unit="us"), "event_type": "b"},
+            {"event_id": 4, "ts": pd.Timestamp(30, unit="us"), "event_type": "c"},
+        ]
+    )
+    state.hasTimedOut = False
+    for f in detect((1,), iter([pdf]), state):
+        for r in f.itertuples(index=False):
+            got.append((r.anchor_id, r.state, int(r.n2)))
+    assert got == [(1, "matched", 1)]
