@@ -1,6 +1,6 @@
 """Driver-realism probe: run the ENTIRE query catalog on a VANILLA
 SparkSession (no flink_uba_spark.session configs — exactly how the driver
-builds its own session) and compare row counts against CHECK_FULL_r05.txt.
+builds its own session) and compare row counts against the latest CHECK_FULL.
 
 This is the failure mode that broke round 2: ingestion depended on session
 configs (nanosAsLong / inferTimestampNTZ) that the driver's session did not
@@ -36,7 +36,7 @@ def main() -> int:
 
     expected: dict[str, int] = {}
     try:
-        for line in open("/root/repo/CHECK_FULL_r05.txt"):
+        for line in open("/root/repo/CHECK_FULL_r07.txt"):
             m = re.match(r"(?:PASS|ok\?)\s+(\w+): rows=(\d+)", line)
             if m and m.group(1) not in expected:
                 # CHECK_FULL records three SF sections; sf0.01 (the
