@@ -1185,6 +1185,97 @@ FROM a3
 """
 
 
+def pattern_times_or_more_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``timesOrMore(3)`` (the reference Pattern API's minimum-repetition
+    looping combinator — ``Pattern.times(from)`` with no upper bound,
+    Flink's ``timesOrMore``): per user, signup → error.timesOrMore(3)
+    (12 h repetition gap, NO cap) → purchase within 24 h of the
+    cascade's last error. Only cascades of AT LEAST 3 errors bind — an
+    entry whose within-gap run holds fewer than min_reps rows is not a
+    valid binding, so the signup binds the next valid cascade entry
+    (skip-till-next-match over VALID entries), exactly the engine's
+    times(from, to) validity rule with the uncapped sentinel as ``to``.
+
+    Compile: operators/sequence.py pattern_detect with
+    ``max_reps=(3, float('inf'))`` — the same session machinery as
+    uncapped oneOrMore plus the avail>=min_reps validity mask; no extra
+    exchange, no extra state. Soak-covered since round 6 (kspec draws
+    min_reps 1..3 with 25% uncapped caps); this query is the catalog
+    witness."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "signup", None),
+            (
+                F.col("event_type") == "error",
+                "INTERVAL 12 HOURS",
+                (3, float("inf")),
+            ),
+            (F.col("event_type") == "purchase", "INTERVAL 24 HOURS"),
+        ],
+    )
+
+
+# the uncapped oracle restricted to VALID entries: a signup may only bind
+# an error whose run (entry -> session end) holds >= 3 repetitions
+PATTERN_TIMES_OR_MORE_ORACLE = """
+WITH err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER wf AS run_last,
+         count(*) OVER wf - row_number() OVER ws + 1 AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1
+      FROM events WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*,
+    (SELECT r.ts FROM runs r WHERE r.user_id = a.user_id AND r.ts >= a.t1
+       AND r.n_reps >= 3
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t2,
+    (SELECT r.run_last FROM runs r WHERE r.user_id = a.user_id AND r.ts >= a.t1
+       AND r.n_reps >= 3
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t2_last,
+    (SELECT r.n_reps FROM runs r WHERE r.user_id = a.user_id AND r.ts >= a.t1
+       AND r.n_reps >= 3
+     ORDER BY r.ts, r.event_id LIMIT 1) AS n2
+  FROM a
+),
+a3 AS (
+  SELECT a2.*,
+    (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+)
+SELECT user_id, anchor_id, t1, t2, t2_last, CAST(n2 AS BIGINT) AS n2, t3,
+       CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN t3 IS NULL THEN 'incomplete'
+            WHEN t2 <= t1 + INTERVAL 12 HOUR AND t3 <= t2_last + INTERVAL 24 HOUR
+              THEN 'matched'
+            ELSE 'matched_late' END AS state
+FROM a3
+"""
+
+
 def pattern_impulse_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRICT-CONTIGUITY CEP (round 6 — the reference Pattern API's
     ``next()``, Flink's other core temporal relation beside followedBy):
@@ -1517,6 +1608,7 @@ QUERIES = {
     "time_to_convert_histogram": time_to_convert_histogram,
     "pattern_uncapped_error_run": pattern_uncapped_error_run,
     "pattern_error_run_until_purchase": pattern_error_run_until_purchase,
+    "pattern_times_or_more_errors": pattern_times_or_more_errors,
     "pattern_impulse_purchase": pattern_impulse_purchase,
     "pattern_clean_onboarding": pattern_clean_onboarding,
     "pattern_nonoverlap_episodes": pattern_nonoverlap_episodes,
@@ -1549,6 +1641,7 @@ ORACLES = {
     "time_to_convert_histogram": TIME_TO_CONVERT_ORACLE,
     "pattern_uncapped_error_run": PATTERN_UNCAPPED_ERROR_RUN_ORACLE,
     "pattern_error_run_until_purchase": PATTERN_ERROR_RUN_UNTIL_ORACLE,
+    "pattern_times_or_more_errors": PATTERN_TIMES_OR_MORE_ORACLE,
     "pattern_impulse_purchase": PATTERN_IMPULSE_PURCHASE_ORACLE,
     "pattern_clean_onboarding": PATTERN_CLEAN_ONBOARDING_ORACLE,
     "pattern_nonoverlap_episodes": PATTERN_NONOVERLAP_EPISODES_ORACLE,

@@ -1429,6 +1429,56 @@ WHERE b.state != 'incomplete'
 """
 
 
+def stream_pattern_times_or_more_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``timesOrMore(3)`` in its native streaming form: per user,
+    signup → error.timesOrMore(3) (12 h gap, NO cap) → purchase within
+    24 h of the cascade's last error. The NFA carries (gap, ∞-cap,
+    min_reps=3): a run short of 3 repetitions at closure is an INVALID
+    binding — the min_reps/restore machinery rolls the chain back to its
+    pre-bind snapshot so the signup can bind the next valid cascade —
+    and per-run state stays one fixed-width frontier plus the gap-horizon
+    buffer (the cap plays no part in state size). Oracle: the batch
+    timesOrMore form minus incomplete rows, restricted to cascades that
+    CLOSED before the stream ended (gap evidence or the final ms-floored
+    watermark passing last_rep + gap)."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="user_id",
+            steps=[
+                ("signup", None),
+                ("error", "INTERVAL 12 HOURS", (3, float("inf"))),
+                ("purchase", "INTERVAL 24 HOURS"),
+            ],
+        )
+    )
+
+
+def _stream_pattern_times_or_more_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_TIMES_OR_MORE_ORACLE
+
+    gap_us = 12 * 3600 * 1_000_000
+    return f"""
+WITH batchform AS ({PATTERN_TIMES_OR_MORE_ORACLE}),
+relevant AS (
+  SELECT user_id, ts FROM events
+  WHERE event_type IN ('signup', 'error', 'purchase')
+),
+keymax AS (SELECT user_id, max(ts) AS kmax FROM relevant GROUP BY 1),
+gmax AS (SELECT max(ts) AS g FROM relevant)
+SELECT b.user_id, b.anchor_id, b.t1, b.t2, b.t2_last, b.n2, b.t3,
+       b.max_step, b.state
+FROM batchform b JOIN keymax k ON k.user_id = b.user_id
+WHERE b.state != 'incomplete'
+  AND (k.kmax > b.t2_last + INTERVAL 12 HOUR
+       OR epoch_us(b.t2_last) + {gap_us}
+            <= (epoch_us((SELECT g FROM gmax)) // 1000) * 1000)
+"""
+
+
 def stream_pattern_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The negative-pattern CEP chain (view → click within 30 min →
     purchase within 2 h, ``notFollowedBy(error)`` between click and
@@ -1681,6 +1731,7 @@ QUERIES = {
     "stream_pattern_optional_branching": stream_pattern_optional_branching,
     "stream_pattern_uncapped_error_run": stream_pattern_uncapped_error_run,
     "stream_pattern_error_run_until_purchase": stream_pattern_error_run_until_purchase,
+    "stream_pattern_times_or_more_errors": stream_pattern_times_or_more_errors,
     "stream_pattern_impulse_purchase": stream_pattern_impulse_purchase,
     "stream_pattern_clean_onboarding": stream_pattern_clean_onboarding,
     "stream_pattern_nonoverlap_episodes": stream_pattern_nonoverlap_episodes,
@@ -1726,6 +1777,7 @@ ORACLES = {
     "stream_pattern_optional_branching": _stream_pattern_branching_oracle(),
     "stream_pattern_uncapped_error_run": _stream_pattern_uncapped_oracle(),
     "stream_pattern_error_run_until_purchase": _stream_pattern_until_oracle(),
+    "stream_pattern_times_or_more_errors": _stream_pattern_times_or_more_oracle(),
     "stream_pattern_impulse_purchase": _stream_pattern_impulse_oracle(),
     "stream_pattern_clean_onboarding": _stream_pattern_onboarding_oracle(),
     "stream_pattern_nonoverlap_episodes": _stream_pattern_nonoverlap_oracle(),

@@ -781,3 +781,69 @@ def test_stream_until_dual_row_ends_run():
         for r in f.itertuples(index=False):
             got.append((r.anchor_id, r.state, int(r.n2)))
     assert got == [(1, "matched", 1)]
+
+
+def test_times_or_more_skips_short_run_binds_next_valid(spark):
+    """timesOrMore(3) — times(3, ∞): a 2-rep gap-session is never a
+    valid binding, so the anchor binds the first entry of the NEXT
+    session holding >= 3 reps; the run then extends to its session end
+    (uncapped). The catalog witness is pattern_times_or_more_errors."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    # slots: c0=anchor, c1=rep, c2=final. Gap 50us: reps at 10,20 form a
+    # 2-rep session (invalid); reps at 100,110,120,130 form the valid one.
+    events = [
+        (1, 0, 0b001),
+        (2, 10, 0b010),
+        (3, 20, 0b010),
+        (4, 100, 0b010),
+        (5, 110, 0b010),
+        (6, 120, 0b010),
+        (7, 130, 0b010),
+        (8, 140, 0b100),
+    ]
+
+    def build(df):
+        return pattern_detect(
+            df, key="user_id",
+            steps=[
+                (F.col("c0"), None),
+                (F.col("c1"), "INTERVAL 50 MICROSECONDS", (3, float("inf"))),
+                (F.col("c2"), "INTERVAL 100 MICROSECONDS"),
+            ],
+        )
+
+    out = _run_until(spark, events, 3, build)
+    r = out[out["anchor_id"] == 1].iloc[0]
+    assert (
+        r["t2"].microsecond, r["t2_last"].microsecond, int(r["n2"]), r["state"]
+    ) == (100, 130, 4, "matched_late")
+
+
+def test_times_or_more_mid_session_entry_counts_remaining(spark):
+    """An anchor landing mid-session binds the first rep AT/AFTER it;
+    validity counts only the REMAINING reps (avail >= min_reps)."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    events = [
+        (1, 5, 0b010),    # rep before the anchor — not bindable
+        (2, 8, 0b001),    # anchor
+        (3, 10, 0b010),
+        (4, 20, 0b010),
+        (5, 30, 0b010),
+        (6, 80, 0b100),
+    ]
+
+    def build(df):
+        return pattern_detect(
+            df, key="user_id",
+            steps=[
+                (F.col("c0"), None),
+                (F.col("c1"), "INTERVAL 50 MICROSECONDS", (3, float("inf"))),
+                (F.col("c2"), "INTERVAL 100 MICROSECONDS"),
+            ],
+        )
+
+    out = _run_until(spark, events, 3, build)
+    r = out[out["anchor_id"] == 2].iloc[0]
+    assert (r["t2"].microsecond, r["t2_last"].microsecond, int(r["n2"])) == (10, 30, 3)
