@@ -82,6 +82,7 @@ def pattern_detect(
     not_next: dict[int, Column] | None = None,
     with_end_id: bool = False,
     until: dict[int, Column] | None = None,
+    consecutive: set[int] | None = None,
 ) -> DataFrame:
     """Compile an N-step ``begin → followedBy → …`` pattern into chained
     window aggregates (one key exchange for the plain-step chain).
@@ -129,6 +130,26 @@ def pattern_detect(
     unchanged; a fresh run may begin after the stop row. An until step
     cannot also carry a notFollowedBy/notNext guard on its outgoing
     transition (both own the 2k rank slot).
+
+    ``consecutive`` (round 7) marks a Kleene step's INTERNAL contiguity
+    as STRICT — the reference Pattern API's ``oneOrMore().consecutive()``
+    / ``times(..).consecutive()``: repetitions must be IMMEDIATELY
+    ADJACENT events of the key (in the engine's total (ts, rank, id)
+    order) — any intervening event, pattern-relevant or not, ends the
+    run, exactly Flink's consecutive-looping break (Flink: "any
+    non-matching element breaks the loop"). Compiled as session
+    refinement over the step's global row positions: a repetition whose
+    predecessor is not at position-1 starts a new run, and caps /
+    min_reps / until / the run-last handoff apply to the refined runs
+    unchanged. Like ``strict``/``not_next``, consecutive() disables the
+    match-nothing scan filter — every key row is a contiguity witness.
+    (Streaming scope: the NFA does not take consecutive() yet — its
+    run-extension accepts any gap-bounded repetition; the adjacency
+    refinement needs per-key sequence positions carried through the
+    out-of-order buffer. Closure would actually get CHEAPER — any event
+    at the next key position witnesses the loop's end, no gap timer —
+    which is the planned implementation; until then consecutive() is a
+    batch-engine combinator.)
 
     ``not_followed_by`` maps a step index k (1..n-1) to a FORBIDDEN
     predicate — the reference Pattern API's ``notFollowedBy`` between step
@@ -253,6 +274,9 @@ def pattern_detect(
     untils = dict(until or {})
     if any(reps[k - 1] is None for k in untils):
         raise ValueError("until() applies to oneOrMore/times steps only")
+    consecs = set(consecutive or ())
+    if any(reps[k - 1] is None for k in consecs):
+        raise ValueError("consecutive() applies to oneOrMore/times steps only")
     if any(k in negs or k in nnx for k in untils):
         raise ValueError(
             "an until() step cannot also carry a notFollowedBy/notNext "
@@ -281,9 +305,10 @@ def pattern_detect(
     )
     # rows matching no step (and no guard) never contribute to any window
     # min / guard check and are never anchors — drop them at the scan.
-    # EXCEPT under strict/notNext semantics: there EVERY event of the key
-    # is a potential contiguity witness, so the filter must stay off
-    if not stricts and not nnx:
+    # EXCEPT under strict/notNext/consecutive semantics: there EVERY
+    # event of the key is a potential contiguity witness, so the filter
+    # must stay off
+    if not stricts and not nnx and not consecs:
         all_flags = (
             [F.col(f"__p{i}") for i in range(1, n + 1)]
             + [F.col(f"__g{k}") for k in sorted(negs)]
@@ -309,6 +334,17 @@ def pattern_detect(
         "__rank", F.coalesce(*rank_cases, F.lit(2 * n + 1))
     )
 
+    # consecutive(): each row's global position in the key's total
+    # (ts, rank, id) order — adjacency (pos == prev_pos + 1) is what
+    # "no intervening event" means once every row is a witness
+    if consecs:
+        base = base.withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy("__k").orderBy("__ts", "__rank", "__id")
+            ),
+        )
+
     # Kleene prep: assign each step-k row its within-gap session id (runs),
     # computed on the step's own rows and joined back by event id
     for k in range(2, n + 1):
@@ -316,6 +352,8 @@ def pattern_detect(
             continue
         wk = Window.partitionBy("__k").orderBy("__ts", "__id")
         sel = ["__k", "__id", "__ts"]
+        if k in consecs:
+            sel.append("__pos")
         if k in untils:
             # until(): a run may not span an until-row — count U rows
             # strictly before each row in the (ts, id) order (the Kleene
@@ -350,6 +388,14 @@ def pattern_detect(
         if k in untils:
             gap_break = gap_break | (
                 F.col(f"__ucnt{k}") != F.lag(f"__ucnt{k}").over(wk)
+            )
+        if k in consecs:
+            # strict internal contiguity: a repetition whose predecessor
+            # is not the IMMEDIATELY preceding event of the key starts a
+            # new run (an intervening row — matching anything or nothing
+            # — ends the loop, Flink's consecutive() break)
+            gap_break = gap_break | (
+                F.col("__pos") != F.lag("__pos").over(wk) + F.lit(1)
             )
         sess = pk.withColumn(
             f"__sess{k}",

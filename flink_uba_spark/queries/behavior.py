@@ -1276,6 +1276,104 @@ FROM a3
 """
 
 
+def pattern_consecutive_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``oneOrMore().consecutive()`` (round 7 — Flink's STRICT internal
+    contiguity for looping patterns, the looping twin of ``next()``):
+    per user, signup → error.oneOrMore().consecutive() (12 h repetition
+    gap) → purchase within 24 h of the burst's last error. Repetitions
+    must be IMMEDIATELY ADJACENT events of the user — a click, view, or
+    anything else between two errors ends the burst (Flink: "any
+    non-matching element breaks the loop"), so the run measured is the
+    true back-to-back error burst, not the gap session.
+
+    Compile: operators/sequence.py pattern_detect ``consecutive={2}`` —
+    one extra row_number() over the key's total (ts, rank, id) order
+    plus an adjacency term in the session-break predicate; the
+    match-nothing scan filter is off (every row is a contiguity
+    witness, the same price next()/notNext() pay). Caps / min_reps /
+    until / the run-last handoff apply to the refined runs unchanged.
+    Verified by the ``consec`` soak mode (brute_chain consecs slots)."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "signup", None),
+            (
+                F.col("event_type") == "error",
+                "INTERVAL 12 HOURS",
+                float("inf"),
+            ),
+            (F.col("event_type") == "purchase", "INTERVAL 24 HOURS"),
+        ],
+        consecutive={2},
+    )
+
+
+# engine-order global positions (ts, rank, id; witness rows rank 2n+1=7),
+# then the uncapped-run oracle with an adjacency term in the session break
+PATTERN_CONSECUTIVE_BURST_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts,
+           CASE event_type WHEN 'signup' THEN 1 WHEN 'error' THEN 3
+                           WHEN 'purchase' THEN 5 ELSE 7 END,
+           event_id) AS pos
+  FROM events
+),
+err AS (
+  SELECT user_id, event_id, ts, pos,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR
+                OR pos != lag(pos) OVER w + 1 THEN 1 ELSE 0 END AS ns
+  FROM ranked WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER wf AS run_last,
+         count(*) OVER wf - row_number() OVER ws + 1 AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1
+      FROM events WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*,
+    (SELECT r.ts FROM runs r WHERE r.user_id = a.user_id AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t2,
+    (SELECT r.run_last FROM runs r WHERE r.user_id = a.user_id AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS t2_last,
+    (SELECT r.n_reps FROM runs r WHERE r.user_id = a.user_id AND r.ts >= a.t1
+     ORDER BY r.ts, r.event_id LIMIT 1) AS n2
+  FROM a
+),
+a3 AS (
+  SELECT a2.*,
+    (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+)
+SELECT user_id, anchor_id, t1, t2, t2_last, CAST(n2 AS BIGINT) AS n2, t3,
+       CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+       CASE WHEN t3 IS NULL THEN 'incomplete'
+            WHEN t2 <= t1 + INTERVAL 12 HOUR AND t3 <= t2_last + INTERVAL 24 HOUR
+              THEN 'matched'
+            ELSE 'matched_late' END AS state
+FROM a3
+"""
+
+
 def pattern_impulse_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRICT-CONTIGUITY CEP (round 6 — the reference Pattern API's
     ``next()``, Flink's other core temporal relation beside followedBy):
@@ -1609,6 +1707,7 @@ QUERIES = {
     "pattern_uncapped_error_run": pattern_uncapped_error_run,
     "pattern_error_run_until_purchase": pattern_error_run_until_purchase,
     "pattern_times_or_more_errors": pattern_times_or_more_errors,
+    "pattern_consecutive_error_burst": pattern_consecutive_error_burst,
     "pattern_impulse_purchase": pattern_impulse_purchase,
     "pattern_clean_onboarding": pattern_clean_onboarding,
     "pattern_nonoverlap_episodes": pattern_nonoverlap_episodes,
@@ -1642,6 +1741,7 @@ ORACLES = {
     "pattern_uncapped_error_run": PATTERN_UNCAPPED_ERROR_RUN_ORACLE,
     "pattern_error_run_until_purchase": PATTERN_ERROR_RUN_UNTIL_ORACLE,
     "pattern_times_or_more_errors": PATTERN_TIMES_OR_MORE_ORACLE,
+    "pattern_consecutive_error_burst": PATTERN_CONSECUTIVE_BURST_ORACLE,
     "pattern_impulse_purchase": PATTERN_IMPULSE_PURCHASE_ORACLE,
     "pattern_clean_onboarding": PATTERN_CLEAN_ONBOARDING_ORACLE,
     "pattern_nonoverlap_episodes": PATTERN_NONOVERLAP_EPISODES_ORACLE,

@@ -66,7 +66,7 @@ def slot_layout(n, guards, untils=frozenset()):
     return slots, pslot, gslot
 
 
-def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozenset(), stricts=frozenset(), with_end=False, untils=frozenset()):
+def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozenset(), stricts=frozenset(), with_end=False, untils=frozenset(), consecs=frozenset()):
     """Reference for the batch compiler's followed-by semantics plus the
     streaming run-closure filter and notFollowedBy kills.
 
@@ -90,7 +90,8 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
         uslot = {}
     nslots = len(slots)
     full = (1 << nslots) - 1
-    if stricts:
+    if stricts or consecs:
+        # strict / consecutive(): every event is a contiguity witness
         evs = [(eid, ts, m & full) for eid, ts, m in events]
     else:
         evs = [(eid, ts, m & full) for eid, ts, m in events if m & full]
@@ -122,8 +123,13 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
             )
             avail = [1] * len(rows2)
             for i in range(len(rows2) - 2, -1, -1):
-                if rows2[i + 1][0] <= rows2[i][0] + gap2 and not any(
-                    rows2[i][:2] <= u < rows2[i + 1][:2] for u in ucut2
+                if (
+                    rows2[i + 1][0] <= rows2[i][0] + gap2
+                    and not any(
+                        rows2[i][:2] <= u < rows2[i + 1][:2] for u in ucut2
+                    )
+                    # consecutive(): only position-adjacent reps extend
+                    and (s2 not in consecs or rows2[i + 1][2] == rows2[i][2] + 1)
                 ):
                     avail[i] += avail[i + 1]
             return [
@@ -193,6 +199,7 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
                     and j + 1 < len(rows)
                     and rows[j + 1][0] <= rows[j][0] + gap
                     and not any(rows[j][:2] <= u < rows[j + 1][:2] for u in ucut)
+                    and (s not in consecs or rows[j + 1][2] == rows[j][2] + 1)
                 ):
                     j += 1
                     cnt += 1
@@ -208,6 +215,9 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
                     # until(): an observed stop row at (dual) or after the
                     # run's last rep is definitive closure evidence
                     or any(u >= (rows[j][0], rows[j][1]) for u in ucut)
+                    # consecutive(): ANY event at the next global position
+                    # witnesses the loop's end (it failed to extend the run)
+                    or (s in consecs and rows[j][2] + 1 < len(evs))
                 )
                 closed_all = closed_all and closed
         if killed or not complete or not closed_all:

@@ -847,3 +847,172 @@ def test_times_or_more_mid_session_entry_counts_remaining(spark):
     out = _run_until(spark, events, 3, build)
     r = out[out["anchor_id"] == 2].iloc[0]
     assert (r["t2"].microsecond, r["t2_last"].microsecond, int(r["n2"])) == (10, 30, 3)
+
+
+def test_consecutive_intervening_event_breaks_run(spark):
+    """consecutive(): ANY intervening event — even one matching no step —
+    ends the loop; a later rep starts a NEW run. The engine keeps
+    match-nothing rows as contiguity witnesses (scan filter off)."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    # slots: c0=anchor, c1=rep, c2=final
+    events = [
+        (1, 0, 0b001),
+        (2, 10, 0b010),
+        (3, 20, 0b010),
+        (4, 25, 0b000),  # witness — breaks adjacency
+        (5, 30, 0b010),
+        (6, 40, 0b100),
+    ]
+
+    def build(df):
+        return pattern_detect(
+            df, key="user_id",
+            steps=[
+                (F.col("c0"), None),
+                (F.col("c1"), "INTERVAL 100 MICROSECONDS", float("inf")),
+                (F.col("c2"), "INTERVAL 100 MICROSECONDS"),
+            ],
+            consecutive={2},
+        )
+
+    out = _run_until(spark, events, 3, build)
+    r = out[out["anchor_id"] == 1].iloc[0]
+    assert (r["t2"].microsecond, r["t2_last"].microsecond, int(r["n2"])) == (10, 20, 2)
+
+
+def test_consecutive_with_min_reps_skips_broken_run(spark):
+    """times(3, ∞).consecutive(): a 2-rep adjacent block is invalid, so
+    the anchor binds the next 3-adjacent block."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    events = [
+        (1, 0, 0b001),
+        (2, 10, 0b010),
+        (3, 20, 0b010),
+        (4, 22, 0b000),  # breaks after 2 reps → invalid for min 3
+        (5, 30, 0b010),
+        (6, 40, 0b010),
+        (7, 50, 0b010),
+        (8, 60, 0b100),
+    ]
+
+    def build(df):
+        return pattern_detect(
+            df, key="user_id",
+            steps=[
+                (F.col("c0"), None),
+                (F.col("c1"), "INTERVAL 100 MICROSECONDS", (3, float("inf"))),
+                (F.col("c2"), "INTERVAL 100 MICROSECONDS"),
+            ],
+            consecutive={2},
+        )
+
+    out = _run_until(spark, events, 3, build)
+    r = out[out["anchor_id"] == 1].iloc[0]
+    assert (r["t2"].microsecond, r["t2_last"].microsecond, int(r["n2"])) == (30, 50, 3)
+
+
+def test_consecutive_gap_still_breaks(spark):
+    """consecutive() refines the gap sessions — adjacency does NOT rescue
+    two reps whose time gap exceeds the within bound."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    events = [
+        (1, 0, 0b001),
+        (2, 10, 0b010),
+        (3, 200, 0b010),  # adjacent by position but beyond the 50us gap
+        (4, 250, 0b100),
+    ]
+
+    def build(df):
+        return pattern_detect(
+            df, key="user_id",
+            steps=[
+                (F.col("c0"), None),
+                (F.col("c1"), "INTERVAL 50 MICROSECONDS", float("inf")),
+                (F.col("c2"), "INTERVAL 100 MICROSECONDS"),
+            ],
+            consecutive={2},
+        )
+
+    out = _run_until(spark, events, 3, build)
+    r = out[out["anchor_id"] == 1].iloc[0]
+    assert (r["t2"].microsecond, r["t2_last"].microsecond, int(r["n2"])) == (10, 10, 1)
+
+
+def test_consecutive_validation(spark):
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, a boolean, b boolean"
+    )
+    with pytest.raises(ValueError, match="consecutive"):
+        pattern_detect(
+            df, key="user_id",
+            steps=[(F.col("a"), None), (F.col("b"), "INTERVAL 1 MINUTE")],
+            consecutive={2},
+        )
+
+
+@st.composite
+def consec_case(draw):
+    gap = draw(st.integers(2, 30))
+    cap = draw(st.sampled_from([2, 3, 1 << 40]))
+    mn = draw(st.integers(1, min(cap, 3)))
+    n_ev = draw(st.integers(0, 16))
+    events = [
+        (i, draw(st.integers(0, 60)), draw(st.integers(0, 7)))
+        for i in range(n_ev)
+    ]
+    return gap, cap, mn, events
+
+
+@settings(max_examples=30, deadline=None)
+@given(consec_case())
+def test_consecutive_matches_brute(spark, case):
+    """consecutive() on a mid-chain times(mn, cap) step — engine vs the
+    consecs-extended brute_chain over random overlap masks (slots:
+    c0=step1, c1=rep, c2=step3; match-zero rows are witnesses). The 5k+
+    case vectorized soak (tools/nfa_soak.py consec) is the deep form."""
+    import pandas as pd
+
+    from test_properties_round5 import brute_chain
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    gap, cap, mn, events = case
+    rows = [
+        (eid, 0, datetime.datetime(2020, 1, 1) + datetime.timedelta(microseconds=ts),
+         *[bool(m >> j & 1) for j in range(3)])
+        for eid, ts, m in events
+    ]
+    schema = "event_id long, user_id long, ts timestamp, c0 boolean, c1 boolean, c2 boolean"
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    api_cap = float("inf") if cap >= (1 << 40) else cap
+    out = pattern_detect(
+        df, key="user_id",
+        steps=[
+            (F.col("c0"), None),
+            (F.col("c1"), f"INTERVAL {gap} MICROSECONDS", (mn, api_cap)),
+            (F.col("c2"), "INTERVAL 40 MICROSECONDS"),
+        ],
+        consecutive={2},
+    ).filter(F.col("state").isin("matched", "matched_late")).toPandas()
+    got = []
+    epoch0 = 1577836800000000
+    for _, r in out.iterrows():
+        key = []
+        for s, kl in ((1, False), (2, True), (3, False)):
+            v = r[f"t{s}"]
+            key.append(None if pd.isna(v) else int(pd.Timestamp(v).value // 1000) - epoch0)
+            if kl:
+                key.append(int(pd.Timestamp(r["t2_last"]).value // 1000) - epoch0)
+                key.append(int(r["n2"]))
+        got.append((int(r["anchor_id"]), tuple(key), r["state"]))
+    want = brute_chain(
+        events,
+        [(None, None), (gap, (gap, cap, mn)), (40, None)],
+        final_wm_ms=10 ** 15,
+        consecs=frozenset({2}),
+    )
+    assert sorted(got) == want

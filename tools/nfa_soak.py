@@ -67,7 +67,7 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
 
-def random_case(rnd, max_steps=6, ts_range=200, with_untils=False):
+def random_case(rnd, max_steps=6, ts_range=200, with_untils=False, with_consecs=False):
     from test_properties_round5 import slot_layout
 
     n = rnd.randint(2, max_steps)
@@ -125,6 +125,11 @@ def random_case(rnd, max_steps=6, ts_range=200, with_untils=False):
         for i in range(rnd.randint(0, 45))
     ]
     cuts = set(rnd.sample(range(1, ts_range), rnd.randint(0, 5)))
+    # round 7: consecutive() flags on Kleene steps — drawn LAST so the
+    # with_consecs=False random stream (all prior modes) is unchanged
+    if with_consecs:
+        consecs = frozenset(k + 1 for k in kpos if rnd.random() < 0.5)
+        return steps, guards, opts, stricts, events, cuts, untils, consecs
     if with_untils:
         return steps, guards, opts, stricts, events, cuts, untils
     return steps, guards, opts, stricts, events, cuts
@@ -264,7 +269,7 @@ def _extract_batch_rows(pdf, n, steps, epoch0=1577836800000000):
     return got
 
 
-def soak_batch(n_cases, cases_per_spec=100):
+def soak_batch(n_cases, cases_per_spec=100, with_consecs=False):
     """Batch-compiler soak, VECTORIZED over cases (round 6 — the r5 form
     ran one Spark job per case at ~0.7/s, capping the round at 330): each
     random pattern spec compiles ONE plan and runs ``cases_per_spec``
@@ -283,9 +288,16 @@ def soak_batch(n_cases, cases_per_spec=100):
     while done < n_cases and fails <= 5:
         rnd = random.Random(spec_seed * 7919 + 11)
         spec_seed += 1
-        steps, guards, opts, stricts, _, _, untils = random_case(
-            rnd, max_steps=5, ts_range=120, with_untils=True
-        )
+        if with_consecs:
+            steps, guards, opts, stricts, _, _, untils, consecs = random_case(
+                rnd, max_steps=5, ts_range=120, with_untils=True,
+                with_consecs=True,
+            )
+        else:
+            steps, guards, opts, stricts, _, _, untils = random_case(
+                rnd, max_steps=5, ts_range=120, with_untils=True
+            )
+            consecs = frozenset()
         if untils:
             slots, pslot, gslot, uslot = slot_layout(len(steps), guards, untils)
         else:
@@ -329,6 +341,7 @@ def soak_batch(n_cases, cases_per_spec=100):
             optional=set(opts),
             strict=set(stricts),
             until={k: F.col(f"c{uslot[k]}") for k in untils},
+            consecutive=set(consecs),
         )
         pdf = out.filter(F.col("state").isin("matched", "matched_late")).toPandas()
         for c in range(ncase):
@@ -339,13 +352,13 @@ def soak_batch(n_cases, cases_per_spec=100):
                 case_events[c],
                 [((kl[0] if kl is not None else w), kl) for (w, kl) in steps],
                 final_wm_ms=10 ** 15, guards=guards, opts=frozenset(opts),
-                stricts=stricts, untils=untils,
+                stricts=stricts, untils=untils, consecs=consecs,
             )
             if sorted(got) != want:
                 fails += 1
                 print(f"MISMATCH spec_seed={spec_seed - 1} case={c} steps={steps} "
                       f"guards={guards} opts={opts} stricts={stricts} "
-                      f"untils={untils} events={case_events[c]}")
+                      f"untils={untils} consecs={consecs} events={case_events[c]}")
                 if fails > 5:
                     break
         done += ncase
@@ -1016,6 +1029,7 @@ def main() -> int:
         "skip-batch": 1000,
         "any": 1000,
         "stream-any": 5000,
+        "consec": 1000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
@@ -1024,6 +1038,8 @@ def main() -> int:
         return 1 if soak_stream_any(n) else 0
     if mode == "batch":
         return 1 if soak_batch(n) else 0
+    if mode == "consec":
+        return 1 if soak_batch(n, with_consecs=True) else 0
     if mode == "branching":
         return 1 if soak_branching(n) else 0
     if mode == "stream-branching":
