@@ -143,13 +143,15 @@ def pattern_detect(
     min_reps / until / the run-last handoff apply to the refined runs
     unchanged. Like ``strict``/``not_next``, consecutive() disables the
     match-nothing scan filter — every key row is a contiguity witness.
-    (Streaming scope: the NFA does not take consecutive() yet — its
-    run-extension accepts any gap-bounded repetition; the adjacency
-    refinement needs per-key sequence positions carried through the
-    out-of-order buffer. Closure would actually get CHEAPER — any event
-    at the next key position witnesses the loop's end, no gap timer —
-    which is the planned implementation; until then consecutive() is a
-    batch-engine combinator.)
+    (Streaming twin: ``streaming/pattern.py stream_pattern_detect
+    consecutive=`` — the NFA assigns every observed row a per-key global
+    sequence position and persists buffered rows' positions; closure is
+    CHEAPER than the gap timer, since an observed successor position —
+    or the run's (ts, id)-next session row failing to link — is
+    definitive. Both engines and the brute pin the same corner: at equal
+    timestamps the run walks the family's (ts, id) Kleene order while
+    adjacency compares (ts, rank, id) positions, so a same-ts
+    lower-position step row permanently breaks the session it lands in.)
 
     ``not_followed_by`` maps a step index k (1..n-1) to a FORBIDDEN
     predicate — the reference Pattern API's ``notFollowedBy`` between step

@@ -1479,6 +1479,90 @@ WHERE b.state != 'incomplete'
 """
 
 
+def stream_pattern_consecutive_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``oneOrMore().consecutive()`` in its native streaming form: per
+    user, signup → error.oneOrMore().consecutive() (12 h gap) → purchase
+    within 24 h of the burst's last error. Repetitions must sit at
+    CONSECUTIVE per-key global sequence positions (the NFA assigns every
+    observed row a position in the key's total (ts, rank, id) order and
+    persists buffered rows' positions — state fields 20-21); any row at
+    the run's next position that is not an in-gap repetition ends the
+    loop AND closes the run immediately — consecutive() runs close on
+    observed successors, cheaper than the gap timer, which remains only
+    as the end-of-stream fallback. Every key row rides the exchange as a
+    contiguity witness (scan filter off, the price next() pays too).
+    Oracle: the batch consecutive form minus incomplete rows, restricted
+    to bursts whose successor position was observed (the burst's last
+    error is not the user's positionally-last event) or whose gap lapsed
+    by the final ms-floored watermark."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="user_id",
+            steps=[
+                ("signup", None),
+                ("error", "INTERVAL 12 HOURS", float("inf")),
+                ("purchase", "INTERVAL 24 HOURS"),
+            ],
+            consecutive={2},
+        )
+    )
+
+
+def _stream_pattern_consecutive_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_CONSECUTIVE_BURST_ORACLE
+
+    gap_us = 12 * 3600 * 1_000_000
+    # thread the run's LAST global position through the batch oracle so
+    # the stream filter can apply the successor-observed closure rule
+    n2_sel = (
+        "(SELECT r.n_reps FROM runs r WHERE r.user_id = a.user_id"
+        " AND r.ts >= a.t1\n"
+        "     ORDER BY r.ts, r.event_id LIMIT 1) AS n2"
+    )
+    batchform = (
+        PATTERN_CONSECUTIVE_BURST_ORACLE.replace(
+            "SELECT user_id, event_id, ts,\n"
+            "         sum(ns) OVER",
+            "SELECT user_id, event_id, ts, pos,\n"
+            "         sum(ns) OVER",
+        )
+        .replace(
+            "max(ts) OVER wf AS run_last,",
+            "max(ts) OVER wf AS run_last, max(pos) OVER wf AS last_pos,",
+        )
+        .replace(
+            n2_sel,
+            n2_sel + ",\n    (SELECT r.last_pos FROM runs r WHERE"
+            " r.user_id = a.user_id AND r.ts >= a.t1\n"
+            "     ORDER BY r.ts, r.event_id LIMIT 1) AS last_pos",
+        )
+        .replace(
+            "SELECT user_id, anchor_id, t1, t2, t2_last,"
+            " CAST(n2 AS BIGINT) AS n2, t3,",
+            "SELECT user_id, anchor_id, t1, t2, t2_last,"
+            " CAST(n2 AS BIGINT) AS n2, t3,\n       last_pos,",
+        )
+    )
+    return f"""
+WITH batchform AS ({batchform}),
+keypos AS (
+  SELECT user_id, count(*) AS pmax FROM events GROUP BY 1
+),
+gmax AS (SELECT max(ts) AS g FROM events)
+SELECT b.user_id, b.anchor_id, b.t1, b.t2, b.t2_last, b.n2, b.t3,
+       b.max_step, b.state
+FROM batchform b JOIN keypos k ON k.user_id = b.user_id
+WHERE b.state != 'incomplete'
+  AND (b.last_pos < k.pmax
+       OR epoch_us(b.t2_last) + {gap_us}
+            <= (epoch_us((SELECT g FROM gmax)) // 1000) * 1000)
+"""
+
+
 def stream_pattern_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The negative-pattern CEP chain (view → click within 30 min →
     purchase within 2 h, ``notFollowedBy(error)`` between click and
@@ -1732,6 +1816,7 @@ QUERIES = {
     "stream_pattern_uncapped_error_run": stream_pattern_uncapped_error_run,
     "stream_pattern_error_run_until_purchase": stream_pattern_error_run_until_purchase,
     "stream_pattern_times_or_more_errors": stream_pattern_times_or_more_errors,
+    "stream_pattern_consecutive_error_burst": stream_pattern_consecutive_error_burst,
     "stream_pattern_impulse_purchase": stream_pattern_impulse_purchase,
     "stream_pattern_clean_onboarding": stream_pattern_clean_onboarding,
     "stream_pattern_nonoverlap_episodes": stream_pattern_nonoverlap_episodes,
@@ -1778,6 +1863,7 @@ ORACLES = {
     "stream_pattern_uncapped_error_run": _stream_pattern_uncapped_oracle(),
     "stream_pattern_error_run_until_purchase": _stream_pattern_until_oracle(),
     "stream_pattern_times_or_more_errors": _stream_pattern_times_or_more_oracle(),
+    "stream_pattern_consecutive_error_burst": _stream_pattern_consecutive_oracle(),
     "stream_pattern_impulse_purchase": _stream_pattern_impulse_oracle(),
     "stream_pattern_clean_onboarding": _stream_pattern_onboarding_oracle(),
     "stream_pattern_nonoverlap_episodes": _stream_pattern_nonoverlap_oracle(),

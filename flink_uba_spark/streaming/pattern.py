@@ -64,6 +64,8 @@ and ``stream_kleene_detect`` switched from the 11-field
 ``KLEENE_STATE_SCHEMA`` to it); round 6 appended the 18th field
 (``nn_flags``, the latched notNext decisions) and then the 19th
 (``ams_horizon``, the SKIP_PAST_LAST_EVENT after-match horizon).
+Round 7 appended fields 20-21
+(``buf_pos``/``seq``, the consecutive() global-position plumbing).
 ``applyInPandasWithState``
 cannot migrate a checkpointed state layout: a streaming job resuming from
 a checkpoint written by an earlier build will fail to restore — restart
@@ -152,6 +154,14 @@ STATE_SCHEMA = T.StructType(
         # before it (in (ts, id) order) never start a run. [-1, -1] =
         # no match emitted yet / skip strategy off
         T.StructField("ams_horizon", T.ArrayType(T.LongType())),
+        # round 7 (checkpoint break, 19 -> 21 fields): consecutive()
+        # support — per-buffered-row global sequence positions in the
+        # key's total (ts, rank, id) order, plus the one-element running
+        # row counter [seq_next] that makes positions stable across
+        # micro-batches (adjacency = pos difference 1; closure = any
+        # observed successor position)
+        T.StructField("buf_pos", T.ArrayType(T.LongType())),
+        T.StructField("seq", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -200,6 +210,7 @@ def make_pattern_matcher(
     not_nexts: dict[int, str] | None = None,
     after_match: str | None = None,
     untils: dict[int, str] | None = None,
+    consecutives: set[int] | None = None,
 ):
     """Build the per-key state function (separate so unit tests can drive
     it with a fake GroupState, as for order_timeout/transitions).
@@ -307,6 +318,9 @@ def make_pattern_matcher(
             "an until() step cannot also carry a notFollowedBy/notNext "
             "guard on its outgoing transition"
         )
+    consec_set = set(consecutives or ())
+    if any(kleenes[k - 1] is None for k in consec_set):
+        raise ValueError("consecutive() applies to oneOrMore/times steps only")
     if after_match not in (None, "skip_past_last"):
         raise ValueError("after_match must be None or 'skip_past_last'")
     skip_mode = after_match == "skip_past_last"
@@ -317,7 +331,8 @@ def make_pattern_matcher(
             "after_match='skip_past_last' supports plain chains with "
             "notFollowedBy guards only (no Kleene/optional/strict/notNext)"
         )
-    strict_mode = bool(strict_set or nnx)  # every key row is a witness
+    # every key row is a witness under strict/notNext/consecutive
+    strict_mode = bool(strict_set or nnx or consec_set)
     has_kleene = any(k is not None for k in kleenes)
     timers = has_kleene or ttl_us is not None
 
@@ -385,7 +400,8 @@ def make_pattern_matcher(
         if state.exists:
             (s_aid, s_cur, s_opn, s_fts, s_frk, s_fid,
              s_bnd, s_kl, s_kn, s_pts, s_prk, s_pid, s_pcur,
-             s_bts, s_brk, s_bid, s_bmk, s_nnf, s_ams) = state.get
+             s_bts, s_brk, s_bid, s_bmk, s_nnf, s_ams,
+             s_bps, s_seq) = state.get
             aid = np.asarray(s_aid, dtype="int64")
             cur = np.asarray(s_cur, dtype="int64")
             opn = np.asarray(s_opn, dtype="int64").astype(bool)
@@ -417,6 +433,8 @@ def make_pattern_matcher(
             le_ts, le_id = (
                 (int(s_ams[0]), int(s_ams[1])) if len(s_ams) == 2 else (-1, -1)
             )
+            bps = np.asarray(s_bps, dtype="int64")
+            seq_next = int(s_seq[0]) if len(s_seq) else 0
         else:
             aid = cur = fts = frk = fid = np.empty(0, dtype="int64")
             opn = np.empty(0, dtype=bool)
@@ -425,6 +443,8 @@ def make_pattern_matcher(
             bts = brk = bid = bmk = np.empty(0, dtype="int64")
             nnf = np.empty(0, dtype="int64")
             le_ts, le_id = -1, -1
+            bps = np.empty(0, dtype="int64")
+            seq_next = 0
 
         chunks = [] if getattr(state, "hasTimedOut", False) else list(pdfs)
         rows = (
@@ -481,12 +501,18 @@ def make_pattern_matcher(
         else:
             ts_us = ev_ids = rank = np.empty(0, dtype="int64")
             match = np.empty((0, nslots), dtype=bool)
+        # consecutive(): global sequence positions — batch rows extend the
+        # key's running counter in their sorted (ts, rank, id) order (the
+        # replay contract aligns that order with the global one)
+        batch_pos = seq_next + np.arange(ts_us.size, dtype="int64")
+        seq_next += int(ts_us.size)
 
         # timeline = buffer ⊕ batch (sorted: prior-batch rows precede)
         nbuf = bts.size
         tl_ts = np.concatenate([bts, ts_us])
         tl_rk = np.concatenate([brk, rank])
         tl_id = np.concatenate([bid, ev_ids])
+        tl_pos = np.concatenate([bps, batch_pos])
         buf_match = (
             ((bmk[:, None] >> np.arange(nslots)) & 1).astype(bool)
             if nbuf else np.empty((0, nslots), dtype=bool)
@@ -564,6 +590,11 @@ def make_pattern_matcher(
                 link = np.empty(idxs.size, dtype=bool)
                 link[:-1] = sts[1:] <= sts[:-1] + gap_us
                 link[-1] = False
+                if k in consec_set:
+                    # strict internal contiguity: only a rep at the NEXT
+                    # global position extends the run (positions are dense
+                    # over all observed rows — witnesses included)
+                    link[:-1] &= tl_pos[srt[1:]] == tl_pos[srt[:-1]] + 1
                 if k in ucuts:
                     # a stop row in [rep_i, rep_i+1) splits the run —
                     # strictly-between stops via the (ts, id) counts, the
@@ -587,9 +618,20 @@ def make_pattern_matcher(
                     ) or (wm_us > 0 and sts[-1] + gap_us <= wm_us) or (
                         k in ucuts
                         and _u_after(k, int(sts[-1]), int(tl_id[srt[-1]]))
+                    ) or (
+                        # consecutive(): an observed successor position
+                        # proves the final session cannot extend
+                        k in consec_set and int(tl_pos[srt[-1]]) < seq_next - 1
                     )
                     ok = valid.copy()
-                    if not final_closed:
+                    if k in consec_set:
+                        # undecided = the session whose LAST rep is the
+                        # globally newest observed row (only that run can
+                        # still extend; session-order finality is not
+                        # position-order finality at equal timestamps)
+                        if not final_closed:
+                            ok |= tl_pos[srt[gl]] == seq_next - 1
+                    elif not final_closed:
                         ok |= gl == idxs.size - 1
                     keep_occ = ok[inv]  # occ-order mask
                     f_idxs = idxs[keep_occ]
@@ -612,22 +654,48 @@ def make_pattern_matcher(
         for ci in np.flatnonzero(opn):
             s = int(cur[ci])
             gap_us, cap, mn = kleenes[s - 1]
+            cons = s in consec_set
             closed = False
             if pslot[s] in ksess:
                 srt, inv, gl = ksess[pslot[s]]
                 numS = srt.size
                 # batch step-s rows form a session-order SUFFIX (their ts
                 # exceed all buffer ts); buffer step-s rows all precede an
-                # open run's last rep (they extended it on arrival)
-                q0 = int(np.count_nonzero(srt < nbuf))
+                # open run's last rep (they extended it on arrival)...
+                # EXCEPT under consecutive(): a same-ts lower-position
+                # row that failed the adjacency check stays buffered
+                # (ts, id)-AFTER the frontier and permanently breaks the
+                # session there (the (ts, id) walk is the family's Kleene
+                # canonicalization; soak seed 705) — so the continuation
+                # candidate is the first session row strictly (ts, id)
+                # after the frontier, wherever it lives
+                if cons:
+                    q0 = int(np.searchsorted(tl_ts[srt], fts[ci], side="left"))
+                    while q0 < numS and (
+                        int(tl_ts[srt[q0]]), int(tl_id[srt[q0]])
+                    ) <= (int(fts[ci]), int(fid[ci])):
+                        q0 += 1
+                else:
+                    q0 = int(np.count_nonzero(srt < nbuf))
                 u_blocked = s in ucuts and (
                     q0 < numS
                     and int(
                         _u_lt(s, int(tl_ts[srt[q0]]), int(tl_id[srt[q0]]))[0]
                     ) > int(_u_lt(s, int(fts[ci]), int(fid[ci]))[0])
                 )
+                ext_ok = q0 < numS and not u_blocked and (
+                    tl_ts[srt[q0]] <= fts[ci] + gap_us
+                )
+                if ext_ok and cons:
+                    # consecutive(): only the rep at the frontier's NEXT
+                    # global position extends; anything else (including
+                    # the position having gone to a non-rep row) is a
+                    # definitive break, resolved by the closure rule below
+                    ext_ok = posidx[ci] >= 0 and int(
+                        tl_pos[srt[q0]]
+                    ) == int(tl_pos[posidx[ci]]) + 1
                 if q0 < numS and not u_blocked:
-                    if tl_ts[srt[q0]] <= fts[ci] + gap_us:
+                    if ext_ok:
                         lp = int(gl[q0]) - q0 + 1
                         t = min(cap - int(kln[ci, s - 1]), lp)
                         if t > 0:
@@ -636,15 +704,20 @@ def make_pattern_matcher(
                             klast[ci, s - 1] = tl_ts[lastp]
                             kln[ci, s - 1] += t
                             posidx[ci] = lastp
-                        closed = (
-                            kln[ci, s - 1] >= cap
-                            or (t == lp and gl[q0] < numS - 1)
-                            or (
-                                t == lp and gl[q0] == numS - 1
-                                and evid_ts is not None
-                                and evid_ts > fts[ci] + gap_us
+                        if cons:
+                            # position rule below decides; session-order
+                            # inference is invalid under consecutive()
+                            closed = kln[ci, s - 1] >= cap
+                        else:
+                            closed = (
+                                kln[ci, s - 1] >= cap
+                                or (t == lp and gl[q0] < numS - 1)
+                                or (
+                                    t == lp and gl[q0] == numS - 1
+                                    and evid_ts is not None
+                                    and evid_ts > fts[ci] + gap_us
+                                )
                             )
-                        )
                     else:
                         closed = True  # next step-s row beyond gap: break
                 else:
@@ -660,6 +733,12 @@ def make_pattern_matcher(
             ):
                 # a stop row at (dual) or after the run's last rep closes
                 # it — definitive under the event-time-ordered contract
+                closed = True
+            if not closed and cons and posidx[ci] >= 0 and int(
+                tl_pos[posidx[ci]]
+            ) < seq_next - 1:
+                # consecutive(): an observed successor position that did
+                # not extend the run (it would have, above) ends the loop
                 closed = True
             if not closed and wm_us > 0 and fts[ci] + gap_us <= wm_us:
                 closed = True
@@ -851,7 +930,18 @@ def make_pattern_matcher(
                 kln[w, s - 1] = t
                 fts[w], frk[w], fid[w] = tl_ts[lastp], tl_rk[lastp], tl_id[lastp]
                 posidx[w] = lastp
-                closed = (t == cap) | (rl < numS - 1)
+                if s in consec_set:
+                    # consecutive(): the "later session exists" inference
+                    # is INVALID here — sessions can split at equal
+                    # timestamps, where session (ts, id) order disagrees
+                    # with global position order (soak seed 6230). The
+                    # definitive rule: the run is closed iff its last
+                    # rep's successor POSITION was observed (that row
+                    # failed to extend it, or the session walk stopped
+                    # before it), or the cap was hit
+                    closed = (t == cap) | (tl_pos[lastp] < seq_next - 1)
+                else:
+                    closed = (t == cap) | (rl < numS - 1)
                 if evid_ts is not None:
                     closed |= (rl == numS - 1) & (evid_ts > tl_ts[lastp] + gap_us)
                 if wm_us > 0:
@@ -979,8 +1069,9 @@ def make_pattern_matcher(
             keep = tl_ts >= lt
             bts, brk, bid = tl_ts[keep], tl_rk[keep], tl_id[keep]
             bmk = (tl_match[keep].astype("int64") << np.arange(nslots)).sum(axis=1)
+            bps = tl_pos[keep]
         else:
-            bts = brk = bid = bmk = np.empty(0, dtype="int64")
+            bts = brk = bid = bmk = bps = np.empty(0, dtype="int64")
 
         # ---- 7. persist + timers (the skip horizon outlives the chains:
         # a later same-ts anchor must still be excluded)
@@ -994,6 +1085,7 @@ def make_pattern_matcher(
                     pv_ts.tolist(), pv_rk.tolist(), pv_id.tolist(), pv_cur.tolist(),
                     bts.tolist(), brk.tolist(), bid.tolist(), bmk.tolist(),
                     nnf.tolist(), [le_ts, le_id],
+                    bps.tolist(), [seq_next],
                 )
             )
             if timers:
@@ -1048,6 +1140,7 @@ def stream_pattern_detect(
     not_next: dict | None = None,
     after_match: str | None = None,
     until: dict | None = None,
+    consecutive: set[int] | None = None,
 ) -> DataFrame:
     """Wire the matcher over a streaming events frame.
 
@@ -1103,7 +1196,17 @@ def stream_pattern_detect(
     applies to the refined runs unchanged. Verified against the extended
     brute by the ``timers`` soak (stop slots mixed into 40% of Kleene
     steps). An until step cannot also carry a notFollowedBy/notNext
-    guard on its outgoing transition (batch parity)."""
+    guard on its outgoing transition (batch parity).
+
+    ``consecutive`` (round 7) marks Kleene steps whose INTERNAL
+    contiguity is STRICT — ``oneOrMore().consecutive()``: only the row
+    at the run's next per-key global sequence position extends it; any
+    other row ending up there (matching anything or nothing) ends the
+    loop, and is itself the closure evidence — observed successor
+    positions close runs without waiting for the gap timer. Like
+    strict/notNext, every key row rides the exchange as a contiguity
+    witness (the scan filter is off), and buffered rows carry their
+    global positions in state (fields 20-21)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     specs = [s[0] for s in steps]
@@ -1126,6 +1229,7 @@ def stream_pattern_detect(
     nnx = dict(not_next or {})
     unt = dict(until or {})
     stricts = set(strict or ())
+    consecs = set(consecutive or ())
     preds = [
         (F.col("event_type") == s) if isinstance(s, str) else s.cast("boolean")
         for s in specs
@@ -1162,7 +1266,7 @@ def stream_pattern_detect(
     # Strict/notNext semantics disable the drop: every key row is a
     # contiguity witness (the inherent price of next()/notNext())
     src = events
-    if not stricts and not nnx:
+    if not stricts and not nnx and not consecs:
         any_step = preds[0]
         for p in preds[1:]:
             any_step = any_step | p
@@ -1196,7 +1300,7 @@ def stream_pattern_detect(
             step_types, withins_us, ttl_us=ttl_us, kleenes=kleenes,
             negations=negations, optionals=optional,
             stricts=stricts, not_nexts=not_nexts, after_match=after_match,
-            untils=until_types,
+            untils=until_types, consecutives=consecs,
         ),
         pattern_output_schema(n, kleenes),
         STATE_SCHEMA,

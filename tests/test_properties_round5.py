@@ -218,6 +218,11 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
                     # consecutive(): ANY event at the next global position
                     # witnesses the loop's end (it failed to extend the run)
                     or (s in consecs and rows[j][2] + 1 < len(evs))
+                    # consecutive(): the (ts, id)-next session row being
+                    # observed and NOT having extended the walk (it failed
+                    # adjacency/gap/cut) is also definitive — future rows
+                    # sort after it and can never become the successor
+                    or (s in consecs and j + 1 < len(rows))
                 )
                 closed_all = closed_all and closed
         if killed or not complete or not closed_all:

@@ -1016,3 +1016,120 @@ def test_consecutive_matches_brute(spark, case):
         consecs=frozenset({2}),
     )
     assert sorted(got) == want
+
+
+def _drive_consec_stream(batches, steps, kleenes, consecs, final_wm_ms=0):
+    """Minimal NFA driver for consecutive() pins: feed explicit
+    micro-batches of (eid, ts_us, mask-over-__p-slots), fire the final
+    timer, return (anchor_id, state, n2, t2_us, t2_last_us) rows."""
+    import pandas as pd
+
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_properties_round5 import _FakeState
+    from flink_uba_spark.streaming.pattern import make_pattern_matcher
+
+    n = len(steps)
+    detect = make_pattern_matcher(
+        [f"s{k}" for k in range(1, n + 1)], steps,
+        kleenes=kleenes, consecutives=consecs,
+    )
+    state = _FakeState()
+    got = []
+
+    def drain(gen):
+        for f in gen:
+            for r in f.itertuples(index=False):
+                got.append((
+                    int(r.anchor_id), r.state, int(r.n2),
+                    pd.Timestamp(r.t2).value // 1000,
+                    pd.Timestamp(r.t2_last).value // 1000,
+                ))
+
+    for batch in batches:
+        state.hasTimedOut = False
+        pdf = pd.DataFrame(
+            [
+                {"event_id": eid, "ts": pd.Timestamp(ts, unit="us"),
+                 **{f"__p{k}": bool(m >> (k - 1) & 1) for k in range(1, n + 1)}}
+                for eid, ts, m in batch
+            ]
+        )
+        drain(detect((1,), iter([pdf]), state))
+    if state._v is not None:
+        state._wm = final_wm_ms
+        state.hasTimedOut = True
+        drain(detect((1,), iter([]), state))
+    return got
+
+
+def test_stream_consecutive_cross_batch_continuation():
+    """A consecutive run split across micro-batches keeps extending as
+    long as positions stay adjacent; the first non-adjacent arrival
+    closes it (observed-successor closure, no gap timer needed)."""
+    steps = [None, 100, 100]
+    kleenes = [None, (100, None), None]
+    got = _drive_consec_stream(
+        [
+            [(1, 0, 0b001), (2, 10, 0b010), (3, 20, 0b010)],
+            [(4, 30, 0b010), (5, 35, 0b010)],
+            [(6, 40, 0b000), (7, 50, 0b100)],  # witness ends run; final binds
+        ],
+        steps, kleenes, {2},
+    )
+    assert got == [(1, "matched", 4, 10, 35)]
+
+
+def test_stream_consecutive_buffered_same_ts_row_breaks(
+):
+    """Soak seed 705's shape: a same-ts LOWER-position step row sits
+    (ts, id)-after the run's frontier in the buffer and permanently
+    breaks the session there — the carried path must find it instead of
+    skipping to the first batch row."""
+    # slots: p1, p2; ids chosen so the same-ts p2 row (id 15) is
+    # (ts,id)-BEFORE the anchor-carrying p2 row (id 31): positions are
+    # (31@129 rank1) then (15@129 rank2); session (ts,id) order is 15, 31
+    steps = [None, 50, 100]
+    kleenes = [None, (50, None), None]
+    got = _drive_consec_stream(
+        [
+            [(31, 129, 0b011), (15, 129, 0b010)],
+            [(23, 147, 0b010), (40, 160, 0b100)],
+        ],
+        steps, kleenes, {2},
+    )
+    # anchor 31 (pos 0): entry = (ts,id)-min candidate strictly after
+    # (129, rank 1, 31) = (15@129) (pos 1). The run walks the family's
+    # (ts, id) session order: the first session row after the entry is
+    # (31@129) — at position 0, NON-adjacent — so the session breaks
+    # there PERMANENTLY (the position-adjacent (23@147) never becomes
+    # the successor; it starts its own run). n=1, final on observation,
+    # and step 3 binds at 160 within its 100us bound — identical to the
+    # batch compiler's session refinement on the same events.
+    assert got == [(31, "matched", 1, 129, 129)]
+
+
+def test_stream_consecutive_nonadjacent_same_ts_closes_without_timer():
+    """Soak seed 10816's shape: the run's (ts, id)-next session row is
+    observed at a NON-adjacent (earlier) position — definitive closure
+    even though the run's last rep holds the globally newest position
+    and the watermark never advances (final_wm_ms=0)."""
+    # positions: (26@199 p1)=0, (17@200 p1+p2)=1, (3@200 p2)=2.
+    # anchor 26: entry = (ts,id)-min p2 after (199,1,26) = (3@200);
+    # session (ts,id) order of p2 rows: (3@200) then (17@200)... no:
+    # (200,3) < (200,17) so 3 first, successor 17 at position 1 != 2+1
+    # → run n=1 final. t3 never arrives → chain completes only to step 2.
+    steps = [None, 50, 100]
+    kleenes = [None, (50, None), None]
+    got = _drive_consec_stream(
+        [
+            [(26, 199, 0b001)],
+            [(17, 200, 0b011), (3, 200, 0b010)],
+            [(60, 230, 0b100)],  # final step binds after the closed run
+        ],
+        steps, kleenes, {2},
+    )
+    assert got == [
+        (26, "matched", 1, 200, 200),
+        (17, "matched", 1, 200, 200),
+    ]

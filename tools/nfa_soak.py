@@ -135,13 +135,13 @@ def random_case(rnd, max_steps=6, ts_range=200, with_untils=False, with_consecs=
     return steps, guards, opts, stricts, events, cuts
 
 
-def soak_stream(n_cases, timers=False):
+def soak_stream(n_cases, timers=False, with_consecs=False):
     import pandas as pd
 
     from test_properties_round5 import _FakeState, brute_chain, _drive, slot_layout
     from flink_uba_spark.streaming.pattern import make_pattern_matcher
 
-    def drive_timers(events, steps, cuts, guards, opts, stricts, untils=frozenset()):
+    def drive_timers(events, steps, cuts, guards, opts, stricts, untils=frozenset(), consecs=frozenset()):
         n = len(steps)
         if untils:
             slots, pslot, gslot, uslot = slot_layout(n, guards, untils)
@@ -155,6 +155,7 @@ def soak_stream(n_cases, timers=False):
             optionals=set(opts),
             stricts=set(stricts),
             untils={k: f"u{k}" for k in untils},
+            consecutives=set(consecs),
         )
         state = _FakeState()
         got = []
@@ -219,26 +220,33 @@ def soak_stream(n_cases, timers=False):
         # round 7: the timers mode mixes until() stop slots in (the
         # final-wm mode drives through _drive, which predates untils)
         if timers:
-            steps, guards, opts, stricts, events, cuts, untils = random_case(
-                rnd, with_untils=True
-            )
+            if with_consecs:
+                steps, guards, opts, stricts, events, cuts, untils, consecs = (
+                    random_case(rnd, with_untils=True, with_consecs=True)
+                )
+            else:
+                steps, guards, opts, stricts, events, cuts, untils = random_case(
+                    rnd, with_untils=True
+                )
+                consecs = frozenset()
             got, wm = drive_timers(
-                events, steps, cuts, guards, opts, stricts, untils
+                events, steps, cuts, guards, opts, stricts, untils, consecs
             )
         else:
             steps, guards, opts, stricts, events, cuts = random_case(rnd)
-            untils = frozenset()
+            untils = consecs = frozenset()
             got, wm = _drive(
                 events, steps, cuts, guards=guards, opts=opts, stricts=stricts
             )
         want = brute_chain(
             events, steps, final_wm_ms=wm, guards=guards, opts=opts,
-            stricts=stricts, untils=untils,
+            stricts=stricts, untils=untils, consecs=consecs,
         )
         if sorted(got) != want:
             fails += 1
             print(f"MISMATCH seed={seed} steps={steps} guards={guards} "
-                  f"opts={opts} stricts={stricts} untils={untils}")
+                  f"opts={opts} stricts={stricts} untils={untils} "
+                  f"consecs={consecs}")
             if fails > 5:
                 break
     print(f"{n_cases} cases ({'timers' if timers else 'final-wm'}), "
@@ -1030,6 +1038,7 @@ def main() -> int:
         "any": 1000,
         "stream-any": 5000,
         "consec": 1000,
+        "stream-consec": 3000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
@@ -1040,6 +1049,8 @@ def main() -> int:
         return 1 if soak_batch(n) else 0
     if mode == "consec":
         return 1 if soak_batch(n, with_consecs=True) else 0
+    if mode == "stream-consec":
+        return 1 if soak_stream(n, timers=True, with_consecs=True) else 0
     if mode == "branching":
         return 1 if soak_branching(n) else 0
     if mode == "stream-branching":
