@@ -1081,3 +1081,106 @@ def after_match_skip_to_next(
         F.col("t1"),
         *[F.col(f"__w.t{k}").alias(f"t{k}") for k in range(2, n + 1)],
     )
+
+
+def pattern_detect_reluctant(
+    events: DataFrame,
+    key: str,
+    steps: list[tuple],
+    reluctant: set[int],
+    event_id: str = "event_id",
+    ts: str = "ts",
+    not_followed_by: dict[int, Column] | None = None,
+    until: dict[int, Column] | None = None,
+    consecutive: set[int] | None = None,
+) -> DataFrame:
+    """RELUCTANT (non-greedy) Kleene emission — the reference Pattern
+    API's DEFAULT ``oneOrMore()`` / ``times(from, to)`` multi-match
+    semantics (Flink: a looping pattern NOT marked ``greedy()`` emits a
+    match for EVERY admissible repetition count — pattern ``a b+ c`` on
+    ``a b1 b2 b3 c`` yields ``{a b1 c}``, ``{a b1 b2 c}``,
+    ``{a b1 b2 b3 c}``; the engine family's greedy run in
+    ``pattern_detect`` is the ``greedy()`` variant, which keeps only the
+    longest). Reference family: Pattern.oneOrMore / times chaining,
+    OrderPayTimeout.java:52-64.
+
+    ``reluctant`` names the Kleene step indexes to branch: each must
+    carry a ``(min_reps, max_reps)`` spec with a FINITE ``max_reps`` —
+    the branch count is what keeps the emission finite, exactly like
+    ``pattern_detect_branching``'s 2^|optional| bound. Compiled as one
+    ``pattern_detect`` plan per admitted repetition-count combination
+    (``times(m, m)`` pins the run to exactly m repetitions; the
+    downstream step binds after the m-th), unioned, with duplicate rows
+    collapsed: branches agree bit-for-bit on any anchor whose reluctant
+    run never bound (nK null), and disagree on nK otherwise, so
+    ``dropDuplicates`` over the full row is exact. Per-count validity
+    follows the engine's times(from, to) rule — an entry whose within-gap
+    run holds fewer than m rows is not a valid m-binding and the
+    previous step binds the next valid entry — so each branch is the
+    skip-till-next-match plan for that count (the brute reference is the
+    same union, tests/test_properties_round5.py brute_reluctant).
+
+    At most 16 count-combinations are accepted (the product over
+    reluctant steps of ``max_reps - min_reps + 1``): the plan is a
+    16-way union at the bound — fine for Catalyst, same envelope as
+    branching's 2^4 — and real reluctant loops are short (a 32-count
+    loop wants the greedy run + per-prefix re-derivation instead).
+
+    Scale: each branch is the linear pattern_detect plan (one key
+    exchange + per-Kleene session passes); the union multiplies scan
+    count by the branch factor, and the final dropDuplicates is one
+    exchange over MATCH-sized output. No self-joins, no per-key
+    quadratic term, at 100 TB.
+    """
+    from itertools import product as _product
+
+    n = len(steps)
+    rel = sorted(set(reluctant or ()))
+    if not rel:
+        raise ValueError("reluctant needs at least one Kleene step index")
+    counts: list[list[int]] = []
+    for k in rel:
+        if k < 2 or k > n:
+            raise ValueError("reluctant steps must be step indexes 2..n")
+        spec = steps[k - 1][2] if len(steps[k - 1]) > 2 else None
+        if not isinstance(spec, tuple):
+            raise ValueError(
+                f"reluctant step {k} needs an explicit (min_reps, max_reps) "
+                "spec — the finite count range is what bounds the branches"
+            )
+        mn, mx = spec
+        if mx == float("inf"):
+            raise ValueError(
+                f"reluctant step {k} needs a FINITE max_reps (an uncapped "
+                "reluctant loop emits unboundedly many matches per run; "
+                "use the greedy pattern_detect run instead)"
+            )
+        counts.append(list(range(int(mn), int(mx) + 1)))
+    n_branches = 1
+    for c in counts:
+        n_branches *= len(c)
+    if n_branches > 16:
+        raise ValueError(
+            f"pattern_detect_reluctant compiles one plan per repetition-"
+            f"count combination; {n_branches} branches exceed the 16-plan "
+            "envelope (shrink the count ranges)"
+        )
+
+    out = None
+    for combo in _product(*counts):
+        branch_steps = list(steps)
+        for k, m in zip(rel, combo):
+            pred, w = branch_steps[k - 1][0], branch_steps[k - 1][1]
+            branch_steps[k - 1] = (pred, w, (m, m))
+        b = pattern_detect(
+            events,
+            key,
+            branch_steps,
+            event_id=event_id,
+            ts=ts,
+            not_followed_by=not_followed_by,
+            until=until,
+            consecutive=consecutive,
+        )
+        out = b if out is None else out.unionByName(b)
+    return out.dropDuplicates()

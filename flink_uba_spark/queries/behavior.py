@@ -1571,6 +1571,105 @@ FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
 WHERE s.kept
 """
 
+def pattern_reluctant_error_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELUCTANT (non-greedy) Kleene — the reference Pattern API's
+    DEFAULT ``oneOrMore()``/``times(from, to)`` multi-match emission
+    (Flink: a looping pattern not marked ``greedy()`` emits one match
+    per admissible repetition count; the engine's greedy run is the
+    ``greedy()`` variant). Per user: signup → error.times(1, 3)
+    RELUCTANT (12 h repetition gap) → purchase within 24 h of the
+    prefix's last error — a 2-error cascade followed by a purchase
+    emits BOTH the 1-error and the 2-error match, each binding the
+    purchase after its own prefix. Reference family:
+    Pattern.oneOrMore / times chaining, OrderPayTimeout.java:52-64.
+
+    Compile: operators/sequence.py pattern_detect_reluctant — one
+    pattern_detect plan per count (times(m, m) pins the run), a 3-way
+    union, and a match-sized dropDuplicates (branches agree exactly on
+    anchors whose run never bound). Verified by the ``reluctant`` soak
+    mode (tools/nfa_soak.py, brute_reluctant union reference)."""
+    from flink_uba_spark.operators.sequence import pattern_detect_reluctant
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect_reluctant(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "signup", None),
+            (F.col("event_type") == "error", "INTERVAL 12 HOURS", (1, 3)),
+            (F.col("event_type") == "purchase", "INTERVAL 24 HOURS"),
+        ],
+        reluctant={2},
+    )
+
+
+def _reluctant_oracle() -> str:
+    """Union-of-counts oracle: per count m, the exact-m capped form of
+    the timesOrMore oracle (entry valid iff its session holds >= m rows
+    from it — lead(ts, m-1) within the session — and the run binds
+    exactly m repetitions), then DISTINCT over the union (never-bound
+    anchors agree across counts, exactly the engine's dropDuplicates)."""
+    blocks = []
+    for m in (1, 2, 3):
+        blocks.append(f"""
+  SELECT user_id, anchor_id, t1, t2, t2_last,
+         CAST(CASE WHEN t2 IS NULL THEN NULL ELSE {m} END AS BIGINT) AS n2,
+         t3,
+         CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+                + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS max_step,
+         CASE WHEN t3 IS NULL THEN 'incomplete'
+              WHEN t2 <= t1 + INTERVAL 12 HOUR
+                   AND t3 <= t2_last + INTERVAL 24 HOUR THEN 'matched'
+              ELSE 'matched_late' END AS state
+  FROM (
+    SELECT a2.*,
+      (SELECT min(p.ts) FROM events p
+       WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+         AND p.ts >= a2.t2_last) AS t3
+    FROM (
+      SELECT a.user_id, a.anchor_id, a.t1,
+        (SELECT r.ts FROM runs r WHERE r.user_id = a.user_id
+           AND r.ts >= a.t1 AND r.l{m} IS NOT NULL
+         ORDER BY r.ts, r.event_id LIMIT 1) AS t2,
+        (SELECT r.l{m} FROM runs r WHERE r.user_id = a.user_id
+           AND r.ts >= a.t1 AND r.l{m} IS NOT NULL
+         ORDER BY r.ts, r.event_id LIMIT 1) AS t2_last
+      FROM anch a
+    ) a2
+  ) b{m}""")
+    union = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts,
+         lead(ts, 0) OVER ws AS l1,
+         lead(ts, 1) OVER ws AS l2,
+         lead(ts, 2) OVER ws AS l3
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+),
+anch AS (SELECT user_id, event_id AS anchor_id, ts AS t1
+         FROM events WHERE event_type = 'signup')
+SELECT DISTINCT * FROM (
+{union}
+)
+"""
+
+
+PATTERN_RELUCTANT_ORACLE = _reluctant_oracle()
+
+
 def pattern_any_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``followedByAny`` journey: view → click (within 12 h) → purchase
     (within 24 h), branching on EVERY candidate — the reference Pattern
@@ -1708,6 +1807,7 @@ QUERIES = {
     "pattern_error_run_until_purchase": pattern_error_run_until_purchase,
     "pattern_times_or_more_errors": pattern_times_or_more_errors,
     "pattern_consecutive_error_burst": pattern_consecutive_error_burst,
+    "pattern_reluctant_error_prefixes": pattern_reluctant_error_prefixes,
     "pattern_impulse_purchase": pattern_impulse_purchase,
     "pattern_clean_onboarding": pattern_clean_onboarding,
     "pattern_nonoverlap_episodes": pattern_nonoverlap_episodes,
@@ -1742,6 +1842,7 @@ ORACLES = {
     "pattern_error_run_until_purchase": PATTERN_ERROR_RUN_UNTIL_ORACLE,
     "pattern_times_or_more_errors": PATTERN_TIMES_OR_MORE_ORACLE,
     "pattern_consecutive_error_burst": PATTERN_CONSECUTIVE_BURST_ORACLE,
+    "pattern_reluctant_error_prefixes": PATTERN_RELUCTANT_ORACLE,
     "pattern_impulse_purchase": PATTERN_IMPULSE_PURCHASE_ORACLE,
     "pattern_clean_onboarding": PATTERN_CLEAN_ONBOARDING_ORACLE,
     "pattern_nonoverlap_episodes": PATTERN_NONOVERLAP_EPISODES_ORACLE,

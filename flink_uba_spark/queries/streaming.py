@@ -1479,6 +1479,54 @@ WHERE b.state != 'incomplete'
 """
 
 
+def stream_pattern_reluctant_error_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELUCTANT (non-greedy) Kleene in its native streaming form: per
+    user, signup → error.times(1, 3) RELUCTANT (12 h gap) → purchase
+    within 24 h of the prefix's last error. Compiled exactly as Flink's
+    shared version tree branches — one NFA per admitted repetition count
+    (times(m, m), m = 1..3), run as three independent replays over the
+    same source and unioned. No dedupe exchange is needed: streaming
+    emits complete chains only, and every complete row carries its
+    branch's count in ``n2``, so branch outputs are disjoint by
+    construction (the batch form's duplicates are never-bound anchors,
+    which a stream does not emit).
+
+    Closure: an exact-count run closes by CAP the moment its m-th
+    repetition arrives (no gap timer on the happy path), and a tentative
+    short-session bind rolls back when the next session's first error
+    row provides gap evidence — both mid-replay — so the oracle is the
+    batch union minus incomplete rows, with no end-of-stream closure
+    residue (sessions are gap-separated: the bound entry's own presence
+    closes every earlier short session)."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir)
+    out = None
+    for m in (1, 2, 3):
+        t = run_to_table(
+            stream_pattern_detect(
+                ev,
+                key="user_id",
+                steps=[
+                    ("signup", None),
+                    ("error", "INTERVAL 12 HOURS", (m, m)),
+                    ("purchase", "INTERVAL 24 HOURS"),
+                ],
+            )
+        )
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+def _stream_pattern_reluctant_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_RELUCTANT_ORACLE
+
+    return f"""
+SELECT * FROM ({PATTERN_RELUCTANT_ORACLE})
+WHERE state != 'incomplete'
+"""
+
+
 def stream_pattern_consecutive_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``oneOrMore().consecutive()`` in its native streaming form: per
     user, signup → error.oneOrMore().consecutive() (12 h gap) → purchase
@@ -1816,6 +1864,7 @@ QUERIES = {
     "stream_pattern_uncapped_error_run": stream_pattern_uncapped_error_run,
     "stream_pattern_error_run_until_purchase": stream_pattern_error_run_until_purchase,
     "stream_pattern_times_or_more_errors": stream_pattern_times_or_more_errors,
+    "stream_pattern_reluctant_error_prefixes": stream_pattern_reluctant_error_prefixes,
     "stream_pattern_consecutive_error_burst": stream_pattern_consecutive_error_burst,
     "stream_pattern_impulse_purchase": stream_pattern_impulse_purchase,
     "stream_pattern_clean_onboarding": stream_pattern_clean_onboarding,
@@ -1863,6 +1912,7 @@ ORACLES = {
     "stream_pattern_uncapped_error_run": _stream_pattern_uncapped_oracle(),
     "stream_pattern_error_run_until_purchase": _stream_pattern_until_oracle(),
     "stream_pattern_times_or_more_errors": _stream_pattern_times_or_more_oracle(),
+    "stream_pattern_reluctant_error_prefixes": _stream_pattern_reluctant_oracle(),
     "stream_pattern_consecutive_error_burst": _stream_pattern_consecutive_oracle(),
     "stream_pattern_impulse_purchase": _stream_pattern_impulse_oracle(),
     "stream_pattern_clean_onboarding": _stream_pattern_onboarding_oracle(),

@@ -277,6 +277,38 @@ def brute_skip_past_last(events, steps, final_wm_ms=None, guards=frozenset()):
     return sorted(out)
 
 
+def brute_reluctant(events, steps, rel, final_wm_ms=None, guards=frozenset(),
+                    untils=frozenset(), consecs=frozenset()):
+    """Union-of-counts reference for ``pattern_detect_reluctant`` (round
+    7 — Flink's DEFAULT non-greedy looping emission): for each Kleene
+    step in ``rel`` with a finite (gap, cap, min) spec, run brute_chain
+    once per admitted repetition count m (the exact-count spec
+    ``(gap, m, m)``) and union the matches; duplicate rows (anchors
+    whose reluctant run never bound agree across counts) collapse by
+    set identity — the same full-row dedupe the engine's
+    ``dropDuplicates`` performs."""
+    from itertools import product as _product
+
+    rel = sorted(rel)
+    ranges = []
+    for k in rel:
+        gap, cap, mn = steps[k - 1][1]
+        ranges.append(range(mn, cap + 1))
+    seen = set()
+    for combo in _product(*ranges):
+        bsteps = list(steps)
+        for k, m in zip(rel, combo):
+            w, kl = bsteps[k - 1]
+            bsteps[k - 1] = (w, (kl[0], m, m))
+        seen |= set(
+            brute_chain(
+                events, bsteps, final_wm_ms=final_wm_ms, guards=guards,
+                untils=untils, consecs=consecs,
+            )
+        )
+    return sorted(seen)
+
+
 def _drive(events, steps, cuts, guards=frozenset(), opts=frozenset(), stricts=frozenset()):
     """Run the NFA over event-time-split batches + a final timer firing at
     the ms-floored max event time; return (emitted rows, final_wm_ms).

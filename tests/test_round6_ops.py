@@ -674,7 +674,8 @@ def test_skip_past_last_stream_horizon_outlives_chains():
     )
     assert list(out1["anchor_id"]) == [1]
     # no chains pending, but the horizon (20, 5) lives on as state
-    assert st.exists and list(st.get[-1]) == [20, 5]
+    # field 18 = ams_horizon (round 7 appended buf_pos/seq after it)
+    assert st.exists and list(st.get[18]) == [20, 5]
     assert len(st.get[0]) == 0
     # a view at the SAME ts as the emitted end, smaller id: blocked
     out2 = _collect(
@@ -694,7 +695,7 @@ def test_skip_past_last_stream_horizon_outlives_chains():
         )
     )
     assert list(out3["anchor_id"]) == [8]
-    assert list(st.get[-1]) == [60, 10]
+    assert list(st.get[18]) == [60, 10]
 
 
 def test_skip_past_last_prunes_pending_runs():

@@ -1133,3 +1133,162 @@ def test_stream_consecutive_nonadjacent_same_ts_closes_without_timer():
         (26, "matched", 1, 200, 200),
         (17, "matched", 1, 200, 200),
     ]
+
+
+# ---------------------------------------------------------------------------
+# pattern_detect_reluctant — Flink's DEFAULT (non-greedy) Kleene emission
+# ---------------------------------------------------------------------------
+
+def run_reluctant(spark, events, gap_us, mn, mx, w3_us=100):
+    """3-step A → B.times(mn..mx)-reluctant → C on one key; extract
+    (anchor_id, (t1, t2, t2_last, n2, t3), state) in brute units."""
+    import pandas as pd
+
+    from flink_uba_spark.operators.sequence import pattern_detect_reluctant
+
+    schema = "event_id long, user_id long, ts timestamp, c0 boolean, c1 boolean, c2 boolean"
+    rows = [
+        (eid, 0, EPOCH + datetime.timedelta(microseconds=ts),
+         *[bool(m >> j & 1) for j in range(3)])
+        for eid, ts, m in events
+    ]
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    out = pattern_detect_reluctant(
+        df, key="user_id",
+        steps=[
+            (F.col("c0"), None),
+            (F.col("c1"), f"INTERVAL {gap_us} MICROSECONDS", (mn, mx)),
+            (F.col("c2"), f"INTERVAL {w3_us} MICROSECONDS"),
+        ],
+        reluctant={2},
+    ).toPandas()
+
+    def us(v):
+        return None if pd.isna(v) else int((v.to_pydatetime() - EPOCH).total_seconds() * 1e6)
+
+    got = []
+    for _, r in out.iterrows():
+        key = (us(r["t1"]), us(r["t2"]), us(r["t2_last"]),
+               None if pd.isna(r["n2"]) else int(r["n2"]), us(r["t3"]))
+        got.append((int(r["anchor_id"]), key, r["state"]))
+    return sorted(
+        got,
+        key=lambda r: (
+            r[0],
+            tuple((v is None, v if v is not None else 0) for v in r[1]),
+            r[2],
+        ),
+    )
+
+
+@st.composite
+def reluctant_case(draw):
+    gap = draw(st.integers(2, 40))
+    mn = draw(st.integers(1, 2))
+    mx = mn + draw(st.integers(0, 2))
+    n_ev = draw(st.integers(0, 16))
+    events = [
+        (i, draw(st.integers(0, 90)), draw(st.integers(0, 7)))
+        for i in range(n_ev)
+    ]
+    return gap, mn, mx, events
+
+
+@settings(max_examples=60, deadline=None)
+@given(reluctant_case())
+def test_reluctant_matches_brute(spark, case):
+    from test_properties_round5 import brute_reluctant
+
+    gap, mn, mx, events = case
+    got = [r for r in run_reluctant(spark, events, gap, mn, mx)
+           if r[2] in ("matched", "matched_late")]
+    want = brute_reluctant(
+        events, [(None, None), (gap, (gap, mx, mn)), (100, None)], {2},
+        final_wm_ms=10 ** 15,
+    )
+    assert got == want
+
+
+def test_reluctant_emits_every_prefix(spark):
+    """The Flink doc example: pattern a b+ c on a b1 b2 b3 c (b+ capped
+    at 3, reluctant) emits {a b1 c}, {a b1 b2 c}, {a b1 b2 b3 c} — one
+    match per repetition count, each binding c AFTER its prefix's last
+    repetition; the greedy engine keeps only the longest."""
+    from flink_uba_spark.operators.sequence import pattern_detect
+
+    events = [(1, 0, 0b001), (2, 10, 0b010), (3, 20, 0b010),
+              (4, 30, 0b010), (5, 40, 0b100)]
+    got = run_reluctant(spark, events, 50, 1, 3)
+    assert got == [
+        (1, (0, 10, 10, 1, 40), "matched"),
+        (1, (0, 10, 20, 2, 40), "matched"),
+        (1, (0, 10, 30, 3, 40), "matched"),
+    ]
+    # greedy twin: ONE row, the full run
+    schema = "event_id long, user_id long, ts timestamp, c0 boolean, c1 boolean, c2 boolean"
+    rows = [
+        (eid, 0, EPOCH + datetime.timedelta(microseconds=ts),
+         *[bool(m >> j & 1) for j in range(3)])
+        for eid, ts, m in events
+    ]
+    df = spark.createDataFrame(rows, schema)
+    greedy = pattern_detect(
+        df, key="user_id",
+        steps=[
+            (F.col("c0"), None),
+            (F.col("c1"), "INTERVAL 50 MICROSECONDS", (1, 3)),
+            (F.col("c2"), "INTERVAL 100 MICROSECONDS"),
+        ],
+    ).toPandas()
+    assert len(greedy) == 1 and int(greedy.iloc[0]["n2"]) == 3
+
+
+def test_reluctant_dedupes_unbound_branches(spark):
+    """An anchor whose reluctant run never binds produces IDENTICAL rows
+    in every count branch — exactly one survives the dropDuplicates."""
+    events = [(1, 0, 0b001)]  # anchor only, no reps at all
+    got = run_reluctant(spark, events, 50, 1, 3)
+    assert got == [(1, (0, None, None, None, None), "incomplete")]
+
+
+def test_reluctant_short_run_skips_high_counts(spark):
+    """A 2-rep run admits counts 1 and 2 only; the count-3 branch has no
+    valid entry (times validity: avail >= min_reps) and contributes the
+    deduped incomplete row — which vanishes behind the bound branches'
+    matched rows only in state filtering, not in the raw output."""
+    events = [(1, 0, 0b001), (2, 10, 0b010), (3, 20, 0b010), (4, 30, 0b100)]
+    got = run_reluctant(spark, events, 50, 1, 3)
+    matched = [r for r in got if r[2] == "matched"]
+    assert [(r[1][3]) for r in matched] == [1, 2]
+    assert (1, (0, None, None, None, None), "incomplete") in got
+
+
+def test_reluctant_validation(spark):
+    from flink_uba_spark.operators.sequence import pattern_detect_reluctant
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, c0 boolean, c1 boolean, c2 boolean"
+    )
+    steps_inf = [
+        (F.col("c0"), None),
+        (F.col("c1"), "INTERVAL 10 MICROSECONDS", (1, float("inf"))),
+        (F.col("c2"), "INTERVAL 10 MICROSECONDS"),
+    ]
+    with pytest.raises(ValueError, match="FINITE"):
+        pattern_detect_reluctant(df, "user_id", steps_inf, reluctant={2})
+    steps_wide = [
+        (F.col("c0"), None),
+        (F.col("c1"), "INTERVAL 10 MICROSECONDS", (1, 40)),
+        (F.col("c2"), "INTERVAL 10 MICROSECONDS"),
+    ]
+    with pytest.raises(ValueError, match="16-plan"):
+        pattern_detect_reluctant(df, "user_id", steps_wide, reluctant={2})
+    steps_scalar = [
+        (F.col("c0"), None),
+        (F.col("c1"), "INTERVAL 10 MICROSECONDS", 3),
+        (F.col("c2"), "INTERVAL 10 MICROSECONDS"),
+    ]
+    with pytest.raises(ValueError, match="explicit"):
+        pattern_detect_reluctant(df, "user_id", steps_scalar, reluctant={2})
+    with pytest.raises(ValueError, match="at least one"):
+        pattern_detect_reluctant(df, "user_id", steps_scalar, reluctant=set())

@@ -27,6 +27,9 @@ Modes:
                                          #   vectorized keys (round 7)
   python tools/nfa_soak.py stream-any [N]  # make_any_matcher over micro-batch
                                          #   splits + timers vs brute_any (r7)
+  python tools/nfa_soak.py reluctant [N]  # pattern_detect_reluctant (Flink's
+                                         #   DEFAULT non-greedy Kleene emission)
+                                         #   vs the union-of-counts brute (r7)
   python tools/nfa_soak.py stream-branching [N]
                                          # make_branching_matcher (packed
                                          #   per-branch states, min-merged
@@ -54,7 +57,9 @@ rotating-step SKIP_TO_FIRST vs their brutes) + 28k stream-any (streaming
 followedByAny over micro-batch splits + timers, plain AND skip_to_next
 modes) + 10k batch with until() slots mixed at 40% of Kleene steps (the
 first 1000 found and fixed a dual rep+stop-row order divergence before
-any judge could) — all clean.
+any judge could) + 3.3k reluctant (pattern_detect_reluctant union-of-counts
+vs brute_reluctant, greedy/reluctant mixes with guards/until/consecutive)
+— all clean.
 """
 
 from __future__ import annotations
@@ -373,6 +378,114 @@ def soak_batch(n_cases, cases_per_spec=100, with_consecs=False):
         if spec_seed % 10 == 0:
             print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
     print(f"{done} batch cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
+def soak_reluctant(n_cases, cases_per_spec=100):
+    """Reluctant (non-greedy) Kleene soak (round 7):
+    ``pattern_detect_reluctant`` — one plan per admitted repetition
+    count, unioned + dropDuplicates — vs ``brute_reluctant`` (the same
+    union over brute_chain exact-count specs). Specs ride the standard
+    random_case stream (guards, until() stop slots, consecutive() flags
+    all mixed in); every Kleene step is coerced to a FINITE count range
+    (≤3 counts) and flagged reluctant with p=0.7, so greedy/reluctant
+    mixes are exercised too. Vectorized like soak_batch: 100 cases ride
+    one compiled plan as separate keys."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from test_properties_round5 import brute_reluctant, slot_layout
+    from flink_uba_spark.operators.sequence import pattern_detect_reluctant
+    from flink_uba_spark.session import get_spark
+
+    spark = get_spark("nfa_soak")
+    t0, fails, done, spec_seed = time.time(), 0, 0, 0
+    while done < n_cases and fails <= 5:
+        rnd = random.Random(spec_seed * 15485863 + 7)
+        spec_seed += 1
+        steps, guards, _opts, _stricts, _, _, untils, consecs = random_case(
+            rnd, max_steps=5, ts_range=120, with_untils=True, with_consecs=True
+        )
+        # coerce every Kleene spec finite (≤3 admitted counts) and pick
+        # the reluctant subset; guarantee at least one reluctant step
+        steps = list(steps)
+        kpos = [i + 1 for i, (_, kl) in enumerate(steps) if kl is not None]
+        if not kpos:
+            continue
+        rel = set()
+        for k in kpos:
+            w, (gap, mx, mn) = steps[k - 1]
+            if mx >= UNCAPPED or mx > mn + 2:
+                mx = mn + rnd.randint(0, 2)
+            steps[k - 1] = (w, (gap, mx, mn))
+            if rnd.random() < 0.7:
+                rel.add(k)
+        if not rel:
+            rel.add(rnd.choice(kpos))
+        if untils:
+            slots, pslot, gslot, uslot = slot_layout(len(steps), guards, untils)
+        else:
+            slots, pslot, gslot = slot_layout(len(steps), guards)
+            uslot = {}
+        n, nslots = len(steps), len(slots)
+        ncase = min(cases_per_spec, n_cases - done)
+        case_events, rows = [], []
+        for c in range(ncase):
+            events = [
+                (c * 1000 + i, rnd.randint(0, 120),
+                 rnd.getrandbits(nslots) if rnd.random() < 0.92 else 0)
+                for i in range(rnd.randint(0, 45))
+            ]
+            case_events.append(events)
+            rows += [
+                (eid, c,
+                 datetime.datetime(2020, 1, 1) + datetime.timedelta(microseconds=ts),
+                 *[bool(m >> j & 1) for j in range(nslots)])
+                for eid, ts, m in events
+            ]
+        schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
+            f"c{j} boolean" for j in range(nslots)
+        )
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        spec = []
+        for k in range(1, n + 1):
+            w, kl = steps[k - 1]
+            if kl is not None:
+                gap, mx, mn = kl
+                spec.append((F.col(f"c{pslot[k]}"), f"INTERVAL {gap} MICROSECONDS", (mn, mx)))
+            else:
+                spec.append((
+                    F.col(f"c{pslot[k]}"),
+                    f"INTERVAL {w} MICROSECONDS" if w is not None else None,
+                ))
+        out = pattern_detect_reluctant(
+            df, key="user_id", steps=spec, reluctant=rel,
+            not_followed_by={k: F.col(f"c{gslot[k]}") for k in guards},
+            until={k: F.col(f"c{uslot[k]}") for k in untils},
+            consecutive=set(consecs),
+        )
+        pdf = out.filter(F.col("state").isin("matched", "matched_late")).toPandas()
+        for c in range(ncase):
+            got = _extract_batch_rows(pdf[pdf["user_id"] == c], n, steps)
+            want = brute_reluctant(
+                case_events[c],
+                [((kl[0] if kl is not None else w), kl) for (w, kl) in steps],
+                rel,
+                final_wm_ms=10 ** 15, guards=guards,
+                untils=untils, consecs=consecs,
+            )
+            if sorted(got) != want:
+                fails += 1
+                print(f"MISMATCH spec_seed={spec_seed - 1} case={c} steps={steps} "
+                      f"rel={sorted(rel)} guards={guards} untils={untils} "
+                      f"consecs={consecs} events={case_events[c]}")
+                if fails > 5:
+                    break
+        done += ncase
+        if spec_seed % 10 == 0:
+            print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{done} reluctant cases, {fails} failures, {time.time() - t0:.0f}s")
     return fails
 
 
@@ -1039,6 +1152,7 @@ def main() -> int:
         "stream-any": 5000,
         "consec": 1000,
         "stream-consec": 3000,
+        "reluctant": 1000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
@@ -1049,6 +1163,8 @@ def main() -> int:
         return 1 if soak_batch(n) else 0
     if mode == "consec":
         return 1 if soak_batch(n, with_consecs=True) else 0
+    if mode == "reluctant":
+        return 1 if soak_reluctant(n) else 0
     if mode == "stream-consec":
         return 1 if soak_stream(n, timers=True, with_consecs=True) else 0
     if mode == "branching":
