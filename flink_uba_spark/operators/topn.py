@@ -89,3 +89,67 @@ def windowed_topn(
         key_alias = key if isinstance(key, str) else "key"
     counts = windowed_counts(df, key, ts=ts, size=size, slide=slide, key_alias=key_alias)
     return topn_per_window(counts, key_alias, n=n)
+
+
+def cumulate_counts(
+    df: DataFrame,
+    key: str | Column,
+    ts: str = "ts",
+    step: str = "1 hour",
+    max_size: str = "6 hours",
+    key_alias: str | None = None,
+) -> DataFrame:
+    """CUMULATE windowing — the reference SQL engine family's
+    ``CUMULATE(TABLE t, DESCRIPTOR(ts), step, max_size)`` windowing TVF
+    (Flink 1.13+): tumbling ``max_size`` buckets aligned to the epoch,
+    each emitting one EXPANDING window per ``step`` — window_start is
+    the bucket start, window_end walks start+step, start+2·step, …,
+    start+max_size, and an event contributes to every cumulate window
+    of its bucket that ENDS after it (early-fire running totals with a
+    final total per bucket; the daily-dashboard "counts so far today,
+    hourly" shape).
+
+    Compile: one JVM-side ``explode(sequence(k_first, n_steps))`` per
+    event (k_first = the first step index whose window end exceeds the
+    event's bucket offset — pure integer µs arithmetic) followed by a
+    plain groupBy count, so Catalyst plans a partial (map-side)
+    aggregate before the single hash shuffle on (bucket, end, key) —
+    the HOP expansion strategy, with fan-out max_size/step (6 here) vs
+    HOP's size/slide. At 100 TB: no per-event Python, no state, the
+    same one-exchange shape as windowed_counts; the streaming twin
+    watermarks the derived window_end so append mode finalizes each
+    cumulate window independently (Flink's early-fire emission).
+
+    Output: window_start, window_end TIMESTAMP, <key>, cnt LONG.
+    """
+    import pandas as pd
+
+    step_us = int(pd.Timedelta(step).total_seconds() * 1_000_000)
+    max_us = int(pd.Timedelta(max_size).total_seconds() * 1_000_000)
+    if step_us <= 0 or max_us % step_us:
+        raise ValueError("max_size must be a positive multiple of step")
+    n_steps = max_us // step_us
+    key_col = F.col(key) if isinstance(key, str) else key
+    if key_alias is None:
+        key_alias = key if isinstance(key, str) else "key"
+    start_us = (F.unix_micros(F.col(ts)) - F.unix_micros(F.col(ts)) % max_us)
+    k_first = (F.unix_micros(F.col(ts)) - F.col("__start_us")) / F.lit(step_us)
+    return (
+        df.withColumn("__start_us", start_us)
+        .withColumn(
+            "__k",
+            F.explode(
+                F.sequence(
+                    k_first.cast("long") + F.lit(1), F.lit(n_steps)
+                )
+            ),
+        )
+        .groupBy(
+            F.timestamp_micros(F.col("__start_us")).alias("window_start"),
+            F.timestamp_micros(
+                F.col("__start_us") + F.col("__k") * F.lit(step_us)
+            ).alias("window_end"),
+            key_col.alias(key_alias),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -127,6 +127,43 @@ GROUP BY 1, 2, 3
 """
 
 
+def cumulate_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE windowing TVF (the reference SQL family's
+    ``CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR,
+    INTERVAL '6' HOUR)``, Flink 1.13+): per event type, expanding
+    counts inside epoch-aligned 6 h buckets — each bucket emits its
+    1 h, 2 h, …, 6 h running totals (the daily-dashboard early-fire
+    shape). Compile: operators/topn.py cumulate_counts — one JVM-side
+    explode(sequence) (fan-out 6, the HOP expansion strategy) + one
+    partial+final hash aggregate; no state, no Python."""
+    from flink_uba_spark.operators.topn import cumulate_counts
+
+    ev = _events(spark, sf_dir)
+    return cumulate_counts(
+        ev, "event_type", ts="ts", step="1 hour", max_size="6 hours",
+        key_alias="event_type",
+    )
+
+
+CUMULATE_VOLUME_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // 21600000000) * 21600000000 AS start_us,
+         epoch_us(ts) - (epoch_us(ts) // 21600000000) * 21600000000 AS off_us
+  FROM events
+),
+x AS (
+  SELECT event_type, start_us, k
+  FROM e, UNNEST(generate_series(CAST(off_us // 3600000000 AS BIGINT) + 1, 6)) AS t(k)
+)
+SELECT make_timestamp(start_us) AS window_start,
+       make_timestamp(start_us + k * 3600000000) AS window_end,
+       event_type, count(*) AS cnt
+FROM x
+GROUP BY 1, 2, 3
+"""
+
+
 def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one row per day, one count column per event type. Spark's
     ``groupBy().pivot(values=...)`` with explicit values compiles to the
@@ -1817,6 +1854,7 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_days": daily_anomaly_days,
     "daily_event_type_pivot": daily_event_type_pivot,
+    "cumulate_event_volume": cumulate_event_volume,
     "rolling_7d_purchase_value": rolling_7d_purchase_value,
     "daily_active_users": daily_active_users,
     "hourly_event_volume": hourly_event_volume,
@@ -1852,6 +1890,7 @@ ORACLES = {
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,
     "daily_anomaly_days": DAILY_ANOMALY_ORACLE,
     "daily_event_type_pivot": DAILY_EVENT_TYPE_PIVOT_ORACLE,
+    "cumulate_event_volume": CUMULATE_VOLUME_ORACLE,
     "rolling_7d_purchase_value": ROLLING_7D_ORACLE,
     "daily_active_users": DAILY_ACTIVE_USERS_ORACLE,
     "hourly_event_volume": HOURLY_VOLUME_ORACLE,

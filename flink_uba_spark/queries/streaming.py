@@ -539,6 +539,63 @@ SELECT event_id, user_id, ts FROM events
 """
 
 
+def stream_cumulate_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE windowing TVF in its native streaming form (Flink's
+    cumulate windows ARE a streaming feature — early-fire running totals
+    per epoch-aligned bucket): the batch expansion (explode over the
+    bucket's remaining step ends, operators/topn.py cumulate_counts)
+    runs on the stream, with the WATERMARK carried by the derived
+    ``window_end`` column — each cumulate window is its own group, so
+    append mode finalizes the 1 h total while the 6 h bucket is still
+    filling, exactly Flink's per-step emission. A 0-second delay on
+    window_end is sound because window_end > ts by construction and
+    replay is file-ordered: a window finalizes only once an event lands
+    in a LATER cumulate window. Oracle: identical to the batch form —
+    on bounded availableNow replay the final watermark reaches
+    max(window_end) and append-mode eviction is INCLUSIVE (key ≤ wm,
+    the same ≤ the session twins pin), so every cumulate window
+    finalizes, including the bucket's last (empirically pinned: the
+    strict-< form leaves 5 rows short at sf0.01)."""
+    import pandas as pd
+
+    step_us = 3_600_000_000
+    max_us = 21_600_000_000
+    ev = stream_events(spark, sf_dir)
+    start_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts")) % max_us
+    expanded = (
+        ev.withColumn("__start_us", start_us)
+        .withColumn(
+            "__k",
+            F.explode(
+                F.sequence(
+                    ((F.unix_micros(F.col("ts")) - F.col("__start_us"))
+                     / F.lit(step_us)).cast("long") + F.lit(1),
+                    F.lit(max_us // step_us),
+                )
+            ),
+        )
+        .select(
+            F.timestamp_micros(F.col("__start_us")).alias("window_start"),
+            F.timestamp_micros(
+                F.col("__start_us") + F.col("__k") * F.lit(step_us)
+            ).alias("window_end"),
+            "event_type",
+        )
+    )
+    sdf = (
+        expanded.withWatermark("window_end", "0 seconds")
+        .groupBy("window_start", "window_end", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return run_to_table(sdf)
+
+
+def _stream_cumulate_oracle() -> str:
+    from flink_uba_spark.queries.behavior import CUMULATE_VOLUME_ORACLE
+
+    return CUMULATE_VOLUME_ORACLE
+
+
 def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization in its native streaming form — the north star's
     'Structured Streaming + sessionization' verbatim: watermarked
@@ -1880,6 +1937,7 @@ QUERIES = {
     "stream_span_decontam": stream_span_decontam,
     "stream_mktseg_revenue": stream_mktseg_revenue,
     "stream_corpus_ingest": stream_corpus_ingest,
+    "stream_cumulate_event_volume": stream_cumulate_event_volume,
     "stream_user_sessions": stream_user_sessions,
     "stream_user_sessions_dynamic_gap": stream_user_sessions_dynamic_gap,
     "stream_attribution_join": stream_attribution_join,
@@ -1931,6 +1989,7 @@ ORACLES = {
     "stream_hot_items": STREAM_HOT_ITEMS_ORACLE,
     "stream_mktseg_revenue": STREAM_MKTSEG_REVENUE_ORACLE,
     "stream_corpus_ingest": STREAM_CORPUS_INGEST_ORACLE,
+    "stream_cumulate_event_volume": _stream_cumulate_oracle(),
     "stream_user_sessions": STREAM_USER_SESSIONS_ORACLE,
     "stream_user_sessions_dynamic_gap": STREAM_USER_SESSIONS_DYNAMIC_GAP_ORACLE,
     "stream_attribution_join": ATTRIBUTION_ORACLE,

@@ -1292,3 +1292,78 @@ def test_reluctant_validation(spark):
         pattern_detect_reluctant(df, "user_id", steps_scalar, reluctant={2})
     with pytest.raises(ValueError, match="at least one"):
         pattern_detect_reluctant(df, "user_id", steps_scalar, reluctant=set())
+
+
+# ---------------------------------------------------------------------------
+# CUMULATE windowing TVF
+# ---------------------------------------------------------------------------
+
+def test_cumulate_counts_expansion_pin(spark):
+    """An event at bucket offset o contributes to every cumulate window
+    ending AFTER it: floor(o/step)+1 .. max/step — the Flink CUMULATE
+    TVF emission, pinned on a hand case (step=10us, max=30us)."""
+    from flink_uba_spark.operators.topn import cumulate_counts
+
+    rows = [
+        (1, EPOCH + datetime.timedelta(microseconds=5), "a"),   # windows 10,20,30
+        (2, EPOCH + datetime.timedelta(microseconds=10), "a"),  # windows 20,30
+        (3, EPOCH + datetime.timedelta(microseconds=29), "a"),  # window 30
+        (4, EPOCH + datetime.timedelta(microseconds=30), "a"),  # NEXT bucket: 40,50,60
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, k string")
+    out = cumulate_counts(
+        df, "k", ts="ts", step="10 microseconds", max_size="30 microseconds"
+    ).toPandas()
+
+    def us(v):
+        return int((v.to_pydatetime() - EPOCH).total_seconds() * 1e6)
+
+    got = sorted((us(r["window_start"]), us(r["window_end"]), int(r["cnt"]))
+                 for _, r in out.iterrows())
+    assert got == [
+        (0, 10, 1),   # only event 1
+        (0, 20, 2),   # events 1, 2
+        (0, 30, 3),   # events 1, 2, 3
+        (30, 40, 1),  # event 4 opens the next bucket
+        (30, 50, 1),
+        (30, 60, 1),
+    ]
+
+
+def test_cumulate_counts_matches_brute_random(spark):
+    """Randomized cross-check against a 5-line python reference."""
+    import random
+    from collections import Counter
+
+    from flink_uba_spark.operators.topn import cumulate_counts
+
+    rnd = random.Random(73)
+    # step/max must divide EPOCH's unix-µs offset: cumulate buckets align
+    # to the UNIX epoch (8 | 10^6 and 24 | 1577836800, so both divide it)
+    step, mx = 8, 24
+    evs = [(i, rnd.randint(0, 100), rnd.choice("ab")) for i in range(60)]
+    want = Counter()
+    for _i, ts, k in evs:
+        start = ts - ts % mx
+        for j in range((ts - start) // step + 1, mx // step + 1):
+            want[(start, start + j * step, k)] += 1
+    rows = [(i, EPOCH + datetime.timedelta(microseconds=ts), k) for i, ts, k in evs]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, k string")
+    out = cumulate_counts(
+        df, "k", ts="ts", step="8 microseconds", max_size="24 microseconds"
+    ).toPandas()
+
+    def us(v):
+        return int((v.to_pydatetime() - EPOCH).total_seconds() * 1e6)
+
+    got = {(us(r["window_start"]), us(r["window_end"]), r["k"]): int(r["cnt"])
+           for _, r in out.iterrows()}
+    assert got == dict(want)
+
+
+def test_cumulate_counts_validation(spark):
+    from flink_uba_spark.operators.topn import cumulate_counts
+
+    df = spark.createDataFrame([], "event_id long, ts timestamp, k string")
+    with pytest.raises(ValueError, match="multiple"):
+        cumulate_counts(df, "k", step="7 microseconds", max_size="20 microseconds")
