@@ -130,3 +130,70 @@ def rrf_fuse(
         .filter(F.col("rnk") <= k)
         .select(id_col, "score_rrf", "rnk")
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_permille: int | None = None,
+) -> DataFrame:
+    """Per-document top-k keyword extraction by TF-IDF — the corpus
+    primitive behind tag suggestion, topic labeling, and quality audits
+    (keywords of boilerplate docs collapse to navigation chrome).
+
+    Integer-exact scoring: ``score_q = tf * ((n_docs * 10^6) // df)`` —
+    the LINEAR inverse-document-frequency family member (idf = N/df
+    without the log), chosen so the score is engine-exact BIGINT
+    arithmetic end-to-end (a log-idf score is rank-equivalent per doc
+    whenever tf ties break the same way, but its float value is not
+    hash-stable across engines; the PMI collocation operator makes the
+    same trade, corpus.py collocations_pmi). ``max_df_permille`` is the
+    optional stopword guard a df-cap curation pass applies (tokens with
+    df·1000 > N·cap are dropped, integer-exact); the default keeps every
+    token and lets the idf weight down-rank the common ones — the right
+    default for narrow vocabularies, where a hard cap empties the
+    output (the synthetic corpus has 31 distinct tokens, 30 of which
+    appear in more than half the docs).
+
+    Construction: one explode → (tok, doc) count (the per-doc TF), a
+    token-keyed df rollup JOINED BACK on tok (both sides arrive
+    tok-partitioned from the same exchange), the one-row corpus stats
+    frame broadcast via crossJoin exactly as bm25_topk does (no driver
+    collect), then a per-doc row_number window. Three exchanges total
+    (tok, tok, doc) — all linear, no global sort, at 100 TB.
+
+    Output: ``doc_id``, ``rnk`` 1..k, ``tok``, ``tf``, ``df``,
+    ``score_q`` (ties by tok ascending — deterministic under any
+    parallelism, the U2 discipline).
+    """
+    base = ensure_min_partitions(docs).select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    tf = base.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(dfreq, "tok").crossJoin(F.broadcast(n))
+    if max_df_permille is not None:
+        scored = scored.filter(
+            F.col("df") * 1000 <= F.col("n_docs") * F.lit(int(max_df_permille))
+        )
+    scored = (
+        scored
+        .withColumn(
+            "score_q",
+            (
+                F.col("tf")
+                * F.expr("(n_docs * 1000000L) div df")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_q"), F.col("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "tok", "tf", "df", "score_q")
+    )

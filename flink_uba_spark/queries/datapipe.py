@@ -1367,6 +1367,44 @@ SELECT doc_id, score_q, rnk FROM (
 """
 
 
+def tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (round 7) — tag suggestion /
+    topic labeling / boilerplate audit over the corpus. Integer-exact
+    linear-idf scoring (tf · (N·10^6 // df), the PMI trade) with NO
+    df-cap (the synthetic vocabulary is 31 tokens wide — a df·2 ≤ N
+    guard keeps 1 of them and empties 95% of docs; the idf weight
+    already down-ranks the common tokens, and the operator's
+    max_df_permille guard stays available for broad corpora);
+    explode → (tok, doc) TF → token df rollup
+    joined back tok-partitioned → broadcast one-row corpus stats →
+    per-doc row_number. See operators/search.py tfidf_keywords."""
+    from flink_uba_spark.operators.search import tfidf_keywords
+
+    docs = _docs(spark, sf_dir)
+    return tfidf_keywords(docs, k=5)
+
+
+TFIDF_KEYWORDS_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         CAST(t.tf * ((n.n_docs * 1000000) // d.df) AS BIGINT) AS score_q
+  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
+)
+SELECT doc_id, rnk, tok, tf, df, score_q FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_q DESC, tok) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
 def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global vocabulary statistics: top-100 tokens by total occurrences
     (tie → lexicographic) with document frequency — the corpus-level
@@ -2385,6 +2423,7 @@ QUERIES = {
     "pack_training_sequences": pack_training_sequences,
     "doc_chunks_overlap": doc_chunks_overlap,
     "bm25_keyword_search": bm25_keyword_search,
+    "tfidf_doc_keywords": tfidf_doc_keywords,
     "doc_train_test_split": doc_train_test_split,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_quota_sample": doc_quota_sample,
@@ -2447,6 +2486,7 @@ ORACLES = {
     "pack_training_sequences": PACK_SEQUENCES_ORACLE,
     "doc_chunks_overlap": DOC_CHUNKS_ORACLE,
     "bm25_keyword_search": BM25_ORACLE,
+    "tfidf_doc_keywords": TFIDF_KEYWORDS_ORACLE,
     "doc_train_test_split": DOC_TRAIN_TEST_SPLIT_ORACLE,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_ORACLE,
     "doc_quota_sample": DOC_QUOTA_SAMPLE_ORACLE,

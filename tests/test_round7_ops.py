@@ -1367,3 +1367,57 @@ def test_cumulate_counts_validation(spark):
     df = spark.createDataFrame([], "event_id long, ts timestamp, k string")
     with pytest.raises(ValueError, match="multiple"):
         cumulate_counts(df, "k", step="7 microseconds", max_size="20 microseconds")
+
+
+# ---------------------------------------------------------------------------
+# tfidf_keywords
+# ---------------------------------------------------------------------------
+
+def test_tfidf_keywords_hand_case(spark):
+    """tf * (N*1e6 // df) with per-doc (score desc, tok) ranking: 'rare'
+    appears once in one of 4 docs → idf weight 4e6; 'common' in all 4 →
+    1e6; tf multiplies."""
+    from flink_uba_spark.operators.search import tfidf_keywords
+
+    rows = [
+        (1, "common rare common"),
+        (2, "common"),
+        (3, "common"),
+        (4, "common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, k=2).toPandas().sort_values(["doc_id", "rnk"])
+    got = [(int(r.doc_id), int(r.rnk), r.tok, int(r.tf), int(r.df), int(r.score_q))
+           for r in out.itertuples()]
+    assert got == [
+        (1, 1, "rare", 1, 1, 4_000_000),
+        (1, 2, "common", 2, 4, 2_000_000),
+        (2, 1, "common", 1, 4, 1_000_000),
+        (3, 1, "common", 1, 4, 1_000_000),
+        (4, 1, "common", 1, 4, 1_000_000),
+    ]
+
+
+def test_tfidf_keywords_df_cap_guard(spark):
+    """max_df_permille drops corpus-wide tokens: at 500‰ the 4/4-doc
+    'common' token is excluded and only 'rare' survives."""
+    from flink_uba_spark.operators.search import tfidf_keywords
+
+    rows = [(1, "common rare"), (2, "common"), (3, "common"), (4, "common")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, k=2, max_df_permille=500).toPandas()
+    assert [(int(r.doc_id), r.tok) for r in out.itertuples()] == [(1, "rare")]
+
+
+def test_tfidf_keywords_integer_div_exact(spark):
+    """The idf weight is a true integer division (div), not a double
+    round-trip: N=3, df=7 is impossible, so craft N*1e6/df non-terminating
+    via df=3 → 3e6//3? use N=7 docs, df=3 → 7e6//3 = 2333333 (not
+    2333333.33 rounded to ...334)."""
+    from flink_uba_spark.operators.search import tfidf_keywords
+
+    rows = [(i, "x" if i <= 3 else "y") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, k=1).toPandas()
+    x = out[out["tok"] == "x"].iloc[0]
+    assert int(x["score_q"]) == 7_000_000 // 3 == 2_333_333
