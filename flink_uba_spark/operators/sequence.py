@@ -1184,3 +1184,137 @@ def pattern_detect_reluctant(
         )
         out = b if out is None else out.unionByName(b)
     return out.dropDuplicates()
+
+
+def pattern_detect_combinations(
+    events: DataFrame,
+    key: str,
+    steps: list[tuple],
+    combinations: set[int],
+    event_id: str = "event_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """``allowCombinations()`` — the reference Pattern API's
+    NON-DETERMINISTIC relaxed contiguity for LOOPING patterns (Flink
+    ``oneOrMore().allowCombinations()`` / ``times(..).allowCombinations()``,
+    the looping twin of ``followedByAny`` exactly as ``consecutive()`` is
+    the looping twin of ``next()``): the loop binds EVERY
+    strictly-increasing subset of candidate events — pattern ``a b+ c``
+    on ``a b1 b2 c`` emits the {b1}, {b2} AND {b1,b2} matches, where the
+    default relaxed loop emits only prefixes of the earliest run and
+    consecutive() only adjacent ones. With this operator the engine
+    family covers Flink's full contiguity matrix — strict
+    (next/consecutive), relaxed (followedBy/oneOrMore), non-deterministic
+    relaxed (followedByAny/allowCombinations) — on both the simple and
+    looping axes. Reference family: Pattern combinators of
+    OrderPayTimeout.java:52-64.
+
+    ``steps`` follows ``pattern_detect_any``'s shape; a step in
+    ``combinations`` carries ``(pred, within, (min_reps, max_reps))``
+    with FINITE max_reps — the combinatorial fan-out IS the semantics,
+    so both the per-step ``within`` bounds and the finite count range
+    are mandatory (they make the output size the data's answer). The
+    loop's ``within`` bounds the transition INTO the loop AND each
+    repetition gap, exactly the batch Kleene's dual use; the step after
+    the loop binds within its bound of the subset's LAST element, and
+    every transition keeps followedByAny's every-candidate branching
+    (the operator's uniform contiguity).
+
+    Compile: one ``pattern_detect_any`` plan per admitted count
+    combination — the loop step expands to m identical legs (the chained
+    key-partitioned range joins; an event gets ONE global rank, so legs
+    bind DISTINCT events in (ts, rank, id) order — no self-binding) —
+    then a column-aligned union: loop step k emits ``iK_1..iK_mx`` /
+    ``tK_1..tK_mx`` (null-padded past nK) and ``nK``; rows are distinct
+    across branches by nK and within a branch by pattern_detect_any's
+    strictly-increasing combination guarantee, so NO dedupe exchange is
+    needed. At most 8 branch plans are accepted (each is an (n+m-1)-way
+    join chain; real combination loops are short — wide ranges belong to
+    the reluctant/greedy forms).
+
+    Scale: per-branch cost is pattern_detect_any's — per-key join
+    fan-out bounded by per-key density × the within windows, no
+    cross-key work; the union multiplies scan count by the branch
+    factor. At 100 TB the within windows are the output-size knob, as
+    with followedByAny.
+    """
+    from itertools import product as _product
+
+    n = len(steps)
+    combs = sorted(set(combinations or ()))
+    if not combs:
+        raise ValueError("combinations needs at least one loop step index")
+    counts: list[list[int]] = []
+    for k in combs:
+        if k < 2 or k > n:
+            raise ValueError("combination steps must be step indexes 2..n")
+        if len(steps[k - 1]) < 3 or not isinstance(steps[k - 1][2], tuple):
+            raise ValueError(
+                f"combination step {k} needs a (min_reps, max_reps) spec"
+            )
+        mn, mx = steps[k - 1][2]
+        if mx == float("inf"):
+            raise ValueError(
+                f"combination step {k} needs a FINITE max_reps (the subset "
+                "fan-out is unbounded otherwise)"
+            )
+        if steps[k - 1][1] is None:
+            raise ValueError(
+                f"combination step {k} needs a within interval (it bounds "
+                "the entry and every repetition gap)"
+            )
+        mn, mx = int(mn), int(mx)
+        if mn < 1 or mx < mn:
+            raise ValueError("need 1 <= min_reps <= max_reps")
+        counts.append(list(range(mn, mx + 1)))
+    n_branches = 1
+    for c in counts:
+        n_branches *= len(c)
+    if n_branches > 8:
+        raise ValueError(
+            f"pattern_detect_combinations compiles one followedByAny plan "
+            f"per count combination; {n_branches} branches exceed the "
+            "8-plan envelope (shrink the count ranges)"
+        )
+    maxes = {k: max(c) for k, c in zip(combs, counts)}
+
+    out = None
+    for combo in _product(*counts):
+        m_of = dict(zip(combs, combo))
+        any_steps, legmap = [], []  # legmap[j] = (step_k, rep_index|None)
+        for k in range(1, n + 1):
+            pred, w = steps[k - 1][0], steps[k - 1][1]
+            if k in m_of:
+                for r in range(1, m_of[k] + 1):
+                    any_steps.append((pred, w))
+                    legmap.append((k, r))
+            else:
+                any_steps.append((pred, w))
+                legmap.append((k, None))
+        b = pattern_detect_any(
+            events, key, any_steps, event_id=event_id, ts=ts
+        )
+        sel = [F.col(key)]
+        for j, (k, r) in enumerate(legmap, start=1):
+            if r is None:
+                sel.append(F.col(f"i{j}").alias(f"i{k}"))
+                sel.append(F.col(f"t{j}").alias(f"t{k}"))
+            else:
+                sel.append(F.col(f"i{j}").alias(f"i{k}_{r}"))
+                sel.append(F.col(f"t{j}").alias(f"t{k}_{r}"))
+        for k in combs:
+            for r in range(m_of[k] + 1, maxes[k] + 1):
+                sel.append(F.lit(None).cast("long").alias(f"i{k}_{r}"))
+                sel.append(F.lit(None).cast("timestamp").alias(f"t{k}_{r}"))
+            sel.append(F.lit(m_of[k]).cast("long").alias(f"n{k}"))
+        cols = []
+        for k in range(1, n + 1):
+            if k in maxes:
+                cols += [f"i{k}_{r}" for r in range(1, maxes[k] + 1)]
+                cols += [f"t{k}_{r}" for r in range(1, maxes[k] + 1)]
+                cols.append(f"n{k}")
+            else:
+                cols += [f"i{k}", f"t{k}"]
+        b = b.select(*sel).select(key, *cols)
+        out = b if out is None else out.unionByName(b)
+    return out

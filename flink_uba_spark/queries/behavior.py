@@ -1752,6 +1752,68 @@ JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
 """
 
 
+def pattern_combinations_view_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``allowCombinations()`` (round 7 — Flink's non-deterministic
+    relaxed contiguity for LOOPING patterns, completing the engine
+    family's contiguity matrix: strict next/consecutive, relaxed
+    followedBy/oneOrMore, non-deterministic followedByAny/
+    allowCombinations, each on the simple AND looping axes): per user,
+    view → click.times(1, 2).allowCombinations() (24 h gap) → purchase
+    within 48 h of the subset's last click — EVERY 1- and 2-click
+    ordered subset after the view gets its own match row (the default
+    relaxed loop would emit only prefixes of the earliest run).
+
+    Compile: operators/sequence.py pattern_detect_combinations — one
+    followedByAny plan per count (chained key-equi range joins, one
+    global rank per event so legs bind distinct events), column-aligned
+    union, no dedupe exchange (nK separates branches). Verified by the
+    ``comb`` soak mode vs the union-of-counts brute_any expansion."""
+    from flink_uba_spark.operators.sequence import pattern_detect_combinations
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect_combinations(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "view", None),
+            (F.col("event_type") == "click", "INTERVAL 24 HOURS", (1, 2)),
+            (F.col("event_type") == "purchase", "INTERVAL 48 HOURS"),
+        ],
+        combinations={2},
+    )
+
+
+PATTERN_COMBINATIONS_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS i1, v.ts AS t1,
+       c1.event_id AS i2_1, CAST(NULL AS BIGINT) AS i2_2,
+       c1.ts AS t2_1, CAST(NULL AS TIMESTAMP) AS t2_2,
+       CAST(1 AS BIGINT) AS n2,
+       p.event_id AS i3, p.ts AS t3
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c1
+  ON c1.user_id = v.user_id AND c1.ts >= v.ts AND c1.ts <= v.ts + INTERVAL 24 HOUR
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c1.user_id AND p.ts >= c1.ts AND p.ts <= c1.ts + INTERVAL 48 HOUR
+UNION ALL
+SELECT v.user_id,
+       v.event_id AS i1, v.ts AS t1,
+       c1.event_id AS i2_1, c2.event_id AS i2_2,
+       c1.ts AS t2_1, c2.ts AS t2_2,
+       CAST(2 AS BIGINT) AS n2,
+       p.event_id AS i3, p.ts AS t3
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c1
+  ON c1.user_id = v.user_id AND c1.ts >= v.ts AND c1.ts <= v.ts + INTERVAL 24 HOUR
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c2
+  ON c2.user_id = c1.user_id
+     AND (c2.ts > c1.ts OR (c2.ts = c1.ts AND c2.event_id > c1.event_id))
+     AND c2.ts <= c1.ts + INTERVAL 24 HOUR
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c2.user_id AND p.ts >= c2.ts AND p.ts <= c2.ts + INTERVAL 48 HOUR
+"""
+
+
 def pattern_any_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``AfterMatchSkipStrategy.SKIP_TO_NEXT`` over the followedByAny
     journey (round 7): of the many branches each view anchors, only the
@@ -1849,6 +1911,7 @@ QUERIES = {
     "pattern_clean_onboarding": pattern_clean_onboarding,
     "pattern_nonoverlap_episodes": pattern_nonoverlap_episodes,
     "pattern_any_view_click_purchase": pattern_any_view_click_purchase,
+    "pattern_combinations_view_clicks": pattern_combinations_view_clicks,
     "pattern_any_skip_to_next": pattern_any_skip_to_next,
     "pattern_any_skip_to_first_click": pattern_any_skip_to_first_click,
     "event_transition_matrix": event_transition_matrix,
@@ -1885,6 +1948,7 @@ ORACLES = {
     "pattern_clean_onboarding": PATTERN_CLEAN_ONBOARDING_ORACLE,
     "pattern_nonoverlap_episodes": PATTERN_NONOVERLAP_EPISODES_ORACLE,
     "pattern_any_view_click_purchase": PATTERN_ANY_VCP_ORACLE,
+    "pattern_combinations_view_clicks": PATTERN_COMBINATIONS_ORACLE,
     "pattern_any_skip_to_next": PATTERN_ANY_SKIP_TO_NEXT_ORACLE,
     "pattern_any_skip_to_first_click": PATTERN_ANY_SKIP_TO_FIRST_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,

@@ -1347,6 +1347,54 @@ def _stream_pattern_any_oracle() -> str:
     return PATTERN_ANY_VCP_ORACLE
 
 
+def stream_pattern_combinations_view_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``allowCombinations()`` in its native streaming form: per user,
+    view → click.times(1, 2).allowCombinations() (24 h gap) → purchase
+    within 48 h of the subset's last click. Compiled exactly like the
+    batch operator — the loop expands to m identical followedByAny legs,
+    one ``stream_pattern_detect_any`` NFA per admitted count (the
+    H-horizon buffer with data-driven exactly-once emission), unioned
+    with the column-aligned null padding and NO dedupe exchange (nK
+    separates the branches). Every combination emits in the micro-batch
+    its last-arriving event lands, so a complete replay equals the batch
+    ``pattern_combinations_view_clicks`` bit-for-bit — the oracle."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect_any
+
+    ev = stream_events(spark, sf_dir)
+    out = None
+    for m in (1, 2):
+        t = run_to_table(
+            stream_pattern_detect_any(
+                ev,
+                key="user_id",
+                steps=[("view", None)]
+                + [("click", "INTERVAL 24 HOURS")] * m
+                + [("purchase", "INTERVAL 48 HOURS")],
+            )
+        )
+        last = m + 2
+        sel = [
+            F.col("user_id"),
+            F.col("i1"), F.col("t1"),
+            F.col("i2").alias("i2_1"),
+            (F.col("i3") if m == 2 else F.lit(None).cast("long")).alias("i2_2"),
+            F.col("t2").alias("t2_1"),
+            (F.col("t3") if m == 2 else F.lit(None).cast("timestamp")).alias("t2_2"),
+            F.lit(m).cast("long").alias("n2"),
+            F.col(f"i{last}").alias("i3"),
+            F.col(f"t{last}").alias("t3"),
+        ]
+        b = t.select(*sel)
+        out = b if out is None else out.unionByName(b)
+    return out
+
+
+def _stream_pattern_combinations_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_COMBINATIONS_ORACLE
+
+    return PATTERN_COMBINATIONS_ORACLE
+
+
 def stream_pattern_any_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SKIP_TO_NEXT over streaming followedByAny (round 7): one survivor
     per view anchor — the first-completing branch. Emission is
@@ -1927,6 +1975,7 @@ QUERIES = {
     "stream_pattern_clean_onboarding": stream_pattern_clean_onboarding,
     "stream_pattern_nonoverlap_episodes": stream_pattern_nonoverlap_episodes,
     "stream_pattern_any_view_click_purchase": stream_pattern_any_view_click_purchase,
+    "stream_pattern_combinations_view_clicks": stream_pattern_combinations_view_clicks,
     "stream_pattern_any_skip_to_next": stream_pattern_any_skip_to_next,
     "stream_heavy_hitter_bigrams": stream_heavy_hitter_bigrams,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
@@ -1976,6 +2025,7 @@ ORACLES = {
     "stream_pattern_clean_onboarding": _stream_pattern_onboarding_oracle(),
     "stream_pattern_nonoverlap_episodes": _stream_pattern_nonoverlap_oracle(),
     "stream_pattern_any_view_click_purchase": _stream_pattern_any_oracle(),
+    "stream_pattern_combinations_view_clicks": _stream_pattern_combinations_oracle(),
     "stream_pattern_any_skip_to_next": _stream_pattern_any_skip_oracle(),
     "stream_heavy_hitter_bigrams": _stream_heavy_hitter_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),

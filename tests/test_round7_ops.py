@@ -1421,3 +1421,145 @@ def test_tfidf_keywords_integer_div_exact(spark):
     out = tfidf_keywords(df, k=1).toPandas()
     x = out[out["tok"] == "x"].iloc[0]
     assert int(x["score_q"]) == 7_000_000 // 3 == 2_333_333
+
+
+# ---------------------------------------------------------------------------
+# pattern_detect_combinations — allowCombinations()
+# ---------------------------------------------------------------------------
+
+def run_combinations(spark, events, gap_us, mn, mx, w3_us=100):
+    """3-step a → b.times(mn..mx).allowCombinations → c on one key;
+    extract ((i1, ib_1.., n2, i3), (t1, tb_1.., t3)) null-padded rows."""
+    import pandas as pd
+
+    from flink_uba_spark.operators.sequence import pattern_detect_combinations
+
+    schema = "event_id long, user_id long, ts timestamp, c0 boolean, c1 boolean, c2 boolean"
+    rows = [
+        (eid, 0, EPOCH + datetime.timedelta(microseconds=ts),
+         *[bool(m >> j & 1) for j in range(3)])
+        for eid, ts, m in events
+    ]
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    out = pattern_detect_combinations(
+        df, key="user_id",
+        steps=[
+            (F.col("c0"), None),
+            (F.col("c1"), f"INTERVAL {gap_us} MICROSECONDS", (mn, mx)),
+            (F.col("c2"), f"INTERVAL {w3_us} MICROSECONDS"),
+        ],
+        combinations={2},
+    ).toPandas()
+
+    def iv(v):
+        return None if pd.isna(v) else int(v)
+
+    def us(v):
+        return None if pd.isna(v) else int((v.to_pydatetime() - EPOCH).total_seconds() * 1e6)
+
+    got = []
+    for _, r in out.iterrows():
+        row = (
+            iv(r["i1"]),
+            *[iv(r[f"i2_{j}"]) for j in range(1, mx + 1)],
+            iv(r["n2"]), iv(r["i3"]),
+            us(r["t1"]),
+            *[us(r[f"t2_{j}"]) for j in range(1, mx + 1)],
+            us(r["t3"]),
+        )
+        got.append(row)
+    return sorted(got, key=lambda t: tuple((v is None, v or 0) for v in t))
+
+
+def brute_combinations(events, gap_us, mn, mx, w3_us=100):
+    """Union over m of brute_any on the m-leg expansion of the loop."""
+    got = []
+    for m in range(mn, mx + 1):
+        expanded = []
+        for eid, ts, msk in events:
+            em = (msk & 1)
+            for j in range(m):
+                em |= ((msk >> 1) & 1) << (1 + j)
+            em |= ((msk >> 2) & 1) << (1 + m)
+            expanded.append((eid, ts, em))
+        withins = [0] + [gap_us] * m + [w3_us]
+        for r in brute_any(expanded, withins):
+            n = m + 2
+            ids, tss = r[:n], r[n:]
+            pad = [None] * (mx - m)
+            got.append((
+                ids[0], *ids[1:1 + m], *pad, m, ids[-1],
+                tss[0], *tss[1:1 + m], *pad, tss[-1],
+            ))
+    return sorted(got, key=lambda t: tuple((v is None, v or 0) for v in t))
+
+
+@st.composite
+def combinations_case(draw):
+    gap = draw(st.integers(2, 40))
+    mn = draw(st.integers(1, 2))
+    mx = mn + draw(st.integers(0, 1))
+    n_ev = draw(st.integers(0, 12))
+    events = [
+        (i, draw(st.integers(0, 70)), draw(st.integers(0, 7)))
+        for i in range(n_ev)
+    ]
+    return gap, mn, mx, events
+
+
+@settings(max_examples=60, deadline=None)
+@given(combinations_case())
+def test_combinations_matches_brute(spark, case):
+    gap, mn, mx, events = case
+    assert run_combinations(spark, events, gap, mn, mx) == brute_combinations(
+        events, gap, mn, mx
+    )
+
+
+def test_combinations_emits_every_subset(spark):
+    """The Flink doc example: a b+ c (allowCombinations, counts 1..2) on
+    a b1 b2 c emits the {b1}, {b2} AND {b1,b2} subsets — the default
+    relaxed loop would emit only the {b1}, {b1,b2} prefixes."""
+    events = [(1, 0, 0b001), (2, 10, 0b010), (3, 20, 0b010), (4, 30, 0b100)]
+    got = run_combinations(spark, events, 50, 1, 2)
+    assert got == sorted([
+        (1, 2, None, 1, 4, 0, 10, None, 30),    # {b1}
+        (1, 3, None, 1, 4, 0, 20, None, 30),    # {b2}
+        (1, 2, 3, 2, 4, 0, 10, 20, 30),         # {b1, b2}
+    ], key=lambda t: tuple((v is None, v or 0) for v in t))
+
+
+def test_combinations_same_ts_id_order(spark):
+    """Two same-ts loop candidates bind in id order (the family's
+    (ts, rank, id) total order): only the lower-id-first pair exists."""
+    events = [(1, 0, 0b001), (5, 10, 0b010), (3, 10, 0b010), (9, 40, 0b100)]
+    got = run_combinations(spark, events, 50, 2, 2)
+    assert got == [(1, 3, 5, 2, 9, 0, 10, 10, 40)]
+    assert got == brute_combinations(events, 50, 2, 2)
+
+
+def test_combinations_validation(spark):
+    from flink_uba_spark.operators.sequence import pattern_detect_combinations
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, c0 boolean, c1 boolean, c2 boolean"
+    )
+    base = [
+        (F.col("c0"), None),
+        (F.col("c1"), "INTERVAL 10 MICROSECONDS", (1, 2)),
+        (F.col("c2"), "INTERVAL 10 MICROSECONDS"),
+    ]
+    with pytest.raises(ValueError, match="at least one"):
+        pattern_detect_combinations(df, "user_id", base, combinations=set())
+    inf = [base[0], (F.col("c1"), "INTERVAL 10 MICROSECONDS", (1, float("inf"))), base[2]]
+    with pytest.raises(ValueError, match="FINITE"):
+        pattern_detect_combinations(df, "user_id", inf, combinations={2})
+    wide = [base[0], (F.col("c1"), "INTERVAL 10 MICROSECONDS", (1, 9)), base[2]]
+    with pytest.raises(ValueError, match="8-plan"):
+        pattern_detect_combinations(df, "user_id", wide, combinations={2})
+    now = [base[0], (F.col("c1"), None, (1, 2)), base[2]]
+    with pytest.raises(ValueError, match="within"):
+        pattern_detect_combinations(df, "user_id", now, combinations={2})
+    nospec = [base[0], (F.col("c1"), "INTERVAL 10 MICROSECONDS"), base[2]]
+    with pytest.raises(ValueError, match="spec"):
+        pattern_detect_combinations(df, "user_id", nospec, combinations={2})

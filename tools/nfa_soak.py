@@ -30,6 +30,9 @@ Modes:
   python tools/nfa_soak.py reluctant [N]  # pattern_detect_reluctant (Flink's
                                          #   DEFAULT non-greedy Kleene emission)
                                          #   vs the union-of-counts brute (r7)
+  python tools/nfa_soak.py comb [N]      # pattern_detect_combinations
+                                         #   (allowCombinations) vs the
+                                         #   expanded brute_any union (r7)
   python tools/nfa_soak.py stream-branching [N]
                                          # make_branching_matcher (packed
                                          #   per-branch states, min-merged
@@ -59,7 +62,8 @@ modes) + 10k batch with until() slots mixed at 40% of Kleene steps (the
 first 1000 found and fixed a dual rep+stop-row order divergence before
 any judge could) + 3.3k reluctant (pattern_detect_reluctant union-of-counts
 vs brute_reluctant, greedy/reluctant mixes with guards/until/consecutive)
-— all clean.
++ 2.2k comb (pattern_detect_combinations vs the union-of-counts brute_any
+expansion) — all clean.
 """
 
 from __future__ import annotations
@@ -486,6 +490,131 @@ def soak_reluctant(n_cases, cases_per_spec=100):
         if spec_seed % 10 == 0:
             print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
     print(f"{done} reluctant cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
+def soak_combinations(n_cases, cases_per_spec=100):
+    """allowCombinations() soak (round 7): ``pattern_detect_combinations``
+    (one followedByAny plan per admitted count, column-aligned union) vs
+    the union-of-counts expansion of the exhaustive ``brute_any``.
+    Random 3-5 step chains with ONE loop step (count ranges within the
+    8-plan envelope), vectorized 100 cases per compiled plan."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from test_round7_ops import brute_any
+    from flink_uba_spark.operators.sequence import pattern_detect_combinations
+    from flink_uba_spark.session import get_spark
+
+    spark = get_spark("nfa_soak")
+    t0, fails, done, spec_seed = time.time(), 0, 0, 0
+    while done < n_cases and fails <= 5:
+        rnd = random.Random(spec_seed * 32452843 + 5)
+        spec_seed += 1
+        n = rnd.randint(3, 5)
+        loop = rnd.randint(2, n)
+        mn = rnd.randint(1, 2)
+        mx = mn + rnd.randint(0, 2)
+        gap = rnd.randint(3, 40)
+        withins = [None] + [rnd.randint(3, 40) for _ in range(n - 1)]
+        ncase = min(cases_per_spec, n_cases - done)
+        case_events, rows = [], []
+        for c in range(ncase):
+            events = [
+                (c * 1000 + i, rnd.randint(0, 90),
+                 rnd.getrandbits(n) if rnd.random() < 0.92 else 0)
+                for i in range(rnd.randint(0, 18))
+            ]
+            case_events.append(events)
+            rows += [
+                (eid, c,
+                 datetime.datetime(2020, 1, 1) + datetime.timedelta(microseconds=ts),
+                 *[bool(m >> j & 1) for j in range(n)])
+                for eid, ts, m in events
+            ]
+        schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
+            f"c{j} boolean" for j in range(n)
+        )
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        spec = []
+        for k in range(1, n + 1):
+            w = gap if k == loop else withins[k - 1]
+            wtxt = f"INTERVAL {w} MICROSECONDS" if w is not None else None
+            if k == loop:
+                spec.append((F.col(f"c{k - 1}"), wtxt, (mn, mx)))
+            else:
+                spec.append((F.col(f"c{k - 1}"), wtxt))
+        pdf = pattern_detect_combinations(
+            df, key="user_id", steps=spec, combinations={loop}
+        ).toPandas()
+        epoch0 = 1577836800000000
+
+        def iv(v):
+            return None if pd.isna(v) else int(v)
+
+        def us(v):
+            return None if pd.isna(v) else int(pd.Timestamp(v).value // 1000) - epoch0
+
+        skey = lambda t: tuple((v is None, v or 0) for v in t)
+        for c in range(ncase):
+            sub = pdf[pdf["user_id"] == c]
+            got = []
+            for _, r in sub.iterrows():
+                ids, tss = [], []
+                for k in range(1, n + 1):
+                    if k == loop:
+                        ids += [iv(r[f"i{k}_{j}"]) for j in range(1, mx + 1)]
+                        ids.append(iv(r[f"n{k}"]))
+                        tss += [us(r[f"t{k}_{j}"]) for j in range(1, mx + 1)]
+                    else:
+                        ids.append(iv(r[f"i{k}"]))
+                        tss.append(us(r[f"t{k}"]))
+                got.append(tuple(ids + tss))
+            want = []
+            for m in range(mn, mx + 1):
+                expanded = []
+                for eid, ts, msk in case_events[c]:
+                    em = 0
+                    j_out = 0
+                    for k in range(1, n + 1):
+                        bit = (msk >> (k - 1)) & 1
+                        reps = m if k == loop else 1
+                        for _ in range(reps):
+                            em |= bit << j_out
+                            j_out += 1
+                    expanded.append((eid, ts, em))
+                bw = []
+                for k in range(1, n + 1):
+                    w = gap if k == loop else (withins[k - 1] or 0)
+                    bw += [w] * (m if k == loop else 1)
+                for r in brute_any(expanded, bw):
+                    nn = n + m - 1
+                    bids, btss = r[:nn], r[nn:]
+                    ids, tss = [], []
+                    j = 0
+                    for k in range(1, n + 1):
+                        if k == loop:
+                            ids += list(bids[j:j + m]) + [None] * (mx - m) + [m]
+                            tss += list(btss[j:j + m]) + [None] * (mx - m)
+                            j += m
+                        else:
+                            ids.append(bids[j])
+                            tss.append(btss[j])
+                            j += 1
+                    want.append(tuple(ids + tss))
+            if sorted(got, key=skey) != sorted(want, key=skey):
+                fails += 1
+                print(f"MISMATCH spec_seed={spec_seed - 1} case={c} n={n} "
+                      f"loop={loop} mn={mn} mx={mx} gap={gap} "
+                      f"withins={withins} events={case_events[c]}")
+                if fails > 5:
+                    break
+        done += ncase
+        if spec_seed % 10 == 0:
+            print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{done} combinations cases, {fails} failures, {time.time() - t0:.0f}s")
     return fails
 
 
@@ -1153,6 +1282,7 @@ def main() -> int:
         "consec": 1000,
         "stream-consec": 3000,
         "reluctant": 1000,
+        "comb": 1000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
@@ -1165,6 +1295,8 @@ def main() -> int:
         return 1 if soak_batch(n, with_consecs=True) else 0
     if mode == "reluctant":
         return 1 if soak_reluctant(n) else 0
+    if mode == "comb":
+        return 1 if soak_combinations(n) else 0
     if mode == "stream-consec":
         return 1 if soak_stream(n, timers=True, with_consecs=True) else 0
     if mode == "branching":
