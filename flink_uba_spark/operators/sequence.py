@@ -1318,3 +1318,110 @@ def pattern_detect_combinations(
         b = b.select(*sel).select(key, *cols)
         out = b if out is None else out.unionByName(b)
     return out
+
+
+def pattern_detect_group_loop(
+    events: DataFrame,
+    key: str,
+    prefix: list[tuple],
+    group: list[tuple],
+    suffix: list[tuple],
+    reps: tuple,
+    event_id: str = "event_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """GROUP patterns — the reference Pattern API's
+    ``Pattern.begin(subPattern).times(from, to)`` (Flink group patterns:
+    a whole sub-pattern quantified as one unit, e.g. ``(a b)+ c``): the
+    ``group`` step sequence repeats ``reps = (min, max)`` times between
+    the ``prefix`` and ``suffix`` chains, every transition keeping
+    followedByAny's every-candidate branching (the non-deterministic
+    member of the group-pattern family — the same contiguity
+    ``pattern_detect_combinations`` gives the single-step loop, of which
+    this is the multi-step generalization: a 1-step group IS
+    allowCombinations). Reference family: Pattern combinators of
+    OrderPayTimeout.java:52-64.
+
+    ``prefix``/``group``/``suffix`` are ``(pred, within)`` pairs in
+    ``pattern_detect_any``'s shape (prefix[0] may carry within=None;
+    every other within is MANDATORY — the bounds keep the branching
+    output finite, and the first step of each repetition binds within
+    its own ``within`` of the previous repetition's last step). Finite
+    ``max`` is required and the expanded plans are capped at 8 branches.
+
+    Compile: one ``pattern_detect_any`` plan per admitted repetition
+    count — the group's steps are tiled m times — then a column-aligned
+    union: group step j of repetition r emits ``gI{r}_{j}``/``gT{r}_{j}``
+    (null-padded past n_loops), plus ``n_loops``; prefix/suffix steps
+    keep ``i{k}``/``t{k}`` numbering. Distinctness across branches by
+    n_loops, within a branch by the strictly-increasing combination
+    guarantee — no dedupe exchange.
+
+    Scale: identical to pattern_detect_combinations — per-branch
+    followedByAny join chains (per-key fan-out bounded by density ×
+    windows), branch-factor scan multiplication, output IS the
+    semantics.
+    """
+    from itertools import product as _product  # noqa: F401 (symmetry)
+
+    g = len(group)
+    if g < 1:
+        raise ValueError("group needs at least one step")
+    if not prefix:
+        raise ValueError("group loops need a prefix anchor step")
+    mn, mx = reps
+    if mx == float("inf"):
+        raise ValueError("group loops need a FINITE max repetition count")
+    mn, mx = int(mn), int(mx)
+    if mn < 1 or mx < mn:
+        raise ValueError("need 1 <= min <= max")
+    if mx - mn + 1 > 8:
+        raise ValueError(
+            f"pattern_detect_group_loop compiles one followedByAny plan per "
+            f"count; {mx - mn + 1} branches exceed the 8-plan envelope"
+        )
+    for s in prefix[1:] + group + suffix:
+        if s[1] is None:
+            raise ValueError(
+                "every within after the first prefix step is mandatory "
+                "(the bounds keep the branching output finite)"
+            )
+
+    np_, ns = len(prefix), len(suffix)
+    out = None
+    for m in range(mn, mx + 1):
+        any_steps = list(prefix) + list(group) * m + list(suffix)
+        b = pattern_detect_any(events, key, any_steps, event_id=event_id, ts=ts)
+        sel = [F.col(key)]
+        for k in range(1, np_ + 1):
+            sel += [F.col(f"i{k}").alias(f"i{k}"), F.col(f"t{k}").alias(f"t{k}")]
+        for r in range(1, mx + 1):
+            for j in range(1, g + 1):
+                if r <= m:
+                    pos = np_ + (r - 1) * g + j
+                    sel += [
+                        F.col(f"i{pos}").alias(f"gi{r}_{j}"),
+                        F.col(f"t{pos}").alias(f"gt{r}_{j}"),
+                    ]
+                else:
+                    sel += [
+                        F.lit(None).cast("long").alias(f"gi{r}_{j}"),
+                        F.lit(None).cast("timestamp").alias(f"gt{r}_{j}"),
+                    ]
+        sel.append(F.lit(m).cast("long").alias("n_loops"))
+        for k in range(1, ns + 1):
+            pos = np_ + m * g + k
+            sel += [
+                F.col(f"i{pos}").alias(f"s{k}_id"),
+                F.col(f"t{pos}").alias(f"s{k}_ts"),
+            ]
+        cols = (
+            [c for k in range(1, np_ + 1) for c in (f"i{k}", f"t{k}")]
+            + [c for r in range(1, mx + 1) for j in range(1, g + 1)
+               for c in (f"gi{r}_{j}", f"gt{r}_{j}")]
+            + ["n_loops"]
+            + [c for k in range(1, ns + 1) for c in (f"s{k}_id", f"s{k}_ts")]
+        )
+        b = b.select(*sel).select(key, *cols)
+        out = b if out is None else out.unionByName(b)
+    return out

@@ -1814,6 +1814,81 @@ JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
 """
 
 
+def pattern_group_browse_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP patterns (round 7 — Flink's ``Pattern.begin(subPattern)``
+    quantified as one unit): per user, signup →
+    (view → click).times(1, 2) → purchase — the whole view→click
+    browse sub-pattern repeats, every transition branching on every
+    candidate (the non-deterministic group-family member; a 1-step
+    group IS allowCombinations). Windows: view within 48 h of the
+    previous element, click within 24 h of its view, purchase within
+    72 h of the last click.
+
+    Compile: operators/sequence.py pattern_detect_group_loop — the
+    group tiled m times through one pattern_detect_any plan per count,
+    column-aligned union (gi{r}_{j}/gt{r}_{j} null-padded + n_loops).
+    Verified by the ``group`` soak mode vs the tiled brute_any.
+
+    Oracle note: the expanded chain's (ts, rank, id) order makes the
+    click→view BACK-EDGE strict (rank(view)=2 < rank(click)=3, so a
+    same-ts view sorts BEFORE the click and cannot follow it); every
+    forward edge admits same-ts binding — the UNION blocks spell both
+    out."""
+    from flink_uba_spark.operators.sequence import pattern_detect_group_loop
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect_group_loop(
+        ev,
+        key="user_id",
+        prefix=[(F.col("event_type") == "signup", None)],
+        group=[
+            (F.col("event_type") == "view", "INTERVAL 48 HOURS"),
+            (F.col("event_type") == "click", "INTERVAL 24 HOURS"),
+        ],
+        suffix=[(F.col("event_type") == "purchase", "INTERVAL 72 HOURS")],
+        reps=(1, 2),
+    )
+
+
+PATTERN_GROUP_LOOP_ORACLE = """
+SELECT a.user_id,
+       a.event_id AS i1, a.ts AS t1,
+       b1.event_id AS gi1_1, b1.ts AS gt1_1,
+       c1.event_id AS gi1_2, c1.ts AS gt1_2,
+       CAST(NULL AS BIGINT) AS gi2_1, CAST(NULL AS TIMESTAMP) AS gt2_1,
+       CAST(NULL AS BIGINT) AS gi2_2, CAST(NULL AS TIMESTAMP) AS gt2_2,
+       CAST(1 AS BIGINT) AS n_loops,
+       p.event_id AS s1_id, p.ts AS s1_ts
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup') a
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') b1
+  ON b1.user_id = a.user_id AND b1.ts >= a.ts AND b1.ts <= a.ts + INTERVAL 48 HOUR
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c1
+  ON c1.user_id = b1.user_id AND c1.ts >= b1.ts AND c1.ts <= b1.ts + INTERVAL 24 HOUR
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c1.user_id AND p.ts >= c1.ts AND p.ts <= c1.ts + INTERVAL 72 HOUR
+UNION ALL
+SELECT a.user_id,
+       a.event_id AS i1, a.ts AS t1,
+       b1.event_id AS gi1_1, b1.ts AS gt1_1,
+       c1.event_id AS gi1_2, c1.ts AS gt1_2,
+       b2.event_id AS gi2_1, b2.ts AS gt2_1,
+       c2.event_id AS gi2_2, c2.ts AS gt2_2,
+       CAST(2 AS BIGINT) AS n_loops,
+       p.event_id AS s1_id, p.ts AS s1_ts
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup') a
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') b1
+  ON b1.user_id = a.user_id AND b1.ts >= a.ts AND b1.ts <= a.ts + INTERVAL 48 HOUR
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c1
+  ON c1.user_id = b1.user_id AND c1.ts >= b1.ts AND c1.ts <= b1.ts + INTERVAL 24 HOUR
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') b2
+  ON b2.user_id = c1.user_id AND b2.ts > c1.ts AND b2.ts <= c1.ts + INTERVAL 48 HOUR
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c2
+  ON c2.user_id = b2.user_id AND c2.ts >= b2.ts AND c2.ts <= b2.ts + INTERVAL 24 HOUR
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c2.user_id AND p.ts >= c2.ts AND p.ts <= c2.ts + INTERVAL 72 HOUR
+"""
+
+
 def pattern_any_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``AfterMatchSkipStrategy.SKIP_TO_NEXT`` over the followedByAny
     journey (round 7): of the many branches each view anchors, only the
@@ -1912,6 +1987,7 @@ QUERIES = {
     "pattern_nonoverlap_episodes": pattern_nonoverlap_episodes,
     "pattern_any_view_click_purchase": pattern_any_view_click_purchase,
     "pattern_combinations_view_clicks": pattern_combinations_view_clicks,
+    "pattern_group_browse_loop": pattern_group_browse_loop,
     "pattern_any_skip_to_next": pattern_any_skip_to_next,
     "pattern_any_skip_to_first_click": pattern_any_skip_to_first_click,
     "event_transition_matrix": event_transition_matrix,
@@ -1949,6 +2025,7 @@ ORACLES = {
     "pattern_nonoverlap_episodes": PATTERN_NONOVERLAP_EPISODES_ORACLE,
     "pattern_any_view_click_purchase": PATTERN_ANY_VCP_ORACLE,
     "pattern_combinations_view_clicks": PATTERN_COMBINATIONS_ORACLE,
+    "pattern_group_browse_loop": PATTERN_GROUP_LOOP_ORACLE,
     "pattern_any_skip_to_next": PATTERN_ANY_SKIP_TO_NEXT_ORACLE,
     "pattern_any_skip_to_first_click": PATTERN_ANY_SKIP_TO_FIRST_ORACLE,
     "event_transition_matrix": EVENT_TRANSITION_ORACLE,

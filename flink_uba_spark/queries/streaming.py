@@ -1395,6 +1395,59 @@ def _stream_pattern_combinations_oracle() -> str:
     return PATTERN_COMBINATIONS_ORACLE
 
 
+def stream_pattern_group_browse_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP patterns in their native streaming form: per user, signup →
+    (view → click).times(1, 2) → purchase — the batch compile's tiling
+    (group steps repeated m times) run as one ``stream_pattern_detect_any``
+    NFA per count (H-horizon buffer, exactly-once data-driven emission)
+    and unioned into the gi{r}_{j}/n_loops shape. A complete replay
+    equals the batch ``pattern_group_browse_loop`` bit-for-bit — the
+    oracle."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect_any
+
+    ev = stream_events(spark, sf_dir)
+    out = None
+    for m in (1, 2):
+        t = run_to_table(
+            stream_pattern_detect_any(
+                ev,
+                key="user_id",
+                steps=[("signup", None)]
+                + [("view", "INTERVAL 48 HOURS"), ("click", "INTERVAL 24 HOURS")] * m
+                + [("purchase", "INTERVAL 72 HOURS")],
+            )
+        )
+        last = 2 * m + 2
+        sel = [F.col("user_id"), F.col("i1"), F.col("t1")]
+        for r in range(1, 3):
+            for j in range(1, 3):
+                if r <= m:
+                    pos = 1 + (r - 1) * 2 + j
+                    sel += [
+                        F.col(f"i{pos}").alias(f"gi{r}_{j}"),
+                        F.col(f"t{pos}").alias(f"gt{r}_{j}"),
+                    ]
+                else:
+                    sel += [
+                        F.lit(None).cast("long").alias(f"gi{r}_{j}"),
+                        F.lit(None).cast("timestamp").alias(f"gt{r}_{j}"),
+                    ]
+        sel += [
+            F.lit(m).cast("long").alias("n_loops"),
+            F.col(f"i{last}").alias("s1_id"),
+            F.col(f"t{last}").alias("s1_ts"),
+        ]
+        b = t.select(*sel)
+        out = b if out is None else out.unionByName(b)
+    return out
+
+
+def _stream_pattern_group_loop_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_GROUP_LOOP_ORACLE
+
+    return PATTERN_GROUP_LOOP_ORACLE
+
+
 def stream_pattern_any_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SKIP_TO_NEXT over streaming followedByAny (round 7): one survivor
     per view anchor — the first-completing branch. Emission is
@@ -1976,6 +2029,7 @@ QUERIES = {
     "stream_pattern_nonoverlap_episodes": stream_pattern_nonoverlap_episodes,
     "stream_pattern_any_view_click_purchase": stream_pattern_any_view_click_purchase,
     "stream_pattern_combinations_view_clicks": stream_pattern_combinations_view_clicks,
+    "stream_pattern_group_browse_loop": stream_pattern_group_browse_loop,
     "stream_pattern_any_skip_to_next": stream_pattern_any_skip_to_next,
     "stream_heavy_hitter_bigrams": stream_heavy_hitter_bigrams,
     "stream_embedding_topic_assign": stream_embedding_topic_assign,
@@ -2026,6 +2080,7 @@ ORACLES = {
     "stream_pattern_nonoverlap_episodes": _stream_pattern_nonoverlap_oracle(),
     "stream_pattern_any_view_click_purchase": _stream_pattern_any_oracle(),
     "stream_pattern_combinations_view_clicks": _stream_pattern_combinations_oracle(),
+    "stream_pattern_group_browse_loop": _stream_pattern_group_loop_oracle(),
     "stream_pattern_any_skip_to_next": _stream_pattern_any_skip_oracle(),
     "stream_heavy_hitter_bigrams": _stream_heavy_hitter_oracle(),
     "stream_embedding_topic_assign": _stream_embedding_topic_assign_oracle(),

@@ -1563,3 +1563,140 @@ def test_combinations_validation(spark):
     nospec = [base[0], (F.col("c1"), "INTERVAL 10 MICROSECONDS"), base[2]]
     with pytest.raises(ValueError, match="spec"):
         pattern_detect_combinations(df, "user_id", nospec, combinations={2})
+
+
+# ---------------------------------------------------------------------------
+# pattern_detect_group_loop — Flink group patterns (Pattern.begin(sub).times)
+# ---------------------------------------------------------------------------
+
+def run_group_loop(spark, events, gaps_us, mn, mx, w_suf_us=100):
+    """a → (b c).times(mn..mx) → d on one key; slots c0=a, c1=b, c2=c,
+    c3=d; gaps_us = (w_b, w_c) the group's per-step withins."""
+    import pandas as pd
+
+    from flink_uba_spark.operators.sequence import pattern_detect_group_loop
+
+    schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
+        f"c{j} boolean" for j in range(4)
+    )
+    rows = [
+        (eid, 0, EPOCH + datetime.timedelta(microseconds=ts),
+         *[bool(m >> j & 1) for j in range(4)])
+        for eid, ts, m in events
+    ]
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    out = pattern_detect_group_loop(
+        df, key="user_id",
+        prefix=[(F.col("c0"), None)],
+        group=[
+            (F.col("c1"), f"INTERVAL {gaps_us[0]} MICROSECONDS"),
+            (F.col("c2"), f"INTERVAL {gaps_us[1]} MICROSECONDS"),
+        ],
+        suffix=[(F.col("c3"), f"INTERVAL {w_suf_us} MICROSECONDS")],
+        reps=(mn, mx),
+    ).toPandas()
+
+    def iv(v):
+        return None if pd.isna(v) else int(v)
+
+    def us(v):
+        return None if pd.isna(v) else int((v.to_pydatetime() - EPOCH).total_seconds() * 1e6)
+
+    got = []
+    for _, r in out.iterrows():
+        row = (
+            iv(r["i1"]),
+            *[iv(r[f"gi{rr}_{j}"]) for rr in range(1, mx + 1) for j in (1, 2)],
+            iv(r["n_loops"]), iv(r["s1_id"]),
+            us(r["t1"]),
+            *[us(r[f"gt{rr}_{j}"]) for rr in range(1, mx + 1) for j in (1, 2)],
+            us(r["s1_ts"]),
+        )
+        got.append(row)
+    return sorted(got, key=lambda t: tuple((v is None, v or 0) for v in t))
+
+
+def brute_group_loop(events, gaps_us, mn, mx, w_suf_us=100):
+    """Union over m of brute_any on the m-times tiled group expansion."""
+    got = []
+    for m in range(mn, mx + 1):
+        expanded = []
+        for eid, ts, msk in events:
+            em = (msk & 1)
+            for r in range(m):
+                em |= ((msk >> 1) & 1) << (1 + 2 * r)
+                em |= ((msk >> 2) & 1) << (2 + 2 * r)
+            em |= ((msk >> 3) & 1) << (1 + 2 * m)
+            expanded.append((eid, ts, em))
+        withins = [0] + list(gaps_us) * m + [w_suf_us]
+        for r in brute_any(expanded, withins):
+            n = 2 * m + 2
+            ids, tss = r[:n], r[n:]
+            pad = [None] * (2 * (mx - m))
+            got.append((
+                ids[0], *ids[1:1 + 2 * m], *pad, m, ids[-1],
+                tss[0], *tss[1:1 + 2 * m], *pad, tss[-1],
+            ))
+    return sorted(got, key=lambda t: tuple((v is None, v or 0) for v in t))
+
+
+@st.composite
+def group_loop_case(draw):
+    gaps = (draw(st.integers(2, 40)), draw(st.integers(2, 40)))
+    mn = draw(st.integers(1, 2))
+    mx = mn + draw(st.integers(0, 1))
+    n_ev = draw(st.integers(0, 12))
+    events = [
+        (i, draw(st.integers(0, 70)), draw(st.integers(0, 15)))
+        for i in range(n_ev)
+    ]
+    return gaps, mn, mx, events
+
+
+@settings(max_examples=50, deadline=None)
+@given(group_loop_case())
+def test_group_loop_matches_brute(spark, case):
+    gaps, mn, mx, events = case
+    assert run_group_loop(spark, events, gaps, mn, mx) == brute_group_loop(
+        events, gaps, mn, mx
+    )
+
+
+def test_group_loop_repeats_whole_subsequence(spark):
+    """(b c).times(1..2): on a b1 c1 b2 c2 d the 2-loop match tiles the
+    WHOLE group — b1 c1 b2 c2 — not just one step; 1-loop matches pick
+    every (b, c) pair the windows admit."""
+    events = [
+        (1, 0, 0b0001), (2, 10, 0b0010), (3, 20, 0b0100),
+        (4, 30, 0b0010), (5, 40, 0b0100), (6, 50, 0b1000),
+    ]
+    got = run_group_loop(spark, events, (100, 100), 1, 2)
+    want = brute_group_loop(events, (100, 100), 1, 2)
+    assert got == want
+    two_loop = [r for r in got if r[5] == 2]
+    assert two_loop == [(1, 2, 3, 4, 5, 2, 6, 0, 10, 20, 30, 40, 50)]
+    one_loop = [r for r in got if r[5] == 1]
+    # (b,c) pairs: (2,3), (2,5), (4,5) — each followed by d
+    assert sorted((r[1], r[2]) for r in one_loop) == [(2, 3), (2, 5), (4, 5)]
+
+
+def test_group_loop_validation(spark):
+    from flink_uba_spark.operators.sequence import pattern_detect_group_loop
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, c0 boolean, c1 boolean"
+    )
+    pre = [(F.col("c0"), None)]
+    grp = [(F.col("c1"), "INTERVAL 10 MICROSECONDS")]
+    with pytest.raises(ValueError, match="FINITE"):
+        pattern_detect_group_loop(df, "user_id", pre, grp, [], (1, float("inf")))
+    with pytest.raises(ValueError, match="8-plan"):
+        pattern_detect_group_loop(df, "user_id", pre, grp, [], (1, 20))
+    with pytest.raises(ValueError, match="mandatory"):
+        pattern_detect_group_loop(
+            df, "user_id", pre, [(F.col("c1"), None)], [], (1, 2)
+        )
+    with pytest.raises(ValueError, match="anchor"):
+        pattern_detect_group_loop(df, "user_id", [], grp, [], (1, 2))
+    with pytest.raises(ValueError, match="at least one"):
+        pattern_detect_group_loop(df, "user_id", pre, [], [], (1, 2))

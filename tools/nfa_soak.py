@@ -33,6 +33,9 @@ Modes:
   python tools/nfa_soak.py comb [N]      # pattern_detect_combinations
                                          #   (allowCombinations) vs the
                                          #   expanded brute_any union (r7)
+  python tools/nfa_soak.py group [N]     # pattern_detect_group_loop
+                                         #   (Pattern.begin(sub).times) vs
+                                         #   the tiled brute_any (r7)
   python tools/nfa_soak.py stream-branching [N]
                                          # make_branching_matcher (packed
                                          #   per-branch states, min-merged
@@ -63,7 +66,8 @@ first 1000 found and fixed a dual rep+stop-row order divergence before
 any judge could) + 3.3k reluctant (pattern_detect_reluctant union-of-counts
 vs brute_reluctant, greedy/reluctant mixes with guards/until/consecutive)
 + 2.2k comb (pattern_detect_combinations vs the union-of-counts brute_any
-expansion) — all clean.
+expansion) + 2.7k group (pattern_detect_group_loop vs the tiled brute_any)
+— all clean.
 """
 
 from __future__ import annotations
@@ -615,6 +619,120 @@ def soak_combinations(n_cases, cases_per_spec=100):
         if spec_seed % 10 == 0:
             print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
     print(f"{done} combinations cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
+def soak_group_loop(n_cases, cases_per_spec=100):
+    """Group-pattern soak (round 7): ``pattern_detect_group_loop``
+    (Pattern.begin(sub).times — the sub-pattern tiled m times through
+    one followedByAny plan per count) vs the same tiling of the
+    exhaustive ``brute_any``. Random group length 1-2, suffix 0-1,
+    count ranges in the 8-plan envelope, vectorized keys."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from test_round7_ops import brute_any
+    from flink_uba_spark.operators.sequence import pattern_detect_group_loop
+    from flink_uba_spark.session import get_spark
+
+    spark = get_spark("nfa_soak")
+    t0, fails, done, spec_seed = time.time(), 0, 0, 0
+    while done < n_cases and fails <= 5:
+        rnd = random.Random(spec_seed * 49979687 + 9)
+        spec_seed += 1
+        g = rnd.randint(1, 2)
+        ns = rnd.randint(0, 1)
+        mn = rnd.randint(1, 2)
+        mx = mn + rnd.randint(0, 1)
+        nslots = 1 + g + ns
+        gw = [rnd.randint(3, 40) for _ in range(g)]
+        sw = [rnd.randint(3, 40) for _ in range(ns)]
+        ncase = min(cases_per_spec, n_cases - done)
+        case_events, rows = [], []
+        for c in range(ncase):
+            events = [
+                (c * 1000 + i, rnd.randint(0, 90),
+                 rnd.getrandbits(nslots) if rnd.random() < 0.92 else 0)
+                for i in range(rnd.randint(0, 16))
+            ]
+            case_events.append(events)
+            rows += [
+                (eid, c,
+                 datetime.datetime(2020, 1, 1) + datetime.timedelta(microseconds=ts),
+                 *[bool(m >> j & 1) for j in range(nslots)])
+                for eid, ts, m in events
+            ]
+        schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
+            f"c{j} boolean" for j in range(nslots)
+        )
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        pdf = pattern_detect_group_loop(
+            df, key="user_id",
+            prefix=[(F.col("c0"), None)],
+            group=[(F.col(f"c{1 + j}"), f"INTERVAL {gw[j]} MICROSECONDS")
+                   for j in range(g)],
+            suffix=[(F.col(f"c{1 + g + j}"), f"INTERVAL {sw[j]} MICROSECONDS")
+                    for j in range(ns)],
+            reps=(mn, mx),
+        ).toPandas()
+        epoch0 = 1577836800000000
+
+        def iv(v):
+            return None if pd.isna(v) else int(v)
+
+        def us(v):
+            return None if pd.isna(v) else int(pd.Timestamp(v).value // 1000) - epoch0
+
+        skey = lambda t: tuple((v is None, v or 0) for v in t)
+        for c in range(ncase):
+            sub = pdf[pdf["user_id"] == c]
+            got = []
+            for _, r in sub.iterrows():
+                ids = [iv(r["i1"])]
+                tss = [us(r["t1"])]
+                for rr in range(1, mx + 1):
+                    for j in range(1, g + 1):
+                        ids.append(iv(r[f"gi{rr}_{j}"]))
+                        tss.append(us(r[f"gt{rr}_{j}"]))
+                ids.append(iv(r["n_loops"]))
+                for k in range(1, ns + 1):
+                    ids.append(iv(r[f"s{k}_id"]))
+                    tss.append(us(r[f"s{k}_ts"]))
+                got.append(tuple(ids + tss))
+            want = []
+            for m in range(mn, mx + 1):
+                expanded = []
+                for eid, ts, msk in case_events[c]:
+                    em = msk & 1
+                    for rr in range(m):
+                        for j in range(g):
+                            em |= ((msk >> (1 + j)) & 1) << (1 + rr * g + j)
+                    for k in range(ns):
+                        em |= ((msk >> (1 + g + k)) & 1) << (1 + m * g + k)
+                    expanded.append((eid, ts, em))
+                withins = [0] + gw * m + sw
+                for r in brute_any(expanded, withins):
+                    n = 1 + m * g + ns
+                    bids, btss = r[:n], r[n:]
+                    pad = [None] * ((mx - m) * g)
+                    ids = [bids[0], *bids[1:1 + m * g], *pad, m,
+                           *bids[1 + m * g:]]
+                    tss = [btss[0], *btss[1:1 + m * g], *pad,
+                           *btss[1 + m * g:]]
+                    want.append(tuple(ids + tss))
+            if sorted(got, key=skey) != sorted(want, key=skey):
+                fails += 1
+                print(f"MISMATCH spec_seed={spec_seed - 1} case={c} g={g} "
+                      f"ns={ns} mn={mn} mx={mx} gw={gw} sw={sw} "
+                      f"events={case_events[c]}")
+                if fails > 5:
+                    break
+        done += ncase
+        if spec_seed % 10 == 0:
+            print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{done} group-loop cases, {fails} failures, {time.time() - t0:.0f}s")
     return fails
 
 
@@ -1283,6 +1401,7 @@ def main() -> int:
         "stream-consec": 3000,
         "reluctant": 1000,
         "comb": 1000,
+        "group": 1000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
@@ -1297,6 +1416,8 @@ def main() -> int:
         return 1 if soak_reluctant(n) else 0
     if mode == "comb":
         return 1 if soak_combinations(n) else 0
+    if mode == "group":
+        return 1 if soak_group_loop(n) else 0
     if mode == "stream-consec":
         return 1 if soak_stream(n, timers=True, with_consecs=True) else 0
     if mode == "branching":
