@@ -1425,3 +1425,85 @@ def pattern_detect_group_loop(
         b = b.select(*sel).select(key, *cols)
         out = b if out is None else out.unionByName(b)
     return out
+
+
+def pattern_within(
+    events: DataFrame,
+    key: str,
+    preds: list[Column],
+    window: str,
+    event_id: str = "event_id",
+    ts: str = "ts",
+    optional: set[int] | None = None,
+    strict: set[int] | None = None,
+) -> DataFrame:
+    """Flink's ``Pattern...within(Time)`` — the GLOBAL match window, with
+    the timed-out partial match as a first-class output row.
+
+    Reference: ``Pattern.begin("create").followedBy("pay")
+    .within(Time.minutes(15))`` + ``select(timeoutTag, timeoutFn, selectFn)``
+    (OrderPayTimeout.java:52-64): Flink's ``within`` bounds FIRST event →
+    LAST event of the whole match — for the reference's 2-step pattern the
+    transition bound and the global bound coincide, which is why the
+    engine's per-transition ``within`` family reproduced it exactly; for
+    N-step patterns they differ, and THIS operator is the faithful N-step
+    generalization, timeout side output included.
+
+    Why a wrapper is exact: under skip-till-next-match, binding is
+    within-INDEPENDENT — each step binds the earliest candidate in the
+    (ts, step_rank, id) total order and the NFA never re-searches — so at
+    the moment the window expires (t1 + window), the partial match Flink
+    prunes holds exactly the chain prefix whose bound timestamps fit the
+    budget. Globally-windowed matches are therefore precisely the complete
+    chains with span ≤ window, and every other anchor emits a ``timeout``
+    row whose ``max_step`` counts the bound prefix at expiry — the
+    ``timeoutFn`` payload. Boundary is INCLUSIVE (``t_n <= t1 + window``),
+    the engine family's established deadline rule
+    (order_lifecycle.py:82) pinned since round 1.
+
+    Output per anchor: ``key, anchor_id, t1..tN, max_step, span_us, state``
+    with ``state ∈ {matched, timeout}`` and ``span_us`` the exact
+    integer-microsecond match span (null on timeout rows).
+
+    Composition bounds: Kleene/times steps would need per-anchor run
+    truncation at ``t1 + window`` (a per-anchor recount the shared-session
+    compile cannot express — each anchor's budget cuts the run at a
+    different repetition), and a ``notFollowedBy`` guard row past the
+    budget must NOT kill (the partial is pruned first) but the compile does
+    not expose the guard row's timestamp; both therefore raise. ``optional``
+    and ``strict`` compose soundly: chain timestamps stay monotone, so the
+    in-budget prefix is still a prefix.
+
+    Scale: identical to the underlying ``pattern_detect`` — one key
+    exchange + one sort, N-1 min-of-struct windows, and the
+    reclassification is a pure projection; nothing new shuffles.
+    """
+    n = len(preds)
+    steps = [(p, None) for p in preds]
+    out = pattern_detect(
+        events,
+        key,
+        steps,
+        event_id=event_id,
+        ts=ts,
+        optional=optional,
+        strict=strict,
+    )
+    deadline = F.col("t1") + F.expr(window)
+    matched = (F.col("state") == "matched") & (F.col(f"t{n}") <= deadline)
+    bound_w = F.lit(1) + sum(
+        F.when(F.col(f"t{k}").isNotNull() & (F.col(f"t{k}") <= deadline), 1)
+        .otherwise(0)
+        for k in range(2, n + 1)
+    )
+    span = F.unix_micros(F.col(f"t{n}")) - F.unix_micros(F.col("t1"))
+    return out.select(
+        key,
+        "anchor_id",
+        *[f"t{k}" for k in range(1, n + 1)],
+        # on a matched row every step fits the budget, so the budget count
+        # equals n — one formula serves both states
+        bound_w.cast("long").alias("max_step"),
+        F.when(matched, span).cast("long").alias("span_us"),
+        F.when(matched, F.lit("matched")).otherwise(F.lit("timeout")).alias("state"),
+    )

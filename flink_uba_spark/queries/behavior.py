@@ -1965,10 +1965,66 @@ WHERE s.kept
 """
 
 
+def pattern_within_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GLOBAL pattern window — Flink's ``Pattern...within(Time)``
+    (OrderPayTimeout.java:52-64) generalized past the reference's 2-step
+    shape: view → click → purchase must COMPLETE within 3 days of the
+    anchor (first event → last event), and every anchor that doesn't make
+    it emits the timed-out partial match (the ``timeoutTag`` side output)
+    with ``max_step`` counting the prefix bound at window expiry.
+
+    Contrast with ``pattern_view_click_purchase``: that query bounds each
+    TRANSITION (the engine family's per-step ``within``); this one bounds
+    the whole match — the semantics Flink's own ``within()`` carries on
+    N-step patterns. Plan: the same one-exchange window compile plus a
+    pure reclassification projection (operators/sequence.py
+    pattern_within)."""
+    from flink_uba_spark.operators.sequence import pattern_within
+
+    ev = _events(spark, sf_dir)
+    return pattern_within(
+        ev,
+        key="user_id",
+        preds=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window="INTERVAL 3 DAYS",
+    )
+
+
+PATTERN_WITHIN_VCP_ORACLE = """
+WITH a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+           WHERE event_type = 'view'),
+s2 AS (
+  SELECT a.*, (SELECT min(e.ts) FROM events e WHERE e.event_type = 'click'
+               AND e.user_id = a.user_id AND e.ts >= a.t1) AS t2
+  FROM a
+),
+s3 AS (
+  SELECT s2.*, (SELECT min(e.ts) FROM events e WHERE e.event_type = 'purchase'
+                AND e.user_id = s2.user_id AND e.ts >= s2.t2) AS t3
+  FROM s2
+)
+SELECT user_id, anchor_id, t1, t2, t3,
+       CAST(1 + (CASE WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL 3 DAY
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN t3 IS NOT NULL AND t3 <= t1 + INTERVAL 3 DAY
+                      THEN 1 ELSE 0 END) AS BIGINT) AS max_step,
+       CASE WHEN t3 IS NOT NULL AND t3 <= t1 + INTERVAL 3 DAY
+            THEN epoch_us(t3) - epoch_us(t1) END AS span_us,
+       CASE WHEN t3 IS NOT NULL AND t3 <= t1 + INTERVAL 3 DAY
+            THEN 'matched' ELSE 'timeout' END AS state
+FROM s3
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
     "pattern_view_click_purchase": pattern_view_click_purchase,
+    "pattern_within_view_click_purchase": pattern_within_view_click_purchase,
     "pattern_error_burst_recovery": pattern_error_burst_recovery,
     "pattern_signup_journey": pattern_signup_journey,
     "pattern_purchase_no_error": pattern_purchase_no_error,
@@ -2007,6 +2063,7 @@ ORACLES = {
     "daily_users_approx": DAILY_USERS_APPROX_ORACLE,
     "item_pagerank": ITEM_PAGERANK_ORACLE,
     "pattern_view_click_purchase": PATTERN_VCP_ORACLE,
+    "pattern_within_view_click_purchase": PATTERN_WITHIN_VCP_ORACLE,
     "pattern_error_burst_recovery": PATTERN_ERROR_BURST_ORACLE,
     "pattern_signup_journey": PATTERN_SIGNUP_JOURNEY_ORACLE,
     "pattern_purchase_no_error": PATTERN_PURCHASE_NO_ERROR_ORACLE,

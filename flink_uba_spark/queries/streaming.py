@@ -1050,6 +1050,56 @@ def stream_pattern_view_click_purchase(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def stream_pattern_within_view_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GLOBAL pattern window (Flink ``Pattern...within(Time)``,
+    OrderPayTimeout.java:52-64) in streaming form: view → click → purchase
+    completing within 3 days of the anchor. Binding under
+    skip-till-next-match is within-independent, so the twin runs the plain
+    3-step NFA and applies the global budget at emission — a match emits
+    the moment its purchase binds, and is kept iff its whole span fits the
+    window (inclusive boundary, the family's deadline rule). A production
+    deployment sets ``state_ttl`` ≥ the window so partials past their
+    budget are flushed — the global window doubles as the state bound; the
+    replay twin leaves it off for exact batch equality. Oracle: the batch
+    ``pattern_within`` result restricted to its matched rows."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+
+    ev = stream_events(spark, sf_dir)
+    res = run_to_table(
+        stream_pattern_detect(
+            ev,
+            key="user_id",
+            steps=[("view", None), ("click", None), ("purchase", None)],
+        )
+    )
+    deadline = F.col("t1") + F.expr("INTERVAL 3 DAYS")
+    return (
+        res.filter((F.col("state") == "matched") & (F.col("t3") <= deadline))
+        .select(
+            "user_id",
+            "anchor_id",
+            "t1",
+            "t2",
+            "t3",
+            F.lit(3).cast("long").alias("max_step"),
+            (F.unix_micros(F.col("t3")) - F.unix_micros(F.col("t1")))
+            .cast("long")
+            .alias("span_us"),
+            F.lit("matched").alias("state"),
+        )
+    )
+
+
+def _stream_pattern_within_vcp_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_WITHIN_VCP_ORACLE
+
+    return (
+        f"SELECT * FROM ({PATTERN_WITHIN_VCP_ORACLE}) WHERE state = 'matched'"
+    )
+
+
 def stream_embedding_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector ingestion with index-time topic assignment: embeddings STREAM
     in and every vector is assigned its nearest centroid against the
@@ -2013,6 +2063,7 @@ WHERE b.state != 'incomplete'
 QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_pattern_view_click_purchase": stream_pattern_view_click_purchase,
+    "stream_pattern_within_view_click_purchase": stream_pattern_within_view_click_purchase,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
@@ -2064,6 +2115,7 @@ def _stream_dedup_incremental_oracle() -> str:
 ORACLES = {
     "stream_dedup_incremental": _stream_dedup_incremental_oracle(),
     "stream_pattern_view_click_purchase": _stream_pattern_vcp_oracle(),
+    "stream_pattern_within_view_click_purchase": _stream_pattern_within_vcp_oracle(),
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),
