@@ -1507,3 +1507,111 @@ def pattern_within(
         F.when(matched, span).cast("long").alias("span_us"),
         F.when(matched, F.lit("matched")).otherwise(F.lit("timeout")).alias("state"),
     )
+
+
+def pattern_detect_iterative(
+    events: DataFrame,
+    key: str,
+    steps: list[tuple[Column, str | None]],
+    payload: dict[str, Column] | None = None,
+    conds: dict[int, Column] | None = None,
+    event_id: str = "event_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """``IterativeCondition`` — predicates over PREVIOUSLY BOUND events,
+    Flink's ``where(new IterativeCondition<T>() { ...
+    ctx.getEventsForPattern("first") ... })`` on the reference's Pattern
+    API chains (the dynamic form of OrderPayTimeout.java:52-64's static
+    ``where`` clauses).
+
+    ``steps`` is the familiar ``(predicate, within)`` list —
+    skip-till-next-match (followedBy) semantics, each step binding the
+    EARLIEST admissible candidate in the engine family's (ts, rank, id)
+    total order (rank = the event's earliest matching step). ``payload``
+    maps output names to Columns computed on the input (e.g.
+    ``{"cents": floor(value*100)}``); each bound step j exposes its
+    payload as ``<name>{j}`` plus ``t{j}``/``i{j}``. ``conds`` maps step
+    k to an arbitrary Column over those columns for j ≤ k — e.g.
+    ``{2: F.col("cents2") >= 2 * F.col("cents1")}`` — evaluated BEFORE
+    binding, exactly Flink's NFA: an event whose iterative condition
+    fails is skipped and the search continues with the next candidate
+    (the condition is part of "matching", not a post-filter on the
+    earliest match).
+
+    Why a different compile: the shared min-of-struct window trick behind
+    ``pattern_detect`` depends on every anchor agreeing on which rows are
+    candidates; an iterative condition makes candidacy PER-PARTIAL-MATCH,
+    so this operator compiles to the join family instead — per step one
+    key-equi join (band predicate: total-order ``>`` + mandatory
+    ``within``, the fan-out bound) followed by a min_by(struct) argmin
+    per partial match. Every ``within`` after the first is therefore
+    MANDATORY, as in ``pattern_detect_any``. Output: matched chains only
+    (the ``selectFn`` contract — one row per anchor that completes), with
+    ``i1..iN``/``t1..tN`` and the payload columns.
+
+    Scale: N-1 key-equi joins, each bounded by per-key density × the
+    within window, immediately collapsed by a partial-aggregating min_by
+    (map-side combine) back to ≤ one row per anchor — the intermediate
+    never exceeds the join band, and there is no combinatorial output
+    (unlike followedByAny). No cross-key work, no cartesian term.
+    """
+    n = len(steps)
+    if n < 2:
+        raise ValueError("pattern_detect_iterative needs at least 2 steps")
+    if any(s[1] is None for s in steps[1:]):
+        raise ValueError(
+            "iterative patterns need a within interval on every step after "
+            "the first (the join band is the fan-out bound)"
+        )
+    pay = dict(payload or {})
+    cnd = dict(conds or {})
+    if any(k < 2 or k > n for k in cnd):
+        raise ValueError("conds keys must be step indexes 2..n")
+    rank = F.coalesce(
+        *[F.when(pred, F.lit(k)) for k, (pred, _w) in enumerate(steps, start=1)]
+    )
+    tagged = events.withColumn("__rank", rank)
+
+    def leg(k: int) -> DataFrame:
+        return tagged.filter(steps[k - 1][0]).select(
+            F.col(key).alias("__ck" if k > 1 else "__k"),
+            F.col(ts).alias(f"t{k}"),
+            F.col("__rank").alias(f"__r{k}"),
+            F.col(event_id).alias(f"i{k}"),
+            *[c.alias(f"{nm}{k}") for nm, c in pay.items()],
+        )
+
+    cur = leg(1)
+    for k in range(2, n + 1):
+        p = k - 1
+        after_prev = F.struct(f"t{k}", f"__r{k}", f"i{k}") > F.struct(
+            f"t{p}", f"__r{p}", f"i{p}"
+        )
+        in_bound = F.col(f"t{k}") <= F.col(f"t{p}") + F.expr(steps[k - 1][1])
+        cond = after_prev & in_bound
+        if k in cnd:
+            cond = cond & cnd[k]
+        joined = (
+            cur.join(leg(k), cur["__k"] == F.col("__ck"), "inner")
+            .filter(cond)
+            .drop("__ck")
+        )
+        prev_cols = cur.columns
+        new_cols = (
+            [f"t{k}", f"__r{k}", f"i{k}"] + [f"{nm}{k}" for nm in pay]
+        )
+        # skip-till-next: the EARLIEST admissible candidate per partial
+        # match — min_by partial-aggregates map-side, so the shuffle
+        # carries one row per (partial, partition), not the join band
+        cur = joined.groupBy(*prev_cols).agg(
+            F.min_by(
+                F.struct(*new_cols), F.struct(f"t{k}", f"__r{k}", f"i{k}")
+            ).alias("__b")
+        )
+        cur = cur.select(*prev_cols, *[F.col(f"__b.{c}").alias(c) for c in new_cols])
+    return cur.select(
+        F.col("__k").alias(key),
+        *[F.col(f"i{k}") for k in range(1, n + 1)],
+        *[F.col(f"t{k}") for k in range(1, n + 1)],
+        *[F.col(f"{nm}{k}") for nm in pay for k in range(1, n + 1)],
+    )

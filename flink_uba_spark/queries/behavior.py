@@ -2020,11 +2020,75 @@ FROM s3
 """
 
 
+def pattern_iterative_price_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IterativeCondition CEP — Flink's ``where(new IterativeCondition...
+    ctx.getEventsForPattern(...))`` (the dynamic form of the reference's
+    static ``where`` clauses, OrderPayTimeout.java:52-64): view →
+    purchase at ≥ 2× the VIEWED amount (within 3 days) → purchase
+    strictly above the PREVIOUS purchase (within 3 days). Each step's
+    admissibility depends on the partial match's bound values, so the
+    shared-window compile can't express it; operators/sequence.py
+    pattern_detect_iterative compiles it to per-step key-equi band joins
+    + min_by argmin (skip-till-next: a candidate failing the iterative
+    condition is SKIPPED, not a post-filter on the earliest match).
+    Amounts are exact integer cents (floor(value*100), the family rule).
+    """
+    from flink_uba_spark.operators.sequence import pattern_detect_iterative
+
+    ev = _events(spark, sf_dir)
+    return pattern_detect_iterative(
+        ev,
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "view", None),
+            (F.col("event_type") == "purchase", "INTERVAL 3 DAYS"),
+            (F.col("event_type") == "purchase", "INTERVAL 3 DAYS"),
+        ],
+        payload={"cents": F.floor(F.col("value") * 100).cast("long")},
+        conds={
+            2: F.col("cents2") >= 2 * F.col("cents1"),
+            3: F.col("cents3") > F.col("cents2"),
+        },
+    )
+
+
+PATTERN_ITERATIVE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(floor(value*100) AS BIGINT) AS cents,
+         event_type
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+a AS (SELECT user_id, event_id AS i1, ts AS t1, cents AS cents1
+      FROM e WHERE event_type = 'view'),
+s2 AS (
+  SELECT a.*, p.event_id AS i2, p.ts AS t2, p.cents AS cents2
+  FROM a JOIN LATERAL (
+    SELECT event_id, ts, cents FROM e p
+    WHERE p.event_type = 'purchase' AND p.user_id = a.user_id
+      AND p.ts >= a.t1 AND p.ts <= a.t1 + INTERVAL 3 DAY
+      AND p.cents >= 2 * a.cents1
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+),
+s3 AS (
+  SELECT s2.*, q.event_id AS i3, q.ts AS t3, q.cents AS cents3
+  FROM s2 JOIN LATERAL (
+    SELECT event_id, ts, cents FROM e q
+    WHERE q.event_type = 'purchase' AND q.user_id = s2.user_id
+      AND (q.ts > s2.t2 OR (q.ts = s2.t2 AND q.event_id > s2.i2))
+      AND q.ts <= s2.t2 + INTERVAL 3 DAY
+      AND q.cents > s2.cents2
+    ORDER BY q.ts, q.event_id LIMIT 1) q ON TRUE
+)
+SELECT user_id, i1, i2, i3, t1, t2, t3, cents1, cents2, cents3 FROM s3
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
     "pattern_view_click_purchase": pattern_view_click_purchase,
     "pattern_within_view_click_purchase": pattern_within_view_click_purchase,
+    "pattern_iterative_price_escalation": pattern_iterative_price_escalation,
     "pattern_error_burst_recovery": pattern_error_burst_recovery,
     "pattern_signup_journey": pattern_signup_journey,
     "pattern_purchase_no_error": pattern_purchase_no_error,
@@ -2064,6 +2128,7 @@ ORACLES = {
     "item_pagerank": ITEM_PAGERANK_ORACLE,
     "pattern_view_click_purchase": PATTERN_VCP_ORACLE,
     "pattern_within_view_click_purchase": PATTERN_WITHIN_VCP_ORACLE,
+    "pattern_iterative_price_escalation": PATTERN_ITERATIVE_ORACLE,
     "pattern_error_burst_recovery": PATTERN_ERROR_BURST_ORACLE,
     "pattern_signup_journey": PATTERN_SIGNUP_JOURNEY_ORACLE,
     "pattern_purchase_no_error": PATTERN_PURCHASE_NO_ERROR_ORACLE,

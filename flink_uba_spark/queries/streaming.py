@@ -1100,6 +1100,50 @@ def _stream_pattern_within_vcp_oracle() -> str:
     )
 
 
+def stream_pattern_iterative_price_escalation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IterativeCondition CEP (Flink ``where(IterativeCondition)`` /
+    ``ctx.getEventsForPattern``) as a continuous query: view → purchase at
+    ≥ 2× the viewed amount (3 d) → purchase above the previous one (3 d).
+    The NFA (streaming/pattern.py:make_iterative_matcher) holds the
+    H-horizon buffer and walks skip-till-next greedily with the
+    per-partial-match conditions; a complete chain is FINAL once the
+    watermark passes its END (a usurper for any step must sort before a
+    bound event), so the oracle is the batch
+    ``pattern_iterative_price_escalation`` restricted to chains whose end
+    precedes the final ms-floored watermark."""
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect_iterative
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_pattern_detect_iterative(
+            ev,
+            key="user_id",
+            steps=[
+                ("view", None),
+                ("purchase", "INTERVAL 3 DAYS"),
+                ("purchase", "INTERVAL 3 DAYS"),
+            ],
+            payload={"cents": F.floor(F.col("value") * 100).cast("long")},
+            conds_py={
+                2: lambda pre, c: c[0] >= 2 * pre[0][0],
+                3: lambda pre, c: c[0] > pre[1][0],
+            },
+        )
+    )
+
+
+def _stream_pattern_iterative_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_ITERATIVE_ORACLE
+
+    return f"""
+SELECT * FROM ({PATTERN_ITERATIVE_ORACLE})
+WHERE epoch_us(t3) < (SELECT (epoch_us(max(ts)) // 1000) * 1000
+                      FROM events WHERE event_type IN ('view', 'purchase'))
+"""
+
+
 def stream_embedding_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector ingestion with index-time topic assignment: embeddings STREAM
     in and every vector is assigned its nearest centroid against the
@@ -2064,6 +2108,7 @@ QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_pattern_view_click_purchase": stream_pattern_view_click_purchase,
     "stream_pattern_within_view_click_purchase": stream_pattern_within_view_click_purchase,
+    "stream_pattern_iterative_price_escalation": stream_pattern_iterative_price_escalation,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
@@ -2116,6 +2161,7 @@ ORACLES = {
     "stream_dedup_incremental": _stream_dedup_incremental_oracle(),
     "stream_pattern_view_click_purchase": _stream_pattern_vcp_oracle(),
     "stream_pattern_within_view_click_purchase": _stream_pattern_within_vcp_oracle(),
+    "stream_pattern_iterative_price_escalation": _stream_pattern_iterative_oracle(),
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),

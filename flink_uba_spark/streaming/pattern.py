@@ -1895,3 +1895,236 @@ def stream_pattern_detect_any(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def iterative_output_schema(n_steps: int, pay_names: list[str]) -> T.StructType:
+    fields = [T.StructField("user_id", T.LongType())]
+    fields += [T.StructField(f"i{k}", T.LongType()) for k in range(1, n_steps + 1)]
+    fields += [T.StructField(f"t{k}", T.TimestampType()) for k in range(1, n_steps + 1)]
+    fields += [
+        T.StructField(f"{nm}{k}", T.LongType())
+        for nm in pay_names
+        for k in range(1, n_steps + 1)
+    ]
+    return T.StructType(fields)
+
+
+ITER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ev_ids", T.ArrayType(T.LongType())),
+        T.StructField("ev_tss", T.ArrayType(T.LongType())),
+        T.StructField("ev_masks", T.ArrayType(T.LongType())),
+        # payload values row-major: n_pay longs per buffered event
+        T.StructField("ev_pays", T.ArrayType(T.LongType())),
+        # anchors whose chain already emitted (complete + final); pruned
+        # with the buffer — an evicted anchor is never re-walked
+        T.StructField("emitted_ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_iterative_matcher(n_steps: int, withins_us: list, n_pay: int, conds_py: dict):
+    """Per-key skip-till-next matcher with ITERATIVE conditions for
+    ``applyInPandasWithState`` — the streaming twin of
+    ``operators/sequence.py:pattern_detect_iterative`` (Flink
+    ``IterativeCondition``: a step's admissibility depends on the bound
+    prefix, so candidacy is per-partial-match).
+
+    Emission is watermark-gated on the chain END: under
+    skip-till-next-match a usurping candidate for any step k must sort
+    BEFORE the bound event — ts ≤ t_k ≤ t_n — so once the watermark
+    passes t_n (strict, µs) no future arrival can change any binding and
+    the complete chain is FINAL. Pending complete chains set a timer at
+    ``t_n // 1000`` (fires when wm_ms exceeds it — then wm_us > t_n);
+    the final availableNow drive flushes chains whose end precedes the
+    final ms-floored watermark, which is exactly the restriction the
+    oracle applies to the batch result.
+
+    State: the H-horizon event buffer (H = summed withins — every
+    binding decision lives inside [t1, t1+H]) + payload longs + the
+    emitted-anchor latch; eviction keeps rows with ts ≥ wm − H
+    (inclusive: an anchor AT the boundary is not yet final).
+    ``conds_py[k](prefix_pays, cand_pay)`` mirrors the batch ``conds``
+    Columns in Python (the fold runs Arrow-side); the 3-SF oracle gate
+    plus the soak pin the two spellings to each other.
+    """
+    horizon_us = sum(withins_us[1:])
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        out_cols = (
+            ["user_id"]
+            + [f"i{k}" for k in range(1, n_steps + 1)]
+            + [f"t{k}" for k in range(1, n_steps + 1)]
+            + [f"v{j}_{k}" for j in range(n_pay) for k in range(1, n_steps + 1)]
+        )
+        if state.exists:
+            o_ids, o_tss, o_masks, o_pays, o_emit = (list(v) for v in state.get)
+        else:
+            o_ids, o_tss, o_masks, o_pays, o_emit = [], [], [], [], []
+        known = set(o_ids)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            eid = pdf["event_id"].to_numpy()
+            flags = [pdf[f"__p{i}"].to_numpy() for i in range(1, n_steps + 1)]
+            pays = [pdf[f"__v{j}"].to_numpy() for j in range(n_pay)]
+            for r in range(len(pdf)):
+                m = 0
+                for i in range(n_steps):
+                    if flags[i][r]:
+                        m |= 1 << i
+                if m and int(eid[r]) not in known:
+                    o_ids.append(int(eid[r]))
+                    o_tss.append(int(ts_us[r]))
+                    o_masks.append(m)
+                    o_pays.extend(int(pays[j][r]) for j in range(n_pay))
+                    known.add(int(eid[r]))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        wm_ms = wm_us // 1000
+        order = sorted(
+            range(len(o_ids)),
+            key=lambda i: (o_tss[i], (o_masks[i] & -o_masks[i]).bit_length(), o_ids[i]),
+        )
+        e_ids = [o_ids[i] for i in order]
+        e_tss = [o_tss[i] for i in order]
+        e_masks = [o_masks[i] for i in order]
+        e_pays = [
+            tuple(o_pays[i * n_pay + j] for j in range(n_pay)) for i in order
+        ]
+        emitted = set(o_emit)
+        rows = []
+        pending_end = None
+        for p0 in range(len(e_ids)):
+            if not (e_masks[p0] & 1) or e_ids[p0] in emitted:
+                continue
+            pos = p0
+            chain = [p0]
+            prefix = [e_pays[p0]]
+            complete = True
+            for s in range(2, n_steps + 1):
+                bound = e_tss[pos] + withins_us[s - 1]
+                nxt = None
+                for p in range(pos + 1, len(e_ids)):
+                    if e_tss[p] > bound:  # ts-major sort → nothing later fits
+                        break
+                    if (e_masks[p] >> (s - 1)) & 1 and (
+                        s not in conds_py or conds_py[s](prefix, e_pays[p])
+                    ):
+                        nxt = p
+                        break
+                if nxt is None:
+                    complete = False
+                    break
+                pos = nxt
+                chain.append(nxt)
+                prefix.append(e_pays[nxt])
+            if not complete:
+                continue
+            end_us = e_tss[pos]
+            if end_us < wm_us:
+                rows.append(
+                    (int(key[0]),
+                     *[e_ids[p] for p in chain],
+                     *[pd.Timestamp(e_tss[p], unit="us") for p in chain],
+                     *[e_pays[p][j] for j in range(n_pay) for p in chain])
+                )
+                emitted.add(e_ids[p0])
+            else:
+                pending_end = end_us if pending_end is None else min(pending_end, end_us)
+        keep = [i for i in range(len(o_ids)) if o_tss[i] >= wm_us - horizon_us]
+        if keep:
+            kept_ids = [o_ids[i] for i in keep]
+            kept_set = set(kept_ids)
+            state.update((
+                kept_ids,
+                [o_tss[i] for i in keep],
+                [o_masks[i] for i in keep],
+                [o_pays[i * n_pay + j] for i in keep for j in range(n_pay)],
+                sorted(a for a in emitted if a in kept_set),
+            ))
+            evict_ms = max(max(o_tss[i] for i in keep) + horizon_us, wm_us) // 1000 + 1
+            state.setTimeoutTimestamp(
+                min(evict_ms, max(pending_end // 1000, wm_ms + 1))
+                if pending_end is not None
+                else evict_ms
+            )
+        elif state.exists:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return fold
+
+
+def stream_pattern_detect_iterative(
+    events: DataFrame,
+    key: str,
+    steps: list[tuple],
+    payload: dict | None = None,
+    conds_py: dict | None = None,
+    event_id: str = "event_id",
+    ts: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """``IterativeCondition`` CEP as a continuous query — the streaming
+    twin of ``operators/sequence.py:pattern_detect_iterative``. ``steps``
+    mirror the batch surface (predicate, within — mandatory after step
+    1); ``payload`` maps names to JVM-evaluated long Columns carried into
+    state; ``conds_py[k](prefix_pays, cand_pay)`` is the Python spelling
+    of the batch ``conds`` Column for step k (prefix_pays = list of bound
+    payload tuples for steps 1..k-1, tuple order = payload dict order).
+    Output on a bounded replay = the batch result restricted to chains
+    whose END precedes the final ms-floored watermark (see
+    make_iterative_matcher)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n = len(steps)
+    if n < 2:
+        raise ValueError("stream_pattern_detect_iterative needs at least 2 steps")
+    if any(s[1] is None for s in steps[1:]):
+        raise ValueError(
+            "iterative patterns need a within interval on every step after "
+            "the first"
+        )
+    pay = dict(payload or {})
+    withins_us = [0] + [_interval_us(s[1]) for s in steps[1:]]
+    preds = [
+        (F.col("event_type") == s[0]) if isinstance(s[0], str) else s[0].cast("boolean")
+        for s in steps
+    ]
+    flag_cols = {
+        f"__p{i}": F.coalesce(p, F.lit(False)).alias(f"__p{i}")
+        for i, p in enumerate(preds, 1)
+    }
+    pay_cols = {
+        f"__v{j}": c.cast("long").alias(f"__v{j}")
+        for j, (nm, c) in enumerate(pay.items())
+    }
+    any_step = preds[0]
+    for p in preds[1:]:
+        any_step = any_step | p
+    filtered = (
+        events.filter(any_step)
+        .withColumns({**flag_cols, **pay_cols})
+        .select(
+            F.col(event_id).alias("event_id"),
+            F.col(ts).alias("ts"),
+            F.col(key).alias("user_id"),
+            *flag_cols.keys(),
+            *pay_cols.keys(),
+        )
+        .withWatermark("ts", watermark_delay)
+    )
+    out = filtered.groupBy("user_id").applyInPandasWithState(
+        make_iterative_matcher(n, withins_us, len(pay), dict(conds_py or {})),
+        iterative_output_schema(n, [f"v{j}_" for j in range(len(pay))]),
+        ITER_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    # rename the positional payload columns back to the caller's names
+    for j, nm in enumerate(pay):
+        for k in range(1, n + 1):
+            out = out.withColumnRenamed(f"v{j}_{k}", f"{nm}{k}")
+    return out

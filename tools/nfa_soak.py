@@ -1386,6 +1386,47 @@ def soak_stream_any(n_cases):
     return fails
 
 
+def soak_iter(n_cases):
+    """IterativeCondition soak (round 7): make_iterative_matcher driven
+    over random micro-batch splits + mid-stream timers + the final drive,
+    vs the greedy brute (tests/test_pattern_iterative.py brute_iter) with
+    the final-watermark end restriction. Timestamps are ms-aligned so the
+    ms-granularity watermark gate is actually exercised."""
+    from test_pattern_iterative import brute_iter, run_iter_stream
+
+    t0, fails = time.time(), 0
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 48611 + 7)
+        n = rnd.randint(2, 4)
+        withins = [0] + [rnd.randint(2, 40) * 1000 for _ in range(n - 1)]
+        events = [
+            (i, rnd.randint(0, 50) * 1000,
+             rnd.getrandbits(n) if rnd.random() < 0.9 else 0,
+             rnd.randint(0, 30))
+            for i in range(rnd.randint(0, 16))
+        ]
+        conds = {}
+        for k in range(2, n + 1):
+            if rnd.random() < 0.6:
+                conds[k] = (rnd.choice(["ge2x", "gt", "le"]), rnd.randint(1, k - 1))
+        cuts = sorted({rnd.randint(1, 50) * 1000 for _ in range(rnd.randint(0, 4))})
+        final_wm = (
+            (max(ts for _, ts, _, _ in events) // 1000) * 1000 if events else None
+        )
+        got = run_iter_stream(events, withins, conds, n, cuts)
+        want = brute_iter(events, withins, conds, final_wm_us=final_wm)
+        if got != want:
+            fails += 1
+            print(f"MISMATCH seed={seed} n={n} withins={withins} "
+                  f"conds={conds} events={events} cuts={cuts}")
+            if fails > 5:
+                break
+        if (seed + 1) % 2000 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} iter cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     defaults = {
@@ -1397,6 +1438,7 @@ def main() -> int:
         "skip-batch": 1000,
         "any": 1000,
         "stream-any": 5000,
+        "iter": 4000,
         "consec": 1000,
         "stream-consec": 3000,
         "reluctant": 1000,
@@ -1408,6 +1450,8 @@ def main() -> int:
         return 1 if soak_any(n) else 0
     if mode == "stream-any":
         return 1 if soak_stream_any(n) else 0
+    if mode == "iter":
+        return 1 if soak_iter(n) else 0
     if mode == "batch":
         return 1 if soak_batch(n) else 0
     if mode == "consec":
