@@ -2083,12 +2083,114 @@ SELECT user_id, i1, i2, i3, t1, t2, t3, cents1, cents2, cents3 FROM s3
 """
 
 
+def match_recognize_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE — Flink SQL's row-pattern-recognition surface
+    (ISO 9075-2:2016) compiled onto the Pattern engine
+    (operators/match_recognize.py): ``PARTITION BY user_id ORDER BY ts
+    PATTERN (S E{1,3} P) DEFINE S/E/P AFTER MATCH SKIP PAST LAST ROW``
+    with the repetition gap 12 h and the recovery window 24 h — Flink
+    ships the same CEP NFA under both the Pattern API
+    (OrderPayTimeout.java:52-64) and SQL MATCH_RECOGNIZE; this is the
+    declarative spelling, and the first catalog witness of a QUANTIFIED
+    pattern under the SKIP PAST LAST fold (the r6 skip machinery ran on
+    plain chains). One row per non-overlapping match:
+    ``S_ts, E_ts/E_last_ts/E_n`` (the error run), ``P_ts``, ``end_id``."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S E{1,3} P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_past_last",
+    )
+
+
+MATCH_RECOGNIZE_ERROR_RUN_ORACLE = """
+WITH RECURSIVE
+err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts,
+         COALESCE(lead(ts, 2) OVER ws, max(ts) OVER wf) AS run_last,
+         LEAST(3, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*, r.ts AS t2, r.run_last AS t2_last, r.n_reps AS n2
+  FROM a JOIN LATERAL (
+    SELECT ts, run_last, n_reps, event_id FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1
+    ORDER BY r.ts, r.event_id LIMIT 1) r ON TRUE
+),
+a3 AS (
+  SELECT a2.*, (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+),
+cand0 AS (
+  SELECT user_id, anchor_id, t1, t2, t2_last, n2, t3,
+         (SELECT min(p.event_id) FROM events p WHERE p.event_type = 'purchase'
+            AND p.user_id = a3.user_id AND p.ts = a3.t3) AS end_id
+  FROM a3
+  WHERE t3 IS NOT NULL AND t2 <= t1 + INTERVAL 12 HOUR
+    AND t3 <= t2_last + INTERVAL 24 HOUR
+),
+cand AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY t3, end_id, t1, anchor_id) AS r
+  FROM cand0
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.anchor_id, c.t1 AS S_ts, c.t2 AS E_ts,
+       c.t2_last AS E_last_ts, CAST(c.n2 AS BIGINT) AS E_n,
+       c.t3 AS P_ts, c.end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
     "pattern_view_click_purchase": pattern_view_click_purchase,
     "pattern_within_view_click_purchase": pattern_within_view_click_purchase,
     "pattern_iterative_price_escalation": pattern_iterative_price_escalation,
+    "match_recognize_error_run": match_recognize_error_run,
     "pattern_error_burst_recovery": pattern_error_burst_recovery,
     "pattern_signup_journey": pattern_signup_journey,
     "pattern_purchase_no_error": pattern_purchase_no_error,
@@ -2129,6 +2231,7 @@ ORACLES = {
     "pattern_view_click_purchase": PATTERN_VCP_ORACLE,
     "pattern_within_view_click_purchase": PATTERN_WITHIN_VCP_ORACLE,
     "pattern_iterative_price_escalation": PATTERN_ITERATIVE_ORACLE,
+    "match_recognize_error_run": MATCH_RECOGNIZE_ERROR_RUN_ORACLE,
     "pattern_error_burst_recovery": PATTERN_ERROR_BURST_ORACLE,
     "pattern_signup_journey": PATTERN_SIGNUP_JOURNEY_ORACLE,
     "pattern_purchase_no_error": PATTERN_PURCHASE_NO_ERROR_ORACLE,

@@ -1144,6 +1144,80 @@ WHERE epoch_us(t3) < (SELECT (epoch_us(max(ts)) // 1000) * 1000
 """
 
 
+def stream_match_recognize_onboarding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE as a continuous query — Flink SQL's row-pattern
+    clause over a stream, the declarative spelling of the Pattern-API NFA
+    (operators/match_recognize.py:stream_match_recognize →
+    stream_pattern_detect): ``PATTERN (S C P) AFTER MATCH SKIP PAST LAST
+    ROW`` — non-overlapping signup → click (6 h) → purchase (24 h)
+    onboarding episodes per user, the streaming skip fold's per-key
+    (end_ts, end_id) horizon in state. Only matched rows emit, so the
+    oracle is the batch greedy-fold query itself."""
+    from flink_uba_spark.operators.match_recognize import stream_match_recognize
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S C P",
+            define={"S": "signup", "C": "click", "P": "purchase"},
+            withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+            after_match="skip_past_last",
+        )
+    ).select("user_id", "anchor_id", "S_ts", "C_ts", "P_ts")
+
+
+STREAM_MATCH_RECOGNIZE_ONBOARDING_ORACLE = """
+WITH RECURSIVE
+s0 AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+c0 AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p0 AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+s2 AS (
+  SELECT s0.user_id, s0.event_id AS anchor_id, s0.ts AS t1,
+         (SELECT min(c0.ts) FROM c0
+           WHERE c0.user_id = s0.user_id AND c0.ts >= s0.ts) AS t2
+  FROM s0
+),
+s3 AS (
+  SELECT s2.*,
+         (SELECT min(p0.ts) FROM p0
+           WHERE p0.user_id = s2.user_id AND p0.ts >= s2.t2) AS t3
+  FROM s2
+),
+cand AS (
+  SELECT user_id, anchor_id, t1, t2, t3,
+         (SELECT min(p0.event_id) FROM p0
+           WHERE p0.user_id = s3.user_id AND p0.ts = s3.t3) AS end_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY t3, (SELECT min(p0.event_id) FROM p0
+                          WHERE p0.user_id = s3.user_id AND p0.ts = s3.t3),
+                    t1, anchor_id) AS r
+  FROM s3
+  WHERE t3 IS NOT NULL
+    AND t2 <= t1 + INTERVAL 6 HOUR AND t3 <= t2 + INTERVAL 24 HOUR
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.anchor_id, c.t1 AS S_ts, c.t2 AS C_ts, c.t3 AS P_ts
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
 def stream_embedding_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector ingestion with index-time topic assignment: embeddings STREAM
     in and every vector is assigned its nearest centroid against the
@@ -2109,6 +2183,7 @@ QUERIES = {
     "stream_pattern_view_click_purchase": stream_pattern_view_click_purchase,
     "stream_pattern_within_view_click_purchase": stream_pattern_within_view_click_purchase,
     "stream_pattern_iterative_price_escalation": stream_pattern_iterative_price_escalation,
+    "stream_match_recognize_onboarding": stream_match_recognize_onboarding,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
@@ -2162,6 +2237,7 @@ ORACLES = {
     "stream_pattern_view_click_purchase": _stream_pattern_vcp_oracle(),
     "stream_pattern_within_view_click_purchase": _stream_pattern_within_vcp_oracle(),
     "stream_pattern_iterative_price_escalation": _stream_pattern_iterative_oracle(),
+    "stream_match_recognize_onboarding": STREAM_MATCH_RECOGNIZE_ONBOARDING_ORACLE,
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),
