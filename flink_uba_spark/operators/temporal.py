@@ -151,3 +151,35 @@ def range_join(
         .filter((F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) <= F.col(end_col)))
         .drop("__bucket")
     )
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    size: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Flink's window join TVF (1.14+): ``SELECT ... FROM TABLE(TUMBLE(L))
+    JOIN TABLE(TUMBLE(R)) ON L.window_start = R.window_start AND ...`` —
+    both inputs assigned the SAME epoch-aligned tumbling window, inner
+    join on (window, keys). The window assignment is a pure projection
+    (no pre-aggregation state); the join shuffles both sides once on
+    (keys, window) — because the window is part of the join key, per-task
+    state in the streaming form is bounded by one window's rows and
+    expires with the watermark, which is exactly Flink's window-join
+    state story.
+
+    Both inputs must have disjoint non-key column names (pre-alias at the
+    call site). Returns the joined rows with ``window_start``/
+    ``window_end`` columns.
+    """
+    lw = left.withColumn("__w", F.window(left_ts, size))
+    rw = right.withColumn("__w", F.window(right_ts, size))
+    return (
+        lw.join(rw, keys + ["__w"], "inner")
+        .withColumn("window_start", F.col("__w.start"))
+        .withColumn("window_end", F.col("__w.end"))
+        .drop("__w")
+    )

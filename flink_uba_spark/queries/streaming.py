@@ -1218,6 +1218,71 @@ WHERE s.kept
 """
 
 
+def stream_window_join_views_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The window join TVF (Flink 1.14 ``TUMBLE ⋈ TUMBLE``) in its native
+    streaming form: stream-stream inner join with watermarks on both
+    sides and EQUALITY on the derived tumbling window — the window in the
+    join key is the state-retention bound (each side keeps one window of
+    rows per key; Flink's window join stores exactly the same). Oracle:
+    the batch bucket-join result — every pair completes at some
+    micro-batch, emission is data-driven."""
+    # the watermark rides a scratch copy of ts that is dropped after the
+    # window derivation — Spark allows ONE event-time column per join
+    # side, and the window struct inherits it
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("ts").alias("__vt"),
+        )
+        .withWatermark("__vt", "10 seconds")
+        .withColumn("__wv", F.window("__vt", "1 hour"))
+        .drop("__vt")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("ts").alias("__pt"),
+        )
+        .withWatermark("__pt", "10 seconds")
+        .withColumn("__wp", F.window("__pt", "1 hour"))
+        .drop("__pt")
+    )
+    joined = (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("__wv") == F.col("__wp")),
+            "inner",
+        )
+        .select(
+            "user_id",
+            F.col("__wv.start").alias("window_start"),
+            F.col("__wv.end").alias("window_end"),
+            "view_id",
+            "view_ts",
+            "purchase_id",
+            "purchase_ts",
+        )
+    )
+    return run_to_table(joined)
+
+
+def _stream_window_join_oracle() -> str:
+    from flink_uba_spark.queries.temporal import WINDOW_JOIN_ORACLE
+
+    return WINDOW_JOIN_ORACLE
+
+
 def stream_embedding_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector ingestion with index-time topic assignment: embeddings STREAM
     in and every vector is assigned its nearest centroid against the
@@ -2184,6 +2249,7 @@ QUERIES = {
     "stream_pattern_within_view_click_purchase": stream_pattern_within_view_click_purchase,
     "stream_pattern_iterative_price_escalation": stream_pattern_iterative_price_escalation,
     "stream_match_recognize_onboarding": stream_match_recognize_onboarding,
+    "stream_window_join_views_purchases": stream_window_join_views_purchases,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
@@ -2238,6 +2304,7 @@ ORACLES = {
     "stream_pattern_within_view_click_purchase": _stream_pattern_within_vcp_oracle(),
     "stream_pattern_iterative_price_escalation": _stream_pattern_iterative_oracle(),
     "stream_match_recognize_onboarding": STREAM_MATCH_RECOGNIZE_ONBOARDING_ORACLE,
+    "stream_window_join_views_purchases": _stream_window_join_oracle(),
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),

@@ -119,12 +119,70 @@ FROM r JOIN p ON r.user_id = p.user_id
 """
 
 
+def window_join_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window join TVF (Flink 1.14 ``TUMBLE ⋈ TUMBLE``): views and
+    purchases of the same user landing in the same epoch-aligned 1-hour
+    tumbling window — the co-occurrence shape an interval join can't
+    express (the bound is the shared bucket, not a relative band).
+    Plan: operators/temporal.py window_join — two projections + ONE
+    shuffle each on (user_id, window); the window in the join key is what
+    bounds streaming state to a single window per key."""
+    from flink_uba_spark.operators.temporal import window_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return window_join(
+        views,
+        purchases,
+        keys=["user_id"],
+        size="1 hour",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+    ).select(
+        "user_id",
+        "window_start",
+        "window_end",
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+
+
+WINDOW_JOIN_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts,
+         epoch_us(ts) // 3600000000 AS w
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+         epoch_us(ts) // 3600000000 AS w
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id,
+       make_timestamp(v.w * 3600000000) AS window_start,
+       make_timestamp((v.w + 1) * 3600000000) AS window_end,
+       v.view_id, v.view_ts, p.purchase_id, p.purchase_ts
+FROM v JOIN p ON v.user_id = p.user_id AND v.w = p.w
+"""
+
+
 QUERIES = {
     "asof_last_click": asof_last_click,
     "purchases_in_signup_windows": purchases_in_signup_windows,
+    "window_join_views_purchases": window_join_views_purchases,
 }
 
 ORACLES = {
     "asof_last_click": ASOF_LAST_CLICK_ORACLE,
     "purchases_in_signup_windows": PURCHASES_IN_SIGNUP_WINDOWS_ORACLE,
+    "window_join_views_purchases": WINDOW_JOIN_ORACLE,
 }

@@ -1,0 +1,58 @@
+"""Window join TVF (operators/temporal.py:window_join) — Flink 1.14's
+TUMBLE ⋈ TUMBLE. Semantics pins here; values are 3-SF oracle-gated via
+window_join_views_purchases / stream_window_join_views_purchases."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+EPOCH = datetime.datetime(2020, 1, 1)  # unix-µs offset divisible by 1 h
+
+
+def _df(spark, rows, id_name, ts_name):
+    return spark.createDataFrame(
+        [
+            (u, i, EPOCH + datetime.timedelta(minutes=m))
+            for u, i, m in rows
+        ],
+        f"user_id long, {id_name} long, {ts_name} timestamp",
+    )
+
+
+def test_same_window_pairs_only(spark):
+    """Rows pair iff they land in the SAME epoch-aligned tumbling bucket:
+    59' vs 61' split even though they are 2' apart — the co-occurrence
+    semantics, not an interval band."""
+    from flink_uba_spark.operators.temporal import window_join
+
+    left = _df(spark, [(1, 10, 59), (1, 11, 61)], "l_id", "l_ts")
+    right = _df(spark, [(1, 20, 1), (1, 21, 61), (2, 22, 59)], "r_id", "r_ts")
+    got = (
+        window_join(left, right, keys=["user_id"], size="1 hour",
+                    left_ts="l_ts", right_ts="r_ts")
+        .select("user_id", "l_id", "r_id", "window_start")
+        .collect()
+    )
+    pairs = sorted((r.user_id, r.l_id, r.r_id) for r in got)
+    # 10@59' pairs with 20@1' (same hour 0); 11@61' pairs with 21@61'
+    # (hour 1); user 2's row never crosses keys
+    assert pairs == [(1, 10, 20), (1, 11, 21)]
+    for r in got:
+        start = r.window_start
+        assert start.minute == 0 and start.second == 0  # epoch-aligned
+
+
+def test_window_bounds_cover_both_rows(spark):
+    from flink_uba_spark.operators.temporal import window_join
+
+    left = _df(spark, [(1, 10, 5)], "l_id", "l_ts")
+    right = _df(spark, [(1, 20, 55)], "r_id", "r_ts")
+    row = window_join(
+        left, right, keys=["user_id"], size="1 hour",
+        left_ts="l_ts", right_ts="r_ts",
+    ).collect()[0]
+    assert row.window_start <= row.l_ts < row.window_end
+    assert row.window_start <= row.r_ts < row.window_end
+    assert (row.window_end - row.window_start) == datetime.timedelta(hours=1)
