@@ -183,3 +183,41 @@ def window_join(
         .withColumn("window_end", F.col("__w.end"))
         .drop("__w")
     )
+
+
+def temporal_table_join(
+    fact: DataFrame,
+    dim_versions: DataFrame,
+    on: list[str] | str,
+    fact_ts: str = "ts",
+    version_ts: str = "ts",
+    payload: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """``FOR SYSTEM_TIME AS OF`` — Flink SQL's event-time temporal
+    (versioned-table) join: each fact row sees the dimension VERSION that
+    was valid at its own event time (the latest version at-or-before
+    ``fact_ts``); facts before the first version keep nulls.
+
+    Lowering: the validity-interval formulation (version k valid on
+    [ts_k, ts_{k+1})) would need a range join whose last interval is
+    unbounded; the equivalent — and cheaper — plan is the as-of compile
+    (``asof_join``): ONE union + key exchange + a last-non-null running
+    window, linear per key, no interval table and no join band at all.
+    That equivalence (latest-at-or-before ⟺ valid-at) is exactly why
+    Flink implements the temporal join operator as sorted state lookup
+    rather than interval containment; at 100 TB the single-pass window
+    form is the one that survives.
+
+    ``tiebreak``: highest wins among same-timestamp versions (the
+    last-writer-wins rule a versioned table needs).
+    """
+    return asof_join(
+        fact,
+        dim_versions,
+        on=on,
+        left_ts=fact_ts,
+        right_ts=version_ts,
+        payload=payload,
+        tiebreak=tiebreak,
+    )

@@ -175,14 +175,83 @@ FROM v JOIN p ON v.user_id = p.user_id AND v.w = p.w
 """
 
 
+def temporal_join_price_at_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time temporal table join — Flink SQL's ``FOR SYSTEM_TIME AS
+    OF`` over a versioned table: each purchase is a PRICE VERSION for its
+    user (amount in exact integer cents, last-writer-wins on ts ties by
+    event_id), and every view reads the version valid at ITS OWN event
+    time; views before the user's first purchase keep nulls — the
+    versioned-dim contract, not an inner lookup. Lowered to the as-of
+    single-pass window plan (operators/temporal.py:temporal_table_join —
+    the validity-interval range join is the plan that does NOT survive
+    100 TB; the latest-at-or-before window form is)."""
+    from flink_uba_spark.operators.temporal import temporal_table_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    versions = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("version_ts"),
+        F.col("event_id").alias("version_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("price_cents"),
+    )
+    j = temporal_table_join(
+        views,
+        versions,
+        on="user_id",
+        fact_ts="ts",
+        version_ts="version_ts",
+        payload=["version_id", "price_cents"],
+        tiebreak="version_id",
+    )
+    return j.select(
+        "user_id",
+        "view_id",
+        F.col("ts").alias("view_ts"),
+        F.col("version_id"),
+        F.col("version_ts"),
+        F.col("price_cents"),
+    )
+
+
+TEMPORAL_JOIN_PRICE_ORACLE = """
+WITH t AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_v,
+           CASE WHEN event_type = 'purchase'
+                THEN CAST(floor(value * 100) AS BIGINT) END AS cents
+    FROM events WHERE event_type IN ('view', 'purchase')
+), w AS (
+    SELECT user_id, ts, event_id, is_v,
+           last_value(CASE WHEN is_v = 1 THEN event_id END IGNORE NULLS)
+             OVER win AS version_id,
+           last_value(CASE WHEN is_v = 1 THEN ts END IGNORE NULLS)
+             OVER win AS version_ts,
+           last_value(CASE WHEN is_v = 1 THEN cents END IGNORE NULLS)
+             OVER win AS price_cents
+    FROM t
+    WINDOW win AS (PARTITION BY user_id
+                   ORDER BY ts ASC, is_v DESC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS view_id, ts AS view_ts,
+       version_id, version_ts, price_cents
+FROM w WHERE is_v = 0
+"""
+
+
 QUERIES = {
     "asof_last_click": asof_last_click,
     "purchases_in_signup_windows": purchases_in_signup_windows,
     "window_join_views_purchases": window_join_views_purchases,
+    "temporal_join_price_at_view": temporal_join_price_at_view,
 }
 
 ORACLES = {
     "asof_last_click": ASOF_LAST_CLICK_ORACLE,
     "purchases_in_signup_windows": PURCHASES_IN_SIGNUP_WINDOWS_ORACLE,
     "window_join_views_purchases": WINDOW_JOIN_ORACLE,
+    "temporal_join_price_at_view": TEMPORAL_JOIN_PRICE_ORACLE,
 }

@@ -56,3 +56,31 @@ def test_window_bounds_cover_both_rows(spark):
     assert row.window_start <= row.l_ts < row.window_end
     assert row.window_start <= row.r_ts < row.window_end
     assert (row.window_end - row.window_start) == datetime.timedelta(hours=1)
+
+
+def test_temporal_table_join_versioned_semantics(spark):
+    """FOR SYSTEM_TIME AS OF: a fact before the first version keeps
+    nulls; each fact reads the latest version at-or-before its ts;
+    same-ts versions resolve last-writer-wins (tiebreak)."""
+    from flink_uba_spark.operators.temporal import temporal_table_join
+
+    facts = _df(spark, [(1, 100, 0), (1, 101, 30), (1, 102, 90)], "fact_id", "f_ts")
+    versions = spark.createDataFrame(
+        [
+            (1, 10, EPOCH + datetime.timedelta(minutes=20), 500),
+            (1, 11, EPOCH + datetime.timedelta(minutes=60), 700),
+            (1, 12, EPOCH + datetime.timedelta(minutes=60), 900),  # ties: 12 wins
+        ],
+        "user_id long, version_id long, v_ts timestamp, price long",
+    )
+    got = (
+        temporal_table_join(
+            facts, versions, on="user_id", fact_ts="f_ts", version_ts="v_ts",
+            payload=["version_id", "price"], tiebreak="version_id",
+        )
+        .toPandas()
+        .set_index("fact_id")
+    )
+    assert got.isna().loc[100, "price"]          # before first version
+    assert got.loc[101, "price"] == 500          # version at 20'
+    assert got.loc[102, "price"] == 900          # last writer at 60' wins
