@@ -278,3 +278,56 @@ def classifier_quality_scores(
         .agg(F.sum("weight").cast("long").alias("score"))
         .select("doc_id", "score", (F.col("score") >= 0).alias("keep"))
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    wc_bounds: tuple[int, int] = (20, 80),
+    mwl_pm_bounds: tuple[int, int] = (4200, 4900),
+    min_uniq_pm: int = 400,
+) -> DataFrame:
+    """Gopher-style document quality RULE GATE (Rae et al. 2021 §A1.1 /
+    the RefinedWeb-family rule filters): named per-rule boolean flags +
+    the composite keep decision, the shape a production curation
+    pipeline audits rule-by-rule (vs ``quality_score``'s scalar
+    features). Rules carried: word-count bounds, mean-word-length bounds
+    (Gopher's [3, 10] chars, spelled in permille), minimum unique-word
+    fraction (the repetition gate). Thresholds default to splits tuned
+    to the synthetic corpus so every flag is non-vacuous at every SF —
+    Gopher's web-scale constants would pass or fail the whole synthetic
+    vocabulary wholesale; the RULE SHAPES are the operator, the
+    thresholds are parameters.
+
+    All arithmetic is exact integer permille (``div``), so the gate is
+    bit-identical across engines — pure codegen'd projections, no
+    shuffle; at 100 TB this fuses into the scan like pii_scrub.
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    df = df.withColumns(
+        {
+            "n_words": n_words,
+            "__letters": (n_chars - (n_words - 1)).cast("long"),
+            "__uniq": F.size(F.array_distinct(toks)).cast("long"),
+        }
+    )
+    df = df.withColumns(
+        {
+            "mwl_pm": F.expr("__letters * 1000 div n_words"),
+            "uniq_pm": F.expr("__uniq * 1000 div n_words"),
+        }
+    )
+    lo, hi = wc_bounds
+    mlo, mhi = mwl_pm_bounds
+    df = df.withColumns(
+        {
+            "wc_ok": (F.col("n_words") >= lo) & (F.col("n_words") <= hi),
+            "mwl_ok": (F.col("mwl_pm") >= mlo) & (F.col("mwl_pm") <= mhi),
+            "uniq_ok": F.col("uniq_pm") >= min_uniq_pm,
+        }
+    )
+    return df.withColumn(
+        "keep", F.col("wc_ok") & F.col("mwl_ok") & F.col("uniq_ok")
+    ).drop("__letters", "__uniq")

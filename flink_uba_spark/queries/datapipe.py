@@ -68,6 +68,38 @@ FROM t
 """
 
 
+def gopher_rule_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style named-rule quality gate (Rae et al. 2021 §A1.1;
+    the RefinedWeb rule-filter family): per-document boolean flags for
+    word-count bounds, mean-word-length bounds, and minimum unique-word
+    fraction, plus the composite keep — the rule-by-rule AUDIT shape a
+    curation pipeline reports, vs text_quality_score's scalar features.
+    Pure integer-permille projections (operators/text.py:gopher_rules),
+    scan-fused, no shuffle."""
+    return TX.gopher_rules(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "mwl_pm", "uniq_pm",
+        "wc_ok", "mwl_ok", "uniq_ok", "keep",
+    )
+
+
+GOPHER_RULE_GATE_ORACLE = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         CAST((length(text) - (len(w) - 1)) * 1000 // len(w) AS BIGINT) AS mwl_pm,
+         CAST(len(list_distinct(w)) * 1000 // len(w) AS BIGINT) AS uniq_pm
+  FROM t
+)
+SELECT doc_id, n_words, mwl_pm, uniq_pm,
+       n_words BETWEEN 20 AND 80 AS wc_ok,
+       mwl_pm BETWEEN 4200 AND 4900 AS mwl_ok,
+       uniq_pm >= 400 AS uniq_ok,
+       (n_words BETWEEN 20 AND 80) AND (mwl_pm BETWEEN 4200 AND 4900)
+         AND uniq_pm >= 400 AS keep
+FROM m
+"""
+
+
 def quality_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum binning (round 7): rank the corpus by an INTEGER
     quality score (stopword permille minus punctuation permille — the
@@ -2433,6 +2465,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
+    "gopher_rule_gate": gopher_rule_gate,
     "quality_decile_curriculum": quality_decile_curriculum,
     "text_lang_id": text_lang_id,
     "lang_id_confusion": lang_id_confusion,
@@ -2496,6 +2529,7 @@ ORACLES = {
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
     "text_quality_score": TEXT_QUALITY_ORACLE,
+    "gopher_rule_gate": GOPHER_RULE_GATE_ORACLE,
     "quality_decile_curriculum": QUALITY_DECILE_ORACLE,
     "text_lang_id": TEXT_LANG_ID_ORACLE,
     "lang_id_confusion": LANG_ID_CONFUSION_ORACLE,
