@@ -1283,6 +1283,92 @@ def _stream_window_join_oracle() -> str:
     return WINDOW_JOIN_ORACLE
 
 
+def stream_interval_join_left_outer_clicks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER interval join as a continuous query (Flink SQL's outer
+    interval join; the DataStream intervalJoin of the reference family,
+    TxPayMatchByJoin.java:60-77, is inner-only): stream-stream left join
+    with watermarks on both sides — matched pairs emit data-driven, and a
+    purchase with NO click in [pay_ts − 30 min, pay_ts] emits null-padded
+    once the GLOBAL watermark (min across sides − delay) passes it, when
+    no matching click can still arrive: Flink's outer-join state story
+    exactly. On a bounded replay the frontier tail is still pending, so
+    BOTH the query and the oracle restrict to pay_ts strictly below the
+    final global watermark (least side max, ms-floored, − 10 s) — a
+    replay artifact made explicit, not a semantics change; the cut rides
+    a broadcast 1-row aggregate, no driver collect."""
+    pays = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("pay_id"),
+            F.col("ts").alias("pay_ts"),
+        )
+        .withWatermark("pay_ts", "10 seconds")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 seconds")
+    )
+    j = pays.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("pay_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("pay_ts")),
+        "leftOuter",
+    ).select("user_id", "pay_id", "pay_ts", "click_id", "click_ts")
+    res = run_to_table(j)
+    from flink_uba_spark.sources.readers import load_testdata
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    cut = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg(
+            (
+                F.min(F.expr("unix_micros(mx) div 1000") * 1000) - 10_000_000
+            ).alias("cut_us")
+        )
+    )
+    return (
+        res.crossJoin(F.broadcast(cut))
+        .filter(F.unix_micros(F.col("pay_ts")) < F.col("cut_us"))
+        .drop("cut_us")
+    )
+
+
+def _stream_interval_join_left_outer_oracle() -> str:
+    return """
+WITH p AS (SELECT user_id, event_id AS pay_id, ts AS pay_ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM events
+      WHERE event_type = 'click'),
+cut AS (
+  SELECT least(
+    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+      WHERE event_type = 'purchase'),
+    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+      WHERE event_type = 'click')
+  ) - 10000000 AS cut_us
+)
+SELECT p.user_id, p.pay_id, p.pay_ts, c.click_id, c.click_ts
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.click_ts >= p.pay_ts - INTERVAL 30 MINUTE
+ AND c.click_ts <= p.pay_ts, cut
+WHERE epoch_us(p.pay_ts) < cut.cut_us
+"""
+
+
 def stream_embedding_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector ingestion with index-time topic assignment: embeddings STREAM
     in and every vector is assigned its nearest centroid against the
@@ -2250,6 +2336,7 @@ QUERIES = {
     "stream_pattern_iterative_price_escalation": stream_pattern_iterative_price_escalation,
     "stream_match_recognize_onboarding": stream_match_recognize_onboarding,
     "stream_window_join_views_purchases": stream_window_join_views_purchases,
+    "stream_interval_join_left_outer_clicks": stream_interval_join_left_outer_clicks,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
@@ -2305,6 +2392,7 @@ ORACLES = {
     "stream_pattern_iterative_price_escalation": _stream_pattern_iterative_oracle(),
     "stream_match_recognize_onboarding": STREAM_MATCH_RECOGNIZE_ONBOARDING_ORACLE,
     "stream_window_join_views_purchases": _stream_window_join_oracle(),
+    "stream_interval_join_left_outer_clicks": _stream_interval_join_left_outer_oracle(),
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),

@@ -242,11 +242,56 @@ FROM w WHERE is_v = 0
 """
 
 
+def interval_join_left_outer_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join — Flink SQL's outer interval join (the
+    DataStream ``intervalJoin`` the reference family uses,
+    TxPayMatchByJoin.java:60-64, is inner-only; SQL adds the outer
+    forms): every purchase keeps ALL clicks of its user inside
+    [pay_ts − 30 min, pay_ts], and purchases with none survive
+    null-padded — attribution with explicit no-touch rows, vs
+    ``asof_last_click``'s latest-touch-only contract. Plan: one hash
+    exchange on the key, range residual post-filter, null padding free
+    (operators/interval_join.py, how='left')."""
+    from flink_uba_spark.operators.interval_join import interval_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pay_id"), F.col("ts").alias("pay_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return interval_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="pay_ts",
+        right_ts="click_ts",
+        lower="INTERVAL 30 MINUTES",
+        upper="INTERVAL 0 SECONDS",
+        how="left",
+    ).select("user_id", "pay_id", "pay_ts", "click_id", "click_ts")
+
+
+INTERVAL_JOIN_LEFT_OUTER_ORACLE = """
+WITH p AS (SELECT user_id, event_id AS pay_id, ts AS pay_ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM events
+      WHERE event_type = 'click')
+SELECT p.user_id, p.pay_id, p.pay_ts, c.click_id, c.click_ts
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.click_ts >= p.pay_ts - INTERVAL 30 MINUTE
+ AND c.click_ts <= p.pay_ts
+"""
+
+
 QUERIES = {
     "asof_last_click": asof_last_click,
     "purchases_in_signup_windows": purchases_in_signup_windows,
     "window_join_views_purchases": window_join_views_purchases,
     "temporal_join_price_at_view": temporal_join_price_at_view,
+    "interval_join_left_outer_clicks": interval_join_left_outer_clicks,
 }
 
 ORACLES = {
@@ -254,4 +299,5 @@ ORACLES = {
     "purchases_in_signup_windows": PURCHASES_IN_SIGNUP_WINDOWS_ORACLE,
     "window_join_views_purchases": WINDOW_JOIN_ORACLE,
     "temporal_join_price_at_view": TEMPORAL_JOIN_PRICE_ORACLE,
+    "interval_join_left_outer_clicks": INTERVAL_JOIN_LEFT_OUTER_ORACLE,
 }

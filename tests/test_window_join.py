@@ -84,3 +84,24 @@ def test_temporal_table_join_versioned_semantics(spark):
     assert got.isna().loc[100, "price"]          # before first version
     assert got.loc[101, "price"] == 500          # version at 20'
     assert got.loc[102, "price"] == 900          # last writer at 60' wins
+
+
+def test_interval_join_left_outer_null_padding(spark):
+    """Outer interval join: in-band rights attach (inclusive bounds both
+    ends), no-match lefts survive null-padded."""
+    from flink_uba_spark.operators.interval_join import interval_join
+
+    left = _df(spark, [(1, 10, 60), (1, 11, 200), (2, 12, 60)], "pay_id", "pay_ts")
+    right = _df(spark, [(1, 20, 30), (1, 21, 60), (1, 22, 61)], "click_id", "click_ts")
+    got = interval_join(
+        left, right, on="user_id", left_ts="pay_ts", right_ts="click_ts",
+        lower="INTERVAL 30 MINUTES", upper="INTERVAL 0 SECONDS", how="left",
+    ).toPandas()
+    pairs = sorted(
+        (int(r.pay_id), -1 if r.isna()["click_id"] else int(r.click_id))
+        for _, r in got.iterrows()
+    )
+    # pay@60: clicks at 30 (= lower bound, inclusive) and 60 (= upper,
+    # inclusive); click@61 is after. pay@200: none in band → null row.
+    # user 2 has no clicks at all → null row.
+    assert pairs == [(10, 20), (10, 21), (11, -1), (12, -1)]
