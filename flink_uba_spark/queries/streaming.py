@@ -1369,6 +1369,49 @@ WHERE epoch_us(p.pay_ts) < cut.cut_us
 """
 
 
+def stream_window_dedup_first_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window Deduplication TVF as a continuous query (Flink SQL's
+    windowed ROW_NUMBER()=1): the first click per user per epoch-aligned
+    hour. The watermark rides the DERIVED ``window_end`` (the cumulate
+    twin's construction): window_end > ts by construction and replay is
+    file-ordered, so a window finalizes once a later-window click lands;
+    on bounded availableNow replay the final watermark reaches
+    max(window_end) and append-mode eviction is inclusive, so EVERY
+    window finalizes — the oracle is the batch query itself. State: one
+    min-struct per open (user, window) group."""
+    bucket_us = 3_600_000_000
+    ev = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    start_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts")) % bucket_us
+    windowed = (
+        ev.select(
+            "user_id",
+            F.timestamp_micros(start_us).alias("window_start"),
+            F.timestamp_micros(start_us + bucket_us).alias("window_end"),
+            "ts",
+            "event_id",
+        )
+        .withWatermark("window_end", "0 seconds")
+    )
+    agg = (
+        windowed.groupBy("user_id", "window_start", "window_end")
+        .agg(F.min(F.struct("ts", "event_id")).alias("f"))
+        .select(
+            "user_id",
+            "window_start",
+            "window_end",
+            F.col("f.ts").alias("first_ts"),
+            F.col("f.event_id").alias("first_click_id"),
+        )
+    )
+    return run_to_table(agg)
+
+
+def _stream_window_dedup_oracle() -> str:
+    from flink_uba_spark.queries.temporal import WINDOW_DEDUP_ORACLE
+
+    return WINDOW_DEDUP_ORACLE
+
+
 def stream_embedding_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector ingestion with index-time topic assignment: embeddings STREAM
     in and every vector is assigned its nearest centroid against the
@@ -2337,6 +2380,7 @@ QUERIES = {
     "stream_match_recognize_onboarding": stream_match_recognize_onboarding,
     "stream_window_join_views_purchases": stream_window_join_views_purchases,
     "stream_interval_join_left_outer_clicks": stream_interval_join_left_outer_clicks,
+    "stream_window_dedup_first_click": stream_window_dedup_first_click,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
@@ -2393,6 +2437,7 @@ ORACLES = {
     "stream_match_recognize_onboarding": STREAM_MATCH_RECOGNIZE_ONBOARDING_ORACLE,
     "stream_window_join_views_purchases": _stream_window_join_oracle(),
     "stream_interval_join_left_outer_clicks": _stream_interval_join_left_outer_oracle(),
+    "stream_window_dedup_first_click": _stream_window_dedup_oracle(),
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),

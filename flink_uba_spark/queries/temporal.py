@@ -286,12 +286,57 @@ FROM p LEFT JOIN c
 """
 
 
+def window_dedup_first_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window Deduplication TVF (Flink SQL: ``ROW_NUMBER() OVER
+    (PARTITION BY window_start, window_end, key ORDER BY ts) = 1`` over a
+    windowed table): the FIRST click per user per epoch-aligned 1-hour
+    tumbling window — the rate-limit / first-touch-per-period primitive.
+    Compiled as min-of-struct aggregation, NOT a row_number sort: one
+    partial+final hash aggregate over a single (user, window) exchange —
+    the map-side partial keeps one row per group per task, which is the
+    plan that survives 100 TB (a per-window sort would shuffle every
+    row)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    first = F.min(F.struct("ts", "event_id")).alias("f")
+    return (
+        clicks.groupBy("user_id", F.window("ts", "1 hour").alias("__w"))
+        .agg(first)
+        .select(
+            "user_id",
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            F.col("f.ts").alias("first_ts"),
+            F.col("f.event_id").alias("first_click_id"),
+        )
+    )
+
+
+WINDOW_DEDUP_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) // 3600000000 AS w
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, w ORDER BY ts, event_id) AS rn
+  FROM c
+)
+SELECT user_id,
+       make_timestamp(w * 3600000000) AS window_start,
+       make_timestamp((w + 1) * 3600000000) AS window_end,
+       ts AS first_ts, event_id AS first_click_id
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "asof_last_click": asof_last_click,
     "purchases_in_signup_windows": purchases_in_signup_windows,
     "window_join_views_purchases": window_join_views_purchases,
     "temporal_join_price_at_view": temporal_join_price_at_view,
     "interval_join_left_outer_clicks": interval_join_left_outer_clicks,
+    "window_dedup_first_click": window_dedup_first_click,
 }
 
 ORACLES = {
@@ -300,4 +345,5 @@ ORACLES = {
     "window_join_views_purchases": WINDOW_JOIN_ORACLE,
     "temporal_join_price_at_view": TEMPORAL_JOIN_PRICE_ORACLE,
     "interval_join_left_outer_clicks": INTERVAL_JOIN_LEFT_OUTER_ORACLE,
+    "window_dedup_first_click": WINDOW_DEDUP_ORACLE,
 }

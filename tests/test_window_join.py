@@ -105,3 +105,28 @@ def test_interval_join_left_outer_null_padding(spark):
     # inclusive); click@61 is after. pay@200: none in band → null row.
     # user 2 has no clicks at all → null row.
     assert pairs == [(10, 20), (10, 21), (11, -1), (12, -1)]
+
+
+def test_window_dedup_min_struct_first(spark):
+    """Window dedup keeps the (ts, event_id)-minimal row per (key,
+    window) — id breaks the same-ts race deterministically."""
+    rows = [
+        (1, 10, 5), (1, 11, 5), (1, 12, 40),   # same window: id 10 wins @5'
+        (1, 13, 70),                           # next hour window
+    ]
+    ev = spark.createDataFrame(
+        [
+            (i, u, EPOCH + datetime.timedelta(minutes=m), "click")
+            for u, i, m in rows
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    first = F.min(F.struct("ts", "event_id")).alias("f")
+    got = (
+        ev.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(first)
+        .select("user_id", F.col("f.event_id").alias("first_id"))
+        .toPandas()
+        .sort_values("first_id")
+    )
+    assert list(got["first_id"]) == [10, 13]
