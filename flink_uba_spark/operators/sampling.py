@@ -251,3 +251,86 @@ def temperature_mixture_sample(
     return _stratified_topk_by_hash(
         df.join(quotas, on=strata_col), strata_col, F.col("__quota"), h, id_col
     ).drop("__quota")
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+    keep_per_mille: int = 200,
+) -> DataFrame:
+    """DSIR-style data selection via importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed n-gram features estimate a target distribution (the docs
+    matching ``target_pred``) against the raw corpus, every document gets
+    an importance score, and the top slice is selected — the
+    domain-adaptation curation step between raw crawl and training mix.
+
+    Engine-exact formulation: word-bigram features hashed through the
+    repo's md5 ``token_bucket`` (text.py — the classifier's hashing
+    trick); per-bucket ratio ``r_b = ((t_b + 1) * scale) div (a_b + 1)``
+    (Laplace-smoothed target/raw ratio in fixed-point); document score =
+    Σ occurrences × r_bucket. DSIR's log-ratio sum is replaced by the
+    LINEAR ratio sum — the established rank-equivalence trade (PMI,
+    linear-idf) that keeps every value an exact integer for the hash
+    gate; selection is the deterministic top ``keep_per_mille`` by
+    (score, doc_id) instead of Gumbel resampling.
+
+    Plan: one corpus scan explodes bigrams; the bucket table
+    (``n_buckets`` rows) aggregates once and BROADCASTS back onto the
+    per-doc bucket counts — no corpus-sized join side; the global
+    selection rank is one total-order exchange (the curriculum trade —
+    swap for an equi-depth histogram cut at 100 TB, see
+    quality_decile_curriculum).
+    """
+    from pyspark.sql import Window
+
+    from flink_uba_spark.operators.text import token_bucket
+
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ex = docs.select(
+        F.col(doc_id).alias("__d"),
+        target_pred.cast("int").alias("__tgt"),
+        F.explode(bigrams).alias("__bg"),
+    ).withColumn("bucket", token_bucket(F.col("__bg"), n_buckets))
+    cnt = ex.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("a"), F.sum("__tgt").alias("t")
+    )
+    db = ex.groupBy("__d", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    sc = (
+        db.join(F.broadcast(cnt), "bucket")
+        .withColumn(
+            "__term", F.expr(f"n * (((t + 1) * {scale}) div (a + 1))")
+        )
+        .groupBy("__d")
+        .agg(F.sum("__term").alias("importance"))
+    )
+    j = (
+        docs.select(F.col(doc_id).alias("__d"))
+        .join(sc, "__d", "left")
+        .select(
+            F.col("__d").alias(doc_id),
+            F.coalesce(F.col("importance"), F.lit(0)).cast("long").alias("importance"),
+        )
+    )
+    w = Window.orderBy(F.col("importance").desc(), F.col(doc_id))
+    # corpus size rides a broadcast 1-row aggregate (no driver collect);
+    # rank*1000 ≤ n*kpm ⟺ rank ≤ floor(n*kpm/1000) in integers
+    nrow = j.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        j.withColumn("sel_rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(nrow))
+        .withColumn(
+            "selected",
+            F.col("sel_rank") * 1000 <= F.col("__n") * F.lit(keep_per_mille),
+        )
+        .drop("__n")
+    )

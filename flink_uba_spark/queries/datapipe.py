@@ -100,6 +100,58 @@ FROM m
 """
 
 
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023): English docs as
+    the TARGET distribution, hashed word-bigram features (4096 md5
+    buckets — the classifier's hashing trick), Laplace-smoothed
+    fixed-point target/raw ratios summed per document, deterministic top
+    200‰ selected — the domain-adaptation curation step. Linear ratio
+    sum in place of the log-sum (the PMI/linear-idf rank-equivalence
+    trade, integer-exact for the hash gate);
+    operators/sampling.py:dsir_importance."""
+    from flink_uba_spark.operators.sampling import dsir_importance
+
+    return dsir_importance(
+        _docs(spark, sf_dir), target_pred=F.col("lang") == "en"
+    )
+
+
+DSIR_IMPORTANCE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tgt, w[i] || ' ' || w[i + 1] AS bg
+  FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+),
+bk AS (
+  SELECT doc_id, tgt,
+         ('0x' || substring(md5(bg), 1, 4))::BIGINT % 4096 AS bucket
+  FROM bg
+),
+cnt AS (SELECT bucket, count(*) AS a, sum(tgt) AS t FROM bk GROUP BY bucket),
+db AS (SELECT doc_id, bucket, count(*) AS n FROM bk GROUP BY doc_id, bucket),
+sc AS (
+  SELECT doc_id, sum(n * (((t + 1) * 1000000) // (a + 1))) AS importance
+  FROM db JOIN cnt USING (bucket) GROUP BY doc_id
+),
+j AS (
+  SELECT d.doc_id, CAST(COALESCE(sc.importance, 0) AS BIGINT) AS importance
+  FROM documents d LEFT JOIN sc USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY importance DESC, doc_id) AS rk,
+         count(*) OVER () AS nn
+  FROM j
+)
+SELECT doc_id, importance, CAST(rk AS BIGINT) AS sel_rank,
+       rk * 1000 <= nn * 200 AS selected
+FROM r
+"""
+
+
 def quality_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum binning (round 7): rank the corpus by an INTEGER
     quality score (stopword permille minus punctuation permille — the
@@ -2466,6 +2518,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "gopher_rule_gate": gopher_rule_gate,
+    "dsir_importance_selection": dsir_importance_selection,
     "quality_decile_curriculum": quality_decile_curriculum,
     "text_lang_id": text_lang_id,
     "lang_id_confusion": lang_id_confusion,
@@ -2530,6 +2583,7 @@ ORACLES = {
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
     "text_quality_score": TEXT_QUALITY_ORACLE,
     "gopher_rule_gate": GOPHER_RULE_GATE_ORACLE,
+    "dsir_importance_selection": DSIR_IMPORTANCE_ORACLE,
     "quality_decile_curriculum": QUALITY_DECILE_ORACLE,
     "text_lang_id": TEXT_LANG_ID_ORACLE,
     "lang_id_confusion": LANG_ID_CONFUSION_ORACLE,
