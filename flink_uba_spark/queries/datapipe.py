@@ -859,6 +859,110 @@ FROM grid g LEFT JOIN h ON h.n_probe = g.n_probe AND h.query_id = g.query_id
 """
 
 
+def matryoshka_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding truncation sweep (Kusupati et al. 2022 MRL —
+    the serving trade behind truncatable embedding APIs): recall@5 of
+    brute-force cosine over PREFIX dimensions (8, 16, 32, 64) vs the
+    full-dimension ranking — the quality/cost dial for shrinking vector
+    storage 8×. recall_pct is integer-exact (hits × 20); dim=64 is the
+    degenerate-to-exact self-check (must read 100), the ivf_recall_sweep
+    construction applied to the truncation axis. Broadcast queries, one
+    corpus scan per dim — a diagnostic query, not a serving path."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(embs, queries, k=5).select("query_id", "neighbor_id")
+    parts = []
+    for d in (8, 16, 32, 64):
+        trunc = embs.withColumn("embedding", F.slice("embedding", 1, d))
+        approx = S.cosine_topk(
+            trunc, trunc.filter(F.col("vec_id") < 8), k=5
+        ).select("query_id", "neighbor_id")
+        parts.append(
+            exact.join(approx, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(d).cast("long").alias("dim"), "query_id", "n_hits")
+        )
+    hits = parts[0]
+    for part in parts[1:]:
+        hits = hits.unionByName(part)
+    base = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
+        F.broadcast(
+            spark.range(4).select(
+                F.element_at(
+                    F.array(F.lit(8), F.lit(16), F.lit(32), F.lit(64)),
+                    F.col("id").cast("int") + 1,
+                )
+                .cast("long")
+                .alias("dim")
+            )
+        )
+    )
+    return base.join(hits, ["dim", "query_id"], "left").select(
+        "dim",
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) * 20).cast("long").alias("recall_pct"),
+    )
+
+
+def _matryoshka_recall_oracle() -> str:
+    dims = (8, 16, 32, 64)
+    approxes = []
+    for d in dims:
+        approxes.append(f"""
+    SELECT {d} AS dim, query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.e{d}, c.e{d})
+                              / (sqrt(q.s{d}) * sqrt(c.s{d})) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+    ) WHERE rnk <= 5""")
+    approx_union = " UNION ALL ".join(approxes)
+    prefix_cols = ", ".join(
+        f"list_transform(embedding[1:{d}], x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e{d}"
+        for d in dims
+    )
+    norm_cols = ", ".join(f"list_dot_product(e{d}, e{d}) AS s{d}" for d in dims)
+    return f"""
+WITH n0 AS (SELECT vec_id, {prefix_cols} FROM embeddings),
+n AS (SELECT *, {norm_cols} FROM n0),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.e64, c.e64)
+                              / (sqrt(q.s64) * sqrt(c.s64)) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+    ) WHERE rnk <= 5
+),
+approx AS ({approx_union}),
+h AS (
+    SELECT a.dim, e.query_id, count(*) AS n
+    FROM exact e JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1, 2
+),
+grid AS (
+    SELECT d.dim, q.vec_id AS query_id
+    FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 8) q
+    CROSS JOIN (VALUES (8), (16), (32), (64)) AS d(dim)
+)
+SELECT CAST(g.dim AS BIGINT) AS dim, g.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n, 0) * 20 AS BIGINT) AS recall_pct
+FROM grid g LEFT JOIN h ON h.dim = g.dim AND h.query_id = g.query_id
+"""
+
+
 def embedding_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic clustering over embeddings: nearest-centroid assignment
     (operators/similarity.py:cluster_assign — broadcast codebook argmax,
@@ -2519,6 +2623,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "gopher_rule_gate": gopher_rule_gate,
     "dsir_importance_selection": dsir_importance_selection,
+    "matryoshka_recall_sweep": matryoshka_recall_sweep,
     "quality_decile_curriculum": quality_decile_curriculum,
     "text_lang_id": text_lang_id,
     "lang_id_confusion": lang_id_confusion,
@@ -2584,6 +2689,7 @@ ORACLES = {
     "text_quality_score": TEXT_QUALITY_ORACLE,
     "gopher_rule_gate": GOPHER_RULE_GATE_ORACLE,
     "dsir_importance_selection": DSIR_IMPORTANCE_ORACLE,
+    "matryoshka_recall_sweep": _matryoshka_recall_oracle(),
     "quality_decile_curriculum": QUALITY_DECILE_ORACLE,
     "text_lang_id": TEXT_LANG_ID_ORACLE,
     "lang_id_confusion": LANG_ID_CONFUSION_ORACLE,
