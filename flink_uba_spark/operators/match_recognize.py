@@ -113,6 +113,7 @@ def match_recognize(
     measures: dict[str, Column] | None = None,
     after_match: str = "skip_past_last",
     event_id: str = "event_id",
+    rows_per_match: str = "one",
 ) -> DataFrame:
     """Compile the MATCH_RECOGNIZE spec onto the batch engine. ``withins``
     bounds the transition INTO a variable's step (and is a quantified
@@ -120,7 +121,16 @@ def match_recognize(
     variables. Returns one row per match: ``partition_by, anchor_id,
     <var>_ts...`` (+ ``<var>_last_ts``/``<var>_n`` per quantified var,
     ``end_id`` under skip_past_last), or the MEASURES projection if
-    given."""
+    given.
+
+    ``rows_per_match="all"`` is SQL's ``ALL ROWS PER MATCH``: one output
+    row per BOUND EVENT — ``(partition, anchor_id, seq, var, event_id,
+    ts)``, anchor_id the match handle, ``var`` the CLASSIFIER() column —
+    compiled as a chain explode over the engine's per-step ids
+    (``with_step_ids``). Plain/optional variables only (a skipped
+    optional emits no row; a quantified run binds a SET the chain struct
+    does not enumerate — raises), and no MEASURES (that is the ONE ROW
+    shape)."""
     from flink_uba_spark.operators.sequence import (
         after_match_skip_past_last,
         pattern_detect,
@@ -128,7 +138,16 @@ def match_recognize(
 
     if after_match not in ("skip_past_last", "no_skip"):
         raise ValueError("AFTER MATCH: skip_past_last | no_skip")
+    if rows_per_match not in ("one", "all"):
+        raise ValueError("ROWS PER MATCH: one | all")
     parsed = parse_pattern(pattern)
+    if rows_per_match == "all":
+        if any(q is not None and q[0] == "kleene" for _, q in parsed):
+            raise ValueError(
+                "ALL ROWS PER MATCH supports plain/optional variables only"
+            )
+        if measures is not None:
+            raise ValueError("MEASURES is the ONE ROW PER MATCH shape")
     steps, optional = _steps_and_sets(
         parsed, define, dict(withins or {}), default_within
     )
@@ -140,9 +159,34 @@ def match_recognize(
         ts=order_by,
         optional=optional or None,
         with_end_id=(after_match == "skip_past_last"),
+        with_step_ids=(rows_per_match == "all"),
     ).filter(F.col("state") == "matched")
     if after_match == "skip_past_last":
         out = after_match_skip_past_last(out, key=partition_by)
+    if rows_per_match == "all":
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("long").alias("seq"),
+                    F.lit(var).alias("var"),
+                    F.col(f"i{k}").alias("event_id"),
+                    F.col(f"t{k}").alias("ts"),
+                )
+                for k, (var, _q) in enumerate(parsed, start=1)
+            ]
+        )
+        return (
+            out.select(partition_by, "anchor_id", F.explode(entries).alias("__e"))
+            .select(
+                partition_by,
+                "anchor_id",
+                "__e.seq",
+                "__e.var",
+                "__e.event_id",
+                "__e.ts",
+            )
+            .filter(F.col("ts").isNotNull())
+        )
     out = _rename(out.drop("max_step", "state"), parsed)
     if measures is not None:
         out = out.select(

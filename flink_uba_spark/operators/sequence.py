@@ -81,6 +81,7 @@ def pattern_detect(
     strict: set[int] | None = None,
     not_next: dict[int, Column] | None = None,
     with_end_id: bool = False,
+    with_step_ids: bool = False,
     until: dict[int, Column] | None = None,
     consecutive: set[int] | None = None,
 ) -> DataFrame:
@@ -622,10 +623,16 @@ def pattern_detect(
         df = build_step(df, k)
 
     anchors = df.filter(F.col("__p1"))
+    # ``with_step_ids`` additionally surfaces each step's bound EVENT ID
+    # (``i{k}`` — a Kleene step's entry id) so callers can tie matches
+    # back to input rows (MATCH_RECOGNIZE's ALL ROWS PER MATCH); default
+    # keeps the round-3 contract (timestamps only)
     out_fields = [
         f
         for f in chain_fields[1]
-        if not (f[0] in "irb" and f[1:].isdigit())
+        if not (
+            f[0] in ("rb" if with_step_ids else "irb") and f[1:].isdigit()
+        )
         and not (f.startswith("bx") and f[2:].isdigit())
     ]
     t_cols = [F.col("__c1").getField(f).alias(f) for f in out_fields]

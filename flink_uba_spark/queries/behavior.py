@@ -2184,6 +2184,61 @@ WHERE s.kept
 """
 
 
+def match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with ``ALL ROWS PER MATCH`` (ISO 9075-2's second
+    output shape; Flink supports ONE ROW — this engine carries both):
+    every bound EVENT of each non-overlapping signup → click (6 h) →
+    purchase (24 h) episode emits its own row with the match handle
+    (anchor_id), its step ``seq`` and CLASSIFIER() variable — the shape
+    downstream joins need to tie matches back to raw events. Compiled as
+    a chain explode over the engine's per-step ids
+    (pattern_detect with_step_ids)."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S C P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_past_last",
+        rows_per_match="all",
+    )
+
+
+def _match_recognize_all_rows_oracle() -> str:
+    from flink_uba_spark.queries.streaming import (
+        STREAM_MATCH_RECOGNIZE_ONBOARDING_ORACLE,
+    )
+
+    # the same candidates + greedy fold as the ONE-ROW onboarding twin,
+    # unpivoted to one row per bound event; per-step event ids are the
+    # engine's min-(ts, rank, id) binders: the anchor id itself, the min
+    # click id at the bound t2, the min purchase id at the bound t3
+    return f"""
+WITH m AS ({STREAM_MATCH_RECOGNIZE_ONBOARDING_ORACLE})
+SELECT user_id, anchor_id, CAST(1 AS BIGINT) AS seq, 'S' AS var,
+       anchor_id AS event_id, S_ts AS ts
+FROM m
+UNION ALL
+SELECT m.user_id, m.anchor_id, CAST(2 AS BIGINT), 'C',
+       (SELECT min(e.event_id) FROM events e WHERE e.event_type = 'click'
+         AND e.user_id = m.user_id AND e.ts = m.C_ts), m.C_ts
+FROM m
+UNION ALL
+SELECT m.user_id, m.anchor_id, CAST(3 AS BIGINT), 'P',
+       (SELECT min(e.event_id) FROM events e WHERE e.event_type = 'purchase'
+         AND e.user_id = m.user_id AND e.ts = m.P_ts), m.P_ts
+FROM m
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
@@ -2191,6 +2246,7 @@ QUERIES = {
     "pattern_within_view_click_purchase": pattern_within_view_click_purchase,
     "pattern_iterative_price_escalation": pattern_iterative_price_escalation,
     "match_recognize_error_run": match_recognize_error_run,
+    "match_recognize_all_rows": match_recognize_all_rows,
     "pattern_error_burst_recovery": pattern_error_burst_recovery,
     "pattern_signup_journey": pattern_signup_journey,
     "pattern_purchase_no_error": pattern_purchase_no_error,
@@ -2232,6 +2288,7 @@ ORACLES = {
     "pattern_within_view_click_purchase": PATTERN_WITHIN_VCP_ORACLE,
     "pattern_iterative_price_escalation": PATTERN_ITERATIVE_ORACLE,
     "match_recognize_error_run": MATCH_RECOGNIZE_ERROR_RUN_ORACLE,
+    "match_recognize_all_rows": _match_recognize_all_rows_oracle(),
     "pattern_error_burst_recovery": PATTERN_ERROR_BURST_ORACLE,
     "pattern_signup_journey": PATTERN_SIGNUP_JOURNEY_ORACLE,
     "pattern_purchase_no_error": PATTERN_PURCHASE_NO_ERROR_ORACLE,

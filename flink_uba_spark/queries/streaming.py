@@ -2231,6 +2231,28 @@ def stream_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def stream_gopher_rule_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher named-rule gate at INGEST: documents stream through the
+    integer-permille rule projections (operators/text.py:gopher_rules) —
+    a stateless scan-fused stage, so the stream side never shuffles and
+    the twin is the batch contract verbatim (append mode, no state)."""
+    from flink_uba_spark.operators.text import gopher_rules
+    from flink_uba_spark.streaming.runner import stream_documents
+
+    return run_to_table(
+        gopher_rules(stream_documents(spark, sf_dir)).select(
+            "doc_id", "n_words", "mwl_pm", "uniq_pm",
+            "wc_ok", "mwl_ok", "uniq_ok", "keep",
+        )
+    )
+
+
+def _stream_gopher_oracle() -> str:
+    from flink_uba_spark.queries.datapipe import GOPHER_RULE_GATE_ORACLE
+
+    return GOPHER_RULE_GATE_ORACLE
+
+
 def _stream_classifier_oracle() -> str:
     from flink_uba_spark.queries.datapipe import CLASSIFIER_QUALITY_FILTER_ORACLE
 
@@ -2381,6 +2403,7 @@ QUERIES = {
     "stream_window_join_views_purchases": stream_window_join_views_purchases,
     "stream_interval_join_left_outer_clicks": stream_interval_join_left_outer_clicks,
     "stream_window_dedup_first_click": stream_window_dedup_first_click,
+    "stream_gopher_rule_gate": stream_gopher_rule_gate,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
@@ -2438,6 +2461,7 @@ ORACLES = {
     "stream_window_join_views_purchases": _stream_window_join_oracle(),
     "stream_interval_join_left_outer_clicks": _stream_interval_join_left_outer_oracle(),
     "stream_window_dedup_first_click": _stream_window_dedup_oracle(),
+    "stream_gopher_rule_gate": _stream_gopher_oracle(),
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),

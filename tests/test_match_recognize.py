@@ -158,3 +158,52 @@ def test_optional_variable(spark):
     ).toPandas().set_index("user_id")
     assert str(got.loc[2, "C_ts"]) == "NaT"  # skipped optional
     assert got.loc[1, "C_ts"] is not None
+
+
+def test_all_rows_per_match(spark):
+    """ALL ROWS PER MATCH: one row per bound event with the match handle,
+    seq and CLASSIFIER() var; a skipped optional emits no row; Kleene
+    and MEASURES raise."""
+    import pytest as _pytest
+
+    ev = _events_df(spark)
+    got = match_recognize(
+        ev, partition_by="user_id", order_by="ts",
+        pattern="S E P", define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 2 MINUTES", "P": "INTERVAL 10 MINUTES"},
+        after_match="skip_past_last", rows_per_match="all",
+    ).toPandas()
+    ep1 = got[got["anchor_id"] == 1].sort_values("seq")
+    assert list(ep1["var"]) == ["S", "E", "P"]
+    assert list(ep1["event_id"]) == [1, 2, 6]  # earliest error binds
+    assert set(got["anchor_id"]) == {1, 8}     # fold still applies
+    with _pytest.raises(ValueError, match="ALL ROWS"):
+        match_recognize(
+            ev, "user_id", "ts", "S E{1,3} P",
+            {"S": F.lit(True), "E": F.lit(True), "P": F.lit(True)},
+            default_within="INTERVAL 1 HOUR", rows_per_match="all",
+        )
+    with _pytest.raises(ValueError, match="MEASURES"):
+        match_recognize(
+            ev, "user_id", "ts", "S P",
+            {"S": F.lit(True), "P": F.lit(True)},
+            default_within="INTERVAL 1 HOUR", rows_per_match="all",
+            measures={"x": F.lit(1)},
+        )
+
+
+def test_one_row_output_unchanged_by_step_id_flag(spark):
+    """with_step_ids must not perturb the default contract: the ONE ROW
+    compile (flag off) emits no i{k} columns."""
+    ev = _events_df(spark)
+    out = match_recognize(
+        ev, "user_id", "ts", "S P",
+        {"S": F.col("event_type") == "signup",
+         "P": F.col("event_type") == "purchase"},
+        default_within="INTERVAL 1 DAY", after_match="no_skip",
+    )
+    assert not [c for c in out.columns if c.startswith("i")]
