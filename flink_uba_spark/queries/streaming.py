@@ -2247,6 +2247,54 @@ def stream_gopher_rule_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_window_cogroup_user_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Windowed coGroup as a continuous query (Flink
+    ``coGroup().window()``): per (user, hour) both sides' grouped rows —
+    including one-side-empty groups — via the union+group lowering: ONE
+    stateful aggregation keyed on (user, window), the watermark riding
+    the derived window_end (the cumulate construction), so every window
+    finalizes on bounded replay and the oracle is the batch query. State
+    per open group: the two id lists of one window."""
+    bucket_us = 3_600_000_000
+    ev = stream_events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    start_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts")) % bucket_us
+    tagged = (
+        ev.select(
+            "user_id",
+            F.timestamp_micros(start_us).alias("window_start"),
+            F.timestamp_micros(start_us + bucket_us).alias("window_end"),
+            (F.col("event_type") == "view").alias("__is_v"),
+            "event_id",
+        )
+        .withWatermark("window_end", "0 seconds")
+    )
+    side = lambda v: F.when(F.col("__is_v") == v, F.col("event_id"))
+    agg = (
+        tagged.groupBy("user_id", "window_start", "window_end")
+        .agg(
+            F.count(side(True)).alias("n_views"),
+            F.count(side(False)).alias("n_purchases"),
+            F.concat_ws(",", F.sort_array(F.collect_list(side(True)))).alias(
+                "view_ids"
+            ),
+            F.concat_ws(",", F.sort_array(F.collect_list(side(False)))).alias(
+                "purchase_ids"
+            ),
+        )
+    )
+    return run_to_table(agg)
+
+
+def _stream_window_cogroup_oracle() -> str:
+    from flink_uba_spark.queries.temporal import WINDOW_COGROUP_ORACLE
+
+    return WINDOW_COGROUP_ORACLE
+
+
 def _stream_gopher_oracle() -> str:
     from flink_uba_spark.queries.datapipe import GOPHER_RULE_GATE_ORACLE
 
@@ -2404,6 +2452,7 @@ QUERIES = {
     "stream_interval_join_left_outer_clicks": stream_interval_join_left_outer_clicks,
     "stream_window_dedup_first_click": stream_window_dedup_first_click,
     "stream_gopher_rule_gate": stream_gopher_rule_gate,
+    "stream_window_cogroup_user_activity": stream_window_cogroup_user_activity,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
@@ -2462,6 +2511,7 @@ ORACLES = {
     "stream_interval_join_left_outer_clicks": _stream_interval_join_left_outer_oracle(),
     "stream_window_dedup_first_click": _stream_window_dedup_oracle(),
     "stream_gopher_rule_gate": _stream_gopher_oracle(),
+    "stream_window_cogroup_user_activity": _stream_window_cogroup_oracle(),
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),

@@ -330,6 +330,67 @@ FROM r WHERE rn = 1
 """
 
 
+def window_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed coGroup — Flink's ``coGroup().where().equalTo()
+    .window(...)`` (the DataStream sibling of the window join): per
+    (user, epoch-aligned hour) BOTH sides' grouped rows arrive together,
+    INCLUDING one-side-empty groups — the shape an inner/outer join
+    fans out or pads instead of grouping. Views and purchases co-grouped
+    into per-side counts and sorted id lists (CSV — deterministic).
+
+    Spark-first compile: tag + UNION the two scans, then ONE
+    (user, window) exchange with conditional aggregates — half the
+    shuffles of the join formulation and no pair fan-out; at 100 TB the
+    union+group form is how coGroup should lower."""
+    ev = _events(spark, sf_dir)
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        F.window("ts", "1 hour").alias("__w"),
+        (F.col("event_type") == "view").alias("__is_v"),
+        "event_id",
+    )
+    side = lambda v: F.when(F.col("__is_v") == v, F.col("event_id"))
+    return (
+        tagged.groupBy("user_id", "__w")
+        .agg(
+            F.count(side(True)).alias("n_views"),
+            F.count(side(False)).alias("n_purchases"),
+            F.concat_ws(",", F.sort_array(F.collect_list(side(True)))).alias("view_ids"),
+            F.concat_ws(",", F.sort_array(F.collect_list(side(False)))).alias(
+                "purchase_ids"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            "n_views",
+            "n_purchases",
+            "view_ids",
+            "purchase_ids",
+        )
+    )
+
+
+WINDOW_COGROUP_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, event_type = 'view' AS is_v,
+         epoch_us(ts) // 3600000000 AS w
+  FROM events WHERE event_type IN ('view', 'purchase')
+)
+SELECT user_id,
+       make_timestamp(w * 3600000000) AS window_start,
+       make_timestamp((w + 1) * 3600000000) AS window_end,
+       CAST(count(CASE WHEN is_v THEN 1 END) AS BIGINT) AS n_views,
+       CAST(count(CASE WHEN NOT is_v THEN 1 END) AS BIGINT) AS n_purchases,
+       coalesce(string_agg(CASE WHEN is_v THEN event_id END, ','
+                           ORDER BY event_id), '') AS view_ids,
+       coalesce(string_agg(CASE WHEN NOT is_v THEN event_id END, ','
+                           ORDER BY event_id), '') AS purchase_ids
+FROM t GROUP BY user_id, w
+"""
+
+
 QUERIES = {
     "asof_last_click": asof_last_click,
     "purchases_in_signup_windows": purchases_in_signup_windows,
@@ -337,6 +398,7 @@ QUERIES = {
     "temporal_join_price_at_view": temporal_join_price_at_view,
     "interval_join_left_outer_clicks": interval_join_left_outer_clicks,
     "window_dedup_first_click": window_dedup_first_click,
+    "window_cogroup_user_activity": window_cogroup_user_activity,
 }
 
 ORACLES = {
@@ -346,4 +408,5 @@ ORACLES = {
     "temporal_join_price_at_view": TEMPORAL_JOIN_PRICE_ORACLE,
     "interval_join_left_outer_clicks": INTERVAL_JOIN_LEFT_OUTER_ORACLE,
     "window_dedup_first_click": WINDOW_DEDUP_ORACLE,
+    "window_cogroup_user_activity": WINDOW_COGROUP_ORACLE,
 }
