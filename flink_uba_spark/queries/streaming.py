@@ -2295,6 +2295,56 @@ def _stream_window_cogroup_oracle() -> str:
     return WINDOW_COGROUP_ORACLE
 
 
+def stream_temporal_join_price_at_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-time temporal table join (``FOR SYSTEM_TIME AS OF``) as a
+    continuous query — in Flink this IS a streaming operator; Spark has
+    no native one, so streaming/temporal.py runs the asof relation as a
+    per-key stateful operator: purchase price versions and view probes
+    union-tagged through ONE keyed exchange; a view emits once the
+    watermark passes it (no earlier version can still arrive;
+    last-writer-wins on version-ts ties), versions are evicted once
+    dominated. Oracle: the batch ``temporal_join_price_at_view``
+    restricted to views strictly below the final ms-floored watermark."""
+    from flink_uba_spark.streaming.temporal import stream_temporal_table_join
+
+    ev = stream_events(spark, sf_dir)
+    facts = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    versions = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = stream_temporal_table_join(
+        facts,
+        versions,
+        key="user_id",
+        fact_id="event_id",
+        version_id="event_id",
+        payload=F.floor(F.col("value") * 100),
+    )
+    return run_to_table(out).select(
+        "user_id",
+        F.col("fact_id").alias("view_id"),
+        F.col("fact_ts").alias("view_ts"),
+        "version_id",
+        "version_ts",
+        F.col("payload").alias("price_cents"),
+    )
+
+
+def _stream_temporal_join_oracle() -> str:
+    from flink_uba_spark.queries.temporal import TEMPORAL_JOIN_PRICE_ORACLE
+
+    return f"""
+SELECT * FROM ({TEMPORAL_JOIN_PRICE_ORACLE})
+WHERE epoch_us(view_ts) < (SELECT (epoch_us(max(ts)) // 1000) * 1000
+                           FROM events
+                           WHERE event_type IN ('view', 'purchase'))
+"""
+
+
 def _stream_gopher_oracle() -> str:
     from flink_uba_spark.queries.datapipe import GOPHER_RULE_GATE_ORACLE
 
@@ -2453,6 +2503,7 @@ QUERIES = {
     "stream_window_dedup_first_click": stream_window_dedup_first_click,
     "stream_gopher_rule_gate": stream_gopher_rule_gate,
     "stream_window_cogroup_user_activity": stream_window_cogroup_user_activity,
+    "stream_temporal_join_price_at_view": stream_temporal_join_price_at_view,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
@@ -2512,6 +2563,7 @@ ORACLES = {
     "stream_window_dedup_first_click": _stream_window_dedup_oracle(),
     "stream_gopher_rule_gate": _stream_gopher_oracle(),
     "stream_window_cogroup_user_activity": _stream_window_cogroup_oracle(),
+    "stream_temporal_join_price_at_view": _stream_temporal_join_oracle(),
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),
