@@ -130,3 +130,36 @@ def test_window_dedup_min_struct_first(spark):
         .sort_values("first_id")
     )
     assert list(got["first_id"]) == [10, 13]
+
+
+def test_cogroup_one_side_empty_groups_survive(spark):
+    """The coGroup distinction vs a join: a (key, window) group with only
+    one side present still emits — counts 0 and an empty CSV for the
+    missing side."""
+    ev = spark.createDataFrame(
+        [
+            (1, 1, EPOCH + datetime.timedelta(minutes=5), "view"),
+            (2, 1, EPOCH + datetime.timedelta(minutes=70), "purchase"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    tagged = ev.select(
+        "user_id",
+        F.window("ts", "1 hour").alias("w"),
+        (F.col("event_type") == "view").alias("is_v"),
+        "event_id",
+    )
+    side = lambda v: F.when(F.col("is_v") == v, F.col("event_id"))
+    got = (
+        tagged.groupBy("user_id", "w")
+        .agg(
+            F.count(side(True)).alias("n_views"),
+            F.count(side(False)).alias("n_purchases"),
+            F.concat_ws(",", F.sort_array(F.collect_list(side(False)))).alias("p_ids"),
+        )
+        .orderBy("w.start")
+        .collect()
+    )
+    assert len(got) == 2  # both one-sided windows emit
+    assert (got[0].n_views, got[0].n_purchases, got[0].p_ids) == (1, 0, "")
+    assert (got[1].n_views, got[1].n_purchases, got[1].p_ids) == (0, 1, "2")
