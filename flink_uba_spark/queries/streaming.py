@@ -539,6 +539,67 @@ SELECT event_id, user_id, ts FROM events
 """
 
 
+def stream_dedup_events_state_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STATE-BOUNDED streaming dedup — ``dropDuplicatesWithinWatermark``
+    (the Spark mapping of Flink's state-TTL dedup): unlike plain
+    ``dropDuplicates`` (whose key state grows forever), the dedup state
+    here is EVICTED once the watermark passes first-seen + delay — the
+    contract an unbounded at-least-once ingest actually deploys: exact
+    within the horizon, amnesiac past it. Replay: the stream_dedup_events
+    construction — batch 0 = the full table; batch 1 re-sends a recent
+    duplicate slice (inside the 2 h horizon → suppressed against live
+    state) and a very-late slice (below the batch-1 watermark → dropped
+    as late input). Every event survives exactly once; the oracle is the
+    events table with its calendar day."""
+    from pyspark.sql import types as T
+
+    from flink_uba_spark.sources.readers import load_testdata
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "user_id", "ts"
+    )
+
+    def _batches():
+        e = ev.crossJoin(F.broadcast(ev.agg(F.max("ts").alias("__tmax"))))
+        recent_dups = e.filter(
+            (F.col("ts") > F.col("__tmax") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("event_id") % 7 == 0)
+        )
+        late_dups = e.filter(
+            (F.col("ts") <= F.col("__tmax") - F.expr("INTERVAL 12 HOURS"))
+            & (F.col("event_id") % 23 == 0)
+        )
+        cols = ["event_id", "user_id", "ts"]
+        return [ev, recent_dups.unionByName(late_dups).select(*cols)]
+
+    replay_dir = write_replay(_batches, tag="dedup_ev_ww", cache_key=sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    deduped = (
+        sdf.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    return run_to_table(deduped)
+
+
+STREAM_DEDUP_STATE_BOUNDED_ORACLE = """
+SELECT event_id, user_id, ts, strftime(ts, '%Y-%m-%d') AS day FROM events
+"""
+
+
 def stream_cumulate_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUMULATE windowing TVF in its native streaming form (Flink's
     cumulate windows ARE a streaming feature — early-fire running totals
@@ -2345,6 +2406,85 @@ WHERE epoch_us(view_ts) < (SELECT (epoch_us(max(ts)) // 1000) * 1000
 """
 
 
+def stream_match_recognize_error_streak(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUANTIFIED MATCH_RECOGNIZE on a stream: ``PATTERN (S E{2,3} P)``
+    (12 h repetition gap, 24 h recovery) through the declarative
+    front-end onto the streaming NFA — the streaming skip fold is
+    plain-chain-bound, so quantified patterns stream under ``no_skip``
+    (documented in operators/match_recognize.py). Oracle: the batch
+    binding restricted to matched chains whose error run CLOSED before
+    the stream ended (cap 3, same-key gap evidence, or the final
+    ms-floored watermark — the streak twin's rule)."""
+    from flink_uba_spark.operators.match_recognize import stream_match_recognize
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S E{2,3} P",
+            define={"S": "signup", "E": "error", "P": "purchase"},
+            withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+            after_match="no_skip",
+        )
+    ).select("user_id", "anchor_id", "S_ts", "E_ts", "E_last_ts", "E_n", "P_ts")
+
+
+STREAM_MATCH_RECOGNIZE_STREAK_ORACLE = """
+WITH err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts,
+         count(*) OVER wf - row_number() OVER ws + 1 AS avail,
+         COALESCE(lead(ts, 2) OVER ws, max(ts) OVER wf) AS run_last,
+         LEAST(3, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*, r.ts AS t2, r.run_last AS t2_last, r.n_reps AS n2
+  FROM a JOIN LATERAL (
+    SELECT ts, run_last, n_reps, event_id FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1 AND r.avail >= 2
+    ORDER BY r.ts, r.event_id LIMIT 1) r ON TRUE
+),
+a3 AS (
+  SELECT a2.*, (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+),
+relevant AS (SELECT user_id, ts FROM events
+             WHERE event_type IN ('signup', 'error', 'purchase')),
+keymax AS (SELECT user_id, max(ts) AS kmax FROM relevant GROUP BY 1),
+gmax AS (SELECT max(ts) AS g FROM relevant)
+SELECT a3.user_id, anchor_id, t1 AS S_ts, t2 AS E_ts, t2_last AS E_last_ts,
+       CAST(n2 AS BIGINT) AS E_n, t3 AS P_ts
+FROM a3 JOIN keymax k ON k.user_id = a3.user_id
+WHERE t3 IS NOT NULL AND t2 <= t1 + INTERVAL 12 HOUR
+  AND t3 <= t2_last + INTERVAL 24 HOUR
+  AND (n2 = 3 OR k.kmax > t2_last + INTERVAL 12 HOUR
+       OR epoch_us(t2_last) + 43200000000
+            <= (epoch_us((SELECT g FROM gmax)) // 1000) * 1000)
+"""
+
+
 def _stream_gopher_oracle() -> str:
     from flink_uba_spark.queries.datapipe import GOPHER_RULE_GATE_ORACLE
 
@@ -2504,6 +2644,8 @@ QUERIES = {
     "stream_gopher_rule_gate": stream_gopher_rule_gate,
     "stream_window_cogroup_user_activity": stream_window_cogroup_user_activity,
     "stream_temporal_join_price_at_view": stream_temporal_join_price_at_view,
+    "stream_dedup_events_state_bounded": stream_dedup_events_state_bounded,
+    "stream_match_recognize_error_streak": stream_match_recognize_error_streak,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
     "stream_pattern_purchase_no_error": stream_pattern_purchase_no_error,
@@ -2564,6 +2706,8 @@ ORACLES = {
     "stream_gopher_rule_gate": _stream_gopher_oracle(),
     "stream_window_cogroup_user_activity": _stream_window_cogroup_oracle(),
     "stream_temporal_join_price_at_view": _stream_temporal_join_oracle(),
+    "stream_dedup_events_state_bounded": STREAM_DEDUP_STATE_BOUNDED_ORACLE,
+    "stream_match_recognize_error_streak": STREAM_MATCH_RECOGNIZE_STREAK_ORACLE,
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
     "stream_pattern_purchase_no_error": _stream_pattern_no_error_oracle(),
