@@ -1,4 +1,4 @@
-"""MATCH_RECOGNIZE — the SQL row-pattern-recognition front-end (subset),
+"""MATCH_RECOGNIZE — the SQL row-pattern-recognition front-end,
 compiled onto the Pattern-API engines.
 
 Flink exposes its CEP library twice: the Pattern API the reference uses
@@ -6,77 +6,151 @@ Flink exposes its CEP library twice: the Pattern API the reference uses
 9075-2:2016 row-pattern recognition), which compiles onto the same NFA.
 This module is that second surface for the Spark engines: a declarative
 (PARTITION BY, ORDER BY, PATTERN, DEFINE, AFTER MATCH, MEASURES) spec
-compiled onto ``pattern_detect`` (batch) / ``stream_pattern_detect``
-(streaming) — the pattern is a plan shape here, so the front-end is a
-pure compiler; nothing new executes.
+compiled onto the ``pattern_detect`` engine family — the pattern is a
+plan shape here, so the front-end is a pure compiler; nothing new
+executes.
 
 Supported subset (validated, everything else raises):
 
-- ``PATTERN``: a space-separated variable sequence, each with an optional
-  quantifier — ``B+`` (oneOrMore, uncapped), ``B{n}`` (times(n)),
-  ``B{n,m}`` (times(n, m)), ``B{n,}`` (timesOrMore(n)), ``B?``
-  (optional). Greedy (the engines' run semantics — SQL's default);
-  reluctant ``+?`` is served by ``pattern_detect_reluctant`` and not
-  wired here.
-- ``DEFINE``: variable → Column predicate (or event-type string on the
-  streaming side). SQL's ``PREV``/``NEXT``/aggregate defines are the
-  IterativeCondition family — ``pattern_detect_iterative`` covers the
-  prefix-referencing form; this front-end takes self-row predicates.
+- ``PATTERN``: a space-separated token sequence of
+  - a variable with an optional GREEDY quantifier — ``B+`` (oneOrMore,
+    uncapped), ``B{n}``, ``B{n,m}``, ``B{n,}`` (timesOrMore), ``B?``
+    (optional) — served by ``pattern_detect`` (the ``greedy()`` run);
+  - a RELUCTANT quantifier — ``B{n,m}?`` / ``B{n}?`` (lazy: the match
+    binds as FEW repetitions as possible) — served by
+    ``pattern_detect_reluctant``; ``B+?`` / ``B{n,}?`` raise (an
+    uncapped reluctant loop emits unboundedly many candidate counts —
+    write the finite cap);
+  - an ALTERNATION group ``(A|B)`` / ``(A|B|C)`` — plain variables,
+    leftmost-alternative preference (ISO 9075-2's lexicographic rule) —
+    served by one ``pattern_detect`` plan per alternative, unioned
+    (the ``pattern_detect_branching`` construction).
+- ``DEFINE``: variable → self-row Column predicate. Prefix-referencing
+  definitions (SQL's ``PREV``/``FIRST``/``LAST`` navigation over bound
+  variables, Flink's ``IterativeCondition``) go through ``iter_define``:
+  ``{"P": lambda b: b["P"]["cents"] >= 2 * b["S"]["cents"]}`` where
+  ``b[var]`` exposes ``"ts"``, ``"id"`` and every ``payload`` column of
+  the variable's bound row — served by ``pattern_detect_iterative``
+  (plain chains, every within mandatory: the join band is the fan-out
+  bound).
 - ``AFTER MATCH``: ``skip_past_last`` (SKIP PAST LAST ROW — the SQL
-  default; non-overlapping matches via the greedy completion-order fold)
-  or ``no_skip`` (every anchor's match).
-- ``ONE ROW PER MATCH`` only (the engines' chain-per-row shape);
-  ``MEASURES`` maps output names to Columns over the chain columns
-  (``<var>_ts``, ``<var>_last_ts``/``<var>_n`` for quantified vars,
-  ``anchor_id``, ``end_id``).
+  default), ``no_skip`` (every anchor's match), ``"skip_to_first V"`` /
+  ``"skip_to_last V"`` (SKIP TO FIRST/LAST <var> — plain chains, where
+  one event binds per variable so FIRST ≡ LAST; served by
+  ``after_match_skip_to_first``).
+- ``ONE ROW PER MATCH`` (default): one output row per match —
+  ``partition_by, anchor_id, <var>_ts...`` (+ ``<var>_last_ts`` /
+  ``<var>_n`` per quantified var, ``end_id`` under a skip strategy,
+  ``<payload>_<var>`` under iter_define), or the MEASURES projection.
+- ``ALL ROWS PER MATCH``: one output row per BOUND EVENT —
+  ``(partition, anchor_id, seq, var, event_id, ts)``, ``var`` the
+  CLASSIFIER() column. Quantified variables enumerate their whole run
+  (one row per repetition) via a band join back to the input — the run
+  is the ``n{k}``-prefix of the step's rows from the bound entry, so
+  membership is exactly ``(ts, id) >= entry``, ``ts <= run_last``,
+  ``row_number <= n{k}`` (round 8; r7 raised on quantified vars).
 - ``ORDER BY`` must be the event-time column; ties determinize by the
   engine family's (ts, step_rank, id) total order.
+
+Routing matrix (one specialty per spec — combinations raise):
+``iter_define`` → iterative join compile; a reluctant quantifier →
+per-count union; an alternation group → per-branch union; SKIP TO
+FIRST/LAST → step-id fold; everything else → the single-plan
+``pattern_detect`` path (quantifiers/optionals compose freely there).
 """
 
 from __future__ import annotations
 
 import re
+from itertools import product as _product
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_TOKEN = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)(\+|\?|\{(\d+)(,(\d*))?\})?$")
+_TOKEN = re.compile(
+    r"^([A-Za-z_][A-Za-z0-9_]*)(\+\??|\?|\{(\d+)(,(\d*))?\}\??)?$"
+)
+_ALT = re.compile(r"^\(([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)+)\)$")
 
 
-def parse_pattern(pattern: str) -> list[tuple[str, tuple | None]]:
+def parse_pattern(pattern: str) -> list[tuple]:
     """``"S E{1,3} P"`` → ``[("S", None), ("E", ("kleene", 1, 3)),
-    ("P", None)]``; quantifiers: + ? {n} {n,} {n,m}."""
+    ("P", None)]``. Quantifiers: ``+ ? {n} {n,} {n,m}`` (greedy),
+    ``{n}? {n,m}?`` (reluctant). ``(A|B)`` → ``(("A", "B"), None)`` —
+    an alternation group (tuple variable, no quantifier)."""
     out = []
     toks = pattern.split()
     if len(toks) < 2:
         raise ValueError("PATTERN needs at least 2 variables")
     for tok in toks:
+        alt = _ALT.match(tok)
+        if alt:
+            out.append((tuple(alt.group(1).split("|")), None))
+            continue
         m = _TOKEN.match(tok)
         if not m:
             raise ValueError(f"bad PATTERN token: {tok!r}")
         var, quant = m.group(1), m.group(2)
+        lazy = quant is not None and quant.endswith("?") and quant != "?"
         if quant is None:
             q = None
         elif quant == "+":
             q = ("kleene", 1, None)
+        elif quant == "+?":
+            raise ValueError(
+                "B+? (uncapped reluctant) emits unboundedly many candidate "
+                "counts — write a finite cap: B{1,m}?"
+            )
         elif quant == "?":
             q = ("optional",)
-        elif m.group(4) is None:  # {n}
-            q = ("kleene", int(m.group(3)), int(m.group(3)))
-        elif m.group(5) == "":  # {n,}
+        elif m.group(4) is None:  # {n} / {n}?
+            q = ("reluctant" if lazy else "kleene", int(m.group(3)), int(m.group(3)))
+        elif m.group(5) == "":  # {n,} / {n,}?
+            if lazy:
+                raise ValueError(
+                    "B{n,}? (uncapped reluctant) emits unboundedly many "
+                    "candidate counts — write a finite cap: B{n,m}?"
+                )
             q = ("kleene", int(m.group(3)), None)
-        else:  # {n,m}
-            q = ("kleene", int(m.group(3)), int(m.group(5)))
+        else:  # {n,m} / {n,m}?
+            q = ("reluctant" if lazy else "kleene", int(m.group(3)), int(m.group(5)))
         out.append((var, q))
-    vars_ = [v for v, _ in out]
+    vars_ = [v for var, _ in out for v in (var if isinstance(var, tuple) else (var,))]
     if len(set(vars_)) != len(vars_):
         raise ValueError("PATTERN variables must be distinct")
     return out
 
 
-def _steps_and_sets(parsed, define, withins, default_within):
+def _parse_after_match(after_match: str, parsed) -> tuple[str, int | None]:
+    """→ ``(mode, skip_step)``; mode ∈ {skip_past_last, no_skip, skip_to}."""
+    if after_match in ("skip_past_last", "no_skip"):
+        return after_match, None
+    parts = after_match.split()
+    if len(parts) == 2 and parts[0] in ("skip_to_first", "skip_to_last"):
+        target = parts[1]
+        for k, (var, q) in enumerate(parsed, start=1):
+            if var == target:
+                if q is not None or k == 1:
+                    raise ValueError(
+                        "SKIP TO FIRST/LAST targets a plain variable at "
+                        "position 2..n (step 1 would re-admit every match; "
+                        "quantified targets stay on SKIP PAST LAST)"
+                    )
+                return "skip_to", k
+        raise ValueError(f"SKIP TO target {target!r} is not a PATTERN variable")
+    raise ValueError(
+        "AFTER MATCH: skip_past_last | no_skip | 'skip_to_first V' | "
+        "'skip_to_last V'"
+    )
+
+
+def _steps_and_sets(parsed, define, withins, default_within, choice=None):
+    """Build the pattern_detect ``steps`` list + optional set. ``choice``
+    maps an alternation group position (1-based) to the chosen member."""
     steps, optional = [], set()
     for k, (var, q) in enumerate(parsed, start=1):
+        if isinstance(var, tuple):
+            var = (choice or {})[k]
         if var not in define:
             raise ValueError(f"PATTERN variable {var!r} has no DEFINE entry")
         w = withins.get(var, default_within if k > 1 else None)
@@ -93,13 +167,28 @@ def _steps_and_sets(parsed, define, withins, default_within):
     return steps, optional
 
 
+def _var_names(parsed, choice=None):
+    """Step position → displayed variable name (alternation groups show
+    the chosen member under ``choice``, else the group tuple)."""
+    names = []
+    for k, (var, _q) in enumerate(parsed, start=1):
+        names.append((choice or {}).get(k, var) if isinstance(var, tuple) else var)
+    return names
+
+
 def _rename(out: DataFrame, parsed) -> DataFrame:
     for k, (var, q) in enumerate(parsed, start=1):
         out = out.withColumnRenamed(f"t{k}", f"{var}_ts")
-        if q is not None and q[0] == "kleene":
+        if q is not None and q[0] in ("kleene", "reluctant"):
             out = out.withColumnRenamed(f"t{k}_last", f"{var}_last_ts")
             out = out.withColumnRenamed(f"n{k}", f"{var}_n")
     return out
+
+
+def _measures(out: DataFrame, partition_by, measures) -> DataFrame:
+    if measures is None:
+        return out
+    return out.select(partition_by, *[c.alias(nm) for nm, c in measures.items()])
 
 
 def match_recognize(
@@ -114,43 +203,225 @@ def match_recognize(
     after_match: str = "skip_past_last",
     event_id: str = "event_id",
     rows_per_match: str = "one",
+    payload: dict[str, Column] | None = None,
+    iter_define: dict | None = None,
 ) -> DataFrame:
-    """Compile the MATCH_RECOGNIZE spec onto the batch engine. ``withins``
-    bounds the transition INTO a variable's step (and is a quantified
-    variable's repetition gap); ``default_within`` fills unlisted
-    variables. Returns one row per match: ``partition_by, anchor_id,
-    <var>_ts...`` (+ ``<var>_last_ts``/``<var>_n`` per quantified var,
-    ``end_id`` under skip_past_last), or the MEASURES projection if
-    given.
+    """Compile the MATCH_RECOGNIZE spec onto the batch engines (see the
+    module docstring for the full supported subset). ``withins`` bounds
+    the transition INTO a variable's step (and is a quantified variable's
+    repetition gap); ``default_within`` fills unlisted variables.
 
-    ``rows_per_match="all"`` is SQL's ``ALL ROWS PER MATCH``: one output
-    row per BOUND EVENT — ``(partition, anchor_id, seq, var, event_id,
-    ts)``, anchor_id the match handle, ``var`` the CLASSIFIER() column —
-    compiled as a chain explode over the engine's per-step ids
-    (``with_step_ids``). Plain/optional variables only (a skipped
-    optional emits no row; a quantified run binds a SET the chain struct
-    does not enumerate — raises), and no MEASURES (that is the ONE ROW
-    shape)."""
+    ``iter_define`` maps a variable to a function of the binder ``b``
+    (``b[var]["ts"|"id"|<payload name>]`` → Column of that variable's
+    bound row); its Column is ANDed into the variable's admission test
+    BEFORE binding, exactly Flink's IterativeCondition — the variable may
+    reference itself and EARLIER pattern variables only."""
     from flink_uba_spark.operators.sequence import (
         after_match_skip_past_last,
+        after_match_skip_to_first,
         pattern_detect,
+        pattern_detect_iterative,
+        pattern_detect_reluctant,
     )
 
-    if after_match not in ("skip_past_last", "no_skip"):
-        raise ValueError("AFTER MATCH: skip_past_last | no_skip")
     if rows_per_match not in ("one", "all"):
         raise ValueError("ROWS PER MATCH: one | all")
     parsed = parse_pattern(pattern)
+    mode, skip_step = _parse_after_match(after_match, parsed)
+    has_alt = any(isinstance(var, tuple) for var, _ in parsed)
+    has_rel = any(q is not None and q[0] == "reluctant" for _, q in parsed)
+    specialties = sum(
+        (bool(iter_define), has_alt, has_rel, mode == "skip_to")
+    )
+    if specialties > 1:
+        raise ValueError(
+            "one specialty per spec: iter_define, a reluctant quantifier, "
+            "an alternation group, and SKIP TO FIRST/LAST each pick a "
+            "dedicated engine compile and do not compose with each other"
+        )
     if rows_per_match == "all":
-        if any(q is not None and q[0] == "kleene" for _, q in parsed):
+        if specialties:
             raise ValueError(
-                "ALL ROWS PER MATCH supports plain/optional variables only"
+                "ALL ROWS PER MATCH composes with the single-plan path "
+                "(plain/optional/quantified variables) only"
             )
         if measures is not None:
             raise ValueError("MEASURES is the ONE ROW PER MATCH shape")
-    steps, optional = _steps_and_sets(
-        parsed, define, dict(withins or {}), default_within
-    )
+
+    wmap, vnames = dict(withins or {}), _var_names(parsed)
+
+    # ---- iterative route (prefix-referencing DEFINE) -------------------
+    if iter_define:
+        if any(q is not None for _, q in parsed):
+            raise ValueError("iter_define supports plain variables only")
+        unknown = sorted(set(iter_define) - set(vnames))
+        if unknown:
+            raise ValueError(f"iter_define names unknown variables: {unknown}")
+        steps, _ = _steps_and_sets(parsed, define, wmap, default_within)
+        pay = dict(payload or {})
+        binder = {
+            v: {
+                "ts": F.col(f"t{k}"),
+                "id": F.col(f"i{k}"),
+                **{nm: F.col(f"{nm}{k}") for nm in pay},
+            }
+            for k, v in enumerate(vnames, start=1)
+        }
+        conds = {
+            k: iter_define[v](binder)
+            for k, v in enumerate(vnames, start=1)
+            if v in iter_define
+        }
+        if 1 in conds:
+            raise ValueError(
+                "the first variable has no prefix to reference — put its "
+                "self-row predicate in DEFINE"
+            )
+        n = len(parsed)
+        out = pattern_detect_iterative(
+            events, key=partition_by, steps=steps, payload=pay, conds=conds,
+            event_id=event_id, ts=order_by,
+        )
+        if mode == "skip_past_last":
+            out = after_match_skip_past_last(
+                out, key=partition_by, anchor_ts="t1", anchor_id="i1",
+                end_ts=f"t{n}", end_id=f"i{n}",
+            )
+        out = out.withColumn("anchor_id", F.col("i1"))
+        if mode == "skip_past_last":
+            out = out.withColumn("end_id", F.col(f"i{n}"))
+        for k, v in enumerate(vnames, start=1):
+            out = out.withColumnRenamed(f"t{k}", f"{v}_ts")
+            for nm in pay:
+                out = out.withColumnRenamed(f"{nm}{k}", f"{nm}_{v}")
+        out = out.drop(*[f"i{k}" for k in range(1, n + 1)])
+        out = out.select(
+            partition_by, "anchor_id",
+            *[f"{v}_ts" for v in vnames],
+            *[f"{nm}_{v}" for v in vnames for nm in pay],
+            *(["end_id"] if mode == "skip_past_last" else []),
+        )
+        return _measures(out, partition_by, measures)
+
+    # ---- reluctant route (lazy quantifier) ------------------------------
+    if has_rel:
+        steps, optional = _steps_and_sets(parsed, define, wmap, default_within)
+        rel = {
+            k for k, (_v, q) in enumerate(parsed, start=1)
+            if q is not None and q[0] == "reluctant"
+        }
+        out = pattern_detect_reluctant(
+            events, key=partition_by, steps=steps, reluctant=rel,
+            event_id=event_id, ts=order_by,
+            with_end_id=(mode == "skip_past_last"),
+        ).filter(F.col("state") == "matched")
+        n = len(parsed)
+        if mode == "skip_past_last":
+            # SQL's lazy ONE-ROW semantics: per anchor the preferred match
+            # binds as FEW repetitions as possible while still completing —
+            # i.e. the candidate that completes EARLIEST (ties → smaller
+            # count), then the non-overlap fold
+            w = Window.partitionBy(partition_by, "anchor_id").orderBy(
+                f"t{n}", "end_id", *[F.col(f"n{k}") for k in sorted(rel)]
+            )
+            out = (
+                out.withColumn("__pref", F.row_number().over(w))
+                .filter(F.col("__pref") == 1)
+                .drop("__pref")
+            )
+            out = after_match_skip_past_last(out, key=partition_by)
+        out = _rename(out.drop("max_step", "state"), parsed)
+        return _measures(out, partition_by, measures)
+
+    # ---- alternation route ----------------------------------------------
+    if has_alt:
+        groups = {
+            k: var for k, (var, _q) in enumerate(parsed, start=1)
+            if isinstance(var, tuple)
+        }
+        n_branches = 1
+        for members in groups.values():
+            n_branches *= len(members)
+        if n_branches > 8:
+            raise ValueError(
+                f"alternation compiles one plan per alternative combination; "
+                f"{n_branches} branches exceed the 8-plan envelope"
+            )
+        n = len(parsed)
+        with_end = mode == "skip_past_last"
+        branches = None
+        for bi, combo in enumerate(
+            _product(*[range(len(groups[k])) for k in sorted(groups)])
+        ):
+            choice = {k: groups[k][ci] for k, ci in zip(sorted(groups), combo)}
+            steps, optional = _steps_and_sets(
+                parsed, define, wmap, default_within, choice=choice
+            )
+            b = pattern_detect(
+                events, key=partition_by, steps=steps, event_id=event_id,
+                ts=order_by, optional=optional or None, with_end_id=with_end,
+            ).filter(F.col("state") == "matched")
+            b = b.drop("max_step", "state").withColumn(
+                "__branch", F.lit(bi)
+            )
+            for g in sorted(groups):
+                b = b.withColumn(f"__cls{g}", F.lit(choice[g]))
+            branches = b if branches is None else branches.unionByName(b)
+        # leftmost-alternative preference (ISO 9075-2): per anchor the
+        # lowest branch index that matched wins — branch order enumerates
+        # alternatives lexicographically by construction
+        w = Window.partitionBy(partition_by, "anchor_id").orderBy("__branch")
+        out = (
+            branches.withColumn("__pref", F.row_number().over(w))
+            .filter(F.col("__pref") == 1)
+            .drop("__pref", "__branch")
+        )
+        if mode == "skip_past_last":
+            out = after_match_skip_past_last(out, key=partition_by)
+        # group positions fan out to one `<member>_ts` column per member —
+        # null unless that member is the bound CLASSIFIER()
+        sel = [F.col(partition_by), F.col("anchor_id")]
+        for k, (var, q) in enumerate(parsed, start=1):
+            if k in groups:
+                for memb in groups[k]:
+                    sel.append(
+                        F.when(
+                            F.col(f"__cls{k}") == memb, F.col(f"t{k}")
+                        ).alias(f"{memb}_ts")
+                    )
+            else:
+                sel.append(F.col(f"t{k}").alias(f"{vnames[k-1]}_ts"))
+                if q is not None and q[0] == "kleene":
+                    sel.append(F.col(f"t{k}_last").alias(f"{vnames[k-1]}_last_ts"))
+                    sel.append(F.col(f"n{k}").alias(f"{vnames[k-1]}_n"))
+        for g in sorted(groups):
+            sel.append(F.col(f"__cls{g}").alias(f"classifier_{g}"))
+        if with_end:
+            sel.append(F.col("end_id"))
+        return _measures(out.select(*sel), partition_by, measures)
+
+    # ---- SKIP TO FIRST/LAST route ----------------------------------------
+    if mode == "skip_to":
+        if any(q is not None for _, q in parsed):
+            raise ValueError(
+                "SKIP TO FIRST/LAST runs on plain chains (each variable "
+                "binds exactly one event, so FIRST ≡ LAST)"
+            )
+        steps, _ = _steps_and_sets(parsed, define, wmap, default_within)
+        n = len(parsed)
+        out = pattern_detect(
+            events, key=partition_by, steps=steps, event_id=event_id,
+            ts=order_by, with_step_ids=True,
+        ).filter(F.col("state") == "matched").drop("max_step", "state")
+        out = after_match_skip_to_first(out, key=partition_by, step=skip_step)
+        out = out.withColumn("end_id", F.col(f"i{n}")).drop(
+            *[f"i{k}" for k in range(1, n + 1)]
+        )
+        out = _rename(out, parsed)
+        return _measures(out, partition_by, measures)
+
+    # ---- single-plan path --------------------------------------------
+    steps, optional = _steps_and_sets(parsed, define, wmap, default_within)
     out = pattern_detect(
         events,
         key=partition_by,
@@ -158,41 +429,81 @@ def match_recognize(
         event_id=event_id,
         ts=order_by,
         optional=optional or None,
-        with_end_id=(after_match == "skip_past_last"),
+        with_end_id=(mode == "skip_past_last"),
         with_step_ids=(rows_per_match == "all"),
     ).filter(F.col("state") == "matched")
-    if after_match == "skip_past_last":
+    if mode == "skip_past_last":
         out = after_match_skip_past_last(out, key=partition_by)
     if rows_per_match == "all":
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(k).cast("long").alias("seq"),
-                    F.lit(var).alias("var"),
-                    F.col(f"i{k}").alias("event_id"),
-                    F.col(f"t{k}").alias("ts"),
-                )
-                for k, (var, _q) in enumerate(parsed, start=1)
-            ]
-        )
-        return (
-            out.select(partition_by, "anchor_id", F.explode(entries).alias("__e"))
+        plain = [
+            F.struct(
+                F.lit(k).cast("long").alias("seq"),
+                F.lit(vnames[k - 1]).alias("var"),
+                F.col(f"i{k}").alias("event_id"),
+                F.col(f"t{k}").alias("ts"),
+            )
+            for k, (_var, q) in enumerate(parsed, start=1)
+            if not (q is not None and q[0] == "kleene")
+        ]
+        rows = (
+            out.select(partition_by, "anchor_id", F.explode(F.array(*plain)).alias("__e"))
             .select(
-                partition_by,
-                "anchor_id",
-                "__e.seq",
-                "__e.var",
-                "__e.event_id",
-                "__e.ts",
+                partition_by, "anchor_id",
+                "__e.seq", "__e.var", "__e.event_id", "__e.ts",
             )
             .filter(F.col("ts").isNotNull())
         )
+        # quantified variables enumerate their RUN: the run is the
+        # n{k}-prefix of the step's rows from the bound entry in the run
+        # machinery's (ts, id) order, so membership is a band join back
+        # to the input — (ts, id) >= entry, ts <= run_last, row_number
+        # <= n{k}; fan-out bounded by run length (≤ cap / within-gap
+        # session size), no cross-key work
+        for k, (var, q) in enumerate(parsed, start=1):
+            if not (q is not None and q[0] == "kleene"):
+                continue
+            m = out.filter(F.col(f"t{k}").isNotNull()).select(
+                F.col(partition_by).alias("__mk"),
+                F.col("anchor_id"),
+                F.col(f"t{k}").alias("__t0"),
+                F.col(f"i{k}").alias("__i0"),
+                F.col(f"t{k}_last").alias("__tl"),
+                F.col(f"n{k}").alias("__n"),
+            )
+            leg = events.filter(define[var]).select(
+                F.col(partition_by).alias("__ek"),
+                F.col(event_id).alias("__eid"),
+                F.col(order_by).alias("__ets"),
+            )
+            j = m.join(
+                leg,
+                (F.col("__mk") == F.col("__ek"))
+                & (
+                    (F.col("__ets") > F.col("__t0"))
+                    | (
+                        (F.col("__ets") == F.col("__t0"))
+                        & (F.col("__eid") >= F.col("__i0"))
+                    )
+                )
+                & (F.col("__ets") <= F.col("__tl")),
+            )
+            wr = Window.partitionBy("__mk", "anchor_id").orderBy("__ets", "__eid")
+            run_rows = (
+                j.withColumn("__rn", F.row_number().over(wr))
+                .filter(F.col("__rn") <= F.col("__n"))
+                .select(
+                    F.col("__mk").alias(partition_by),
+                    "anchor_id",
+                    F.lit(k).cast("long").alias("seq"),
+                    F.lit(var).alias("var"),
+                    F.col("__eid").alias("event_id"),
+                    F.col("__ets").alias("ts"),
+                )
+            )
+            rows = rows.unionByName(run_rows)
+        return rows
     out = _rename(out.drop("max_step", "state"), parsed)
-    if measures is not None:
-        out = out.select(
-            partition_by, *[c.alias(nm) for nm, c in measures.items()]
-        )
-    return out
+    return _measures(out, partition_by, measures)
 
 
 def stream_match_recognize(
@@ -209,12 +520,23 @@ def stream_match_recognize(
 ) -> DataFrame:
     """The same spec as a continuous query (``stream_pattern_detect``).
     The streaming skip fold supports plain chains (the NFA's documented
-    bound); quantified patterns stream under ``no_skip``."""
+    bound); quantified patterns stream under ``no_skip``. The round-8
+    batch specialties (reluctant / alternation / iter_define / SKIP TO
+    var) are batch-only on this front-end — their streaming engines
+    exist (streaming/pattern.py) but are reached via the Pattern API."""
     from flink_uba_spark.streaming.pattern import stream_pattern_detect
 
     if after_match not in ("skip_past_last", "no_skip"):
         raise ValueError("AFTER MATCH: skip_past_last | no_skip")
     parsed = parse_pattern(pattern)
+    if any(
+        isinstance(var, tuple) or (q is not None and q[0] == "reluctant")
+        for var, q in parsed
+    ):
+        raise ValueError(
+            "alternation / reluctant quantifiers are batch-only on this "
+            "front-end (use the streaming Pattern API engines directly)"
+        )
     steps, optional = _steps_and_sets(
         parsed, define, dict(withins or {}), default_within
     )

@@ -1100,6 +1100,7 @@ def pattern_detect_reluctant(
     not_followed_by: dict[int, Column] | None = None,
     until: dict[int, Column] | None = None,
     consecutive: set[int] | None = None,
+    with_end_id: bool = False,
 ) -> DataFrame:
     """RELUCTANT (non-greedy) Kleene emission — the reference Pattern
     API's DEFAULT ``oneOrMore()`` / ``times(from, to)`` multi-match
@@ -1188,8 +1189,12 @@ def pattern_detect_reluctant(
             not_followed_by=not_followed_by,
             until=until,
             consecutive=consecutive,
+            with_end_id=with_end_id,
         )
         out = b if out is None else out.unionByName(b)
+    # branches agree bit-for-bit on any anchor whose reluctant run never
+    # bound (nK null — end_id is then null too), so full-row dedup stays
+    # exact with the end id column present
     return out.dropDuplicates()
 
 

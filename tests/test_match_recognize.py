@@ -181,12 +181,6 @@ def test_all_rows_per_match(spark):
     assert list(ep1["var"]) == ["S", "E", "P"]
     assert list(ep1["event_id"]) == [1, 2, 6]  # earliest error binds
     assert set(got["anchor_id"]) == {1, 8}     # fold still applies
-    with _pytest.raises(ValueError, match="ALL ROWS"):
-        match_recognize(
-            ev, "user_id", "ts", "S E{1,3} P",
-            {"S": F.lit(True), "E": F.lit(True), "P": F.lit(True)},
-            default_within="INTERVAL 1 HOUR", rows_per_match="all",
-        )
     with _pytest.raises(ValueError, match="MEASURES"):
         match_recognize(
             ev, "user_id", "ts", "S P",
@@ -207,3 +201,223 @@ def test_one_row_output_unchanged_by_step_id_flag(spark):
         default_within="INTERVAL 1 DAY", after_match="no_skip",
     )
     assert not [c for c in out.columns if c.startswith("i")]
+
+
+# ---- round 8: the wired specialties ---------------------------------------
+
+
+def test_parse_pattern_round8_tokens():
+    assert parse_pattern("A B{1,3}? C") == [
+        ("A", None), ("B", ("reluctant", 1, 3)), ("C", None)]
+    assert parse_pattern("A B{2}? C") == [
+        ("A", None), ("B", ("reluctant", 2, 2)), ("C", None)]
+    assert parse_pattern("S (C|V) P") == [
+        ("S", None), (("C", "V"), None), ("P", None)]
+    with pytest.raises(ValueError, match="finite cap"):
+        parse_pattern("A B+? C")
+    with pytest.raises(ValueError, match="finite cap"):
+        parse_pattern("A B{2,}? C")
+    with pytest.raises(ValueError, match="bad PATTERN token"):
+        parse_pattern("S (C|V)+ P")   # quantified groups unsupported
+    with pytest.raises(ValueError, match="distinct"):
+        parse_pattern("S (C|S) P")
+
+
+def test_specialties_do_not_compose(spark):
+    ev = _events_df(spark)
+    with pytest.raises(ValueError, match="one specialty"):
+        match_recognize(
+            ev, "user_id", "ts", "S (C|V) P{1,2}?",
+            {"S": F.lit(True), "C": F.lit(True), "V": F.lit(True),
+             "P": F.lit(True)},
+            default_within="INTERVAL 1 HOUR",
+        )
+
+
+def test_reluctant_lazy_one_row(spark):
+    """S E{1,3}? P under SKIP PAST LAST: the lazy quantifier binds as FEW
+    repetitions as possible while completing — E_n = 1 where the greedy
+    twin binds 3."""
+    ev = _events_df(spark)
+    spec = dict(
+        pattern="S E{1,3}? P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 2 MINUTES", "P": "INTERVAL 10 MINUTES"},
+    )
+    got = match_recognize(
+        ev, partition_by="user_id", order_by="ts",
+        after_match="skip_past_last", **spec,
+    ).toPandas().sort_values("anchor_id").reset_index(drop=True)
+    assert list(got["anchor_id"]) == [1, 8]
+    assert list(got["E_n"]) == [1, 1]          # lazy (greedy twin binds 3)
+    # same completion event either way — the fold's episodes agree
+    assert list(got["end_id"]) == [6, 10]
+
+
+def test_reluctant_no_skip_multimatch(spark):
+    """Under NO SKIP the reluctant compile is Flink CEP's multi-match:
+    one row per admissible repetition count per anchor."""
+    ev = _events_df(spark)
+    got = match_recognize(
+        ev, partition_by="user_id", order_by="ts",
+        pattern="S E{1,3}? P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 2 MINUTES", "P": "INTERVAL 10 MINUTES"},
+        after_match="no_skip",
+    ).toPandas()
+    counts = got.groupby("anchor_id")["E_n"].apply(
+        lambda s: sorted(s.tolist())).to_dict()
+    assert counts == {1: [1, 2, 3], 7: [1, 2, 3], 8: [1]}
+
+
+def test_alternation_leftmost_preference(spark):
+    rows = [
+        # user 1: only V available — the right alternative binds
+        (1, 1, EPOCH, "signup"),
+        (2, 1, EPOCH + datetime.timedelta(seconds=10), "view"),
+        (3, 1, EPOCH + datetime.timedelta(seconds=20), "purchase"),
+        # user 2: both available — leftmost (C) preferred
+        (4, 2, EPOCH, "signup"),
+        (5, 2, EPOCH + datetime.timedelta(seconds=10), "click"),
+        (6, 2, EPOCH + datetime.timedelta(seconds=15), "view"),
+        (7, 2, EPOCH + datetime.timedelta(seconds=20), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = match_recognize(
+        ev, partition_by="user_id", order_by="ts",
+        pattern="S (C|V) P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "V": F.col("event_type") == "view",
+            "P": F.col("event_type") == "purchase",
+        },
+        default_within="INTERVAL 5 MINUTES",
+        after_match="skip_past_last",
+    ).toPandas().set_index("user_id")
+    assert got.loc[1, "classifier_2"] == "V"
+    assert str(got.loc[1, "C_ts"]) == "NaT"
+    assert got.loc[2, "classifier_2"] == "C"
+    assert str(got.loc[2, "V_ts"]) == "NaT"
+    assert list(got.sort_index()["end_id"]) == [3, 7]
+
+
+def test_skip_to_first_vs_past_last(spark):
+    """SKIP TO FIRST C re-admits anchors at-or-past the bound C event —
+    one MORE match than SKIP PAST LAST on an overlapping-episode fixture."""
+    rows = [
+        (1, 1, EPOCH, "signup"),
+        (2, 1, EPOCH + datetime.timedelta(seconds=10), "click"),
+        (3, 1, EPOCH + datetime.timedelta(seconds=15), "signup"),
+        (4, 1, EPOCH + datetime.timedelta(seconds=20), "purchase"),
+        (5, 1, EPOCH + datetime.timedelta(seconds=25), "click"),
+        (6, 1, EPOCH + datetime.timedelta(seconds=40), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    spec = dict(
+        pattern="S C P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        default_within="INTERVAL 5 MINUTES",
+    )
+    past = match_recognize(
+        ev, partition_by="user_id", order_by="ts",
+        after_match="skip_past_last", **spec,
+    ).toPandas()
+    to_first = match_recognize(
+        ev, partition_by="user_id", order_by="ts",
+        after_match="skip_to_first C", **spec,
+    ).toPandas()
+    assert list(past["anchor_id"]) == [1]          # s2@15 < end p1@20
+    assert sorted(to_first["anchor_id"]) == [1, 3]  # s2@15 >= C@10
+    assert sorted(to_first["end_id"]) == [4, 6]
+    # plain chains: FIRST == LAST
+    to_last = match_recognize(
+        ev, partition_by="user_id", order_by="ts",
+        after_match="skip_to_last C", **spec,
+    ).toPandas()
+    assert sorted(to_last["anchor_id"]) == sorted(to_first["anchor_id"])
+
+
+def test_iter_define_prefix_reference(spark):
+    """DEFINE P AS P.cents >= 2 * S.cents — the IterativeCondition route:
+    a failing candidate is SKIPPED (not bound then filtered)."""
+    rows = [
+        (1, 1, EPOCH, "signup", 10.0),
+        (2, 1, EPOCH + datetime.timedelta(seconds=10), "purchase", 15.0),
+        (3, 1, EPOCH + datetime.timedelta(seconds=20), "purchase", 25.0),
+        (4, 2, EPOCH, "signup", 10.0),
+        (5, 2, EPOCH + datetime.timedelta(seconds=10), "purchase", 15.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double",
+    )
+    got = match_recognize(
+        ev, partition_by="user_id", order_by="ts",
+        pattern="S P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "P": F.col("event_type") == "purchase",
+        },
+        default_within="INTERVAL 5 MINUTES",
+        payload={"cents": F.floor(F.col("value") * 100).cast("long")},
+        iter_define={
+            "P": lambda b: b["P"]["cents"] >= 2 * b["S"]["cents"],
+        },
+        after_match="skip_past_last",
+    ).toPandas()
+    assert list(got["user_id"]) == [1]             # user 2 never completes
+    assert list(got["end_id"]) == [3]              # candidate 2 was skipped
+    assert list(got["cents_S"]) == [1000]
+    assert list(got["cents_P"]) == [2500]
+    # referencing the first variable's prefix raises
+    with pytest.raises(ValueError, match="no prefix"):
+        match_recognize(
+            ev, "user_id", "ts", "S P",
+            {"S": F.lit(True), "P": F.lit(True)},
+            default_within="INTERVAL 1 HOUR",
+            iter_define={"S": lambda b: F.lit(True)},
+        )
+
+
+def test_all_rows_quantified_run(spark):
+    """ALL ROWS PER MATCH enumerates a quantified variable's whole run —
+    one row per repetition, capped at the quantifier's max."""
+    ev = _events_df(spark)
+    got = match_recognize(
+        ev, partition_by="user_id", order_by="ts",
+        pattern="S E{1,3} P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 2 MINUTES", "P": "INTERVAL 10 MINUTES"},
+        after_match="skip_past_last", rows_per_match="all",
+    ).toPandas()
+    rows = sorted(
+        (int(a), v, int(e))
+        for a, v, e in zip(got["anchor_id"], got["var"], got["event_id"])
+    )
+    assert rows == [
+        (1, "E", 2), (1, "E", 3), (1, "E", 4),   # run capped at 3 (not id 5)
+        (1, "P", 6), (1, "S", 1),
+        (8, "E", 9), (8, "P", 10), (8, "S", 8),
+    ]
