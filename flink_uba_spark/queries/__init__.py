@@ -12,9 +12,17 @@ produced by a single IEEE operation on exactly-representable integers
 
 from __future__ import annotations
 
-from flink_uba_spark.queries import behavior, datapipe, streaming, temporal, tpch, uba
+from flink_uba_spark.queries import (
+    behavior,
+    datapipe,
+    rowpattern,
+    streaming,
+    temporal,
+    tpch,
+    uba,
+)
 
-_MODULES = (uba, tpch, datapipe, streaming, behavior, temporal)
+_MODULES = (uba, tpch, datapipe, streaming, behavior, temporal, rowpattern)
 
 
 def all_queries():

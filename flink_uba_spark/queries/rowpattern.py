@@ -1,0 +1,510 @@
+"""Row-pattern-recognition catalog (round 8): the MATCH_RECOGNIZE SQL
+front-end's wired specialties, each as a catalog query + DuckDB oracle.
+
+Flink exposes CEP twice — the Pattern API the reference uses
+(OrderPayTimeout.java:52-64) and SQL MATCH_RECOGNIZE; these queries are
+the SQL surface of the engines the Pattern-API catalog already
+exercises: reluctant (lazy) quantifiers, AFTER MATCH SKIP TO FIRST/LAST
+<var>, alternation ``(A|B)``, prefix-referencing DEFINE
+(IterativeCondition), and ALL ROWS PER MATCH over a quantified run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_uba_spark.sources.readers import load_testdata
+
+
+def _events(spark, sf_dir):
+    return load_testdata(spark, sf_dir, ("events",))["events"]
+
+
+def match_recognize_reluctant_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PATTERN (S E{1,3}? P)`` — a RELUCTANT quantifier under the SQL
+    default ``AFTER MATCH SKIP PAST LAST ROW``: the lazy run binds as FEW
+    error repetitions as admissible while still completing (ISO 9075-2's
+    reluctant preference; the greedy twin match_recognize_error_run binds
+    the longest run), then the non-overlap fold segments episodes.
+    Compiled as the per-count union ``pattern_detect_reluctant`` with the
+    earliest-completion preference pick per anchor."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S E{1,3}? P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_past_last",
+    )
+
+
+MATCH_RECOGNIZE_RELUCTANT_LAZY_ORACLE = """
+WITH RECURSIVE
+err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts, sid,
+         row_number() OVER ws AS rn, count(*) OVER wf AS cnt
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+ms AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(m)),
+-- per count m: the anchor binds the earliest entry whose session still
+-- holds >= m repetitions (times(m, m): an entry with fewer rows is not a
+-- valid m-binding and the previous step binds the next valid entry)
+ent AS (
+  SELECT a.user_id, a.anchor_id, a.t1, ms.m, e.ts AS t2, e.sid, e.rn
+  FROM a CROSS JOIN ms
+  JOIN LATERAL (
+    SELECT r.ts, r.sid, r.rn FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1
+      AND r.cnt - r.rn + 1 >= ms.m
+    ORDER BY r.ts, r.event_id LIMIT 1) e ON TRUE
+),
+lastrep AS (
+  SELECT ent.*, r2.ts AS t2_last
+  FROM ent JOIN runs r2
+    ON r2.user_id = ent.user_id AND r2.sid = ent.sid
+   AND r2.rn = ent.rn + ent.m - 1
+),
+pb AS (
+  SELECT l.*, (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = l.user_id
+       AND p.ts >= l.t2_last) AS t3
+  FROM lastrep l
+),
+cand0 AS (
+  SELECT user_id, anchor_id, t1, m, t2, t2_last, t3,
+         (SELECT min(p.event_id) FROM events p WHERE p.event_type = 'purchase'
+            AND p.user_id = pb.user_id AND p.ts = pb.t3) AS end_id
+  FROM pb
+  WHERE t3 IS NOT NULL AND t2 <= t1 + INTERVAL 12 HOUR
+    AND t3 <= t2_last + INTERVAL 24 HOUR
+),
+-- lazy (reluctant) preference: per anchor the candidate completing
+-- EARLIEST, ties to the smaller repetition count
+lazy AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, anchor_id ORDER BY t3, end_id, m) AS pr
+  FROM cand0
+),
+cand AS (
+  SELECT user_id, anchor_id, t1, t2, t2_last, m, t3, end_id,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY t3, end_id, t1, anchor_id) AS r
+  FROM lazy WHERE pr = 1
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.anchor_id, c.t1 AS S_ts, c.t2 AS E_ts,
+       c.t2_last AS E_last_ts, CAST(c.m AS BIGINT) AS E_n,
+       c.t3 AS P_ts, c.end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
+def match_recognize_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP TO FIRST C`` on ``PATTERN (S C P)`` — after a
+    match emits, matching resumes AT the bound click (not past the last
+    row): anchors at-or-past the click survive, so adjacent episodes may
+    share a tail the SKIP PAST LAST fold would discard. Served by
+    ``after_match_skip_to_first`` over the engine's per-step event ids
+    (plain chains bind one event per variable, so FIRST ≡ LAST)."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S C P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_to_first C",
+    )
+
+
+MATCH_RECOGNIZE_SKIP_TO_FIRST_ORACLE = """
+WITH RECURSIVE
+a AS (SELECT user_id, event_id AS i1, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+c2 AS (
+  SELECT a.*, c.ts AS t2, c.event_id AS i2
+  FROM a JOIN LATERAL (
+    SELECT ts, event_id FROM events c
+    WHERE c.event_type = 'click' AND c.user_id = a.user_id AND c.ts >= a.t1
+    ORDER BY c.ts, c.event_id LIMIT 1) c ON TRUE
+),
+c3 AS (
+  SELECT c2.*, p.ts AS t3, p.event_id AS i3
+  FROM c2 JOIN LATERAL (
+    SELECT ts, event_id FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = c2.user_id
+      AND p.ts >= c2.t2
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY t3, i3, t1, i1, t2, i2) AS r
+  FROM c3
+  WHERE t2 <= t1 + INTERVAL 6 HOUR AND t3 <= t2 + INTERVAL 24 HOUR
+),
+-- SKIP TO FIRST C replay: a candidate survives iff its anchor is
+-- AT-OR-PAST the running horizon (Flink's "started before" clause is
+-- strict, so >= here); emitting advances the horizon to the bound click
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS h_ts,
+         CAST(-1 AS BIGINT) AS h_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.i1) >= (s.h_ts, s.h_id)
+                AND (c.t2, c.i2) > (s.h_ts, s.h_id)
+              THEN c.t2 ELSE s.h_ts END,
+         CASE WHEN (c.t1, c.i1) >= (s.h_ts, s.h_id)
+                AND (c.t2, c.i2) > (s.h_ts, s.h_id)
+              THEN c.i2 ELSE s.h_id END,
+         (c.t1, c.i1) >= (s.h_ts, s.h_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.i1 AS anchor_id, c.t1 AS S_ts, c.t2 AS C_ts,
+       c.t3 AS P_ts, c.i3 AS end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
+def match_recognize_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PATTERN (S (C|V) P)`` — ISO 9075-2 alternation with the
+    leftmost-alternative preference: per anchor the click branch wins if
+    both complete; the CLASSIFIER() column names the bound member.
+    Compiled as one pattern_detect plan per alternative, unioned (the
+    pattern_detect_branching construction), then the SKIP PAST LAST
+    fold."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S (C|V) P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "V": F.col("event_type") == "view",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={
+            "C": "INTERVAL 6 HOURS",
+            "V": "INTERVAL 6 HOURS",
+            "P": "INTERVAL 24 HOURS",
+        },
+        after_match="skip_past_last",
+    )
+
+
+MATCH_RECOGNIZE_ALTERNATION_ORACLE = """
+WITH RECURSIVE
+a AS (SELECT user_id, event_id AS i1, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+br AS (SELECT 0 AS b, 'C' AS cls, 'click' AS mid
+       UNION ALL SELECT 1, 'V', 'view'),
+m2 AS (
+  SELECT a.*, br.b, br.cls, e.ts AS t2, e.event_id AS i2
+  FROM a CROSS JOIN br
+  JOIN LATERAL (
+    SELECT ts, event_id FROM events e
+    WHERE e.event_type = br.mid AND e.user_id = a.user_id AND e.ts >= a.t1
+    ORDER BY e.ts, e.event_id LIMIT 1) e ON TRUE
+),
+m3 AS (
+  SELECT m2.*, p.ts AS t3, p.event_id AS i3
+  FROM m2 JOIN LATERAL (
+    SELECT ts, event_id FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = m2.user_id
+      AND p.ts >= m2.t2
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+  WHERE m2.t2 <= m2.t1 + INTERVAL 6 HOUR
+),
+ok AS (SELECT * FROM m3 WHERE t3 <= t2 + INTERVAL 24 HOUR),
+-- leftmost-alternative preference: lowest branch index that matched
+pref AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, i1 ORDER BY b) AS pr
+  FROM ok
+),
+cand AS (
+  SELECT user_id, i1, t1, b, cls, t2, i2, t3, i3,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY t3, i3, t1, i1) AS r
+  FROM pref WHERE pr = 1
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.i1) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.i1) > (s.le_ts, s.le_id)
+              THEN c.i3 ELSE s.le_id END,
+         (c.t1, c.i1) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.i1 AS anchor_id, c.t1 AS S_ts,
+       CASE WHEN c.cls = 'C' THEN c.t2 END AS C_ts,
+       CASE WHEN c.cls = 'V' THEN c.t2 END AS V_ts,
+       c.t3 AS P_ts, c.cls AS classifier_2, c.i3 AS end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
+def match_recognize_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-referencing DEFINE — SQL's ``DEFINE P AS P.cents >=
+    S.cents`` (Flink's IterativeCondition reached through
+    MATCH_RECOGNIZE): signup → click (6 h) → purchase (24 h) whose value
+    recovers at least the signup's, the condition evaluated BEFORE
+    binding (a cheaper purchase is SKIPPED and the search continues).
+    Served by ``pattern_detect_iterative`` through the front-end's
+    ``iter_define`` binder; amounts are exact integer cents."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S C P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+        payload={"cents": F.floor(F.col("value") * 100).cast("long")},
+        iter_define={"P": lambda b: b["P"]["cents"] >= b["S"]["cents"]},
+        after_match="skip_past_last",
+    )
+
+
+MATCH_RECOGNIZE_ITERATIVE_ORACLE = """
+WITH RECURSIVE
+a AS (SELECT user_id, event_id AS i1, ts AS t1,
+             CAST(floor(value * 100) AS BIGINT) AS c1
+      FROM events WHERE event_type = 'signup'),
+s2 AS (
+  SELECT a.*, c.ts AS t2, c.event_id AS i2, c.c2
+  FROM a JOIN LATERAL (
+    SELECT ts, event_id, CAST(floor(value * 100) AS BIGINT) AS c2
+    FROM events c
+    WHERE c.event_type = 'click' AND c.user_id = a.user_id
+      AND c.ts >= a.t1 AND c.ts <= a.t1 + INTERVAL 6 HOUR
+    ORDER BY c.ts, c.event_id LIMIT 1) c ON TRUE
+),
+-- the iterative condition is part of CANDIDACY: purchases cheaper than
+-- the signup are skipped and the search continues inside the band
+s3 AS (
+  SELECT s2.*, p.ts AS t3, p.event_id AS i3, p.c3
+  FROM s2 JOIN LATERAL (
+    SELECT ts, event_id, CAST(floor(value * 100) AS BIGINT) AS c3
+    FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = s2.user_id
+      AND p.ts >= s2.t2 AND p.ts <= s2.t2 + INTERVAL 24 HOUR
+      AND CAST(floor(p.value * 100) AS BIGINT) >= s2.c1
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY t3, i3, t1, i1) AS r
+  FROM s3
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.i1) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.i1) > (s.le_ts, s.le_id)
+              THEN c.i3 ELSE s.le_id END,
+         (c.t1, c.i1) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.i1 AS anchor_id, c.t1 AS S_ts, c.t2 AS C_ts,
+       c.t3 AS P_ts, c.c1 AS cents_S, c.c2 AS cents_C, c.c3 AS cents_P,
+       c.i3 AS end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
+def match_recognize_all_rows_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALL ROWS PER MATCH`` over a QUANTIFIED variable — ``PATTERN
+    (S E{1,3} P)``: every bound event of each non-overlapping episode
+    emits its own row, the error RUN enumerated one row per repetition
+    (round 8; the r7 front-end raised on quantified vars). The run is the
+    ``n``-prefix of the step's rows from the bound entry, recovered by a
+    band join back to the input."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S E{1,3} P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_past_last",
+        rows_per_match="all",
+    )
+
+
+MATCH_RECOGNIZE_ALL_ROWS_RUN_ORACLE = """
+WITH RECURSIVE
+err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts,
+         COALESCE(lead(ts, 2) OVER ws, max(ts) OVER wf) AS run_last,
+         LEAST(3, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*, r.ts AS t2, r.event_id AS i2, r.run_last AS t2_last,
+         r.n_reps AS n2
+  FROM a JOIN LATERAL (
+    SELECT ts, run_last, n_reps, event_id FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1
+    ORDER BY r.ts, r.event_id LIMIT 1) r ON TRUE
+),
+a3 AS (
+  SELECT a2.*, (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+),
+cand0 AS (
+  SELECT user_id, anchor_id, t1, t2, i2, t2_last, n2, t3,
+         (SELECT min(p.event_id) FROM events p WHERE p.event_type = 'purchase'
+            AND p.user_id = a3.user_id AND p.ts = a3.t3) AS end_id
+  FROM a3
+  WHERE t3 IS NOT NULL AND t2 <= t1 + INTERVAL 12 HOUR
+    AND t3 <= t2_last + INTERVAL 24 HOUR
+),
+cand AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY t3, end_id, t1, anchor_id) AS r
+  FROM cand0
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+),
+m AS (
+  SELECT c.* FROM sel s
+  JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+  WHERE s.kept
+)
+SELECT user_id, anchor_id, CAST(1 AS BIGINT) AS seq, 'S' AS var,
+       anchor_id AS event_id, t1 AS ts
+FROM m
+UNION ALL
+-- the quantified run: the n-prefix of the step's rows from the bound
+-- entry in (ts, id) order
+SELECT m.user_id, m.anchor_id, CAST(2 AS BIGINT), 'E', e.event_id, e.ts
+FROM m JOIN LATERAL (
+  SELECT event_id, ts FROM sess e
+  WHERE e.user_id = m.user_id
+    AND (e.ts > m.t2 OR (e.ts = m.t2 AND e.event_id >= m.i2))
+    AND e.ts <= m.t2_last
+  ORDER BY e.ts, e.event_id LIMIT 3) e ON TRUE
+UNION ALL
+SELECT user_id, anchor_id, CAST(3 AS BIGINT), 'P', end_id, t3
+FROM m
+"""
+
+
+QUERIES = {
+    "match_recognize_reluctant_lazy": match_recognize_reluctant_lazy,
+    "match_recognize_skip_to_first": match_recognize_skip_to_first,
+    "match_recognize_alternation": match_recognize_alternation,
+    "match_recognize_iterative": match_recognize_iterative,
+    "match_recognize_all_rows_run": match_recognize_all_rows_run,
+}
+
+ORACLES = {
+    "match_recognize_reluctant_lazy": MATCH_RECOGNIZE_RELUCTANT_LAZY_ORACLE,
+    "match_recognize_skip_to_first": MATCH_RECOGNIZE_SKIP_TO_FIRST_ORACLE,
+    "match_recognize_alternation": MATCH_RECOGNIZE_ALTERNATION_ORACLE,
+    "match_recognize_iterative": MATCH_RECOGNIZE_ITERATIVE_ORACLE,
+    "match_recognize_all_rows_run": MATCH_RECOGNIZE_ALL_ROWS_RUN_ORACLE,
+}

@@ -13,6 +13,8 @@ from __future__ import annotations
 import datetime
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from flink_uba_spark.operators.match_recognize import (
@@ -421,3 +423,160 @@ def test_all_rows_quantified_run(spark):
         (1, "P", 6), (1, "S", 1),
         (8, "E", 9), (8, "P", 10), (8, "S", 8),
     ]
+
+
+# ---- randomized equivalence vs the round-5 brute reference -----------------
+
+
+def _mask_df(spark, events, nbits):
+    rows = [
+        (eid, 0, EPOCH + datetime.timedelta(microseconds=ts),
+         *[bool(m >> j & 1) for j in range(nbits)])
+        for eid, ts, m in events
+    ]
+    cols = ", ".join(f"c{j} boolean" for j in range(nbits))
+    return spark.createDataFrame(
+        rows, f"event_id long, user_id long, ts timestamp, {cols}"
+    )
+
+
+def _us(v):
+    import pandas as pd
+
+    return (
+        None if pd.isna(v)
+        else int((v.to_pydatetime() - EPOCH).total_seconds() * 1e6)
+    )
+
+
+def brute_reluctant_lazy_skip(events, gap, mn, mx, w3):
+    """SQL's lazy ONE-ROW reluctant semantics over the round-5 brute:
+    per anchor the earliest-completing count (ties → smaller count),
+    then the greedy SKIP PAST LAST fold."""
+    from test_properties_round5 import brute_chain
+
+    cands = []
+    for m in range(mn, mx + 1):
+        for aid, key, st, e_ts, e_id in brute_chain(
+            events, [(None, None), (gap, (gap, m, m)), (w3, None)],
+            final_wm_ms=10 ** 15, with_end=True,
+        ):
+            if st == "matched":
+                cands.append((aid, key, e_ts, e_id, m))
+    best = {}
+    for aid, key, e_ts, e_id, m in cands:
+        cur = best.get(aid)
+        if cur is None or (e_ts, e_id, m) < (cur[2], cur[3], cur[4]):
+            best[aid] = (aid, key, e_ts, e_id, m)
+    items = sorted(best.values(), key=lambda c: (c[2], c[3], c[1][0], c[0]))
+    le, out = (-1, -1), []
+    for aid, key, e_ts, e_id, _m in items:
+        if (key[0], aid) > le:
+            out.append((aid, key))
+            le = (e_ts, e_id)
+    return sorted(out)
+
+
+@st.composite
+def _lazy_case(draw):
+    gap = draw(st.integers(2, 40))
+    mn = draw(st.integers(1, 2))
+    mx = mn + draw(st.integers(0, 2))
+    n_ev = draw(st.integers(0, 16))
+    events = [
+        (i, draw(st.integers(0, 90)), draw(st.integers(0, 7)))
+        for i in range(n_ev)
+    ]
+    return gap, mn, mx, events
+
+
+@settings(max_examples=40, deadline=None)
+@given(_lazy_case())
+def test_reluctant_lazy_matches_brute(spark, case):
+    gap, mn, mx, events = case
+    df = _mask_df(spark, events, 3)
+    out = match_recognize(
+        df, partition_by="user_id", order_by="ts",
+        pattern=f"S E{{{mn},{mx}}}? P",
+        define={"S": F.col("c0"), "E": F.col("c1"), "P": F.col("c2")},
+        withins={"E": f"INTERVAL {gap} MICROSECONDS",
+                 "P": "INTERVAL 100 MICROSECONDS"},
+        after_match="skip_past_last",
+    ).toPandas()
+    got = sorted(
+        (int(r["anchor_id"]),
+         (_us(r["S_ts"]), _us(r["E_ts"]), _us(r["E_last_ts"]),
+          int(r["E_n"]), _us(r["P_ts"])))
+        for _, r in out.iterrows()
+    )
+    assert got == brute_reluctant_lazy_skip(events, gap, mn, mx, 100)
+
+
+def brute_alternation_skip(events, w2, w3):
+    """Leftmost-preference alternation over two plain brute chains +
+    the greedy SKIP PAST LAST fold. Event masks: bit0 = S, bit1 = C,
+    bit2 = V, bit3 = P."""
+    from test_properties_round5 import brute_chain
+
+    def remap(bit_mid):
+        return [
+            (eid, ts,
+             (m & 1) | ((m >> bit_mid & 1) << 1) | ((m >> 3 & 1) << 2))
+            for eid, ts, m in events
+        ]
+
+    cands = []
+    for b, bit_mid in enumerate((1, 2)):
+        for aid, key, st, e_ts, e_id in brute_chain(
+            remap(bit_mid), [(None, None), (w2, None), (w3, None)],
+            final_wm_ms=10 ** 15, with_end=True,
+        ):
+            if st == "matched":
+                cands.append((aid, b, key, e_ts, e_id))
+    best = {}
+    for aid, b, key, e_ts, e_id in cands:
+        if aid not in best or b < best[aid][1]:
+            best[aid] = (aid, b, key, e_ts, e_id)
+    items = sorted(best.values(), key=lambda c: (c[3], c[4], c[2][0], c[0]))
+    le, out = (-1, -1), []
+    for aid, b, key, e_ts, e_id in items:
+        if (key[0], aid) > le:
+            out.append((aid, ("C", "V")[b], key))
+            le = (e_ts, e_id)
+    return sorted(out)
+
+
+@st.composite
+def _alt_case(draw):
+    w2 = draw(st.integers(2, 50))
+    n_ev = draw(st.integers(0, 16))
+    events = [
+        (i, draw(st.integers(0, 90)), draw(st.integers(0, 15)))
+        for i in range(n_ev)
+    ]
+    return w2, events
+
+
+@settings(max_examples=40, deadline=None)
+@given(_alt_case())
+def test_alternation_matches_brute(spark, case):
+    w2, events = case
+    df = _mask_df(spark, events, 4)
+    out = match_recognize(
+        df, partition_by="user_id", order_by="ts",
+        pattern="S (C|V) P",
+        define={"S": F.col("c0"), "C": F.col("c1"),
+                "V": F.col("c2"), "P": F.col("c3")},
+        withins={"C": f"INTERVAL {w2} MICROSECONDS",
+                 "V": f"INTERVAL {w2} MICROSECONDS",
+                 "P": "INTERVAL 100 MICROSECONDS"},
+        after_match="skip_past_last",
+    ).toPandas()
+    got = sorted(
+        (int(r["anchor_id"]), r["classifier_2"],
+         (_us(r["S_ts"]),
+          _us(r["C_ts"]) if r["classifier_2"] == "C" else _us(r["V_ts"]),
+          _us(r["P_ts"])))
+        for _, r in out.iterrows()
+    )
+    assert got == brute_alternation_skip(events, w2, 100)
