@@ -1775,41 +1775,85 @@ def stream_pattern_combinations_view_clicks(spark: SparkSession, sf_dir: str) ->
     view → click.times(1, 2).allowCombinations() (24 h gap) → purchase
     within 48 h of the subset's last click. Compiled exactly like the
     batch operator — the loop expands to m identical followedByAny legs,
-    one ``stream_pattern_detect_any`` NFA per admitted count (the
-    H-horizon buffer with data-driven exactly-once emission), unioned
-    with the column-aligned null padding and NO dedupe exchange (nK
-    separates the branches). Every combination emits in the micro-batch
-    its last-arriving event lands, so a complete replay equals the batch
+    one NFA per admitted count (the H-horizon buffer with data-driven
+    exactly-once emission) — but both count NFAs are PACKED into one
+    stateful operator over one source scan
+    (``stream_pattern_detect_fused``, round 8; r7 ran one independent
+    replay per count), with the column-aligned null padding applied
+    pandas-side and NO dedupe exchange (nK separates the branches).
+    Every combination emits in the micro-batch its last-arriving event
+    lands, so a complete replay equals the batch
     ``pattern_combinations_view_clicks`` bit-for-bit — the oracle."""
-    from flink_uba_spark.streaming.pattern import stream_pattern_detect_any
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect_fused
 
     ev = stream_events(spark, sf_dir)
-    out = None
-    for m in (1, 2):
-        t = run_to_table(
-            stream_pattern_detect_any(
-                ev,
-                key="user_id",
-                steps=[("view", None)]
-                + [("click", "INTERVAL 24 HOURS")] * m
-                + [("purchase", "INTERVAL 48 HOURS")],
-            )
-        )
-        last = m + 2
-        sel = [
-            F.col("user_id"),
-            F.col("i1"), F.col("t1"),
-            F.col("i2").alias("i2_1"),
-            (F.col("i3") if m == 2 else F.lit(None).cast("long")).alias("i2_2"),
-            F.col("t2").alias("t2_1"),
-            (F.col("t3") if m == 2 else F.lit(None).cast("timestamp")).alias("t2_2"),
-            F.lit(m).cast("long").alias("n2"),
-            F.col(f"i{last}").alias("i3"),
-            F.col(f"t{last}").alias("t3"),
+    g_us = 24 * 3600 * 1_000_000
+    w_us = 48 * 3600 * 1_000_000
+    cols = ["user_id", "i1", "t1", "i2_1", "i2_2", "t2_1", "t2_2",
+            "n2", "i3", "t3"]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("i1", T.LongType()),
+            T.StructField("t1", T.TimestampType()),
+            T.StructField("i2_1", T.LongType()),
+            T.StructField("i2_2", T.LongType()),
+            T.StructField("t2_1", T.TimestampType()),
+            T.StructField("t2_2", T.TimestampType()),
+            T.StructField("n2", T.LongType()),
+            T.StructField("i3", T.LongType()),
+            T.StructField("t3", T.TimestampType()),
         ]
-        b = t.select(*sel)
-        out = b if out is None else out.unionByName(b)
-    return out
+    )
+
+    def proj(m):
+        last = m + 2
+
+        def _p(f):
+            return pd.DataFrame(
+                {
+                    "user_id": f["user_id"],
+                    "i1": f["i1"],
+                    "t1": f["t1"],
+                    "i2_1": f["i2"],
+                    "i2_2": f["i3"] if m == 2
+                    else pd.array([None] * len(f), dtype="Int64"),
+                    "t2_1": f["t2"],
+                    "t2_2": f["t3"] if m == 2
+                    else pd.Series(pd.NaT, index=f.index,
+                                   dtype="datetime64[ns]"),
+                    "n2": pd.array([m] * len(f), dtype="int64"),
+                    "i3": f[f"i{last}"],
+                    "t3": f[f"t{last}"],
+                }
+            )[cols]
+
+        return _p
+
+    return run_to_table(
+        stream_pattern_detect_fused(
+            ev,
+            key="user_id",
+            flags={
+                "v": F.col("event_type") == "view",
+                "c": F.col("event_type") == "click",
+                "p": F.col("event_type") == "purchase",
+            },
+            branches=[
+                {
+                    "engine": "any",
+                    "slots": ["v"] + ["c"] * m + ["p"],
+                    "withins_us": [0] + [g_us] * m + [w_us],
+                    "project": proj(m),
+                }
+                for m in (1, 2)
+            ],
+            output_schema=schema,
+        )
+    )
 
 
 def _stream_pattern_combinations_oracle() -> str:
@@ -1821,48 +1865,90 @@ def _stream_pattern_combinations_oracle() -> str:
 def stream_pattern_group_browse_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP patterns in their native streaming form: per user, signup →
     (view → click).times(1, 2) → purchase — the batch compile's tiling
-    (group steps repeated m times) run as one ``stream_pattern_detect_any``
-    NFA per count (H-horizon buffer, exactly-once data-driven emission)
-    and unioned into the gi{r}_{j}/n_loops shape. A complete replay
-    equals the batch ``pattern_group_browse_loop`` bit-for-bit — the
-    oracle."""
-    from flink_uba_spark.streaming.pattern import stream_pattern_detect_any
+    (group steps repeated m times) run as one followedByAny NFA per
+    count (H-horizon buffer, exactly-once data-driven emission), both
+    counts PACKED into one stateful operator over one source scan
+    (``stream_pattern_detect_fused``, round 8; r7 ran one independent
+    replay per count), projected pandas-side into the gi{r}_{j}/n_loops
+    shape. A complete replay equals the batch
+    ``pattern_group_browse_loop`` bit-for-bit — the oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_uba_spark.streaming.pattern import stream_pattern_detect_fused
 
     ev = stream_events(spark, sf_dir)
-    out = None
-    for m in (1, 2):
-        t = run_to_table(
-            stream_pattern_detect_any(
-                ev,
-                key="user_id",
-                steps=[("signup", None)]
-                + [("view", "INTERVAL 48 HOURS"), ("click", "INTERVAL 24 HOURS")] * m
-                + [("purchase", "INTERVAL 72 HOURS")],
-            )
-        )
+    v_us = 48 * 3600 * 1_000_000
+    c_us = 24 * 3600 * 1_000_000
+    p_us = 72 * 3600 * 1_000_000
+    cols = ["user_id", "i1", "t1"]
+    fields = [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("i1", T.LongType()),
+        T.StructField("t1", T.TimestampType()),
+    ]
+    for r in range(1, 3):
+        for j in range(1, 3):
+            cols += [f"gi{r}_{j}", f"gt{r}_{j}"]
+            fields += [
+                T.StructField(f"gi{r}_{j}", T.LongType()),
+                T.StructField(f"gt{r}_{j}", T.TimestampType()),
+            ]
+    cols += ["n_loops", "s1_id", "s1_ts"]
+    fields += [
+        T.StructField("n_loops", T.LongType()),
+        T.StructField("s1_id", T.LongType()),
+        T.StructField("s1_ts", T.TimestampType()),
+    ]
+    schema = T.StructType(fields)
+
+    def proj(m):
         last = 2 * m + 2
-        sel = [F.col("user_id"), F.col("i1"), F.col("t1")]
-        for r in range(1, 3):
-            for j in range(1, 3):
-                if r <= m:
-                    pos = 1 + (r - 1) * 2 + j
-                    sel += [
-                        F.col(f"i{pos}").alias(f"gi{r}_{j}"),
-                        F.col(f"t{pos}").alias(f"gt{r}_{j}"),
-                    ]
-                else:
-                    sel += [
-                        F.lit(None).cast("long").alias(f"gi{r}_{j}"),
-                        F.lit(None).cast("timestamp").alias(f"gt{r}_{j}"),
-                    ]
-        sel += [
-            F.lit(m).cast("long").alias("n_loops"),
-            F.col(f"i{last}").alias("s1_id"),
-            F.col(f"t{last}").alias("s1_ts"),
-        ]
-        b = t.select(*sel)
-        out = b if out is None else out.unionByName(b)
-    return out
+
+        def _p(f):
+            d = {"user_id": f["user_id"], "i1": f["i1"], "t1": f["t1"]}
+            for r in range(1, 3):
+                for j in range(1, 3):
+                    if r <= m:
+                        pos = 1 + (r - 1) * 2 + j
+                        d[f"gi{r}_{j}"] = f[f"i{pos}"]
+                        d[f"gt{r}_{j}"] = f[f"t{pos}"]
+                    else:
+                        d[f"gi{r}_{j}"] = pd.array(
+                            [None] * len(f), dtype="Int64"
+                        )
+                        d[f"gt{r}_{j}"] = pd.Series(
+                            pd.NaT, index=f.index, dtype="datetime64[ns]"
+                        )
+            d["n_loops"] = pd.array([m] * len(f), dtype="int64")
+            d["s1_id"] = f[f"i{last}"]
+            d["s1_ts"] = f[f"t{last}"]
+            return pd.DataFrame(d)[cols]
+
+        return _p
+
+    return run_to_table(
+        stream_pattern_detect_fused(
+            ev,
+            key="user_id",
+            flags={
+                "s": F.col("event_type") == "signup",
+                "v": F.col("event_type") == "view",
+                "c": F.col("event_type") == "click",
+                "p": F.col("event_type") == "purchase",
+            },
+            branches=[
+                {
+                    "engine": "any",
+                    "slots": ["s"] + ["v", "c"] * m + ["p"],
+                    "withins_us": [0] + [v_us, c_us] * m + [p_us],
+                    "project": proj(m),
+                }
+                for m in (1, 2)
+            ],
+            output_schema=schema,
+        )
+    )
 
 
 def _stream_pattern_group_loop_oracle() -> str:
@@ -2063,14 +2149,15 @@ WHERE b.state != 'incomplete'
 def stream_pattern_reluctant_error_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RELUCTANT (non-greedy) Kleene in its native streaming form: per
     user, signup → error.times(1, 3) RELUCTANT (12 h gap) → purchase
-    within 24 h of the prefix's last error. Compiled exactly as Flink's
-    shared version tree branches — one NFA per admitted repetition count
-    (times(m, m), m = 1..3), run as three independent replays over the
-    same source and unioned. No dedupe exchange is needed: streaming
-    emits complete chains only, and every complete row carries its
-    branch's count in ``n2``, so branch outputs are disjoint by
-    construction (the batch form's duplicates are never-bound anchors,
-    which a stream does not emit).
+    within 24 h of the prefix's last error. Compiled as Flink's shared
+    version tree — one NFA per admitted repetition count (times(m, m),
+    m = 1..3), all three packed into ONE stateful operator over ONE
+    source scan (``stream_pattern_detect_fused``, round 8; r7 ran three
+    independent replays — VERDICT r7 "What's wrong" #1). No dedupe
+    exchange is needed: streaming emits complete chains only, and every
+    complete row carries its branch's count in ``n2``, so branch outputs
+    are disjoint by construction (the batch form's duplicates are
+    never-bound anchors, which a stream does not emit).
 
     Closure: an exact-count run closes by CAP the moment its m-th
     repetition arrives (no gap timer on the happy path), and a tentative
@@ -2079,24 +2166,42 @@ def stream_pattern_reluctant_error_prefixes(spark: SparkSession, sf_dir: str) ->
     batch union minus incomplete rows, with no end-of-stream closure
     residue (sessions are gap-separated: the bound entry's own presence
     closes every earlier short session)."""
-    from flink_uba_spark.streaming.pattern import stream_pattern_detect
+    from flink_uba_spark.streaming.pattern import (
+        pattern_output_schema,
+        stream_pattern_detect_fused,
+    )
 
     ev = stream_events(spark, sf_dir)
-    out = None
-    for m in (1, 2, 3):
-        t = run_to_table(
-            stream_pattern_detect(
-                ev,
-                key="user_id",
-                steps=[
-                    ("signup", None),
-                    ("error", "INTERVAL 12 HOURS", (m, m)),
-                    ("purchase", "INTERVAL 24 HOURS"),
-                ],
-            )
+    gap_us = 12 * 3600 * 1_000_000
+    w3_us = 24 * 3600 * 1_000_000
+    schema = pattern_output_schema(3, [None, (gap_us, 1, 1), None])
+    cols = [f.name for f in schema.fields]
+
+    def ident(frame):
+        return frame[cols]
+
+    return run_to_table(
+        stream_pattern_detect_fused(
+            ev,
+            key="user_id",
+            flags={
+                "s": F.col("event_type") == "signup",
+                "e": F.col("event_type") == "error",
+                "p": F.col("event_type") == "purchase",
+            },
+            branches=[
+                {
+                    "engine": "chain",
+                    "slots": ["s", "e", "p"],
+                    "withins_us": [None, gap_us, w3_us],
+                    "kleenes": [None, (gap_us, m, m), None],
+                    "project": ident,
+                }
+                for m in (1, 2, 3)
+            ],
+            output_schema=schema,
         )
-        out = t if out is None else out.unionByName(t)
-    return out
+    )
 
 
 def _stream_pattern_reluctant_oracle() -> str:

@@ -2128,3 +2128,191 @@ def stream_pattern_detect_iterative(
         for k in range(1, n + 1):
             out = out.withColumnRenamed(f"v{j}_{k}", f"{nm}{k}")
     return out
+
+
+# --------------------------------------------------------------------------
+# Fused multi-branch operator (round 8): pack several fixed-cap NFAs into
+# ONE applyInPandasWithState — the per-count reluctant / allowCombinations /
+# group-loop twins previously ran one independent streaming query (its own
+# source scan + stateful exchange) per admitted repetition count; Flink's
+# shared version tree does one pass. The _BranchStateSlot + seg_lens
+# packing stream_pattern_detect_branching proved is generalized here to
+# arbitrary branch step lists (heterogeneous widths included) over either
+# the chain engine (make_pattern_matcher) or the followedByAny engine
+# (make_any_matcher).
+# --------------------------------------------------------------------------
+
+
+def fused_state_schema(base: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(base.fields) + [T.StructField("seg_lens", T.ArrayType(T.LongType()))]
+    )
+
+
+def make_fused_matcher(branches: list[tuple], n_state_fields: int):
+    """Build the packed state function. ``branches`` is a list of
+    ``(det, slot_cols, project)``: ``det`` a per-branch detect function
+    (one engine family per operator — the seg_lens packing assumes every
+    branch shares the same state field count), ``slot_cols`` the packed
+    input column names feeding the branch's ``__p1..__pn`` slots, and
+    ``project`` a pandas-level remap of the branch's output frame onto
+    the operator's COMMON output schema. Every state field holds the
+    branch-major concatenation of the per-branch arrays; seg_lens
+    ([branch][field], len = B * n_state_fields) restores the
+    segmentation — exactly the stream_pattern_detect_branching layout."""
+    B = len(branches)
+
+    def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        timed_out = getattr(state, "hasTimedOut", False)
+        chunks = [] if timed_out else [c for c in pdfs if len(c)]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else None
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:  # noqa: BLE001
+            wm_ms = 0
+
+        if state.exists:
+            *flat, seg = state.get
+            seg = [int(x) for x in seg]
+            bvals: list[tuple | None] = []
+            pos = [0] * n_state_fields
+            for b in range(B):
+                tup, empty = [], True
+                for f in range(n_state_fields):
+                    ln = seg[b * n_state_fields + f]
+                    tup.append(list(flat[f][pos[f]:pos[f] + ln]))
+                    pos[f] += ln
+                    empty = empty and ln == 0
+                bvals.append(None if empty else tuple(tup))
+        else:
+            bvals = [None] * B
+
+        timer_cands: list[int] = []
+        new_vals: list[tuple | None] = [None] * B
+        out_frames: list[pd.DataFrame] = []
+        for bi, (det, slot_cols, project) in enumerate(branches):
+            slot = _BranchStateSlot(bvals[bi], wm_ms, timed_out, timer_cands)
+            if pdf is not None:
+                bpdf = pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"],
+                        "ts": pdf["ts"],
+                        **{
+                            f"__p{j}": pdf[c]
+                            for j, c in enumerate(slot_cols, start=1)
+                        },
+                    }
+                )
+                it: Iterator[pd.DataFrame] = iter([bpdf])
+            else:
+                it = iter([])
+            for frame in det(key, it, slot):
+                out_frames.append(project(frame))
+            new_vals[bi] = slot.value
+
+        if any(v is not None for v in new_vals):
+            flat_out: list[list] = [[] for _ in range(n_state_fields)]
+            seg_out: list[int] = []
+            for v in new_vals:
+                for f in range(n_state_fields):
+                    arr = [] if v is None else list(v[f])
+                    flat_out[f].extend(arr)
+                    seg_out.append(len(arr))
+            state.update(tuple([*flat_out, seg_out]))
+            if timer_cands:
+                # each branch already clamped its request to wm+1
+                state.setTimeoutTimestamp(max(min(timer_cands), wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True)
+
+    return detect
+
+
+def stream_pattern_detect_fused(
+    events: DataFrame,
+    key: str,
+    flags: dict[str, "Column"],
+    branches: list[dict],
+    output_schema: T.StructType,
+    event_id: str = "event_id",
+    ts: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Run B fixed-cap NFAs as ONE stateful operator over ONE source scan.
+
+    ``flags`` maps a packed column name to its predicate (each distinct
+    predicate is evaluated JVM-side once; the scan filter is their OR —
+    the usual match-nothing drop). Each branch dict:
+
+    - ``engine``: ``"chain"`` (make_pattern_matcher — plain + Kleene
+      steps, no guards) or ``"any"`` (make_any_matcher — followedByAny).
+      All branches must share the engine (one state layout per operator).
+    - ``slots``: ordered flag names feeding the branch's ``__p1..__pn``.
+    - ``withins_us``: per-step within bounds (``None`` unbounded for
+      chain; step-1 entry 0/None for any).
+    - ``kleenes`` (chain only): per-step Kleene specs as
+      ``make_pattern_matcher`` takes them.
+    - ``project``: pandas-level remap of the branch's native output frame
+      (``pattern_output_schema`` / ``any_output_schema`` shape) onto
+      ``output_schema``'s columns.
+
+    Scale: one keyed exchange carries the union of the branches' slot
+    flags; per-key state is the sum of the B branch states (each bounded
+    by its own gap/window horizon, as when run separately) — B is a
+    fixed small cap (≤ 8 in the catalog), so this is strictly cheaper
+    than B independent queries: one scan, one shuffle, one state store.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    engines = {b["engine"] for b in branches}
+    if len(engines) != 1:
+        raise ValueError("all fused branches must share one engine family")
+    engine = engines.pop()
+    if engine not in ("chain", "any"):
+        raise ValueError("engine: chain | any")
+    unknown = {s for b in branches for s in b["slots"]} - set(flags)
+    if unknown:
+        raise ValueError(f"branch slots name unknown flags: {sorted(unknown)}")
+
+    built = []
+    for b in branches:
+        nb = len(b["slots"])
+        if engine == "chain":
+            det = make_pattern_matcher(
+                [f"s{j}" for j in range(1, nb + 1)],
+                list(b["withins_us"]),
+                kleenes=list(b.get("kleenes") or [None] * nb),
+            )
+        else:
+            det = make_any_matcher(nb, list(b["withins_us"]))
+        built.append((det, list(b["slots"]), b["project"]))
+
+    preds = {nm: c.cast("boolean") for nm, c in flags.items()}
+    any_step = None
+    for c in preds.values():
+        any_step = c if any_step is None else (any_step | c)
+    flag_cols = {
+        nm: F.coalesce(c, F.lit(False)).alias(nm) for nm, c in preds.items()
+    }
+    filtered = (
+        events.filter(any_step)
+        .withColumns(flag_cols)
+        .select(
+            F.col(event_id).alias("event_id"),
+            F.col(ts).alias("ts"),
+            F.col(key).alias("user_id"),
+            *flag_cols.keys(),
+        )
+        .withWatermark("ts", watermark_delay)
+    )
+    base = STATE_SCHEMA if engine == "chain" else ANY_STATE_SCHEMA
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        make_fused_matcher(built, len(base.fields)),
+        output_schema,
+        fused_state_schema(base),
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

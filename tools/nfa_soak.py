@@ -1427,6 +1427,130 @@ def soak_iter(n_cases):
     return fails
 
 
+def soak_fused(n_cases):
+    """FUSED per-count packing soak (round 8): ``make_fused_matcher`` —
+    the single-operator NFA that packs one chain matcher per admitted
+    repetition count (the reluctant twin's shared-version-tree compile)
+    into one state row, per-branch timers min-merged — driven over
+    random micro-batch splits WITH mid-stream merged-timer firings (a
+    fire for one branch's gap horizon must not corrupt another branch's
+    pending chains, and the seg_lens segmentation must survive every
+    update). Reference: brute_chain with the exact-count spec per
+    branch, unioned (rows are branch-disjoint through nK where bound),
+    at the driven final watermark."""
+    import pandas as pd
+
+    from test_properties_round5 import _FakeState, brute_chain
+    from flink_uba_spark.streaming.pattern import (
+        STATE_SCHEMA,
+        make_fused_matcher,
+        make_pattern_matcher,
+    )
+
+    t0, fails = time.time(), 0
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 22801763489 + 17)
+        gap = rnd.randint(2, 40)
+        w1 = rnd.choice([None, rnd.randint(2, 60)])
+        w3 = rnd.randint(2, 80)
+        mn = rnd.randint(1, 2)
+        mx = mn + rnd.randint(0, 2)
+        events = [
+            (i, rnd.randint(0, 120),
+             rnd.getrandbits(3) if rnd.random() < 0.92 else 0)
+            for i in range(rnd.randint(0, 26))
+        ]
+        cuts = sorted({rnd.randint(1, 120) for _ in range(rnd.randint(0, 4))})
+
+        counts = list(range(mn, mx + 1))
+        detect = make_fused_matcher(
+            [
+                (
+                    make_pattern_matcher(
+                        ["s1", "s2", "s3"], [None, w1, w3],
+                        kleenes=[None, (gap, m, m), None],
+                    ),
+                    ["__p1", "__p2", "__p3"],
+                    lambda f: f,
+                )
+                for m in counts
+            ],
+            len(STATE_SCHEMA.fields),
+        )
+        state = _FakeState()
+        got = []
+
+        def drain(gen):
+            for f in gen:
+                for r in f.itertuples(index=False):
+                    def us(v):
+                        t = pd.Timestamp(v)
+                        return None if pd.isna(t) else t.value // 1000
+                    got.append((
+                        r.anchor_id,
+                        (us(r.t1), us(r.t2), us(r.t2_last),
+                         None if pd.isna(r.n2) else int(r.n2), us(r.t3)),
+                        r.state,
+                    ))
+
+        lo, wm = -1, 0
+        for hi in cuts + [10 ** 9]:
+            batch = [e for e in events if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            state._wm = wm  # lags one batch, as in Spark
+            pdf = pd.DataFrame(
+                [
+                    {
+                        "event_id": eid,
+                        "ts": pd.Timestamp(ts, unit="us"),
+                        **{f"__p{k}": bool(m >> (k - 1) & 1)
+                           for k in range(1, 4)},
+                    }
+                    for eid, ts, m in batch
+                ]
+            )
+            state.hasTimedOut = False
+            drain(detect((1,), iter([pdf]), state))
+            wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
+            for _ in range(8):  # mid-stream merged-timer firings
+                if state._v is None or state.timeout_set is None or state.timeout_set >= wm:
+                    break
+                state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+                drain(detect((1,), iter([]), state))
+            state.hasTimedOut = False
+        if events and state._v is not None:
+            state._wm = max(ts for _, ts, _ in events) // 1000
+            state.hasTimedOut = True
+            drain(detect((1,), iter([]), state))
+        wm_final = (
+            max((ts for _, ts, _ in events), default=0) // 1000 if events else None
+        )
+
+        want = []
+        for m in counts:
+            want += brute_chain(
+                events, [(None, None), (w1, (gap, m, m)), (w3, None)],
+                final_wm_ms=wm_final,
+            )
+
+        def _nkey(row):
+            aid, key, st = row
+            return (aid, tuple(-1 if v is None else v for v in key), st)
+
+        if sorted(got, key=_nkey) != sorted(want, key=_nkey):
+            fails += 1
+            print(f"MISMATCH seed={seed} gap={gap} w1={w1} w3={w3} "
+                  f"mn={mn} mx={mx} events={events} cuts={cuts}")
+            if fails > 5:
+                break
+        if (seed + 1) % 2000 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} fused cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     defaults = {
@@ -1444,6 +1568,7 @@ def main() -> int:
         "reluctant": 1000,
         "comb": 1000,
         "group": 1000,
+        "fused": 3000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
@@ -1462,6 +1587,8 @@ def main() -> int:
         return 1 if soak_combinations(n) else 0
     if mode == "group":
         return 1 if soak_group_loop(n) else 0
+    if mode == "fused":
+        return 1 if soak_fused(n) else 0
     if mode == "stream-consec":
         return 1 if soak_stream(n, timers=True, with_consecs=True) else 0
     if mode == "branching":
