@@ -2737,6 +2737,52 @@ WHERE b.state != 'incomplete'
 """
 
 
+def stream_rolling_7d_user_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time OVER aggregation as a continuous query — Flink SQL's
+    ``SUM(cents) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN
+    INTERVAL '7' DAY PRECEDING AND CURRENT ROW)``, a native streaming
+    operator in Flink with no prior twin (round 8; the batch family
+    member is rolling_7d_purchase_value's RANGE frame). Every purchase
+    row emits exactly once, watermark-final, carrying its trailing-7-day
+    per-user cents sum (equal-ts peers included — true RANGE). Rows in
+    the stream's final sub-ms tail (ts at/above the ms-floored terminal
+    watermark) stay pending — the frontier-cut contract, applied to the
+    oracle identically."""
+    from flink_uba_spark.streaming.over_agg import stream_over_aggregate
+
+    ev = stream_events(spark, sf_dir)
+    out = run_to_table(
+        stream_over_aggregate(
+            ev,
+            key="user_id",
+            value=F.floor(F.col("value") * 100),
+            range_interval="INTERVAL 7 DAYS",
+            row_filter=F.col("event_type") == "purchase",
+        )
+    )
+    return out.select(
+        "user_id", "event_id", "ts",
+        F.col("val").alias("cents"),
+        F.col("agg").alias("rolling_cents"),
+    )
+
+
+STREAM_ROLLING_7D_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 AS us FROM p)
+SELECT user_id, event_id, ts, cents,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS rolling_cents
+FROM p
+WHERE epoch_us(ts) < (SELECT us FROM wm)
+"""
+
+
 QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_pattern_view_click_purchase": stream_pattern_view_click_purchase,
@@ -2750,6 +2796,7 @@ QUERIES = {
     "stream_window_cogroup_user_activity": stream_window_cogroup_user_activity,
     "stream_temporal_join_price_at_view": stream_temporal_join_price_at_view,
     "stream_dedup_events_state_bounded": stream_dedup_events_state_bounded,
+    "stream_rolling_7d_user_purchases": stream_rolling_7d_user_purchases,
     "stream_match_recognize_error_streak": stream_match_recognize_error_streak,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
@@ -2812,6 +2859,7 @@ ORACLES = {
     "stream_window_cogroup_user_activity": _stream_window_cogroup_oracle(),
     "stream_temporal_join_price_at_view": _stream_temporal_join_oracle(),
     "stream_dedup_events_state_bounded": STREAM_DEDUP_STATE_BOUNDED_ORACLE,
+    "stream_rolling_7d_user_purchases": STREAM_ROLLING_7D_ORACLE,
     "stream_match_recognize_error_streak": STREAM_MATCH_RECOGNIZE_STREAK_ORACLE,
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),
