@@ -664,6 +664,97 @@ def span_dedup_stats(
     )
 
 
+def span_dedup_rewrite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup with TEXT REWRITE — the removal operator of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", the ~50-token rule; round 8, completing span_dedup_stats'
+    measurement with the act): every ``width``-token span whose content
+    recurs in a SECOND document is cut from every occurrence EXCEPT one
+    canonical keeper — the corpus-first occurrence in (doc_id, position)
+    order — and each doc's surviving tokens are re-joined in order.
+    Within-doc repeats are not cut (the cross-document rule, matching
+    span_dedup_stats' signal). Output: ``(id, clean_text, n_tokens,
+    n_removed)``; token conservation holds by construction
+    (len(split(clean_text)) == n_tokens - n_removed whenever any token
+    survives).
+
+    Scale shape: the span table is linear in corpus tokens (never
+    pairwise); duplicate detection is one hash-keyed exchange
+    (count-distinct-docs + min-struct canonical in a single aggregate);
+    cut occurrences are a second hash-keyed join (k occurrences of a
+    span cost k rows, not k²); covered positions collapse per doc
+    (collect_set bounded by the doc's own token count) and the rewrite
+    itself is a positional array filter inside whole-stage codegen — no
+    token-level shuffle, no UDF.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_pos = F.size(toks) - (width - 1)
+    spans = (
+        df.select(F.col(id_col), toks.alias("__w"), n_pos.alias("__np"))
+        .filter(F.col("__np") > 0)
+        .select(
+            id_col,
+            "__w",
+            F.explode(F.sequence(F.lit(1), F.col("__np"))).alias("__i"),
+        )
+        .select(
+            F.col(id_col).alias("__d"),
+            F.col("__i"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("__w"), F.col("__i"), width))
+            ).alias("__h"),
+        )
+    )
+    dup = (
+        spans.groupBy("__h")
+        .agg(
+            F.count_distinct("__d").alias("__nd"),
+            F.min(F.struct(F.col("__d"), F.col("__i"))).alias("__canon"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("__h", "__canon")
+    )
+    cut = spans.join(dup, "__h").filter(
+        ~(
+            (F.col("__d") == F.col("__canon.__d"))
+            & (F.col("__i") == F.col("__canon.__i"))
+        )
+    )
+    covered = (
+        cut.select(
+            F.col("__d"),
+            F.explode(
+                F.sequence(F.col("__i"), F.col("__i") + (width - 1))
+            ).alias("__p"),
+        )
+        .groupBy("__d")
+        .agg(F.collect_set("__p").alias("__cut"))
+    )
+    return (
+        df.join(covered, df[id_col] == covered["__d"], "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    toks,
+                    lambda tok, idx: ~F.coalesce(
+                        F.array_contains(F.col("__cut"), idx + 1),
+                        F.lit(False),
+                    ),
+                ),
+            ).alias("clean_text"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.coalesce(F.size("__cut"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def span_hash_array(text: Column, width: int = 8) -> Column:
     """Array of md5 span hashes for every ``width``-token sliding window
     (empty array when the doc is shorter than ``width`` tokens). The

@@ -2086,6 +2086,54 @@ FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
 """
 
 
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with TEXT REWRITE (Lee et al. 2021's removal
+    rule at 8-token granularity; round 8): cross-document duplicated
+    spans are CUT from every occurrence except the corpus-first one, and
+    each doc's surviving tokens re-join in order — span_dedup_stats
+    measures, this one acts. Emits the cleaned corpus plus conservation
+    counters (n_tokens, n_removed)."""
+    return D.span_dedup_rewrite(_docs(spark, sf_dir))
+
+
+DEDUP_SPAN_REWRITE_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+    SELECT doc_id, i, md5(array_to_string(w[i:i+7], ' ')) AS h
+    FROM t, unnest(range(1, len(w) - 6)) AS u(i)
+),
+dup AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+occ AS (
+    SELECT s.doc_id, s.i,
+           row_number() OVER (PARTITION BY s.h ORDER BY s.doc_id, s.i) AS rk
+    FROM s JOIN dup USING (h)
+),
+cov AS (
+    SELECT DISTINCT occ.doc_id, u.p
+    FROM occ, unnest(range(occ.i, occ.i + 8)) AS u(p)
+    WHERE occ.rk > 1
+),
+tok AS (
+    SELECT doc_id, unnest(w) AS tok,
+           generate_subscripts(w, 1) AS pos
+    FROM t
+),
+clean AS (
+    SELECT tok.doc_id,
+           coalesce(string_agg(tok.tok, ' ' ORDER BY tok.pos)
+                    FILTER (WHERE cov.p IS NULL), '') AS clean_text,
+           count(*) AS n_tokens,
+           count(cov.p) AS n_removed
+    FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.pos
+    GROUP BY tok.doc_id
+)
+SELECT d.doc_id, c.clean_text,
+       CAST(c.n_tokens AS BIGINT) AS n_tokens,
+       CAST(c.n_removed AS BIGINT) AS n_removed
+FROM documents d JOIN clean c ON c.doc_id = d.doc_id
+"""
+
+
 def source_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level keep/drop verdicts from per-doc quality + dup evidence."""
     from flink_uba_spark.operators import corpus as C
@@ -2599,6 +2647,7 @@ QUERIES = {
     "corpus_collocations_pmi": corpus_collocations_pmi,
     "heavy_hitter_bigrams": heavy_hitter_bigrams,
     "dedup_span_exact": dedup_span_exact,
+    "dedup_span_rewrite": dedup_span_rewrite,
     "source_curation_rollup": source_curation_rollup,
     "hybrid_search_rrf": hybrid_search_rrf,
     "corpus_length_histogram": corpus_length_histogram,
@@ -2661,6 +2710,7 @@ ORACLES = {
     "corpus_collocations_pmi": CORPUS_COLLOCATIONS_PMI_ORACLE,
     "heavy_hitter_bigrams": HEAVY_HITTER_BIGRAMS_ORACLE,
     "dedup_span_exact": DEDUP_SPAN_EXACT_ORACLE,
+    "dedup_span_rewrite": DEDUP_SPAN_REWRITE_ORACLE,
     "source_curation_rollup": SOURCE_CURATION_ROLLUP_ORACLE,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF_ORACLE,
     "corpus_length_histogram": CORPUS_LENGTH_HISTOGRAM_ORACLE,

@@ -281,3 +281,76 @@ def test_pagerank_matches_bruteforce_integer_reference(spark):
         scores = {n: 150000 + (850 * contrib[n]) // 1000 for n in nodes}
     assert got == scores
     assert 5 in got and outw.get(5) is None  # dangling node kept, mass dropped
+
+
+# ---- round 8: span_dedup_rewrite (Lee et al. removal rule) -----------------
+
+
+def test_span_rewrite_cuts_noncanonical_occurrences(spark):
+    """A span recurring across docs is cut everywhere except the
+    corpus-first (doc_id, position) occurrence; within-doc repeats are
+    not cut; docs shorter than the width pass through unchanged."""
+    from flink_uba_spark.operators.dedup import span_dedup_rewrite
+
+    shared = "a b c d e f g h"            # the 8-token duplicated span
+    rows = [
+        (1, f"{shared} tail1 tail2"),      # canonical keeper (doc 1, pos 1)
+        (2, f"lead1 {shared} tail3"),      # cut: tokens 2..9 removed
+        (3, "short doc"),                  # < width: untouched
+        (4, f"x y {shared}"),              # cut: tokens 3..10 removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = span_dedup_rewrite(df).toPandas().set_index("doc_id")
+    assert got.loc[1, "clean_text"] == f"{shared} tail1 tail2"
+    assert int(got.loc[1, "n_removed"]) == 0
+    assert got.loc[2, "clean_text"] == "lead1 tail3"
+    assert int(got.loc[2, "n_removed"]) == 8
+    assert got.loc[3, "clean_text"] == "short doc"
+    assert got.loc[4, "clean_text"] == "x y"
+    # conservation: surviving + removed == original token count
+    for d in (1, 2, 3, 4):
+        n_kept = len(got.loc[d, "clean_text"].split(" ")) if got.loc[d, "clean_text"] else 0
+        assert n_kept + int(got.loc[d, "n_removed"]) == int(got.loc[d, "n_tokens"])
+
+
+def test_span_rewrite_overlapping_spans_union_coverage(spark):
+    """Two overlapping duplicated spans cut the UNION of their token
+    positions (no double counting), and a fully-duplicated doc empties."""
+    from flink_uba_spark.operators.dedup import span_dedup_rewrite
+
+    nine = "a b c d e f g h i"            # 9 tokens -> two 8-token spans
+    rows = [
+        (1, f"{nine} unique1"),            # keeper of both spans
+        (2, nine),                         # both spans duplicated -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = span_dedup_rewrite(df).toPandas().set_index("doc_id")
+    assert int(got.loc[1, "n_removed"]) == 0
+    assert got.loc[2, "clean_text"] == ""
+    assert int(got.loc[2, "n_removed"]) == 9   # union of 1..8 and 2..9
+    assert int(got.loc[2, "n_tokens"]) == 9
+
+
+def test_span_rewrite_conservation_on_corpus(spark):
+    """Token conservation over the real documents table at sf0.001:
+    size(split(clean_text)) == n_tokens - n_removed for every doc with
+    survivors (an emptied doc splits to [''] — size 1 — by convention)."""
+    from pyspark.sql import functions as F
+
+    from flink_uba_spark.operators.dedup import span_dedup_rewrite
+    from flink_uba_spark.sources.readers import load_testdata
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    out = span_dedup_rewrite(docs)
+    bad = out.filter(
+        (F.col("clean_text") != "")
+        & (
+            F.size(F.split(F.col("clean_text"), " "))
+            != F.col("n_tokens") - F.col("n_removed")
+        )
+    ).count()
+    assert bad == 0
+    # the corpus actually contains duplicated spans (non-vacuous rewrite)
+    assert out.filter(F.col("n_removed") > 0).count() > 0
