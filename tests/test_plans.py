@@ -159,3 +159,23 @@ def test_uncapped_kleene_has_no_lead_probe(spark, sf_dir):
     # same exchange budget as the capped Kleene family: the key exchange
     # plus the session-id join-back
     assert count_nodes(p, "Exchange") <= 3
+
+
+def test_iterative_compile_legs_push_predicates_to_scan(spark, sf_dir):
+    """The IterativeCondition join compile re-reads the source once per
+    leg BY DESIGN: measured against a persist()ed shared-candidates
+    variant (round 8, SCALE.md), the pruned+pushed re-scan ties at 10×
+    scale and wins at small scale with no cache residency — so the
+    winning plan is pinned: one FileScan per leg, each carrying its
+    step predicate as a pushed data filter (never a full-table read),
+    plus the min_by partial aggregation after every band join."""
+    from flink_uba_spark.queries import behavior
+
+    p = plan_of(spark, sf_dir, behavior.pattern_iterative_price_escalation)
+    assert count_nodes(p, "Scan parquet") == 3   # one per leg, no cache
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert len(pushed) == 3
+    assert all("event_type" in ln for ln in pushed)  # never a full read
+    assert "InMemoryTableScan" not in p
+    # band joins collapse immediately: partial min_by before each shuffle
+    assert "min_by" in p
