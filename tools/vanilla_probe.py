@@ -14,10 +14,23 @@ is recorded).
 
 from __future__ import annotations
 
+import glob
 import re
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+
+def latest_check_full() -> str | None:
+    """The newest CHECK_FULL_r{N}.txt by round number — BY CONSTRUCTION
+    (round 8; a hardcoded round left r6's probe comparing against stale
+    counts). Returns None when no artifact exists yet."""
+    paths = glob.glob("/root/repo/CHECK_FULL_r*.txt")
+    if not paths:
+        return None
+    return max(
+        paths, key=lambda p: int(re.search(r"_r(\d+)\.txt$", p).group(1))
+    )
 
 
 def main() -> int:
@@ -35,15 +48,14 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     expected: dict[str, int] = {}
-    try:
-        for line in open("/root/repo/CHECK_FULL_r07.txt"):
+    ref = latest_check_full()
+    if ref is not None:
+        for line in open(ref):
             m = re.match(r"(?:PASS|ok\?)\s+(\w+): rows=(\d+)", line)
             if m and m.group(1) not in expected:
                 # CHECK_FULL records three SF sections; sf0.01 (the
                 # driver-gate SF this probe runs at) comes first
                 expected[m.group(1)] = int(m.group(2))
-    except FileNotFoundError:
-        pass
 
     failures = []
     qs = entrymod.queries()
