@@ -24,7 +24,14 @@ Supported subset (validated, everything else raises):
   - an ALTERNATION group ``(A|B)`` / ``(A|B|C)`` — plain variables,
     leftmost-alternative preference (ISO 9075-2's lexicographic rule) —
     served by one ``pattern_detect`` plan per alternative, unioned
-    (the ``pattern_detect_branching`` construction).
+    (the ``pattern_detect_branching`` construction);
+  - a ``PERMUTE(A,B[,C])`` group (round 8) — every ordering of the
+    members, preference in listed order (ISO: PERMUTE expands to the
+    alternation of all permutations lexicographically) — same
+    branch-union compile, one plan per ordering;
+  - an EXCLUSION wrapper ``{- X -}`` (round 8) — X matches normally but
+    its rows/columns are excluded from the output (ISO exclusion is
+    pure output shaping; single-plan path, both ONE and ALL ROWS).
 - ``DEFINE``: variable → self-row Column predicate. Prefix-referencing
   definitions (SQL's ``PREV``/``FIRST``/``LAST`` navigation over bound
   variables, Flink's ``IterativeCondition``) go through ``iter_define``:
@@ -71,21 +78,49 @@ _TOKEN = re.compile(
     r"^([A-Za-z_][A-Za-z0-9_]*)(\+\??|\?|\{(\d+)(,(\d*))?\}\??)?$"
 )
 _ALT = re.compile(r"^\(([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)+)\)$")
+_PERMUTE = re.compile(
+    r"^PERMUTE\(([A-Za-z_][A-Za-z0-9_]*(?:,[A-Za-z_][A-Za-z0-9_]*)+)\)$"
+)
+_EXCL = re.compile(r"\{-\s*(.+?)\s*-\}")
+
+
+def strip_exclusions(pattern: str) -> tuple[str, set[str]]:
+    """ISO 9075-2 exclusion ``{- X -}``: the wrapped element matches
+    normally but its rows are EXCLUDED from the output (pure output
+    shaping). Returns (pattern with wrappers removed, excluded var
+    names)."""
+    excluded: set[str] = set()
+
+    def strip(m):
+        inner = m.group(1)
+        t = _TOKEN.match(inner)
+        if not t:
+            raise ValueError(f"bad exclusion token: {{- {inner} -}}")
+        excluded.add(t.group(1))
+        return inner
+
+    return _EXCL.sub(strip, pattern), excluded
 
 
 def parse_pattern(pattern: str) -> list[tuple]:
     """``"S E{1,3} P"`` → ``[("S", None), ("E", ("kleene", 1, 3)),
     ("P", None)]``. Quantifiers: ``+ ? {n} {n,} {n,m}`` (greedy),
     ``{n}? {n,m}?`` (reluctant). ``(A|B)`` → ``(("A", "B"), None)`` —
-    an alternation group (tuple variable, no quantifier)."""
+    an alternation group; ``PERMUTE(A,B)`` → ``(("A", "B"),
+    ("permute",))`` — every ordering of the members, lexicographic
+    preference (tuple variables, group members are plain)."""
     out = []
     toks = pattern.split()
-    if len(toks) < 2:
+    if len(toks) < 2 and not (_PERMUTE.match(toks[0]) if toks else False):
         raise ValueError("PATTERN needs at least 2 variables")
     for tok in toks:
         alt = _ALT.match(tok)
         if alt:
             out.append((tuple(alt.group(1).split("|")), None))
+            continue
+        perm = _PERMUTE.match(tok)
+        if perm:
+            out.append((tuple(perm.group(1).split(",")), ("permute",)))
             continue
         m = _TOKEN.match(tok)
         if not m:
@@ -226,6 +261,7 @@ def match_recognize(
 
     if rows_per_match not in ("one", "all"):
         raise ValueError("ROWS PER MATCH: one | all")
+    pattern, excluded = strip_exclusions(pattern)
     parsed = parse_pattern(pattern)
     mode, skip_step = _parse_after_match(after_match, parsed)
     has_alt = any(isinstance(var, tuple) for var, _ in parsed)
@@ -249,6 +285,10 @@ def match_recognize(
             raise ValueError("MEASURES is the ONE ROW PER MATCH shape")
 
     wmap, vnames = dict(withins or {}), _var_names(parsed)
+    if excluded and specialties:
+        raise ValueError(
+            "exclusion {- X -} composes with the single-plan path only"
+        )
 
     # ---- iterative route (prefix-referencing DEFINE) -------------------
     if iter_define:
@@ -333,43 +373,82 @@ def match_recognize(
         out = _rename(out.drop("max_step", "state"), parsed)
         return _measures(out, partition_by, measures)
 
-    # ---- alternation route ----------------------------------------------
+    # ---- branch-union route (alternation and/or PERMUTE) -----------------
     if has_alt:
-        groups = {
-            k: var for k, (var, _q) in enumerate(parsed, start=1)
-            if isinstance(var, tuple)
-        }
+        from itertools import permutations as _permutations
+
+        # per token: the list of FLAT expansions it contributes — an
+        # alternation group contributes one chosen member, a PERMUTE
+        # group one ordering of all members, a plain token itself
+        token_options: list[list[list[tuple]]] = []
+        group_tokens: dict[int, tuple] = {}
+        for ti, (var, q) in enumerate(parsed):
+            if isinstance(var, tuple) and q == ("permute",):
+                group_tokens[ti] = ("permute", var)
+                token_options.append(
+                    [[(m, None) for m in perm] for perm in _permutations(var)]
+                )
+            elif isinstance(var, tuple):
+                group_tokens[ti] = ("alt", var)
+                token_options.append([[(m, None)] for m in var])
+            else:
+                token_options.append([[(var, q)]])
         n_branches = 1
-        for members in groups.values():
-            n_branches *= len(members)
+        for opts_t in token_options:
+            n_branches *= len(opts_t)
         if n_branches > 8:
             raise ValueError(
-                f"alternation compiles one plan per alternative combination; "
+                f"alternation/PERMUTE compiles one plan per combination; "
                 f"{n_branches} branches exceed the 8-plan envelope"
             )
-        n = len(parsed)
+        all_vars = [
+            v for var, _q in parsed
+            for v in (var if isinstance(var, tuple) else (var,))
+        ]
         with_end = mode == "skip_past_last"
         branches = None
-        for bi, combo in enumerate(
-            _product(*[range(len(groups[k])) for k in sorted(groups)])
-        ):
-            choice = {k: groups[k][ci] for k, ci in zip(sorted(groups), combo)}
+        for bi, combo in enumerate(_product(*token_options)):
+            flat: list[tuple] = [e for part in combo for e in part]
+            fparsed = flat
             steps, optional = _steps_and_sets(
-                parsed, define, wmap, default_within, choice=choice
+                fparsed, define, wmap, default_within
             )
             b = pattern_detect(
                 events, key=partition_by, steps=steps, event_id=event_id,
                 ts=order_by, optional=optional or None, with_end_id=with_end,
             ).filter(F.col("state") == "matched")
-            b = b.drop("max_step", "state").withColumn(
-                "__branch", F.lit(bi)
-            )
-            for g in sorted(groups):
-                b = b.withColumn(f"__cls{g}", F.lit(choice[g]))
+            # remap positions onto the var universe: every var gets its
+            # `<var>_ts` column (null when the branch never binds it)
+            pos_of = {v: p for p, (v, _q) in enumerate(fparsed, start=1)}
+            sel = [F.col(partition_by), F.col("anchor_id")]
+            for v in all_vars:
+                p = pos_of.get(v)
+                if p is None:
+                    sel.append(F.lit(None).cast("timestamp").alias(f"{v}_ts"))
+                else:
+                    sel.append(F.col(f"t{p}").alias(f"{v}_ts"))
+                    _q = fparsed[p - 1][1]
+                    if _q is not None and _q[0] == "kleene":
+                        sel.append(F.col(f"t{p}_last").alias(f"{v}_last_ts"))
+                        sel.append(F.col(f"n{p}").alias(f"{v}_n"))
+            for ti, (kind, members) in sorted(group_tokens.items()):
+                label = (
+                    ",".join(v for v in (x[0] for x in combo[ti]))
+                    if kind == "permute"
+                    else combo[ti][0][0]
+                )
+                sel.append(F.lit(label).alias(f"classifier_{ti + 1}"))
+            if with_end:
+                # the match END position's var differs per PERMUTE branch
+                # — carry explicit anchor/end columns for the fold
+                sel.append(F.col("t1").alias("__anchor_ts"))
+                sel.append(F.col(f"t{len(fparsed)}").alias("__end_ts"))
+                sel.append(F.col("end_id"))
+            b = b.select(*sel).withColumn("__branch", F.lit(bi))
             branches = b if branches is None else branches.unionByName(b)
-        # leftmost-alternative preference (ISO 9075-2): per anchor the
-        # lowest branch index that matched wins — branch order enumerates
-        # alternatives lexicographically by construction
+        # lexicographic preference (ISO 9075-2: leftmost alternative;
+        # PERMUTE = alternation over permutations in listed order): per
+        # anchor the lowest branch index that matched wins
         w = Window.partitionBy(partition_by, "anchor_id").orderBy("__branch")
         out = (
             branches.withColumn("__pref", F.row_number().over(w))
@@ -377,28 +456,11 @@ def match_recognize(
             .drop("__pref", "__branch")
         )
         if mode == "skip_past_last":
-            out = after_match_skip_past_last(out, key=partition_by)
-        # group positions fan out to one `<member>_ts` column per member —
-        # null unless that member is the bound CLASSIFIER()
-        sel = [F.col(partition_by), F.col("anchor_id")]
-        for k, (var, q) in enumerate(parsed, start=1):
-            if k in groups:
-                for memb in groups[k]:
-                    sel.append(
-                        F.when(
-                            F.col(f"__cls{k}") == memb, F.col(f"t{k}")
-                        ).alias(f"{memb}_ts")
-                    )
-            else:
-                sel.append(F.col(f"t{k}").alias(f"{vnames[k-1]}_ts"))
-                if q is not None and q[0] == "kleene":
-                    sel.append(F.col(f"t{k}_last").alias(f"{vnames[k-1]}_last_ts"))
-                    sel.append(F.col(f"n{k}").alias(f"{vnames[k-1]}_n"))
-        for g in sorted(groups):
-            sel.append(F.col(f"__cls{g}").alias(f"classifier_{g}"))
-        if with_end:
-            sel.append(F.col("end_id"))
-        return _measures(out.select(*sel), partition_by, measures)
+            out = after_match_skip_past_last(
+                out, key=partition_by,
+                anchor_ts="__anchor_ts", end_ts="__end_ts",
+            ).drop("__anchor_ts", "__end_ts")
+        return _measures(out, partition_by, measures)
 
     # ---- SKIP TO FIRST/LAST route ----------------------------------------
     if mode == "skip_to":
@@ -444,6 +506,7 @@ def match_recognize(
             )
             for k, (_var, q) in enumerate(parsed, start=1)
             if not (q is not None and q[0] == "kleene")
+            and vnames[k - 1] not in excluded
         ]
         rows = (
             out.select(partition_by, "anchor_id", F.explode(F.array(*plain)).alias("__e"))
@@ -460,7 +523,7 @@ def match_recognize(
         # <= n{k}; fan-out bounded by run length (≤ cap / within-gap
         # session size), no cross-key work
         for k, (var, q) in enumerate(parsed, start=1):
-            if not (q is not None and q[0] == "kleene"):
+            if not (q is not None and q[0] == "kleene") or var in excluded:
                 continue
             m = out.filter(F.col(f"t{k}").isNotNull()).select(
                 F.col(partition_by).alias("__mk"),
@@ -503,6 +566,10 @@ def match_recognize(
             rows = rows.unionByName(run_rows)
         return rows
     out = _rename(out.drop("max_step", "state"), parsed)
+    if excluded:
+        out = out.drop(
+            *[c for v in excluded for c in (f"{v}_ts", f"{v}_last_ts", f"{v}_n")]
+        )
     return _measures(out, partition_by, measures)
 
 

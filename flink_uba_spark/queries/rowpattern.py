@@ -493,12 +493,211 @@ FROM m
 """
 
 
+def match_recognize_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PATTERN (S PERMUTE(C,E) P)`` — ISO 9075-2 PERMUTE (round 8):
+    click and error must BOTH occur between signup and purchase, in
+    either order; PERMUTE expands to the alternation of all orderings in
+    listed order, so (C,E) is preferred when both complete. CLASSIFIER
+    records the bound ordering. One pattern_detect plan per permutation,
+    unioned, then the SKIP PAST LAST fold."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S PERMUTE(C,E) P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={
+            "C": "INTERVAL 6 HOURS",
+            "E": "INTERVAL 6 HOURS",
+            "P": "INTERVAL 24 HOURS",
+        },
+        after_match="skip_past_last",
+    )
+
+
+MATCH_RECOGNIZE_PERMUTE_ORACLE = """
+WITH RECURSIVE
+a AS (SELECT user_id, event_id AS i1, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+br AS (SELECT 0 AS b, 'click' AS m1, 'error' AS m2
+       UNION ALL SELECT 1, 'error', 'click'),
+s2 AS (
+  SELECT a.*, br.b, br.m1, br.m2, e.ts AS t2, e.event_id AS i2
+  FROM a CROSS JOIN br
+  JOIN LATERAL (
+    SELECT ts, event_id FROM events e
+    WHERE e.event_type = br.m1 AND e.user_id = a.user_id AND e.ts >= a.t1
+    ORDER BY e.ts, e.event_id LIMIT 1) e ON TRUE
+),
+s3 AS (
+  SELECT s2.*, e.ts AS t3, e.event_id AS i3
+  FROM s2 JOIN LATERAL (
+    SELECT ts, event_id FROM events e
+    WHERE e.event_type = s2.m2 AND e.user_id = s2.user_id AND e.ts >= s2.t2
+    ORDER BY e.ts, e.event_id LIMIT 1) e ON TRUE
+  WHERE s2.t2 <= s2.t1 + INTERVAL 6 HOUR
+),
+s4 AS (
+  SELECT s3.*, p.ts AS t4, p.event_id AS i4
+  FROM s3 JOIN LATERAL (
+    SELECT ts, event_id FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = s3.user_id
+      AND p.ts >= s3.t3
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+  WHERE s3.t3 <= s3.t2 + INTERVAL 6 HOUR
+),
+ok AS (SELECT * FROM s4 WHERE t4 <= t3 + INTERVAL 24 HOUR),
+pref AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, i1 ORDER BY b) AS pr
+  FROM ok
+),
+cand AS (
+  SELECT user_id, i1, t1, b, t2, t3, t4, i4,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY t4, i4, t1, i1) AS r
+  FROM pref WHERE pr = 1
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.i1) > (s.le_ts, s.le_id)
+              THEN c.t4 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.i1) > (s.le_ts, s.le_id)
+              THEN c.i4 ELSE s.le_id END,
+         (c.t1, c.i1) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.i1 AS anchor_id, c.t1 AS S_ts,
+       CASE WHEN c.b = 0 THEN c.t2 ELSE c.t3 END AS C_ts,
+       CASE WHEN c.b = 0 THEN c.t3 ELSE c.t2 END AS E_ts,
+       c.t4 AS P_ts,
+       CASE WHEN c.b = 0 THEN 'C,E' ELSE 'E,C' END AS classifier_2,
+       c.i4 AS end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
+def match_recognize_all_rows_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALL ROWS PER MATCH`` with an EXCLUSION — ``PATTERN
+    (S {- E{1,3} -} P)`` (round 8): the error run must still occur (it
+    gates matching exactly as in match_recognize_all_rows_run) but its
+    rows are excluded from the output — ISO exclusion is pure output
+    shaping. Emits the S and P rows of each non-overlapping episode."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S {-E{1,3}-} P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_past_last",
+        rows_per_match="all",
+    )
+
+
+MATCH_RECOGNIZE_ALL_ROWS_EXCLUDED_ORACLE = """
+WITH RECURSIVE
+err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts,
+         COALESCE(lead(ts, 2) OVER ws, max(ts) OVER wf) AS run_last
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*, r.ts AS t2, r.run_last AS t2_last
+  FROM a JOIN LATERAL (
+    SELECT ts, run_last FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1
+    ORDER BY r.ts, r.event_id LIMIT 1) r ON TRUE
+),
+a3 AS (
+  SELECT a2.*, (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+),
+cand0 AS (
+  SELECT user_id, anchor_id, t1, t2, t2_last, t3,
+         (SELECT min(p.event_id) FROM events p WHERE p.event_type = 'purchase'
+            AND p.user_id = a3.user_id AND p.ts = a3.t3) AS end_id
+  FROM a3
+  WHERE t3 IS NOT NULL AND t2 <= t1 + INTERVAL 12 HOUR
+    AND t3 <= t2_last + INTERVAL 24 HOUR
+),
+cand AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY t3, end_id, t1, anchor_id) AS r
+  FROM cand0
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+),
+m AS (
+  SELECT c.* FROM sel s
+  JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+  WHERE s.kept
+)
+SELECT user_id, anchor_id, CAST(1 AS BIGINT) AS seq, 'S' AS var,
+       anchor_id AS event_id, t1 AS ts
+FROM m
+UNION ALL
+SELECT user_id, anchor_id, CAST(3 AS BIGINT), 'P', end_id, t3
+FROM m
+"""
+
+
 QUERIES = {
     "match_recognize_reluctant_lazy": match_recognize_reluctant_lazy,
     "match_recognize_skip_to_first": match_recognize_skip_to_first,
     "match_recognize_alternation": match_recognize_alternation,
     "match_recognize_iterative": match_recognize_iterative,
     "match_recognize_all_rows_run": match_recognize_all_rows_run,
+    "match_recognize_permute": match_recognize_permute,
+    "match_recognize_all_rows_excluded": match_recognize_all_rows_excluded,
 }
 
 ORACLES = {
@@ -507,4 +706,6 @@ ORACLES = {
     "match_recognize_alternation": MATCH_RECOGNIZE_ALTERNATION_ORACLE,
     "match_recognize_iterative": MATCH_RECOGNIZE_ITERATIVE_ORACLE,
     "match_recognize_all_rows_run": MATCH_RECOGNIZE_ALL_ROWS_RUN_ORACLE,
+    "match_recognize_permute": MATCH_RECOGNIZE_PERMUTE_ORACLE,
+    "match_recognize_all_rows_excluded": MATCH_RECOGNIZE_ALL_ROWS_EXCLUDED_ORACLE,
 }

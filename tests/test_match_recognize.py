@@ -580,3 +580,100 @@ def test_alternation_matches_brute(spark, case):
         for _, r in out.iterrows()
     )
     assert got == brute_alternation_skip(events, w2, 100)
+
+
+def test_permute_orders_and_preference(spark):
+    """PERMUTE(C,E): both orderings match (classifier records the bound
+    order); when both complete for one anchor the LISTED order wins."""
+    rows = [
+        (1, 1, EPOCH, "signup"),
+        (2, 1, EPOCH + datetime.timedelta(seconds=10), "click"),
+        (3, 1, EPOCH + datetime.timedelta(seconds=20), "error"),
+        (4, 1, EPOCH + datetime.timedelta(seconds=30), "purchase"),
+        (5, 2, EPOCH, "signup"),
+        (6, 2, EPOCH + datetime.timedelta(seconds=10), "error"),
+        (7, 2, EPOCH + datetime.timedelta(seconds=20), "click"),
+        (8, 2, EPOCH + datetime.timedelta(seconds=30), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = match_recognize(
+        ev, partition_by="user_id", order_by="ts",
+        pattern="S PERMUTE(C,E) P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        default_within="INTERVAL 5 MINUTES",
+        after_match="skip_past_last",
+    ).toPandas().set_index("user_id")
+    assert got.loc[1, "classifier_2"] == "C,E"
+    assert got.loc[2, "classifier_2"] == "E,C"
+    assert list(got.sort_index()["end_id"]) == [4, 8]
+    # listed-order preference: user 2's E->C ALSO satisfies C-after-S
+    # via a later C? no second C exists, so only one branch matches —
+    # build the both-match case: C at 10, E at 20 satisfies both C,E and
+    # (E after C fails) — instead verify preference via parse order on
+    # user 1: C,E (listed first) is the classifier even though E,C would
+    # need E before C (it doesn't match), so check a true tie:
+    rows_tie = [
+        (1, 1, EPOCH, "signup"),
+        (2, 1, EPOCH + datetime.timedelta(seconds=10), "click"),
+        (3, 1, EPOCH + datetime.timedelta(seconds=15), "error"),
+        (4, 1, EPOCH + datetime.timedelta(seconds=20), "click"),
+        (5, 1, EPOCH + datetime.timedelta(seconds=25), "error"),
+        (6, 1, EPOCH + datetime.timedelta(seconds=40), "purchase"),
+    ]
+    ev2 = spark.createDataFrame(
+        rows_tie, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got2 = match_recognize(
+        ev2, partition_by="user_id", order_by="ts",
+        pattern="S PERMUTE(E,C) P",   # listed order: E first
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        default_within="INTERVAL 5 MINUTES",
+        after_match="no_skip",
+    ).toPandas()
+    # both E->C (3,4) and C->E (2,3) complete; listed order E,C wins
+    assert list(got2["classifier_2"]) == ["E,C"]
+
+
+def test_exclusion_shapes_output_only(spark):
+    """{- X -}: matching is unchanged (the chain still requires X); the
+    excluded variable vanishes from ONE-ROW columns and ALL-ROWS rows."""
+    ev = _events_df(spark)
+    spec = dict(
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 2 MINUTES", "P": "INTERVAL 10 MINUTES"},
+        after_match="skip_past_last",
+    )
+    one = match_recognize(
+        ev, "user_id", "ts", "S {-E{1,3}-} P", **spec
+    ).toPandas()
+    assert "E_ts" not in one.columns and "E_n" not in one.columns
+    assert sorted(one["anchor_id"]) == [1, 8]   # matching unchanged
+    allr = match_recognize(
+        ev, "user_id", "ts", "S {-E{1,3}-} P", rows_per_match="all", **spec
+    ).toPandas()
+    assert set(allr["var"]) == {"S", "P"}
+    assert sorted(allr["anchor_id"].unique()) == [1, 8]
+    # a stripped exclusion token becomes a pattern variable like any
+    # other — it still needs a DEFINE entry
+    with pytest.raises(ValueError, match="DEFINE"):
+        match_recognize(
+            ev, "user_id", "ts", "S {-X-} P",
+            {"S": F.lit(True), "P": F.lit(True)},
+            default_within="INTERVAL 1 HOUR",
+        )
