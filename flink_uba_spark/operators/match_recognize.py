@@ -573,6 +573,94 @@ def match_recognize(
     return _measures(out, partition_by, measures)
 
 
+def _stream_reluctant(
+    events, partition_by, order_by, parsed, define, wmap, default_within,
+    measures, event_id, rel,
+):
+    """Reluctant streaming compile: the per-count NFAs packed into ONE
+    stateful operator over ONE source scan (stream_pattern_detect_fused;
+    the r7 shape ran one streaming query per count)."""
+    from itertools import product as _product
+
+    from flink_uba_spark.streaming.pattern import (
+        _interval_us,
+        pattern_output_schema,
+        stream_pattern_detect_fused,
+    )
+
+    steps, optional = _steps_and_sets(parsed, define, wmap, default_within)
+    if optional:
+        raise ValueError("reluctant + optional does not compose on the stream")
+    n = len(steps)
+    counts: list[list[int]] = []
+    for k in sorted(rel):
+        lo, hi = steps[k - 1][2]
+        if hi == float("inf"):
+            raise ValueError("reluctant needs a finite cap")
+        counts.append(list(range(int(lo), int(hi) + 1)))
+    n_branches = 1
+    for c in counts:
+        n_branches *= len(c)
+    if n_branches > 8:
+        raise ValueError(
+            f"{n_branches} count branches exceed the 8-NFA envelope"
+        )
+    withins_us = [
+        None if s[1] is None else _interval_us(s[1]) for s in steps
+    ]
+    kl_shape = [
+        (withins_us[k - 1], 1, 1) if (k in rel or len(steps[k - 1]) > 2 and steps[k - 1][2] is not None) else None
+        for k in range(1, n + 1)
+    ]
+    schema = pattern_output_schema(
+        n, [None if k is None else (k[0], k[1]) for k in kl_shape]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def ident(frame):
+        return frame[cols]
+
+    branches = []
+    for combo in _product(*counts):
+        by_step = dict(zip(sorted(rel), combo))
+        kleenes = []
+        for k in range(1, n + 1):
+            if k in by_step:
+                m = by_step[k]
+                kleenes.append((withins_us[k - 1], m, m))
+            elif len(steps[k - 1]) > 2 and steps[k - 1][2] is not None:
+                lo, hi = steps[k - 1][2]
+                kleenes.append(
+                    (withins_us[k - 1],
+                     None if hi == float("inf") else int(hi), int(lo))
+                )
+            else:
+                kleenes.append(None)
+        branches.append(
+            {
+                "engine": "chain",
+                "slots": [f"p{j}" for j in range(1, n + 1)],
+                "withins_us": withins_us,
+                "kleenes": kleenes,
+                "project": ident,
+            }
+        )
+    out = stream_pattern_detect_fused(
+        events,
+        key=partition_by,
+        flags={f"p{j}": steps[j - 1][0] for j in range(1, n + 1)},
+        branches=branches,
+        output_schema=schema,
+        event_id=event_id,
+        ts=order_by,
+    )
+    out = out.filter(F.col("state") == "matched")
+    if partition_by != "user_id":
+        out = out.withColumnRenamed("user_id", partition_by)
+    out = _rename(out.drop("max_step", "state"), parsed)
+    return _measures(out, partition_by, measures)
+
+
 def stream_match_recognize(
     events: DataFrame,
     partition_by: str,
@@ -587,22 +675,38 @@ def stream_match_recognize(
 ) -> DataFrame:
     """The same spec as a continuous query (``stream_pattern_detect``).
     The streaming skip fold supports plain chains (the NFA's documented
-    bound); quantified patterns stream under ``no_skip``. The round-8
-    batch specialties (reluctant / alternation / iter_define / SKIP TO
-    var) are batch-only on this front-end — their streaming engines
-    exist (streaming/pattern.py) but are reached via the Pattern API."""
+    bound); quantified patterns stream under ``no_skip``. A RELUCTANT
+    quantifier streams under ``no_skip`` too (round 8): the per-count
+    NFAs compile into ONE packed stateful operator
+    (``stream_pattern_detect_fused`` — Flink's shared version tree, one
+    source scan), emitting one row per admissible count — Flink CEP's
+    multi-match; the batch SKIP PAST LAST lazy fold stays batch-only.
+    Alternation/PERMUTE/iter_define/SKIP TO remain batch-only on this
+    front-end — their streaming engines exist (streaming/pattern.py)
+    but are reached via the Pattern API."""
     from flink_uba_spark.streaming.pattern import stream_pattern_detect
 
     if after_match not in ("skip_past_last", "no_skip"):
         raise ValueError("AFTER MATCH: skip_past_last | no_skip")
     parsed = parse_pattern(pattern)
-    if any(
-        isinstance(var, tuple) or (q is not None and q[0] == "reluctant")
-        for var, q in parsed
-    ):
+    if any(isinstance(var, tuple) for var, _q in parsed):
         raise ValueError(
-            "alternation / reluctant quantifiers are batch-only on this "
-            "front-end (use the streaming Pattern API engines directly)"
+            "alternation/PERMUTE are batch-only on this front-end (use "
+            "the streaming Pattern API engines directly)"
+        )
+    rel = {
+        k for k, (_v, q) in enumerate(parsed, start=1)
+        if q is not None and q[0] == "reluctant"
+    }
+    if rel:
+        if after_match != "no_skip":
+            raise ValueError(
+                "a reluctant quantifier streams under NO SKIP (per-count "
+                "multi-match); the lazy SKIP PAST LAST fold is batch-only"
+            )
+        return _stream_reluctant(
+            events, partition_by, order_by, parsed, define,
+            dict(withins or {}), default_within, measures, event_id, rel,
         )
     steps, optional = _steps_and_sets(
         parsed, define, dict(withins or {}), default_within

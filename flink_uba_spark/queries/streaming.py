@@ -2783,6 +2783,92 @@ WHERE epoch_us(ts) < (SELECT us FROM wm)
 """
 
 
+def stream_last5_purchase_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time OVER aggregation with a ROWS frame — Flink SQL's
+    ``SUM(cents) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW)`` (round 8; the RANGE twin is
+    stream_rolling_7d_user_purchases): each purchase row emits once,
+    watermark-final, with the sum over itself and the user's 4 previous
+    purchases in the (ts, id) total order — state per key is the last 4
+    emitted rows plus the pending tail, nothing more. Same ms-floored
+    terminal frontier cut, applied to the oracle identically."""
+    from flink_uba_spark.streaming.over_agg import stream_over_aggregate
+
+    ev = stream_events(spark, sf_dir)
+    out = run_to_table(
+        stream_over_aggregate(
+            ev,
+            key="user_id",
+            value=F.floor(F.col("value") * 100),
+            rows_preceding=4,
+            row_filter=F.col("event_type") == "purchase",
+        )
+    )
+    return out.select(
+        "user_id", "event_id", "ts",
+        F.col("val").alias("cents"),
+        F.col("agg").alias("last5_cents"),
+    )
+
+
+STREAM_LAST5_PURCHASE_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 AS us FROM p)
+SELECT user_id, event_id, ts, cents,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS last5_cents
+FROM p
+WHERE epoch_us(ts) < (SELECT us FROM wm)
+"""
+
+
+def stream_match_recognize_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reluctant MATCH_RECOGNIZE spec as a continuous query (round
+    8): ``PATTERN (S E{1,3}? P) AFTER MATCH NO SKIP`` through the
+    streaming front-end, which compiles the per-count NFAs into the ONE
+    packed stateful operator (``stream_pattern_detect_fused``) — Flink's
+    shared version tree, one source scan. NO SKIP is the streaming
+    emission (Flink CEP's multi-match: one row per admissible count);
+    the batch SKIP PAST LAST lazy fold is match_recognize_reluctant_lazy.
+    Oracle: the batch per-count union minus incomplete rows (the
+    reluctant stream twin's established closure argument)."""
+    from flink_uba_spark.operators.match_recognize import (
+        stream_match_recognize,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = stream_match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S E{1,3}? P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="no_skip",
+    )
+    return run_to_table(out)
+
+
+def _stream_match_recognize_reluctant_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_RELUCTANT_ORACLE
+
+    return f"""
+SELECT user_id, anchor_id, t1 AS S_ts, t2 AS E_ts, t2_last AS E_last_ts,
+       n2 AS E_n, t3 AS P_ts
+FROM ({PATTERN_RELUCTANT_ORACLE})
+WHERE state = 'matched'
+"""
+
+
 QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_pattern_view_click_purchase": stream_pattern_view_click_purchase,
@@ -2797,6 +2883,8 @@ QUERIES = {
     "stream_temporal_join_price_at_view": stream_temporal_join_price_at_view,
     "stream_dedup_events_state_bounded": stream_dedup_events_state_bounded,
     "stream_rolling_7d_user_purchases": stream_rolling_7d_user_purchases,
+    "stream_last5_purchase_total": stream_last5_purchase_total,
+    "stream_match_recognize_reluctant": stream_match_recognize_reluctant,
     "stream_match_recognize_error_streak": stream_match_recognize_error_streak,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
@@ -2860,6 +2948,8 @@ ORACLES = {
     "stream_temporal_join_price_at_view": _stream_temporal_join_oracle(),
     "stream_dedup_events_state_bounded": STREAM_DEDUP_STATE_BOUNDED_ORACLE,
     "stream_rolling_7d_user_purchases": STREAM_ROLLING_7D_ORACLE,
+    "stream_last5_purchase_total": STREAM_LAST5_PURCHASE_ORACLE,
+    "stream_match_recognize_reluctant": _stream_match_recognize_reluctant_oracle(),
     "stream_match_recognize_error_streak": STREAM_MATCH_RECOGNIZE_STREAK_ORACLE,
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),

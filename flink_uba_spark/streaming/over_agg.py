@@ -62,9 +62,15 @@ OVER_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def make_over_aggregator(range_us: int):
+def make_over_aggregator(range_us: int | None, rows_preceding: int | None = None):
     """Per-key state function: buffer, emit watermark-final rows with
-    their RANGE-frame sum, evict rows aged past ``wm − range``."""
+    their frame sum, evict rows no pending frame can reach. Exactly one
+    of ``range_us`` (RANGE frame: ``ts' ∈ [ts − range, ts]``) and
+    ``rows_preceding`` (ROWS frame: the ``n`` rows before this one plus
+    itself, in the (ts, id) total order — Flink SQL's ``ROWS BETWEEN n
+    PRECEDING AND CURRENT ROW``) must be set."""
+    if (range_us is None) == (rows_preceding is None):
+        raise ValueError("exactly one of range_us / rows_preceding")
 
     def agg(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         timed_out = getattr(state, "hasTimedOut", False)
@@ -102,8 +108,15 @@ def make_over_aggregator(range_us: int):
             emit = (s_em == 0) & (s_ts < wm_us)
             if emit.any():
                 e_ts = s_ts[emit]
-                hi = np.searchsorted(s_ts, e_ts, side="right")
-                lo = np.searchsorted(s_ts, e_ts - range_us, side="left")
+                if range_us is not None:
+                    hi = np.searchsorted(s_ts, e_ts, side="right")
+                    lo = np.searchsorted(s_ts, e_ts - range_us, side="left")
+                else:
+                    # ROWS frame: position in the (ts, id) total order is
+                    # the row's own sorted index — no peer inclusion
+                    pos = np.arange(len(s_ts))[emit]
+                    hi = pos + 1
+                    lo = np.maximum(pos - rows_preceding, 0)
                 sums = prefix[hi] - prefix[lo]
                 out = pd.DataFrame(
                     {
@@ -118,10 +131,23 @@ def make_over_aggregator(range_us: int):
                 )
                 s_em = s_em.copy()
                 s_em[emit] = 1
-            # eviction: a row older than wm − range can serve no pending
-            # frame (any future row has ts > wm, so its frame floor is
-            # above wm − range); unemitted rows are never evicted
-            keep = (s_ts >= wm_us - range_us) | (s_em == 0)
+            # eviction — unemitted rows never evict; emitted rows evict
+            # once no pending/future frame can reach them:
+            # RANGE: older than wm − range (any future row's frame floor
+            #   is above it);
+            # ROWS: all but the last n emitted rows (every emitted row
+            #   sorts below every pending/future row — ts < wm ≤ theirs —
+            #   so a future frame's emitted portion is always the last
+            #   ≤ n emitted rows)
+            if range_us is not None:
+                keep = (s_ts >= wm_us - range_us) | (s_em == 0)
+            else:
+                keep = np.ones(len(s_ts), dtype=bool)
+                em_idx = np.nonzero(s_em == 1)[0]
+                if rows_preceding > 0:
+                    keep[em_idx[:-rows_preceding]] = False
+                else:
+                    keep[em_idx] = False
             s_ts, s_id, s_val, s_em = (
                 s_ts[keep], s_id[keep], s_val[keep], s_em[keep]
             )
@@ -146,17 +172,21 @@ def stream_over_aggregate(
     events: DataFrame,
     key: str,
     value: Column,
-    range_interval: str,
+    range_interval: str | None = None,
+    rows_preceding: int | None = None,
     row_filter: Column | None = None,
     event_id: str = "event_id",
     ts: str = "ts",
     watermark_delay: str = "0 seconds",
 ) -> DataFrame:
-    """Wire the OVER aggregator over a streaming frame. ``value`` must be
-    an integer Column (the family's exactness rule); ``row_filter``
-    pre-filters rows BEFORE the watermark is applied, so the watermark —
-    and the frontier cut — track the filtered stream. Output columns:
-    ``user_id, event_id, ts, val, agg``."""
+    """Wire the OVER aggregator over a streaming frame. Exactly one of
+    ``range_interval`` (RANGE frame) and ``rows_preceding`` (ROWS frame:
+    the ``n`` rows before each row in (ts, id) order, plus itself) picks
+    the frame. ``value`` must be an integer Column (the family's
+    exactness rule); ``row_filter`` pre-filters rows BEFORE the
+    watermark is applied, so the watermark — and the frontier cut —
+    track the filtered stream. Output columns: ``user_id, event_id, ts,
+    val, agg``."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from flink_uba_spark.streaming.pattern import _interval_us
@@ -172,7 +202,10 @@ def stream_over_aggregate(
         .withWatermark("ts", watermark_delay)
     )
     return filtered.groupBy("user_id").applyInPandasWithState(
-        make_over_aggregator(_interval_us(range_interval)),
+        make_over_aggregator(
+            None if range_interval is None else _interval_us(range_interval),
+            rows_preceding,
+        ),
         OVER_OUTPUT_SCHEMA,
         OVER_STATE_SCHEMA,
         "append",

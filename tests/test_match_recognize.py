@@ -677,3 +677,24 @@ def test_exclusion_shapes_output_only(spark):
             {"S": F.lit(True), "P": F.lit(True)},
             default_within="INTERVAL 1 HOUR",
         )
+
+
+def test_stream_reluctant_requires_no_skip(spark):
+    from flink_uba_spark.operators.match_recognize import (
+        stream_match_recognize,
+    )
+
+    with pytest.raises(ValueError, match="NO SKIP"):
+        stream_match_recognize(
+            None, "user_id", "ts", "S E{1,2}? P",
+            {"S": F.lit(True), "E": F.lit(True), "P": F.lit(True)},
+            default_within="INTERVAL 1 HOUR",
+            after_match="skip_past_last",
+        )
+    with pytest.raises(ValueError, match="batch-only"):
+        stream_match_recognize(
+            None, "user_id", "ts", "S (C|V) P",
+            {"S": F.lit(True), "C": F.lit(True), "V": F.lit(True),
+             "P": F.lit(True)},
+            default_within="INTERVAL 1 HOUR",
+        )

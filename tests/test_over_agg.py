@@ -193,3 +193,84 @@ def test_over_agg_equal_ts_peers_included(spark):
     assert int(out.loc[3, "agg"]) == 16000
     assert int(out.loc[4, "agg"]) == 700     # 20d gap: frame reset
     assert 5 not in out.index               # terminal-watermark tail pends
+
+
+def brute_over_rows(events, n_prec, final_wm_ms):
+    """ROWS-frame reference: sum over the row and its n_prec predecessors
+    in (ts, id) order, rows strictly below the terminal watermark."""
+    order = sorted(events, key=lambda e: (e[1], e[0]))
+    out = []
+    for i, (eid, ts, val) in enumerate(order):
+        if ts >= final_wm_ms * 1000:
+            continue
+        lo = max(0, i - n_prec)
+        out.append((eid, ts, val, sum(v for _, _, v in order[lo:i + 1])))
+    return sorted(out)
+
+
+def _drive_rows(events, cuts, n_prec):
+    from flink_uba_spark.streaming.over_agg import make_over_aggregator
+
+    det = make_over_aggregator(None, rows_preceding=n_prec)
+    state = _FakeState()
+    got = []
+
+    def drain(gen):
+        for f in gen:
+            for r in f.itertuples(index=False):
+                got.append(
+                    (int(r.event_id), pd.Timestamp(r.ts).value // 1000,
+                     int(r.val), int(r.agg))
+                )
+
+    lo, wm = -1, 0
+    for hi in sorted(cuts) + [10 ** 9]:
+        batch = [e for e in events if lo < e[1] <= hi]
+        lo = hi
+        if not batch:
+            continue
+        state._wm = wm
+        pdf = pd.DataFrame(
+            [{"event_id": eid, "ts": pd.Timestamp(ts, unit="us"), "val": v}
+             for eid, ts, v in batch]
+        )
+        state.hasTimedOut = False
+        drain(det((1,), iter([pdf]), state))
+        wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
+        for _ in range(6):
+            if state._v is None or state.timeout_set is None or state.timeout_set >= wm:
+                break
+            state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+            drain(det((1,), iter([]), state))
+        state.hasTimedOut = False
+    if events and state._v is not None:
+        state._wm = max(ts for _, ts, _ in events) // 1000
+        state.hasTimedOut = True
+        drain(det((1,), iter([]), state))
+    return got, max((ts for _, ts, _ in events), default=0) // 1000
+
+
+@st.composite
+def _rows_case(draw):
+    n_ev = draw(st.integers(0, 24))
+    events = [
+        (i, draw(st.integers(0, 30)) * 1000 + draw(st.integers(0, 3)),
+         draw(st.integers(-5, 20)))
+        for i in range(n_ev)
+    ]
+    cuts = draw(st.sets(st.integers(1, 30), max_size=4))
+    n_prec = draw(st.integers(0, 6))
+    return events, {c * 1000 for c in cuts}, n_prec
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_rows_case())
+def test_over_agg_rows_frame_matches_brute(case):
+    """ROWS BETWEEN n PRECEDING AND CURRENT ROW — mid-stream eviction
+    (keep the last n emitted rows) must never starve a later frame."""
+    events, cuts, n_prec = case
+    got, wm_final = _drive_rows(events, cuts, n_prec)
+    assert sorted(got) == brute_over_rows(events, n_prec, wm_final)
+    ids = [g[0] for g in got]
+    assert len(ids) == len(set(ids))
