@@ -31,7 +31,11 @@ Supported subset (validated, everything else raises):
     branch-union compile, one plan per ordering;
   - an EXCLUSION wrapper ``{- X -}`` (round 8) — X matches normally but
     its rows/columns are excluded from the output (ISO exclusion is
-    pure output shaping; single-plan path, both ONE and ALL ROWS).
+    pure output shaping; single-plan path, both ONE and ALL ROWS);
+  - PARTITION ANCHORS ``^`` / ``$`` (round 8) — the match must start at
+    the partition's first row / end at its last row ((ts, id) order;
+    batch-only: a partition's last row is unknowable on an unbounded
+    stream; single-plan path).
 - ``DEFINE``: variable → self-row Column predicate. Prefix-referencing
   definitions (SQL's ``PREV``/``FIRST``/``LAST`` navigation over bound
   variables, Flink's ``IterativeCondition``) go through ``iter_define``:
@@ -100,6 +104,23 @@ def strip_exclusions(pattern: str) -> tuple[str, set[str]]:
         return inner
 
     return _EXCL.sub(strip, pattern), excluded
+
+
+def strip_anchors(pattern: str) -> tuple[str, bool, bool]:
+    """ISO 9075-2 partition anchors: a leading ``^`` requires the match
+    to START at the partition's first row, a trailing ``$`` to END at
+    its last row ((ts, id) order — the family's tie determinization).
+    Returns (pattern without anchors, start_anchor, end_anchor)."""
+    toks = pattern.split()
+    start = bool(toks) and toks[0] == "^"
+    if start:
+        toks = toks[1:]
+    end = bool(toks) and toks[-1] == "$"
+    if end:
+        toks = toks[:-1]
+    if "^" in toks or "$" in toks:
+        raise ValueError("^ / $ anchor only at the PATTERN's ends")
+    return " ".join(toks), start, end
 
 
 def parse_pattern(pattern: str) -> list[tuple]:
@@ -261,6 +282,7 @@ def match_recognize(
 
     if rows_per_match not in ("one", "all"):
         raise ValueError("ROWS PER MATCH: one | all")
+    pattern, anchor_start, anchor_end = strip_anchors(pattern)
     pattern, excluded = strip_exclusions(pattern)
     parsed = parse_pattern(pattern)
     mode, skip_step = _parse_after_match(after_match, parsed)
@@ -289,6 +311,8 @@ def match_recognize(
         raise ValueError(
             "exclusion {- X -} composes with the single-plan path only"
         )
+    if (anchor_start or anchor_end) and specialties:
+        raise ValueError("^ / $ anchors compose with the single-plan path only")
 
     # ---- iterative route (prefix-referencing DEFINE) -------------------
     if iter_define:
@@ -491,11 +515,38 @@ def match_recognize(
         event_id=event_id,
         ts=order_by,
         optional=optional or None,
-        with_end_id=(mode == "skip_past_last"),
+        with_end_id=(mode == "skip_past_last" or anchor_end),
         with_step_ids=(rows_per_match == "all"),
     ).filter(F.col("state") == "matched")
+    # partition anchors filter CANDIDATES (a non-qualifying match never
+    # exists, so it never advances the skip horizon); extremes are per-key
+    # min_by/max_by over the RAW partition rows in (ts, id) order
+    if anchor_start:
+        first = events.groupBy(partition_by).agg(
+            F.min_by(
+                F.col(event_id), F.struct(F.col(order_by), F.col(event_id))
+            ).alias("__first_id")
+        )
+        out = (
+            out.join(first, partition_by)
+            .filter(F.col("anchor_id") == F.col("__first_id"))
+            .drop("__first_id")
+        )
+    if anchor_end:
+        last = events.groupBy(partition_by).agg(
+            F.max_by(
+                F.col(event_id), F.struct(F.col(order_by), F.col(event_id))
+            ).alias("__last_id")
+        )
+        out = (
+            out.join(last, partition_by)
+            .filter(F.col("end_id") == F.col("__last_id"))
+            .drop("__last_id")
+        )
     if mode == "skip_past_last":
         out = after_match_skip_past_last(out, key=partition_by)
+    elif anchor_end:
+        out = out.drop("end_id")
     if rows_per_match == "all":
         plain = [
             F.struct(
@@ -688,6 +739,12 @@ def stream_match_recognize(
 
     if after_match not in ("skip_past_last", "no_skip"):
         raise ValueError("AFTER MATCH: skip_past_last | no_skip")
+    _p, a_start, a_end = strip_anchors(pattern)
+    if a_start or a_end:
+        raise ValueError(
+            "^ / $ anchors are batch-only (a partition's LAST row is "
+            "unknowable on an unbounded stream)"
+        )
     parsed = parse_pattern(pattern)
     if any(isinstance(var, tuple) for var, _q in parsed):
         raise ValueError(

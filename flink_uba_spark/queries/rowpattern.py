@@ -690,6 +690,97 @@ FROM m
 """
 
 
+def match_recognize_anchored_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO partition anchor ``^`` (round 8): ``PATTERN (^ S P)`` — users
+    whose FIRST-ever event is a signup, converting to a purchase within
+    30 days. The anchor is a pure candidate filter against the
+    partition's (ts, id)-first row — matching semantics unchanged;
+    batch-only (a partition's extremes are unknowable on an unbounded
+    stream)."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="^ S P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"P": "INTERVAL 30 DAYS"},
+        after_match="no_skip",
+    )
+
+
+MATCH_RECOGNIZE_ANCHORED_START_ORACLE = """
+WITH ext AS (
+  SELECT user_id, min(struct_pack(ts := ts, id := event_id)) AS firstrow
+  FROM events GROUP BY user_id
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+c2 AS (
+  SELECT a.*, p.ts AS t2
+  FROM a JOIN LATERAL (
+    SELECT ts FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = a.user_id
+      AND p.ts >= a.t1
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+)
+SELECT c2.user_id, c2.anchor_id, c2.t1 AS S_ts, c2.t2 AS P_ts
+FROM c2 JOIN ext ON ext.user_id = c2.user_id
+WHERE c2.t2 <= c2.t1 + INTERVAL 30 DAY
+  AND c2.anchor_id = ext.firstrow.id
+"""
+
+
+def match_recognize_anchored_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO partition anchor ``$`` (round 8): ``PATTERN (S P $)`` — a
+    signup whose earliest following purchase IS the user's LAST-ever
+    event (the partition closes on the conversion). Exercises the
+    end-anchor path: the engine binds with_end_id and filters candidates
+    against the partition's (ts, id)-last row."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S P $",
+        define={
+            "S": F.col("event_type") == "signup",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={},
+        default_within=None,
+        after_match="no_skip",
+    )
+
+
+MATCH_RECOGNIZE_ANCHORED_END_ORACLE = """
+WITH ext AS (
+  SELECT user_id, max(struct_pack(ts := ts, id := event_id)) AS lastrow
+  FROM events GROUP BY user_id
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+c2 AS (
+  SELECT a.*, p.ts AS t2, p.event_id AS i2
+  FROM a JOIN LATERAL (
+    SELECT ts, event_id FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = a.user_id
+      AND p.ts >= a.t1
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+)
+SELECT c2.user_id, c2.anchor_id, c2.t1 AS S_ts, c2.t2 AS P_ts
+FROM c2 JOIN ext ON ext.user_id = c2.user_id
+WHERE c2.i2 = ext.lastrow.id
+"""
+
+
 QUERIES = {
     "match_recognize_reluctant_lazy": match_recognize_reluctant_lazy,
     "match_recognize_skip_to_first": match_recognize_skip_to_first,
@@ -698,6 +789,8 @@ QUERIES = {
     "match_recognize_all_rows_run": match_recognize_all_rows_run,
     "match_recognize_permute": match_recognize_permute,
     "match_recognize_all_rows_excluded": match_recognize_all_rows_excluded,
+    "match_recognize_anchored_start": match_recognize_anchored_start,
+    "match_recognize_anchored_end": match_recognize_anchored_end,
 }
 
 ORACLES = {
@@ -708,4 +801,6 @@ ORACLES = {
     "match_recognize_all_rows_run": MATCH_RECOGNIZE_ALL_ROWS_RUN_ORACLE,
     "match_recognize_permute": MATCH_RECOGNIZE_PERMUTE_ORACLE,
     "match_recognize_all_rows_excluded": MATCH_RECOGNIZE_ALL_ROWS_EXCLUDED_ORACLE,
+    "match_recognize_anchored_start": MATCH_RECOGNIZE_ANCHORED_START_ORACLE,
+    "match_recognize_anchored_end": MATCH_RECOGNIZE_ANCHORED_END_ORACLE,
 }

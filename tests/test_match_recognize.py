@@ -698,3 +698,58 @@ def test_stream_reluctant_requires_no_skip(spark):
              "P": F.lit(True)},
             default_within="INTERVAL 1 HOUR",
         )
+
+
+def test_partition_anchors(spark):
+    """^ requires the anchor to BE the partition's first row; $ requires
+    the match to end at its last row; anchors are pure candidate filters
+    (matching semantics unchanged)."""
+    from flink_uba_spark.operators.match_recognize import strip_anchors
+
+    assert strip_anchors("^ S P $") == ("S P", True, True)
+    assert strip_anchors("S P") == ("S P", False, False)
+    with pytest.raises(ValueError, match="PATTERN's ends"):
+        strip_anchors("S ^ P")
+
+    rows = [
+        # user 1: first row IS a signup; last row IS a purchase
+        (1, 1, EPOCH, "signup"),
+        (2, 1, EPOCH + datetime.timedelta(seconds=10), "purchase"),
+        # user 2: first row is a view -> ^ kills the (signup@3) anchor
+        (3, 2, EPOCH, "view"),
+        (4, 2, EPOCH + datetime.timedelta(seconds=5), "signup"),
+        (5, 2, EPOCH + datetime.timedelta(seconds=10), "purchase"),
+        # user 3: matches but a later view means $ kills it
+        (6, 3, EPOCH, "signup"),
+        (7, 3, EPOCH + datetime.timedelta(seconds=10), "purchase"),
+        (8, 3, EPOCH + datetime.timedelta(seconds=20), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    spec = dict(
+        define={
+            "S": F.col("event_type") == "signup",
+            "P": F.col("event_type") == "purchase",
+        },
+        default_within="INTERVAL 5 MINUTES",
+        after_match="no_skip",
+    )
+    base = match_recognize(ev, "user_id", "ts", "S P", **spec).toPandas()
+    assert sorted(base["user_id"]) == [1, 2, 3]
+    start = match_recognize(ev, "user_id", "ts", "^ S P", **spec).toPandas()
+    assert sorted(start["user_id"]) == [1, 3]
+    both = match_recognize(ev, "user_id", "ts", "^ S P $", **spec).toPandas()
+    assert sorted(both["user_id"]) == [1]
+    assert "end_id" not in both.columns       # no_skip: end id is internal
+    # streaming: anchors raise (last row unknowable on a stream)
+    from flink_uba_spark.operators.match_recognize import (
+        stream_match_recognize,
+    )
+
+    with pytest.raises(ValueError, match="batch-only"):
+        stream_match_recognize(
+            None, "user_id", "ts", "^ S P",
+            {"S": F.lit(True), "P": F.lit(True)},
+            default_within="INTERVAL 1 HOUR",
+        )
