@@ -1627,3 +1627,176 @@ def pattern_detect_iterative(
         *[F.col(f"t{k}") for k in range(1, n + 1)],
         *[F.col(f"{nm}{k}") for nm in pay for k in range(1, n + 1)],
     )
+
+
+def pattern_detect_budget_run(
+    events: DataFrame,
+    key: str,
+    anchor: Column,
+    run: Column,
+    suffix: Column,
+    payload: Column,
+    budget: int,
+    gap: str,
+    suffix_within: str,
+    cap: int | None = None,
+    event_id: str = "event_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """BUDGET-capped Kleene run — ``oneOrMore().until(IterativeCondition)``
+    with a RUNNING-AGGREGATE stop (round 8): anchor → run⁺ → suffix where
+    the run stops accepting BEFORE its cumulative ``payload`` would
+    exceed ``budget`` (Flink's ``until`` STOPS the looping state the
+    moment its condition fires — evaluated here over
+    ``ctx.getEventsForPattern("run")``'s sum including the candidate —
+    so the run is the maximal prefix of the entry's within-gap session
+    whose running sum stays ≤ budget; the SQL MATCH_RECOGNIZE analogue
+    is an aggregate in DEFINE over the quantified variable). ``payload``
+    must be a NON-NEGATIVE integer column (monotone running sums are
+    what make the stop a prefix rule; the family's exactness rule bans
+    floats anyway). An entry whose own payload exceeds the budget is not
+    a valid binding and the anchor binds the next valid entry
+    (times-validity). ``cap`` optionally bounds repetitions on top.
+
+    Compile: the run table sessionizes ONCE per key ((ts, id) order,
+    ``gap`` splits); per-session prefix sums + one sorted per-session
+    struct array make every entry's run length a single vectorized
+    ``filter`` count (prefix sums are non-decreasing, so "stop before
+    exceeding" = count of session prefixes ≤ entry_base + budget) and
+    its last repetition an ``element_at`` lookup — no per-entry
+    iteration, no variable-offset lead. Binding is the iterative-join
+    family (the per-entry run length makes candidacy entry-dependent,
+    so the shared-window compile can't express it): anchors band-join
+    valid entries ((ts, rank, id) admission, ``gap`` bounds the
+    transition), the bound run's LAST repetition band-joins suffixes
+    (``suffix_within`` mandatory — the fan-out bound), each collapsed by
+    map-side ``min_by``. Output: one row per anchor that COMPLETES
+    (the iterative-family contract): ``key, anchor_id, t1, t2, t2_last,
+    n2, spent, t3, end_id``.
+
+    Scale: one key exchange for the session pass (per-session arrays are
+    bounded by within-gap density), two band joins each immediately
+    collapsed by partial-aggregating min_by — anchor-sized
+    intermediates, no cross-key work, no driver participation.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if cap is not None and cap < 1:
+        raise ValueError("cap must be >= 1")
+    rank = F.coalesce(
+        F.when(anchor, F.lit(1)), F.when(run, F.lit(2)), F.when(suffix, F.lit(3))
+    )
+    tagged = events.withColumn("__rank", rank)
+
+    w_key = Window.partitionBy("__k").orderBy("__ts", "__id")
+    runs = tagged.filter(run).select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.col(event_id).alias("__id"),
+        F.col("__rank").alias("__r"),
+        payload.cast("long").alias("__pay"),
+    )
+    runs = runs.withColumn(
+        "__ns",
+        F.when(
+            F.lag("__ts").over(w_key).isNull()
+            | (F.col("__ts") > F.lag("__ts").over(w_key) + F.expr(gap)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("__sid", F.sum("__ns").over(w_key.rowsBetween(Window.unboundedPreceding, 0)))
+    w_sess = Window.partitionBy("__k", "__sid").orderBy("__ts", "__id")
+    w_sess_full = w_sess.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    runs = (
+        runs.withColumn("__rn", F.row_number().over(w_sess))
+        .withColumn(
+            "__pre", F.sum("__pay").over(w_sess.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn(
+            "__arr",
+            F.sort_array(
+                F.collect_list(
+                    F.struct("__rn", "__pre", "__ts", "__id", "__r")
+                ).over(w_sess_full)
+            ),
+        )
+    )
+    bound = F.col("__pre") - F.col("__pay") + F.lit(budget)
+    cnt_le = F.size(F.filter("__arr", lambda x: x["__pre"] <= bound))
+    n_reps = cnt_le - (F.col("__rn") - 1)
+    if cap is not None:
+        n_reps = F.least(n_reps, F.lit(cap))
+    last = F.element_at("__arr", (F.col("__rn") + n_reps - 1).cast("int"))
+    entries = (
+        runs.filter(F.col("__pay") <= F.lit(budget))
+        .select(
+            F.col("__k").alias("__ek"),
+            F.col("__ts").alias("t2"),
+            F.col("__r").alias("__r2"),
+            F.col("__id").alias("i2"),
+            last["__ts"].alias("t2_last"),
+            last["__id"].alias("__last_id"),
+            last["__r"].alias("__last_r"),
+            n_reps.cast("long").alias("n2"),
+            (last["__pre"] - (F.col("__pre") - F.col("__pay")))
+            .cast("long")
+            .alias("spent"),
+        )
+    )
+    anchors = tagged.filter(anchor).select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("t1"),
+        F.col("__rank").alias("__r1"),
+        F.col(event_id).alias("anchor_id"),
+    )
+    adm1 = F.struct("t2", "__r2", "i2") > F.struct("t1", "__r1", "anchor_id")
+    in1 = F.col("t2") <= F.col("t1") + F.expr(gap)
+    j1 = (
+        anchors.join(entries, anchors["__k"] == entries["__ek"], "inner")
+        .filter(adm1 & in1)
+        .drop("__ek")
+    )
+    b1_cols = ["t2", "__r2", "i2", "t2_last", "__last_id", "__last_r", "n2", "spent"]
+    cur = (
+        j1.groupBy("__k", "t1", "__r1", "anchor_id")
+        .agg(
+            F.min_by(
+                F.struct(*b1_cols), F.struct("t2", "__r2", "i2")
+            ).alias("__b")
+        )
+        .select(
+            "__k", "t1", "__r1", "anchor_id",
+            *[F.col(f"__b.{c}").alias(c) for c in b1_cols],
+        )
+    )
+    sufs = tagged.filter(suffix).select(
+        F.col(key).alias("__sk"),
+        F.col(ts).alias("t3"),
+        F.col("__rank").alias("__r3"),
+        F.col(event_id).alias("end_id"),
+    )
+    adm2 = F.struct("t3", "__r3", "end_id") > F.struct(
+        "t2_last", "__last_r", "__last_id"
+    )
+    in2 = F.col("t3") <= F.col("t2_last") + F.expr(suffix_within)
+    j2 = (
+        cur.join(sufs, cur["__k"] == sufs["__sk"], "inner")
+        .filter(adm2 & in2)
+        .drop("__sk")
+    )
+    prev_cols = cur.columns
+    out = (
+        j2.groupBy(*prev_cols)
+        .agg(
+            F.min_by(
+                F.struct("t3", "__r3", "end_id"),
+                F.struct("t3", "__r3", "end_id"),
+            ).alias("__s")
+        )
+        .select(*prev_cols, F.col("__s.t3").alias("t3"), F.col("__s.end_id").alias("end_id"))
+    )
+    return out.select(
+        F.col("__k").alias(key),
+        "anchor_id", "t1", "t2", "t2_last", "n2", "spent", "t3", "end_id",
+    )

@@ -2239,6 +2239,97 @@ FROM m
 """
 
 
+def pattern_budget_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUDGET-capped Kleene run (round 8) — ``oneOrMore().until`` with a
+    RUNNING-AGGREGATE stop, the Pattern-API spelling of an aggregate in
+    DEFINE over a quantified variable: signup → error-run (12 h gap)
+    accepting repetitions while the run's cumulative cents stay ≤ 100.00
+    (stop BEFORE exceeding; an error alone above the budget is not a
+    valid entry), capped at 5 → purchase within 24 h of the run's last
+    error. Emits the run's exact integer spend alongside the chain."""
+    from flink_uba_spark.operators.sequence import pattern_detect_budget_run
+
+    ev = _events(spark, sf_dir)
+    out = pattern_detect_budget_run(
+        ev,
+        key="user_id",
+        anchor=F.col("event_type") == "signup",
+        run=F.col("event_type") == "error",
+        suffix=F.col("event_type") == "purchase",
+        payload=F.floor(F.col("value") * 100),
+        budget=10000,
+        gap="INTERVAL 12 HOURS",
+        suffix_within="INTERVAL 24 HOURS",
+        cap=5,
+    )
+    return out.select(
+        "user_id", "anchor_id",
+        F.col("t1").alias("S_ts"),
+        F.col("t2").alias("E_ts"),
+        F.col("t2_last").alias("E_last_ts"),
+        F.col("n2").alias("E_n"),
+        F.col("spent").alias("spent_cents"),
+        F.col("t3").alias("P_ts"),
+        "end_id",
+    )
+
+
+PATTERN_BUDGET_RUN_ORACLE = """
+WITH err AS (
+  SELECT user_id, event_id, ts, CAST(floor(value * 100) AS BIGINT) AS pay,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+pre AS (
+  SELECT user_id, event_id, ts, pay, sid,
+         row_number() OVER ws AS rn, sum(pay) OVER ws AS pre
+  FROM sess WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+),
+-- stop-before-exceeding: prefix sums are non-decreasing (pay >= 0), so
+-- the run length is the count of session prefixes <= entry_base + budget
+ent0 AS (
+  SELECT p.*, LEAST(5,
+     (SELECT count(*) FROM pre q WHERE q.user_id = p.user_id
+        AND q.sid = p.sid AND q.pre <= p.pre - p.pay + 10000)
+     - (p.rn - 1)) AS n2
+  FROM pre p WHERE p.pay <= 10000
+),
+ent AS (
+  SELECT e.user_id, e.ts AS t2, e.event_id AS i2, e.n2,
+         l.ts AS t2_last, l.pre - (e.pre - e.pay) AS spent
+  FROM ent0 e JOIN pre l
+    ON l.user_id = e.user_id AND l.sid = e.sid AND l.rn = e.rn + e.n2 - 1
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+b1 AS (
+  SELECT a.*, e.t2, e.i2, e.t2_last, e.n2, e.spent
+  FROM a JOIN LATERAL (
+    SELECT * FROM ent e WHERE e.user_id = a.user_id AND e.t2 >= a.t1
+      AND e.t2 <= a.t1 + INTERVAL 12 HOUR
+    ORDER BY e.t2, e.i2 LIMIT 1) e ON TRUE
+),
+b2 AS (
+  SELECT b1.*, p.ts AS t3, p.event_id AS end_id
+  FROM b1 JOIN LATERAL (
+    SELECT ts, event_id FROM events p WHERE p.event_type = 'purchase'
+      AND p.user_id = b1.user_id AND p.ts >= b1.t2_last
+      AND p.ts <= b1.t2_last + INTERVAL 24 HOUR
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+)
+SELECT user_id, anchor_id, t1 AS S_ts, t2 AS E_ts, t2_last AS E_last_ts,
+       CAST(n2 AS BIGINT) AS E_n, CAST(spent AS BIGINT) AS spent_cents,
+       t3 AS P_ts, end_id
+FROM b2
+"""
+
+
 QUERIES = {
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
@@ -2257,6 +2348,7 @@ QUERIES = {
     "time_to_convert_histogram": time_to_convert_histogram,
     "pattern_uncapped_error_run": pattern_uncapped_error_run,
     "pattern_error_run_until_purchase": pattern_error_run_until_purchase,
+    "pattern_budget_error_run": pattern_budget_error_run,
     "pattern_times_or_more_errors": pattern_times_or_more_errors,
     "pattern_consecutive_error_burst": pattern_consecutive_error_burst,
     "pattern_reluctant_error_prefixes": pattern_reluctant_error_prefixes,
@@ -2299,6 +2391,7 @@ ORACLES = {
     "time_to_convert_histogram": TIME_TO_CONVERT_ORACLE,
     "pattern_uncapped_error_run": PATTERN_UNCAPPED_ERROR_RUN_ORACLE,
     "pattern_error_run_until_purchase": PATTERN_ERROR_RUN_UNTIL_ORACLE,
+    "pattern_budget_error_run": PATTERN_BUDGET_RUN_ORACLE,
     "pattern_times_or_more_errors": PATTERN_TIMES_OR_MORE_ORACLE,
     "pattern_consecutive_error_burst": PATTERN_CONSECUTIVE_BURST_ORACLE,
     "pattern_reluctant_error_prefixes": PATTERN_RELUCTANT_ORACLE,

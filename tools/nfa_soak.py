@@ -1551,6 +1551,88 @@ def soak_fused(n_cases):
     return fails
 
 
+def soak_budget(n_cases, cases_per_spec=100):
+    """Budget-capped Kleene run soak (round 8):
+    ``pattern_detect_budget_run`` — running-aggregate until() stop — vs
+    the sequential brute (tests/test_budget_run.py brute_budget_run:
+    (ts, id) sessions, literal prefix walks, (ts, rank, id) admission
+    scans). Vectorized like soak_batch: 100 cases ride one compiled plan
+    as separate keys; budget/gap/cap/payload ranges randomized per
+    spec."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from test_budget_run import brute_budget_run
+    from flink_uba_spark.operators.sequence import pattern_detect_budget_run
+    from flink_uba_spark.session import get_spark
+
+    EPOCH = datetime.datetime(2020, 1, 1)
+    spark = get_spark("nfa_soak")
+    t0, fails, done, spec_seed = time.time(), 0, 0, 0
+    while done < n_cases and fails <= 5:
+        rnd = random.Random(spec_seed * 48271 + 11)
+        spec_seed += 1
+        gap = rnd.randint(2, 25)
+        sfx = rnd.randint(2, 40)
+        budget = rnd.randint(0, 15)
+        cap = rnd.choice([None, 1, 2, 3, 5])
+        ncase = min(cases_per_spec, n_cases - done)
+        case_events, rows = [], []
+        for c in range(ncase):
+            events = [
+                (c * 1000 + i, rnd.randint(0, 60), rnd.getrandbits(3),
+                 rnd.randint(0, 8))
+                for i in range(rnd.randint(0, 22))
+            ]
+            case_events.append(events)
+            rows += [
+                (eid, c, EPOCH + datetime.timedelta(microseconds=ts),
+                 bool(m & 1), bool(m >> 1 & 1), bool(m >> 2 & 1), pay)
+                for eid, ts, m, pay in events
+            ]
+        schema = ("event_id long, user_id long, ts timestamp, a boolean, "
+                  "r boolean, s boolean, pay long")
+        df = (spark.createDataFrame(rows, schema) if rows
+              else spark.createDataFrame([], schema))
+        out = pattern_detect_budget_run(
+            df, key="user_id",
+            anchor=F.col("a"), run=F.col("r"), suffix=F.col("s"),
+            payload=F.col("pay"), budget=budget,
+            gap=f"INTERVAL {gap} MICROSECONDS",
+            suffix_within=f"INTERVAL {sfx} MICROSECONDS",
+            cap=cap,
+        ).toPandas()
+
+        def us(v):
+            import pandas as pd
+
+            return int((pd.Timestamp(v).to_pydatetime() - EPOCH)
+                       .total_seconds() * 1e6)
+
+        for c in range(ncase):
+            sub = out[out["user_id"] == c]
+            got = sorted(
+                (int(r["anchor_id"]), us(r["t1"]), us(r["t2"]),
+                 us(r["t2_last"]), int(r["n2"]), int(r["spent"]),
+                 us(r["t3"]), int(r["end_id"]))
+                for _, r in sub.iterrows()
+            )
+            want = brute_budget_run(case_events[c], budget, gap, sfx, cap)
+            if got != want:
+                fails += 1
+                print(f"MISMATCH spec_seed={spec_seed - 1} case={c} "
+                      f"budget={budget} gap={gap} sfx={sfx} cap={cap} "
+                      f"events={case_events[c]}")
+                if fails > 5:
+                    break
+        done += ncase
+        if spec_seed % 10 == 0:
+            print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{done} budget cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     defaults = {
@@ -1569,6 +1651,7 @@ def main() -> int:
         "comb": 1000,
         "group": 1000,
         "fused": 3000,
+        "budget": 1000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
@@ -1589,6 +1672,8 @@ def main() -> int:
         return 1 if soak_group_loop(n) else 0
     if mode == "fused":
         return 1 if soak_fused(n) else 0
+    if mode == "budget":
+        return 1 if soak_budget(n) else 0
     if mode == "stream-consec":
         return 1 if soak_stream(n, timers=True, with_consecs=True) else 0
     if mode == "branching":
