@@ -210,3 +210,161 @@ def test_kleene_nfa_recovers_from_checkpoint(spark, sf_dir):
     ga = a[cols].sort_values(cols).reset_index(drop=True)
     gb = b[cols].sort_values(cols).reset_index(drop=True)
     assert ga.equals(gb)
+
+
+def test_fused_matcher_recovers_from_checkpoint(spark, sf_dir):
+    """The fused multi-branch NFA's packed state (per-branch segments +
+    seg_lens + the min-merged timer) must round-trip the state store: a
+    crash/recover execution over a two-batch replay equals the
+    uninterrupted execution exactly (round 8)."""
+    from flink_uba_spark.streaming.pattern import (
+        pattern_output_schema,
+        stream_pattern_detect_fused,
+    )
+
+    events = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    mid = events.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    b0 = events.filter(F.unix_micros("ts") <= mid)
+    b1 = events.filter(F.unix_micros("ts") > mid)
+    replay = write_replay([b0, b1], tag=f"recov_fused_{uuid.uuid4().hex[:8]}")
+
+    gap_us = 12 * 3600 * 1_000_000
+    w3_us = 24 * 3600 * 1_000_000
+    schema = pattern_output_schema(3, [None, (gap_us, 1, 1), None])
+    cols = [f.name for f in schema.fields]
+
+    def ident(frame):
+        return frame[cols]
+
+    def build(sdf):
+        return stream_pattern_detect_fused(
+            sdf,
+            key="user_id",
+            flags={
+                "s": F.col("event_type") == "signup",
+                "e": F.col("event_type") == "error",
+                "p": F.col("event_type") == "purchase",
+            },
+            branches=[
+                {
+                    "engine": "chain",
+                    "slots": ["s", "e", "p"],
+                    "withins_us": [None, gap_us, w3_us],
+                    "kleenes": [None, (gap_us, m, m), None],
+                    "project": ident,
+                }
+                for m in (1, 2, 3)
+            ],
+            output_schema=schema,
+        )
+
+    def run_to_dir(ckpt, out_dir, hide_second):
+        second = Path(replay) / "01.parquet"
+        hidden = Path(replay).parent / (Path(replay).name + "_h01")
+        if hide_second:
+            second.rename(hidden)
+        try:
+            sdf = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(replay)
+            )
+            q = (
+                build(sdf)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if hide_second:
+                hidden.rename(second)
+
+    ckpt = str(Path(tempfile.mkdtemp(prefix="sg_ckpt_fused_")))
+    out_dir = str(Path(tempfile.mkdtemp(prefix="sg_out_fused_")))
+    run_to_dir(ckpt, out_dir, hide_second=True)   # crash after batch 0
+    n_after_crash = spark.read.parquet(out_dir).count()
+    run_to_dir(ckpt, out_dir, hide_second=False)  # recover
+
+    ckpt2 = str(Path(tempfile.mkdtemp(prefix="sg_ckpt_fused2_")))
+    out2 = str(Path(tempfile.mkdtemp(prefix="sg_out_fused2_")))
+    run_to_dir(ckpt2, out2, hide_second=False)    # uninterrupted
+
+    got = spark.read.parquet(out_dir).toPandas()
+    want = spark.read.parquet(out2).toPandas()
+    assert len(want) > 0 and len(want) > n_after_crash
+    c = sorted(want.columns)
+    assert (
+        got[c].sort_values(c).reset_index(drop=True)
+        .equals(want[c].sort_values(c).reset_index(drop=True))
+    )
+
+
+def test_over_agg_recovers_from_checkpoint(spark, sf_dir):
+    """The OVER aggregator's buffer state (rows + emitted flags) must
+    round-trip the state store: crash/recover equals uninterrupted, with
+    no duplicate emissions (exactly-once per input row) — round 8."""
+    from flink_uba_spark.streaming.over_agg import stream_over_aggregate
+
+    events = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mid = events.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    b0 = events.filter(F.unix_micros("ts") <= mid)
+    b1 = events.filter(F.unix_micros("ts") > mid)
+    replay = write_replay([b0, b1], tag=f"recov_over_{uuid.uuid4().hex[:8]}")
+
+    def run_to_dir(ckpt, out_dir, hide_second):
+        second = Path(replay) / "01.parquet"
+        hidden = Path(replay).parent / (Path(replay).name + "_h01")
+        if hide_second:
+            second.rename(hidden)
+        try:
+            sdf = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(replay)
+            )
+            q = (
+                stream_over_aggregate(
+                    sdf, key="user_id",
+                    value=F.floor(F.col("value") * 100),
+                    range_interval="INTERVAL 7 DAYS",
+                    row_filter=F.col("event_type") == "purchase",
+                )
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if hide_second:
+                hidden.rename(second)
+
+    ckpt = str(Path(tempfile.mkdtemp(prefix="sg_ckpt_over_")))
+    out_dir = str(Path(tempfile.mkdtemp(prefix="sg_out_over_")))
+    run_to_dir(ckpt, out_dir, hide_second=True)
+    n_after_crash = spark.read.parquet(out_dir).count()
+    run_to_dir(ckpt, out_dir, hide_second=False)
+
+    ckpt2 = str(Path(tempfile.mkdtemp(prefix="sg_ckpt_over2_")))
+    out2 = str(Path(tempfile.mkdtemp(prefix="sg_out_over2_")))
+    run_to_dir(ckpt2, out2, hide_second=False)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    want = spark.read.parquet(out2).toPandas()
+    assert len(want) > 0 and n_after_crash > 0
+    assert got["event_id"].is_unique          # exactly-once across the cut
+    c = sorted(want.columns)
+    assert (
+        got[c].sort_values(c).reset_index(drop=True)
+        .equals(want[c].sort_values(c).reset_index(drop=True))
+    )
