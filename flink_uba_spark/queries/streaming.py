@@ -2783,6 +2783,60 @@ WHERE epoch_us(ts) < (SELECT us FROM wm)
 """
 
 
+def stream_pattern_budget_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped Kleene run in its native streaming form (round 8) —
+    the twin of pattern_budget_error_run: signup → error-run (12 h gap,
+    cumulative cents ≤ 100.00, cap 5) → purchase within 24 h. The
+    recompute-over-buffer matcher emits a match once it is
+    watermark-FINAL: the run closed (cap reached, or the gap lapsed past
+    its last repetition — a budget-blocked run stays open: a smaller
+    payload could still arrive in-gap and extend the prefix) and the
+    watermark passed the suffix strictly. Oracle: the batch form under
+    the same terminal-watermark finality cut."""
+    from flink_uba_spark.streaming.budget_run import stream_budget_run_detect
+
+    ev = stream_events(spark, sf_dir)
+    out = run_to_table(
+        stream_budget_run_detect(
+            ev,
+            key="user_id",
+            anchor=F.col("event_type") == "signup",
+            run=F.col("event_type") == "error",
+            suffix=F.col("event_type") == "purchase",
+            payload=F.floor(F.col("value") * 100),
+            budget=10000,
+            gap="INTERVAL 12 HOURS",
+            suffix_within="INTERVAL 24 HOURS",
+            cap=5,
+        )
+    )
+    return out.select(
+        "user_id", "anchor_id",
+        F.col("t1").alias("S_ts"),
+        F.col("t2").alias("E_ts"),
+        F.col("t2_last").alias("E_last_ts"),
+        F.col("n2").alias("E_n"),
+        F.col("spent").alias("spent_cents"),
+        F.col("t3").alias("P_ts"),
+        "end_id",
+    )
+
+
+def _stream_pattern_budget_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_BUDGET_RUN_ORACLE
+
+    gap_us = 12 * 3600 * 1_000_000
+    return f"""
+WITH b AS ({PATTERN_BUDGET_RUN_ORACLE}),
+wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 AS us FROM events
+       WHERE event_type IN ('signup', 'error', 'purchase'))
+SELECT b.* FROM b
+WHERE (b.E_n = 5
+       OR epoch_us(b.E_last_ts) + {gap_us} < (SELECT us FROM wm))
+  AND epoch_us(b.P_ts) < (SELECT us FROM wm)
+"""
+
+
 def stream_last5_purchase_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time OVER aggregation with a ROWS frame — Flink SQL's
     ``SUM(cents) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4
@@ -2885,6 +2939,7 @@ QUERIES = {
     "stream_rolling_7d_user_purchases": stream_rolling_7d_user_purchases,
     "stream_last5_purchase_total": stream_last5_purchase_total,
     "stream_match_recognize_reluctant": stream_match_recognize_reluctant,
+    "stream_pattern_budget_error_run": stream_pattern_budget_error_run,
     "stream_match_recognize_error_streak": stream_match_recognize_error_streak,
     "stream_pattern_error_burst_recovery": stream_pattern_error_burst_recovery,
     "stream_pattern_signup_journey": stream_pattern_signup_journey,
@@ -2950,6 +3005,7 @@ ORACLES = {
     "stream_rolling_7d_user_purchases": STREAM_ROLLING_7D_ORACLE,
     "stream_last5_purchase_total": STREAM_LAST5_PURCHASE_ORACLE,
     "stream_match_recognize_reluctant": _stream_match_recognize_reluctant_oracle(),
+    "stream_pattern_budget_error_run": _stream_pattern_budget_oracle(),
     "stream_match_recognize_error_streak": STREAM_MATCH_RECOGNIZE_STREAK_ORACLE,
     "stream_pattern_error_burst_recovery": _stream_kleene_oracle(),
     "stream_pattern_signup_journey": _stream_pattern_signup_journey_oracle(),

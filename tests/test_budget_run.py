@@ -181,3 +181,124 @@ def test_budget_run_pins(spark):
     ]
     got4 = _run_spark(spark, ev4, 0, 100, 100)
     assert got4 == [(1, 0, 10, 20, 2, 0, 30, 4)]
+
+
+# ---- streaming twin --------------------------------------------------------
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self._wm = 0
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def update(self, v):
+        self._v = v
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+    def remove(self):
+        self._v = None
+
+
+def brute_budget_run_stream(events, budget, gap_us, sfx_us, cap, wm_final_ms):
+    """The batch brute under the streaming finality cut: the run closed
+    (cap, or gap lapsed past its last rep) and the suffix strictly below
+    the terminal watermark."""
+    wm_us = wm_final_ms * 1000
+    out = []
+    for row in brute_budget_run(events, budget, gap_us, sfx_us, cap):
+        a_id, t1, t2, t2l, n, spent, t3, s_id = row
+        if (n == cap or t2l + gap_us < wm_us) and t3 < wm_us:
+            out.append(row)
+    return sorted(out)
+
+
+def _drive_stream(events, cuts, budget, gap, sfx, cap):
+    import pandas as pd
+
+    from flink_uba_spark.streaming.budget_run import make_budget_run_matcher
+
+    # classify to the earliest matching class (the twin's rule)
+    def cls_of(m):
+        return 1 if m & 1 else (2 if m >> 1 & 1 else (3 if m >> 2 & 1 else 0))
+
+    det = make_budget_run_matcher(budget, cap, gap, sfx)
+    state = _FakeState()
+    got = []
+
+    def us(v):
+        return pd.Timestamp(v).value // 1000
+
+    def drain(gen):
+        for f in gen:
+            for r in f.itertuples(index=False):
+                got.append(
+                    (int(r.anchor_id), us(r.t1), us(r.t2), us(r.t2_last),
+                     int(r.n2), int(r.spent), us(r.t3), int(r.end_id))
+                )
+
+    lo, wm = -1, 0
+    for hi in sorted(cuts) + [10 ** 9]:
+        batch = [e for e in events if lo < e[1] <= hi and cls_of(e[2])]
+        lo = hi
+        if not batch:
+            continue
+        state._wm = wm
+        pdf = pd.DataFrame(
+            [{"event_id": eid, "ts": pd.Timestamp(ts, unit="us"),
+              "cls": cls_of(m), "pay": pay}
+             for eid, ts, m, pay in batch]
+        )
+        state.hasTimedOut = False
+        drain(det((1,), iter([pdf]), state))
+        wm = max(wm, max(ts for _, ts, _, _ in batch) // 1000)
+        for _ in range(6):
+            if state._v is None or state.timeout_set is None or state.timeout_set >= wm:
+                break
+            state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+            drain(det((1,), iter([]), state))
+        state.hasTimedOut = False
+    if state._v is not None:
+        rel = [e for e in events if cls_of(e[2])]
+        if rel:
+            state._wm = max(ts for _, ts, _, _ in rel) // 1000
+            state.hasTimedOut = True
+            drain(det((1,), iter([]), state))
+    rel = [e for e in events if cls_of(e[2])]
+    wm_final = max((ts for _, ts, _, _ in rel), default=0) // 1000
+    return got, wm_final
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_budget_case(), st.sets(st.integers(1, 60), max_size=4))
+def test_budget_run_stream_matches_brute(case, raw_cuts):
+    events, budget, gap, sfx, cap = case
+    if cap is None:
+        cap = 3
+    # earliest-class classification (the twin's documented rule): rebuild
+    # masks so the brute sees the same single-class rows
+    def remask(m):
+        return 1 if m & 1 else (2 if m >> 1 & 1 else (4 if m >> 2 & 1 else 0))
+
+    ev1 = [(eid, ts, remask(m), pay) for eid, ts, m, pay in events]
+    got, wm_final = _drive_stream(ev1, {c * 1 for c in raw_cuts}, budget,
+                                  gap, sfx, cap)
+    want = brute_budget_run_stream(ev1, budget, gap, sfx, cap, wm_final)
+    assert sorted(got) == want
+    ids = [g[0] for g in got]
+    assert len(ids) == len(set(ids))        # exactly-once per anchor

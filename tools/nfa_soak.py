@@ -1633,6 +1633,45 @@ def soak_budget(n_cases, cases_per_spec=100):
     return fails
 
 
+def soak_budget_stream(n_cases):
+    """Streaming budget-run soak (round 8): the recompute-over-buffer
+    matcher (streaming/budget_run.py) driven over random micro-batch
+    splits WITH mid-stream timer firings vs the batch brute under the
+    terminal-watermark finality cut — pure-python state driving (the
+    matcher is numpy-vectorized), ~1k cases/s."""
+    from test_budget_run import (
+        _drive_stream,
+        brute_budget_run_stream,
+    )
+
+    t0, fails = time.time(), 0
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 69069 + 5)
+        gap = rnd.randint(2, 25)
+        sfx = rnd.randint(2, 40)
+        budget = rnd.randint(0, 15)
+        cap = rnd.randint(1, 4)
+        events = []
+        for i in range(rnd.randint(0, 22)):
+            m = rnd.getrandbits(3)
+            # earliest-class rule: collapse multi-class masks
+            m = 1 if m & 1 else (2 if m & 2 else (4 if m & 4 else 0))
+            events.append((i, rnd.randint(0, 60), m, rnd.randint(0, 8)))
+        cuts = {rnd.randint(1, 60) for _ in range(rnd.randint(0, 4))}
+        got, wm_final = _drive_stream(events, cuts, budget, gap, sfx, cap)
+        want = brute_budget_run_stream(events, budget, gap, sfx, cap, wm_final)
+        if sorted(got) != want:
+            fails += 1
+            print(f"MISMATCH seed={seed} budget={budget} gap={gap} sfx={sfx} "
+                  f"cap={cap} cuts={sorted(cuts)} events={events}")
+            if fails > 5:
+                break
+        if (seed + 1) % 2000 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} budget-stream cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     defaults = {
@@ -1652,6 +1691,7 @@ def main() -> int:
         "group": 1000,
         "fused": 3000,
         "budget": 1000,
+        "budget-stream": 10000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
@@ -1674,6 +1714,8 @@ def main() -> int:
         return 1 if soak_fused(n) else 0
     if mode == "budget":
         return 1 if soak_budget(n) else 0
+    if mode == "budget-stream":
+        return 1 if soak_budget_stream(n) else 0
     if mode == "stream-consec":
         return 1 if soak_stream(n, timers=True, with_consecs=True) else 0
     if mode == "branching":
