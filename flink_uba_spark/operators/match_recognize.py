@@ -297,6 +297,24 @@ def match_recognize(
             "an alternation group, and SKIP TO FIRST/LAST each pick a "
             "dedicated engine compile and do not compose with each other"
         )
+    # ADVICE r8: a quantifier on the FINAL variable would reach the
+    # engines' with_end_id path (which needs a plain last step for the
+    # skip fold's end-event tie-break) and die on an engine-internal
+    # error — validate here with the real reason instead
+    last_q = parsed[-1][1]
+    if (
+        last_q is not None
+        and last_q[0] in ("kleene", "reluctant")
+        and (mode == "skip_past_last" or anchor_end)
+    ):
+        raise ValueError(
+            "a quantifier on the final PATTERN variable does not compose "
+            "with SKIP PAST LAST ROW or a trailing $ anchor (the skip "
+            "fold / end anchor needs the match's last EVENT, which a "
+            "trailing run does not pin to one row) — end the pattern "
+            "with a plain variable or use AFTER MATCH SKIP TO NEXT ROW "
+            "(no_skip)"
+        )
     if rows_per_match == "all":
         if specialties:
             raise ValueError(
@@ -559,6 +577,15 @@ def match_recognize(
             if not (q is not None and q[0] == "kleene")
             and vnames[k - 1] not in excluded
         ]
+        if not plain:
+            # ADVICE r8: an all-quantified/all-excluded pattern would
+            # build F.array() with zero struct entries and fail analysis
+            # with an opaque cannot-resolve-explode error
+            raise ValueError(
+                "ALL ROWS PER MATCH needs at least one non-excluded "
+                "plain/optional variable (a pattern whose every variable "
+                "is quantified or excluded emits no per-event row shape)"
+            )
         rows = (
             out.select(partition_by, "anchor_id", F.explode(F.array(*plain)).alias("__e"))
             .select(
@@ -744,6 +771,15 @@ def stream_match_recognize(
         raise ValueError(
             "^ / $ anchors are batch-only (a partition's LAST row is "
             "unknowable on an unbounded stream)"
+        )
+    pattern, excluded = strip_exclusions(pattern)
+    if excluded:
+        # ADVICE r8: without this the '{-' token died on a cryptic
+        # "bad PATTERN token" parse error instead of a batch-only message
+        raise ValueError(
+            "exclusion {- X -} is batch-only on this front-end (output "
+            "shaping over the ALL-ROWS batch route; the streaming NFA "
+            "emits ONE-row matches only)"
         )
     parsed = parse_pattern(pattern)
     if any(isinstance(var, tuple) for var, _q in parsed):

@@ -1689,12 +1689,26 @@ def pattern_detect_budget_run(
     tagged = events.withColumn("__rank", rank)
 
     w_key = Window.partitionBy("__k").orderBy("__ts", "__id")
+    # ADVICE r8: the prefix-sum stop rule assumes MONOTONE running sums —
+    # a negative payload would silently yield wrong run lengths, so fail
+    # loudly at evaluation time instead (the family's exactness-rule
+    # enforcement; the streaming twin checks the same in numpy)
+    pay_long = payload.cast("long")
+    checked_pay = F.when(pay_long >= 0, pay_long).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pattern_detect_budget_run: payload must be a "
+                      "non-negative integer column, got "),
+                pay_long.cast("string"),
+            )
+        )
+    )
     runs = tagged.filter(run).select(
         F.col(key).alias("__k"),
         F.col(ts).alias("__ts"),
         F.col(event_id).alias("__id"),
         F.col("__rank").alias("__r"),
-        payload.cast("long").alias("__pay"),
+        checked_pay.alias("__pay"),
     )
     runs = runs.withColumn(
         "__ns",

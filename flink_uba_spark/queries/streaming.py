@@ -2881,6 +2881,57 @@ WHERE epoch_us(ts) < (SELECT us FROM wm)
 """
 
 
+def stream_purchase_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate event-time OVER window (round 9) — Flink SQL's
+    ``COUNT(*)/MIN/MAX/SUM(cents) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW)`` as ONE
+    continuous operator: the four aggregates share one frame pass
+    (SUM/COUNT probe the prefix array; MIN/MAX probe a per-invoke
+    sparse table — idempotent aggregates don't subtract). Same
+    watermark-final emission + ms-floored terminal frontier cut as the
+    SUM-only round-8 twin, applied to the oracle identically."""
+    from flink_uba_spark.streaming.over_agg import stream_over_aggregate
+
+    ev = stream_events(spark, sf_dir)
+    out = run_to_table(
+        stream_over_aggregate(
+            ev,
+            key="user_id",
+            value=F.floor(F.col("value") * 100),
+            range_interval="INTERVAL 7 DAYS",
+            row_filter=F.col("event_type") == "purchase",
+            aggs=("count", "min", "max", "sum"),
+        )
+    )
+    return out.select(
+        "user_id", "event_id", "ts",
+        F.col("val").alias("cents"),
+        F.col("agg_count").alias("n_7d"),
+        F.col("agg_min").alias("min_cents_7d"),
+        F.col("agg_max").alias("max_cents_7d"),
+        F.col("agg_sum").alias("sum_cents_7d"),
+    )
+
+
+STREAM_PURCHASE_WINDOW_STATS_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 AS us FROM p)
+SELECT user_id, event_id, ts, cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       CAST(min(cents) OVER w AS BIGINT) AS min_cents_7d,
+       CAST(max(cents) OVER w AS BIGINT) AS max_cents_7d,
+       CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_7d
+FROM p
+WHERE epoch_us(ts) < (SELECT us FROM wm)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
 def stream_match_recognize_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reluctant MATCH_RECOGNIZE spec as a continuous query (round
     8): ``PATTERN (S E{1,3}? P) AFTER MATCH NO SKIP`` through the
@@ -2938,6 +2989,7 @@ QUERIES = {
     "stream_dedup_events_state_bounded": stream_dedup_events_state_bounded,
     "stream_rolling_7d_user_purchases": stream_rolling_7d_user_purchases,
     "stream_last5_purchase_total": stream_last5_purchase_total,
+    "stream_purchase_window_stats": stream_purchase_window_stats,
     "stream_match_recognize_reluctant": stream_match_recognize_reluctant,
     "stream_pattern_budget_error_run": stream_pattern_budget_error_run,
     "stream_match_recognize_error_streak": stream_match_recognize_error_streak,
@@ -3004,6 +3056,7 @@ ORACLES = {
     "stream_dedup_events_state_bounded": STREAM_DEDUP_STATE_BOUNDED_ORACLE,
     "stream_rolling_7d_user_purchases": STREAM_ROLLING_7D_ORACLE,
     "stream_last5_purchase_total": STREAM_LAST5_PURCHASE_ORACLE,
+    "stream_purchase_window_stats": STREAM_PURCHASE_WINDOW_STATS_ORACLE,
     "stream_match_recognize_reluctant": _stream_match_recognize_reluctant_oracle(),
     "stream_pattern_budget_error_run": _stream_pattern_budget_oracle(),
     "stream_match_recognize_error_streak": STREAM_MATCH_RECOGNIZE_STREAK_ORACLE,

@@ -166,7 +166,15 @@ def make_budget_run_matcher(budget: int, cap: int, gap_us: int, sfx_us: int):
             )
             ids = np.concatenate([ids, pdf["event_id"].to_numpy().astype("int64")])
             cls = np.concatenate([cls, pdf["cls"].to_numpy().astype("int64")])
-            pay = np.concatenate([pay, pdf["pay"].to_numpy().astype("int64")])
+            new_pay = pdf["pay"].to_numpy().astype("int64")
+            if (new_pay < 0).any():
+                # the prefix-sum stop rule and the searchsorted probes
+                # both assume monotone running sums (ADVICE r8)
+                raise ValueError(
+                    "stream_budget_run_detect: payload must be a "
+                    "non-negative integer column"
+                )
+            pay = np.concatenate([pay, new_pay])
         order = np.lexsort((ids, ts))
         ts, ids, cls, pay = ts[order], ids[order], cls[order], pay[order]
 

@@ -51,26 +51,74 @@ OVER_STATE_SCHEMA = T.StructType(
     ]
 )
 
-OVER_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("val", T.LongType()),
-        T.StructField("agg", T.LongType()),
-    ]
-)
+OVER_FUNCS = ("sum", "count", "min", "max")
 
 
-def make_over_aggregator(range_us: int | None, rows_preceding: int | None = None):
+def over_output_schema(funcs: tuple[str, ...] | None = None) -> T.StructType:
+    """Output schema for the aggregator: ``funcs=None`` keeps the
+    round-8 single-SUM shape (one ``agg`` column); a funcs tuple emits
+    one ``agg_<func>`` column per aggregate (round 9)."""
+    names = ["agg"] if funcs is None else [f"agg_{f}" for f in funcs]
+    return T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("val", T.LongType()),
+            *[T.StructField(nm, T.LongType()) for nm in names],
+        ]
+    )
+
+
+OVER_OUTPUT_SCHEMA = over_output_schema()
+
+
+def _range_extreme(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray, is_min: bool) -> np.ndarray:
+    """MIN/MAX over the index ranges ``[lo, hi)`` of ``vals`` (every
+    range non-empty — a frame always contains its own row) via a sparse
+    table: O(n log n) build once per invoke, two O(1) probes per query —
+    the idempotent-aggregate twin of the prefix-sum probe (a prefix
+    array cannot serve MIN/MAX because they do not subtract)."""
+    op = np.minimum if is_min else np.maximum
+    n = len(vals)
+    lengths = hi - lo
+    kmax = int(lengths.max()).bit_length() - 1
+    sp = [vals]
+    for j in range(1, kmax + 1):
+        prev, half = sp[-1], 1 << (j - 1)
+        sp.append(op(prev[: n - (1 << j) + 1], prev[half: n - half + 1]))
+    k = (np.frexp(lengths.astype("float64"))[1] - 1).astype("int64")
+    left = np.empty(len(lo), dtype="int64")
+    right = np.empty(len(lo), dtype="int64")
+    for j in np.unique(k):
+        m = k == j
+        left[m] = sp[j][lo[m]]
+        right[m] = sp[j][hi[m] - (1 << int(j))]
+    return op(left, right)
+
+
+def make_over_aggregator(
+    range_us: int | None,
+    rows_preceding: int | None = None,
+    funcs: tuple[str, ...] | None = None,
+):
     """Per-key state function: buffer, emit watermark-final rows with
-    their frame sum, evict rows no pending frame can reach. Exactly one
-    of ``range_us`` (RANGE frame: ``ts' ∈ [ts − range, ts]``) and
-    ``rows_preceding`` (ROWS frame: the ``n`` rows before this one plus
-    itself, in the (ts, id) total order — Flink SQL's ``ROWS BETWEEN n
-    PRECEDING AND CURRENT ROW``) must be set."""
+    their frame aggregates, evict rows no pending frame can reach.
+    Exactly one of ``range_us`` (RANGE frame: ``ts' ∈ [ts − range, ts]``)
+    and ``rows_preceding`` (ROWS frame: the ``n`` rows before this one
+    plus itself, in the (ts, id) total order — Flink SQL's ``ROWS
+    BETWEEN n PRECEDING AND CURRENT ROW``) must be set. ``funcs`` picks
+    the simultaneous aggregates (subset of ``sum count min max``, round
+    9 — Flink's multi-aggregate OVER projection computes them over ONE
+    shared frame pass); ``None`` keeps the round-8 single-SUM output
+    shape. SUM/COUNT probe the shared prefix array; MIN/MAX probe a
+    per-invoke sparse table (idempotent aggregates don't subtract)."""
     if (range_us is None) == (rows_preceding is None):
         raise ValueError("exactly one of range_us / rows_preceding")
+    names = ["agg"] if funcs is None else [f"agg_{f}" for f in funcs]
+    eff = ("sum",) if funcs is None else tuple(funcs)
+    if not eff or any(f not in OVER_FUNCS for f in eff):
+        raise ValueError(f"funcs must be a non-empty subset of {OVER_FUNCS}")
 
     def agg(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         timed_out = getattr(state, "hasTimedOut", False)
@@ -117,7 +165,16 @@ def make_over_aggregator(range_us: int | None, rows_preceding: int | None = None
                     pos = np.arange(len(s_ts))[emit]
                     hi = pos + 1
                     lo = np.maximum(pos - rows_preceding, 0)
-                sums = prefix[hi] - prefix[lo]
+                agg_cols = {}
+                for f, nm in zip(eff, names):
+                    if f == "sum":
+                        agg_cols[nm] = prefix[hi] - prefix[lo]
+                    elif f == "count":
+                        agg_cols[nm] = (hi - lo).astype("int64")
+                    else:
+                        agg_cols[nm] = _range_extreme(
+                            s_val, lo, hi, is_min=(f == "min")
+                        )
                 out = pd.DataFrame(
                     {
                         "user_id": pd.array(
@@ -126,7 +183,10 @@ def make_over_aggregator(range_us: int | None, rows_preceding: int | None = None
                         "event_id": pd.array(s_id[emit], dtype="int64"),
                         "ts": pd.Series(e_ts.astype("datetime64[us]")),
                         "val": pd.array(s_val[emit], dtype="int64"),
-                        "agg": pd.array(sums, dtype="int64"),
+                        **{
+                            nm: pd.array(v, dtype="int64")
+                            for nm, v in agg_cols.items()
+                        },
                     }
                 )
                 s_em = s_em.copy()
@@ -178,6 +238,7 @@ def stream_over_aggregate(
     event_id: str = "event_id",
     ts: str = "ts",
     watermark_delay: str = "0 seconds",
+    aggs: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Wire the OVER aggregator over a streaming frame. Exactly one of
     ``range_interval`` (RANGE frame) and ``rows_preceding`` (ROWS frame:
@@ -185,8 +246,11 @@ def stream_over_aggregate(
     the frame. ``value`` must be an integer Column (the family's
     exactness rule); ``row_filter`` pre-filters rows BEFORE the
     watermark is applied, so the watermark — and the frontier cut —
-    track the filtered stream. Output columns: ``user_id, event_id, ts,
-    val, agg``."""
+    track the filtered stream. ``aggs`` picks the simultaneous frame
+    aggregates (subset of ``sum count min max``; one ``agg_<f>`` column
+    each, computed over ONE shared frame pass — round 9); ``None``
+    keeps the round-8 single-SUM ``agg`` column. Output columns:
+    ``user_id, event_id, ts, val, <agg columns>``."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from flink_uba_spark.streaming.pattern import _interval_us
@@ -205,8 +269,9 @@ def stream_over_aggregate(
         make_over_aggregator(
             None if range_interval is None else _interval_us(range_interval),
             rows_preceding,
+            funcs=aggs,
         ),
-        OVER_OUTPUT_SCHEMA,
+        over_output_schema(aggs),
         OVER_STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,

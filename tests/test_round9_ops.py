@@ -1,0 +1,272 @@
+"""Round-9 fixes and operators.
+
+ADVICE r8 items: the trailing-quantifier / SKIP PAST LAST front-end
+validation, batch-only exclusion message on the stream front-end, the
+budget-run non-negative payload guard (both engines), and the ALL ROWS
+empty-plain-entries validation.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_uba_spark.operators.match_recognize import (
+    match_recognize,
+    stream_match_recognize,
+)
+
+EPOCH = datetime.datetime(2020, 1, 1)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (uid, eid, EPOCH + datetime.timedelta(minutes=m), et)
+            for uid, eid, m, et in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+
+
+def _def3():
+    return {
+        "S": F.col("event_type") == "s",
+        "E": F.col("event_type") == "e",
+        "P": F.col("event_type") == "p",
+    }
+
+
+def test_trailing_quantifier_skip_past_last_raises(spark):
+    ev = _mk_events(spark, [(1, 1, 0, "s"), (1, 2, 1, "e")])
+    # greedy and reluctant trailing quantifiers both validate up front
+    for pat in ("S E+", "S E{1,2}?"):
+        with pytest.raises(ValueError, match="final PATTERN variable"):
+            match_recognize(
+                ev, "user_id", "ts", pat, _def3(),
+                default_within="INTERVAL 1 HOUR",
+                after_match="skip_past_last",
+            )
+    # trailing $ anchor composes with the same constraint
+    with pytest.raises(ValueError, match="final PATTERN variable"):
+        match_recognize(
+            ev, "user_id", "ts", "S E+ $", _def3(),
+            default_within="INTERVAL 1 HOUR", after_match="no_skip",
+        )
+    # no_skip without an anchor keeps working (single-plan path)
+    out = match_recognize(
+        ev, "user_id", "ts", "S E+", _def3(),
+        default_within="INTERVAL 1 HOUR", after_match="no_skip",
+    )
+    assert out.count() == 1
+
+
+def test_stream_exclusion_batch_only_message(spark):
+    ev = _mk_events(spark, [(1, 1, 0, "s")])
+    with pytest.raises(ValueError, match="batch-only"):
+        stream_match_recognize(
+            ev, "user_id", "ts", "S {- E -} P", _def3(),
+            default_within="INTERVAL 1 HOUR",
+        )
+
+
+def test_all_rows_needs_plain_entry(spark):
+    ev = _mk_events(spark, [(1, 1, 0, "s"), (1, 2, 1, "e")])
+    with pytest.raises(ValueError, match="non-excluded plain"):
+        match_recognize(
+            ev, "user_id", "ts", "{- S -} E{1,2} {- P -}", _def3(),
+            default_within="INTERVAL 1 HOUR", after_match="no_skip",
+            rows_per_match="all",
+        )
+
+
+def test_budget_run_negative_payload_raises(spark):
+    from flink_uba_spark.operators.sequence import pattern_detect_budget_run
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, EPOCH, "a", 0),
+            (1, 2, EPOCH + datetime.timedelta(minutes=1), "r", -5),
+            (1, 3, EPOCH + datetime.timedelta(minutes=2), "x", 0),
+        ],
+        "user_id long, event_id long, ts timestamp, et string, v long",
+    )
+    out = pattern_detect_budget_run(
+        ev, "user_id",
+        anchor=F.col("et") == "a",
+        run=F.col("et") == "r",
+        suffix=F.col("et") == "x",
+        payload=F.col("v"),
+        budget=10, gap="INTERVAL 10 MINUTES",
+        suffix_within="INTERVAL 10 MINUTES",
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        out.collect()
+
+
+def test_stream_budget_run_negative_payload_raises():
+    import numpy as np
+    import pandas as pd
+
+    from flink_uba_spark.streaming.budget_run import make_budget_run_matcher
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def update(self, v):
+            pass
+
+        def setTimeoutTimestamp(self, v):
+            pass
+
+        def remove(self):
+            pass
+
+    det = make_budget_run_matcher(10, 3, 600_000_000, 600_000_000)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.array([1], dtype="int64"),
+            "ts": pd.Series([EPOCH]).astype("datetime64[us]"),
+            "cls": np.array([2], dtype="int64"),
+            "pay": np.array([-1], dtype="int64"),
+        }
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        list(det((1,), iter([pdf]), FakeState()))
+
+
+# ---- OVER aggregation breadth: COUNT/MIN/MAX share the frame pass ----
+
+class _OverFakeState:
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self._wm = 0
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def update(self, v):
+        self._v = v
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+    def remove(self):
+        self._v = None
+
+
+def _drive_multi(events, cuts, range_us, funcs):
+    import pandas as pd
+
+    from flink_uba_spark.streaming.over_agg import make_over_aggregator
+
+    det = make_over_aggregator(range_us, funcs=funcs)
+    state = _OverFakeState()
+    got = []
+
+    def drain(gen):
+        for f in gen:
+            for r in f.itertuples(index=False):
+                got.append(
+                    (int(r.event_id), pd.Timestamp(r.ts).value // 1000,
+                     int(r.val))
+                    + tuple(int(getattr(r, f"agg_{fn}")) for fn in funcs)
+                )
+
+    lo, wm = -1, 0
+    for hi in sorted(cuts) + [10 ** 9]:
+        batch = [e for e in events if lo < e[1] <= hi]
+        lo = hi
+        if not batch:
+            continue
+        state._wm = wm
+        pdf = pd.DataFrame(
+            [
+                {"event_id": eid, "ts": pd.Timestamp(ts, unit="us"),
+                 "val": val}
+                for eid, ts, val in batch
+            ]
+        )
+        state.hasTimedOut = False
+        drain(det((1,), iter([pdf]), state))
+        wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
+        for _ in range(6):
+            if state._v is None or state.timeout_set is None or state.timeout_set >= wm:
+                break
+            state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+            drain(det((1,), iter([]), state))
+        state.hasTimedOut = False
+    if events and state._v is not None:
+        state._wm = max(ts for _, ts, _ in events) // 1000
+        state.hasTimedOut = True
+        drain(det((1,), iter([]), state))
+    wm_final = max((ts for _, ts, _ in events), default=0) // 1000
+    return got, wm_final
+
+
+def _brute_multi(events, range_us, final_wm_ms, funcs):
+    out = []
+    fmap = {
+        "sum": sum,
+        "count": len,
+        "min": min,
+        "max": max,
+    }
+    for eid, ts, val in events:
+        if ts >= final_wm_ms * 1000:
+            continue
+        frame = [v for _, t2, v in events if ts - range_us <= t2 <= ts]
+        out.append((eid, ts, val) + tuple(fmap[f](frame) for f in funcs))
+    return sorted(out)
+
+
+@st.composite
+def _over_multi_case(draw):
+    n_ev = draw(st.integers(0, 24))
+    events = [
+        (i, draw(st.integers(0, 30)) * 1000 + draw(st.integers(0, 3)),
+         draw(st.integers(-5, 20)))
+        for i in range(n_ev)
+    ]
+    cuts = draw(st.sets(st.integers(1, 30), max_size=4))
+    range_us = draw(st.integers(1, 20)) * 1000
+    return events, {c * 1000 for c in cuts}, range_us
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_over_multi_case())
+def test_over_agg_multi_matches_brute(case):
+    events, cuts, range_us = case
+    funcs = ("count", "min", "max", "sum")
+    got, wm_final = _drive_multi(events, cuts, range_us, funcs)
+    assert sorted(got) == _brute_multi(events, range_us, wm_final, funcs)
+    ids = [g[0] for g in got]
+    assert len(ids) == len(set(ids))
+
+
+def test_over_agg_bad_funcs_raise():
+    from flink_uba_spark.streaming.over_agg import make_over_aggregator
+
+    with pytest.raises(ValueError, match="subset"):
+        make_over_aggregator(1000, funcs=("median",))
+    with pytest.raises(ValueError, match="subset"):
+        make_over_aggregator(1000, funcs=())
