@@ -78,6 +78,35 @@ from itertools import product as _product
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+class RunAgg:
+    """Aggregate navigation in MEASURES over a quantified variable's run
+    (round 9) — ISO 9075-2's ``SUM(B.x)`` / ``COUNT(B.*)`` /
+    ``FIRST(B.x, n)`` / ``LAST(B.x, n)`` over a pattern variable bound
+    to a RUN, the SQL twin of Flink's ``ctx.getEventsForPattern("B")``
+    folds. ``func`` ∈ {sum, count, avg, min, max, first, last}; ``col``
+    is a Column evaluated on the INPUT events (None for count —
+    ``COUNT(B.*)``); ``n`` is first/last's logical offset (FIRST(B.x, n)
+    = x on the run's (n+1)-th row, LAST from the end; past-the-run →
+    NULL, per ISO navigation)."""
+
+    FUNCS = ("sum", "count", "avg", "min", "max", "first", "last")
+
+    def __init__(self, func: str, var: str, col=None, n: int = 0):
+        if func not in self.FUNCS:
+            raise ValueError(f"RunAgg func must be one of {self.FUNCS}")
+        if func != "count" and col is None:
+            raise ValueError(f"RunAgg {func} needs a value column")
+        if n < 0:
+            raise ValueError("first/last offset must be >= 0")
+        self.func, self.var, self.col, self.n = func, var, col, n
+
+
+def run_agg(func: str, var: str, col=None, n: int = 0) -> RunAgg:
+    """MEASURES helper: ``run_agg("sum", "B", F.col("x"))`` ≡ SQL
+    ``SUM(B.x)`` (see :class:`RunAgg`)."""
+    return RunAgg(func, var, col, n)
+
+
 _TOKEN = re.compile(
     r"^([A-Za-z_][A-Za-z0-9_]*)(\+\??|\?|\{(\d+)(,(\d*))?\}\??)?$"
 )
@@ -244,7 +273,113 @@ def _rename(out: DataFrame, parsed) -> DataFrame:
 def _measures(out: DataFrame, partition_by, measures) -> DataFrame:
     if measures is None:
         return out
-    return out.select(partition_by, *[c.alias(nm) for nm, c in measures.items()])
+    cols = [
+        (F.col(f"__ra_{nm}") if isinstance(c, RunAgg) else c).alias(nm)
+        for nm, c in measures.items()
+    ]
+    return out.select(partition_by, *cols)
+
+
+def _attach_run_aggregates(
+    out: DataFrame,
+    events: DataFrame,
+    parsed,
+    define,
+    run_aggs: dict[str, RunAgg],
+    partition_by: str,
+    order_by: str,
+    event_id: str,
+) -> DataFrame:
+    """Join each RunAgg's value onto the ONE-row matches as
+    ``__ra_<name>``. The run's member rows are recovered by the same
+    band join the ALL-ROWS route uses — membership is exactly
+    ``(ts, id) >= entry``, ``ts <= run_last``, ``row_number <= n{k}``
+    (run-length fan-out, no cross-key work) — then ONE hash aggregate
+    per variable computes every aggregate over it and an anchor-keyed
+    join carries them back (match-sized, not event-sized)."""
+    by_var: dict[str, dict[str, RunAgg]] = {}
+    for nm, spec in run_aggs.items():
+        by_var.setdefault(spec.var, {})[nm] = spec
+    step_of = {var: k for k, (var, _q) in enumerate(parsed, start=1)
+               if not isinstance(var, tuple)}
+    for var, specs in by_var.items():
+        k = step_of.get(var)
+        q = parsed[k - 1][1] if k else None
+        if k is None or q is None or q[0] != "kleene":
+            raise ValueError(
+                f"RunAgg navigates a GREEDY-quantified variable's run; "
+                f"{var!r} is not one (plain variables project their bound "
+                "row's columns directly; reluctant runs multi-match and "
+                "keep per-count rows)"
+            )
+        val_cols = {}
+        for nm, spec in specs.items():
+            if spec.col is not None:
+                c = F.col(spec.col) if isinstance(spec.col, str) else spec.col
+                val_cols[f"__v_{nm}"] = c
+        m = out.filter(F.col(f"t{k}").isNotNull()).select(
+            F.col(partition_by).alias("__mk"),
+            F.col("anchor_id"),
+            F.col(f"t{k}").alias("__t0"),
+            F.col(f"i{k}").alias("__i0"),
+            F.col(f"t{k}_last").alias("__tl"),
+            F.col(f"n{k}").alias("__n"),
+        )
+        leg = events.filter(define[var]).select(
+            F.col(partition_by).alias("__ek"),
+            F.col(event_id).alias("__eid"),
+            F.col(order_by).alias("__ets"),
+            *[c.alias(nm) for nm, c in val_cols.items()],
+        )
+        j = m.join(
+            leg,
+            (F.col("__mk") == F.col("__ek"))
+            & (
+                (F.col("__ets") > F.col("__t0"))
+                | (
+                    (F.col("__ets") == F.col("__t0"))
+                    & (F.col("__eid") >= F.col("__i0"))
+                )
+            )
+            & (F.col("__ets") <= F.col("__tl")),
+        )
+        wr = Window.partitionBy("__mk", "anchor_id").orderBy("__ets", "__eid")
+        run_rows = j.withColumn("__rn", F.row_number().over(wr)).filter(
+            F.col("__rn") <= F.col("__n")
+        )
+        agg_exprs = []
+        for nm, spec in specs.items():
+            v = F.col(f"__v_{nm}") if spec.col is not None else None
+            if spec.func == "sum":
+                e = F.sum(v)
+            elif spec.func == "count":
+                e = F.count(v if v is not None else F.lit(1))
+            elif spec.func == "avg":
+                e = F.avg(v)
+            elif spec.func == "min":
+                e = F.min(v)
+            elif spec.func == "max":
+                e = F.max(v)
+            else:  # first / last — ISO logical navigation with offset
+                arr = F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__ets").alias("t"),
+                            F.col("__eid").alias("i"),
+                            v.alias("v"),
+                        )
+                    ),
+                    asc=(spec.func == "first"),
+                )
+                e = F.get(arr, spec.n)["v"]
+            agg_exprs.append(e.alias(f"__ra_{nm}"))
+        aggs = (
+            run_rows.groupBy("__mk", "anchor_id")
+            .agg(*agg_exprs)
+            .withColumnRenamed("__mk", partition_by)
+        )
+        out = out.join(aggs, on=[partition_by, "anchor_id"], how="left")
+    return out
 
 
 def match_recognize(
@@ -324,6 +459,15 @@ def match_recognize(
         if measures is not None:
             raise ValueError("MEASURES is the ONE ROW PER MATCH shape")
 
+    run_aggs = {
+        nm: c for nm, c in (measures or {}).items() if isinstance(c, RunAgg)
+    }
+    if run_aggs and specialties:
+        raise ValueError(
+            "RunAgg MEASURES compose with the single-plan path only "
+            "(greedy quantified runs; the specialty engines don't carry "
+            "run membership)"
+        )
     wmap, vnames = dict(withins or {}), _var_names(parsed)
     if excluded and specialties:
         raise ValueError(
@@ -534,7 +678,7 @@ def match_recognize(
         ts=order_by,
         optional=optional or None,
         with_end_id=(mode == "skip_past_last" or anchor_end),
-        with_step_ids=(rows_per_match == "all"),
+        with_step_ids=(rows_per_match == "all" or bool(run_aggs)),
     ).filter(F.col("state") == "matched")
     # partition anchors filter CANDIDATES (a non-qualifying match never
     # exists, so it never advances the skip horizon); extremes are per-key
@@ -643,6 +787,11 @@ def match_recognize(
             )
             rows = rows.unionByName(run_rows)
         return rows
+    if run_aggs:
+        out = _attach_run_aggregates(
+            out, events, parsed, define, run_aggs,
+            partition_by, order_by, event_id,
+        ).drop(*[f"i{k}" for k in range(1, len(parsed) + 1)])
     out = _rename(out.drop("max_step", "state"), parsed)
     if excluded:
         out = out.drop(

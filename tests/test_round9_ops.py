@@ -270,3 +270,133 @@ def test_over_agg_bad_funcs_raise():
         make_over_aggregator(1000, funcs=("median",))
     with pytest.raises(ValueError, match="subset"):
         make_over_aggregator(1000, funcs=())
+
+
+# ---- MEASURES run aggregates (RunAgg) ----
+
+def test_run_agg_hand_fixture(spark):
+    from flink_uba_spark.operators.match_recognize import run_agg
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, EPOCH, "s", 0),
+            (1, 2, EPOCH + datetime.timedelta(minutes=1), "e", 7),
+            (1, 3, EPOCH + datetime.timedelta(minutes=2), "e", 3),
+            (1, 4, EPOCH + datetime.timedelta(minutes=3), "e", 9),
+            (1, 5, EPOCH + datetime.timedelta(minutes=4), "p", 0),
+            (2, 6, EPOCH, "s", 0),
+            (2, 7, EPOCH + datetime.timedelta(minutes=1), "e", 5),
+            (2, 8, EPOCH + datetime.timedelta(minutes=2), "p", 0),
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string, v long",
+    )
+    out = match_recognize(
+        ev, "user_id", "ts", "S E{1,3} P", _def3(),
+        default_within="INTERVAL 1 HOUR", after_match="skip_past_last",
+        measures={
+            "anchor_id": F.col("anchor_id"),
+            "n": F.col("E_n"),
+            "s_sum": run_agg("sum", "E", F.col("v")),
+            "s_cnt": run_agg("count", "E"),
+            "s_min": run_agg("min", "E", F.col("v")),
+            "s_max": run_agg("max", "E", F.col("v")),
+            "s_first": run_agg("first", "E", F.col("v")),
+            "s_first2": run_agg("first", "E", F.col("v"), n=2),
+            "s_last": run_agg("last", "E", F.col("v")),
+            "s_last1": run_agg("last", "E", F.col("v"), n=1),
+            "s_oob": run_agg("first", "E", F.col("v"), n=5),
+        },
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        (1, 1, 3, 19, 3, 3, 9, 7, 9, 9, 3, None),
+        (2, 6, 1, 5, 1, 5, 5, 5, None, 5, None, None),
+    ]
+
+
+def test_run_agg_rejections(spark):
+    from flink_uba_spark.operators.match_recognize import RunAgg, run_agg
+
+    ev = _mk_events(spark, [(1, 1, 0, "s")])
+    with pytest.raises(ValueError, match="GREEDY-quantified"):
+        match_recognize(
+            ev, "user_id", "ts", "S E{1,3} P", _def3(),
+            default_within="INTERVAL 1 HOUR", after_match="no_skip",
+            measures={"x": run_agg("sum", "S", F.col("event_id"))},
+        ).collect()
+    with pytest.raises(ValueError, match="single-plan"):
+        match_recognize(
+            ev, "user_id", "ts", "S E{1,3}? P", _def3(),
+            default_within="INTERVAL 1 HOUR", after_match="no_skip",
+            measures={"x": run_agg("sum", "E", F.col("event_id"))},
+        )
+    with pytest.raises(ValueError, match="value column"):
+        RunAgg("sum", "E")
+    with pytest.raises(ValueError, match="one of"):
+        RunAgg("median", "E", F.col("event_id"))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(
+    st.tuples(st.integers(1, 3),           # user
+              st.integers(0, 40),          # minute
+              st.sampled_from("sep"),      # type
+              st.integers(-9, 9)),         # value
+    max_size=26,
+))
+def test_run_agg_matches_all_rows_membership(spark, rows):
+    """RunAgg aggregates must agree with aggregating the verified
+    ALL-ROWS run membership (same spec, same skip fold) joined back to
+    the input values — the two routes share only the engine, not the
+    aggregation code."""
+    from flink_uba_spark.operators.match_recognize import run_agg
+
+    ev = spark.createDataFrame(
+        [
+            (u, i, EPOCH + datetime.timedelta(minutes=m), t, v)
+            for i, (u, m, t, v) in enumerate(rows, start=1)
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string, v long",
+    )
+    spec = dict(
+        partition_by="user_id", order_by="ts", pattern="S E{1,4} P",
+        define=_def3(), withins={"E": "INTERVAL 5 MINUTES",
+                                 "P": "INTERVAL 30 MINUTES"},
+        after_match="skip_past_last",
+    )
+    got = {
+        (r["user_id"], r["anchor_id"]):
+            (r["s"], r["c"], r["mn"], r["mx"], r["f"], r["l"])
+        for r in match_recognize(
+            ev, measures={
+                "anchor_id": F.col("anchor_id"),
+                "s": run_agg("sum", "E", F.col("v")),
+                "c": run_agg("count", "E"),
+                "mn": run_agg("min", "E", F.col("v")),
+                "mx": run_agg("max", "E", F.col("v")),
+                "f": run_agg("first", "E", F.col("v")),
+                "l": run_agg("last", "E", F.col("v")),
+            }, **spec,
+        ).collect()
+    }
+    all_rows = match_recognize(ev, rows_per_match="all", **spec)
+    members = (
+        all_rows.filter(F.col("var") == "E")
+        .join(ev.select(F.col("event_id"), F.col("v")), on="event_id")
+        .collect()
+    )
+    ref = {}
+    for r in members:
+        ref.setdefault((r["user_id"], r["anchor_id"]), []).append(
+            (r["ts"], r["event_id"], r["v"])
+        )
+    expect = {
+        k: (
+            sum(v for _, _, v in vs), len(vs),
+            min(v for _, _, v in vs), max(v for _, _, v in vs),
+            sorted(vs)[0][2], sorted(vs)[-1][2],
+        )
+        for k, vs in ref.items()
+    }
+    assert got == expect
