@@ -25,6 +25,14 @@ Supported subset (validated, everything else raises):
     leftmost-alternative preference (ISO 9075-2's lexicographic rule) —
     served by one ``pattern_detect`` plan per alternative, unioned
     (the ``pattern_detect_branching`` construction);
+  - a QUANTIFIED alternation group ``(A|B)+`` / ``(A|B){n,m}`` (round
+    9) — each repetition may be ANY member (ISO's per-repetition
+    alternative choice), so the group compiles to ONE greedy Kleene
+    step over the OR of the members' DEFINEs (single-plan path; the
+    run is the within-gap session of the union row set). Output
+    columns join the member names (``A_B_ts``/``A_B_last_ts``/
+    ``A_B_n``); under ALL ROWS each repetition's CLASSIFIER() is the
+    leftmost member matching it. A reluctant group quantifier raises;
   - a ``PERMUTE(A,B[,C])`` group (round 8) — every ordering of the
     members, preference in listed order (ISO: PERMUTE expands to the
     alternation of all permutations lexicographically) — same
@@ -110,7 +118,10 @@ def run_agg(func: str, var: str, col=None, n: int = 0) -> RunAgg:
 _TOKEN = re.compile(
     r"^([A-Za-z_][A-Za-z0-9_]*)(\+\??|\?|\{(\d+)(,(\d*))?\}\??)?$"
 )
-_ALT = re.compile(r"^\(([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)+)\)$")
+_ALT = re.compile(
+    r"^\(([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)+)\)"
+    r"(\+\??|\{(\d+)(,(\d*))?\}\??)?$"
+)
 _PERMUTE = re.compile(
     r"^PERMUTE\(([A-Za-z_][A-Za-z0-9_]*(?:,[A-Za-z_][A-Za-z0-9_]*)+)\)$"
 )
@@ -166,7 +177,26 @@ def parse_pattern(pattern: str) -> list[tuple]:
     for tok in toks:
         alt = _ALT.match(tok)
         if alt:
-            out.append((tuple(alt.group(1).split("|")), None))
+            members, gq = tuple(alt.group(1).split("|")), alt.group(2)
+            if gq is None:
+                out.append((members, None))
+            elif gq.endswith("?") and gq != "?":
+                raise ValueError(
+                    "a RELUCTANT quantifier on an alternation group is "
+                    "not supported (the greedy group run compiles to ONE "
+                    "OR-predicate Kleene step; reluctant multi-match "
+                    "stays on single variables)"
+                )
+            elif gq == "+":
+                out.append((members, ("kleene", 1, None)))
+            elif alt.group(4) is None:  # {n}
+                out.append((members, ("kleene", int(alt.group(3)),
+                                      int(alt.group(3)))))
+            elif alt.group(5) == "":  # {n,}
+                out.append((members, ("kleene", int(alt.group(3)), None)))
+            else:  # {n,m}
+                out.append((members, ("kleene", int(alt.group(3)),
+                                      int(alt.group(5)))))
             continue
         perm = _PERMUTE.match(tok)
         if perm:
@@ -182,21 +212,15 @@ def parse_pattern(pattern: str) -> list[tuple]:
         elif quant == "+":
             q = ("kleene", 1, None)
         elif quant == "+?":
-            raise ValueError(
-                "B+? (uncapped reluctant) emits unboundedly many candidate "
-                "counts — write a finite cap: B{1,m}?"
-            )
+            # round 9: uncapped reluctant parses — the count-enumeration
+            # engine serves it on the 3-step shape (routes validate)
+            q = ("reluctant", 1, None)
         elif quant == "?":
             q = ("optional",)
         elif m.group(4) is None:  # {n} / {n}?
             q = ("reluctant" if lazy else "kleene", int(m.group(3)), int(m.group(3)))
         elif m.group(5) == "":  # {n,} / {n,}?
-            if lazy:
-                raise ValueError(
-                    "B{n,}? (uncapped reluctant) emits unboundedly many "
-                    "candidate counts — write a finite cap: B{n,m}?"
-                )
-            q = ("kleene", int(m.group(3)), None)
+            q = ("reluctant" if lazy else "kleene", int(m.group(3)), None)
         else:  # {n,m} / {n,m}?
             q = ("reluctant" if lazy else "kleene", int(m.group(3)), int(m.group(5)))
         out.append((var, q))
@@ -229,11 +253,37 @@ def _parse_after_match(after_match: str, parsed) -> tuple[str, int | None]:
     )
 
 
+def _group_pred_within(var, define, withins, default_within):
+    """A QUANTIFIED alternation group ``(A|B)+`` compiles to ONE Kleene
+    step whose predicate is the OR of the members' DEFINEs — each
+    repetition may be any member (ISO's per-repetition alternative
+    choice), so the run is exactly the within-gap session of the union
+    row set. Members must agree on the within (it is the group's
+    repetition gap)."""
+    pred = None
+    for m in var:
+        if m not in define:
+            raise ValueError(f"PATTERN variable {m!r} has no DEFINE entry")
+        pred = define[m] if pred is None else (pred | define[m])
+    ws = {withins[m] for m in var if m in withins}
+    if len(ws) > 1:
+        raise ValueError(
+            f"quantified group {var}: members declare conflicting withins "
+            f"{sorted(ws)} — the group has ONE repetition gap"
+        )
+    return pred, (ws.pop() if ws else default_within)
+
+
 def _steps_and_sets(parsed, define, withins, default_within, choice=None):
     """Build the pattern_detect ``steps`` list + optional set. ``choice``
     maps an alternation group position (1-based) to the chosen member."""
     steps, optional = [], set()
     for k, (var, q) in enumerate(parsed, start=1):
+        if isinstance(var, tuple) and q is not None and q[0] == "kleene":
+            pred, w = _group_pred_within(var, define, withins, default_within)
+            lo, hi = q[1], q[2]
+            steps.append((pred, w, (lo, float("inf") if hi is None else hi)))
+            continue
         if isinstance(var, tuple):
             var = (choice or {})[k]
         if var not in define:
@@ -254,19 +304,27 @@ def _steps_and_sets(parsed, define, withins, default_within, choice=None):
 
 def _var_names(parsed, choice=None):
     """Step position → displayed variable name (alternation groups show
-    the chosen member under ``choice``, else the group tuple)."""
+    the chosen member under ``choice``, a QUANTIFIED group the joined
+    member names — its run owns one column family — else the group
+    tuple)."""
     names = []
-    for k, (var, _q) in enumerate(parsed, start=1):
-        names.append((choice or {}).get(k, var) if isinstance(var, tuple) else var)
+    for k, (var, q) in enumerate(parsed, start=1):
+        if isinstance(var, tuple) and q is not None and q[0] == "kleene":
+            names.append("_".join(var))
+        elif isinstance(var, tuple):
+            names.append((choice or {}).get(k, var))
+        else:
+            names.append(var)
     return names
 
 
 def _rename(out: DataFrame, parsed) -> DataFrame:
     for k, (var, q) in enumerate(parsed, start=1):
-        out = out.withColumnRenamed(f"t{k}", f"{var}_ts")
+        nm = "_".join(var) if isinstance(var, tuple) else var
+        out = out.withColumnRenamed(f"t{k}", f"{nm}_ts")
         if q is not None and q[0] in ("kleene", "reluctant"):
-            out = out.withColumnRenamed(f"t{k}_last", f"{var}_last_ts")
-            out = out.withColumnRenamed(f"n{k}", f"{var}_n")
+            out = out.withColumnRenamed(f"t{k}_last", f"{nm}_last_ts")
+            out = out.withColumnRenamed(f"n{k}", f"{nm}_n")
     return out
 
 
@@ -421,7 +479,12 @@ def match_recognize(
     pattern, excluded = strip_exclusions(pattern)
     parsed = parse_pattern(pattern)
     mode, skip_step = _parse_after_match(after_match, parsed)
-    has_alt = any(isinstance(var, tuple) for var, _ in parsed)
+    # a QUANTIFIED alternation group compiles to one OR-predicate Kleene
+    # step (round 9) — it rides the single-plan path, not the branch union
+    has_alt = any(
+        isinstance(var, tuple) and not (q is not None and q[0] == "kleene")
+        for var, q in parsed
+    )
     has_rel = any(q is not None and q[0] == "reluctant" for _, q in parsed)
     specialties = sum(
         (bool(iter_define), has_alt, has_rel, mode == "skip_to")
@@ -478,17 +541,35 @@ def match_recognize(
 
     # ---- iterative route (prefix-referencing DEFINE) -------------------
     if iter_define:
-        if any(q is not None for _, q in parsed):
-            raise ValueError("iter_define supports plain variables only")
+        if any(
+            (q is not None and q[0] != "kleene") or isinstance(var, tuple)
+            for var, q in parsed
+        ):
+            # round 9 lifts greedy quantifiers onto this route (the
+            # session-refined run step of pattern_detect_iterative);
+            # optional/reluctant/group tokens stay out
+            raise ValueError(
+                "iter_define composes with plain and GREEDY-quantified "
+                "variables (optional/reluctant/alternation tokens don't)"
+            )
         unknown = sorted(set(iter_define) - set(vnames))
         if unknown:
             raise ValueError(f"iter_define names unknown variables: {unknown}")
         steps, _ = _steps_and_sets(parsed, define, wmap, default_within)
         pay = dict(payload or {})
+        # a quantified variable's binder exposes its ENTRY row (the
+        # iterative condition admits the entry; the run then follows the
+        # within-gap session — pattern_detect_iterative's documented
+        # split) plus last_ts/n for LATER variables' conditions
         binder = {
             v: {
                 "ts": F.col(f"t{k}"),
                 "id": F.col(f"i{k}"),
+                **(
+                    {"last_ts": F.col(f"t{k}_last"), "n": F.col(f"n{k}")}
+                    if parsed[k - 1][1] is not None
+                    else {}
+                ),
                 **{nm: F.col(f"{nm}{k}") for nm in pay},
             }
             for k, v in enumerate(vnames, start=1)
@@ -516,14 +597,20 @@ def match_recognize(
         out = out.withColumn("anchor_id", F.col("i1"))
         if mode == "skip_past_last":
             out = out.withColumn("end_id", F.col(f"i{n}"))
+        var_cols = []
         for k, v in enumerate(vnames, start=1):
             out = out.withColumnRenamed(f"t{k}", f"{v}_ts")
+            var_cols.append(f"{v}_ts")
+            if parsed[k - 1][1] is not None:
+                out = out.withColumnRenamed(f"t{k}_last", f"{v}_last_ts")
+                out = out.withColumnRenamed(f"n{k}", f"{v}_n")
+                var_cols += [f"{v}_last_ts", f"{v}_n"]
             for nm in pay:
                 out = out.withColumnRenamed(f"{nm}{k}", f"{nm}_{v}")
         out = out.drop(*[f"i{k}" for k in range(1, n + 1)])
         out = out.select(
             partition_by, "anchor_id",
-            *[f"{v}_ts" for v in vnames],
+            *var_cols,
             *[f"{nm}_{v}" for v in vnames for nm in pay],
             *(["end_id"] if mode == "skip_past_last" else []),
         )
@@ -531,16 +618,50 @@ def match_recognize(
 
     # ---- reluctant route (lazy quantifier) ------------------------------
     if has_rel:
+        from flink_uba_spark.operators.sequence import (
+            pattern_detect_reluctant_enum,
+        )
+
         steps, optional = _steps_and_sets(parsed, define, wmap, default_within)
         rel = {
             k for k, (_v, q) in enumerate(parsed, start=1)
             if q is not None and q[0] == "reluctant"
         }
-        out = pattern_detect_reluctant(
-            events, key=partition_by, steps=steps, reluctant=rel,
-            event_id=event_id, ts=order_by,
-            with_end_id=(mode == "skip_past_last"),
-        ).filter(F.col("state") == "matched")
+        uncapped = any(
+            q[2] is None for _v, q in parsed
+            if q is not None and q[0] == "reluctant"
+        )
+        # the canonical 3-step shape (plain anchor → B{mn,mx}? → plain
+        # suffix) routes to the COUNT-ENUMERATION engine (round 9): one
+        # session pass derives every count's binding — no per-count
+        # plans, and the cap may be absent (B+? / B{n,}?)
+        enum_ok = (
+            len(parsed) == 3
+            and rel == {2}
+            and parsed[0][1] is None
+            and parsed[2][1] is None
+            and not isinstance(parsed[0][0], tuple)
+            and not isinstance(parsed[2][0], tuple)
+        )
+        if enum_ok:
+            out = pattern_detect_reluctant_enum(
+                events, key=partition_by, steps=steps,
+                event_id=event_id, ts=order_by,
+                with_end_id=(mode == "skip_past_last"),
+            ).filter(F.col("state") == "matched")
+        else:
+            if uncapped:
+                raise ValueError(
+                    "an uncapped reluctant quantifier (B+? / B{n,}?) is "
+                    "served by the count-enumeration engine, which takes "
+                    "the 3-variable shape anchor B? suffix (plain anchor "
+                    "and suffix); write a finite cap for other shapes"
+                )
+            out = pattern_detect_reluctant(
+                events, key=partition_by, steps=steps, reluctant=rel,
+                event_id=event_id, ts=order_by,
+                with_end_id=(mode == "skip_past_last"),
+            ).filter(F.col("state") == "matched")
         n = len(parsed)
         if mode == "skip_past_last":
             # SQL's lazy ONE-ROW semantics: per anchor the preferred match
@@ -562,6 +683,16 @@ def match_recognize(
     # ---- branch-union route (alternation and/or PERMUTE) -----------------
     if has_alt:
         from itertools import permutations as _permutations
+
+        if any(
+            isinstance(var, tuple) and q is not None and q[0] == "kleene"
+            for var, q in parsed
+        ):
+            raise ValueError(
+                "a quantified alternation group does not compose with a "
+                "branch-union alternation/PERMUTE group in the same "
+                "pattern (the group run rides the single-plan path)"
+            )
 
         # per token: the list of FLAT expansions it contributes — an
         # alternation group contributes one chosen member, a PERMUTE
@@ -745,7 +876,18 @@ def match_recognize(
         # <= n{k}; fan-out bounded by run length (≤ cap / within-gap
         # session size), no cross-key work
         for k, (var, q) in enumerate(parsed, start=1):
-            if not (q is not None and q[0] == "kleene") or var in excluded:
+            if isinstance(var, tuple):
+                # quantified group: OR-predicate run, CLASSIFIER names
+                # the leftmost member matching each repetition (ISO's
+                # per-repetition alternative)
+                vname = "_".join(var)
+                pred, _w = _group_pred_within(var, define, wmap, default_within)
+                label = F.coalesce(
+                    *[F.when(define[m], F.lit(m)) for m in var]
+                )
+            else:
+                vname, pred, label = var, None, F.lit(var)
+            if not (q is not None and q[0] == "kleene") or vname in excluded:
                 continue
             m = out.filter(F.col(f"t{k}").isNotNull()).select(
                 F.col(partition_by).alias("__mk"),
@@ -755,10 +897,13 @@ def match_recognize(
                 F.col(f"t{k}_last").alias("__tl"),
                 F.col(f"n{k}").alias("__n"),
             )
-            leg = events.filter(define[var]).select(
+            leg = events.filter(
+                pred if pred is not None else define[var]
+            ).select(
                 F.col(partition_by).alias("__ek"),
                 F.col(event_id).alias("__eid"),
                 F.col(order_by).alias("__ets"),
+                label.alias("__lbl"),
             )
             j = m.join(
                 leg,
@@ -780,7 +925,7 @@ def match_recognize(
                     F.col("__mk").alias(partition_by),
                     "anchor_id",
                     F.lit(k).cast("long").alias("seq"),
-                    F.lit(var).alias("var"),
+                    F.col("__lbl").alias("var"),
                     F.col("__eid").alias("event_id"),
                     F.col("__ets").alias("ts"),
                 )
@@ -823,7 +968,11 @@ def _stream_reluctant(
     for k in sorted(rel):
         lo, hi = steps[k - 1][2]
         if hi == float("inf"):
-            raise ValueError("reluctant needs a finite cap")
+            raise ValueError(
+                "a reluctant quantifier STREAMS with a finite cap only "
+                "(one NFA per count in the fused operator); uncapped "
+                "B+? is batch-only via the count-enumeration engine"
+            )
         counts.append(list(range(int(lo), int(hi) + 1)))
     n_branches = 1
     for c in counts:
@@ -931,7 +1080,10 @@ def stream_match_recognize(
             "emits ONE-row matches only)"
         )
     parsed = parse_pattern(pattern)
-    if any(isinstance(var, tuple) for var, _q in parsed):
+    if any(
+        isinstance(var, tuple) and not (q is not None and q[0] == "kleene")
+        for var, q in parsed
+    ):
         raise ValueError(
             "alternation/PERMUTE are batch-only on this front-end (use "
             "the streaming Pattern API engines directly)"

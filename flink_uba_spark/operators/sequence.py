@@ -1566,6 +1566,24 @@ def pattern_detect_iterative(
     (map-side combine) back to ≤ one row per anchor — the intermediate
     never exceeds the join band, and there is no combinatorial output
     (unlike followedByAny). No cross-key work, no cartesian term.
+
+    GREEDY Kleene steps (round 9 — the iterative join compile with a
+    session-refined run step): a step may carry ``(pred, within,
+    (min_reps, max_reps))`` — it binds a greedy run exactly like
+    ``pattern_detect``'s Kleene machinery (``within`` is the repetition
+    gap; the run is the session prefix from the entry, capped at
+    max_reps; entries with fewer than min_reps available are invalid),
+    compiled as an ENTRIES leg: one session pass over the step's rows
+    plus a sorted per-session struct array makes every entry's run
+    length/last repetition a vectorized lookup (the budget-run
+    construction, sans budget). The iterative condition on a Kleene
+    step admits the run's ENTRY row (``t{k}``/``payload{k}`` expose the
+    entry; the run then follows the within-gap session unconditionally
+    — binding is candidacy-based, runs are shared, exactly the batch
+    Kleene machinery's split); conditions on LATER steps may also
+    reference ``t{k}_last`` and ``n{k}``. The step after a Kleene step
+    binds strictly after the run's LAST repetition. max_reps may be
+    ``float("inf")`` (the within-gap session bounds the run).
     """
     n = len(steps)
     if n < 2:
@@ -1575,31 +1593,111 @@ def pattern_detect_iterative(
             "iterative patterns need a within interval on every step after "
             "the first (the join band is the fan-out bound)"
         )
+    reps: list[tuple[int, int | None] | None] = []
+    for s in steps:
+        r = s[2] if len(s) > 2 else None
+        if r is None:
+            reps.append(None)
+        elif isinstance(r, tuple):
+            reps.append(
+                (int(r[0]), None if r[1] == float("inf") else int(r[1]))
+            )
+        else:
+            reps.append((1, None) if r == float("inf") else (1, int(r)))
+    if reps[0] is not None:
+        raise ValueError("oneOrMore/times is not supported on the first step")
+    if any(
+        r is not None and (r[0] < 1 or (r[1] is not None and r[1] < r[0]))
+        for r in reps
+    ):
+        raise ValueError("need 1 <= min_reps <= max_reps")
     pay = dict(payload or {})
     cnd = dict(conds or {})
     if any(k < 2 or k > n for k in cnd):
         raise ValueError("conds keys must be step indexes 2..n")
     rank = F.coalesce(
-        *[F.when(pred, F.lit(k)) for k, (pred, _w) in enumerate(steps, start=1)]
+        *[F.when(s[0], F.lit(k)) for k, s in enumerate(steps, start=1)]
     )
     tagged = events.withColumn("__rank", rank)
 
     def leg(k: int) -> DataFrame:
-        return tagged.filter(steps[k - 1][0]).select(
+        plain = tagged.filter(steps[k - 1][0]).select(
             F.col(key).alias("__ck" if k > 1 else "__k"),
             F.col(ts).alias(f"t{k}"),
             F.col("__rank").alias(f"__r{k}"),
             F.col(event_id).alias(f"i{k}"),
             *[c.alias(f"{nm}{k}") for nm, c in pay.items()],
         )
+        if reps[k - 1] is None:
+            return plain
+        # Kleene entries leg: one session pass over the step's rows
+        # ((ts, id) order, the gap = within); the sorted per-session
+        # array makes run length / last repetition vectorized lookups
+        mn, mx = reps[k - 1]
+        wk = Window.partitionBy("__ck").orderBy(f"t{k}", f"i{k}")
+        prev_ts = F.lag(f"t{k}").over(wk)
+        rows = plain.withColumn(
+            "__ns",
+            F.when(
+                prev_ts.isNull()
+                | (F.col(f"t{k}") > prev_ts + F.expr(steps[k - 1][1])),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).withColumn(
+            "__sid",
+            F.sum("__ns").over(wk.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        w_sess = Window.partitionBy("__ck", "__sid").orderBy(f"t{k}", f"i{k}")
+        w_sess_full = w_sess.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        rows = (
+            rows.withColumn("__rn", F.row_number().over(w_sess))
+            .withColumn("__cnt", F.count(F.lit(1)).over(w_sess_full))
+            .withColumn(
+                "__arr",
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__rn"),
+                            F.col(f"t{k}").alias("t"),
+                            F.col(f"i{k}").alias("i"),
+                            F.col(f"__r{k}").alias("r"),
+                        )
+                    ).over(w_sess_full)
+                ),
+            )
+        )
+        avail = (F.col("__cnt") - F.col("__rn") + 1).cast("long")
+        n_reps = avail if mx is None else F.least(F.lit(mx).cast("long"), avail)
+        last = F.element_at("__arr", (F.col("__rn") + n_reps - 1).cast("int"))
+        return (
+            rows.filter(avail >= F.lit(mn))
+            .select(
+                "__ck", f"t{k}", f"__r{k}", f"i{k}",
+                *[f"{nm}{k}" for nm in pay],
+                last["t"].alias(f"t{k}_last"),
+                last["i"].alias(f"__li{k}"),
+                last["r"].alias(f"__lr{k}"),
+                n_reps.alias(f"n{k}"),
+            )
+        )
+
+    def handoff(p: int) -> tuple[str, str, str]:
+        """The (ts, rank, id) columns the NEXT step binds after — a
+        Kleene predecessor hands off from its run's LAST repetition."""
+        if reps[p - 1] is not None:
+            return (f"t{p}_last", f"__lr{p}", f"__li{p}")
+        return (f"t{p}", f"__r{p}", f"i{p}")
 
     cur = leg(1)
     for k in range(2, n + 1):
         p = k - 1
+        h_ts, h_r, h_i = handoff(p)
         after_prev = F.struct(f"t{k}", f"__r{k}", f"i{k}") > F.struct(
-            f"t{p}", f"__r{p}", f"i{p}"
+            h_ts, h_r, h_i
         )
-        in_bound = F.col(f"t{k}") <= F.col(f"t{p}") + F.expr(steps[k - 1][1])
+        in_bound = F.col(f"t{k}") <= F.col(h_ts) + F.expr(steps[k - 1][1])
         cond = after_prev & in_bound
         if k in cnd:
             cond = cond & cnd[k]
@@ -1609,9 +1707,9 @@ def pattern_detect_iterative(
             .drop("__ck")
         )
         prev_cols = cur.columns
-        new_cols = (
-            [f"t{k}", f"__r{k}", f"i{k}"] + [f"{nm}{k}" for nm in pay]
-        )
+        new_cols = [f"t{k}", f"__r{k}", f"i{k}"] + [f"{nm}{k}" for nm in pay]
+        if reps[k - 1] is not None:
+            new_cols += [f"t{k}_last", f"__li{k}", f"__lr{k}", f"n{k}"]
         # skip-till-next: the EARLIEST admissible candidate per partial
         # match — min_by partial-aggregates map-side, so the shuffle
         # carries one row per (partial, partition), not the join band
@@ -1625,6 +1723,12 @@ def pattern_detect_iterative(
         F.col("__k").alias(key),
         *[F.col(f"i{k}") for k in range(1, n + 1)],
         *[F.col(f"t{k}") for k in range(1, n + 1)],
+        *[
+            c
+            for k in range(1, n + 1)
+            if reps[k - 1] is not None
+            for c in (F.col(f"t{k}_last"), F.col(f"n{k}"))
+        ],
         *[F.col(f"{nm}{k}") for nm in pay for k in range(1, n + 1)],
     )
 
@@ -1813,4 +1917,287 @@ def pattern_detect_budget_run(
     return out.select(
         F.col("__k").alias(key),
         "anchor_id", "t1", "t2", "t2_last", "n2", "spent", "t3", "end_id",
+    )
+
+
+def pattern_detect_reluctant_enum(
+    events: DataFrame,
+    key: str,
+    steps: list[tuple],
+    event_id: str = "event_id",
+    ts: str = "ts",
+    with_end_id: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """RELUCTANT multi-match by PER-ENTRY COUNT ENUMERATION (round 9) —
+    the union-of-plans collapse for the canonical 3-step shape ``anchor
+    → B{min,max}? → suffix`` (plain anchor and suffix, ONE reluctant
+    step), and the lift of the uncapped ``B+?`` / ``B{n,}?`` raise:
+    where ``pattern_detect_reluctant`` compiles ONE plan per admissible
+    repetition count (scan count × branch factor; capped at 16),
+    this operator derives EVERY count's binding from one session pass —
+    so the count range no longer needs to be finite.
+
+    Semantics are pinned to the union engine bit-for-bit on finite
+    ranges (the family's brute: one ``times(m, m)`` skip-till-next plan
+    per count, unioned, full-row dedup):
+
+    - per count m, the anchor binds the EARLIEST entry whose within-gap
+      session still holds ≥ m repetitions from it (times-validity; an
+      entry with fewer rows is skipped and a LATER session may bind —
+      the count staircase, which is why a naive per-entry explode is
+      not enough);
+    - the suffix binds strictly after the run's m-th repetition in the
+      engine family's (ts, rank, id) total order;
+    - ``within`` bounds CLASSIFY (matched / matched_late), never bind;
+      the reluctant step's within is also the session gap (the dual use
+      everywhere in the family);
+    - per-anchor visibility rows match the union + dedup exactly: ONE
+      null-entry ``incomplete`` row when some count in the FINITE range
+      has no valid entry, per-count ``incomplete`` rows when an entry
+      binds but no suffix follows. An UNCAPPED spec emits bound counts
+      only (Flink's multi-match has no ghost rows; the union limit's
+      per-anchor null row would be pure noise), and requires a finite
+      ``within`` — the session gap is what keeps per-anchor emission
+      finite, the same rule the greedy uncapped run enforces.
+
+    Construction: per key (bucketed ``applyInPandas``, the after-match
+    folds' exchange shape) the classified rows sort once by the total
+    order; run rows sessionize by the gap ((ts, id) order); each
+    anchor's admissible counts come from walking the RECORD entries
+    after it (entries whose availability exceeds every entry between) —
+    a sparse-table range-max descent, O(log n) per record, and records
+    per anchor are bounded by the count range actually emitted. Suffix
+    bindings are searchsorted probes on global positions.
+
+    Scale: ONE exchange of the three classified row sets (the union
+    engine shuffles the same rows once per count plan), per-key work
+    O(n log n + output), output IS the multi-match semantics. The
+    per-key pass is vectorized numpy except the per-anchor record walk,
+    which is output-bounded. Reference: Flink CEP's default (reluctant)
+    oneOrMore multi-match, Pattern.oneOrMore chaining
+    (OrderPayTimeout.java:52-64 family).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if len(steps) != 3:
+        raise ValueError(
+            "pattern_detect_reluctant_enum serves the 3-step shape "
+            "anchor → B{min,max}? → suffix (other shapes stay on the "
+            "per-count union engine)"
+        )
+    pa, pr, ps = steps[0][0], steps[1][0], steps[2][0]
+    w2, w3 = steps[1][1], steps[2][1]
+    spec = steps[1][2] if len(steps[1]) > 2 else None
+    if not isinstance(spec, tuple):
+        raise ValueError("the reluctant step needs a (min_reps, max_reps) spec")
+    mn = int(spec[0])
+    mx = None if spec[1] == float("inf") else int(spec[1])
+    if mn < 1 or (mx is not None and mx < mn):
+        raise ValueError("need 1 <= min_reps <= max_reps")
+    if mx is None and w2 is None:
+        raise ValueError(
+            "an uncapped reluctant step needs a finite within interval "
+            "(the session gap bounds per-anchor emission, exactly the "
+            "greedy uncapped rule)"
+        )
+    if len(steps[0]) > 2 and steps[0][2] is not None:
+        raise ValueError("the anchor step must be plain")
+    if len(steps[2]) > 2 and steps[2][2] is not None:
+        raise ValueError("the suffix step must be plain")
+
+    from flink_uba_spark.streaming.pattern import _interval_us
+
+    w2_us = None if w2 is None else _interval_us(w2)
+    w3_us = None if w3 is None else _interval_us(w3)
+
+    base = events.select(
+        F.col(key).alias("__k"),
+        F.col(event_id).alias("__id"),
+        F.col(ts).alias("__ts"),
+        pa.cast("boolean").alias("__pa"),
+        pr.cast("boolean").alias("__pr"),
+        ps.cast("boolean").alias("__ps"),
+    ).filter(F.col("__pa") | F.col("__pr") | F.col("__ps"))
+
+    out_cols = [key, "anchor_id", "t1", "t2", "t2_last", "n2", "t3"]
+    if with_end_id:
+        out_cols.append("end_id")
+    out_cols += ["max_step", "state"]
+    key_dtype = dict(events.dtypes)[key]
+    schema_sql = (
+        f"{key} {key_dtype}, anchor_id long, t1 timestamp, t2 timestamp, "
+        "t2_last timestamp, n2 long, t3 timestamp, "
+        + ("end_id long, " if with_end_id else "")
+        + "max_step long, state string"
+    )
+
+    def _key_matches(g: pd.DataFrame, out: list):
+        kv = g["__k"].iloc[0]
+        e_ts = g["__ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        e_id = g["__id"].to_numpy().astype("int64")
+        fa = g["__pa"].to_numpy().astype(bool)
+        fr = g["__pr"].to_numpy().astype(bool)
+        fs = g["__ps"].to_numpy().astype(bool)
+        rank = np.where(fa, 1, np.where(fr, 3, 5))
+        # global positions in the family's (ts, rank, id) total order
+        order = np.lexsort((e_id, rank, e_ts))
+        e_ts, e_id, fa, fr, fs, rank = (
+            a[order] for a in (e_ts, e_id, fa, fr, fs, rank)
+        )
+        pos = np.arange(len(e_ts))
+
+        # run rows in the session machinery's (ts, id) order
+        r_idx = np.nonzero(fr)[0]
+        rs = r_idx[np.lexsort((e_id[r_idx], e_ts[r_idx]))]
+        r_ts, r_id, r_pos = e_ts[rs], e_id[rs], pos[rs]
+        nR = len(rs)
+        if nR:
+            new_sess = np.empty(nR, dtype=bool)
+            new_sess[0] = True
+            if w2_us is None:
+                new_sess[1:] = False
+            else:
+                new_sess[1:] = r_ts[1:] > r_ts[:-1] + w2_us
+            starts = np.nonzero(new_sess)[0]
+            sess_start = np.zeros(nR, dtype="int64")
+            sess_start[starts] = starts
+            sess_start = np.maximum.accumulate(sess_start)
+            ends = np.append(starts[1:], nR)
+            sess_end = np.empty(nR, dtype="int64")
+            for si in range(len(starts)):
+                sess_end[starts[si]:ends[si]] = ends[si]
+            avail = sess_end - np.arange(nR)
+        else:
+            avail = np.empty(0, dtype="int64")
+
+        # BINDING order is the engine's min-of-struct: lexicographic
+        # (ts, id) among candidates ADMISSIBLE by strict (ts, rank, id)
+        # position — the two orders differ only inside an equal-ts
+        # group, where inadmissible same-ts rows are skipped linearly
+        # (groups are tie-sized). Entries stay in run-sorted (ts, id)
+        # order, which the sparse table and the staircase walk follow.
+        if nR:
+            kmax = int(nR).bit_length() - 1
+            sp = [avail]
+            for j in range(1, kmax + 1):
+                prev, half = sp[-1], 1 << (j - 1)
+                sp.append(
+                    np.maximum(prev[: nR - (1 << j) + 1],
+                               prev[half: nR - half + 1])
+                )
+
+            def first_avail_gt(lo: int, v: int) -> int:
+                """Leftmost j >= lo with avail[j] > v, or nR."""
+                j = lo
+                while j < nR:
+                    if avail[j] > v:
+                        return j
+                    step = 1
+                    lvl = 0
+                    while True:
+                        nxt_lvl = lvl + 1
+                        sz = 1 << nxt_lvl
+                        if j + sz <= nR and sp[nxt_lvl][j] <= v:
+                            lvl, step = nxt_lvl, sz
+                        else:
+                            break
+                    j += step
+                return nR
+
+        s_idx0 = np.nonzero(fs)[0]
+        ss = s_idx0[np.lexsort((e_id[s_idx0], e_ts[s_idx0]))]
+        s_pos, s_ts_arr, s_id_arr = pos[ss], e_ts[ss], e_id[ss]
+        nS = len(ss)
+
+        def bind_suffix(lr_ts: int, lr_pos: int) -> int:
+            """Earliest suffix by (ts, id) strictly after position
+            lr_pos; -1 if none. Linear only over the lr_ts tie group."""
+            sj = int(np.searchsorted(s_ts_arr, lr_ts, side="left"))
+            while sj < nS and s_ts_arr[sj] == lr_ts:
+                if s_pos[sj] > lr_pos:
+                    return sj
+                sj += 1
+            return sj if sj < nS else -1
+
+        a_idx = np.nonzero(fa)[0]
+        for ai in a_idx:
+            a_ts, a_id, a_pos = e_ts[ai], e_id[ai], pos[ai]
+            j = int(np.searchsorted(r_ts, a_ts, side="left")) if nR else 0
+            runmax = 0
+            while nR and j < nR:
+                j = first_avail_gt(j, runmax)
+                if j >= nR:
+                    break
+                if r_pos[j] <= a_pos:
+                    # same-ts row at/before the anchor's position — not
+                    # admissible, not a record; keep scanning
+                    j += 1
+                    continue
+                v = int(avail[j])
+                lo_m = max(mn, runmax + 1)
+                hi_m = v if mx is None else min(mx, v)
+                ri = j
+                for m in range(lo_m, hi_m + 1):
+                    last = ri + m - 1   # run-sorted contiguous session
+                    lr_pos = r_pos[last]
+                    t2, t2l = int(r_ts[ri]), int(r_ts[last])
+                    row = {
+                        key: kv, "anchor_id": int(a_id), "t1": a_ts,
+                        "t2": t2, "t2_last": t2l, "n2": m,
+                    }
+                    sj = bind_suffix(t2l, lr_pos)
+                    if sj >= 0:
+                        t3 = int(s_ts_arr[sj])
+                        ok = (w2_us is None or t2 <= a_ts + w2_us) and (
+                            w3_us is None or t3 <= t2l + w3_us
+                        )
+                        row.update(
+                            t3=t3, max_step=3,
+                            state="matched" if ok else "matched_late",
+                        )
+                        if with_end_id:
+                            row["end_id"] = int(s_id_arr[sj])
+                    else:
+                        row.update(t3=None, max_step=2, state="incomplete")
+                        if with_end_id:
+                            row["end_id"] = None
+                    out.append(row)
+                runmax = v
+                if mx is not None and runmax >= mx:
+                    break
+                j += 1
+            if mx is not None and runmax < mx:
+                # some count in the finite range has no valid entry —
+                # the union's per-anchor null row (deduped to one)
+                row = {
+                    key: kv, "anchor_id": int(a_id), "t1": a_ts,
+                    "t2": None, "t2_last": None, "n2": None, "t3": None,
+                    "max_step": 1, "state": "incomplete",
+                }
+                if with_end_id:
+                    row["end_id"] = None
+                out.append(row)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: list = []
+        if len(pdf):
+            for _kv, g in pdf.groupby("__k", sort=False):
+                _key_matches(g, rows)
+        res = pd.DataFrame(rows, columns=out_cols)
+        for c in ("t1", "t2", "t2_last", "t3"):
+            res[c] = pd.to_datetime(res[c], unit="us") if len(res) else pd.Series(
+                [], dtype="datetime64[us]")
+        for c in (["n2", "max_step", "anchor_id"]
+                  + (["end_id"] if with_end_id else [])):
+            res[c] = res[c].astype("Int64") if len(res) else pd.Series(
+                [], dtype="Int64")
+        return res
+
+    bucket = F.pmod(F.hash(F.col("__k")), F.lit(n_buckets))
+    return (
+        base.withColumn("__b", bucket)
+        .groupBy("__b")
+        .applyInPandas(lambda pdf: kernel(pdf.drop(columns="__b")), schema_sql)
     )

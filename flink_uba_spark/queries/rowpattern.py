@@ -27,8 +27,10 @@ def match_recognize_reluctant_lazy(spark: SparkSession, sf_dir: str) -> DataFram
     error repetitions as admissible while still completing (ISO 9075-2's
     reluctant preference; the greedy twin match_recognize_error_run binds
     the longest run), then the non-overlap fold segments episodes.
-    Compiled as the per-count union ``pattern_detect_reluctant`` with the
-    earliest-completion preference pick per anchor."""
+    Compiled by the count-enumeration engine
+    ``pattern_detect_reluctant_enum`` (round 9; bit-equal to the r8
+    per-count union, one session pass instead of one plan per count)
+    with the earliest-completion preference pick per anchor."""
     from flink_uba_spark.operators.match_recognize import match_recognize
 
     ev = _events(spark, sf_dir)
@@ -919,8 +921,303 @@ FROM kept k JOIN agg g
 """
 
 
+def match_recognize_quantified_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified alternation group (round 9) — ``PATTERN (S (C|V){1,3}
+    P)``: a signup, then a greedy run of 1-3 engagement events where
+    EACH repetition may be a click OR a view (ISO 9075-2's
+    per-repetition alternative choice — NOT a branch union), then a
+    purchase. Compiled to ONE OR-predicate Kleene step on the
+    single-plan path; SKIP PAST LAST segments episodes."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S (C|V){1,3} P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "V": F.col("event_type") == "view",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={
+            "C": "INTERVAL 2 HOURS",
+            "V": "INTERVAL 2 HOURS",
+            "P": "INTERVAL 24 HOURS",
+        },
+        after_match="skip_past_last",
+    )
+
+
+MATCH_RECOGNIZE_QUANTIFIED_GROUP_ORACLE = """
+WITH RECURSIVE
+eng AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 2 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type IN ('click', 'view')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM eng
+),
+runs AS (
+  SELECT user_id, event_id, ts,
+         COALESCE(lead(ts, 2) OVER ws, max(ts) OVER wf) AS run_last,
+         LEAST(3, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*, r.ts AS t2, r.run_last AS t2_last, r.n_reps AS n2
+  FROM a JOIN LATERAL (
+    SELECT ts, run_last, n_reps, event_id FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1
+    ORDER BY r.ts, r.event_id LIMIT 1) r ON TRUE
+),
+a3 AS (
+  SELECT a2.*, (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+),
+cand0 AS (
+  SELECT user_id, anchor_id, t1, t2, t2_last, n2, t3,
+         (SELECT min(p.event_id) FROM events p WHERE p.event_type = 'purchase'
+            AND p.user_id = a3.user_id AND p.ts = a3.t3) AS end_id
+  FROM a3
+  WHERE t3 IS NOT NULL AND t2 <= t1 + INTERVAL 2 HOUR
+    AND t3 <= t2_last + INTERVAL 24 HOUR
+),
+cand AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY t3, end_id, t1, anchor_id) AS r
+  FROM cand0
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.anchor_id, c.t1 AS S_ts, c.t2 AS C_V_ts,
+       c.t2_last AS C_V_last_ts, CAST(c.n2 AS BIGINT) AS C_V_n,
+       c.t3 AS P_ts, c.end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
+def match_recognize_iterative_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iter_define + a quantified variable (round 9 — the routing-matrix
+    lift): ``PATTERN (S E{1,3} P) DEFINE E AS E.cents < S.cents, P AS
+    P.cents >= S.cents``. The iterative condition admits the error RUN's
+    ENTRY (cheaper than the signup; non-qualifying errors are skipped
+    and the search continues), the run then follows the 12 h gap session
+    capped at 3, and the purchase must recover the signup's value.
+    Served by ``pattern_detect_iterative``'s session-refined run step —
+    the iterative join compile with a Kleene entries leg."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S E{1,3} P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+        payload={"cents": F.floor(F.col("value") * 100).cast("long")},
+        iter_define={
+            "E": lambda b: b["E"]["cents"] < b["S"]["cents"],
+            "P": lambda b: b["P"]["cents"] >= b["S"]["cents"],
+        },
+        after_match="skip_past_last",
+    )
+
+
+MATCH_RECOGNIZE_ITERATIVE_RUN_ORACLE = """
+WITH RECURSIVE
+err AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, cents,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts, cents,
+         COALESCE(lead(ts, 2) OVER ws, max(ts) OVER wf) AS run_last,
+         LEAST(3, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1,
+             CAST(floor(value * 100) AS BIGINT) AS c1
+      FROM events WHERE event_type = 'signup'),
+-- the iterative condition is part of CANDIDACY: entries at least as
+-- expensive as the signup are skipped and the search continues inside
+-- the admission band (the within is part of the iterative join, unlike
+-- the single-plan engine's classify-only bounds)
+a2 AS (
+  SELECT a.*, r.ts AS t2, r.run_last AS t2_last, r.n_reps AS n2,
+         r.cents AS c2
+  FROM a JOIN LATERAL (
+    SELECT ts, run_last, n_reps, cents, event_id FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1
+      AND r.ts <= a.t1 + INTERVAL 12 HOUR
+      AND r.cents < a.c1
+    ORDER BY r.ts, r.event_id LIMIT 1) r ON TRUE
+),
+a3 AS (
+  SELECT a2.*, p.ts AS t3, p.event_id AS i3, p.c3
+  FROM a2 JOIN LATERAL (
+    SELECT ts, event_id, CAST(floor(value * 100) AS BIGINT) AS c3
+    FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+      AND p.ts >= a2.t2_last AND p.ts <= a2.t2_last + INTERVAL 24 HOUR
+      AND CAST(floor(p.value * 100) AS BIGINT) >= a2.c1
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY t3, i3, t1, anchor_id) AS r
+  FROM a3
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.i3 ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.anchor_id, c.t1 AS S_ts, c.t2 AS E_ts,
+       c.t2_last AS E_last_ts, CAST(c.n2 AS BIGINT) AS E_n, c.t3 AS P_ts,
+       c.c1 AS cents_S, c.c2 AS cents_E, c.c3 AS cents_P, c.i3 AS end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
+def match_recognize_reluctant_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped reluctant ``E+?`` (round 9 — the lifted raise):
+    ``PATTERN (S E+? P) AFTER MATCH NO SKIP`` emits one row per
+    ADMISSIBLE repetition count per anchor with NO finite cap — Flink
+    CEP's default (non-greedy) oneOrMore multi-match. Served by the
+    count-enumeration engine (``pattern_detect_reluctant_enum``): one
+    session pass derives every count's binding, where the per-count
+    plan union needed a finite cap and one plan per count. The 12 h
+    repetition gap bounds per-anchor emission (the uncapped rule)."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S E+? P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="no_skip",
+    )
+
+
+MATCH_RECOGNIZE_RELUCTANT_UNCAPPED_ORACLE = """
+WITH err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts, sid,
+         row_number() OVER ws AS rn, count(*) OVER wf AS cnt
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+-- every count up to the longest run is admissible somewhere; per
+-- (anchor, m) the binding is the earliest entry whose session still
+-- holds >= m repetitions (the times(m, m) validity rule)
+ms AS (SELECT unnest(generate_series(1,
+         GREATEST((SELECT max(cnt) FROM runs), 1))) AS m),
+ent AS (
+  SELECT a.user_id, a.anchor_id, a.t1, ms.m, e.ts AS t2, e.sid, e.rn
+  FROM a CROSS JOIN ms
+  JOIN LATERAL (
+    SELECT r.ts, r.sid, r.rn FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1
+      AND r.cnt - r.rn + 1 >= ms.m
+    ORDER BY r.ts, r.event_id LIMIT 1) e ON TRUE
+),
+lastrep AS (
+  SELECT ent.*, r2.ts AS t2_last
+  FROM ent JOIN runs r2
+    ON r2.user_id = ent.user_id AND r2.sid = ent.sid
+   AND r2.rn = ent.rn + ent.m - 1
+),
+pb AS (
+  SELECT l.*, (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = l.user_id
+       AND p.ts >= l.t2_last) AS t3
+  FROM lastrep l
+)
+SELECT user_id, anchor_id, t1 AS S_ts, t2 AS E_ts, t2_last AS E_last_ts,
+       CAST(m AS BIGINT) AS E_n, t3 AS P_ts
+FROM pb
+WHERE t3 IS NOT NULL AND t2 <= t1 + INTERVAL 12 HOUR
+  AND t3 <= t2_last + INTERVAL 24 HOUR
+"""
+
+
 QUERIES = {
     "match_recognize_measures_run_agg": match_recognize_measures_run_agg,
+    "match_recognize_quantified_group": match_recognize_quantified_group,
+    "match_recognize_iterative_run": match_recognize_iterative_run,
+    "match_recognize_reluctant_uncapped": match_recognize_reluctant_uncapped,
     "match_recognize_reluctant_lazy": match_recognize_reluctant_lazy,
     "match_recognize_skip_to_first": match_recognize_skip_to_first,
     "match_recognize_alternation": match_recognize_alternation,
@@ -934,6 +1231,9 @@ QUERIES = {
 
 ORACLES = {
     "match_recognize_measures_run_agg": MATCH_RECOGNIZE_MEASURES_RUN_AGG_ORACLE,
+    "match_recognize_quantified_group": MATCH_RECOGNIZE_QUANTIFIED_GROUP_ORACLE,
+    "match_recognize_iterative_run": MATCH_RECOGNIZE_ITERATIVE_RUN_ORACLE,
+    "match_recognize_reluctant_uncapped": MATCH_RECOGNIZE_RELUCTANT_UNCAPPED_ORACLE,
     "match_recognize_reluctant_lazy": MATCH_RECOGNIZE_RELUCTANT_LAZY_ORACLE,
     "match_recognize_skip_to_first": MATCH_RECOGNIZE_SKIP_TO_FIRST_ORACLE,
     "match_recognize_alternation": MATCH_RECOGNIZE_ALTERNATION_ORACLE,

@@ -1118,6 +1118,8 @@ def _interval_us(interval: str) -> int:
     parts = interval.split()
     qty, unit = int(parts[-2]), parts[-1].lower().rstrip("s")
     unit_us = {
+        "microsecond": 1,
+        "millisecond": 1000,
         "second": _US,
         "minute": 60 * _US,
         "hour": 3600 * _US,
@@ -2313,6 +2315,222 @@ def stream_pattern_detect_fused(
         make_fused_matcher(built, len(base.fields)),
         output_schema,
         fused_state_schema(base),
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+PREF_NULL = -(1 << 62)
+
+
+def preference_state_schema(base: T.StructType, n_steps: int) -> T.StructType:
+    """Fused layout + the pending-candidate buffer of the preference
+    fold (one array per chain position, µs with PREF_NULL for null)."""
+    return T.StructType(
+        list(base.fields)
+        + [T.StructField("seg_lens", T.ArrayType(T.LongType()))]
+        + [
+            T.StructField("pend_branch", T.ArrayType(T.LongType())),
+            T.StructField("pend_anchor", T.ArrayType(T.LongType())),
+            *[
+                T.StructField(f"pend_t{k}", T.ArrayType(T.LongType()))
+                for k in range(1, n_steps + 1)
+            ],
+        ]
+    )
+
+
+def preferred_output_schema(n_steps: int) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("__branch", T.LongType()),
+            T.StructField("anchor_id", T.LongType()),
+            *[
+                T.StructField(f"t{k}", T.TimestampType())
+                for k in range(1, n_steps + 1)
+            ],
+        ]
+    )
+
+
+def make_preference_fused(branches: list[tuple], n_state_fields: int,
+                          n_steps: int, horizon_us: int):
+    """Wrap ``make_fused_matcher`` with ISO 9075-2's lexicographic
+    (leftmost-alternative) preference fold — the streaming twin of the
+    batch branch-union route's per-anchor min-branch pick (round 9).
+
+    The B plain-chain NFAs run packed in one stateful operator; their
+    matched completions land in a PENDING buffer keyed by anchor. An
+    anchor's preference is decided once NO branch can still complete:
+    every in-bound completion satisfies ``end ≤ t1 + horizon`` (horizon
+    = the max over branches of their within sums), and Spark's late
+    filter drops rows below the watermark, so ``wm > t1 + horizon``
+    strictly is finality — then the LOWEST branch index that completed
+    wins and the anchor's other candidates drop (exactly-once by
+    construction: the buffer is cleared on emission, and no branch can
+    re-complete a final anchor). State = the packed branch states + the
+    pending buffer (bounded by anchors inside the horizon window)."""
+    fused = make_fused_matcher(branches, n_state_fields)
+    n_sub = n_state_fields + 1  # flats + seg_lens
+    n_pend = 2 + n_steps
+    t_cols = [f"t{k}" for k in range(1, n_steps + 1)]
+
+    def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        if state.exists:
+            all_v = state.get
+            sub_v = tuple(all_v[:n_sub])
+            if not len(sub_v[-1]):   # seg empty = fused part removed
+                sub_v = None
+            pend = [np.asarray(x, dtype="int64") for x in all_v[n_sub:]]
+        else:
+            sub_v = None
+            pend = [np.empty(0, dtype="int64") for _ in range(n_pend)]
+
+        timers: list[int] = []
+        slot = _BranchStateSlot(sub_v, wm_ms, getattr(state, "hasTimedOut", False), timers)
+        frames = list(fused(key, pdfs, slot))
+
+        if frames:
+            add = pd.concat(frames, ignore_index=True)
+            cols = [add["__branch"].to_numpy().astype("int64"),
+                    add["anchor_id"].to_numpy().astype("int64")]
+            for c in t_cols:
+                v = add[c].astype("datetime64[us]").astype("int64").to_numpy()
+                mask = add[c].isna().to_numpy()
+                v = np.where(mask, PREF_NULL, v)
+                cols.append(v)
+            pend = [np.concatenate([p, c]) for p, c in zip(pend, cols)]
+
+        out = None
+        if len(pend[0]):
+            t1 = pend[2]
+            final = t1 + horizon_us < wm_us
+            if final.any():
+                f_branch, f_anchor = pend[0][final], pend[1][final]
+                # min branch per anchor
+                order = np.lexsort((f_branch, f_anchor))
+                f_anchor_s = f_anchor[order]
+                first = np.empty(len(order), dtype=bool)
+                first[0] = True
+                first[1:] = f_anchor_s[1:] != f_anchor_s[:-1]
+                win = order[first]
+                data = {
+                    "user_id": pd.array([key[0]] * len(win), dtype="int64"),
+                    "__branch": pd.array(pend[0][final][win], dtype="int64"),
+                    "anchor_id": pd.array(pend[1][final][win], dtype="int64"),
+                }
+                for i, c in enumerate(t_cols):
+                    v = pend[2 + i][final][win]
+                    s = pd.Series(v.astype("datetime64[us]"))
+                    s[v == PREF_NULL] = pd.NaT
+                    data[c] = s
+                out = pd.DataFrame(data)
+                keep = ~final
+                pend = [p[keep] for p in pend]
+
+        has_pend = bool(len(pend[0]))
+        if slot.value is not None or has_pend:
+            sub_out = (
+                slot.value
+                if slot.value is not None
+                else tuple([[] for _ in range(n_state_fields)] + [[]])
+            )
+            state.update(tuple([*sub_out, *[p.tolist() for p in pend]]))
+            cands = list(timers)
+            if has_pend:
+                cands.append(wm_ms + 1)
+            if cands:
+                state.setTimeoutTimestamp(max(min(cands), wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
+        if out is not None:
+            yield out
+
+    return detect
+
+
+def stream_pattern_detect_preferred(
+    events: DataFrame,
+    key: str,
+    flags: dict[str, "Column"],
+    branch_slots: list[list[str]],
+    withins_us: list[list[int]],
+    event_id: str = "event_id",
+    ts: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """B plain-chain NFAs (same length) + the leftmost-preference fold
+    as ONE stateful operator (round 9 — the streaming compile of the
+    MATCH_RECOGNIZE alternation/PERMUTE branch union). ``branch_slots``
+    lists each branch's ordered flag names; ``withins_us`` its
+    per-transition bounds (entry None, every later step FINITE — the
+    horizon is what makes the fold watermark-decidable). Output:
+    ``user_id, __branch, anchor_id, t1..tn`` of each anchor's winning
+    branch; callers map positions onto variables with a stateless CASE
+    projection (JVM-side).
+
+    Scale: one keyed exchange of the union flag set, one state store; B
+    is the branch cap (≤ 8). The pending buffer holds one row per
+    (anchor, completing branch) inside the horizon window — bounded by
+    anchor density × horizon, the same class as the NFA's own state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ns = {len(s) for s in branch_slots}
+    if len(ns) != 1:
+        raise ValueError("all preference branches must share one length")
+    n = ns.pop()
+    horizon = 0
+    for ws in withins_us:
+        if any(w is None for w in ws[1:]):
+            raise ValueError(
+                "the preference fold needs a FINITE within on every "
+                "transition (the horizon bounds when an anchor's "
+                "preference is decidable on the stream)"
+            )
+        horizon = max(horizon, sum(ws[1:]))
+
+    built = []
+    for bi, (slots, ws) in enumerate(zip(branch_slots, withins_us)):
+        det = make_pattern_matcher(
+            [f"s{j}" for j in range(1, n + 1)],
+            list(ws),
+            kleenes=[None] * n,
+        )
+
+        def project(frame, _bi=bi):
+            f = frame[frame["state"] == "matched"]
+            f = f[["user_id", "anchor_id"] + [f"t{k}" for k in range(1, n + 1)]].copy()
+            f["__branch"] = _bi
+            return f
+
+        built.append((det, list(slots), project))
+
+    preds = {nm: c.cast("boolean") for nm, c in flags.items()}
+    any_step = None
+    for c in preds.values():
+        any_step = c if any_step is None else (any_step | c)
+    flag_cols = {
+        nm: F.coalesce(c, F.lit(False)).alias(nm) for nm, c in preds.items()
+    }
+    filtered = (
+        events.filter(any_step)
+        .withColumns(flag_cols)
+        .select(
+            F.col(event_id).alias("event_id"),
+            F.col(ts).alias("ts"),
+            F.col(key).alias("user_id"),
+            *flag_cols.keys(),
+        )
+        .withWatermark("ts", watermark_delay)
+    )
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        make_preference_fused(built, len(STATE_SCHEMA.fields), n, horizon),
+        preferred_output_schema(n),
+        preference_state_schema(STATE_SCHEMA, n),
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )

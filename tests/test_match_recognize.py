@@ -215,12 +215,19 @@ def test_parse_pattern_round8_tokens():
         ("A", None), ("B", ("reluctant", 2, 2)), ("C", None)]
     assert parse_pattern("S (C|V) P") == [
         ("S", None), (("C", "V"), None), ("P", None)]
-    with pytest.raises(ValueError, match="finite cap"):
-        parse_pattern("A B+? C")
-    with pytest.raises(ValueError, match="finite cap"):
-        parse_pattern("A B{2,}? C")
-    with pytest.raises(ValueError, match="bad PATTERN token"):
-        parse_pattern("S (C|V)+ P")   # quantified groups unsupported
+    # round 9: uncapped reluctant PARSES (the count-enumeration engine
+    # serves the 3-step shape; other shapes raise at routing)
+    assert parse_pattern("A B+? C") == [
+        ("A", None), ("B", ("reluctant", 1, None)), ("C", None)]
+    assert parse_pattern("A B{2,}? C") == [
+        ("A", None), ("B", ("reluctant", 2, None)), ("C", None)]
+    # round 9: quantified groups parse to one OR-predicate Kleene step
+    assert parse_pattern("S (C|V)+ P") == [
+        ("S", None), (("C", "V"), ("kleene", 1, None)), ("P", None)]
+    assert parse_pattern("S (C|V){2,4} P") == [
+        ("S", None), (("C", "V"), ("kleene", 2, 4)), ("P", None)]
+    with pytest.raises(ValueError, match="RELUCTANT quantifier on an"):
+        parse_pattern("S (C|V){1,3}? P")
     with pytest.raises(ValueError, match="distinct"):
         parse_pattern("S (C|S) P")
 

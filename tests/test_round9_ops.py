@@ -400,3 +400,237 @@ def test_run_agg_matches_all_rows_membership(spark, rows):
         for k, vs in ref.items()
     }
     assert got == expect
+
+
+# ---- routing-matrix lifts: quantified group + iterative run ----
+
+def test_quantified_group_one_row_and_all_rows(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, EPOCH, "s"),
+            (1, 2, EPOCH + datetime.timedelta(minutes=1), "c"),
+            (1, 3, EPOCH + datetime.timedelta(minutes=2), "v"),
+            (1, 4, EPOCH + datetime.timedelta(minutes=3), "c"),
+            (1, 5, EPOCH + datetime.timedelta(minutes=4), "c"),
+            (1, 6, EPOCH + datetime.timedelta(minutes=5), "p"),
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    d = {
+        "S": F.col("event_type") == "s", "C": F.col("event_type") == "c",
+        "V": F.col("event_type") == "v", "P": F.col("event_type") == "p",
+    }
+    one = match_recognize(
+        ev, "user_id", "ts", "S (C|V){1,3} P", d,
+        default_within="INTERVAL 1 HOUR", after_match="skip_past_last",
+    ).collect()
+    assert len(one) == 1
+    r = one[0]
+    # greedy run caps at 3: events 2,3,4; last = minute 3; n = 3
+    assert r["C_V_n"] == 3
+    assert r["C_V_ts"] == EPOCH + datetime.timedelta(minutes=1)
+    assert r["C_V_last_ts"] == EPOCH + datetime.timedelta(minutes=3)
+    allr = match_recognize(
+        ev, "user_id", "ts", "S (C|V){1,3} P", d,
+        default_within="INTERVAL 1 HOUR", after_match="no_skip",
+        rows_per_match="all",
+    ).collect()
+    got = sorted((x["seq"], x["var"], x["event_id"]) for x in allr)
+    # per-repetition CLASSIFIER: leftmost member matching each event
+    assert got == [(1, "S", 1), (2, "C", 2), (2, "C", 4), (2, "V", 3),
+                   (3, "P", 6)]
+
+
+def test_quantified_group_conflicting_withins_raise(spark):
+    ev = _mk_events(spark, [(1, 1, 0, "s")])
+    d = {
+        "S": F.col("event_type") == "s", "C": F.col("event_type") == "c",
+        "V": F.col("event_type") == "v", "P": F.col("event_type") == "p",
+    }
+    with pytest.raises(ValueError, match="conflicting withins"):
+        match_recognize(
+            ev, "user_id", "ts", "S (C|V)+ P", d,
+            withins={"C": "INTERVAL 1 HOUR", "V": "INTERVAL 2 HOURS",
+                     "P": "INTERVAL 1 HOUR"},
+            after_match="no_skip",
+        )
+
+
+def test_iterative_run_entry_admission(spark):
+    """iter_define + quantifier: the condition admits the run's ENTRY
+    (non-qualifying entries are skipped), the run follows the gap
+    session, the next step binds after the run's LAST repetition."""
+    ev = spark.createDataFrame(
+        [
+            (1, 1, EPOCH, "s", 10),
+            (1, 2, EPOCH + datetime.timedelta(minutes=1), "e", 20),
+            (1, 3, EPOCH + datetime.timedelta(minutes=2), "e", 5),
+            (1, 4, EPOCH + datetime.timedelta(minutes=3), "e", 99),
+            (1, 5, EPOCH + datetime.timedelta(minutes=4), "p", 11),
+            (2, 6, EPOCH, "s", 10),
+            (2, 7, EPOCH + datetime.timedelta(minutes=1), "e", 5),
+            (2, 8, EPOCH + datetime.timedelta(minutes=2), "p", 9),
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string, v long",
+    )
+    out = match_recognize(
+        ev, "user_id", "ts", "S E{1,3} P", _def3(),
+        default_within="INTERVAL 1 HOUR", after_match="skip_past_last",
+        payload={"cents": F.col("v")},
+        iter_define={
+            "E": lambda b: b["E"]["cents"] < b["S"]["cents"],
+            "P": lambda b: b["P"]["cents"] >= b["S"]["cents"],
+        },
+    ).collect()
+    assert len(out) == 1  # user 2's purchase fails the condition
+    r = out[0]
+    # entry 20 fails E's condition; entry is event 3 (cents 5), run 3-4
+    assert (r["user_id"], r["anchor_id"], r["E_n"], r["cents_E"],
+            r["cents_P"], r["end_id"]) == (1, 1, 2, 5, 11, 5)
+
+
+def test_iterative_run_matches_plain_engine_when_unconditioned(spark):
+    """With no condition on the quantified step, the iterative Kleene
+    compile must agree with pattern_detect's greedy run on complete
+    in-bound chains (two independent compiles, one semantics)."""
+    import random
+
+    from flink_uba_spark.operators.sequence import (
+        pattern_detect,
+        pattern_detect_iterative,
+    )
+
+    rng = random.Random(909)
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        for _ in range(rng.randint(2, 14)):
+            eid += 1
+            rows.append(
+                (u, eid, EPOCH + datetime.timedelta(minutes=rng.randint(0, 50)),
+                 rng.choice("seep"))
+            )
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string")
+    steps = [
+        (F.col("event_type") == "s", None),
+        # withins cover the whole fixture span: the iterative compile
+        # enforces bounds at ADMISSION (join band) while the window
+        # compile classifies them afterwards, so equivalence holds only
+        # when no binding can fall out of bound
+        (F.col("event_type") == "e", "INTERVAL 90 MINUTES", (1, 3)),
+        (F.col("event_type") == "p", "INTERVAL 90 MINUTES"),
+    ]
+    ref = pattern_detect(ev, "user_id", steps).filter(
+        F.col("state") == "matched")
+    got = pattern_detect_iterative(ev, "user_id", steps)
+    ref_rows = sorted(
+        (r["user_id"], r["anchor_id"], r["t1"], r["t2"], r["t2_last"],
+         r["n2"], r["t3"])
+        for r in ref.collect()
+    )
+    got_rows = sorted(
+        (r["user_id"], r["i1"], r["t1"], r["t2"], r["t2_last"],
+         r["n2"], r["t3"])
+        for r in got.collect()
+    )
+    assert got_rows == ref_rows
+
+
+# ---- reluctant count-enumeration engine ----
+
+def test_reluctant_enum_matches_union(spark):
+    """pattern_detect_reluctant_enum must agree bit-for-bit with the
+    per-count union engine on finite ranges (both with_end_id modes) —
+    the engines share nothing but the semantics. Deeper coverage:
+    tools/nfa_soak.py enum (10k randomized cases vs brute_reluctant,
+    overlapping predicates, ~40% uncapped)."""
+    import random
+    from collections import Counter
+
+    from flink_uba_spark.operators.sequence import (
+        pattern_detect_reluctant,
+        pattern_detect_reluctant_enum,
+    )
+
+    rng = random.Random(77)
+    for trial in range(3):
+        rows, eid = [], 0
+        for u in range(1, 6):
+            for _ in range(rng.randint(2, 14)):
+                eid += 1
+                rows.append((u, eid, EPOCH + datetime.timedelta(
+                    minutes=rng.randint(0, 40),
+                    seconds=rng.choice([0, 0, 30])),
+                    rng.choice("arrrx")))
+        ev = spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, ts timestamp, event_type string")
+        mn, mx = sorted((rng.randint(1, 3), rng.randint(1, 4)))
+        steps = [
+            (F.col("event_type") == "a", None),
+            (F.col("event_type") == "r", "INTERVAL 6 MINUTES", (mn, mx)),
+            (F.col("event_type") == "x", "INTERVAL 15 MINUTES"),
+        ]
+        for wei in (False, True):
+            ref = pattern_detect_reluctant(
+                ev, "user_id", steps, reluctant={2}, with_end_id=wei)
+            got = pattern_detect_reluctant_enum(
+                ev, "user_id", steps, with_end_id=wei)
+            r = Counter(map(repr, (tuple(x) for x in ref.collect())))
+            g = Counter(map(repr, (tuple(x) for x in got.collect())))
+            assert r == g, f"trial {trial} wei={wei} mn={mn} mx={mx}"
+
+
+def test_reluctant_enum_uncapped_extends_caps(spark):
+    """An uncapped spec's matched rows must equal the finite union at a
+    cap no session can reach."""
+    from collections import Counter
+
+    from flink_uba_spark.operators.sequence import (
+        pattern_detect_reluctant,
+        pattern_detect_reluctant_enum,
+    )
+
+    rows = [
+        (1, 1, 0, "a"), (1, 2, 1, "r"), (1, 3, 2, "r"), (1, 4, 3, "r"),
+        (1, 5, 4, "r"), (1, 6, 5, "x"),
+        (2, 7, 0, "a"), (2, 8, 1, "r"), (2, 9, 20, "r"), (2, 10, 21, "x"),
+    ]
+    ev = _mk_events(spark, [(u, i, m, t) for u, i, m, t in rows])
+    steps_unc = [
+        (F.col("event_type") == "a", None),
+        (F.col("event_type") == "r", "INTERVAL 6 MINUTES", (1, float("inf"))),
+        (F.col("event_type") == "x", "INTERVAL 30 MINUTES"),
+    ]
+    steps_cap = [steps_unc[0],
+                 (steps_unc[1][0], steps_unc[1][1], (1, 10)),
+                 steps_unc[2]]
+    got = pattern_detect_reluctant_enum(ev, "user_id", steps_unc).filter(
+        F.col("state") == "matched")
+    ref = pattern_detect_reluctant(
+        ev, "user_id", steps_cap, reluctant={2}).filter(
+        F.col("state") == "matched")
+    g = Counter(map(repr, (tuple(x) for x in got.collect())))
+    r = Counter(map(repr, (tuple(x) for x in ref.collect())))
+    assert g == r
+    # user 1: counts 1..4 all complete; user 2: only count 1 reaches x
+    assert sum(g.values()) == 5
+
+
+def test_match_recognize_uncapped_front_end(spark):
+    ev = _mk_events(spark, [
+        (1, 1, 0, "s"), (1, 2, 1, "e"), (1, 3, 2, "e"), (1, 4, 3, "p"),
+    ])
+    out = match_recognize(
+        ev, "user_id", "ts", "S E+? P", _def3(),
+        default_within="INTERVAL 1 HOUR", after_match="no_skip",
+    ).collect()
+    assert sorted(r["E_n"] for r in out) == [1, 2]
+    # non-enum shapes keep the finite-cap requirement
+    with pytest.raises(ValueError, match="count-enumeration"):
+        match_recognize(
+            ev, "user_id", "ts", "S E+? C P",
+            {**_def3(), "C": F.col("event_type") == "c"},
+            default_within="INTERVAL 1 HOUR", after_match="no_skip",
+        )

@@ -1672,6 +1672,95 @@ def soak_budget_stream(n_cases):
     return fails
 
 
+def soak_enum(n_cases, cases_per_spec=100):
+    """Count-enumeration reluctant soak (round 9):
+    ``pattern_detect_reluctant_enum`` (one session pass, no per-count
+    plans; serves uncapped B+?) vs ``brute_reluctant`` on the 3-step
+    shape anchor → B{mn,mx}? → suffix. Predicates are random bit masks,
+    so rows matching several classes (anchor+run, run+suffix) exercise
+    the rank/total-order corners; ~40% of specs run UNCAPPED, compared
+    against the brute at an effective cap above the event count (no
+    session can exceed it, so matched rows coincide). Only matched /
+    matched_late rows compare — the engines' incomplete-row visibility
+    differs by design on uncapped specs (documented)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from test_properties_round5 import brute_reluctant
+    from flink_uba_spark.operators.sequence import pattern_detect_reluctant_enum
+    from flink_uba_spark.session import get_spark
+
+    spark = get_spark("nfa_soak")
+    t0, fails, done, spec_seed = time.time(), 0, 0, 0
+    MAX_EV = 45
+    while done < n_cases and fails <= 5:
+        rnd = random.Random(spec_seed * 22801763 + 13)
+        spec_seed += 1
+        nslots = 3
+        w1 = None
+        gap = rnd.choice([3, 8, 20, 60])
+        w3 = rnd.choice([None, 5, 15, 60])
+        mn = rnd.randint(1, 3)
+        uncapped = rnd.random() < 0.4
+        mx = None if uncapped else mn + rnd.randint(0, 3)
+        ncase = min(cases_per_spec, n_cases - done)
+        case_events, rows = [], []
+        for c in range(ncase):
+            events = [
+                (c * 1000 + i, rnd.randint(0, 120),
+                 rnd.getrandbits(nslots) if rnd.random() < 0.92 else 0)
+                for i in range(rnd.randint(0, MAX_EV))
+            ]
+            case_events.append(events)
+            rows += [
+                (eid, c,
+                 datetime.datetime(2020, 1, 1) + datetime.timedelta(microseconds=ts),
+                 *[bool(m >> j & 1) for j in range(nslots)])
+                for eid, ts, m in events
+            ]
+        schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
+            f"c{j} boolean" for j in range(nslots)
+        )
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        spec = [
+            (F.col("c0"), f"INTERVAL {w1} MICROSECONDS" if w1 is not None else None),
+            (F.col("c1"), f"INTERVAL {gap} MICROSECONDS",
+             (mn, float("inf") if mx is None else mx)),
+            (F.col("c2"), f"INTERVAL {w3} MICROSECONDS" if w3 is not None else None),
+        ]
+        out = pattern_detect_reluctant_enum(df, key="user_id", steps=spec)
+        pdf = out.filter(F.col("state").isin("matched", "matched_late")).toPandas()
+        brute_steps = [
+            (w1, None),
+            (gap, (gap, MAX_EV + 1 if mx is None else mx, mn)),
+            (w3, None),
+        ]
+        for c in range(ncase):
+            got = _extract_batch_rows(pdf[pdf["user_id"] == c], 3, brute_steps)
+            want = brute_reluctant(
+                case_events[c],
+                [((kl[0] if kl is not None else w), kl) for (w, kl) in brute_steps],
+                {2},
+                final_wm_ms=10 ** 15,
+            )
+            # matched/matched_late rows only (t2 bound ⇒ complete or not;
+            # brute rows with incomplete states were already filtered by
+            # _extract's matched-state convention upstream)
+            if sorted(got) != want:
+                fails += 1
+                print(f"MISMATCH spec_seed={spec_seed - 1} case={c} "
+                      f"gap={gap} w3={w3} mn={mn} mx={mx} "
+                      f"events={case_events[c]}")
+                if fails > 5:
+                    break
+        done += ncase
+        if spec_seed % 10 == 0:
+            print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{done} enum cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     defaults = {
@@ -1692,6 +1781,7 @@ def main() -> int:
         "fused": 3000,
         "budget": 1000,
         "budget-stream": 10000,
+        "enum": 1000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
@@ -1706,6 +1796,8 @@ def main() -> int:
         return 1 if soak_batch(n, with_consecs=True) else 0
     if mode == "reluctant":
         return 1 if soak_reluctant(n) else 0
+    if mode == "enum":
+        return 1 if soak_enum(n) else 0
     if mode == "comb":
         return 1 if soak_combinations(n) else 0
     if mode == "group":
