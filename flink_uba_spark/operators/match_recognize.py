@@ -1037,6 +1037,109 @@ def _stream_reluctant(
     return _measures(out, partition_by, measures)
 
 
+def _stream_alternation(
+    events, partition_by, order_by, parsed, define, wmap, default_within,
+    measures, event_id,
+):
+    """Streaming alternation/PERMUTE (round 9): the batch branch-union
+    compile's B plain-chain plans packed into ONE stateful operator
+    (``stream_pattern_detect_preferred`` = ``make_fused_matcher`` + the
+    watermark-final min-branch preference fold), then a stateless CASE
+    projection maps chain positions back onto variables/CLASSIFIERs."""
+    from itertools import permutations as _permutations
+    from itertools import product as _product2
+
+    from flink_uba_spark.streaming.pattern import (
+        _interval_us,
+        stream_pattern_detect_preferred,
+    )
+
+    token_options: list[list[list[str]]] = []
+    group_tokens: dict[int, tuple] = {}
+    for ti, (var, q) in enumerate(parsed):
+        if q is not None and not isinstance(var, tuple):
+            raise ValueError(
+                "streaming alternation/PERMUTE composes with plain "
+                "variables only (the preference fold's horizon needs "
+                "single-event steps)"
+            )
+        if isinstance(var, tuple) and q == ("permute",):
+            group_tokens[ti] = ("permute", var)
+            token_options.append([list(p) for p in _permutations(var)])
+        elif isinstance(var, tuple):
+            group_tokens[ti] = ("alt", var)
+            token_options.append([[m] for m in var])
+        else:
+            token_options.append([[var]])
+    n_branches = 1
+    for opts_t in token_options:
+        n_branches *= len(opts_t)
+    if n_branches > 8:
+        raise ValueError(
+            f"{n_branches} branches exceed the 8-NFA envelope"
+        )
+    all_vars = [
+        v for var, _q in parsed
+        for v in (var if isinstance(var, tuple) else (var,))
+    ]
+    branches: list[list[str]] = []
+    for combo in _product2(*token_options):
+        branches.append([v for part in combo for v in part])
+    n = len(branches[0])
+    flags = {f"f_{v}": define[v] for v in all_vars}
+    slots, withins_us = [], []
+    for flat in branches:
+        slots.append([f"f_{v}" for v in flat])
+        ws = [None]
+        for v in flat[1:]:
+            w = wmap.get(v, default_within)
+            ws.append(None if w is None else _interval_us(w))
+        withins_us.append(ws)
+    out = stream_pattern_detect_preferred(
+        events,
+        key=partition_by,
+        flags=flags,
+        branch_slots=slots,
+        withins_us=withins_us,
+        event_id=event_id,
+        ts=order_by,
+    )
+    sel = [
+        F.col("user_id").alias(partition_by)
+        if partition_by != "user_id" else F.col("user_id"),
+        F.col("anchor_id"),
+    ]
+    for v in all_vars:
+        expr = None
+        for bi, flat in enumerate(branches):
+            if v in flat:
+                p = flat.index(v) + 1
+                cond, val = F.col("__branch") == bi, F.col(f"t{p}")
+                expr = (
+                    F.when(cond, val) if expr is None else expr.when(cond, val)
+                )
+        sel.append(
+            (expr if expr is not None else F.lit(None).cast("timestamp"))
+            .alias(f"{v}_ts")
+        )
+    for ti, (kind, members) in sorted(group_tokens.items()):
+        lbl = None
+        for bi, combo in enumerate(_product2(*token_options)):
+            label = ",".join(combo[ti]) if kind == "permute" else combo[ti][0]
+            cond = F.col("__branch") == bi
+            lbl = (
+                F.when(cond, F.lit(label)) if lbl is None
+                else lbl.when(cond, F.lit(label))
+            )
+        sel.append(lbl.alias(f"classifier_{ti + 1}"))
+    out = out.select(*sel)
+    if measures is not None:
+        out = out.select(
+            partition_by, *[c.alias(nm) for nm, c in measures.items()]
+        )
+    return out
+
+
 def stream_match_recognize(
     events: DataFrame,
     partition_by: str,
@@ -1084,9 +1187,17 @@ def stream_match_recognize(
         isinstance(var, tuple) and not (q is not None and q[0] == "kleene")
         for var, q in parsed
     ):
-        raise ValueError(
-            "alternation/PERMUTE are batch-only on this front-end (use "
-            "the streaming Pattern API engines directly)"
+        # round 9: alternation/PERMUTE STREAM — the branch-union plans
+        # pack into one preference-folded stateful operator
+        if after_match != "no_skip":
+            raise ValueError(
+                "streaming alternation/PERMUTE runs under NO SKIP (the "
+                "per-anchor preference fold; the cross-anchor SKIP PAST "
+                "LAST horizon replay is batch-only)"
+            )
+        return _stream_alternation(
+            events, partition_by, order_by, parsed, define,
+            dict(withins or {}), default_within, measures, event_id,
         )
     rel = {
         k for k, (_v, q) in enumerate(parsed, start=1)

@@ -2932,6 +2932,164 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def stream_match_recognize_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming alternation (round 9) — ``PATTERN (S (C|V) P) AFTER
+    MATCH NO SKIP`` as a continuous query: the branch-union's two
+    plain-chain NFAs pack into ONE stateful operator
+    (``stream_pattern_detect_preferred`` = make_fused_matcher + the
+    watermark-final preference fold). An anchor's leftmost-alternative
+    winner is decidable once the watermark strictly passes ``t1 + 30 h``
+    (the max branch within-sum: 6 h engagement + 24 h purchase) — every
+    in-bound completion is at or below that horizon, and later rows are
+    late. Oracle: the batch branch-union preference under the same
+    horizon cut."""
+    from flink_uba_spark.operators.match_recognize import (
+        stream_match_recognize,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = stream_match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S (C|V) P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "V": F.col("event_type") == "view",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={
+            "C": "INTERVAL 6 HOURS",
+            "V": "INTERVAL 6 HOURS",
+            "P": "INTERVAL 24 HOURS",
+        },
+        after_match="no_skip",
+    )
+    return run_to_table(out)
+
+
+STREAM_MATCH_RECOGNIZE_ALTERNATION_ORACLE = """
+WITH a AS (SELECT user_id, event_id AS i1, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+br AS (SELECT 0 AS b, 'C' AS cls, 'click' AS mid
+       UNION ALL SELECT 1, 'V', 'view'),
+m2 AS (
+  SELECT a.*, br.b, br.cls, e.ts AS t2
+  FROM a CROSS JOIN br
+  JOIN LATERAL (
+    SELECT ts FROM events e
+    WHERE e.event_type = br.mid AND e.user_id = a.user_id AND e.ts >= a.t1
+    ORDER BY e.ts, e.event_id LIMIT 1) e ON TRUE
+),
+m3 AS (
+  SELECT m2.*, p.ts AS t3
+  FROM m2 JOIN LATERAL (
+    SELECT ts FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = m2.user_id
+      AND p.ts >= m2.t2
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+  WHERE m2.t2 <= m2.t1 + INTERVAL 6 HOUR
+),
+ok AS (SELECT * FROM m3 WHERE t3 <= t2 + INTERVAL 24 HOUR),
+pref AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, i1 ORDER BY b) AS pr
+  FROM ok
+),
+wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 AS us FROM events
+       WHERE event_type IN ('signup', 'click', 'view', 'purchase'))
+SELECT user_id, i1 AS anchor_id, t1 AS S_ts,
+       CASE WHEN cls = 'C' THEN t2 END AS C_ts,
+       CASE WHEN cls = 'V' THEN t2 END AS V_ts,
+       t3 AS P_ts, cls AS classifier_2
+FROM pref
+WHERE pr = 1
+  AND epoch_us(t1) + 108000000000 < (SELECT us FROM wm)
+"""
+
+
+def stream_match_recognize_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PERMUTE (round 9) — ``PATTERN (S PERMUTE(C,E) P) AFTER
+    MATCH NO SKIP``: click and error in EITHER order between signup and
+    purchase, the two orderings' chain NFAs packed into one
+    preference-folded stateful operator; (C,E) wins when both complete
+    (ISO: PERMUTE = the alternation of all orderings in listed order).
+    Finality horizon 36 h (6 h + 6 h + 24 h). Oracle: the batch PERMUTE
+    branch union under the same horizon cut."""
+    from flink_uba_spark.operators.match_recognize import (
+        stream_match_recognize,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = stream_match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S PERMUTE(C,E) P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={
+            "C": "INTERVAL 6 HOURS",
+            "E": "INTERVAL 6 HOURS",
+            "P": "INTERVAL 24 HOURS",
+        },
+        after_match="no_skip",
+    )
+    return run_to_table(out)
+
+
+STREAM_MATCH_RECOGNIZE_PERMUTE_ORACLE = """
+WITH a AS (SELECT user_id, event_id AS i1, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+br AS (SELECT 0 AS b, 'click' AS m1, 'error' AS m2
+       UNION ALL SELECT 1, 'error', 'click'),
+s2 AS (
+  SELECT a.*, br.b, br.m1, br.m2, e.ts AS t2
+  FROM a CROSS JOIN br
+  JOIN LATERAL (
+    SELECT ts FROM events e
+    WHERE e.event_type = br.m1 AND e.user_id = a.user_id AND e.ts >= a.t1
+    ORDER BY e.ts, e.event_id LIMIT 1) e ON TRUE
+),
+s3 AS (
+  SELECT s2.*, e.ts AS t3
+  FROM s2 JOIN LATERAL (
+    SELECT ts FROM events e
+    WHERE e.event_type = s2.m2 AND e.user_id = s2.user_id AND e.ts >= s2.t2
+    ORDER BY e.ts, e.event_id LIMIT 1) e ON TRUE
+  WHERE s2.t2 <= s2.t1 + INTERVAL 6 HOUR
+),
+s4 AS (
+  SELECT s3.*, p.ts AS t4
+  FROM s3 JOIN LATERAL (
+    SELECT ts FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = s3.user_id
+      AND p.ts >= s3.t3
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+  WHERE s3.t3 <= s3.t2 + INTERVAL 6 HOUR
+),
+ok AS (SELECT * FROM s4 WHERE t4 <= t3 + INTERVAL 24 HOUR),
+pref AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, i1 ORDER BY b) AS pr
+  FROM ok
+),
+wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 AS us FROM events
+       WHERE event_type IN ('signup', 'click', 'error', 'purchase'))
+SELECT user_id, i1 AS anchor_id, t1 AS S_ts,
+       CASE WHEN b = 0 THEN t2 ELSE t3 END AS C_ts,
+       CASE WHEN b = 0 THEN t3 ELSE t2 END AS E_ts,
+       t4 AS P_ts,
+       CASE WHEN b = 0 THEN 'C,E' ELSE 'E,C' END AS classifier_2
+FROM pref
+WHERE pr = 1
+  AND epoch_us(t1) + 129600000000 < (SELECT us FROM wm)
+"""
+
+
 def stream_match_recognize_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reluctant MATCH_RECOGNIZE spec as a continuous query (round
     8): ``PATTERN (S E{1,3}? P) AFTER MATCH NO SKIP`` through the
@@ -2990,6 +3148,8 @@ QUERIES = {
     "stream_rolling_7d_user_purchases": stream_rolling_7d_user_purchases,
     "stream_last5_purchase_total": stream_last5_purchase_total,
     "stream_purchase_window_stats": stream_purchase_window_stats,
+    "stream_match_recognize_alternation": stream_match_recognize_alternation,
+    "stream_match_recognize_permute": stream_match_recognize_permute,
     "stream_match_recognize_reluctant": stream_match_recognize_reluctant,
     "stream_pattern_budget_error_run": stream_pattern_budget_error_run,
     "stream_match_recognize_error_streak": stream_match_recognize_error_streak,
@@ -3057,6 +3217,8 @@ ORACLES = {
     "stream_rolling_7d_user_purchases": STREAM_ROLLING_7D_ORACLE,
     "stream_last5_purchase_total": STREAM_LAST5_PURCHASE_ORACLE,
     "stream_purchase_window_stats": STREAM_PURCHASE_WINDOW_STATS_ORACLE,
+    "stream_match_recognize_alternation": STREAM_MATCH_RECOGNIZE_ALTERNATION_ORACLE,
+    "stream_match_recognize_permute": STREAM_MATCH_RECOGNIZE_PERMUTE_ORACLE,
     "stream_match_recognize_reluctant": _stream_match_recognize_reluctant_oracle(),
     "stream_pattern_budget_error_run": _stream_pattern_budget_oracle(),
     "stream_match_recognize_error_streak": STREAM_MATCH_RECOGNIZE_STREAK_ORACLE,

@@ -634,3 +634,119 @@ def test_match_recognize_uncapped_front_end(spark):
             {**_def3(), "C": F.col("event_type") == "c"},
             default_within="INTERVAL 1 HOUR", after_match="no_skip",
         )
+
+
+# ---- streaming alternation / PERMUTE (preference-folded fused NFAs) ----
+
+def test_stream_alternation_skip_raises(spark):
+    ev = _mk_events(spark, [(1, 1, 0, "s")])
+    d = {"S": F.col("event_type") == "s", "C": F.col("event_type") == "c",
+         "V": F.col("event_type") == "v", "P": F.col("event_type") == "p"}
+    with pytest.raises(ValueError, match="NO SKIP"):
+        stream_match_recognize(
+            ev, "user_id", "ts", "S (C|V) P", d,
+            default_within="INTERVAL 1 HOUR", after_match="skip_past_last",
+        )
+    with pytest.raises(ValueError, match="plain variables"):
+        stream_match_recognize(
+            ev, "user_id", "ts", "S (C|V) P{1,2}", d,
+            default_within="INTERVAL 1 HOUR", after_match="no_skip",
+        )
+
+
+def test_preference_fused_fold_hand_case():
+    """Drive make_preference_fused directly: branch 1 completes EARLIER
+    but branch 0 (preferred) completes later — the fold must wait for
+    the horizon and pick branch 0; an anchor where only branch 1
+    completes yields branch 1."""
+    import pandas as pd
+
+    from flink_uba_spark.streaming.pattern import (
+        STATE_SCHEMA,
+        make_pattern_matcher,
+        make_preference_fused,
+    )
+
+    class St:
+        def __init__(self):
+            self._v, self.hasTimedOut, self._wm, self.timeout_set = (
+                None, False, 0, None)
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_set = ms
+
+        def remove(self):
+            self._v = None
+
+    n = 2
+    built = []
+    for bi in range(2):
+        det = make_pattern_matcher(["s1", "s2"], [None, 60_000_000],
+                                   kleenes=[None, None])
+
+        def project(frame, _bi=bi):
+            f = frame[frame["state"] == "matched"]
+            f = f[["user_id", "anchor_id", "t1", "t2"]].copy()
+            f["__branch"] = _bi
+            return f
+
+        built.append((det, [f"c{bi}a", f"c{bi}b"], project))
+    det = make_preference_fused(built, len(STATE_SCHEMA.fields), n,
+                                60_000_000)
+    # anchor 1 at 0s: branch1 completes FIRST (10s) but branch0 also
+    # completes (20s) — preference must still pick branch 0.
+    # anchor 10 at 30s: no c0b ever follows, only branch1 completes.
+    rows = [
+        # (eid, ts_ms, c0a, c0b, c1a, c1b)
+        (1, 0, True, False, True, False),
+        (2, 10_000, False, False, False, True),
+        (3, 20_000, False, True, False, False),
+        (10, 30_000, True, False, True, False),
+        (4, 31_000, False, False, False, True),
+    ]
+
+    def mk(batch):
+        return pd.DataFrame([
+            {"event_id": e, "ts": pd.Timestamp(ms, unit="ms"),
+             "c0a": a, "c0b": b, "c1a": c, "c1b": d_}
+            for e, ms, a, b, c, d_ in batch
+        ])
+
+    st = St()
+    got = []
+
+    def drain(gen):
+        for f in gen:
+            for r in f.itertuples(index=False):
+                got.append((int(r.anchor_id), int(r._1)))
+
+    drain(det((1,), iter([mk(rows)]), st))
+    # wm still 0: nothing final
+    assert got == []
+    # wm past anchor 1's horizon only: branch 0 wins despite branch 1
+    # completing first
+    st._wm = 62_000
+    drain(det((1,), iter([mk([(99, 62_000, False, False, False, False)])]), st))
+    assert sorted(got) == [(1, 0)]
+    # wm past anchor 10's horizon: only branch 1 completed there
+    st._wm = 95_000
+    st.hasTimedOut = True
+    drain(det((1,), iter([]), st))
+    assert sorted(got) == [(1, 0), (10, 1)]
+    # exactly-once: another timer fire emits nothing new
+    drain(det((1,), iter([]), st))
+    assert sorted(got) == [(1, 0), (10, 1)]

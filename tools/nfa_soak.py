@@ -1761,6 +1761,151 @@ def soak_enum(n_cases, cases_per_spec=100):
     return fails
 
 
+def soak_pref(n_cases):
+    """Preference-fold fused soak (round 9): ``make_preference_fused``
+    — B HETEROGENEOUS plain-chain NFAs (per-branch slot mappings over a
+    shared flag set, per-branch withins) + the watermark-final
+    min-branch fold — driven over random micro-batch splits with
+    mid-stream timer firings. Reference: per-branch ``brute_chain``
+    matched rows, per-anchor min branch, anchors final once
+    ``t1 + horizon < final_wm`` strictly (the fold's decidability
+    contract — the streaming alternation/PERMUTE MATCH_RECOGNIZE
+    route's engine)."""
+    import pandas as pd
+
+    from test_properties_round5 import _FakeState, brute_chain
+    from flink_uba_spark.streaming.pattern import (
+        STATE_SCHEMA,
+        make_pattern_matcher,
+        make_preference_fused,
+    )
+
+    t0, fails = time.time(), 0
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 17480761 + 29)
+        nslots = rnd.randint(3, 5)
+        n = rnd.randint(2, 4)
+        B = rnd.randint(2, 4)
+        branch_slots = [
+            [rnd.randrange(nslots) for _ in range(n)] for _ in range(B)
+        ]
+        # MS-scale timestamps (+ sub-ms tail offsets): the fold's
+        # decidability gate compares against the ms-floored watermark,
+        # so a µs-scale case would never advance it (vacuous pass)
+        branch_withins = [
+            [None] + [rnd.randint(2, 60) * 1000 for _ in range(n - 1)]
+            for _ in range(B)
+        ]
+        horizon = max(sum(ws[1:]) for ws in branch_withins)
+        events = [
+            (i, rnd.randint(0, 120) * 1000 + rnd.randint(0, 3),
+             rnd.getrandbits(nslots) if rnd.random() < 0.92 else 0)
+            for i in range(rnd.randint(0, 26))
+        ]
+        cuts = sorted({rnd.randint(1, 200) * 1000
+                       for _ in range(rnd.randint(0, 4))})
+
+        built = []
+        for bi in range(B):
+            det = make_pattern_matcher(
+                [f"s{j}" for j in range(1, n + 1)],
+                list(branch_withins[bi]),
+                kleenes=[None] * n,
+            )
+
+            def project(frame, _bi=bi):
+                f = frame[frame["state"] == "matched"]
+                f = f[["user_id", "anchor_id"]
+                      + [f"t{k}" for k in range(1, n + 1)]].copy()
+                f["__branch"] = _bi
+                return f
+
+            built.append(
+                (det, [f"c{s}" for s in branch_slots[bi]], project)
+            )
+        detect = make_preference_fused(
+            built, len(STATE_SCHEMA.fields), n, horizon
+        )
+        state = _FakeState()
+        got = []
+
+        def drain(gen):
+            for f in gen:
+                for r in f.itertuples(index=False):
+                    def us(v):
+                        t = pd.Timestamp(v)
+                        return None if pd.isna(t) else t.value // 1000
+                    got.append((
+                        int(r.anchor_id), int(r._1),
+                        tuple(us(getattr(r, f"t{k}")) for k in range(1, n + 1)),
+                    ))
+
+        lo, wm = -1, 0
+        for hi in cuts + [10 ** 9]:
+            batch = [e for e in events if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            state._wm = wm
+            pdf = pd.DataFrame(
+                [
+                    {
+                        "event_id": eid,
+                        "ts": pd.Timestamp(ts, unit="us"),
+                        **{f"c{j}": bool(m >> j & 1) for j in range(nslots)},
+                    }
+                    for eid, ts, m in batch
+                ]
+            )
+            state.hasTimedOut = False
+            drain(detect((1,), iter([pdf]), state))
+            wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
+            for _ in range(8):
+                if state._v is None or state.timeout_set is None or state.timeout_set >= wm:
+                    break
+                state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+                drain(detect((1,), iter([]), state))
+            state.hasTimedOut = False
+        if events and state._v is not None:
+            state._wm = max(ts for _, ts, _ in events) // 1000
+            state.hasTimedOut = True
+            drain(detect((1,), iter([]), state))
+        wm_final = max((ts for _, ts, _ in events), default=0) // 1000
+
+        per_anchor = {}
+        for bi in range(B):
+            bev = [
+                (eid, ts,
+                 sum(((m >> branch_slots[bi][k]) & 1) << k for k in range(n)))
+                for eid, ts, m in events
+            ]
+            for aid, key, st in brute_chain(
+                bev, [(w, None) for w in branch_withins[bi]],
+                final_wm_ms=wm_final,
+            ):
+                if st != "matched":
+                    continue
+                t1 = key[0]
+                if t1 + horizon >= wm_final * 1000:
+                    continue
+                cur = per_anchor.get(aid)
+                if cur is None or bi < cur[0]:
+                    per_anchor[aid] = (bi, key)
+        want = sorted(
+            (aid, bi, tuple(key)) for aid, (bi, key) in per_anchor.items()
+        )
+        if sorted(got) != want:
+            fails += 1
+            print(f"MISMATCH seed={seed} n={n} B={B} slots={branch_slots} "
+                  f"withins={branch_withins} events={events} cuts={cuts}")
+            if fails > 5:
+                break
+        if (seed + 1) % 2000 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} pref cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     defaults = {
@@ -1782,6 +1927,7 @@ def main() -> int:
         "budget": 1000,
         "budget-stream": 10000,
         "enum": 1000,
+        "pref": 3000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
@@ -1798,6 +1944,8 @@ def main() -> int:
         return 1 if soak_reluctant(n) else 0
     if mode == "enum":
         return 1 if soak_enum(n) else 0
+    if mode == "pref":
+        return 1 if soak_pref(n) else 0
     if mode == "comb":
         return 1 if soak_combinations(n) else 0
     if mode == "group":
