@@ -1140,6 +1140,60 @@ def _stream_alternation(
     return out
 
 
+def _stream_skip_to(
+    events, partition_by, order_by, parsed, define, wmap, default_within,
+    measures, event_id, skip_step,
+):
+    """Streaming SKIP TO FIRST/LAST (round 9): plain-chain candidates +
+    the ≥-horizon replay, watermark-driven (see
+    streaming/skip_replay.py for the decidability contract)."""
+    from flink_uba_spark.streaming.skip_replay import (
+        stream_chain_skip_to_detect,
+    )
+
+    steps, _ = _steps_and_sets(parsed, define, wmap, default_within)
+    out = stream_chain_skip_to_detect(
+        events, key=partition_by, steps=steps, skip_step=skip_step,
+        event_id=event_id, ts=order_by,
+    )
+    if partition_by != "user_id":
+        out = out.withColumnRenamed("user_id", partition_by)
+    out = _rename(out, parsed)
+    return _measures(out, partition_by, measures)
+
+
+def _stream_reluctant_lazy(
+    events, partition_by, order_by, parsed, define, wmap, default_within,
+    measures, event_id,
+):
+    """Streaming lazy SKIP PAST LAST (round 9): per-count candidates +
+    the earliest-completion preference + the non-overlap horizon replay
+    (see streaming/skip_replay.py)."""
+    from flink_uba_spark.streaming.skip_replay import (
+        stream_reluctant_lazy_detect,
+    )
+
+    v1, v2, v3 = (parsed[0][0], parsed[1][0], parsed[2][0])
+    q = parsed[1][1]
+    gap = wmap.get(v2, default_within)
+    sfx = wmap.get(v3, default_within)
+    if gap is None or sfx is None:
+        raise ValueError(
+            "the streaming lazy fold needs finite withins on the run "
+            "and suffix transitions (they bound the replay horizon)"
+        )
+    out = stream_reluctant_lazy_detect(
+        events, key=partition_by,
+        anchor=define[v1], run=define[v2], suffix=define[v3],
+        gap=gap, suffix_within=sfx, mn=int(q[1]), mx=int(q[2]),
+        event_id=event_id, ts=order_by,
+    )
+    if partition_by != "user_id":
+        out = out.withColumnRenamed("user_id", partition_by)
+    out = _rename(out, parsed)
+    return _measures(out, partition_by, measures)
+
+
 def stream_match_recognize(
     events: DataFrame,
     partition_by: str,
@@ -1155,18 +1209,27 @@ def stream_match_recognize(
     """The same spec as a continuous query (``stream_pattern_detect``).
     The streaming skip fold supports plain chains (the NFA's documented
     bound); quantified patterns stream under ``no_skip``. A RELUCTANT
-    quantifier streams under ``no_skip`` too (round 8): the per-count
-    NFAs compile into ONE packed stateful operator
-    (``stream_pattern_detect_fused`` — Flink's shared version tree, one
-    source scan), emitting one row per admissible count — Flink CEP's
-    multi-match; the batch SKIP PAST LAST lazy fold stays batch-only.
-    Alternation/PERMUTE/iter_define/SKIP TO remain batch-only on this
-    front-end — their streaming engines exist (streaming/pattern.py)
-    but are reached via the Pattern API."""
+    quantifier streams under ``no_skip`` (round 8: the per-count NFAs
+    compile into ONE packed stateful operator,
+    ``stream_pattern_detect_fused``) AND — round 9 — under the SQL
+    default ``SKIP PAST LAST ROW`` on the 3-variable shape: the lazy
+    preference + non-overlap horizon replay runs watermark-driven
+    (``stream_reluctant_lazy_detect``). ``SKIP TO FIRST/LAST <var>``
+    streams on plain chains (round 9, ``stream_chain_skip_to_detect``)
+    with every within finite — the within sum is the replay horizon.
+    Alternation/PERMUTE stream under NO SKIP via the preference-folded
+    fused operator (round 9); iter_define remains batch-only on this
+    front-end (its streaming engine is reached via the Pattern API)."""
     from flink_uba_spark.streaming.pattern import stream_pattern_detect
 
-    if after_match not in ("skip_past_last", "no_skip"):
-        raise ValueError("AFTER MATCH: skip_past_last | no_skip")
+    if after_match not in ("skip_past_last", "no_skip") and not (
+        len(after_match.split()) == 2
+        and after_match.split()[0] in ("skip_to_first", "skip_to_last")
+    ):
+        raise ValueError(
+            "AFTER MATCH: skip_past_last | no_skip | 'skip_to_first V' | "
+            "'skip_to_last V'"
+        )
     _p, a_start, a_end = strip_anchors(pattern)
     if a_start or a_end:
         raise ValueError(
@@ -1199,19 +1262,50 @@ def stream_match_recognize(
             events, partition_by, order_by, parsed, define,
             dict(withins or {}), default_within, measures, event_id,
         )
+    mode, skip_step = _parse_after_match(after_match, parsed)
     rel = {
         k for k, (_v, q) in enumerate(parsed, start=1)
         if q is not None and q[0] == "reluctant"
     }
     if rel:
-        if after_match != "no_skip":
+        if mode == "skip_past_last":
+            # round 9: the lazy fold streams on the 3-variable shape
+            # with a finite cap (stream_reluctant_lazy_detect)
+            q2 = parsed[1][1] if len(parsed) == 3 else None
+            if (
+                len(parsed) != 3 or rel != {2}
+                or parsed[0][1] is not None or parsed[2][1] is not None
+                or any(isinstance(v, tuple) for v, _ in parsed)
+                or q2[2] is None
+            ):
+                raise ValueError(
+                    "the streaming lazy SKIP PAST LAST fold takes the "
+                    "3-variable shape anchor B{mn,mx}? suffix with a "
+                    "finite cap (the cap bounds the replay horizon)"
+                )
+            return _stream_reluctant_lazy(
+                events, partition_by, order_by, parsed, define,
+                dict(withins or {}), default_within, measures, event_id,
+            )
+        if mode != "no_skip":
             raise ValueError(
                 "a reluctant quantifier streams under NO SKIP (per-count "
-                "multi-match); the lazy SKIP PAST LAST fold is batch-only"
+                "multi-match) or SKIP PAST LAST (the lazy fold)"
             )
         return _stream_reluctant(
             events, partition_by, order_by, parsed, define,
             dict(withins or {}), default_within, measures, event_id, rel,
+        )
+    if mode == "skip_to":
+        if any(q is not None for _v, q in parsed):
+            raise ValueError(
+                "streaming SKIP TO FIRST/LAST runs on plain chains (each "
+                "variable binds exactly one event, so FIRST ≡ LAST)"
+            )
+        return _stream_skip_to(
+            events, partition_by, order_by, parsed, define,
+            dict(withins or {}), default_within, measures, event_id,
+            skip_step,
         )
     steps, optional = _steps_and_sets(
         parsed, define, dict(withins or {}), default_within

@@ -3090,6 +3090,93 @@ WHERE pr = 1
 """
 
 
+def stream_match_recognize_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``AFTER MATCH SKIP TO FIRST C`` (round 9 — a lifted
+    batch-only route): ``PATTERN (S C P)`` with the ≥-horizon replay as
+    a continuous query. Candidates replay in completion order; a
+    candidate's replay prefix is final once the watermark strictly
+    passes ``P_ts + 30 h`` (the within sum — any yet-unknown candidate
+    completes later than that). Oracle: the batch SKIP TO FIRST output
+    under the same cut."""
+    from flink_uba_spark.operators.match_recognize import (
+        stream_match_recognize,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = stream_match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S C P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_to_first C",
+    )
+    return run_to_table(out)
+
+
+def _stream_mr_skip_to_first_oracle() -> str:
+    from flink_uba_spark.queries.rowpattern import (
+        MATCH_RECOGNIZE_SKIP_TO_FIRST_ORACLE,
+    )
+
+    h_us = 30 * 3600 * 1_000_000
+    return f"""
+SELECT b.* FROM ({MATCH_RECOGNIZE_SKIP_TO_FIRST_ORACLE}) b
+WHERE epoch_us(b.P_ts) + {h_us} <
+      (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+       WHERE event_type IN ('signup', 'click', 'purchase'))
+"""
+
+
+def stream_match_recognize_reluctant_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lazy reluctant under ``SKIP PAST LAST ROW`` (round 9 —
+    the other lifted batch-only route): ``PATTERN (S E{1,3}? P)`` as a
+    continuous query — per-count candidates re-derived over the buffer,
+    the earliest-completion (ties → smaller count) preference per
+    anchor, then the non-overlap horizon replay, all watermark-driven.
+    A candidate is final once the watermark strictly passes ``P_ts +
+    60 h`` (cap·gap + suffix within). Oracle: the batch lazy fold under
+    the same cut."""
+    from flink_uba_spark.operators.match_recognize import (
+        stream_match_recognize,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = stream_match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S E{1,3}? P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_past_last",
+    )
+    return run_to_table(out)
+
+
+def _stream_mr_reluctant_lazy_oracle() -> str:
+    from flink_uba_spark.queries.rowpattern import (
+        MATCH_RECOGNIZE_RELUCTANT_LAZY_ORACLE,
+    )
+
+    h_us = 60 * 3600 * 1_000_000
+    return f"""
+SELECT b.* FROM ({MATCH_RECOGNIZE_RELUCTANT_LAZY_ORACLE}) b
+WHERE epoch_us(b.P_ts) + {h_us} <
+      (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+       WHERE event_type IN ('signup', 'error', 'purchase'))
+"""
+
+
 def stream_match_recognize_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reluctant MATCH_RECOGNIZE spec as a continuous query (round
     8): ``PATTERN (S E{1,3}? P) AFTER MATCH NO SKIP`` through the
@@ -3150,6 +3237,8 @@ QUERIES = {
     "stream_purchase_window_stats": stream_purchase_window_stats,
     "stream_match_recognize_alternation": stream_match_recognize_alternation,
     "stream_match_recognize_permute": stream_match_recognize_permute,
+    "stream_match_recognize_skip_to_first": stream_match_recognize_skip_to_first,
+    "stream_match_recognize_reluctant_lazy": stream_match_recognize_reluctant_lazy,
     "stream_match_recognize_reluctant": stream_match_recognize_reluctant,
     "stream_pattern_budget_error_run": stream_pattern_budget_error_run,
     "stream_match_recognize_error_streak": stream_match_recognize_error_streak,
@@ -3219,6 +3308,8 @@ ORACLES = {
     "stream_purchase_window_stats": STREAM_PURCHASE_WINDOW_STATS_ORACLE,
     "stream_match_recognize_alternation": STREAM_MATCH_RECOGNIZE_ALTERNATION_ORACLE,
     "stream_match_recognize_permute": STREAM_MATCH_RECOGNIZE_PERMUTE_ORACLE,
+    "stream_match_recognize_skip_to_first": _stream_mr_skip_to_first_oracle(),
+    "stream_match_recognize_reluctant_lazy": _stream_mr_reluctant_lazy_oracle(),
     "stream_match_recognize_reluctant": _stream_match_recognize_reluctant_oracle(),
     "stream_pattern_budget_error_run": _stream_pattern_budget_oracle(),
     "stream_match_recognize_error_streak": STREAM_MATCH_RECOGNIZE_STREAK_ORACLE,

@@ -1,0 +1,462 @@
+"""Watermark-driven AFTER MATCH skip replays as continuous queries
+(round 9) — the two batch-only MATCH_RECOGNIZE routes lifted:
+
+- ``stream_chain_skip_to_detect``: plain chains under ``SKIP TO
+  FIRST/LAST <var>`` — Flink's AfterMatchSkipStrategy.SKIP_TO_FIRST /
+  SKIP_TO_LAST (one event binds per variable on a plain chain, so
+  FIRST ≡ LAST), the streaming twin of
+  ``operators/sequence.py:after_match_skip_to_first`` over the chain
+  engine's skip-till-next candidates;
+- ``stream_reluctant_lazy_detect``: the reluctant lazy fold under
+  ``SKIP PAST LAST ROW`` — per anchor the candidate completing EARLIEST
+  (ties to the smaller repetition count) wins, then the non-overlap
+  horizon replay — the streaming twin of
+  ``match_recognize_reluctant_lazy``'s batch compile.
+
+Both use the recompute-over-buffer pattern (the budget-run twin's
+construction): per key, buffer the classified rows inside the
+reachability horizon and re-derive the candidates VECTORIZED-ish on
+every invoke; the skip replay itself is then a SEQUENTIAL horizon walk
+that must observe candidates in completion order — the part that makes
+these folds non-trivial on a stream. Decidability: every MATCHED
+candidate satisfies ``end ≤ t1 + H`` (H = the spec's total within
+budget: Σ withins for the chain, ``max_reps·gap + suffix_within`` for
+the lazy run), and any future anchor has ``t1 ≥ wm − H`` — so once
+``end + H < wm`` STRICTLY, no yet-unknown candidate can precede
+``end`` in completion order and the replay prefix is final. State
+beyond the row buffer is three scalars: the skip horizon pair and the
+last-processed completion key (exactly-once: re-derived candidates at
+or before it are skipped). Rows evict at ``ts < wm − 2H`` — processed
+candidates reach back at most H from their end, ends still pending are
+above ``wm − H``, and run/availability lookups are FORWARD-only from
+the entry, so truncation never changes a pending candidate.
+
+Scale: one keyed exchange, per-key state = row density × 2H, per
+invoke O(buffer log buffer + candidates); the replay loop is
+candidate-sized. Reference: Flink CEP AfterMatchSkipStrategy
+(SKIP_TO_FIRST/SKIP_TO_LAST/SKIP_PAST_LAST_EVENT), the Pattern API
+family of OrderPayTimeout.java:52-64.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NULL = -(1 << 62)
+
+SKIP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("mask", T.ArrayType(T.LongType())),
+        # [h_ts, h_id, lp_end_ts, lp_end_id, lp_t1, lp_anchor]
+        T.StructField("ctrl", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def chain_skip_output_schema(n_steps: int) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("anchor_id", T.LongType()),
+            *[
+                T.StructField(f"t{k}", T.TimestampType())
+                for k in range(1, n_steps + 1)
+            ],
+            T.StructField("end_id", T.LongType()),
+        ]
+    )
+
+
+LAZY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("anchor_id", T.LongType()),
+        T.StructField("t1", T.TimestampType()),
+        T.StructField("t2", T.TimestampType()),
+        T.StructField("t2_last", T.TimestampType()),
+        T.StructField("n2", T.LongType()),
+        T.StructField("t3", T.TimestampType()),
+        T.StructField("end_id", T.LongType()),
+    ]
+)
+
+
+def _order_and_pos(ts, ids, mask, n_flags):
+    """(ts, rank, id) total order (rank = earliest set flag's 2k−1 slot)
+    → sorted arrays + positions."""
+    rank = np.full(len(ts), 2 * n_flags + 1, dtype="int64")
+    for k in range(n_flags, 0, -1):
+        rank = np.where((mask >> (k - 1)) & 1 == 1, 2 * k - 1, rank)
+    order = np.lexsort((ids, rank, ts))
+    return ts[order], ids[order], mask[order], rank[order]
+
+
+def _bind_next(st_ts, st_id, st_pos, prev_ts, prev_pos):
+    """Earliest (ts, id) row strictly after position prev_pos; −1 if
+    none. Linear only over the prev_ts tie group (the engine family's
+    min-of-struct over the strictly-after frame)."""
+    j = int(np.searchsorted(st_ts, prev_ts, side="left"))
+    while j < len(st_ts) and st_ts[j] == prev_ts:
+        if st_pos[j] > prev_pos:
+            return j
+        j += 1
+    return j if j < len(st_ts) else -1
+
+
+def make_chain_skip_replayer(n: int, withins_us: list, skip_step: int,
+                             h_us: int):
+    """Plain-chain skip-till-next candidates + the SKIP TO FIRST/LAST
+    horizon replay (see module docstring). ``withins_us[k-1]`` bounds
+    the transition INTO step k (entry None); all must be finite past the
+    first — their sum is the decidability horizon ``h_us``."""
+
+    def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        timed_out = getattr(state, "hasTimedOut", False)
+        chunks = [] if timed_out else [c for c in pdfs if len(c)]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if state.exists:
+            ts, ids, mask, ctrl = (
+                np.asarray(f, dtype="int64") for f in state.get
+            )
+            ctrl = list(ctrl)
+        else:
+            ts = ids = mask = np.empty(0, dtype="int64")
+            ctrl = [_NULL] * 6
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            ts = np.concatenate(
+                [ts, pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()]
+            )
+            ids = np.concatenate([ids, pdf["event_id"].to_numpy().astype("int64")])
+            m = np.zeros(len(pdf), dtype="int64")
+            for k in range(1, n + 1):
+                m |= pdf[f"f{k}"].to_numpy().astype("int64") << (k - 1)
+            mask = np.concatenate([mask, m])
+
+        out = None
+        if len(ts):
+            s_ts, s_id, s_mask, _rank = _order_and_pos(ts, ids, mask, n)
+            pos = np.arange(len(s_ts))
+            legs = []
+            for k in range(1, n + 1):
+                sel = np.nonzero((s_mask >> (k - 1)) & 1)[0]
+                sel = sel[np.lexsort((s_id[sel], s_ts[sel]))]
+                legs.append((s_ts[sel], s_id[sel], pos[sel]))
+            cands = []
+            a_ts, a_id, a_pos = legs[0]
+            for ai in range(len(a_ts)):
+                chain_ts, chain_id = [int(a_ts[ai])], [int(a_id[ai])]
+                p_ts, p_pos = int(a_ts[ai]), int(a_pos[ai])
+                ok = True
+                for k in range(2, n + 1):
+                    lt, li, lp = legs[k - 1]
+                    j = _bind_next(lt, li, lp, p_ts, p_pos)
+                    if j < 0:
+                        ok = False
+                        break
+                    chain_ts.append(int(lt[j]))
+                    chain_id.append(int(li[j]))
+                    p_ts, p_pos = int(lt[j]), int(lp[j])
+                    if (
+                        withins_us[k - 1] is not None
+                        and chain_ts[-1] > chain_ts[-2] + withins_us[k - 1]
+                    ):
+                        ok = False  # matched_late never emits under skip
+                        break
+                if ok:
+                    cands.append((chain_ts, chain_id))
+            # completion-order replay over the decidable prefix
+            cands.sort(
+                key=lambda c: (c[0][n - 1], c[1][n - 1], c[0][0], c[1][0])
+            )
+            rows = []
+            h_ts, h_id = ctrl[0], ctrl[1]
+            lp = tuple(ctrl[2:6])
+            for chain_ts, chain_id in cands:
+                ckey = (chain_ts[n - 1], chain_id[n - 1],
+                        chain_ts[0], chain_id[0])
+                if chain_ts[n - 1] + h_us >= wm_us:
+                    break
+                if lp[0] != _NULL and ckey <= lp:
+                    continue
+                lp = ckey
+                if (h_ts == _NULL
+                        or (chain_ts[0], chain_id[0]) >= (h_ts, h_id)):
+                    rows.append(
+                        {
+                            "user_id": key[0],
+                            "anchor_id": chain_id[0],
+                            **{
+                                f"t{k}": chain_ts[k - 1]
+                                for k in range(1, n + 1)
+                            },
+                            "end_id": chain_id[n - 1],
+                        }
+                    )
+                    sp = (chain_ts[skip_step - 1], chain_id[skip_step - 1])
+                    if h_ts == _NULL or sp > (h_ts, h_id):
+                        h_ts, h_id = sp
+            ctrl = [h_ts, h_id, *lp] if lp[0] != _NULL else [h_ts, h_id] + [_NULL] * 4
+            if rows:
+                out = pd.DataFrame(rows)
+                for k in range(1, n + 1):
+                    out[f"t{k}"] = pd.to_datetime(out[f"t{k}"], unit="us")
+            keep = s_ts >= wm_us - 2 * h_us
+            ts, ids, mask = s_ts[keep], s_id[keep], s_mask[keep]
+
+        if len(ts) or ctrl[0] != _NULL or ctrl[2] != _NULL:
+            state.update(
+                (ts.tolist(), ids.tolist(), mask.tolist(),
+                 [int(x) for x in ctrl])
+            )
+            if len(ts):
+                state.setTimeoutTimestamp(wm_us // 1000 + 1)
+        elif state.exists:
+            state.remove()
+        if out is not None:
+            yield out
+
+    return detect
+
+
+def make_lazy_reluctant_replayer(gap_us: int, sfx_us: int | None,
+                                 mn: int, mx: int, h_us: int):
+    """Reluctant per-count candidates + the lazy preference + the SKIP
+    PAST LAST horizon replay (see module docstring). Flags: bit0 anchor,
+    bit1 run, bit2 suffix."""
+
+    def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        timed_out = getattr(state, "hasTimedOut", False)
+        chunks = [] if timed_out else [c for c in pdfs if len(c)]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if state.exists:
+            ts, ids, mask, ctrl = (
+                np.asarray(f, dtype="int64") for f in state.get
+            )
+            ctrl = list(ctrl)
+        else:
+            ts = ids = mask = np.empty(0, dtype="int64")
+            ctrl = [_NULL] * 6
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            ts = np.concatenate(
+                [ts, pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()]
+            )
+            ids = np.concatenate([ids, pdf["event_id"].to_numpy().astype("int64")])
+            m = np.zeros(len(pdf), dtype="int64")
+            for k in range(1, 4):
+                m |= pdf[f"f{k}"].to_numpy().astype("int64") << (k - 1)
+            mask = np.concatenate([mask, m])
+
+        out = None
+        if len(ts):
+            s_ts, s_id, s_mask, _rank = _order_and_pos(ts, ids, mask, 3)
+            pos = np.arange(len(s_ts))
+            # run rows in (ts, id) order + forward availability
+            r_sel = np.nonzero((s_mask >> 1) & 1)[0]
+            r_sel = r_sel[np.lexsort((s_id[r_sel], s_ts[r_sel]))]
+            r_ts, r_id, r_pos = s_ts[r_sel], s_id[r_sel], pos[r_sel]
+            nR = len(r_sel)
+            if nR:
+                new_sess = np.empty(nR, dtype=bool)
+                new_sess[0] = True
+                new_sess[1:] = r_ts[1:] > r_ts[:-1] + gap_us
+                starts = np.nonzero(new_sess)[0]
+                ends = np.append(starts[1:], nR)
+                sess_end = np.empty(nR, dtype="int64")
+                for si in range(len(starts)):
+                    sess_end[starts[si]:ends[si]] = ends[si]
+                avail = sess_end - np.arange(nR)
+            else:
+                avail = np.empty(0, dtype="int64")
+            x_sel = np.nonzero((s_mask >> 2) & 1)[0]
+            x_sel = x_sel[np.lexsort((s_id[x_sel], s_ts[x_sel]))]
+            x_ts, x_id, x_pos = s_ts[x_sel], s_id[x_sel], pos[x_sel]
+            a_sel = np.nonzero(s_mask & 1)[0]
+
+            prefs = []
+            for ai in a_sel:
+                t1, i1, p1 = int(s_ts[ai]), int(s_id[ai]), int(pos[ai])
+                best = None
+                for m_ in range(mn, mx + 1):
+                    # earliest (ts, id) entry strictly after the anchor
+                    # with >= m_ forward repetitions
+                    j = int(np.searchsorted(r_ts, t1, side="left"))
+                    ent = -1
+                    while j < nR:
+                        if avail[j] >= m_ and r_pos[j] > p1:
+                            ent = j
+                            break
+                        j += 1
+                    if ent < 0:
+                        continue
+                    t2 = int(r_ts[ent])
+                    last = ent + m_ - 1
+                    t2l, lr_pos = int(r_ts[last]), int(r_pos[last])
+                    sj = _bind_next(x_ts, x_id, x_pos, t2l, lr_pos)
+                    if sj < 0:
+                        continue
+                    t3, i3 = int(x_ts[sj]), int(x_id[sj])
+                    if t2 > t1 + gap_us:
+                        continue  # matched_late never emits under skip
+                    if sfx_us is not None and t3 > t2l + sfx_us:
+                        continue
+                    cand = (t3, i3, m_, t2, t2l)
+                    if best is None or cand < best:
+                        best = cand  # lazy: earliest completion, then m
+                if best is not None:
+                    prefs.append((t1, i1, best))
+            prefs.sort(key=lambda p: (p[2][0], p[2][1], p[0], p[1]))
+            rows = []
+            h_ts, h_id = ctrl[0], ctrl[1]
+            lp = tuple(ctrl[2:6])
+            for t1, i1, (t3, i3, m_, t2, t2l) in prefs:
+                if t3 + h_us >= wm_us:
+                    break
+                ckey = (t3, i3, t1, i1)
+                if lp[0] != _NULL and ckey <= lp:
+                    continue
+                lp = ckey
+                if h_ts == _NULL or (t1, i1) > (h_ts, h_id):
+                    rows.append(
+                        {
+                            "user_id": key[0], "anchor_id": i1,
+                            "t1": t1, "t2": t2, "t2_last": t2l,
+                            "n2": m_, "t3": t3, "end_id": i3,
+                        }
+                    )
+                    h_ts, h_id = t3, i3
+            ctrl = [h_ts, h_id, *lp] if lp[0] != _NULL else [h_ts, h_id] + [_NULL] * 4
+            if rows:
+                out = pd.DataFrame(rows)
+                for c in ("t1", "t2", "t2_last", "t3"):
+                    out[c] = pd.to_datetime(out[c], unit="us")
+            keep = s_ts >= wm_us - 2 * h_us
+            ts, ids, mask = s_ts[keep], s_id[keep], s_mask[keep]
+
+        if len(ts) or ctrl[0] != _NULL or ctrl[2] != _NULL:
+            state.update(
+                (ts.tolist(), ids.tolist(), mask.tolist(),
+                 [int(x) for x in ctrl])
+            )
+            if len(ts):
+                state.setTimeoutTimestamp(wm_us // 1000 + 1)
+        elif state.exists:
+            state.remove()
+        if out is not None:
+            yield out
+
+    return detect
+
+
+def _wire(events, key, flag_cols, event_id, ts, watermark_delay):
+    any_f = None
+    for c in flag_cols.values():
+        any_f = c if any_f is None else (any_f | c)
+    named = {nm: F.coalesce(c, F.lit(False)).alias(nm)
+             for nm, c in flag_cols.items()}
+    return (
+        events.filter(any_f)
+        .withColumns(named)
+        .select(
+            F.col(event_id).alias("event_id"),
+            F.col(ts).alias("ts"),
+            F.col(key).alias("user_id"),
+            *named.keys(),
+        )
+        .withWatermark("ts", watermark_delay)
+    )
+
+
+def stream_chain_skip_to_detect(
+    events: DataFrame,
+    key: str,
+    steps: list[tuple[Column, str | None]],
+    skip_step: int,
+    event_id: str = "event_id",
+    ts: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Wire the SKIP TO FIRST/LAST replay over a streaming frame (plain
+    chains; every within after the first MANDATORY — their sum is the
+    emission horizon)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flink_uba_spark.streaming.pattern import _interval_us
+
+    n = len(steps)
+    if n < 2:
+        raise ValueError("need at least 2 steps")
+    if not 2 <= skip_step <= n:
+        raise ValueError(f"skip_step must be in [2, {n}]")
+    withins_us = [None] + [
+        None if s[1] is None else _interval_us(s[1]) for s in steps[1:]
+    ]
+    if any(w is None for w in withins_us[1:]):
+        raise ValueError(
+            "the streaming skip replay needs a FINITE within on every "
+            "transition (their sum bounds when a candidate's replay "
+            "prefix is final)"
+        )
+    h_us = sum(withins_us[1:])
+    flags = {f"f{k}": s[0].cast("boolean") for k, s in enumerate(steps, 1)}
+    filtered = _wire(events, key, flags, event_id, ts, watermark_delay)
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        make_chain_skip_replayer(n, withins_us, skip_step, h_us),
+        chain_skip_output_schema(n),
+        SKIP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_reluctant_lazy_detect(
+    events: DataFrame,
+    key: str,
+    anchor: Column,
+    run: Column,
+    suffix: Column,
+    gap: str,
+    suffix_within: str,
+    mn: int,
+    mx: int,
+    event_id: str = "event_id",
+    ts: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Wire the lazy-reluctant SKIP PAST LAST replay over a streaming
+    frame (anchor → run{mn,mx}? → suffix; finite cap mandatory — the
+    horizon is ``mx·gap + suffix_within``)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flink_uba_spark.streaming.pattern import _interval_us
+
+    if mn < 1 or mx < mn:
+        raise ValueError("need 1 <= mn <= mx")
+    gap_us = _interval_us(gap)
+    sfx_us = _interval_us(suffix_within)
+    h_us = mx * gap_us + sfx_us
+    flags = {
+        "f1": anchor.cast("boolean"),
+        "f2": run.cast("boolean"),
+        "f3": suffix.cast("boolean"),
+    }
+    filtered = _wire(events, key, flags, event_id, ts, watermark_delay)
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        make_lazy_reluctant_replayer(gap_us, sfx_us, mn, mx, h_us),
+        LAZY_OUTPUT_SCHEMA,
+        SKIP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -368,3 +368,146 @@ def test_over_agg_recovers_from_checkpoint(spark, sf_dir):
         got[c].sort_values(c).reset_index(drop=True)
         .equals(want[c].sort_values(c).reset_index(drop=True))
     )
+
+
+def _crash_recover_compare(spark, events, build, out_prefix):
+    """Run a stateful streaming build crash/recover vs uninterrupted and
+    return (got, want) pandas frames (shared round-9 harness)."""
+    mid = events.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    b0 = events.filter(F.unix_micros("ts") <= mid)
+    b1 = events.filter(F.unix_micros("ts") > mid)
+    replay = write_replay([b0, b1], tag=f"recov_{out_prefix}_{uuid.uuid4().hex[:8]}")
+
+    def run_to_dir(ckpt, out_dir, hide_second):
+        second = Path(replay) / "01.parquet"
+        hidden = Path(replay).parent / (Path(replay).name + "_h01")
+        if hide_second:
+            second.rename(hidden)
+        try:
+            sdf = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(replay)
+            )
+            q = (
+                build(sdf)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if hide_second:
+                hidden.rename(second)
+
+    ckpt = str(Path(tempfile.mkdtemp(prefix=f"sg_ckpt_{out_prefix}_")))
+    out_dir = str(Path(tempfile.mkdtemp(prefix=f"sg_out_{out_prefix}_")))
+    run_to_dir(ckpt, out_dir, hide_second=True)
+    run_to_dir(ckpt, out_dir, hide_second=False)
+    ckpt2 = str(Path(tempfile.mkdtemp(prefix=f"sg_ckpt2_{out_prefix}_")))
+    out2 = str(Path(tempfile.mkdtemp(prefix=f"sg_out2_{out_prefix}_")))
+    run_to_dir(ckpt2, out2, hide_second=False)
+    return spark.read.parquet(out_dir).toPandas(), spark.read.parquet(out2).toPandas()
+
+
+def test_skip_to_replayer_recovers_from_checkpoint(spark, sf_dir):
+    """The skip-to replay's buffer + horizon + last-processed key must
+    round-trip the state store (round 9): crash/recover equals
+    uninterrupted, exactly-once per anchor."""
+    from flink_uba_spark.streaming.skip_replay import (
+        stream_chain_skip_to_detect,
+    )
+
+    events = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    def build(sdf):
+        return stream_chain_skip_to_detect(
+            sdf, key="user_id",
+            steps=[
+                (F.col("event_type") == "signup", None),
+                (F.col("event_type") == "click", "INTERVAL 6 HOURS"),
+                (F.col("event_type") == "purchase", "INTERVAL 24 HOURS"),
+            ],
+            skip_step=2,
+        )
+
+    got, want = _crash_recover_compare(spark, events, build, "skipto")
+    assert len(want) > 0
+    assert got["anchor_id"].is_unique
+    c = sorted(want.columns)
+    assert (
+        got[c].sort_values(c).reset_index(drop=True)
+        .equals(want[c].sort_values(c).reset_index(drop=True))
+    )
+
+
+def test_lazy_replayer_recovers_from_checkpoint(spark, sf_dir):
+    """The lazy-reluctant replay's state must round-trip the state
+    store (round 9), exactly-once per anchor."""
+    from flink_uba_spark.streaming.skip_replay import (
+        stream_reluctant_lazy_detect,
+    )
+
+    events = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    def build(sdf):
+        return stream_reluctant_lazy_detect(
+            sdf, key="user_id",
+            anchor=F.col("event_type") == "signup",
+            run=F.col("event_type") == "error",
+            suffix=F.col("event_type") == "purchase",
+            gap="INTERVAL 12 HOURS", suffix_within="INTERVAL 24 HOURS",
+            mn=1, mx=3,
+        )
+
+    got, want = _crash_recover_compare(spark, events, build, "lazy")
+    assert len(want) > 0
+    assert got["anchor_id"].is_unique
+    c = sorted(want.columns)
+    assert (
+        got[c].sort_values(c).reset_index(drop=True)
+        .equals(want[c].sort_values(c).reset_index(drop=True))
+    )
+
+
+def test_preference_fused_recovers_from_checkpoint(spark, sf_dir):
+    """The preference fold's packed branch states + pending buffer must
+    round-trip the state store (round 9), exactly-once per anchor."""
+    from flink_uba_spark.streaming.pattern import (
+        stream_pattern_detect_preferred,
+    )
+
+    events = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    h6 = 6 * 3600 * 1_000_000
+    h24 = 24 * 3600 * 1_000_000
+
+    def build(sdf):
+        return stream_pattern_detect_preferred(
+            sdf, key="user_id",
+            flags={
+                "fs": F.col("event_type") == "signup",
+                "fc": F.col("event_type") == "click",
+                "fv": F.col("event_type") == "view",
+                "fp": F.col("event_type") == "purchase",
+            },
+            branch_slots=[["fs", "fc", "fp"], ["fs", "fv", "fp"]],
+            withins_us=[[None, h6, h24], [None, h6, h24]],
+        )
+
+    got, want = _crash_recover_compare(spark, events, build, "pref")
+    assert len(want) > 0
+    assert got["anchor_id"].is_unique
+    c = sorted(want.columns)
+    assert (
+        got[c].sort_values(c).reset_index(drop=True)
+        .equals(want[c].sort_values(c).reset_index(drop=True))
+    )

@@ -1906,6 +1906,272 @@ def soak_pref(n_cases):
     return fails
 
 
+def _skip_brute_order(events, nslots):
+    """(ts, rank, id) total order with rank = earliest set flag slot."""
+    def rank(m):
+        for k in range(nslots):
+            if m >> k & 1:
+                return 2 * k + 1
+        return 2 * nslots + 1
+    return sorted(
+        ((ts, rank(m), eid, m) for eid, ts, m in events),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+
+
+def _skip_brute_chain_cands(events, n, withins_us):
+    """Skip-till-next matched candidates on a plain chain: per anchor,
+    each step binds the earliest (ts, id) flag-k row strictly after the
+    previous row's (ts, rank, id) position; in-bound chains only."""
+    total = _skip_brute_order(events, n)
+    pos_of = {r[2]: i for i, r in enumerate(total)}
+    cands = []
+    for ts0, _rk, eid0, m0 in total:
+        if not m0 & 1:
+            continue
+        chain = [(ts0, eid0)]
+        p_pos, ok = pos_of[eid0], True
+        for k in range(2, n + 1):
+            best = None
+            for i, (ts1, _r1, eid1, m1) in enumerate(total):
+                if i > p_pos and m1 >> (k - 1) & 1:
+                    if best is None or (ts1, eid1) < best[:2]:
+                        best = (ts1, eid1, i)
+            if best is None or (
+                withins_us[k - 1] is not None
+                and best[0] > chain[-1][0] + withins_us[k - 1]
+            ):
+                ok = False
+                break
+            chain.append(best[:2])
+            p_pos = best[2]
+        if ok:
+            cands.append(chain)
+    return cands
+
+
+def soak_skip_to_stream(n_cases):
+    """Streaming SKIP TO FIRST/LAST replay soak (round 9):
+    ``make_chain_skip_replayer`` driven over random micro-batch splits
+    with timer firings vs an independent per-anchor chain brute + the
+    ≥-horizon replay, candidates final once ``end + H < final_wm``."""
+    import pandas as pd
+
+    from test_properties_round5 import _FakeState
+    from flink_uba_spark.streaming.skip_replay import make_chain_skip_replayer
+
+    t0, fails = time.time(), 0
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 40503713 + 3)
+        n = rnd.randint(2, 4)
+        skip_step = rnd.randint(2, n)
+        withins_us = [None] + [rnd.randint(2, 60) * 1000 for _ in range(n - 1)]
+        h_us = sum(withins_us[1:])
+        events = [
+            (i, rnd.randint(0, 120) * 1000 + rnd.randint(0, 3),
+             rnd.getrandbits(n) if rnd.random() < 0.92 else 0)
+            for i in range(rnd.randint(0, 24))
+        ]
+        cuts = sorted({rnd.randint(1, 200) * 1000
+                       for _ in range(rnd.randint(0, 4))})
+        detect = make_chain_skip_replayer(n, withins_us, skip_step, h_us)
+        state = _FakeState()
+        got = []
+
+        def drain(gen):
+            for f in gen:
+                for r in f.itertuples(index=False):
+                    got.append((
+                        int(r.anchor_id),
+                        tuple(pd.Timestamp(getattr(r, f"t{k}")).value // 1000
+                              for k in range(1, n + 1)),
+                        int(r.end_id),
+                    ))
+
+        lo, wm = -1, 0
+        for hi in cuts + [10 ** 9]:
+            batch = [e for e in events if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            state._wm = wm
+            pdf = pd.DataFrame(
+                [
+                    {"event_id": eid, "ts": pd.Timestamp(ts, unit="us"),
+                     **{f"f{k}": bool(m >> (k - 1) & 1)
+                        for k in range(1, n + 1)}}
+                    for eid, ts, m in batch
+                ]
+            )
+            state.hasTimedOut = False
+            drain(detect((1,), iter([pdf]), state))
+            wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
+            for _ in range(8):
+                if state._v is None or state.timeout_set is None or state.timeout_set >= wm:
+                    break
+                state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+                drain(detect((1,), iter([]), state))
+            state.hasTimedOut = False
+        if events and state._v is not None:
+            state._wm = max(ts for _, ts, _ in events) // 1000
+            state.hasTimedOut = True
+            drain(detect((1,), iter([]), state))
+        wm_final_us = (max((ts for _, ts, _ in events), default=0) // 1000) * 1000
+
+        cands = _skip_brute_chain_cands(events, n, withins_us)
+        cands.sort(key=lambda c: (c[n - 1][0], c[n - 1][1], c[0][0], c[0][1]))
+        want, h = [], None
+        for chain in cands:
+            if chain[n - 1][0] + h_us >= wm_final_us:
+                break
+            if h is None or chain[0] >= h:
+                want.append((chain[0][1],
+                             tuple(t for t, _ in chain), chain[n - 1][1]))
+                sp = chain[skip_step - 1]
+                if h is None or sp > h:
+                    h = sp
+        if sorted(got) != sorted(want):
+            fails += 1
+            print(f"MISMATCH seed={seed} n={n} skip={skip_step} "
+                  f"withins={withins_us} events={events} cuts={cuts}")
+            if fails > 5:
+                break
+        if (seed + 1) % 2000 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} skip-to-stream cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
+def soak_lazy_stream(n_cases):
+    """Streaming lazy SKIP PAST LAST replay soak (round 9):
+    ``make_lazy_reluctant_replayer`` vs an independent brute — per-count
+    skip-till-next candidates, earliest-completion preference, the
+    strictly-past horizon replay, final once ``t3 + H < final_wm``."""
+    import pandas as pd
+
+    from test_properties_round5 import _FakeState
+    from flink_uba_spark.streaming.skip_replay import (
+        make_lazy_reluctant_replayer,
+    )
+
+    t0, fails = time.time(), 0
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 87178291 + 11)
+        gap_us = rnd.randint(2, 40) * 1000
+        sfx_us = rnd.randint(2, 80) * 1000
+        mn = rnd.randint(1, 2)
+        mx = mn + rnd.randint(0, 2)
+        h_us = mx * gap_us + sfx_us
+        events = [
+            (i, rnd.randint(0, 120) * 1000 + rnd.randint(0, 3),
+             rnd.getrandbits(3) if rnd.random() < 0.92 else 0)
+            for i in range(rnd.randint(0, 24))
+        ]
+        cuts = sorted({rnd.randint(1, 200) * 1000
+                       for _ in range(rnd.randint(0, 4))})
+        detect = make_lazy_reluctant_replayer(gap_us, sfx_us, mn, mx, h_us)
+        state = _FakeState()
+        got = []
+
+        def drain(gen):
+            for f in gen:
+                for r in f.itertuples(index=False):
+                    got.append((
+                        int(r.anchor_id),
+                        tuple(pd.Timestamp(getattr(r, c)).value // 1000
+                              for c in ("t1", "t2", "t2_last", "t3")),
+                        int(r.n2), int(r.end_id),
+                    ))
+
+        lo, wm = -1, 0
+        for hi in cuts + [10 ** 9]:
+            batch = [e for e in events if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            state._wm = wm
+            pdf = pd.DataFrame(
+                [
+                    {"event_id": eid, "ts": pd.Timestamp(ts, unit="us"),
+                     **{f"f{k}": bool(m >> (k - 1) & 1) for k in range(1, 4)}}
+                    for eid, ts, m in batch
+                ]
+            )
+            state.hasTimedOut = False
+            drain(detect((1,), iter([pdf]), state))
+            wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
+            for _ in range(8):
+                if state._v is None or state.timeout_set is None or state.timeout_set >= wm:
+                    break
+                state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+                drain(detect((1,), iter([]), state))
+            state.hasTimedOut = False
+        if events and state._v is not None:
+            state._wm = max(ts for _, ts, _ in events) // 1000
+            state.hasTimedOut = True
+            drain(detect((1,), iter([]), state))
+        wm_final_us = (max((ts for _, ts, _ in events), default=0) // 1000) * 1000
+
+        # brute: per-count skip-till-next candidates over the total order
+        total = _skip_brute_order(events, 3)
+        pos_of = {r[2]: i for i, r in enumerate(total)}
+        runs = sorted(
+            ((ts, eid) for eid, ts, m in events if m >> 1 & 1),
+        )
+        sufs = sorted(((ts, eid) for eid, ts, m in events if m >> 2 & 1))
+        # forward availability per run row (gap sessions in (ts, id) order)
+        avail = [1] * len(runs)
+        for i in range(len(runs) - 2, -1, -1):
+            if runs[i + 1][0] <= runs[i][0] + gap_us:
+                avail[i] = avail[i + 1] + 1
+        prefs = {}
+        for ts0, _rk, eid0, m0 in total:
+            if not m0 & 1:
+                continue
+            best = None
+            for m_ in range(mn, mx + 1):
+                ent = None
+                for i, (rts, rid) in enumerate(runs):
+                    if avail[i] >= m_ and pos_of[rid] > pos_of[eid0]:
+                        ent = i
+                        break
+                if ent is None:
+                    continue
+                t2, t2l = runs[ent][0], runs[ent + m_ - 1][0]
+                lr_pos = pos_of[runs[ent + m_ - 1][1]]
+                sfx = None
+                for sts, sid in sufs:
+                    if pos_of[sid] > lr_pos:
+                        if sfx is None or (sts, sid) < sfx:
+                            sfx = (sts, sid)
+                if sfx is None or t2 > ts0 + gap_us or sfx[0] > t2l + sfx_us:
+                    continue
+                cand = (sfx[0], sfx[1], m_, t2, t2l)
+                if best is None or cand < best:
+                    best = cand
+            if best is not None:
+                prefs[(ts0, eid0)] = best
+        order = sorted(prefs.items(), key=lambda kv: (kv[1][0], kv[1][1],
+                                                      kv[0][0], kv[0][1]))
+        want, h = [], None
+        for (t1, i1), (t3, i3, m_, t2, t2l) in order:
+            if t3 + h_us >= wm_final_us:
+                break
+            if h is None or (t1, i1) > h:
+                want.append((i1, (t1, t2, t2l, t3), m_, i3))
+                h = (t3, i3)
+        if sorted(got) != sorted(want):
+            fails += 1
+            print(f"MISMATCH seed={seed} gap={gap_us} sfx={sfx_us} "
+                  f"mn={mn} mx={mx} events={events} cuts={cuts}")
+            if fails > 5:
+                break
+        if (seed + 1) % 2000 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} lazy-stream cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     defaults = {
@@ -1928,6 +2194,8 @@ def main() -> int:
         "budget-stream": 10000,
         "enum": 1000,
         "pref": 3000,
+        "skip-to-stream": 3000,
+        "lazy-stream": 3000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
@@ -1946,6 +2214,10 @@ def main() -> int:
         return 1 if soak_enum(n) else 0
     if mode == "pref":
         return 1 if soak_pref(n) else 0
+    if mode == "skip-to-stream":
+        return 1 if soak_skip_to_stream(n) else 0
+    if mode == "lazy-stream":
+        return 1 if soak_lazy_stream(n) else 0
     if mode == "comb":
         return 1 if soak_combinations(n) else 0
     if mode == "group":
