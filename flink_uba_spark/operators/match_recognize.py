@@ -71,11 +71,15 @@ Supported subset (validated, everything else raises):
 - ``ORDER BY`` must be the event-time column; ties determinize by the
   engine family's (ts, step_rank, id) total order.
 
-Routing matrix (one specialty per spec — combinations raise):
-``iter_define`` → iterative join compile; a reluctant quantifier →
-per-count union; an alternation group → per-branch union; SKIP TO
-FIRST/LAST → step-id fold; everything else → the single-plan
-``pattern_detect`` path (quantifiers/optionals compose freely there).
+Routing matrix (one specialty per spec — cross-SPECIALTY combinations
+raise): ``iter_define`` → iterative join compile (round 9: greedy
+quantifiers COMPOSE there via the session-refined run step); a
+reluctant quantifier → the count-enumeration engine on the 3-step
+shape (round 9; serves uncapped ``+?``) else the per-count union; an
+alternation/PERMUTE group → per-branch union (greedy quantifiers on
+OTHER variables compose); SKIP TO FIRST/LAST → step-id fold;
+everything else → the single-plan ``pattern_detect`` path
+(quantifiers/optionals/quantified groups compose freely there).
 """
 
 from __future__ import annotations
