@@ -647,11 +647,17 @@ def match_recognize(
             and not isinstance(parsed[0][0], tuple)
             and not isinstance(parsed[2][0], tuple)
         )
+        folded = False
         if enum_ok:
+            # under SKIP PAST LAST the lazy preference + horizon walk
+            # run IN-KERNEL (round 9 second pass: two exchanges and a
+            # second pandas fold cheaper than the window pipeline)
+            folded = mode == "skip_past_last"
             out = pattern_detect_reluctant_enum(
                 events, key=partition_by, steps=steps,
                 event_id=event_id, ts=order_by,
                 with_end_id=(mode == "skip_past_last"),
+                lazy_fold=folded,
             ).filter(F.col("state") == "matched")
         else:
             if uncapped:
@@ -667,7 +673,7 @@ def match_recognize(
                 with_end_id=(mode == "skip_past_last"),
             ).filter(F.col("state") == "matched")
         n = len(parsed)
-        if mode == "skip_past_last":
+        if mode == "skip_past_last" and not folded:
             # SQL's lazy ONE-ROW semantics: per anchor the preferred match
             # binds as FEW repetitions as possible while still completing —
             # i.e. the candidate that completes EARLIEST (ties → smaller

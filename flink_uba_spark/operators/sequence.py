@@ -1928,6 +1928,7 @@ def pattern_detect_reluctant_enum(
     ts: str = "ts",
     with_end_id: bool = False,
     n_buckets: int = 64,
+    lazy_fold: bool = False,
 ) -> DataFrame:
     """RELUCTANT multi-match by PER-ENTRY COUNT ENUMERATION (round 9) —
     the union-of-plans collapse for the canonical 3-step shape ``anchor
@@ -1977,10 +1978,19 @@ def pattern_detect_reluctant_enum(
     which is output-bounded. Reference: Flink CEP's default (reluctant)
     oneOrMore multi-match, Pattern.oneOrMore chaining
     (OrderPayTimeout.java:52-64 family).
+
+    ``lazy_fold=True`` (round 9, second pass) additionally runs SQL's
+    LAZY one-row semantics IN-KERNEL — per anchor the candidate
+    completing earliest (ties → smaller count), then the SKIP PAST
+    LAST non-overlap horizon walk — emitting only the folded matches
+    (bit-equal to the 3-stage preference-window + fold pipeline, two
+    exchanges and a second pandas pass cheaper; implies with_end_id).
     """
     import numpy as np
     import pandas as pd
 
+    if lazy_fold:
+        with_end_id = True
     if len(steps) != 3:
         raise ValueError(
             "pattern_detect_reluctant_enum serves the 3-step shape "
@@ -2122,6 +2132,7 @@ def pattern_detect_reluctant_enum(
             return sj if sj < nS else -1
 
         a_idx = np.nonzero(fa)[0]
+        lazy_cands: list[tuple] = []
         for ai in a_idx:
             a_ts, a_id, a_pos = e_ts[ai], e_id[ai], pos[ai]
             j = int(np.searchsorted(r_ts, a_ts, side="left")) if nR else 0
@@ -2143,11 +2154,24 @@ def pattern_detect_reluctant_enum(
                     last = ri + m - 1   # run-sorted contiguous session
                     lr_pos = r_pos[last]
                     t2, t2l = int(r_ts[ri]), int(r_ts[last])
+                    sj = bind_suffix(t2l, lr_pos)
+                    if lazy_fold:
+                        # the fold acts on MATCHED candidates only
+                        if sj >= 0:
+                            t3 = int(s_ts_arr[sj])
+                            if (
+                                (w2_us is None or t2 <= a_ts + w2_us)
+                                and (w3_us is None or t3 <= t2l + w3_us)
+                            ):
+                                lazy_cands.append(
+                                    (int(a_ts), int(a_id), t2, t2l, m,
+                                     t3, int(s_id_arr[sj]))
+                                )
+                        continue
                     row = {
                         key: kv, "anchor_id": int(a_id), "t1": a_ts,
                         "t2": t2, "t2_last": t2l, "n2": m,
                     }
-                    sj = bind_suffix(t2l, lr_pos)
                     if sj >= 0:
                         t3 = int(s_ts_arr[sj])
                         ok = (w2_us is None or t2 <= a_ts + w2_us) and (
@@ -2168,7 +2192,7 @@ def pattern_detect_reluctant_enum(
                 if mx is not None and runmax >= mx:
                     break
                 j += 1
-            if mx is not None and runmax < mx:
+            if not lazy_fold and mx is not None and runmax < mx:
                 # some count in the finite range has no valid entry —
                 # the union's per-anchor null row (deduped to one)
                 row = {
@@ -2179,6 +2203,32 @@ def pattern_detect_reluctant_enum(
                 if with_end_id:
                     row["end_id"] = None
                 out.append(row)
+        if lazy_fold and lazy_cands:
+            # lazy preference: per anchor the earliest-completing
+            # candidate, ties to the smaller count — then the SKIP PAST
+            # LAST horizon walk in completion order (the exact order of
+            # the 3-stage window + fold pipeline)
+            best: dict[tuple, tuple] = {}
+            for t1_, i1_, t2_, t2l_, m_, t3_, e3_ in lazy_cands:
+                kk = (t1_, i1_)
+                c = (t3_, e3_, m_, t2_, t2l_)
+                if kk not in best or c < best[kk]:
+                    best[kk] = c
+            le = None
+            for (t1_, i1_), (t3_, e3_, m_, t2_, t2l_) in sorted(
+                best.items(), key=lambda kv2: (kv2[1][0], kv2[1][1],
+                                               kv2[0][0], kv2[0][1])
+            ):
+                if le is None or (t1_, i1_) > le:
+                    out.append(
+                        {
+                            key: kv, "anchor_id": i1_, "t1": t1_,
+                            "t2": t2_, "t2_last": t2l_, "n2": m_,
+                            "t3": t3_, "end_id": e3_,
+                            "max_step": 3, "state": "matched",
+                        }
+                    )
+                    le = (t3_, e3_)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         rows: list = []

@@ -686,24 +686,44 @@ def test_exclusion_shapes_output_only(spark):
         )
 
 
-def test_stream_reluctant_requires_no_skip(spark):
+def test_stream_reluctant_skip_routing(spark):
+    """Round 9 lifted the r8 batch-only raises: the 3-variable lazy
+    SKIP PAST LAST fold and alternation under NO SKIP now stream; the
+    REMAINING constraints are pinned here — the lazy fold's shape bound
+    (exactly 3 plain-anchored variables, finite cap) and the
+    alternation preference fold's NO SKIP bound."""
     from flink_uba_spark.operators.match_recognize import (
         stream_match_recognize,
     )
 
-    with pytest.raises(ValueError, match="NO SKIP"):
+    # 4-variable reluctant spec under SKIP PAST LAST: not the lazy
+    # replay's shape
+    with pytest.raises(ValueError, match="3-variable shape"):
         stream_match_recognize(
-            None, "user_id", "ts", "S E{1,2}? P",
+            None, "user_id", "ts", "S C E{1,2}? P",
+            {"S": F.lit(True), "C": F.lit(True), "E": F.lit(True),
+             "P": F.lit(True)},
+            default_within="INTERVAL 1 HOUR",
+            after_match="skip_past_last",
+        )
+    # uncapped reluctant under SKIP PAST LAST: the cap bounds the
+    # replay horizon
+    with pytest.raises(ValueError, match="finite cap"):
+        stream_match_recognize(
+            None, "user_id", "ts", "S E+? P",
             {"S": F.lit(True), "E": F.lit(True), "P": F.lit(True)},
             default_within="INTERVAL 1 HOUR",
             after_match="skip_past_last",
         )
-    with pytest.raises(ValueError, match="batch-only"):
+    # alternation streams under NO SKIP only (the cross-anchor skip
+    # replay over branches is batch-only)
+    with pytest.raises(ValueError, match="NO SKIP"):
         stream_match_recognize(
             None, "user_id", "ts", "S (C|V) P",
             {"S": F.lit(True), "C": F.lit(True), "V": F.lit(True),
              "P": F.lit(True)},
             default_within="INTERVAL 1 HOUR",
+            after_match="skip_past_last",
         )
 
 

@@ -750,3 +750,54 @@ def test_preference_fused_fold_hand_case():
     # exactly-once: another timer fire emits nothing new
     drain(det((1,), iter([]), st))
     assert sorted(got) == [(1, 0), (10, 1)]
+
+
+def test_reluctant_enum_lazy_fold_matches_pipeline(spark):
+    """lazy_fold=True (in-kernel preference + SKIP PAST LAST walk) must
+    be bit-equal to the 3-stage window-preference + after-match-fold
+    pipeline over the same enum candidates."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from flink_uba_spark.operators.sequence import (
+        after_match_skip_past_last,
+        pattern_detect_reluctant_enum,
+    )
+
+    rng = random.Random(55)
+    for trial in range(3):
+        rows, eid = [], 0
+        for u in range(1, 6):
+            for _ in range(rng.randint(2, 16)):
+                eid += 1
+                rows.append((u, eid, EPOCH + datetime.timedelta(
+                    minutes=rng.randint(0, 40),
+                    seconds=rng.choice([0, 0, 30])),
+                    rng.choice("arrrx")))
+        ev = spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, ts timestamp, event_type string")
+        mn, mx = sorted((rng.randint(1, 3), rng.randint(1, 4)))
+        steps = [
+            (F.col("event_type") == "a", None),
+            (F.col("event_type") == "r", "INTERVAL 6 MINUTES", (mn, mx)),
+            (F.col("event_type") == "x", "INTERVAL 15 MINUTES"),
+        ]
+        ref = pattern_detect_reluctant_enum(
+            ev, "user_id", steps, with_end_id=True,
+        ).filter(F.col("state") == "matched")
+        w = Window.partitionBy("user_id", "anchor_id").orderBy(
+            "t3", "end_id", "n2")
+        ref = (
+            ref.withColumn("__p", F.row_number().over(w))
+            .filter(F.col("__p") == 1).drop("__p")
+        )
+        ref = after_match_skip_past_last(ref, key="user_id")
+        got = pattern_detect_reluctant_enum(
+            ev, "user_id", steps, lazy_fold=True,
+        ).filter(F.col("state") == "matched")
+        r = Counter(map(repr, (tuple(x) for x in ref.collect())))
+        g = Counter(map(repr, (tuple(x) for x in got.collect())))
+        assert r == g, f"trial {trial} mn={mn} mx={mx}"
