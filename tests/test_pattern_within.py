@@ -21,12 +21,17 @@ EPOCH = datetime.datetime(2020, 1, 1)
 
 
 def brute_within(events, n, window_us):
-    """Reference: skip-till-next-match earliest binding in the engine's
-    (ts, rank, id) total order (rank = the event's earliest matching
-    step), then the global-window classification — matched iff complete
-    and span ≤ window (inclusive), else a timeout row whose max_step
-    counts the chain prefix bound at ``t1 + window`` (the NFA state at
-    pruning time).
+    """Reference: skip-till-next-match earliest binding — candidates
+    are ADMITTED strictly after the previous row's position in the
+    engine's (ts, rank, id) total order (rank = the event's earliest
+    matching step), and among the admissible ones the EARLIEST by
+    (ts, id) binds (the engine's min-of-struct; brute_chain's srows
+    convention — round 9 fixed this brute's first-POSITION pick, which
+    diverged when two same-ts candidates carried different ranks),
+    then the global-window classification — matched iff complete and
+    span ≤ window (inclusive), else a timeout row whose max_step counts
+    the chain prefix bound at ``t1 + window`` (the NFA state at pruning
+    time).
 
     ``events``: (eid, ts_us, mask) on one key, bit j ⇔ matches step j+1.
     Returns sorted (anchor_id, (t1..tn, None-padded), max_step,
@@ -46,12 +51,13 @@ def brute_within(events, n, window_us):
         tss = [ts0]
         pos = p0
         for s in range(2, n + 1):
-            nxt = next(
-                (p for p in range(pos + 1, len(evs)) if evs[p][2] >> (s - 1) & 1),
-                None,
-            )
-            if nxt is None:
+            cands = [
+                p for p in range(pos + 1, len(evs))
+                if evs[p][2] >> (s - 1) & 1
+            ]
+            if not cands:
                 break
+            nxt = min(cands, key=lambda p: (evs[p][1], evs[p][0]))
             tss.append(evs[nxt][1])
             pos = nxt
         deadline = ts0 + window_us
