@@ -499,24 +499,34 @@ def match_recognize(
             "an alternation group, and SKIP TO FIRST/LAST each pick a "
             "dedicated engine compile and do not compose with each other"
         )
-    # ADVICE r8: a quantifier on the FINAL variable would reach the
-    # engines' with_end_id path (which needs a plain last step for the
-    # skip fold's end-event tie-break) and die on an engine-internal
-    # error — validate here with the real reason instead
+    # A GREEDY quantifier on the FINAL variable composes with SKIP PAST
+    # LAST / $ on the single-plan path (round 9 second pass: the engine
+    # surfaces the run-last repetition's id as end_id, and run-last ends
+    # are monotone in anchor order under skip-till-next, so the fold's
+    # completion-order replay holds). Reluctant trailing quantifiers and
+    # the specialty routes still raise with the real reason (ADVICE r8).
     last_q = parsed[-1][1]
     if (
         last_q is not None
         and last_q[0] in ("kleene", "reluctant")
         and (mode == "skip_past_last" or anchor_end)
     ):
-        raise ValueError(
-            "a quantifier on the final PATTERN variable does not compose "
-            "with SKIP PAST LAST ROW or a trailing $ anchor (the skip "
-            "fold / end anchor needs the match's last EVENT, which a "
-            "trailing run does not pin to one row) — end the pattern "
-            "with a plain variable or use AFTER MATCH SKIP TO NEXT ROW "
-            "(no_skip)"
-        )
+        if last_q[0] == "reluctant":
+            raise ValueError(
+                "a RELUCTANT quantifier on the final PATTERN variable "
+                "does not compose with SKIP PAST LAST ROW or a trailing "
+                "$ anchor (the lazy preference is decided per count, and "
+                "the count engines do not pin the run's last EVENT) — "
+                "end the pattern with a plain variable or use AFTER "
+                "MATCH SKIP TO NEXT ROW (no_skip)"
+            )
+        if specialties:
+            raise ValueError(
+                "a quantifier on the final PATTERN variable composes "
+                "with SKIP PAST LAST ROW / $ on the single-plan path "
+                "only (the specialty engines' folds pin the end to a "
+                "plain last step)"
+            )
     if rows_per_match == "all":
         if specialties:
             raise ValueError(
@@ -847,7 +857,15 @@ def match_recognize(
             .drop("__last_id")
         )
     if mode == "skip_past_last":
-        out = after_match_skip_past_last(out, key=partition_by)
+        # a trailing Kleene run's match END is its run-last repetition —
+        # the fold walks (t{n}_last, end_id) then (round 9)
+        _lq = parsed[-1][1]
+        _trailing_run = _lq is not None and _lq[0] == "kleene"
+        out = after_match_skip_past_last(
+            out,
+            key=partition_by,
+            end_ts=f"t{len(parsed)}_last" if _trailing_run else None,
+        )
     elif anchor_end:
         out = out.drop("end_id")
     if rows_per_match == "all":

@@ -440,6 +440,12 @@ def pattern_detect(
             names.append(f"r{k}")
         if reps[k - 1] is not None:
             names += [f"t{k}_last", f"n{k}"]
+            if with_end_id and k == n:
+                # trailing Kleene run under a skip strategy / end anchor:
+                # the match's last EVENT is the run's LAST repetition, so
+                # its id rides the chain as il{n} (round 9 — lifts the
+                # ADVICE-r8 "plain last step" restriction)
+                names.append(f"il{k}")
         if k in negs:
             names.append(f"b{k}")
         if k in nnx:
@@ -580,6 +586,20 @@ def pattern_detect(
             run_last.alias(f"t{k}_last"),
             n_reps.alias(f"n{k}"),
         ]
+        if with_end_id and k == n:
+            # run-last id, same lead/session-last probe as run_last ts —
+            # (ts, id) ascending inside the session, so the session-last
+            # row IS the run's last repetition when the cap never bites
+            if cap is None:
+                run_last_id = F.last("__id").over(w_sess_full)
+            else:
+                df = df.withColumn(
+                    f"__lead_id{k}", F.lead("__id", cap - 1).over(w_sess)
+                )
+                run_last_id = F.when(capped, F.col(f"__lead_id{k}")).otherwise(
+                    F.last("__id").over(w_sess_full)
+                )
+            fields = fields + [run_last_id.alias(f"il{k}")]
         # downstream lookups (next chain AND this transition's guard) must
         # happen AFTER the run's last row: carry them from the cap-th (or
         # session-last) row back to the entry row through the session
@@ -634,16 +654,20 @@ def pattern_detect(
             f[0] in ("rb" if with_step_ids else "irb") and f[1:].isdigit()
         )
         and not (f.startswith("bx") and f[2:].isdigit())
+        and f != f"il{n}"
     ]
     t_cols = [F.col("__c1").getField(f).alias(f) for f in out_fields]
     if with_end_id:
         # the LAST bound event's id — the after-match skip strategies
         # (after_match_skip_past_last) need it for exact tie-breaks at
-        # equal end timestamps; only defined when the last step is plain
-        # (a Kleene run's own struct carries entry ids, not the last rep's)
-        if reps[n - 1] is not None:
-            raise ValueError("with_end_id requires a plain (non-Kleene) last step")
-        t_cols = t_cols + [F.col("__c1").getField(f"i{n}").alias("end_id")]
+        # equal end timestamps. A plain last step binds one event (i{n});
+        # a trailing Kleene run's last event is its last REPETITION, whose
+        # id rides the chain as il{n} (round 9 — the fold's end is then
+        # (t{n}_last, end_id), and run-last ends stay monotone in anchor
+        # order under skip-till-next, so the completion-order replay is
+        # unchanged)
+        end_field = f"il{n}" if reps[n - 1] is not None else f"i{n}"
+        t_cols = t_cols + [F.col("__c1").getField(end_field).alias("end_id")]
     b_cols = [
         F.col("__c1").getField(f"b{k}").alias(f"__b{k}") for k in sorted(negs)
     ] + [

@@ -1213,7 +1213,104 @@ WHERE t3 IS NOT NULL AND t2 <= t1 + INTERVAL 12 HOUR
 """
 
 
+def match_recognize_trailing_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PATTERN (S E+)`` under ``AFTER MATCH SKIP PAST LAST ROW`` — a
+    GREEDY quantifier on the FINAL pattern variable (round 9 second
+    pass; previously a validated front-end raise): the match's end is
+    the run's LAST repetition, which the engine surfaces as ``end_id``
+    (``il{n}`` — the same lead/session-last probe as ``t{n}_last``), and
+    the non-overlap fold walks (t_last, end_id). Run-last ends are
+    monotone in anchor order under skip-till-next, so the fold's
+    completion-order replay is exactly ISO's row-order scan. The shape
+    is Flink's "signup followed by its whole error burst" episode
+    segmentation (OrderPayTimeout.java:52-64's chain family with a
+    trailing oneOrMore)."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S E+",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+        },
+        default_within="INTERVAL 12 HOURS",
+        after_match="skip_past_last",
+    )
+
+
+MATCH_RECOGNIZE_TRAILING_RUN_ORACLE = """
+WITH RECURSIVE
+err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts, sid,
+         row_number() OVER ws AS rn, count(*) OVER wf AS cnt,
+         last_value(ts) OVER wl AS last_ts,
+         last_value(event_id) OVER wl AS last_id
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid),
+         wl AS (PARTITION BY user_id, sid ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+-- the uncapped greedy run: entry = earliest error at-or-after the
+-- anchor; the run is the entry's session SUFFIX (extends to session end)
+ent AS (
+  SELECT a.user_id, a.anchor_id, a.t1, e.ts AS t2, e.last_ts AS t2_last,
+         CAST(e.cnt - e.rn + 1 AS BIGINT) AS e_n, e.last_id AS end_id
+  FROM a
+  JOIN LATERAL (
+    SELECT r.ts, r.rn, r.cnt, r.last_ts, r.last_id FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1
+    ORDER BY r.ts, r.event_id LIMIT 1) e ON TRUE
+  WHERE e.ts <= a.t1 + INTERVAL 12 HOUR
+),
+cand AS (
+  SELECT user_id, anchor_id, t1, t2, t2_last, e_n, end_id,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY t2_last, end_id, t1, anchor_id) AS r
+  FROM ent
+),
+-- SKIP PAST LAST: completion-order scan, keep iff the anchor is
+-- strictly past the previously emitted match's run-last (ts, id)
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t2_last ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.anchor_id, c.t1 AS S_ts, c.t2 AS E_ts,
+       c.t2_last AS E_last_ts, c.e_n AS E_n, c.end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
 QUERIES = {
+    "match_recognize_trailing_run": match_recognize_trailing_run,
     "match_recognize_measures_run_agg": match_recognize_measures_run_agg,
     "match_recognize_quantified_group": match_recognize_quantified_group,
     "match_recognize_iterative_run": match_recognize_iterative_run,
@@ -1230,6 +1327,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "match_recognize_trailing_run": MATCH_RECOGNIZE_TRAILING_RUN_ORACLE,
     "match_recognize_measures_run_agg": MATCH_RECOGNIZE_MEASURES_RUN_AGG_ORACLE,
     "match_recognize_quantified_group": MATCH_RECOGNIZE_QUANTIFIED_GROUP_ORACLE,
     "match_recognize_iterative_run": MATCH_RECOGNIZE_ITERATIVE_RUN_ORACLE,

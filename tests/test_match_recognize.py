@@ -780,3 +780,116 @@ def test_partition_anchors(spark):
             {"S": F.lit(True), "P": F.lit(True)},
             default_within="INTERVAL 1 HOUR",
         )
+
+
+def brute_trailing_run_skip(events, w, cap):
+    """SKIP PAST LAST over a trailing GREEDY run (round 9 second pass):
+    the run-5 brute's with_end already walks a Kleene step to its run's
+    last repetition, so the fold's end IS the run-last (ts, id)."""
+    from test_properties_round5 import brute_skip_past_last
+
+    return brute_skip_past_last(
+        events, [(None, None), (w, (w, cap))], final_wm_ms=10 ** 15
+    )
+
+
+@st.composite
+def _trailing_case(draw):
+    w = draw(st.integers(2, 40))
+    cap = draw(st.sampled_from([1, 2, 3, None]))  # None = uncapped E+
+    n_ev = draw(st.integers(0, 16))
+    events = [
+        (i, draw(st.integers(0, 90)), draw(st.integers(0, 3)))
+        for i in range(n_ev)
+    ]
+    return w, cap, events
+
+
+@settings(max_examples=40, deadline=None)
+@given(_trailing_case())
+def test_trailing_run_skip_matches_brute(spark, case):
+    """PATTERN (S E+) / (S E{1,cap}) under SKIP PAST LAST ROW — the
+    trailing run's end is its LAST repetition (engine end_id = il{n});
+    overlapping-predicate masks exercise the (ts, rank, id) order."""
+    w, cap, events = case
+    df = _mask_df(spark, events, 2)
+    pat = "S E+" if cap is None else f"S E{{1,{cap}}}"
+    out = match_recognize(
+        df, partition_by="user_id", order_by="ts",
+        pattern=pat,
+        define={"S": F.col("c0"), "E": F.col("c1")},
+        withins={"E": f"INTERVAL {w} MICROSECONDS"},
+        after_match="skip_past_last",
+    ).toPandas()
+    got = sorted(
+        (int(r["anchor_id"]),
+         (_us(r["S_ts"]), _us(r["E_ts"]), _us(r["E_last_ts"]),
+          int(r["E_n"])))
+        for _, r in out.iterrows()
+    )
+    want = sorted(
+        (aid, key)
+        for aid, key, _st in brute_trailing_run_skip(
+            events, w, cap if cap is not None else 10 ** 6
+        )
+    )
+    assert got == want
+
+
+def test_trailing_run_skip_hand_case(spark):
+    """Hand-checked episode segmentation: the greedy run absorbs every
+    in-gap repetition, and anchors inside an emitted episode are
+    discarded by the fold."""
+    rows = [
+        # key 1: S@0, E@1 E@2 E@3 (+ E@6, still in the 10s gap) — one
+        # maximal run; S@5 sits before the run's end → discarded
+        (1, 1, 0, "s"), (2, 1, 1, "e"), (3, 1, 2, "e"), (4, 1, 3, "e"),
+        (5, 1, 5, "s"), (6, 1, 6, "e"),
+        # key 2: the run ends at E@4; S@2 anchors INSIDE it → discarded
+        (7, 2, 0, "s"), (8, 2, 1, "e"), (9, 2, 2, "s"),
+        (10, 2, 3, "e"), (11, 2, 4, "e"),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (eid, uid, EPOCH + datetime.timedelta(seconds=sec), et)
+            for eid, uid, sec, et in rows
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = match_recognize(
+        ev, "user_id", "ts", "S E+",
+        define={"S": F.col("event_type") == "s",
+                "E": F.col("event_type") == "e"},
+        default_within="INTERVAL 10 SECONDS",
+        after_match="skip_past_last",
+    ).toPandas().sort_values("user_id").reset_index(drop=True)
+    assert len(out) == 2
+    assert int(out.loc[0, "user_id"]) == 1
+    assert int(out.loc[0, "E_n"]) == 4 and int(out.loc[0, "end_id"]) == 6
+    assert int(out.loc[1, "user_id"]) == 2
+    assert int(out.loc[1, "E_n"]) == 3 and int(out.loc[1, "end_id"]) == 11
+
+
+def test_trailing_run_end_anchor(spark):
+    """$ with a trailing run: the run's LAST repetition must be the
+    partition's last row."""
+    rows = [
+        (1, 1, 0, "s"), (2, 1, 1, "e"), (3, 1, 2, "e"),   # ends partition
+        (4, 2, 0, "s"), (5, 2, 1, "e"), (6, 2, 2, "x"),   # x after run
+    ]
+    ev = spark.createDataFrame(
+        [
+            (eid, uid, EPOCH + datetime.timedelta(seconds=sec), et)
+            for eid, uid, sec, et in rows
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = match_recognize(
+        ev, "user_id", "ts", "S E+ $",
+        define={"S": F.col("event_type") == "s",
+                "E": F.col("event_type") == "e"},
+        default_within="INTERVAL 10 SECONDS",
+        after_match="no_skip",
+    ).toPandas()
+    assert sorted(out["user_id"]) == [1]
+    assert int(out.loc[0, "E_n"]) == 2

@@ -42,21 +42,36 @@ def _def3():
 
 
 def test_trailing_quantifier_skip_past_last_raises(spark):
+    """Round-9 second pass: GREEDY trailing quantifiers now compose with
+    SKIP PAST LAST / $ on the single-plan path (the engine surfaces the
+    run-last repetition's id as end_id); reluctant trailing forms and
+    specialty routes keep the up-front validation."""
     ev = _mk_events(spark, [(1, 1, 0, "s"), (1, 2, 1, "e")])
-    # greedy and reluctant trailing quantifiers both validate up front
-    for pat in ("S E+", "S E{1,2}?"):
-        with pytest.raises(ValueError, match="final PATTERN variable"):
-            match_recognize(
-                ev, "user_id", "ts", pat, _def3(),
-                default_within="INTERVAL 1 HOUR",
-                after_match="skip_past_last",
-            )
-    # trailing $ anchor composes with the same constraint
-    with pytest.raises(ValueError, match="final PATTERN variable"):
+    with pytest.raises(ValueError, match="RELUCTANT.*final PATTERN"):
         match_recognize(
-            ev, "user_id", "ts", "S E+ $", _def3(),
-            default_within="INTERVAL 1 HOUR", after_match="no_skip",
+            ev, "user_id", "ts", "S E{1,2}?", _def3(),
+            default_within="INTERVAL 1 HOUR",
+            after_match="skip_past_last",
         )
+    # specialty routes still pin the end to a plain last step
+    with pytest.raises(ValueError, match="single-plan path"):
+        match_recognize(
+            ev, "user_id", "ts", "(S|P) E+", _def3(),
+            default_within="INTERVAL 1 HOUR",
+            after_match="skip_past_last",
+        )
+    # greedy trailing run + SKIP PAST LAST compiles and binds the run
+    out = match_recognize(
+        ev, "user_id", "ts", "S E+", _def3(),
+        default_within="INTERVAL 1 HOUR", after_match="skip_past_last",
+    ).collect()
+    assert len(out) == 1 and out[0]["E_n"] == 1 and out[0]["end_id"] == 2
+    # trailing $ anchor composes too: the run must END the partition
+    out = match_recognize(
+        ev, "user_id", "ts", "S E+ $", _def3(),
+        default_within="INTERVAL 1 HOUR", after_match="no_skip",
+    ).collect()
+    assert len(out) == 1 and out[0]["E_n"] == 1
     # no_skip without an anchor keeps working (single-plan path)
     out = match_recognize(
         ev, "user_id", "ts", "S E+", _def3(),

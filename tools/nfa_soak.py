@@ -2172,10 +2172,105 @@ def soak_lazy_stream(n_cases):
     return fails
 
 
+def soak_trailing(n_cases, cases_per_spec=100):
+    """Trailing-Kleene SKIP PAST LAST soak (round 9 second pass): random
+    plain prefixes ending in a GREEDY Kleene step — capped, min-reps, or
+    uncapped — through pattern_detect(with_end_id=True) →
+    after_match_skip_past_last(end_ts=t{n}_last), vectorized keys, vs
+    brute_skip_past_last (whose with_end walk already ends a Kleene step
+    at its run-last repetition)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from test_properties_round5 import brute_skip_past_last, slot_layout
+    from flink_uba_spark.operators.sequence import (
+        after_match_skip_past_last,
+        pattern_detect,
+    )
+    from flink_uba_spark.session import get_spark
+
+    spark = get_spark("nfa_soak")
+    t0, fails, done, spec_seed = time.time(), 0, 0, 0
+    while done < n_cases and fails <= 5:
+        rnd = random.Random(spec_seed * 104729 + 4219)
+        spec_seed += 1
+        n = rnd.randint(2, 4)
+        withins = [None] + [rnd.randint(2, 40) for _ in range(n - 1)]
+        gap = withins[-1]  # the front-end ties the final step's within+gap
+        mn = rnd.choice([1, 1, 2])
+        cap = rnd.choice([None, mn, mn + 1, mn + 2])  # None = uncapped
+        slots, pslot, gslot = slot_layout(n, frozenset())
+        nslots = len(slots)
+        ncase = min(cases_per_spec, n_cases - done)
+        case_events, rows = [], []
+        for c in range(ncase):
+            events = [
+                (c * 1000 + i, rnd.randint(0, 120),
+                 rnd.getrandbits(nslots) if rnd.random() < 0.95 else 0)
+                for i in range(rnd.randint(0, 30))
+            ]
+            case_events.append(events)
+            rows += [
+                (eid, c,
+                 datetime.datetime(2020, 1, 1) + datetime.timedelta(microseconds=ts),
+                 *[bool(m >> j & 1) for j in range(nslots)])
+                for eid, ts, m in events
+            ]
+        schema = "event_id long, user_id long, ts timestamp, " + ", ".join(
+            f"c{j} boolean" for j in range(nslots)
+        )
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        spec = [
+            (
+                F.col(f"c{pslot[k]}"),
+                f"INTERVAL {withins[k - 1]} MICROSECONDS"
+                if withins[k - 1] is not None else None,
+            )
+            for k in range(1, n)
+        ] + [
+            (
+                F.col(f"c{pslot[n]}"),
+                f"INTERVAL {gap} MICROSECONDS",
+                (mn, float("inf") if cap is None else cap),
+            )
+        ]
+        m = pattern_detect(
+            df, key="user_id", steps=spec, with_end_id=True,
+        ).filter(F.col("state") == "matched")
+        pdf = after_match_skip_past_last(
+            m, key="user_id", end_ts=f"t{n}_last"
+        ).toPandas()
+        bsteps = [(w, None) for w in withins[:-1]] + [
+            (gap, (gap, 10 ** 6 if cap is None else cap, mn))
+        ]
+        for c in range(ncase):
+            got = _extract_batch_rows(pdf[pdf["user_id"] == c], n, bsteps)
+            # final_wm past everything: the BATCH engine closes every run
+            # at end-of-input (the brute's closure filter is the
+            # streaming semantic)
+            want = brute_skip_past_last(
+                case_events[c], bsteps, final_wm_ms=10 ** 15
+            )
+            if sorted(got) != want:
+                fails += 1
+                print(f"MISMATCH spec_seed={spec_seed - 1} case={c} "
+                      f"withins={withins} mn={mn} cap={cap} "
+                      f"events={case_events[c]}")
+                if fails > 5:
+                    break
+        done += ncase
+        if spec_seed % 10 == 0:
+            print(f"  ...{done} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{done} trail cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     defaults = {
         "batch": 1000,
+        "trail": 1000,
         "branching": 1000,
         "strict": 5000,
         "stream-branching": 5000,
@@ -2238,6 +2333,8 @@ def main() -> int:
         return 1 if soak_skip(n) else 0
     if mode == "skip-batch":
         return 1 if soak_skip_batch(n) else 0
+    if mode == "trail":
+        return 1 if soak_trailing(n) else 0
     if mode == "strict":
         return 1 if soak_strict(n) else 0
     return 1 if soak_stream(n, timers=(mode == "timers")) else 0
