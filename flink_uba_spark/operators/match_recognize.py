@@ -68,6 +68,12 @@ Supported subset (validated, everything else raises):
   is the ``n{k}``-prefix of the step's rows from the bound entry, so
   membership is exactly ``(ts, id) >= entry``, ``ts <= run_last``,
   ``row_number <= n{k}`` (round 8; r7 raised on quantified vars).
+- ``SUBSET`` (round 9 second pass, ISO 9075-2 <row pattern subset
+  clause>): ``subset={"U": ("A", "B")}`` declares a UNION variable
+  whose rows are the union of the members' bound rows in (ts, id) row
+  order; consumed by RunAgg MEASURES (``run_agg("sum", "U", col)`` ≡
+  SQL ``SUM(U.col)`` — plain members contribute their bound row,
+  quantified members their whole run, skipped optionals nothing).
 - ``ORDER BY`` must be the event-time column; ties determinize by the
   engine family's (ts, step_rank, id) total order.
 
@@ -351,6 +357,7 @@ def _attach_run_aggregates(
     partition_by: str,
     order_by: str,
     event_id: str,
+    subset: dict | None = None,
 ) -> DataFrame:
     """Join each RunAgg's value onto the ONE-row matches as
     ``__ra_<name>``. The run's member rows are recovered by the same
@@ -358,27 +365,21 @@ def _attach_run_aggregates(
     ``(ts, id) >= entry``, ``ts <= run_last``, ``row_number <= n{k}``
     (run-length fan-out, no cross-key work) — then ONE hash aggregate
     per variable computes every aggregate over it and an anchor-keyed
-    join carries them back (match-sized, not event-sized)."""
+    join carries them back (match-sized, not event-sized). ``subset``
+    maps a UNION variable name (ISO's SUBSET clause) to its member
+    pattern variables: aggregates over it run on the union of the
+    members' bound rows (plain members one row each, quantified members
+    their run, skipped optionals nothing)."""
+    subset = subset or {}
     by_var: dict[str, dict[str, RunAgg]] = {}
     for nm, spec in run_aggs.items():
         by_var.setdefault(spec.var, {})[nm] = spec
     step_of = {var: k for k, (var, _q) in enumerate(parsed, start=1)
                if not isinstance(var, tuple)}
-    for var, specs in by_var.items():
-        k = step_of.get(var)
-        q = parsed[k - 1][1] if k else None
-        if k is None or q is None or q[0] != "kleene":
-            raise ValueError(
-                f"RunAgg navigates a GREEDY-quantified variable's run; "
-                f"{var!r} is not one (plain variables project their bound "
-                "row's columns directly; reluctant runs multi-match and "
-                "keep per-count rows)"
-            )
-        val_cols = {}
-        for nm, spec in specs.items():
-            if spec.col is not None:
-                c = F.col(spec.col) if isinstance(spec.col, str) else spec.col
-                val_cols[f"__v_{nm}"] = c
+
+    def _quantified_rows(k: int, var: str, val_cols: dict) -> DataFrame:
+        """Per-match run-member rows of quantified step k — the ALL-ROWS
+        band join: (ts, id) >= entry, ts <= run_last, row_number <= n."""
         m = out.filter(F.col(f"t{k}").isNotNull()).select(
             F.col(partition_by).alias("__mk"),
             F.col("anchor_id"),
@@ -406,9 +407,68 @@ def _attach_run_aggregates(
             & (F.col("__ets") <= F.col("__tl")),
         )
         wr = Window.partitionBy("__mk", "anchor_id").orderBy("__ets", "__eid")
-        run_rows = j.withColumn("__rn", F.row_number().over(wr)).filter(
-            F.col("__rn") <= F.col("__n")
+        return (
+            j.withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") <= F.col("__n"))
+            .select("__mk", "anchor_id", "__ets", "__eid",
+                    *list(val_cols))
         )
+
+    def _plain_rows(k: int, val_cols: dict) -> DataFrame:
+        """Per-match bound row of plain/optional step k (skipped optional
+        steps contribute nothing, per ISO's unbound-variable rule) —
+        an id-equi join back to the input carries the value columns."""
+        m = out.filter(F.col(f"t{k}").isNotNull()).select(
+            F.col(partition_by).alias("__mk"),
+            F.col("anchor_id"),
+            F.col(f"i{k}").alias("__bid"),
+        )
+        leg = events.select(
+            F.col(partition_by).alias("__ek"),
+            F.col(event_id).alias("__eid"),
+            F.col(order_by).alias("__ets"),
+            *[c.alias(nm) for nm, c in val_cols.items()],
+        )
+        return m.join(
+            leg,
+            (F.col("__mk") == F.col("__ek"))
+            & (F.col("__bid") == F.col("__eid")),
+        ).select("__mk", "anchor_id", "__ets", "__eid", *list(val_cols))
+
+    for var, specs in by_var.items():
+        val_cols = {}
+        for nm, spec in specs.items():
+            if spec.col is not None:
+                c = F.col(spec.col) if isinstance(spec.col, str) else spec.col
+                val_cols[f"__v_{nm}"] = c
+        if var in subset:
+            # SUBSET union variable (round 9 second pass, ISO 9075-2
+            # <row pattern subset clause>): its rows are the UNION of the
+            # members' bound rows in (ts, id) row order — quantified
+            # members contribute their whole run, plain members their
+            # bound row, skipped optionals nothing
+            run_rows = None
+            for member in subset[var]:
+                mk = step_of[member]
+                mq = parsed[mk - 1][1]
+                part = (
+                    _quantified_rows(mk, member, val_cols)
+                    if mq is not None and mq[0] == "kleene"
+                    else _plain_rows(mk, val_cols)
+                )
+                run_rows = part if run_rows is None else run_rows.unionByName(part)
+        else:
+            k = step_of.get(var)
+            q = parsed[k - 1][1] if k else None
+            if k is None or q is None or q[0] != "kleene":
+                raise ValueError(
+                    f"RunAgg navigates a GREEDY-quantified variable's run "
+                    f"or a SUBSET union variable; {var!r} is neither "
+                    "(plain variables project their bound row's columns "
+                    "directly; reluctant runs multi-match and keep "
+                    "per-count rows)"
+                )
+            run_rows = _quantified_rows(k, var, val_cols)
         agg_exprs = []
         for nm, spec in specs.items():
             v = F.col(f"__v_{nm}") if spec.col is not None else None
@@ -458,6 +518,7 @@ def match_recognize(
     rows_per_match: str = "one",
     payload: dict[str, Column] | None = None,
     iter_define: dict | None = None,
+    subset: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Compile the MATCH_RECOGNIZE spec onto the batch engines (see the
     module docstring for the full supported subset). ``withins`` bounds
@@ -546,6 +607,29 @@ def match_recognize(
             "run membership)"
         )
     wmap, vnames = dict(withins or {}), _var_names(parsed)
+    # SUBSET union variables (ISO 9075-2 <row pattern subset clause>):
+    # names must be fresh, members must be plain/optional/quantified
+    # pattern variables (not groups), and they are MEASURES-side only —
+    # a RunAgg may target one
+    plain_names = {v for v, _q in parsed if not isinstance(v, tuple)}
+    for uname, members in (subset or {}).items():
+        if uname in plain_names:
+            raise ValueError(
+                f"SUBSET name {uname!r} collides with a PATTERN variable"
+            )
+        if not members:
+            raise ValueError(f"SUBSET {uname!r} needs at least one member")
+        bad = sorted(set(members) - plain_names)
+        if bad:
+            raise ValueError(
+                f"SUBSET {uname!r} members must be PATTERN variables "
+                f"(groups don't join a subset): {bad}"
+            )
+    if subset and not run_aggs:
+        raise ValueError(
+            "SUBSET is consumed by RunAgg MEASURES (e.g. "
+            "run_agg('sum', '<subset name>', col)) — pass one"
+        )
     if excluded and specialties:
         raise ValueError(
             "exclusion {- X -} composes with the single-plan path only"
@@ -963,7 +1047,7 @@ def match_recognize(
     if run_aggs:
         out = _attach_run_aggregates(
             out, events, parsed, define, run_aggs,
-            partition_by, order_by, event_id,
+            partition_by, order_by, event_id, subset=subset,
         ).drop(*[f"i{k}" for k in range(1, len(parsed) + 1)])
     out = _rename(out.drop("max_step", "state"), parsed)
     if excluded:

@@ -921,6 +921,165 @@ FROM kept k JOIN agg g
 """
 
 
+def match_recognize_subset_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSET union variables (round 9 second pass) — ISO 9075-2's
+    ``SUBSET U = (S, E, P)`` consumed by MEASURES aggregates:
+    ``SUM(U.cents)`` / ``COUNT(U.*)`` / ``FIRST(U.cents, 1)`` /
+    ``LAST(U.cents, 1)`` over the UNION of the members' bound rows in
+    (ts, id) row order — plain members contribute their bound row,
+    the quantified member its whole run. Same match shape as
+    match_recognize_measures_run_agg (PATTERN (S E{1,3} P), SKIP PAST
+    LAST), so the union is anchor + run + suffix; the offset probes
+    (second member / second-from-last) are genuinely order-sensitive
+    across the member boundary."""
+    from flink_uba_spark.operators.match_recognize import (
+        match_recognize,
+        run_agg,
+    )
+
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S E{1,3} P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_past_last",
+        subset={"U": ("S", "E", "P")},
+        measures={
+            "anchor_id": F.col("anchor_id"),
+            "S_ts": F.col("S_ts"),
+            "P_ts": F.col("P_ts"),
+            "E_n": F.col("E_n"),
+            "u_cnt": run_agg("count", "U"),
+            "u_sum_cents": run_agg("sum", "U", cents),
+            "u_second_cents": run_agg("first", "U", cents, 1),
+            "u_penult_cents": run_agg("last", "U", cents, 1),
+            "end_id": F.col("end_id"),
+        },
+    )
+
+
+MATCH_RECOGNIZE_SUBSET_AGG_ORACLE = """
+WITH RECURSIVE
+err AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, cents,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts, cents, sid,
+         row_number() OVER ws AS rn,
+         COALESCE(lead(ts, 2) OVER ws, max(ts) OVER wf) AS run_last,
+         LEAST(3, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*, r.ts AS t2, r.run_last AS t2_last, r.n_reps AS n2,
+         r.sid, r.rn
+  FROM a JOIN LATERAL (
+    SELECT ts, run_last, n_reps, sid, rn, event_id FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1
+    ORDER BY r.ts, r.event_id LIMIT 1) r ON TRUE
+),
+a3 AS (
+  SELECT a2.*, (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+),
+cand0 AS (
+  SELECT user_id, anchor_id, t1, t2, t2_last, n2, sid, rn, t3,
+         (SELECT min(p.event_id) FROM events p WHERE p.event_type = 'purchase'
+            AND p.user_id = a3.user_id AND p.ts = a3.t3) AS end_id
+  FROM a3
+  WHERE t3 IS NOT NULL AND t2 <= t1 + INTERVAL 12 HOUR
+    AND t3 <= t2_last + INTERVAL 24 HOUR
+),
+cand AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY t3, end_id, t1, anchor_id) AS r
+  FROM cand0
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+),
+kept AS (
+  SELECT c.* FROM sel s JOIN cand c
+    ON c.user_id = s.user_id AND c.r = s.r
+  WHERE s.kept
+),
+-- SUBSET U = (S, E, P): the union of the members' bound rows — the
+-- anchor row, the run's n2-length rn-window, and the suffix row
+mem AS (
+  SELECT k.user_id, k.anchor_id, e.ts, e.event_id,
+         CAST(floor(e.value * 100) AS BIGINT) AS cents
+  FROM kept k JOIN events e
+    ON e.user_id = k.user_id AND e.event_id = k.anchor_id
+  UNION ALL
+  SELECT k.user_id, k.anchor_id, m.ts, m.event_id, m.cents
+  FROM kept k JOIN runs m
+    ON m.user_id = k.user_id AND m.sid = k.sid
+   AND m.rn BETWEEN k.rn AND k.rn + k.n2 - 1
+  UNION ALL
+  SELECT k.user_id, k.anchor_id, e.ts, e.event_id,
+         CAST(floor(e.value * 100) AS BIGINT)
+  FROM kept k JOIN events e
+    ON e.user_id = k.user_id AND e.event_id = k.end_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+             PARTITION BY user_id, anchor_id ORDER BY ts, event_id) AS r2,
+         count(*) OVER (PARTITION BY user_id, anchor_id) AS c2
+  FROM mem
+),
+agg AS (
+  SELECT user_id, anchor_id,
+         CAST(count(*) AS BIGINT) AS u_cnt,
+         CAST(sum(cents) AS BIGINT) AS u_sum_cents,
+         CAST(min(CASE WHEN r2 = 2 THEN cents END) AS BIGINT)
+           AS u_second_cents,
+         CAST(min(CASE WHEN r2 = c2 - 1 THEN cents END) AS BIGINT)
+           AS u_penult_cents
+  FROM ranked GROUP BY user_id, anchor_id
+)
+SELECT k.user_id, k.anchor_id, k.t1 AS S_ts, k.t3 AS P_ts,
+       CAST(k.n2 AS BIGINT) AS E_n,
+       g.u_cnt, g.u_sum_cents, g.u_second_cents, g.u_penult_cents,
+       k.end_id
+FROM kept k JOIN agg g
+  ON g.user_id = k.user_id AND g.anchor_id = k.anchor_id
+"""
+
+
 def match_recognize_quantified_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified alternation group (round 9) — ``PATTERN (S (C|V){1,3}
     P)``: a signup, then a greedy run of 1-3 engagement events where
@@ -1311,6 +1470,7 @@ WHERE s.kept
 
 QUERIES = {
     "match_recognize_trailing_run": match_recognize_trailing_run,
+    "match_recognize_subset_agg": match_recognize_subset_agg,
     "match_recognize_measures_run_agg": match_recognize_measures_run_agg,
     "match_recognize_quantified_group": match_recognize_quantified_group,
     "match_recognize_iterative_run": match_recognize_iterative_run,
@@ -1328,6 +1488,7 @@ QUERIES = {
 
 ORACLES = {
     "match_recognize_trailing_run": MATCH_RECOGNIZE_TRAILING_RUN_ORACLE,
+    "match_recognize_subset_agg": MATCH_RECOGNIZE_SUBSET_AGG_ORACLE,
     "match_recognize_measures_run_agg": MATCH_RECOGNIZE_MEASURES_RUN_AGG_ORACLE,
     "match_recognize_quantified_group": MATCH_RECOGNIZE_QUANTIFIED_GROUP_ORACLE,
     "match_recognize_iterative_run": MATCH_RECOGNIZE_ITERATIVE_RUN_ORACLE,

@@ -893,3 +893,131 @@ def test_trailing_run_end_anchor(spark):
     ).toPandas()
     assert sorted(out["user_id"]) == [1]
     assert int(out.loc[0, "E_n"]) == 2
+
+
+def test_subset_union_aggregates(spark):
+    """SUBSET U = (S, E, P) consumed by RunAgg MEASURES: the union of
+    the members' bound rows in (ts, id) order — sum/count over all
+    members, offset navigation crossing member boundaries."""
+    from flink_uba_spark.operators.match_recognize import run_agg
+
+    rows = [
+        (1, 1, 0, "s", 10), (2, 1, 1, "e", 1),
+        (3, 1, 2, "e", 2), (4, 1, 3, "p", 5),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (eid, uid, EPOCH + datetime.timedelta(seconds=sec), et, v)
+            for eid, uid, sec, et, v in rows
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, v long",
+    )
+    define = {
+        "S": F.col("event_type") == "s",
+        "E": F.col("event_type") == "e",
+        "P": F.col("event_type") == "p",
+    }
+    out = match_recognize(
+        ev, "user_id", "ts", "S E+ P", define,
+        default_within="INTERVAL 10 SECONDS", after_match="no_skip",
+        subset={"U": ("S", "E", "P")},
+        measures={
+            "u_sum": run_agg("sum", "U", "v"),
+            "u_cnt": run_agg("count", "U"),
+            "u_first": run_agg("first", "U", "v"),
+            "u_second": run_agg("first", "U", "v", 1),
+            "u_last2": run_agg("last", "U", "v", 1),
+            "u_oob": run_agg("last", "U", "v", 9),   # past the union → NULL
+            "e_sum": run_agg("sum", "E", "v"),
+        },
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["u_sum"] == 18 and r["u_cnt"] == 4
+    assert r["u_first"] == 10 and r["u_second"] == 1 and r["u_last2"] == 2
+    assert r["u_oob"] is None
+    assert r["e_sum"] == 3
+
+
+def test_subset_validations(spark):
+    from flink_uba_spark.operators.match_recognize import run_agg
+
+    ev = spark.createDataFrame(
+        [(1, 1, EPOCH, "s")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    define = {"S": F.col("event_type") == "s",
+              "E": F.col("event_type") == "e"}
+    base = dict(default_within="INTERVAL 1 HOUR", after_match="no_skip")
+    with pytest.raises(ValueError, match="collides"):
+        match_recognize(ev, "user_id", "ts", "S E", define,
+                        subset={"S": ("E",)},
+                        measures={"x": run_agg("count", "S")}, **base)
+    with pytest.raises(ValueError, match="members must be PATTERN"):
+        match_recognize(ev, "user_id", "ts", "S E", define,
+                        subset={"U": ("S", "Z")},
+                        measures={"x": run_agg("count", "U")}, **base)
+    with pytest.raises(ValueError, match="consumed by RunAgg"):
+        match_recognize(ev, "user_id", "ts", "S E", define,
+                        subset={"U": ("S", "E")}, **base)
+    with pytest.raises(ValueError, match="at least one member"):
+        match_recognize(ev, "user_id", "ts", "S E", define,
+                        subset={"U": ()},
+                        measures={"x": run_agg("count", "U")}, **base)
+
+
+@st.composite
+def _subset_case(draw):
+    w = draw(st.integers(5, 60))
+    n_ev = draw(st.integers(0, 14))
+    events = [
+        (i, draw(st.integers(0, 90)), draw(st.integers(0, 7)))
+        for i in range(n_ev)
+    ]
+    return w, events
+
+
+@settings(max_examples=30, deadline=None)
+@given(_subset_case())
+def test_subset_agg_matches_all_rows_route(spark, case):
+    """Property: SUBSET aggregates over U=(S,E,P) equal aggregating the
+    ALL ROWS PER MATCH enumeration of the same matches (the two routes
+    share only the engine — plain members arrive via id-equi join in
+    one, via the explode projection in the other)."""
+    w, events = case
+    df = _mask_df(spark, events, 3).withColumn(
+        "v", (F.col("event_id") % 7 + 1).cast("long")
+    )
+    from flink_uba_spark.operators.match_recognize import run_agg
+
+    define = {"S": F.col("c0"), "E": F.col("c1"), "P": F.col("c2")}
+    spec = dict(
+        withins={"E": f"INTERVAL {w} MICROSECONDS",
+                 "P": f"INTERVAL {w} MICROSECONDS"},
+        after_match="no_skip",
+    )
+    got = match_recognize(
+        df, "user_id", "ts", "S E{1,2} P", define,
+        subset={"U": ("S", "E", "P")},
+        measures={
+            "anchor_id": F.col("anchor_id"),
+            "u_cnt": run_agg("count", "U"),
+            "u_sum": run_agg("sum", "U", "v"),
+        },
+        **spec,
+    ).toPandas()
+    allrows = match_recognize(
+        df, "user_id", "ts", "S E{1,2} P", define,
+        rows_per_match="all", **spec,
+    ).toPandas()
+    vals = {int(eid): int(eid) % 7 + 1 for eid, _ts, _m in events}
+    want = {}
+    for _, r in allrows.iterrows():
+        a = int(r["anchor_id"])
+        cnt, s = want.get(a, (0, 0))
+        want[a] = (cnt + 1, s + vals[int(r["event_id"])])
+    gotd = {
+        int(r["anchor_id"]): (int(r["u_cnt"]), int(r["u_sum"]))
+        for _, r in got.iterrows()
+    }
+    assert gotd == want
