@@ -1349,15 +1349,22 @@ def stream_match_recognize(
             "unknowable on an unbounded stream)"
         )
     pattern, excluded = strip_exclusions(pattern)
-    if excluded:
-        # ADVICE r8: without this the '{-' token died on a cryptic
-        # "bad PATTERN token" parse error instead of a batch-only message
-        raise ValueError(
-            "exclusion {- X -} is batch-only on this front-end (output "
-            "shaping over the ALL-ROWS batch route; the streaming NFA "
-            "emits ONE-row matches only)"
-        )
     parsed = parse_pattern(pattern)
+    if excluded and (
+        any(isinstance(v, tuple) and not (q is not None and q[0] == "kleene")
+            for v, q in parsed)
+        or any(q is not None and q[0] == "reluctant" for _v, q in parsed)
+        or after_match.split()[0] in ("skip_to_first", "skip_to_last")
+    ):
+        # the specialty stream routes rename/fold their own output; the
+        # exclusion projection composes with the single-plan path only
+        # (round 9 second pass — r8 raised on EVERY stream exclusion,
+        # and before that the '{-' token died on a cryptic parse error)
+        raise ValueError(
+            "exclusion {- X -} streams on the single-plan path only "
+            "(ONE-row output shaping; the specialty routes are batch-only "
+            "for it)"
+        )
     if any(
         isinstance(var, tuple) and not (q is not None and q[0] == "kleene")
         for var, q in parsed
@@ -1438,6 +1445,13 @@ def stream_match_recognize(
         # pattern_output_schema names the key column user_id
         out = out.withColumnRenamed("user_id", partition_by)
     out = _rename(out.drop("max_step", "state"), parsed)
+    if excluded:
+        # ISO exclusion is pure output shaping: the excluded variable
+        # still matches (and gates the chain), its columns just leave
+        # the ONE-row projection — a stateless drop, same as batch
+        out = out.drop(
+            *[c for v in excluded for c in (f"{v}_ts", f"{v}_last_ts", f"{v}_n")]
+        )
     if measures is not None:
         out = out.select(
             partition_by, *[c.alias(nm) for nm, c in measures.items()]

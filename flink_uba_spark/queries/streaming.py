@@ -1279,6 +1279,37 @@ WHERE s.kept
 """
 
 
+def stream_match_recognize_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion ``{- C -}`` on the STREAM front-end (round 9 second
+    pass; r8 raised on every stream exclusion): ISO exclusion is pure
+    output shaping — the excluded click still matches and gates the
+    chain (its within bounds hold), its columns just leave the ONE-row
+    projection, a stateless drop after the same stateful NFA as
+    stream_match_recognize_onboarding. Oracle: the onboarding fold
+    minus the C_ts column — match SET identical, projection narrower."""
+    from flink_uba_spark.operators.match_recognize import stream_match_recognize
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S {- C -} P",
+            define={"S": "signup", "C": "click", "P": "purchase"},
+            withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+            after_match="skip_past_last",
+        )
+    ).select("user_id", "anchor_id", "S_ts", "P_ts")
+
+
+# the SAME fold — exclusion never changes the match set, only the
+# projection, so the oracle is the onboarding SQL minus the C_ts column
+STREAM_MATCH_RECOGNIZE_EXCLUDED_ORACLE = (
+    STREAM_MATCH_RECOGNIZE_ONBOARDING_ORACLE.replace("c.t2 AS C_ts, ", "")
+)
+
+
 def stream_window_join_views_purchases(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3225,6 +3256,7 @@ QUERIES = {
     "stream_pattern_within_view_click_purchase": stream_pattern_within_view_click_purchase,
     "stream_pattern_iterative_price_escalation": stream_pattern_iterative_price_escalation,
     "stream_match_recognize_onboarding": stream_match_recognize_onboarding,
+    "stream_match_recognize_excluded": stream_match_recognize_excluded,
     "stream_window_join_views_purchases": stream_window_join_views_purchases,
     "stream_interval_join_left_outer_clicks": stream_interval_join_left_outer_clicks,
     "stream_window_dedup_first_click": stream_window_dedup_first_click,
@@ -3296,6 +3328,7 @@ ORACLES = {
     "stream_pattern_within_view_click_purchase": _stream_pattern_within_vcp_oracle(),
     "stream_pattern_iterative_price_escalation": _stream_pattern_iterative_oracle(),
     "stream_match_recognize_onboarding": STREAM_MATCH_RECOGNIZE_ONBOARDING_ORACLE,
+    "stream_match_recognize_excluded": STREAM_MATCH_RECOGNIZE_EXCLUDED_ORACLE,
     "stream_window_join_views_purchases": _stream_window_join_oracle(),
     "stream_interval_join_left_outer_clicks": _stream_interval_join_left_outer_oracle(),
     "stream_window_dedup_first_click": _stream_window_dedup_oracle(),

@@ -80,13 +80,39 @@ def test_trailing_quantifier_skip_past_last_raises(spark):
     assert out.count() == 1
 
 
-def test_stream_exclusion_batch_only_message(spark):
+def test_stream_exclusion_routes(spark):
+    """Round-9 second pass: exclusion {- X -} STREAMS on the single-plan
+    path (stateless ONE-row projection drop); the specialty stream
+    routes still raise with an explicit message."""
     ev = _mk_events(spark, [(1, 1, 0, "s")])
-    with pytest.raises(ValueError, match="batch-only"):
+    # specialty route (alternation) keeps the explicit raise
+    with pytest.raises(ValueError, match="single-plan path"):
         stream_match_recognize(
-            ev, "user_id", "ts", "S {- E -} P", _def3(),
-            default_within="INTERVAL 1 HOUR",
+            ev, "user_id", "ts", "(S|E) {- P -}",
+            _def3(), default_within="INTERVAL 1 HOUR",
+            after_match="no_skip",
         )
+    # single-plan: compiles; the excluded variable's columns leave the
+    # projection (streaming DataFrame — schema is checkable unexecuted)
+    sdf = stream_match_recognize(
+        _stream_like(spark), "user_id", "ts", "S {- E -} P", _def3(),
+        default_within="INTERVAL 1 HOUR", after_match="no_skip",
+    )
+    assert "E_ts" not in sdf.columns and "S_ts" in sdf.columns
+
+
+def _stream_like(spark):
+    """A rate-source-shaped streaming frame with the events schema (for
+    compile/schema checks that never start the query)."""
+    return (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("value").alias("event_id"),
+            (F.col("value") % 5).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.lit("s").alias("event_type"),
+        )
+    )
 
 
 def test_all_rows_needs_plain_entry(spark):
