@@ -2330,7 +2330,47 @@ FROM b2
 """
 
 
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-changelog materialization (CDC upsert → current table,
+    Flink's upsert-stream/table duality — ``fromChangelogStream`` /
+    upsert-kafka tombstones; the keyed twin of the reference's retract
+    conversions, SURVEY §2 S6): events as a per-user profile changelog
+    where every record upserts (event_type, cents, props) and an
+    ``error`` record is the DELETE tombstone — the output holds each
+    user's latest visible profile, absent when the latest record is a
+    tombstone. ONE hash aggregate (map-side-partial ``max_by``), no
+    window/self-join — the 100 TB shape (operators/changelog.py)."""
+    from flink_uba_spark.operators.changelog import changelog_latest
+
+    ev = _events(spark, sf_dir)
+    return changelog_latest(
+        ev,
+        keys=["user_id"],
+        values={
+            "last_type": F.col("event_type"),
+            "last_cents": F.floor(F.col("value") * 100).cast("long"),
+            "last_props": F.col("props"),
+        },
+        delete_when=F.col("event_type") == "error",
+    )
+
+
+CDC_LATEST_STATE_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id, props,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_type, cents AS last_cents,
+       props AS last_props, ts AS op_ts, event_id AS op_id
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 QUERIES = {
+    "cdc_latest_state": cdc_latest_state,
     "daily_users_approx": daily_users_approx,
     "item_pagerank": item_pagerank,
     "pattern_view_click_purchase": pattern_view_click_purchase,
@@ -2374,6 +2414,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cdc_latest_state": CDC_LATEST_STATE_ORACLE,
     "daily_users_approx": DAILY_USERS_APPROX_ORACLE,
     "item_pagerank": ITEM_PAGERANK_ORACLE,
     "pattern_view_click_purchase": PATTERN_VCP_ORACLE,

@@ -1310,6 +1310,40 @@ STREAM_MATCH_RECOGNIZE_EXCLUDED_ORACLE = (
 )
 
 
+def stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed-changelog materialization as a CONTINUOUS query —
+    Flink's upsert-stream → dynamic table (upsert-kafka consumption):
+    the same ONE-aggregate shape as the batch cdc_latest_state, run in
+    COMPLETE mode so the state store holds exactly the per-key latest
+    struct (Flink's upsert materialization state bound — one row per
+    key, independent of stream length). Tombstone keys stay filtered at
+    emission; late/out-of-order upserts never flap the result because
+    the winner is the (ts, id) max, not arrival order."""
+    from flink_uba_spark.operators.changelog import changelog_latest
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        changelog_latest(
+            ev,
+            keys=["user_id"],
+            values={
+                "last_type": F.col("event_type"),
+                "last_cents": F.floor(F.col("value") * 100).cast("long"),
+                "last_props": F.col("props"),
+            },
+            delete_when=F.col("event_type") == "error",
+        ),
+        output_mode="complete",
+    )
+
+
+# identical semantics to the batch materialization — the stream runs
+# the same aggregate to completion (COMPLETE mode), so the oracle is
+# the batch query's
+from flink_uba_spark.queries.behavior import CDC_LATEST_STATE_ORACLE as \
+    STREAM_CDC_LATEST_STATE_ORACLE  # noqa: E402
+
+
 def stream_window_join_views_purchases(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3257,6 +3291,7 @@ QUERIES = {
     "stream_pattern_iterative_price_escalation": stream_pattern_iterative_price_escalation,
     "stream_match_recognize_onboarding": stream_match_recognize_onboarding,
     "stream_match_recognize_excluded": stream_match_recognize_excluded,
+    "stream_cdc_latest_state": stream_cdc_latest_state,
     "stream_window_join_views_purchases": stream_window_join_views_purchases,
     "stream_interval_join_left_outer_clicks": stream_interval_join_left_outer_clicks,
     "stream_window_dedup_first_click": stream_window_dedup_first_click,
@@ -3329,6 +3364,7 @@ ORACLES = {
     "stream_pattern_iterative_price_escalation": _stream_pattern_iterative_oracle(),
     "stream_match_recognize_onboarding": STREAM_MATCH_RECOGNIZE_ONBOARDING_ORACLE,
     "stream_match_recognize_excluded": STREAM_MATCH_RECOGNIZE_EXCLUDED_ORACLE,
+    "stream_cdc_latest_state": STREAM_CDC_LATEST_STATE_ORACLE,
     "stream_window_join_views_purchases": _stream_window_join_oracle(),
     "stream_interval_join_left_outer_clicks": _stream_interval_join_left_outer_oracle(),
     "stream_window_dedup_first_click": _stream_window_dedup_oracle(),
