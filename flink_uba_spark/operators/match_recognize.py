@@ -1317,6 +1317,8 @@ def stream_match_recognize(
     measures: dict[str, Column] | None = None,
     after_match: str = "skip_past_last",
     event_id: str = "event_id",
+    payload: dict[str, Column] | None = None,
+    iter_define_py: dict | None = None,
 ) -> DataFrame:
     """The same spec as a continuous query (``stream_pattern_detect``).
     The streaming skip fold supports plain chains (the NFA's documented
@@ -1330,8 +1332,12 @@ def stream_match_recognize(
     streams on plain chains (round 9, ``stream_chain_skip_to_detect``)
     with every within finite — the within sum is the replay horizon.
     Alternation/PERMUTE stream under NO SKIP via the preference-folded
-    fused operator (round 9); iter_define remains batch-only on this
-    front-end (its streaming engine is reached via the Pattern API)."""
+    fused operator (round 9). Prefix-referencing DEFINE streams under
+    NO SKIP through ``stream_pattern_detect_iterative`` (round 9 second
+    pass): pass ``iter_define_py`` — variable →
+    ``lambda prefix_pays, cand_pay`` over ``payload`` tuples, the
+    engine's conds_py contract (the batch Column binder can't cross
+    into the Arrow-side NFA)."""
     from flink_uba_spark.streaming.pattern import stream_pattern_detect
 
     if after_match not in ("skip_past_last", "no_skip") and not (
@@ -1382,6 +1388,71 @@ def stream_match_recognize(
             dict(withins or {}), default_within, measures, event_id,
         )
     mode, skip_step = _parse_after_match(after_match, parsed)
+    if iter_define_py:
+        # round 9 second pass: prefix-referencing DEFINE STREAMS through
+        # stream_pattern_detect_iterative (the engine the Pattern-API
+        # catalog already soaks) under NO SKIP. ``iter_define_py`` is the
+        # streaming spelling of the batch binder: variable →
+        # ``lambda prefix_pays, cand_pay: bool`` over payload tuples
+        # (tuple order = payload dict order), exactly the engine's
+        # conds_py contract — the batch Column binder can't cross into
+        # the Arrow-side NFA, so the condition is given in Python.
+        from flink_uba_spark.streaming.pattern import (
+            stream_pattern_detect_iterative,
+        )
+
+        if mode != "no_skip":
+            raise ValueError(
+                "streaming iter_define runs under NO SKIP (the iterative "
+                "NFA emits per-anchor matches; the cross-anchor skip "
+                "folds are batch-only on this route)"
+            )
+        if excluded:
+            raise ValueError(
+                "exclusion {- X -} streams on the single-plan path only "
+                "(ONE-row output shaping; the specialty routes are "
+                "batch-only for it)"
+            )
+        if any(q is not None or isinstance(v, tuple) for v, q in parsed):
+            raise ValueError(
+                "streaming iter_define runs on plain chains "
+                "(quantifiers/groups are batch-only on this route)"
+            )
+        vnames = [v for v, _q in parsed]
+        unknown = sorted(set(iter_define_py) - set(vnames))
+        if unknown:
+            raise ValueError(
+                f"iter_define_py names unknown variables: {unknown}"
+            )
+        if vnames[0] in iter_define_py:
+            raise ValueError(
+                "the first variable has no prefix to reference — put its "
+                "self-row predicate in DEFINE"
+            )
+        steps, _ = _steps_and_sets(
+            parsed, define, dict(withins or {}), default_within
+        )
+        conds_py = {
+            k: iter_define_py[v]
+            for k, v in enumerate(vnames, start=1)
+            if v in iter_define_py
+        }
+        out = stream_pattern_detect_iterative(
+            events, key=partition_by, steps=steps,
+            payload=payload, conds_py=conds_py,
+            event_id=event_id, ts=order_by,
+        )
+        if partition_by != "user_id":
+            out = out.withColumnRenamed("user_id", partition_by)
+        n = len(parsed)
+        out = out.withColumn("anchor_id", F.col("i1")).drop(
+            *[f"i{k}" for k in range(1, n + 1)]
+        )
+        out = _rename(out, parsed)
+        for nm in (payload or {}):
+            for k, v in enumerate(vnames, start=1):
+                out = out.withColumnRenamed(f"{nm}{k}", f"{nm}_{v}")
+        return _measures(out, partition_by, measures)
     rel = {
         k for k, (_v, q) in enumerate(parsed, start=1)
         if q is not None and q[0] == "reluctant"

@@ -1344,6 +1344,74 @@ from flink_uba_spark.queries.behavior import CDC_LATEST_STATE_ORACLE as \
     STREAM_CDC_LATEST_STATE_ORACLE  # noqa: E402
 
 
+def stream_match_recognize_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-referencing DEFINE through the STREAM front-end (round 9
+    second pass; the engine — stream_pattern_detect_iterative — was
+    already soaked via the Pattern-API catalog): ``PATTERN (S C P)
+    DEFINE P AS P.cents >= S.cents`` under NO SKIP, the iterative
+    condition in its streaming spelling (``iter_define_py`` over
+    payload tuples — the batch Column binder can't cross into the
+    Arrow-side NFA). Oracle: the batch iterative candidates (no fold —
+    NO SKIP emits per anchor) restricted to chains whose END precedes
+    the final ms-floored watermark."""
+    from flink_uba_spark.operators.match_recognize import stream_match_recognize
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S C P",
+            define={
+                "S": F.col("event_type") == "signup",
+                "C": F.col("event_type") == "click",
+                "P": F.col("event_type") == "purchase",
+            },
+            withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+            payload={"cents": F.floor(F.col("value") * 100).cast("long")},
+            iter_define_py={"P": lambda pre, c: c[0] >= pre[0][0]},
+            after_match="no_skip",
+        )
+    ).select(
+        "user_id", "anchor_id", "S_ts", "C_ts", "P_ts",
+        "cents_S", "cents_C", "cents_P",
+    )
+
+
+STREAM_MATCH_RECOGNIZE_ITERATIVE_ORACLE = """
+WITH
+a AS (SELECT user_id, event_id AS i1, ts AS t1,
+             CAST(floor(value * 100) AS BIGINT) AS c1
+      FROM events WHERE event_type = 'signup'),
+s2 AS (
+  SELECT a.*, c.ts AS t2, c.event_id AS i2, c.c2
+  FROM a JOIN LATERAL (
+    SELECT ts, event_id, CAST(floor(value * 100) AS BIGINT) AS c2
+    FROM events c
+    WHERE c.event_type = 'click' AND c.user_id = a.user_id
+      AND c.ts >= a.t1 AND c.ts <= a.t1 + INTERVAL 6 HOUR
+    ORDER BY c.ts, c.event_id LIMIT 1) c ON TRUE
+),
+s3 AS (
+  SELECT s2.*, p.ts AS t3, p.event_id AS i3, p.c3
+  FROM s2 JOIN LATERAL (
+    SELECT ts, event_id, CAST(floor(value * 100) AS BIGINT) AS c3
+    FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = s2.user_id
+      AND p.ts >= s2.t2 AND p.ts <= s2.t2 + INTERVAL 24 HOUR
+      AND CAST(floor(p.value * 100) AS BIGINT) >= s2.c1
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+)
+SELECT user_id, i1 AS anchor_id, t1 AS S_ts, t2 AS C_ts, t3 AS P_ts,
+       c1 AS cents_S, c2 AS cents_C, c3 AS cents_P
+FROM s3
+WHERE epoch_us(t3) < (SELECT (epoch_us(max(ts)) // 1000) * 1000
+                      FROM events
+                      WHERE event_type IN ('signup', 'click', 'purchase'))
+"""
+
+
 def stream_window_join_views_purchases(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3292,6 +3360,7 @@ QUERIES = {
     "stream_match_recognize_onboarding": stream_match_recognize_onboarding,
     "stream_match_recognize_excluded": stream_match_recognize_excluded,
     "stream_cdc_latest_state": stream_cdc_latest_state,
+    "stream_match_recognize_iterative": stream_match_recognize_iterative,
     "stream_window_join_views_purchases": stream_window_join_views_purchases,
     "stream_interval_join_left_outer_clicks": stream_interval_join_left_outer_clicks,
     "stream_window_dedup_first_click": stream_window_dedup_first_click,
@@ -3365,6 +3434,7 @@ ORACLES = {
     "stream_match_recognize_onboarding": STREAM_MATCH_RECOGNIZE_ONBOARDING_ORACLE,
     "stream_match_recognize_excluded": STREAM_MATCH_RECOGNIZE_EXCLUDED_ORACLE,
     "stream_cdc_latest_state": STREAM_CDC_LATEST_STATE_ORACLE,
+    "stream_match_recognize_iterative": STREAM_MATCH_RECOGNIZE_ITERATIVE_ORACLE,
     "stream_window_join_views_purchases": _stream_window_join_oracle(),
     "stream_interval_join_left_outer_clicks": _stream_interval_join_left_outer_oracle(),
     "stream_window_dedup_first_click": _stream_window_dedup_oracle(),

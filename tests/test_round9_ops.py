@@ -842,3 +842,45 @@ def test_reluctant_enum_lazy_fold_matches_pipeline(spark):
         r = Counter(map(repr, (tuple(x) for x in ref.collect())))
         g = Counter(map(repr, (tuple(x) for x in got.collect())))
         assert r == g, f"trial {trial} mn={mn} mx={mx}"
+
+
+def test_stream_iter_define_routing(spark):
+    """Round-9 second pass: iter_define_py streams under NO SKIP on
+    plain chains; everything else raises with the reason."""
+    sdf = _stream_like(spark)
+    base = dict(
+        define=_def3(), default_within="INTERVAL 1 HOUR",
+        payload={"cents": F.lit(1).cast("long")},
+    )
+    with pytest.raises(ValueError, match="NO SKIP"):
+        stream_match_recognize(
+            sdf, "user_id", "ts", "S E P",
+            iter_define_py={"P": lambda pre, c: True},
+            after_match="skip_past_last", **base,
+        )
+    with pytest.raises(ValueError, match="plain chains"):
+        stream_match_recognize(
+            sdf, "user_id", "ts", "S E{1,2} P",
+            iter_define_py={"P": lambda pre, c: True},
+            after_match="no_skip", **base,
+        )
+    with pytest.raises(ValueError, match="unknown variables"):
+        stream_match_recognize(
+            sdf, "user_id", "ts", "S E P",
+            iter_define_py={"Z": lambda pre, c: True},
+            after_match="no_skip", **base,
+        )
+    with pytest.raises(ValueError, match="no prefix"):
+        stream_match_recognize(
+            sdf, "user_id", "ts", "S E P",
+            iter_define_py={"S": lambda pre, c: True},
+            after_match="no_skip", **base,
+        )
+    # the happy path compiles; payload columns are renamed per variable
+    out = stream_match_recognize(
+        sdf, "user_id", "ts", "S E P",
+        iter_define_py={"P": lambda pre, c: c[0] >= pre[0][0]},
+        after_match="no_skip", **base,
+    )
+    assert {"S_ts", "E_ts", "P_ts", "cents_S", "cents_E", "cents_P",
+            "anchor_id"} <= set(out.columns)
