@@ -589,10 +589,19 @@ def match_recognize(
                 "plain last step)"
             )
     if rows_per_match == "all":
-        if specialties:
+        if specialties and not has_alt:
             raise ValueError(
                 "ALL ROWS PER MATCH composes with the single-plan path "
-                "(plain/optional/quantified variables) only"
+                "(plain/optional/quantified variables) and — round 9 "
+                "second pass — with alternation/PERMUTE groups"
+            )
+        if has_alt and any(
+            q is not None and q[0] == "kleene" for _v, q in parsed
+        ):
+            raise ValueError(
+                "ALL ROWS over alternation/PERMUTE takes plain/optional "
+                "variables (a quantified variable's run enumeration is "
+                "single-plan only)"
             )
         if measures is not None:
             raise ValueError("MEASURES is the ONE ROW PER MATCH shape")
@@ -837,28 +846,45 @@ def match_recognize(
             b = pattern_detect(
                 events, key=partition_by, steps=steps, event_id=event_id,
                 ts=order_by, optional=optional or None, with_end_id=with_end,
+                with_step_ids=(rows_per_match == "all"),
             ).filter(F.col("state") == "matched")
             # remap positions onto the var universe: every var gets its
             # `<var>_ts` column (null when the branch never binds it)
             pos_of = {v: p for p, (v, _q) in enumerate(fparsed, start=1)}
             sel = [F.col(partition_by), F.col("anchor_id")]
-            for v in all_vars:
-                p = pos_of.get(v)
-                if p is None:
-                    sel.append(F.lit(None).cast("timestamp").alias(f"{v}_ts"))
-                else:
-                    sel.append(F.col(f"t{p}").alias(f"{v}_ts"))
-                    _q = fparsed[p - 1][1]
-                    if _q is not None and _q[0] == "kleene":
-                        sel.append(F.col(f"t{p}_last").alias(f"{v}_last_ts"))
-                        sel.append(F.col(f"n{p}").alias(f"{v}_n"))
-            for ti, (kind, members) in sorted(group_tokens.items()):
-                label = (
-                    ",".join(v for v in (x[0] for x in combo[ti]))
-                    if kind == "permute"
-                    else combo[ti][0][0]
-                )
-                sel.append(F.lit(label).alias(f"classifier_{ti + 1}"))
+            if rows_per_match == "all":
+                # ALL ROWS over a branch: the branch's bound events as
+                # one array column — positions/names are compile-time
+                # constants per branch, so the whole projection is
+                # stateless; CLASSIFIER() is each row's var name
+                entries = [
+                    F.struct(
+                        F.lit(p).cast("long").alias("seq"),
+                        F.lit(v).alias("var"),
+                        F.col(f"i{p}").alias("event_id"),
+                        F.col(f"t{p}").alias("ts"),
+                    )
+                    for p, (v, _q) in enumerate(fparsed, start=1)
+                ]
+                sel.append(F.array(*entries).alias("__rows"))
+            else:
+                for v in all_vars:
+                    p = pos_of.get(v)
+                    if p is None:
+                        sel.append(F.lit(None).cast("timestamp").alias(f"{v}_ts"))
+                    else:
+                        sel.append(F.col(f"t{p}").alias(f"{v}_ts"))
+                        _q = fparsed[p - 1][1]
+                        if _q is not None and _q[0] == "kleene":
+                            sel.append(F.col(f"t{p}_last").alias(f"{v}_last_ts"))
+                            sel.append(F.col(f"n{p}").alias(f"{v}_n"))
+                for ti, (kind, members) in sorted(group_tokens.items()):
+                    label = (
+                        ",".join(v for v in (x[0] for x in combo[ti]))
+                        if kind == "permute"
+                        else combo[ti][0][0]
+                    )
+                    sel.append(F.lit(label).alias(f"classifier_{ti + 1}"))
             if with_end:
                 # the match END position's var differs per PERMUTE branch
                 # — carry explicit anchor/end columns for the fold
@@ -881,6 +907,21 @@ def match_recognize(
                 out, key=partition_by,
                 anchor_ts="__anchor_ts", end_ts="__end_ts",
             ).drop("__anchor_ts", "__end_ts")
+        if rows_per_match == "all":
+            # one output row per bound event of the winning branch
+            # (skipped optionals carry null ts and are filtered, as on
+            # the single-plan route)
+            return (
+                out.select(
+                    partition_by, "anchor_id",
+                    F.explode("__rows").alias("__e"),
+                )
+                .select(
+                    partition_by, "anchor_id",
+                    "__e.seq", "__e.var", "__e.event_id", "__e.ts",
+                )
+                .filter(F.col("ts").isNotNull())
+            )
         return _measures(out, partition_by, measures)
 
     # ---- SKIP TO FIRST/LAST route ----------------------------------------

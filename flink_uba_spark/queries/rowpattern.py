@@ -301,6 +301,98 @@ WHERE s.kept
 """
 
 
+def match_recognize_all_rows_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PATTERN (S (C|V) P) ... ALL ROWS PER MATCH`` (round 9 second
+    pass; r9 first pass raised on every specialty): one output row per
+    BOUND EVENT of the winning branch, CLASSIFIER() naming each row's
+    variable — the leftmost-alternative preference and SKIP PAST LAST
+    fold run on the branch union first, then a stateless explode of the
+    branch's compile-time (seq, var) projection."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S (C|V) P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "V": F.col("event_type") == "view",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={
+            "C": "INTERVAL 6 HOURS",
+            "V": "INTERVAL 6 HOURS",
+            "P": "INTERVAL 24 HOURS",
+        },
+        after_match="skip_past_last",
+        rows_per_match="all",
+    )
+
+
+MATCH_RECOGNIZE_ALL_ROWS_ALTERNATION_ORACLE = """
+WITH RECURSIVE
+a AS (SELECT user_id, event_id AS i1, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+br AS (SELECT 0 AS b, 'C' AS cls, 'click' AS mid
+       UNION ALL SELECT 1, 'V', 'view'),
+m2 AS (
+  SELECT a.*, br.b, br.cls, e.ts AS t2, e.event_id AS i2
+  FROM a CROSS JOIN br
+  JOIN LATERAL (
+    SELECT ts, event_id FROM events e
+    WHERE e.event_type = br.mid AND e.user_id = a.user_id AND e.ts >= a.t1
+    ORDER BY e.ts, e.event_id LIMIT 1) e ON TRUE
+),
+m3 AS (
+  SELECT m2.*, p.ts AS t3, p.event_id AS i3
+  FROM m2 JOIN LATERAL (
+    SELECT ts, event_id FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = m2.user_id
+      AND p.ts >= m2.t2
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+  WHERE m2.t2 <= m2.t1 + INTERVAL 6 HOUR
+),
+ok AS (SELECT * FROM m3 WHERE t3 <= t2 + INTERVAL 24 HOUR),
+pref AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, i1 ORDER BY b) AS pr
+  FROM ok
+),
+cand AS (
+  SELECT user_id, i1, t1, b, cls, t2, i2, t3, i3,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY t3, i3, t1, i1) AS r
+  FROM pref WHERE pr = 1
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.i1) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.i1) > (s.le_ts, s.le_id)
+              THEN c.i3 ELSE s.le_id END,
+         (c.t1, c.i1) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+),
+kept AS (
+  SELECT c.* FROM sel s JOIN cand c
+    ON c.user_id = s.user_id AND c.r = s.r
+  WHERE s.kept
+)
+SELECT user_id, i1 AS anchor_id, CAST(1 AS BIGINT) AS seq, 'S' AS var,
+       i1 AS event_id, t1 AS ts FROM kept
+UNION ALL
+SELECT user_id, i1, CAST(2 AS BIGINT), cls, i2, t2 FROM kept
+UNION ALL
+SELECT user_id, i1, CAST(3 AS BIGINT), 'P', i3, t3 FROM kept
+"""
+
+
 def match_recognize_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-referencing DEFINE — SQL's ``DEFINE P AS P.cents >=
     S.cents`` (Flink's IterativeCondition reached through
@@ -1471,6 +1563,7 @@ WHERE s.kept
 QUERIES = {
     "match_recognize_trailing_run": match_recognize_trailing_run,
     "match_recognize_subset_agg": match_recognize_subset_agg,
+    "match_recognize_all_rows_alternation": match_recognize_all_rows_alternation,
     "match_recognize_measures_run_agg": match_recognize_measures_run_agg,
     "match_recognize_quantified_group": match_recognize_quantified_group,
     "match_recognize_iterative_run": match_recognize_iterative_run,
@@ -1489,6 +1582,7 @@ QUERIES = {
 ORACLES = {
     "match_recognize_trailing_run": MATCH_RECOGNIZE_TRAILING_RUN_ORACLE,
     "match_recognize_subset_agg": MATCH_RECOGNIZE_SUBSET_AGG_ORACLE,
+    "match_recognize_all_rows_alternation": MATCH_RECOGNIZE_ALL_ROWS_ALTERNATION_ORACLE,
     "match_recognize_measures_run_agg": MATCH_RECOGNIZE_MEASURES_RUN_AGG_ORACLE,
     "match_recognize_quantified_group": MATCH_RECOGNIZE_QUANTIFIED_GROUP_ORACLE,
     "match_recognize_iterative_run": MATCH_RECOGNIZE_ITERATIVE_RUN_ORACLE,

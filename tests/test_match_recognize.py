@@ -1021,3 +1021,50 @@ def test_subset_agg_matches_all_rows_route(spark, case):
         for _, r in got.iterrows()
     }
     assert gotd == want
+
+
+def test_all_rows_alternation_and_permute(spark):
+    """ALL ROWS over a branch union (round 9 second pass): one row per
+    bound event of the WINNING branch, CLASSIFIER() per row; leftmost /
+    listed-order preference decides which branch's rows emit."""
+    rows = [
+        # user 1: C and V both complete at the same positions → C wins
+        (1, 1, 0, "s"), (2, 1, 1, "c"), (3, 1, 1, "v"), (4, 1, 2, "p"),
+        # user 2: only the V branch completes
+        (5, 2, 0, "s"), (6, 2, 1, "v"), (7, 2, 2, "p"),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (eid, uid, EPOCH + datetime.timedelta(seconds=sec), et)
+            for eid, uid, sec, et in rows
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    define = {
+        "S": F.col("event_type") == "s", "C": F.col("event_type") == "c",
+        "V": F.col("event_type") == "v", "P": F.col("event_type") == "p",
+    }
+    out = match_recognize(
+        ev, "user_id", "ts", "S (C|V) P", define,
+        default_within="INTERVAL 10 SECONDS",
+        after_match="skip_past_last", rows_per_match="all",
+    ).toPandas().sort_values(["user_id", "seq"]).reset_index(drop=True)
+    assert list(out["var"]) == ["S", "C", "P", "S", "V", "P"]
+    assert list(out["event_id"]) == [1, 2, 4, 5, 6, 7]
+    # PERMUTE: user 1 binds c then v? PERMUTE(C,V) prefers listed order
+    outp = match_recognize(
+        ev, "user_id", "ts", "S PERMUTE(C,V)", define,
+        default_within="INTERVAL 10 SECONDS",
+        after_match="no_skip", rows_per_match="all",
+    ).toPandas().sort_values(["user_id", "seq"]).reset_index(drop=True)
+    # user 1 has both c and v after s: the (C,V) ordering wins; user 2
+    # lacks a c so no PERMUTE match at all
+    assert list(outp["var"]) == ["S", "C", "V"]
+    assert list(outp["event_id"]) == [1, 2, 3]
+    # quantified variables stay single-plan under ALL ROWS
+    with pytest.raises(ValueError, match="plain/optional"):
+        match_recognize(
+            ev, "user_id", "ts", "S (C|V) P{1,2}", define,
+            default_within="INTERVAL 10 SECONDS",
+            after_match="no_skip", rows_per_match="all",
+        )
