@@ -358,6 +358,8 @@ def _attach_run_aggregates(
     order_by: str,
     event_id: str,
     subset: dict | None = None,
+    withins_map: dict | None = None,
+    default_within_val: str | None = None,
 ) -> DataFrame:
     """Join each RunAgg's value onto the ONE-row matches as
     ``__ra_<name>``. The run's member rows are recovered by the same
@@ -376,10 +378,17 @@ def _attach_run_aggregates(
         by_var.setdefault(spec.var, {})[nm] = spec
     step_of = {var: k for k, (var, _q) in enumerate(parsed, start=1)
                if not isinstance(var, tuple)}
+    group_of = {
+        "_".join(var): (k, var)
+        for k, (var, q) in enumerate(parsed, start=1)
+        if isinstance(var, tuple) and q is not None and q[0] == "kleene"
+    }
 
-    def _quantified_rows(k: int, var: str, val_cols: dict) -> DataFrame:
+    def _quantified_rows(k: int, pred: Column, val_cols: dict) -> DataFrame:
         """Per-match run-member rows of quantified step k — the ALL-ROWS
-        band join: (ts, id) >= entry, ts <= run_last, row_number <= n."""
+        band join: (ts, id) >= entry, ts <= run_last, row_number <= n.
+        ``pred`` is the step's admission predicate (a plain variable's
+        DEFINE, or the OR of a quantified GROUP's members)."""
         m = out.filter(F.col(f"t{k}").isNotNull()).select(
             F.col(partition_by).alias("__mk"),
             F.col("anchor_id"),
@@ -388,7 +397,7 @@ def _attach_run_aggregates(
             F.col(f"t{k}_last").alias("__tl"),
             F.col(f"n{k}").alias("__n"),
         )
-        leg = events.filter(define[var]).select(
+        leg = events.filter(pred).select(
             F.col(partition_by).alias("__ek"),
             F.col(event_id).alias("__eid"),
             F.col(order_by).alias("__ets"),
@@ -452,23 +461,32 @@ def _attach_run_aggregates(
                 mk = step_of[member]
                 mq = parsed[mk - 1][1]
                 part = (
-                    _quantified_rows(mk, member, val_cols)
+                    _quantified_rows(mk, define[member], val_cols)
                     if mq is not None and mq[0] == "kleene"
                     else _plain_rows(mk, val_cols)
                 )
                 run_rows = part if run_rows is None else run_rows.unionByName(part)
+        elif var in group_of:
+            # quantified GROUP run (round 9 second pass): the run's
+            # admission predicate is the OR of the members' DEFINEs —
+            # the same OR-Kleene step the single-plan compile built
+            k, members = group_of[var]
+            pred, _w = _group_pred_within(
+                members, define, withins_map, default_within_val
+            )
+            run_rows = _quantified_rows(k, pred, val_cols)
         else:
             k = step_of.get(var)
             q = parsed[k - 1][1] if k else None
             if k is None or q is None or q[0] != "kleene":
                 raise ValueError(
-                    f"RunAgg navigates a GREEDY-quantified variable's run "
-                    f"or a SUBSET union variable; {var!r} is neither "
-                    "(plain variables project their bound row's columns "
-                    "directly; reluctant runs multi-match and keep "
-                    "per-count rows)"
+                    f"RunAgg navigates a GREEDY-quantified variable's run, "
+                    f"a quantified GROUP's run, or a SUBSET union "
+                    f"variable; {var!r} is none of these (plain variables "
+                    "project their bound row's columns directly; "
+                    "reluctant runs multi-match and keep per-count rows)"
                 )
-            run_rows = _quantified_rows(k, var, val_cols)
+            run_rows = _quantified_rows(k, define[var], val_cols)
         agg_exprs = []
         for nm, spec in specs.items():
             v = F.col(f"__v_{nm}") if spec.col is not None else None
@@ -1089,6 +1107,7 @@ def match_recognize(
         out = _attach_run_aggregates(
             out, events, parsed, define, run_aggs,
             partition_by, order_by, event_id, subset=subset,
+            withins_map=wmap, default_within_val=default_within,
         ).drop(*[f"i{k}" for k in range(1, len(parsed) + 1)])
     out = _rename(out.drop("max_step", "state"), parsed)
     if excluded:

@@ -1273,6 +1273,139 @@ WHERE s.kept
 """
 
 
+def match_recognize_group_run_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RunAgg over a QUANTIFIED GROUP's run (round 9 second pass) —
+    ``PATTERN (S (C|V){1,3} P)`` with ``SUM/COUNT/MAX(U.cents)`` where U
+    is the group: the run's admission predicate is the OR of the
+    members' DEFINEs (the same OR-Kleene step the single-plan compile
+    built), so the band join recovers every repetition regardless of
+    which member matched it."""
+    from flink_uba_spark.operators.match_recognize import (
+        match_recognize,
+        run_agg,
+    )
+
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S (C|V){1,3} P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "V": F.col("event_type") == "view",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={
+            "C": "INTERVAL 2 HOURS",
+            "V": "INTERVAL 2 HOURS",
+            "P": "INTERVAL 24 HOURS",
+        },
+        after_match="skip_past_last",
+        measures={
+            "anchor_id": F.col("anchor_id"),
+            "S_ts": F.col("S_ts"),
+            "P_ts": F.col("P_ts"),
+            "run_n": F.col("C_V_n"),
+            "run_cnt": run_agg("count", "C_V"),
+            "run_sum_cents": run_agg("sum", "C_V", cents),
+            "run_max_cents": run_agg("max", "C_V", cents),
+            "end_id": F.col("end_id"),
+        },
+    )
+
+
+MATCH_RECOGNIZE_GROUP_RUN_AGG_ORACLE = """
+WITH RECURSIVE
+eng AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 2 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type IN ('click', 'view')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, cents,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM eng
+),
+runs AS (
+  SELECT user_id, event_id, ts, cents, sid,
+         row_number() OVER ws AS rn,
+         COALESCE(lead(ts, 2) OVER ws, max(ts) OVER wf) AS run_last,
+         LEAST(3, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*, r.ts AS t2, r.run_last AS t2_last, r.n_reps AS n2,
+         r.sid, r.rn
+  FROM a JOIN LATERAL (
+    SELECT ts, run_last, n_reps, sid, rn, event_id FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1
+    ORDER BY r.ts, r.event_id LIMIT 1) r ON TRUE
+),
+a3 AS (
+  SELECT a2.*, (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+),
+cand0 AS (
+  SELECT user_id, anchor_id, t1, t2, t2_last, n2, sid, rn, t3,
+         (SELECT min(p.event_id) FROM events p WHERE p.event_type = 'purchase'
+            AND p.user_id = a3.user_id AND p.ts = a3.t3) AS end_id
+  FROM a3
+  WHERE t3 IS NOT NULL AND t2 <= t1 + INTERVAL 2 HOUR
+    AND t3 <= t2_last + INTERVAL 24 HOUR
+),
+cand AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY t3, end_id, t1, anchor_id) AS r
+  FROM cand0
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+),
+kept AS (
+  SELECT c.* FROM sel s JOIN cand c
+    ON c.user_id = s.user_id AND c.r = s.r
+  WHERE s.kept
+),
+agg AS (
+  SELECT k.user_id, k.anchor_id,
+         CAST(count(*) AS BIGINT) AS run_cnt,
+         CAST(sum(m.cents) AS BIGINT) AS run_sum_cents,
+         CAST(max(m.cents) AS BIGINT) AS run_max_cents
+  FROM kept k JOIN runs m
+    ON m.user_id = k.user_id AND m.sid = k.sid
+   AND m.rn BETWEEN k.rn AND k.rn + k.n2 - 1
+  GROUP BY k.user_id, k.anchor_id
+)
+SELECT k.user_id, k.anchor_id, k.t1 AS S_ts, k.t3 AS P_ts,
+       CAST(k.n2 AS BIGINT) AS run_n,
+       g.run_cnt, g.run_sum_cents, g.run_max_cents, k.end_id
+FROM kept k JOIN agg g
+  ON g.user_id = k.user_id AND g.anchor_id = k.anchor_id
+"""
+
+
 def match_recognize_iterative_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iter_define + a quantified variable (round 9 — the routing-matrix
     lift): ``PATTERN (S E{1,3} P) DEFINE E AS E.cents < S.cents, P AS
@@ -1564,6 +1697,7 @@ QUERIES = {
     "match_recognize_trailing_run": match_recognize_trailing_run,
     "match_recognize_subset_agg": match_recognize_subset_agg,
     "match_recognize_all_rows_alternation": match_recognize_all_rows_alternation,
+    "match_recognize_group_run_agg": match_recognize_group_run_agg,
     "match_recognize_measures_run_agg": match_recognize_measures_run_agg,
     "match_recognize_quantified_group": match_recognize_quantified_group,
     "match_recognize_iterative_run": match_recognize_iterative_run,
@@ -1583,6 +1717,7 @@ ORACLES = {
     "match_recognize_trailing_run": MATCH_RECOGNIZE_TRAILING_RUN_ORACLE,
     "match_recognize_subset_agg": MATCH_RECOGNIZE_SUBSET_AGG_ORACLE,
     "match_recognize_all_rows_alternation": MATCH_RECOGNIZE_ALL_ROWS_ALTERNATION_ORACLE,
+    "match_recognize_group_run_agg": MATCH_RECOGNIZE_GROUP_RUN_AGG_ORACLE,
     "match_recognize_measures_run_agg": MATCH_RECOGNIZE_MEASURES_RUN_AGG_ORACLE,
     "match_recognize_quantified_group": MATCH_RECOGNIZE_QUANTIFIED_GROUP_ORACLE,
     "match_recognize_iterative_run": MATCH_RECOGNIZE_ITERATIVE_RUN_ORACLE,

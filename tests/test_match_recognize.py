@@ -1068,3 +1068,40 @@ def test_all_rows_alternation_and_permute(spark):
             default_within="INTERVAL 10 SECONDS",
             after_match="no_skip", rows_per_match="all",
         )
+
+
+def test_group_run_agg_hand_case(spark):
+    """RunAgg over a quantified GROUP's run: the OR-predicate band join
+    recovers every repetition regardless of which member matched it."""
+    from flink_uba_spark.operators.match_recognize import run_agg
+
+    rows = [
+        ("a", 1, 0, "s", 1), ("a", 2, 1, "c", 10), ("a", 3, 2, "v", 20),
+        ("a", 4, 3, "c", 30), ("a", 5, 4, "p", 99),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (uid, eid, EPOCH + datetime.timedelta(seconds=sec), et, v)
+            for uid, eid, sec, et, v in rows
+        ],
+        "user_id string, event_id long, ts timestamp, event_type string, v long",
+    )
+    out = match_recognize(
+        ev, "user_id", "ts", "S (C|V){1,3} P",
+        define={"S": F.col("event_type") == "s",
+                "C": F.col("event_type") == "c",
+                "V": F.col("event_type") == "v",
+                "P": F.col("event_type") == "p"},
+        default_within="INTERVAL 10 SECONDS",
+        after_match="skip_past_last",
+        measures={
+            "run_n": F.col("C_V_n"),
+            "run_sum": run_agg("sum", "C_V", "v"),
+            "run_max": run_agg("max", "C_V", "v"),
+            "run_first": run_agg("first", "C_V", "v"),
+        },
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["run_n"] == 3 and r["run_sum"] == 60
+    assert r["run_max"] == 30 and r["run_first"] == 10
