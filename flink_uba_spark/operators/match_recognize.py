@@ -328,6 +328,33 @@ def _var_names(parsed, choice=None):
     return names
 
 
+def _explode_plain_rows(out: DataFrame, vnames, partition_by: str) -> DataFrame:
+    """ALL ROWS PER MATCH over a PLAIN chain that already carries
+    ``i{k}``/``t{k}`` columns (the iterative and skip-to routes): one
+    output row per bound event — a stateless explode of the
+    compile-time (seq, var) layout, CLASSIFIER() = the var column.
+    Skipped optionals carry null ts and are filtered, as everywhere."""
+    entries = [
+        F.struct(
+            F.lit(k).cast("long").alias("seq"),
+            F.lit(v).alias("var"),
+            F.col(f"i{k}").alias("event_id"),
+            F.col(f"t{k}").alias("ts"),
+        )
+        for k, v in enumerate(vnames, start=1)
+    ]
+    return (
+        out.select(
+            partition_by, "anchor_id", F.explode(F.array(*entries)).alias("__e")
+        )
+        .select(
+            partition_by, "anchor_id",
+            "__e.seq", "__e.var", "__e.event_id", "__e.ts",
+        )
+        .filter(F.col("ts").isNotNull())
+    )
+
+
 def _rename(out: DataFrame, parsed) -> DataFrame:
     for k, (var, q) in enumerate(parsed, start=1):
         nm = "_".join(var) if isinstance(var, tuple) else var
@@ -607,17 +634,17 @@ def match_recognize(
                 "plain last step)"
             )
     if rows_per_match == "all":
-        if specialties and not has_alt:
+        if has_rel:
             raise ValueError(
-                "ALL ROWS PER MATCH composes with the single-plan path "
-                "(plain/optional/quantified variables) and — round 9 "
-                "second pass — with alternation/PERMUTE groups"
+                "ALL ROWS PER MATCH does not compose with a reluctant "
+                "quantifier (lazy runs multi-match per count — there is "
+                "no single per-event row set)"
             )
-        if has_alt and any(
+        if (has_alt or iter_define or mode == "skip_to") and any(
             q is not None and q[0] == "kleene" for _v, q in parsed
         ):
             raise ValueError(
-                "ALL ROWS over alternation/PERMUTE takes plain/optional "
+                "ALL ROWS over the specialty routes takes plain/optional "
                 "variables (a quantified variable's run enumeration is "
                 "single-plan only)"
             )
@@ -720,6 +747,11 @@ def match_recognize(
                 end_ts=f"t{n}", end_id=f"i{n}",
             )
         out = out.withColumn("anchor_id", F.col("i1"))
+        if rows_per_match == "all":
+            # plain iterative chains: one row per bound event, a
+            # stateless explode of the compile-time (seq, var) layout
+            # (round 9 second pass — same shape as the alternation route)
+            return _explode_plain_rows(out, vnames, partition_by)
         if mode == "skip_past_last":
             out = out.withColumn("end_id", F.col(f"i{n}"))
         var_cols = []
@@ -956,6 +988,10 @@ def match_recognize(
             ts=order_by, with_step_ids=True,
         ).filter(F.col("state") == "matched").drop("max_step", "state")
         out = after_match_skip_to_first(out, key=partition_by, step=skip_step)
+        if rows_per_match == "all":
+            # plain chains by construction — stateless per-event explode
+            # over the folded matches (round 9 second pass)
+            return _explode_plain_rows(out, vnames, partition_by)
         out = out.withColumn("end_id", F.col(f"i{n}")).drop(
             *[f"i{k}" for k in range(1, n + 1)]
         )

@@ -473,6 +473,90 @@ WHERE s.kept
 """
 
 
+def match_recognize_all_rows_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALL ROWS PER MATCH`` over a prefix-referencing DEFINE (round 9
+    second pass; ALL ROWS previously composed with the single-plan path
+    and alternation only): the iterative join compile finds the matches
+    — purchases recovering at least the signup's amount are part of
+    CANDIDACY, not a post-filter — then the per-event rows are a
+    stateless explode of the plain chain's (seq, var) layout."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S C P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+        payload={"cents": F.floor(F.col("value") * 100).cast("long")},
+        iter_define={"P": lambda b: b["P"]["cents"] >= b["S"]["cents"]},
+        after_match="skip_past_last",
+        rows_per_match="all",
+    )
+
+
+MATCH_RECOGNIZE_ALL_ROWS_ITERATIVE_ORACLE = """
+WITH RECURSIVE
+a AS (SELECT user_id, event_id AS i1, ts AS t1,
+             CAST(floor(value * 100) AS BIGINT) AS c1
+      FROM events WHERE event_type = 'signup'),
+s2 AS (
+  SELECT a.*, c.ts AS t2, c.event_id AS i2
+  FROM a JOIN LATERAL (
+    SELECT ts, event_id
+    FROM events c
+    WHERE c.event_type = 'click' AND c.user_id = a.user_id
+      AND c.ts >= a.t1 AND c.ts <= a.t1 + INTERVAL 6 HOUR
+    ORDER BY c.ts, c.event_id LIMIT 1) c ON TRUE
+),
+s3 AS (
+  SELECT s2.*, p.ts AS t3, p.event_id AS i3
+  FROM s2 JOIN LATERAL (
+    SELECT ts, event_id
+    FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = s2.user_id
+      AND p.ts >= s2.t2 AND p.ts <= s2.t2 + INTERVAL 24 HOUR
+      AND CAST(floor(p.value * 100) AS BIGINT) >= s2.c1
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY t3, i3, t1, i1) AS r
+  FROM s3
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.i1) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.i1) > (s.le_ts, s.le_id)
+              THEN c.i3 ELSE s.le_id END,
+         (c.t1, c.i1) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+),
+kept AS (
+  SELECT c.* FROM sel s JOIN cand c
+    ON c.user_id = s.user_id AND c.r = s.r
+  WHERE s.kept
+)
+SELECT user_id, i1 AS anchor_id, CAST(1 AS BIGINT) AS seq, 'S' AS var,
+       i1 AS event_id, t1 AS ts FROM kept
+UNION ALL
+SELECT user_id, i1, CAST(2 AS BIGINT), 'C', i2, t2 FROM kept
+UNION ALL
+SELECT user_id, i1, CAST(3 AS BIGINT), 'P', i3, t3 FROM kept
+"""
+
+
 def match_recognize_all_rows_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ALL ROWS PER MATCH`` over a QUANTIFIED variable — ``PATTERN
     (S E{1,3} P)``: every bound event of each non-overlapping episode
@@ -1698,6 +1782,7 @@ QUERIES = {
     "match_recognize_subset_agg": match_recognize_subset_agg,
     "match_recognize_all_rows_alternation": match_recognize_all_rows_alternation,
     "match_recognize_group_run_agg": match_recognize_group_run_agg,
+    "match_recognize_all_rows_iterative": match_recognize_all_rows_iterative,
     "match_recognize_measures_run_agg": match_recognize_measures_run_agg,
     "match_recognize_quantified_group": match_recognize_quantified_group,
     "match_recognize_iterative_run": match_recognize_iterative_run,
@@ -1718,6 +1803,7 @@ ORACLES = {
     "match_recognize_subset_agg": MATCH_RECOGNIZE_SUBSET_AGG_ORACLE,
     "match_recognize_all_rows_alternation": MATCH_RECOGNIZE_ALL_ROWS_ALTERNATION_ORACLE,
     "match_recognize_group_run_agg": MATCH_RECOGNIZE_GROUP_RUN_AGG_ORACLE,
+    "match_recognize_all_rows_iterative": MATCH_RECOGNIZE_ALL_ROWS_ITERATIVE_ORACLE,
     "match_recognize_measures_run_agg": MATCH_RECOGNIZE_MEASURES_RUN_AGG_ORACLE,
     "match_recognize_quantified_group": MATCH_RECOGNIZE_QUANTIFIED_GROUP_ORACLE,
     "match_recognize_iterative_run": MATCH_RECOGNIZE_ITERATIVE_RUN_ORACLE,

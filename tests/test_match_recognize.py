@@ -1105,3 +1105,38 @@ def test_group_run_agg_hand_case(spark):
     r = out[0]
     assert r["run_n"] == 3 and r["run_sum"] == 60
     assert r["run_max"] == 30 and r["run_first"] == 10
+
+
+def test_all_rows_iter_and_skip_to(spark):
+    """ALL ROWS over the plain-chain specialty routes (round 9 second
+    pass): iter_define and SKIP TO FIRST/LAST both explode the bound
+    events statelessly; reluctant stays a clear raise."""
+    rows = [("a", 1, 0, "s", 5), ("a", 2, 1, "c", 3),
+            ("a", 3, 2, "p", 9), ("a", 4, 3, "p", 2)]
+    ev = spark.createDataFrame(
+        [
+            (uid, eid, EPOCH + datetime.timedelta(seconds=sec), et, v)
+            for uid, eid, sec, et, v in rows
+        ],
+        "user_id string, event_id long, ts timestamp, event_type string, v long",
+    )
+    d = {"S": F.col("event_type") == "s", "C": F.col("event_type") == "c",
+         "P": F.col("event_type") == "p"}
+    base = dict(default_within="INTERVAL 10 SECONDS", rows_per_match="all")
+    out = match_recognize(
+        ev, "user_id", "ts", "S C P", define=d, after_match="no_skip",
+        payload={"v": F.col("v")},
+        iter_define={"P": lambda b: b["P"]["v"] >= b["S"]["v"]},
+        **base,
+    ).toPandas().sort_values("seq")
+    assert list(out["event_id"]) == [1, 2, 3]   # P@4 (v=2 < 5) never binds
+    out2 = match_recognize(
+        ev, "user_id", "ts", "S C P", define=d,
+        after_match="skip_to_last C", **base,
+    ).toPandas().sort_values("seq")
+    assert list(out2["var"]) == ["S", "C", "P"]
+    with pytest.raises(ValueError, match="reluctant"):
+        match_recognize(
+            ev, "user_id", "ts", "S C{1,2}? P", define=d,
+            after_match="no_skip", **base,
+        )
