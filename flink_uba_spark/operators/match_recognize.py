@@ -86,6 +86,17 @@ alternation/PERMUTE group → per-branch union (greedy quantifiers on
 OTHER variables compose); SKIP TO FIRST/LAST → step-id fold;
 everything else → the single-plan ``pattern_detect`` path
 (quantifiers/optionals/quantified groups compose freely there).
+
+Round-9 SECOND-pass lifts: a GREEDY quantifier on the FINAL variable
+composes with SKIP PAST LAST / ``$`` on the single-plan path (the
+engine's ``il{n}`` run-last id is the fold's end; reluctant trailing
+forms still raise); ``ALL ROWS PER MATCH`` composes with
+alternation/PERMUTE, ``iter_define``, and SKIP TO (plain/optional
+variables — each is a stateless (seq, var, event_id, ts) explode after
+the route's own fold); RunAgg targets a quantified GROUP's run (the
+OR-of-members band join) and SUBSET union variables; the STREAM
+front-end runs exclusions on its single-plan path and prefix-
+referencing DEFINE via ``iter_define_py`` under NO SKIP.
 """
 
 from __future__ import annotations
@@ -618,13 +629,29 @@ def match_recognize(
         and (mode == "skip_past_last" or anchor_end)
     ):
         if last_q[0] == "reluctant":
-            raise ValueError(
-                "a RELUCTANT quantifier on the final PATTERN variable "
-                "does not compose with SKIP PAST LAST ROW or a trailing "
-                "$ anchor (the lazy preference is decided per count, and "
-                "the count engines do not pin the run's last EVENT) — "
-                "end the pattern with a plain variable or use AFTER "
-                "MATCH SKIP TO NEXT ROW (no_skip)"
+            if anchor_end or specialties > 1:
+                raise ValueError(
+                    "a RELUCTANT quantifier on the final PATTERN "
+                    "variable does not compose with a trailing $ anchor "
+                    "(the minimum count need not reach the partition's "
+                    "last row) — end the pattern with a plain variable"
+                )
+            # trailing reluctant under SKIP PAST LAST is EXACTLY the
+            # exact-count run times(mn, mn) (round 9 second pass): with
+            # no suffix after the run, the lazy preference always picks
+            # the MINIMUM count — for a shared entry the mn-th repetition
+            # precedes every later one, and a larger count's entry can
+            # only move later (avail >= m is harder) — and the engine's
+            # entry rule (earliest entry with avail >= mn) is the
+            # times(mn, mn) binding itself. Rewrite and take the
+            # single-plan trailing-run path.
+            v, q = parsed[-1]
+            parsed = parsed[:-1] + [(v, ("kleene", q[1], q[1]))]
+            has_rel = any(
+                qq is not None and qq[0] == "reluctant" for _, qq in parsed
+            )
+            specialties = sum(
+                (bool(iter_define), has_alt, has_rel, mode == "skip_to")
             )
         if specialties:
             raise ValueError(

@@ -1140,3 +1140,37 @@ def test_all_rows_iter_and_skip_to(spark):
             ev, "user_id", "ts", "S C{1,2}? P", define=d,
             after_match="no_skip", **base,
         )
+
+
+@settings(max_examples=25, deadline=None)
+@given(_trailing_case())
+def test_trailing_reluctant_rewrite_matches_brute(spark, case):
+    """Trailing RELUCTANT under SKIP PAST LAST ≡ the exact minimum-count
+    run times(mn, mn): no suffix → the lazy preference is always mn, and
+    the engine's entry rule is the times(mn, mn) binding itself."""
+    from test_properties_round5 import brute_skip_past_last
+
+    w, cap, events = case
+    mn = 1 if cap is None else min(2, cap)
+    pat = f"S E{{{mn},}}?" if cap is None else f"S E{{{mn},{cap}}}?"
+    df = _mask_df(spark, events, 2)
+    out = match_recognize(
+        df, partition_by="user_id", order_by="ts",
+        pattern=pat,
+        define={"S": F.col("c0"), "E": F.col("c1")},
+        withins={"E": f"INTERVAL {w} MICROSECONDS"},
+        after_match="skip_past_last",
+    ).toPandas()
+    got = sorted(
+        (int(r["anchor_id"]),
+         (_us(r["S_ts"]), _us(r["E_ts"]), _us(r["E_last_ts"]),
+          int(r["E_n"])))
+        for _, r in out.iterrows()
+    )
+    want = sorted(
+        (aid, key)
+        for aid, key, _st in brute_skip_past_last(
+            events, [(None, None), (w, (w, mn, mn))], final_wm_ms=10 ** 15
+        )
+    )
+    assert got == want

@@ -46,12 +46,21 @@ def test_trailing_quantifier_skip_past_last_raises(spark):
     SKIP PAST LAST / $ on the single-plan path (the engine surfaces the
     run-last repetition's id as end_id); reluctant trailing forms and
     specialty routes keep the up-front validation."""
-    ev = _mk_events(spark, [(1, 1, 0, "s"), (1, 2, 1, "e")])
+    ev = _mk_events(spark, [(1, 1, 0, "s"), (1, 2, 1, "e"), (1, 3, 2, "e")])
+    # trailing RELUCTANT under SKIP PAST LAST rewrites to the exact
+    # minimum-count run (no suffix → the lazy preference is always mn)
+    out = match_recognize(
+        ev, "user_id", "ts", "S E{1,2}?", _def3(),
+        default_within="INTERVAL 1 HOUR",
+        after_match="skip_past_last",
+    ).collect()
+    assert len(out) == 1 and out[0]["E_n"] == 1 and out[0]["end_id"] == 2
+    # ... but a trailing $ anchor still raises (the minimum count need
+    # not reach the partition's last row)
     with pytest.raises(ValueError, match="RELUCTANT.*final PATTERN"):
         match_recognize(
-            ev, "user_id", "ts", "S E{1,2}?", _def3(),
-            default_within="INTERVAL 1 HOUR",
-            after_match="skip_past_last",
+            ev, "user_id", "ts", "S E{1,2}? $", _def3(),
+            default_within="INTERVAL 1 HOUR", after_match="no_skip",
         )
     # specialty routes still pin the end to a plain last step
     with pytest.raises(ValueError, match="single-plan path"):
@@ -60,18 +69,19 @@ def test_trailing_quantifier_skip_past_last_raises(spark):
             default_within="INTERVAL 1 HOUR",
             after_match="skip_past_last",
         )
-    # greedy trailing run + SKIP PAST LAST compiles and binds the run
+    # greedy trailing run + SKIP PAST LAST compiles and binds the
+    # MAXIMAL run (both e's — the reluctant rewrite above took one)
     out = match_recognize(
         ev, "user_id", "ts", "S E+", _def3(),
         default_within="INTERVAL 1 HOUR", after_match="skip_past_last",
     ).collect()
-    assert len(out) == 1 and out[0]["E_n"] == 1 and out[0]["end_id"] == 2
+    assert len(out) == 1 and out[0]["E_n"] == 2 and out[0]["end_id"] == 3
     # trailing $ anchor composes too: the run must END the partition
     out = match_recognize(
         ev, "user_id", "ts", "S E+ $", _def3(),
         default_within="INTERVAL 1 HOUR", after_match="no_skip",
     ).collect()
-    assert len(out) == 1 and out[0]["E_n"] == 1
+    assert len(out) == 1 and out[0]["E_n"] == 2
     # no_skip without an anchor keeps working (single-plan path)
     out = match_recognize(
         ev, "user_id", "ts", "S E+", _def3(),
