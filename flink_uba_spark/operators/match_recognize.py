@@ -575,6 +575,7 @@ def match_recognize(
     payload: dict[str, Column] | None = None,
     iter_define: dict | None = None,
     subset: dict[str, tuple] | None = None,
+    within_overall: str | None = None,
 ) -> DataFrame:
     """Compile the MATCH_RECOGNIZE spec onto the batch engines (see the
     module docstring for the full supported subset). ``withins`` bounds
@@ -768,6 +769,16 @@ def match_recognize(
             events, key=partition_by, steps=steps, payload=pay, conds=conds,
             event_id=event_id, ts=order_by,
         )
+        if within_overall is not None:
+            # Flink's overall within (Pattern.within / SQL WITHIN): a
+            # candidate whose END exceeds anchor + bound is NOT a match,
+            # so it is pruned BEFORE any skip fold
+            end_t = (
+                F.col(f"t{len(parsed)}_last")
+                if parsed[-1][1] is not None
+                else F.col(f"t{len(parsed)}")
+            )
+            out = out.filter(end_t <= F.col("t1") + F.expr(within_overall))
         if mode == "skip_past_last":
             out = after_match_skip_past_last(
                 out, key=partition_by, anchor_ts="t1", anchor_id="i1",
@@ -805,6 +816,13 @@ def match_recognize(
         from flink_uba_spark.operators.sequence import (
             pattern_detect_reluctant_enum,
         )
+
+        if within_overall is not None:
+            raise ValueError(
+                "within_overall composes with the non-reluctant routes "
+                "(the count-enumeration kernel folds in-kernel; bound "
+                "each transition's within instead)"
+            )
 
         steps, optional = _steps_and_sets(parsed, define, wmap, default_within)
         rel = {
@@ -925,6 +943,16 @@ def match_recognize(
                 ts=order_by, optional=optional or None, with_end_id=with_end,
                 with_step_ids=(rows_per_match == "all"),
             ).filter(F.col("state") == "matched")
+            if within_overall is not None:
+                # overall within prunes BEFORE the leftmost-preference
+                # pick: a violating branch candidate is not a match
+                _bq = fparsed[-1][1]
+                _bend = (
+                    F.col(f"t{len(fparsed)}_last")
+                    if _bq is not None and _bq[0] == "kleene"
+                    else F.col(f"t{len(fparsed)}")
+                )
+                b = b.filter(_bend <= F.col("t1") + F.expr(within_overall))
             # remap positions onto the var universe: every var gets its
             # `<var>_ts` column (null when the branch never binds it)
             pos_of = {v: p for p, (v, _q) in enumerate(fparsed, start=1)}
@@ -1014,6 +1042,10 @@ def match_recognize(
             events, key=partition_by, steps=steps, event_id=event_id,
             ts=order_by, with_step_ids=True,
         ).filter(F.col("state") == "matched").drop("max_step", "state")
+        if within_overall is not None:
+            out = out.filter(
+                F.col(f"t{n}") <= F.col("t1") + F.expr(within_overall)
+            )
         out = after_match_skip_to_first(out, key=partition_by, step=skip_step)
         if rows_per_match == "all":
             # plain chains by construction — stateless per-event explode
@@ -1037,6 +1069,18 @@ def match_recognize(
         with_end_id=(mode == "skip_past_last" or anchor_end),
         with_step_ids=(rows_per_match == "all" or bool(run_aggs)),
     ).filter(F.col("state") == "matched")
+    if within_overall is not None:
+        # Flink's overall within (Pattern.within / SQL WITHIN): the
+        # match's END — a trailing run's LAST repetition — must sit
+        # within the bound of the ANCHOR; violating candidates are not
+        # matches, so they prune BEFORE the anchors/skip machinery
+        _lq2 = parsed[-1][1]
+        _end2 = (
+            F.col(f"t{len(parsed)}_last")
+            if _lq2 is not None and _lq2[0] == "kleene"
+            else F.col(f"t{len(parsed)}")
+        )
+        out = out.filter(_end2 <= F.col("t1") + F.expr(within_overall))
     # partition anchors filter CANDIDATES (a non-qualifying match never
     # exists, so it never advances the skip horizon); extremes are per-key
     # min_by/max_by over the RAW partition rows in (ts, id) order

@@ -393,6 +393,85 @@ SELECT user_id, i1, CAST(3 AS BIGINT), 'P', i3, t3 FROM kept
 """
 
 
+def match_recognize_within_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's OVERALL within on MATCH_RECOGNIZE (round 9 second pass) —
+    SQL ``PATTERN (S C P) WITHIN INTERVAL '12' HOUR`` /
+    ``Pattern.within(Time.hours(12))``: the match's END must sit within
+    the bound of the ANCHOR, on top of the per-transition withins.
+    Violating candidates are not matches, so they prune BEFORE the SKIP
+    PAST LAST fold — a pruned candidate never advances the skip
+    horizon, which can let a LATER overlapping candidate emit (the
+    corner the oracle pins)."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S C P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_past_last",
+        within_overall="INTERVAL 12 HOURS",
+    )
+
+
+MATCH_RECOGNIZE_WITHIN_OVERALL_ORACLE = """
+WITH RECURSIVE
+s0 AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+c0 AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p0 AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+s2 AS (
+  SELECT s0.user_id, s0.event_id AS anchor_id, s0.ts AS t1,
+         (SELECT min(c0.ts) FROM c0
+           WHERE c0.user_id = s0.user_id AND c0.ts >= s0.ts) AS t2
+  FROM s0
+),
+s3 AS (
+  SELECT s2.*,
+         (SELECT min(p0.ts) FROM p0
+           WHERE p0.user_id = s2.user_id AND p0.ts >= s2.t2) AS t3
+  FROM s2
+),
+cand AS (
+  SELECT user_id, anchor_id, t1, t2, t3,
+         (SELECT min(p0.event_id) FROM p0
+           WHERE p0.user_id = s3.user_id AND p0.ts = s3.t3) AS end_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY t3, (SELECT min(p0.event_id) FROM p0
+                          WHERE p0.user_id = s3.user_id AND p0.ts = s3.t3),
+                    t1, anchor_id) AS r
+  FROM s3
+  WHERE t3 IS NOT NULL
+    AND t2 <= t1 + INTERVAL 6 HOUR AND t3 <= t2 + INTERVAL 24 HOUR
+    AND t3 <= t1 + INTERVAL 12 HOUR
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.anchor_id, c.t1 AS S_ts, c.t2 AS C_ts, c.t3 AS P_ts,
+       c.end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
 def match_recognize_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-referencing DEFINE — SQL's ``DEFINE P AS P.cents >=
     S.cents`` (Flink's IterativeCondition reached through
@@ -1783,6 +1862,7 @@ QUERIES = {
     "match_recognize_all_rows_alternation": match_recognize_all_rows_alternation,
     "match_recognize_group_run_agg": match_recognize_group_run_agg,
     "match_recognize_all_rows_iterative": match_recognize_all_rows_iterative,
+    "match_recognize_within_overall": match_recognize_within_overall,
     "match_recognize_measures_run_agg": match_recognize_measures_run_agg,
     "match_recognize_quantified_group": match_recognize_quantified_group,
     "match_recognize_iterative_run": match_recognize_iterative_run,
@@ -1804,6 +1884,7 @@ ORACLES = {
     "match_recognize_all_rows_alternation": MATCH_RECOGNIZE_ALL_ROWS_ALTERNATION_ORACLE,
     "match_recognize_group_run_agg": MATCH_RECOGNIZE_GROUP_RUN_AGG_ORACLE,
     "match_recognize_all_rows_iterative": MATCH_RECOGNIZE_ALL_ROWS_ITERATIVE_ORACLE,
+    "match_recognize_within_overall": MATCH_RECOGNIZE_WITHIN_OVERALL_ORACLE,
     "match_recognize_measures_run_agg": MATCH_RECOGNIZE_MEASURES_RUN_AGG_ORACLE,
     "match_recognize_quantified_group": MATCH_RECOGNIZE_QUANTIFIED_GROUP_ORACLE,
     "match_recognize_iterative_run": MATCH_RECOGNIZE_ITERATIVE_RUN_ORACLE,

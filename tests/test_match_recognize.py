@@ -1174,3 +1174,45 @@ def test_trailing_reluctant_rewrite_matches_brute(spark, case):
         )
     )
     assert got == want
+
+
+def test_within_overall_prunes_before_fold(spark):
+    """Flink's overall within: a violating candidate is NOT a match, so
+    it never advances the SKIP PAST LAST horizon — a later overlapping
+    candidate that respects the bound emits instead."""
+    rows = [(1, 1, 0, "s"), (2, 1, 2, "s"), (3, 1, 3, "c"), (4, 1, 6, "p")]
+    ev = spark.createDataFrame(
+        [
+            (eid, uid, EPOCH + datetime.timedelta(seconds=sec), et)
+            for eid, uid, sec, et in rows
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    d = {"S": F.col("event_type") == "s", "C": F.col("event_type") == "c",
+         "P": F.col("event_type") == "p"}
+    base = dict(default_within="INTERVAL 10 SECONDS",
+                after_match="skip_past_last")
+    # without the overall bound, the earlier anchor wins and the later
+    # one is folded away
+    no_bound = match_recognize(ev, "user_id", "ts", "S C P", d, **base)
+    assert [r["anchor_id"] for r in no_bound.collect()] == [1]
+    # with a 5 s overall bound, anchor 1's match (end at +6 s) is pruned
+    # BEFORE the fold and anchor 2's (end-anchor gap 4 s) emits
+    bounded = match_recognize(
+        ev, "user_id", "ts", "S C P", d,
+        within_overall="INTERVAL 5 SECONDS", **base,
+    )
+    assert [r["anchor_id"] for r in bounded.collect()] == [2]
+    # trailing run: the bound applies to the run's LAST repetition
+    run = match_recognize(
+        ev, "user_id", "ts", "S C+", d,
+        within_overall="INTERVAL 2 SECONDS", **base,
+    )
+    assert [r["anchor_id"] for r in run.collect()] == [2]
+    # reluctant routes raise with the reason
+    with pytest.raises(ValueError, match="within_overall"):
+        match_recognize(
+            ev, "user_id", "ts", "S C{1,2}? P", d,
+            within_overall="INTERVAL 5 SECONDS",
+            default_within="INTERVAL 10 SECONDS", after_match="no_skip",
+        )
