@@ -1486,6 +1486,7 @@ def stream_match_recognize(
     event_id: str = "event_id",
     payload: dict[str, Column] | None = None,
     iter_define_py: dict | None = None,
+    within_overall: str | None = None,
 ) -> DataFrame:
     """The same spec as a continuous query (``stream_pattern_detect``).
     The streaming skip fold supports plain chains (the NFA's documented
@@ -1555,6 +1556,20 @@ def stream_match_recognize(
             dict(withins or {}), default_within, measures, event_id,
         )
     mode, skip_step = _parse_after_match(after_match, parsed)
+    if within_overall is not None and (
+        mode != "no_skip"
+        or iter_define_py
+        or any(isinstance(v, tuple) for v, _q in parsed)
+        or any(q is not None and q[0] == "reluctant" for _v, q in parsed)
+    ):
+        # the stream skip folds run INSIDE the stateful operators — a
+        # post-filter after them would let pruned candidates advance the
+        # horizon; the specialty stream routes would silently ignore it
+        raise ValueError(
+            "within_overall streams on the single-plan path under NO "
+            "SKIP only (elsewhere the fold is in-operator and a "
+            "post-filter would be wrong)"
+        )
     if iter_define_py:
         # round 9 second pass: prefix-referencing DEFINE STREAMS through
         # stream_pattern_detect_iterative (the engine the Pattern-API
@@ -1679,6 +1694,16 @@ def stream_match_recognize(
     # the stream NFA also emits matched_late (first-candidate-decides);
     # MATCH_RECOGNIZE's contract is bounds-respected matches, as batch
     out = out.filter(F.col("state") == "matched")
+    if within_overall is not None:
+        # overall within under NO SKIP is a stateless post-filter on
+        # complete matches (the end is t{n} / a trailing run's t{n}_last)
+        _lq3 = parsed[-1][1]
+        _end3 = (
+            F.col(f"t{len(parsed)}_last")
+            if _lq3 is not None and _lq3[0] == "kleene"
+            else F.col(f"t{len(parsed)}")
+        )
+        out = out.filter(_end3 <= F.col("t1") + F.expr(within_overall))
     if partition_by != "user_id":
         # pattern_output_schema names the key column user_id
         out = out.withColumnRenamed("user_id", partition_by)

@@ -1379,6 +1379,61 @@ def stream_match_recognize_iterative(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def stream_match_recognize_within_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OVERALL within on the STREAM front-end (round 9 second pass)
+    — ``PATTERN (S C P) WITHIN INTERVAL '12' HOUR`` under NO SKIP: the
+    chain NFA binds within-independently (first-candidate-decides), so
+    the bound is a STATELESS post-filter on complete matches — exactly
+    the Pattern-API twin's shape (stream_pattern_within_view_click
+    _purchase); under a skip strategy it raises (the stream fold is
+    in-NFA, a post-filter would let pruned candidates advance the
+    horizon). Oracle: the batch earliest-binding candidates under every
+    bound — emission is completion-driven, no watermark cut."""
+    from flink_uba_spark.operators.match_recognize import stream_match_recognize
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S C P",
+            define={
+                "S": F.col("event_type") == "signup",
+                "C": F.col("event_type") == "click",
+                "P": F.col("event_type") == "purchase",
+            },
+            withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+            after_match="no_skip",
+            within_overall="INTERVAL 12 HOURS",
+        )
+    ).select("user_id", "anchor_id", "S_ts", "C_ts", "P_ts")
+
+
+STREAM_MATCH_RECOGNIZE_WITHIN_OVERALL_ORACLE = """
+WITH
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+s2 AS (
+  SELECT a.*, (SELECT min(c.ts) FROM events c
+     WHERE c.event_type = 'click' AND c.user_id = a.user_id
+       AND c.ts >= a.t1) AS t2
+  FROM a
+),
+s3 AS (
+  SELECT s2.*, (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = s2.user_id
+       AND p.ts >= s2.t2) AS t3
+  FROM s2
+)
+SELECT user_id, anchor_id, t1 AS S_ts, t2 AS C_ts, t3 AS P_ts
+FROM s3
+WHERE t3 IS NOT NULL
+  AND t2 <= t1 + INTERVAL 6 HOUR AND t3 <= t2 + INTERVAL 24 HOUR
+  AND t3 <= t1 + INTERVAL 12 HOUR
+"""
+
+
 STREAM_MATCH_RECOGNIZE_ITERATIVE_ORACLE = """
 WITH
 a AS (SELECT user_id, event_id AS i1, ts AS t1,
@@ -3361,6 +3416,7 @@ QUERIES = {
     "stream_match_recognize_excluded": stream_match_recognize_excluded,
     "stream_cdc_latest_state": stream_cdc_latest_state,
     "stream_match_recognize_iterative": stream_match_recognize_iterative,
+    "stream_match_recognize_within_overall": stream_match_recognize_within_overall,
     "stream_window_join_views_purchases": stream_window_join_views_purchases,
     "stream_interval_join_left_outer_clicks": stream_interval_join_left_outer_clicks,
     "stream_window_dedup_first_click": stream_window_dedup_first_click,
@@ -3435,6 +3491,7 @@ ORACLES = {
     "stream_match_recognize_excluded": STREAM_MATCH_RECOGNIZE_EXCLUDED_ORACLE,
     "stream_cdc_latest_state": STREAM_CDC_LATEST_STATE_ORACLE,
     "stream_match_recognize_iterative": STREAM_MATCH_RECOGNIZE_ITERATIVE_ORACLE,
+    "stream_match_recognize_within_overall": STREAM_MATCH_RECOGNIZE_WITHIN_OVERALL_ORACLE,
     "stream_window_join_views_purchases": _stream_window_join_oracle(),
     "stream_interval_join_left_outer_clicks": _stream_interval_join_left_outer_oracle(),
     "stream_window_dedup_first_click": _stream_window_dedup_oracle(),
