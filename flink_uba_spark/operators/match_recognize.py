@@ -1570,6 +1570,62 @@ def stream_match_recognize(
             "SKIP only (elsewhere the fold is in-operator and a "
             "post-filter would be wrong)"
         )
+    # round 9 second pass: a trailing quantifier under SKIP PAST LAST
+    # streams through the recompute-over-buffer replay. A trailing
+    # RELUCTANT quantifier rewrites to times(mn, mn) first (no suffix →
+    # the lazy preference is always the minimum count, the batch rule).
+    _slq = parsed[-1][1]
+    if (
+        mode == "skip_past_last"
+        and _slq is not None
+        and _slq[0] == "reluctant"
+        and not iter_define_py
+        and not any(isinstance(v, tuple) for v, _q in parsed)
+        and all(q is None for _v, q in parsed[:-1])
+    ):
+        if _slq[2] is None:
+            raise ValueError(
+                "a trailing uncapped reluctant quantifier streams with a "
+                "finite cap only (the horizon needs mx)"
+            )
+        v0, _ = parsed[-1]
+        parsed = parsed[:-1] + [(v0, ("kleene", _slq[1], _slq[1]))]
+        _slq = parsed[-1][1]
+    if (
+        mode == "skip_past_last"
+        and _slq is not None
+        and _slq[0] == "kleene"
+        and not iter_define_py
+        and not any(isinstance(v, tuple) for v, _q in parsed)
+        and all(q is None for _v, q in parsed[:-1])
+    ):
+        from flink_uba_spark.streaming.skip_replay import (
+            stream_trailing_run_detect,
+        )
+
+        if excluded:
+            raise ValueError(
+                "exclusion {- X -} streams on the single-plan path only "
+                "(ONE-row output shaping; the specialty routes are "
+                "batch-only for it)"
+            )
+        if _slq[2] is None:
+            raise ValueError(
+                "a trailing uncapped run (B+ / B{n,}) streams under SKIP "
+                "PAST LAST with a finite cap only (mx·gap is part of the "
+                "replay horizon) — write the cap or use no_skip"
+            )
+        steps, _ = _steps_and_sets(
+            parsed, define, dict(withins or {}), default_within
+        )
+        out = stream_trailing_run_detect(
+            events, key=partition_by, steps=steps,
+            event_id=event_id, ts=order_by,
+        )
+        if partition_by != "user_id":
+            out = out.withColumnRenamed("user_id", partition_by)
+        out = _rename(out, parsed)
+        return _measures(out, partition_by, measures)
     if iter_define_py:
         # round 9 second pass: prefix-referencing DEFINE STREAMS through
         # stream_pattern_detect_iterative (the engine the Pattern-API

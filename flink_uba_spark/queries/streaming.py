@@ -1379,6 +1379,110 @@ def stream_match_recognize_iterative(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def stream_match_recognize_trailing_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GREEDY trailing run under SKIP PAST LAST as a CONTINUOUS query
+    (round 9 second pass — the streaming twin of
+    match_recognize_trailing_run): ``PATTERN (S E{1,4})``, the match's
+    end being the run's LAST repetition. Served by the
+    recompute-over-buffer replay (streaming/skip_replay.py
+    make_trailing_run_replayer): per key the classified rows inside the
+    horizon are buffered, candidates re-derive each invoke, and the
+    non-overlap walk emits the decidable completion-order prefix
+    (``end + H < wm``, H = entry-within + mx·gap — the cap is therefore
+    mandatory on the stream). Oracle: the batch capped fold truncated
+    at the same cut (emitted ends are non-decreasing, so the stream
+    result is exactly that prefix)."""
+    from flink_uba_spark.operators.match_recognize import stream_match_recognize
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S E{1,4}",
+            define={
+                "S": F.col("event_type") == "signup",
+                "E": F.col("event_type") == "error",
+            },
+            default_within="INTERVAL 12 HOURS",
+            after_match="skip_past_last",
+        )
+    ).select(
+        "user_id", "anchor_id", "S_ts", "E_ts", "E_last_ts", "E_n", "end_id"
+    )
+
+
+STREAM_MATCH_RECOGNIZE_TRAILING_RUN_ORACLE = """
+WITH RECURSIVE
+err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts, sid,
+         row_number() OVER ws AS rn, count(*) OVER wf AS cnt,
+         COALESCE(lead(ts, 3) OVER ws, last_value(ts) OVER wl) AS last_ts,
+         COALESCE(lead(event_id, 3) OVER ws,
+                  last_value(event_id) OVER wl) AS last_id,
+         LEAST(4, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid),
+         wl AS (PARTITION BY user_id, sid ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+ent AS (
+  SELECT a.user_id, a.anchor_id, a.t1, e.ts AS t2, e.last_ts AS t2_last,
+         CAST(e.n_reps AS BIGINT) AS e_n, e.last_id AS end_id
+  FROM a
+  JOIN LATERAL (
+    SELECT r.ts, r.last_ts, r.last_id, r.n_reps FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1
+    ORDER BY r.ts, r.event_id LIMIT 1) e ON TRUE
+  WHERE e.ts <= a.t1 + INTERVAL 12 HOUR
+),
+cand AS (
+  SELECT user_id, anchor_id, t1, t2, t2_last, e_n, end_id,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY t2_last, end_id, t1, anchor_id) AS r
+  FROM ent
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t2_last ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.anchor_id, c.t1 AS S_ts, c.t2 AS E_ts,
+       c.t2_last AS E_last_ts, c.e_n AS E_n, c.end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+  -- the streaming decidability cut: end + H < final ms-floored
+  -- watermark, H = entry within + mx*gap = 12h + 4*12h = 60h
+  AND epoch_us(c.t2_last) + CAST(60 AS BIGINT) * 3600 * 1000000
+      < (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+         WHERE event_type IN ('signup', 'error'))
+"""
+
+
 def stream_match_recognize_within_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OVERALL within on the STREAM front-end (round 9 second pass)
     — ``PATTERN (S C P) WITHIN INTERVAL '12' HOUR`` under NO SKIP: the
@@ -3417,6 +3521,7 @@ QUERIES = {
     "stream_cdc_latest_state": stream_cdc_latest_state,
     "stream_match_recognize_iterative": stream_match_recognize_iterative,
     "stream_match_recognize_within_overall": stream_match_recognize_within_overall,
+    "stream_match_recognize_trailing_run": stream_match_recognize_trailing_run,
     "stream_window_join_views_purchases": stream_window_join_views_purchases,
     "stream_interval_join_left_outer_clicks": stream_interval_join_left_outer_clicks,
     "stream_window_dedup_first_click": stream_window_dedup_first_click,
@@ -3492,6 +3597,7 @@ ORACLES = {
     "stream_cdc_latest_state": STREAM_CDC_LATEST_STATE_ORACLE,
     "stream_match_recognize_iterative": STREAM_MATCH_RECOGNIZE_ITERATIVE_ORACLE,
     "stream_match_recognize_within_overall": STREAM_MATCH_RECOGNIZE_WITHIN_OVERALL_ORACLE,
+    "stream_match_recognize_trailing_run": STREAM_MATCH_RECOGNIZE_TRAILING_RUN_ORACLE,
     "stream_window_join_views_purchases": _stream_window_join_oracle(),
     "stream_interval_join_left_outer_clicks": _stream_interval_join_left_outer_oracle(),
     "stream_window_dedup_first_click": _stream_window_dedup_oracle(),

@@ -360,6 +360,233 @@ def make_lazy_reluctant_replayer(gap_us: int, sfx_us: int | None,
     return detect
 
 
+def trailing_run_output_schema(n_steps: int) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("anchor_id", T.LongType()),
+            *[
+                T.StructField(f"t{k}", T.TimestampType())
+                for k in range(1, n_steps + 1)
+            ],
+            T.StructField(f"t{n_steps}_last", T.TimestampType()),
+            T.StructField(f"n{n_steps}", T.LongType()),
+            T.StructField("end_id", T.LongType()),
+        ]
+    )
+
+
+def make_trailing_run_replayer(n: int, withins_us: list, gap_us: int,
+                               mn: int, mx: int, h_us: int):
+    """Trailing-GREEDY-run SKIP PAST LAST replay (round 9 second pass —
+    the streaming twin of the batch trailing-run compile): plain steps
+    1..n−1 bound skip-till-next, step n is a capped greedy run (gap
+    sessions over the step's rows, entry = earliest admissible row with
+    ≥ mn reachable repetitions — the times(mn, mx) binding), and the
+    match's END is the run's LAST repetition.
+
+    Decidability mirrors the family contract: a candidate's end sits
+    ≤ t1 + H (H = Σ plain withins + entry within + mx·gap), future
+    anchors produce ends ≥ wm, a pending prefix completed by a
+    post-watermark row yields an end ≥ wm, and — the run-specific
+    pieces — `end + H < wm` implies the run is gap-CLOSED (no future
+    row can extend it: they all sit ≥ wm > end + gap) and the ENTRY
+    choice is final (an earlier entry could only become valid if its
+    own session were still open, but that session's last row precedes
+    the bound entry, so it closed strictly earlier). Hence candidates
+    with `end + H < wm` form a final completion-order prefix, exactly
+    the chain replayer's rule."""
+
+    def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        timed_out = getattr(state, "hasTimedOut", False)
+        chunks = [] if timed_out else [c for c in pdfs if len(c)]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if state.exists:
+            ts, ids, mask, ctrl = (
+                np.asarray(f, dtype="int64") for f in state.get
+            )
+            ctrl = list(ctrl)
+        else:
+            ts = ids = mask = np.empty(0, dtype="int64")
+            ctrl = [_NULL] * 6
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            ts = np.concatenate(
+                [ts, pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()]
+            )
+            ids = np.concatenate([ids, pdf["event_id"].to_numpy().astype("int64")])
+            m = np.zeros(len(pdf), dtype="int64")
+            for k in range(1, n + 1):
+                m |= pdf[f"f{k}"].to_numpy().astype("int64") << (k - 1)
+            mask = np.concatenate([mask, m])
+
+        out = None
+        if len(ts):
+            s_ts, s_id, s_mask, _rank = _order_and_pos(ts, ids, mask, n)
+            pos = np.arange(len(s_ts))
+            legs = []
+            for k in range(1, n + 1):
+                sel = np.nonzero((s_mask >> (k - 1)) & 1)[0]
+                sel = sel[np.lexsort((s_id[sel], s_ts[sel]))]
+                legs.append((s_ts[sel], s_id[sel], pos[sel]))
+            bt, bi, bp = legs[n - 1]
+            # greedy-run reachability over the run leg's (ts, id) order:
+            # avail[j] = length of the gap-linked chain starting at j
+            avail = np.ones(len(bt), dtype="int64")
+            for i in range(len(bt) - 2, -1, -1):
+                if bt[i + 1] <= bt[i] + gap_us:
+                    avail[i] += avail[i + 1]
+            cands = []
+            a_ts, a_id, a_pos = legs[0]
+            for ai in range(len(a_ts)):
+                chain_ts, chain_id = [int(a_ts[ai])], [int(a_id[ai])]
+                p_ts, p_pos = int(a_ts[ai]), int(a_pos[ai])
+                ok = True
+                for k in range(2, n):
+                    lt, li, lp = legs[k - 1]
+                    j = _bind_next(lt, li, lp, p_ts, p_pos)
+                    if j < 0:
+                        ok = False
+                        break
+                    chain_ts.append(int(lt[j]))
+                    chain_id.append(int(li[j]))
+                    p_ts, p_pos = int(lt[j]), int(lp[j])
+                    if (
+                        withins_us[k - 1] is not None
+                        and chain_ts[-1] > chain_ts[-2] + withins_us[k - 1]
+                    ):
+                        ok = False  # matched_late never emits under skip
+                        break
+                if not ok:
+                    continue
+                # run entry: earliest admissible row with avail >= mn
+                # (times(mn, mx): a shorter entry is not a valid binding
+                # and the previous step binds the next valid one)
+                j = int(np.searchsorted(bt, p_ts, side="left"))
+                while j < len(bt) and (
+                    (bt[j] == p_ts and bp[j] <= p_pos) or avail[j] < mn
+                ):
+                    j += 1
+                if j >= len(bt):
+                    continue
+                if withins_us[n - 1] is not None and bt[j] > p_ts + withins_us[n - 1]:
+                    continue  # matched_late
+                cnt = int(min(avail[j], mx))
+                last = j + cnt - 1
+                cands.append(
+                    (chain_ts, chain_id, int(bt[j]), int(bi[j]),
+                     int(bt[last]), int(bi[last]), cnt)
+                )
+            # completion-order replay over the decidable prefix — the
+            # end is the run's LAST repetition
+            cands.sort(key=lambda c: (c[4], c[5], c[0][0], c[1][0]))
+            rows = []
+            h_ts, h_id = ctrl[0], ctrl[1]
+            lp = tuple(ctrl[2:6])
+            for chain_ts, chain_id, e_ts, e_id, l_ts, l_id, cnt in cands:
+                ckey = (l_ts, l_id, chain_ts[0], chain_id[0])
+                if l_ts + h_us >= wm_us:
+                    break
+                if lp[0] != _NULL and ckey <= lp:
+                    continue
+                lp = ckey
+                # SKIP PAST LAST: the anchor must be STRICTLY past the
+                # previously emitted match's last event (the skip-to
+                # replay's >= rule is the other strategy)
+                if (h_ts == _NULL
+                        or (chain_ts[0], chain_id[0]) > (h_ts, h_id)):
+                    rows.append(
+                        {
+                            "user_id": key[0],
+                            "anchor_id": chain_id[0],
+                            **{
+                                f"t{k}": chain_ts[k - 1]
+                                for k in range(1, n)
+                            },
+                            f"t{n}": e_ts,
+                            f"t{n}_last": l_ts,
+                            f"n{n}": cnt,
+                            "end_id": l_id,
+                        }
+                    )
+                    if h_ts == _NULL or (l_ts, l_id) > (h_ts, h_id):
+                        h_ts, h_id = l_ts, l_id
+            ctrl = [h_ts, h_id, *lp] if lp[0] != _NULL else [h_ts, h_id] + [_NULL] * 4
+            if rows:
+                out = pd.DataFrame(rows)
+                for c in [f"t{k}" for k in range(1, n + 1)] + [f"t{n}_last"]:
+                    out[c] = pd.to_datetime(out[c], unit="us")
+            keep = s_ts >= wm_us - 2 * h_us
+            ts, ids, mask = s_ts[keep], s_id[keep], s_mask[keep]
+
+        if len(ts) or ctrl[0] != _NULL or ctrl[2] != _NULL:
+            state.update(
+                (ts.tolist(), ids.tolist(), mask.tolist(),
+                 [int(x) for x in ctrl])
+            )
+            if len(ts):
+                state.setTimeoutTimestamp(wm_us // 1000 + 1)
+        elif state.exists:
+            state.remove()
+        if out is not None:
+            yield out
+
+    return detect
+
+
+def stream_trailing_run_detect(
+    events: DataFrame,
+    key: str,
+    steps: list[tuple],
+    event_id: str = "event_id",
+    ts: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Wire the trailing-run SKIP PAST LAST replay: ``steps`` is n−1
+    plain ``(pred, within)`` entries followed by one
+    ``(pred, within, (mn, mx))`` capped-run entry (finite cap mandatory
+    — ``mx·gap`` is part of the replay horizon; every within after the
+    first mandatory too)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flink_uba_spark.streaming.pattern import _interval_us
+
+    n = len(steps)
+    if n < 2:
+        raise ValueError("need at least 2 steps")
+    if len(steps[-1]) != 3:
+        raise ValueError("the last step must carry the (mn, mx) run spec")
+    mn, mx = steps[-1][2]
+    if mx == float("inf"):
+        raise ValueError(
+            "the streaming trailing-run replay needs a FINITE cap "
+            "(mx·gap is part of the replay horizon)"
+        )
+    mn, mx = int(mn), int(mx)
+    if mn < 1 or mx < mn:
+        raise ValueError("need 1 <= mn <= mx")
+    withins_us = [None] + [
+        None if s[1] is None else _interval_us(s[1]) for s in steps[1:]
+    ]
+    if any(w is None for w in withins_us[1:]):
+        raise ValueError(
+            "the streaming trailing-run replay needs a FINITE within on "
+            "every transition (their sum bounds the replay horizon)"
+        )
+    gap_us = withins_us[n - 1]  # the front-end ties entry within + gap
+    h_us = sum(withins_us[1:]) + mx * gap_us
+    flags = {f"f{k}": s[0].cast("boolean") for k, s in enumerate(steps, 1)}
+    filtered = _wire(events, key, flags, event_id, ts, watermark_delay)
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        make_trailing_run_replayer(n, withins_us, gap_us, mn, mx, h_us),
+        trailing_run_output_schema(n),
+        SKIP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def _wire(events, key, flag_cols, event_id, ts, watermark_delay):
     any_f = None
     for c in flag_cols.values():

@@ -511,3 +511,35 @@ def test_preference_fused_recovers_from_checkpoint(spark, sf_dir):
         got[c].sort_values(c).reset_index(drop=True)
         .equals(want[c].sort_values(c).reset_index(drop=True))
     )
+
+
+def test_trailing_run_replayer_recovers_from_checkpoint(spark, sf_dir):
+    """The trailing-run SKIP PAST LAST replay's buffer + horizon +
+    last-processed key must round-trip the state store (round 9 second
+    pass): crash/recover equals uninterrupted, exactly-once per anchor."""
+    from flink_uba_spark.streaming.skip_replay import (
+        stream_trailing_run_detect,
+    )
+
+    events = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    def build(sdf):
+        return stream_trailing_run_detect(
+            sdf, key="user_id",
+            steps=[
+                (F.col("event_type") == "signup", None),
+                (F.col("event_type") == "error", "INTERVAL 12 HOURS",
+                 (1, 4)),
+            ],
+        )
+
+    got, want = _crash_recover_compare(spark, events, build, "trailrun")
+    assert len(want) > 0
+    assert got["anchor_id"].is_unique
+    c = sorted(want.columns)
+    assert (
+        got[c].sort_values(c).reset_index(drop=True)
+        .equals(want[c].sort_values(c).reset_index(drop=True))
+    )

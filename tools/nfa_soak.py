@@ -2266,11 +2266,113 @@ def soak_trailing(n_cases, cases_per_spec=100):
     return fails
 
 
+def soak_trail_stream(n_cases):
+    """Streaming trailing-run SKIP PAST LAST replay soak (round 9 second
+    pass): ``make_trailing_run_replayer`` over arbitrary batch splits +
+    mid-stream timer fires vs brute_skip_past_last truncated at the
+    family's decidability cut (emitted ends are non-decreasing, so the
+    stream result is exactly the batch fold's ``end + H < final_wm``
+    prefix)."""
+    import pandas as pd
+
+    from test_properties_round5 import _FakeState, brute_skip_past_last
+    from flink_uba_spark.streaming.skip_replay import (
+        make_trailing_run_replayer,
+    )
+
+    t0, fails = time.time(), 0
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 15485863 + 7)
+        n = rnd.randint(2, 3)
+        withins_us = [None] + [
+            rnd.randint(2, 40) * 1000 for _ in range(n - 1)
+        ]
+        gap_us = withins_us[-1]
+        mn = rnd.choice([1, 1, 2])
+        mx = mn + rnd.randint(0, 2)
+        h_us = sum(withins_us[1:]) + mx * gap_us
+        events = [
+            (i, rnd.randint(0, 120) * 1000 + rnd.randint(0, 3),
+             rnd.getrandbits(n) if rnd.random() < 0.92 else 0)
+            for i in range(rnd.randint(0, 24))
+        ]
+        cuts = sorted({rnd.randint(1, 200) * 1000
+                       for _ in range(rnd.randint(0, 4))})
+        detect = make_trailing_run_replayer(n, withins_us, gap_us, mn, mx, h_us)
+        state = _FakeState()
+        got = []
+        tcols = [f"t{k}" for k in range(1, n + 1)] + [f"t{n}_last"]
+
+        def drain(gen):
+            for f in gen:
+                for r in f.itertuples(index=False):
+                    got.append((
+                        int(r.anchor_id),
+                        tuple(pd.Timestamp(getattr(r, c)).value // 1000
+                              for c in tcols)
+                        + (int(getattr(r, f"n{n}")),),
+                    ))
+
+        lo, wm = -1, 0
+        for hi in cuts + [10 ** 9]:
+            batch = [e for e in events if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            state._wm = wm
+            pdf = pd.DataFrame(
+                [
+                    {"event_id": eid, "ts": pd.Timestamp(ts, unit="us"),
+                     **{f"f{k}": bool(m >> (k - 1) & 1)
+                        for k in range(1, n + 1)}}
+                    for eid, ts, m in batch
+                ]
+            )
+            state.hasTimedOut = False
+            drain(detect((1,), iter([pdf]), state))
+            wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
+            for _ in range(8):
+                if state._v is None or state.timeout_set is None or state.timeout_set >= wm:
+                    break
+                state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+                drain(detect((1,), iter([]), state))
+            state.hasTimedOut = False
+        if events and state._v is not None:
+            state._wm = max(ts for _, ts, _ in events) // 1000
+            state.hasTimedOut = True
+            drain(detect((1,), iter([]), state))
+        wm_final_us = (max((ts for _, ts, _ in events), default=0) // 1000) * 1000
+
+        bsteps = [(w, None) for w in withins_us[:-1]] + [
+            (gap_us, (gap_us, mx, mn))
+        ]
+        want = []
+        for aid, key, _st in brute_skip_past_last(
+            events, bsteps, final_wm_ms=10 ** 15
+        ):
+            end_ts = key[-2]  # the trailing run's last repetition
+            if end_ts + h_us < wm_final_us:
+                want.append((aid, tuple(key)))
+        if sorted(got) != sorted(want):
+            fails += 1
+            print(f"MISMATCH seed={seed} n={n} withins={withins_us} "
+                  f"mn={mn} mx={mx} cuts={cuts} events={events}")
+            print(f"  got={sorted(got)}")
+            print(f"  want={sorted(want)}")
+            if fails > 5:
+                break
+        if (seed + 1) % 500 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} trail-stream cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     defaults = {
         "batch": 1000,
         "trail": 1000,
+        "trail-stream": 3000,
         "branching": 1000,
         "strict": 5000,
         "stream-branching": 5000,
@@ -2335,6 +2437,8 @@ def main() -> int:
         return 1 if soak_skip_batch(n) else 0
     if mode == "trail":
         return 1 if soak_trailing(n) else 0
+    if mode == "trail-stream":
+        return 1 if soak_trail_stream(n) else 0
     if mode == "strict":
         return 1 if soak_strict(n) else 0
     return 1 if soak_stream(n, timers=(mode == "timers")) else 0
