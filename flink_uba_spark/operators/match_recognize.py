@@ -1490,7 +1490,12 @@ def stream_match_recognize(
 ) -> DataFrame:
     """The same spec as a continuous query (``stream_pattern_detect``).
     The streaming skip fold supports plain chains (the NFA's documented
-    bound); quantified patterns stream under ``no_skip``. A RELUCTANT
+    bound); OTHER quantified patterns stream under ``no_skip``, EXCEPT a
+    TRAILING quantifier + SKIP PAST LAST, which routes to the
+    recompute-over-buffer replay (round 9 second pass,
+    ``stream_trailing_run_detect`` — finite cap mandatory; a trailing
+    reluctant quantifier rewrites to ``times(mn, mn)`` first, the batch
+    rule). A RELUCTANT
     quantifier streams under ``no_skip`` (round 8: the per-count NFAs
     compile into ONE packed stateful operator,
     ``stream_pattern_detect_fused``) AND — round 9 — under the SQL
