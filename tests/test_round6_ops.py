@@ -768,19 +768,23 @@ def test_after_match_validation():
         )
 
 
-def test_with_end_id_requires_plain_last_step(spark):
+def test_with_end_id_trailing_kleene_is_run_last(spark):
+    """Round 9 second pass LIFTED the r6 plain-last-step restriction:
+    with_end_id on a trailing Kleene step returns the run's LAST
+    repetition's id (il{n}) as end_id."""
     from flink_uba_spark.operators.sequence import pattern_detect
 
-    with pytest.raises(ValueError, match="plain"):
-        pattern_detect(
-            _bdf(spark, [(1, 1, "a", 0)]),
-            key="user_id",
-            steps=[
-                (F.col("event_type") == "a", None),
-                (F.col("event_type") == "b", "INTERVAL 1 MINUTE", 3),
-            ],
-            with_end_id=True,
-        )
+    out = pattern_detect(
+        _bdf(spark, [(1, 1, "a", 0), (2, 1, "b", 10), (3, 1, "b", 20)]),
+        key="user_id",
+        steps=[
+            (F.col("event_type") == "a", None),
+            (F.col("event_type") == "b", "INTERVAL 1 MINUTE", 3),
+        ],
+        with_end_id=True,
+    ).filter(F.col("state") == "matched").collect()
+    assert len(out) == 1
+    assert out[0]["n2"] == 2 and out[0]["end_id"] == 3
 
 
 def test_skip_past_last_matches_bruteforce_property():
