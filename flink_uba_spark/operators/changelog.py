@@ -54,7 +54,9 @@ def changelog_latest(
     picked = F.max_by(
         F.struct(
             *[c.alias(nm) for nm, c in values.items()],
-            delete_when.cast("boolean").alias("__del"),
+            # a NULL tombstone flag is NOT a delete — without the
+            # coalesce the ~filter below would silently drop the key
+            F.coalesce(delete_when.cast("boolean"), F.lit(False)).alias("__del"),
             F.col(order_by).alias("op_ts"),
             F.col(event_id).alias("op_id"),
         ),

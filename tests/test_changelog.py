@@ -105,3 +105,18 @@ def test_stream_changelog_matches_batch(spark):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     assert g.equals(w)
+
+
+def test_changelog_null_tombstone_flag_is_not_delete(spark):
+    """A NULL delete_when evaluation (e.g. a predicate over a null
+    column) must read as 'not a tombstone', not silently hide the key."""
+    df = spark.createDataFrame(
+        [(1, 1, EPOCH, None, 7.0)],
+        "event_id long, user_id long, ts timestamp, op string, value double",
+    )
+    out = changelog_latest(
+        df, keys=["user_id"],
+        values={"v": F.col("value").cast("long")},
+        delete_when=F.col("op") == "del",   # null op -> null predicate
+    ).collect()
+    assert len(out) == 1 and out[0]["v"] == 7
