@@ -11,7 +11,7 @@ exercises: reluctant (lazy) quantifiers, AFTER MATCH SKIP TO FIRST/LAST
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_uba_spark.sources.readers import load_testdata
@@ -390,6 +390,116 @@ UNION ALL
 SELECT user_id, i1, CAST(2 AS BIGINT), cls, i2, t2 FROM kept
 UNION ALL
 SELECT user_id, i1, CAST(3 AS BIGINT), 'P', i3, t3 FROM kept
+"""
+
+
+def match_recognize_prev_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO PHYSICAL navigation in DEFINE — ``DEFINE R AS R.cents >
+    PREV(R.cents)`` (round 9 second pass): PREV(n) reads the
+    partition's previous ROW, so it compiles to a window ``lag`` on the
+    MATCH_RECOGNIZE input BEFORE classification — the value is a plain
+    column by the time DEFINE sees it (Flink compiles PREV the same
+    way: a physical offset over the ordered input, unlike the
+    bound-variable LOGICAL navigation iter_define serves). The query:
+    rising-price purchase streaks — any purchase anchors, then a run of
+    2-4 purchases each pricier than its PREDECESSOR purchase, SKIP PAST
+    LAST segmenting streaks (also exercising the trailing-run fold on a
+    rank-overlapping input: every row matches the anchor step too)."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("cents", cents).withColumn(
+        "prev_cents", F.lag("cents").over(w)
+    )
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="B R{2,4}",
+        define={
+            "B": F.lit(True),
+            "R": F.col("cents") > F.col("prev_cents"),
+        },
+        default_within="INTERVAL 7 DAYS",
+        after_match="skip_past_last",
+    )
+
+
+MATCH_RECOGNIZE_PREV_NAVIGATION_ORACLE = """
+WITH RECURSIVE
+p AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         lag(CAST(floor(value * 100) AS BIGINT)) OVER w AS prev_cents
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r0 AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w2 IS NULL
+                OR ts > lag(ts) OVER w2 + INTERVAL 7 DAY THEN 1 ELSE 0 END AS ns
+  FROM p WHERE cents > prev_cents
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM r0
+),
+runs AS (
+  SELECT user_id, event_id, ts, sid,
+         row_number() OVER ws AS rn, count(*) OVER wf AS cnt,
+         COALESCE(lead(ts, 3) OVER ws, last_value(ts) OVER wl) AS last_ts,
+         COALESCE(lead(event_id, 3) OVER ws,
+                  last_value(event_id) OVER wl) AS last_id,
+         LEAST(4, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid),
+         wl AS (PARTITION BY user_id, sid ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM p),
+-- EVERY row matches the anchor step, so every row's rank is step 1 and
+-- the entry must sit strictly after the anchor in plain (ts, id) order;
+-- times(2, 4): entries with fewer than 2 reachable reps are skipped
+ent AS (
+  SELECT a.user_id, a.anchor_id, a.t1, e.ts AS t2, e.last_ts AS t2_last,
+         CAST(e.n_reps AS BIGINT) AS e_n, e.last_id AS end_id
+  FROM a
+  JOIN LATERAL (
+    SELECT r.ts, r.last_ts, r.last_id, r.n_reps FROM runs r
+    WHERE r.user_id = a.user_id
+      AND (r.ts > a.t1 OR (r.ts = a.t1 AND r.event_id > a.anchor_id))
+      AND r.cnt - r.rn + 1 >= 2
+    ORDER BY r.ts, r.event_id LIMIT 1) e ON TRUE
+  WHERE e.ts <= a.t1 + INTERVAL 7 DAY
+),
+cand AS (
+  SELECT user_id, anchor_id, t1, t2, t2_last, e_n, end_id,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY t2_last, end_id, t1, anchor_id) AS r
+  FROM ent
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t2_last ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.anchor_id, c.t1 AS B_ts, c.t2 AS R_ts,
+       c.t2_last AS R_last_ts, c.e_n AS R_n, c.end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
 """
 
 
@@ -1863,6 +1973,7 @@ QUERIES = {
     "match_recognize_group_run_agg": match_recognize_group_run_agg,
     "match_recognize_all_rows_iterative": match_recognize_all_rows_iterative,
     "match_recognize_within_overall": match_recognize_within_overall,
+    "match_recognize_prev_navigation": match_recognize_prev_navigation,
     "match_recognize_measures_run_agg": match_recognize_measures_run_agg,
     "match_recognize_quantified_group": match_recognize_quantified_group,
     "match_recognize_iterative_run": match_recognize_iterative_run,
@@ -1885,6 +1996,7 @@ ORACLES = {
     "match_recognize_group_run_agg": MATCH_RECOGNIZE_GROUP_RUN_AGG_ORACLE,
     "match_recognize_all_rows_iterative": MATCH_RECOGNIZE_ALL_ROWS_ITERATIVE_ORACLE,
     "match_recognize_within_overall": MATCH_RECOGNIZE_WITHIN_OVERALL_ORACLE,
+    "match_recognize_prev_navigation": MATCH_RECOGNIZE_PREV_NAVIGATION_ORACLE,
     "match_recognize_measures_run_agg": MATCH_RECOGNIZE_MEASURES_RUN_AGG_ORACLE,
     "match_recognize_quantified_group": MATCH_RECOGNIZE_QUANTIFIED_GROUP_ORACLE,
     "match_recognize_iterative_run": MATCH_RECOGNIZE_ITERATIVE_RUN_ORACLE,
