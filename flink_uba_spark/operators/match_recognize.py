@@ -586,7 +586,16 @@ def match_recognize(
     (``b[var]["ts"|"id"|<payload name>]`` → Column of that variable's
     bound row); its Column is ANDed into the variable's admission test
     BEFORE binding, exactly Flink's IterativeCondition — the variable may
-    reference itself and EARLIER pattern variables only."""
+    reference itself and EARLIER pattern variables only.
+
+    ``within_overall`` bounds the WHOLE match: end_ts <= anchor_ts +
+    bound, INCLUSIVE — consistent with this repo's per-transition
+    ``withins`` convention. NOTE (round-9 ADVICE, documented
+    divergence): Flink CEP's window timeout is EXCLUSIVE (a match is
+    discarded when ``end - start >= windowTime``, CEP NFA
+    ``isStateTimedOut``), so a match ending exactly at anchor + bound
+    is emitted here but dropped by Flink. Every catalog oracle pins
+    the inclusive form; write ``bound - 1 unit`` to get Flink's edge."""
     from flink_uba_spark.operators.sequence import (
         after_match_skip_past_last,
         after_match_skip_to_first,
@@ -647,6 +656,16 @@ def match_recognize(
             # times(mn, mn) binding itself. Rewrite and take the
             # single-plan trailing-run path.
             v, q = parsed[-1]
+            if q[1] < 1:
+                # (round-9 ADVICE) mn == 0 would rewrite to times(0, 0),
+                # whose lead(ts, -1) run-last is silently wrong — the
+                # degenerate zero-count run has no single-plan shape
+                raise ValueError(
+                    "a trailing RELUCTANT quantifier under SKIP PAST "
+                    f"LAST needs a minimum count >= 1 (got {{{q[1]},"
+                    f"{q[2]}}}?) — a zero-count lazy run matches the "
+                    "empty sequence; drop the variable or write {1,m}?"
+                )
             parsed = parsed[:-1] + [(v, ("kleene", q[1], q[1]))]
             has_rel = any(
                 qq is not None and qq[0] == "reluctant" for _, qq in parsed
@@ -706,6 +725,14 @@ def match_recognize(
             raise ValueError(
                 f"SUBSET {uname!r} members must be PATTERN variables "
                 f"(groups don't join a subset): {bad}"
+            )
+        if len(set(members)) != len(members):
+            # ISO 9075-2 treats SUBSET members as a SET — a repeated
+            # member would union its rows twice and silently double
+            # count/sum run aggregates (round-9 ADVICE)
+            raise ValueError(
+                f"SUBSET {uname!r} repeats a member: {tuple(members)} — "
+                "members form a set, list each variable once"
             )
     if subset and not run_aggs:
         raise ValueError(

@@ -964,6 +964,33 @@ def test_subset_validations(spark):
         match_recognize(ev, "user_id", "ts", "S E", define,
                         subset={"U": ()},
                         measures={"x": run_agg("count", "U")}, **base)
+    # ISO treats SUBSET members as a set — a repeated member would
+    # silently double count/sum aggregates (round-9 ADVICE)
+    with pytest.raises(ValueError, match="repeats a member"):
+        match_recognize(ev, "user_id", "ts", "S E", define,
+                        subset={"U": ("E", "E")},
+                        measures={"x": run_agg("count", "U")}, **base)
+
+
+def test_trailing_reluctant_zero_min_raises(spark):
+    # (round-9 ADVICE) 'S B{0,3}?' under SKIP PAST LAST would rewrite to
+    # times(0, 0) → lead(ts, -1), silently wrong run bounds; must raise
+    ev = spark.createDataFrame(
+        [(1, 1, EPOCH, "s")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    define = {"S": F.col("event_type") == "s",
+              "B": F.col("event_type") == "b"}
+    with pytest.raises(ValueError, match="minimum count >= 1"):
+        match_recognize(
+            ev, "user_id", "ts", "S B{0,3}?", define,
+            default_within="INTERVAL 1 HOUR", after_match="skip_past_last",
+        )
+    with pytest.raises(ValueError, match="minimum count >= 1"):
+        match_recognize(
+            ev, "user_id", "ts", "S B{0}?", define,
+            default_within="INTERVAL 1 HOUR", after_match="skip_past_last",
+        )
 
 
 @st.composite
