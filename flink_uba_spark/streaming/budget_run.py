@@ -160,7 +160,7 @@ def make_budget_run_matcher(budget: int, cap: int, gap_us: int, sfx_us: int):
         else:
             ts = ids = cls = pay = em = np.empty(0, dtype="int64")
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             ts = np.concatenate(
                 [ts, pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()]
             )
@@ -185,20 +185,22 @@ def make_budget_run_matcher(budget: int, cap: int, gap_us: int, sfx_us: int):
             final = ((n == cap) | (t2l + gap_us < wm_us)) & (t3 < wm_us)
             fresh = final & ~np.isin(a_id, em)
             if fresh.any():
+                # raw numpy buffers (freshly allocated — zero-copy safe)
                 out = pd.DataFrame(
                     {
-                        "user_id": pd.array(
-                            [key[0]] * int(fresh.sum()), dtype="int64"
+                        "user_id": np.full(
+                            int(fresh.sum()), key[0], dtype="int64"
                         ),
-                        "anchor_id": pd.array(a_id[fresh], dtype="int64"),
-                        "t1": pd.Series(t1[fresh].astype("datetime64[us]")),
-                        "t2": pd.Series(t2[fresh].astype("datetime64[us]")),
-                        "t2_last": pd.Series(t2l[fresh].astype("datetime64[us]")),
-                        "n2": pd.array(n[fresh], dtype="int64"),
-                        "spent": pd.array(spent[fresh], dtype="int64"),
-                        "t3": pd.Series(t3[fresh].astype("datetime64[us]")),
-                        "end_id": pd.array(s_id[fresh], dtype="int64"),
-                    }
+                        "anchor_id": a_id[fresh],
+                        "t1": t1[fresh].astype("datetime64[us]"),
+                        "t2": t2[fresh].astype("datetime64[us]"),
+                        "t2_last": t2l[fresh].astype("datetime64[us]"),
+                        "n2": n[fresh],
+                        "spent": spent[fresh],
+                        "t3": t3[fresh].astype("datetime64[us]"),
+                        "end_id": s_id[fresh],
+                    },
+                    copy=False,
                 )
                 em = np.concatenate([em, a_id[fresh]])
 

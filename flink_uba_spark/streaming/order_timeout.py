@@ -80,23 +80,33 @@ def make_detector(deadline_us: int, anchor_type: str = "signup", follow_type: st
         for the whole block (NaT/NA broadcast), so every column stays a
         single concrete dtype — no object columns, no per-row branching."""
         n = len(st)
+
+        def _ids(v):  # nullable int64 column, all-absent when v is None
+            if v is None:
+                return pd.arrays.IntegerArray(
+                    np.zeros(n, dtype="int64"), np.ones(n, dtype=bool)
+                )
+            return pd.arrays.IntegerArray(
+                np.asarray(v, dtype="int64"), np.zeros(n, dtype=bool)
+            )
+
+        def _tss(v):  # datetime64[us] column, all-NaT when v is None
+            if v is None:
+                return np.full(n, np.datetime64("NaT"), "datetime64[us]")
+            return np.asarray(v, dtype="int64").astype("datetime64[us]")
+
+        # raw numpy/masked buffers — per-column pd.array/to_datetime was a
+        # measured per-group hot spot (round 10); all freshly allocated
         return pd.DataFrame(
             {
-                "anchor_id": pd.array(a_ids if a_ids is not None else [None] * n, dtype="Int64"),
-                "follow_id": pd.array(f_ids if f_ids is not None else [None] * n, dtype="Int64"),
-                "user_id": pd.array([user_id] * n, dtype="int64"),
-                "anchor_ts": (
-                    pd.to_datetime(np.asarray(a_us, dtype="int64"), unit="us")
-                    if a_us is not None
-                    else pd.DatetimeIndex([pd.NaT] * n)
-                ),
-                "follow_ts": (
-                    pd.to_datetime(np.asarray(f_us, dtype="int64"), unit="us")
-                    if f_us is not None
-                    else pd.DatetimeIndex([pd.NaT] * n)
-                ),
-                "state": pd.array(st, dtype=object),
-            }
+                "anchor_id": _ids(a_ids),
+                "follow_id": _ids(f_ids),
+                "user_id": np.full(n, user_id, dtype="int64"),
+                "anchor_ts": _tss(a_us),
+                "follow_ts": _tss(f_us),
+                "state": np.asarray(st, dtype=object),
+            },
+            copy=False,
         )
 
     def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
@@ -113,15 +123,21 @@ def make_detector(deadline_us: int, anchor_type: str = "signup", follow_type: st
 
         chunks = [] if state.hasTimedOut else list(pdfs)
         if chunks:
-            rows = pd.concat(chunks, ignore_index=True)
+            # hot path: the serializer almost always delivers one chunk
+            rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             if len(rows):
                 # anchors first at equal timestamps (batch uses follow_ts >= anchor_ts)
                 rows["__anchor_first"] = (rows["event_type"] != anchor_type).astype(int)
                 rows = rows.sort_values(
                     ["ts", "__anchor_first", "event_id"], kind="mergesort"
                 ).reset_index(drop=True)
-                # explicit ns resolution before the //1000 → us conversion
-                ts_us = rows["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+                # explicit us resolution (zero-copy int64 view in the us case)
+                ts_us = (
+                    rows["ts"]
+                    .to_numpy()
+                    .astype("datetime64[us]", copy=False)
+                    .view("int64")
+                )
                 ev_ids = rows["event_id"].to_numpy()
                 anchor_pos = np.flatnonzero((rows["event_type"] == anchor_type).to_numpy())
                 follow_pos = np.flatnonzero((rows["event_type"] == follow_type).to_numpy())
@@ -182,7 +198,9 @@ def make_detector(deadline_us: int, anchor_type: str = "signup", follow_type: st
             next_fire_ms = int(pend_us.min()) // 1000 + deadline_us // 1000
             state.setTimeoutTimestamp(max(next_fire_ms, state.getCurrentWatermarkMs() + 1))
 
-        if out:
+        if len(out) == 1:  # hot path: skip the per-group concat
+            yield out[0]
+        elif out:
             yield pd.concat(out, ignore_index=True)
 
     return detect

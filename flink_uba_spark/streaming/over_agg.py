@@ -134,7 +134,8 @@ def make_over_aggregator(
             s_ts = s_id = s_val = s_em = np.empty(0, dtype="int64")
 
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
+            # hot path: the serializer almost always delivers one chunk
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             n_ts = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
             n_id = pdf["event_id"].to_numpy().astype("int64")
             n_val = pdf["val"].to_numpy().astype("int64")
@@ -175,19 +176,22 @@ def make_over_aggregator(
                         agg_cols[nm] = _range_extreme(
                             s_val, lo, hi, is_min=(f == "min")
                         )
+                # raw numpy buffers (per-column pd.array was a measured
+                # per-group hot spot, round 10); all freshly allocated
                 out = pd.DataFrame(
                     {
-                        "user_id": pd.array(
-                            [key[0]] * int(emit.sum()), dtype="int64"
+                        "user_id": np.full(
+                            int(emit.sum()), key[0], dtype="int64"
                         ),
-                        "event_id": pd.array(s_id[emit], dtype="int64"),
-                        "ts": pd.Series(e_ts.astype("datetime64[us]")),
-                        "val": pd.array(s_val[emit], dtype="int64"),
+                        "event_id": s_id[emit],
+                        "ts": e_ts.astype("datetime64[us]"),
+                        "val": s_val[emit],
                         **{
-                            nm: pd.array(v, dtype="int64")
+                            nm: np.asarray(v, dtype="int64")
                             for nm, v in agg_cols.items()
                         },
-                    }
+                    },
+                    copy=False,
                 )
                 s_em = s_em.copy()
                 s_em[emit] = 1

@@ -114,6 +114,10 @@ def pattern_output_schema(
     return T.StructType(fields)
 
 
+# shared zero-row frame for timeout-flush batches (one allocation instead
+# of one per group per flush batch; the empty path only reads it)
+_EMPTY_ROWS = pd.DataFrame(columns=["event_id", "ts", "event_type"])
+
 # per-chain fixed-width integers + the gap-horizon row buffer (step
 # membership packed as an int64 bitmask over SLOTS = positive steps +
 # notFollowedBy guard slots — at most 63 slots total; make_pattern_matcher
@@ -369,31 +373,39 @@ def make_pattern_matcher(
         )
 
     def _emit(user_id, a_ids, cur, bnd, klast, kln, st) -> pd.DataFrame:
+        # hot path: one call per group per micro-batch across every twin —
+        # build columns as raw numpy datetime64[us] / IntegerArray buffers
+        # (pd.to_datetime + masked Series __setitem__ per column was ~60%
+        # of the measured per-group wall, round-10 profile)
+        m = len(a_ids)
         cols = {
-            "user_id": pd.array([user_id] * len(a_ids), dtype="int64"),
-            "anchor_id": pd.array(a_ids, dtype="Int64"),
+            "user_id": np.full(m, user_id, dtype="int64"),
+            "anchor_id": pd.arrays.IntegerArray(
+                np.asarray(a_ids, dtype="int64"), np.zeros(m, dtype=bool)
+            ),
         }
         for k in range(1, n + 1):
             arr = np.asarray(bnd[:, k - 1], dtype="int64")
-            dt = pd.Series(pd.to_datetime(arr, unit="us"))
-            dt[arr < 0] = pd.NaT  # unbound steps of flushed chains
+            dt = arr.astype("datetime64[us]")
+            dt[arr < 0] = np.datetime64("NaT")  # unbound steps of flushed chains
             cols[f"t{k}"] = dt
             if kleenes[k - 1] is not None:
                 la = np.asarray(klast[:, k - 1], dtype="int64")
-                ldt = pd.Series(pd.to_datetime(la, unit="us"))
-                ldt[la < 0] = pd.NaT
+                ldt = la.astype("datetime64[us]")
+                ldt[la < 0] = np.datetime64("NaT")
                 cols[f"t{k}_last"] = ldt
-                nk = pd.array(np.asarray(kln[:, k - 1], dtype="int64"), dtype="Int64")
-                nk[np.asarray(kln[:, k - 1]) <= 0] = pd.NA
-                cols[f"n{k}"] = nk
+                nk = np.asarray(kln[:, k - 1], dtype="int64")
+                cols[f"n{k}"] = pd.arrays.IntegerArray(nk, nk <= 0)
         # bound-step count, not the frontier step: a skipped optional step
         # is not counted (batch-compiler parity)
-        cols["max_step"] = pd.array(
-            (np.asarray(bnd, dtype="int64").reshape(len(a_ids), -1) >= 0).sum(axis=1),
-            dtype="int64",
+        cols["max_step"] = (
+            (np.asarray(bnd, dtype="int64").reshape(m, -1) >= 0)
+            .sum(axis=1)
+            .astype("int64")
         )
-        cols["state"] = pd.array(st, dtype=object)
-        return pd.DataFrame(cols)
+        cols["state"] = np.asarray(st, dtype=object)
+        # every buffer above is freshly allocated per call — zero-copy safe
+        return pd.DataFrame(cols, copy=False)
 
     def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         (user_id,) = key
@@ -447,11 +459,15 @@ def make_pattern_matcher(
             seq_next = 0
 
         chunks = [] if getattr(state, "hasTimedOut", False) else list(pdfs)
-        rows = (
-            pd.concat(chunks, ignore_index=True)
-            if chunks
-            else pd.DataFrame(columns=["event_id", "ts", "event_type"])
-        )
+        # hot path: the serializer almost always delivers ONE chunk per
+        # group — skip the per-group concat (and share one empty frame;
+        # the zero-row path never mutates it)
+        if len(chunks) == 1:
+            rows = chunks[0]
+        elif chunks:
+            rows = pd.concat(chunks, ignore_index=True)
+        else:
+            rows = _EMPTY_ROWS
         if len(rows):
             if "__p1" in rows.columns:
                 # general-predicate mode: slot membership precomputed
@@ -482,13 +498,22 @@ def make_pattern_matcher(
                 # under strict/notNext semantics EVERY row is a
                 # contiguity witness and must stay in the timeline
                 keep = match.any(axis=1)
-                rows = rows.loc[keep].reset_index(drop=True)
-                match = match[keep]
+                if not keep.all():
+                    # usually all-True: the JVM scan filter already
+                    # dropped no-slot rows — skip the per-group take
+                    rows = rows.loc[keep].reset_index(drop=True)
+                    match = match[keep]
 
         if len(rows):
-            # explicit ns resolution before //1000 → us (ADVICE r3: never
-            # trust the Arrow->pandas datetime unit implicitly)
-            ts_us = rows["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+            # explicit us resolution (ADVICE r3: never trust the
+            # Arrow->pandas datetime unit implicitly); copy=False makes
+            # the us case a zero-copy int64 view
+            ts_us = (
+                rows["ts"]
+                .to_numpy()
+                .astype("datetime64[us]", copy=False)
+                .view("int64")
+            )
             ev_ids = rows["event_id"].to_numpy().astype("int64")
             # earliest slot a row serves; a no-slot witness row (strict
             # mode keeps them) sorts LAST at its timestamp, mirroring the
@@ -1108,7 +1133,9 @@ def make_pattern_matcher(
             state.remove()
 
         out = [f for f in frames if len(f)]
-        if out:
+        if len(out) == 1:  # hot path: skip the per-group concat
+            yield out[0]
+        elif out:
             yield pd.concat(out, ignore_index=True)
 
     return detect
@@ -1402,7 +1429,10 @@ def make_branching_matcher(
     def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         timed_out = getattr(state, "hasTimedOut", False)
         chunks = [] if timed_out else [c for c in pdfs if len(c)]
-        pdf = pd.concat(chunks, ignore_index=True) if chunks else None
+        if len(chunks) == 1:  # hot path: skip the per-group concat
+            pdf = chunks[0]
+        else:
+            pdf = pd.concat(chunks, ignore_index=True) if chunks else None
         try:
             # raises on a watermark-free stream (no-ttl branching runs
             # without withWatermark); 0 = "no watermark yet" either way
@@ -1451,26 +1481,28 @@ def make_branching_matcher(
             else:
                 it = iter([])
             for frame in det(key, it, slot):
+                # build in output order (skips the reindex selection);
+                # NaT/tag columns as raw numpy buffers (hot path)
+                m = len(frame)
+                tmap = {k: frame[f"t{j}"] for j, k in enumerate(kept, start=1)}
                 cols = {
                     "user_id": frame["user_id"],
                     "anchor_id": frame["anchor_id"],
+                    **{
+                        f"t{k}": (
+                            tmap[k]
+                            if k in tmap
+                            else np.full(
+                                m, np.datetime64("NaT"), "datetime64[us]"
+                            )
+                        )
+                        for k in range(1, n + 1)
+                    },
+                    "max_step": frame["max_step"],
+                    "state": frame["state"],
+                    "skipped": np.full(m, tag, dtype=object),
                 }
-                for j, k in enumerate(kept, start=1):
-                    cols[f"t{k}"] = frame[f"t{j}"]
-                for k in skip:
-                    cols[f"t{k}"] = pd.Series(
-                        pd.NaT, index=frame.index, dtype="datetime64[ns]"
-                    )
-                cols["max_step"] = frame["max_step"]
-                cols["state"] = frame["state"]
-                cols["skipped"] = pd.array([tag] * len(frame), dtype=object)
-                out_frames.append(
-                    pd.DataFrame(cols)[
-                        ["user_id", "anchor_id"]
-                        + [f"t{k}" for k in range(1, n + 1)]
-                        + ["max_step", "state", "skipped"]
-                    ]
-                )
+                out_frames.append(pd.DataFrame(cols, copy=False))
             new_vals[bi] = slot.value
 
         if any(v is not None for v in new_vals):
@@ -1488,7 +1520,9 @@ def make_branching_matcher(
         elif state.exists:
             state.remove()
 
-        if out_frames:
+        if len(out_frames) == 1:  # hot path: skip the per-group concat
+            yield out_frames[0]
+        elif out_frames:
             yield pd.concat(out_frames, ignore_index=True)
 
     return detect
@@ -1765,17 +1799,21 @@ def make_any_matcher(n_steps: int, withins_us: list, after_match: str | None = N
                 continue
             ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
             eid = pdf["event_id"].to_numpy()
-            flags = [pdf[f"__p{i}"].to_numpy() for i in range(1, n_steps + 1)]
-            for r in range(len(pdf)):
-                m = 0
-                for i in range(n_steps):
-                    if flags[i][r]:
-                        m |= 1 << i
-                if m and int(eid[r]) not in known:
-                    n_ids.append(int(eid[r]))
+            # step-membership bitmasks, vectorized over the batch (the
+            # per-row inner loop was a measured hot spot, round 10)
+            msk = np.zeros(len(pdf), dtype="int64")
+            for i in range(n_steps):
+                msk |= (
+                    pdf[f"__p{i + 1}"].to_numpy().astype(bool).astype("int64")
+                    << i
+                )
+            for r in np.flatnonzero(msk):
+                e = int(eid[r])
+                if e not in known:
+                    n_ids.append(e)
                     n_tss.append(int(ts_us[r]))
-                    n_masks.append(m)
-                    known.add(int(eid[r]))
+                    n_masks.append(int(msk[r]))
+                    known.add(e)
         ids = o_ids + n_ids
         tss = o_tss + n_tss
         masks = o_masks + n_masks
@@ -1800,10 +1838,7 @@ def make_any_matcher(n_steps: int, withins_us: list, after_match: str | None = N
                 for a, (_, cid, cts) in sorted(best.items()):
                     end_ms = cts[-1] // 1000
                     if end_ms <= wm_us // 1000:
-                        rows.append(
-                            (int(key[0]), *cid,
-                             *(pd.Timestamp(t, unit="us") for t in cts))
-                        )
+                        rows.append((cid, cts))
                         emitted.add(a)
                     else:
                         pending_end_ms = (
@@ -1813,9 +1848,7 @@ def make_any_matcher(n_steps: int, withins_us: list, after_match: str | None = N
         elif n_ids:
             news = [False] * len(o_ids) + [True] * len(n_ids)
             for cid, cts in _enumerate_any(ids, tss, masks, news, withins_us):
-                rows.append(
-                    (int(key[0]), *cid, *(pd.Timestamp(t, unit="us") for t in cts))
-                )
+                rows.append((cid, cts))
         keep = [i for i in range(len(ids)) if tss[i] > wm_us - horizon_us]
         if keep:
             kept_ids = [ids[i] for i in keep]
@@ -1838,7 +1871,16 @@ def make_any_matcher(n_steps: int, withins_us: list, after_match: str | None = N
         elif state.exists:
             state.remove()
         if rows:
-            yield pd.DataFrame(rows, columns=out_cols)
+            # columnar build (tuple-rows + per-cell pd.Timestamp was the
+            # hot path for the combinatorial emitters, round 10)
+            cid_arr = np.asarray([r[0] for r in rows], dtype="int64")
+            cts_arr = np.asarray([r[1] for r in rows], dtype="int64")
+            cols = {"user_id": np.full(len(rows), int(key[0]), dtype="int64")}
+            for k in range(n_steps):
+                cols[f"i{k + 1}"] = cid_arr[:, k]
+            for k in range(n_steps):
+                cols[f"t{k + 1}"] = cts_arr[:, k].astype("datetime64[us]")
+            yield pd.DataFrame(cols, copy=False)
 
     return fold
 
@@ -1969,19 +2011,23 @@ def make_iterative_matcher(n_steps: int, withins_us: list, n_pay: int, conds_py:
                 continue
             ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
             eid = pdf["event_id"].to_numpy()
-            flags = [pdf[f"__p{i}"].to_numpy() for i in range(1, n_steps + 1)]
             pays = [pdf[f"__v{j}"].to_numpy() for j in range(n_pay)]
-            for r in range(len(pdf)):
-                m = 0
-                for i in range(n_steps):
-                    if flags[i][r]:
-                        m |= 1 << i
-                if m and int(eid[r]) not in known:
-                    o_ids.append(int(eid[r]))
+            # step-membership bitmasks, vectorized over the batch (the
+            # per-row inner loop was a measured hot spot, round 10)
+            msk = np.zeros(len(pdf), dtype="int64")
+            for i in range(n_steps):
+                msk |= (
+                    pdf[f"__p{i + 1}"].to_numpy().astype(bool).astype("int64")
+                    << i
+                )
+            for r in np.flatnonzero(msk):
+                e = int(eid[r])
+                if e not in known:
+                    o_ids.append(e)
                     o_tss.append(int(ts_us[r]))
-                    o_masks.append(m)
+                    o_masks.append(int(msk[r]))
                     o_pays.extend(int(pays[j][r]) for j in range(n_pay))
-                    known.add(int(eid[r]))
+                    known.add(e)
         wm_us = state.getCurrentWatermarkMs() * 1000
         wm_ms = wm_us // 1000
         order = sorted(
@@ -2167,7 +2213,10 @@ def make_fused_matcher(branches: list[tuple], n_state_fields: int):
     def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         timed_out = getattr(state, "hasTimedOut", False)
         chunks = [] if timed_out else [c for c in pdfs if len(c)]
-        pdf = pd.concat(chunks, ignore_index=True) if chunks else None
+        if len(chunks) == 1:  # hot path: skip the per-group concat
+            pdf = chunks[0]
+        else:
+            pdf = pd.concat(chunks, ignore_index=True) if chunks else None
         try:
             wm_ms = state.getCurrentWatermarkMs()
         except Exception:  # noqa: BLE001
@@ -2227,7 +2276,9 @@ def make_fused_matcher(branches: list[tuple], n_state_fields: int):
         elif state.exists:
             state.remove()
 
-        if out_frames:
+        if len(out_frames) == 1:  # hot path: skip the per-group concat
+            yield out_frames[0]
+        elif out_frames:
             yield pd.concat(out_frames, ignore_index=True)
 
     return detect
@@ -2394,7 +2445,12 @@ def make_preference_fused(branches: list[tuple], n_state_fields: int,
         frames = list(fused(key, pdfs, slot))
 
         if frames:
-            add = pd.concat(frames, ignore_index=True)
+            # hot path: skip the per-group concat for the 1-frame case
+            add = (
+                frames[0]
+                if len(frames) == 1
+                else pd.concat(frames, ignore_index=True)
+            )
             cols = [add["__branch"].to_numpy().astype("int64"),
                     add["anchor_id"].to_numpy().astype("int64")]
             for c in t_cols:
@@ -2418,16 +2474,16 @@ def make_preference_fused(branches: list[tuple], n_state_fields: int,
                 first[1:] = f_anchor_s[1:] != f_anchor_s[:-1]
                 win = order[first]
                 data = {
-                    "user_id": pd.array([key[0]] * len(win), dtype="int64"),
-                    "__branch": pd.array(pend[0][final][win], dtype="int64"),
-                    "anchor_id": pd.array(pend[1][final][win], dtype="int64"),
+                    "user_id": np.full(len(win), key[0], dtype="int64"),
+                    "__branch": pend[0][final][win].astype("int64"),
+                    "anchor_id": pend[1][final][win].astype("int64"),
                 }
                 for i, c in enumerate(t_cols):
                     v = pend[2 + i][final][win]
-                    s = pd.Series(v.astype("datetime64[us]"))
-                    s[v == PREF_NULL] = pd.NaT
+                    s = v.astype("datetime64[us]")
+                    s[v == PREF_NULL] = np.datetime64("NaT")
                     data[c] = s
-                out = pd.DataFrame(data)
+                out = pd.DataFrame(data, copy=False)
                 keep = ~final
                 pend = [p[keep] for p in pend]
 

@@ -133,7 +133,7 @@ def make_chain_skip_replayer(n: int, withins_us: list, skip_step: int,
             ts = ids = mask = np.empty(0, dtype="int64")
             ctrl = [_NULL] * 6
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             ts = np.concatenate(
                 [ts, pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()]
             )
@@ -249,7 +249,7 @@ def make_lazy_reluctant_replayer(gap_us: int, sfx_us: int | None,
             ts = ids = mask = np.empty(0, dtype="int64")
             ctrl = [_NULL] * 6
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             ts = np.concatenate(
                 [ts, pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()]
             )
@@ -411,7 +411,7 @@ def make_trailing_run_replayer(n: int, withins_us: list, gap_us: int,
             ts = ids = mask = np.empty(0, dtype="int64")
             ctrl = [_NULL] * 6
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             ts = np.concatenate(
                 [ts, pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()]
             )

@@ -71,16 +71,16 @@ def make_temporal_join_matcher():
                 continue
             ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
             rid = pdf["row_id"].to_numpy()
-            isf = pdf["is_fact"].to_numpy()
+            isf = pdf["is_fact"].to_numpy().astype(bool)
             pay = pdf["payload"].to_numpy()
-            for r in range(len(pdf)):
-                if isf[r]:
-                    f_ids.append(int(rid[r]))
-                    f_tss.append(int(ts_us[r]))
-                else:
-                    v_ids.append(int(rid[r]))
-                    v_tss.append(int(ts_us[r]))
-                    v_pay.append(int(pay[r]))
+            # split vectorized (per-row loop was a measured hot spot,
+            # round 10); per-list pdf order is preserved
+            f_ids.extend(rid[isf].astype("int64").tolist())
+            f_tss.extend(ts_us[isf].tolist())
+            vsel = ~isf
+            v_ids.extend(rid[vsel].astype("int64").tolist())
+            v_tss.extend(ts_us[vsel].tolist())
+            v_pay.extend(pay[vsel].astype("int64").tolist())
         wm_us = state.getCurrentWatermarkMs() * 1000
         # last-writer-wins order: (ts, id) ascending; the latest
         # at-or-before a fact is the last entry ≤ (fact_ts, +inf)

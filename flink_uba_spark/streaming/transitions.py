@@ -47,7 +47,9 @@ def make_transition_extractor(gap_us: int):
     """Per-key state fn: link each event to its predecessor within gap."""
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        # hot path: the serializer almost always delivers one chunk
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         if len(rows) == 0:
             return
         # pin the resolution before the integer view: Arrow→pandas hands
