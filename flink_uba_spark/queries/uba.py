@@ -81,6 +81,11 @@ def hot_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure-SQL variant (entry point C, HotItemWithSql.java:64-72):
     nested HOP-window agg + ROW_NUMBER rank + rank filter, via spark.sql."""
     load_testdata(spark, sf_dir, ("events",))["events"].createOrReplaceTempView("events")
+    # the JSON parse sits in its own subquery so it runs BEFORE the
+    # window Expand — inlined into the windowed aggregate it is evaluated
+    # once per (row × 12 windows) instead of once per row (round 10:
+    # measured 1.09 s → at parity with the DataFrame twin at sf0.1, and
+    # 12× fewer JSON parses at any scale)
     return spark.sql(
         f"""
         SELECT window_start, window_end, item_id, cnt, CAST(rnk AS BIGINT) AS rnk
@@ -90,10 +95,14 @@ def hot_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (
                 SELECT window(ts, '1 hour', '5 minutes').start AS window_start,
                        window(ts, '1 hour', '5 minutes').end   AS window_end,
-                       CAST(get_json_object(props, '$.k') AS BIGINT) AS item_id,
+                       item_id,
                        count(*) AS cnt
-                FROM events
-                WHERE event_type = 'view'
+                FROM (
+                    SELECT ts,
+                           CAST(get_json_object(props, '$.k') AS BIGINT) AS item_id
+                    FROM events
+                    WHERE event_type = 'view'
+                )
                 GROUP BY 1, 2, 3
             )
         )
