@@ -1966,8 +1966,97 @@ WHERE s.kept
 """
 
 
+# ---------------------------------------------------------------------------
+# SQL-TEXT surface (round 10) — the same NFAs driven from ISO clause TEXT
+# via operators/match_recognize_sql.py (Flink's second CEP surface is a
+# SQL string; the dict spec is the Pattern-API spelling). Each text twin
+# pairs with its dict twin's oracle, so the driver gate pins
+# text-parse ≡ dict-spec ≡ DuckDB on every run.
+# ---------------------------------------------------------------------------
+
+
+def match_recognize_sql_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PATTERN (S E{1,3} P)`` from SQL TEXT — the full wrapper form a
+    Flink SQL user types (quantified run + SKIP PAST LAST); per-transition
+    withins ride the kwarg (the Pattern-API knob ISO text cannot spell).
+    Same plan as match_recognize_error_run, same oracle."""
+    from flink_uba_spark.operators.match_recognize_sql import match_recognize_sql
+
+    return match_recognize_sql(
+        _events(spark, sf_dir),
+        """
+        SELECT * FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (S E{1,3} P)
+            DEFINE S AS S.event_type = 'signup',
+                   E AS E.event_type = 'error',
+                   P AS P.event_type = 'purchase'
+        )
+        """,
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+    )
+
+
+def match_recognize_sql_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP TO FIRST C`` from SQL TEXT — the SKIP variant
+    pin. Same plan as match_recognize_skip_to_first, same oracle."""
+    from flink_uba_spark.operators.match_recognize_sql import match_recognize_sql
+
+    return match_recognize_sql(
+        _events(spark, sf_dir),
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        AFTER MATCH SKIP TO FIRST C
+        PATTERN (S C P)
+        DEFINE S AS S.event_type = 'signup',
+               C AS C.event_type = 'click',
+               P AS P.event_type = 'purchase'
+        """,
+        withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+    )
+
+
+def match_recognize_sql_subset_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURES run aggregates + SUBSET from SQL TEXT — ``COUNT(U.*)``,
+    ``SUM/FIRST/LAST`` over value EXPRESSIONS (the ``U.``-prefixed refs
+    rewrite onto the input columns), plus output-column measures
+    (``S.ts`` → S_ts, bare ``anchor_id``/``E_n``/``end_id``). Same plan
+    as match_recognize_subset_agg, same oracle."""
+    from flink_uba_spark.operators.match_recognize_sql import match_recognize_sql
+
+    return match_recognize_sql(
+        _events(spark, sf_dir),
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES anchor_id AS anchor_id,
+                 S.ts AS S_ts,
+                 P.ts AS P_ts,
+                 E_n AS E_n,
+                 COUNT(U.*) AS u_cnt,
+                 SUM(CAST(floor(U.value * 100) AS BIGINT)) AS u_sum_cents,
+                 FIRST(CAST(floor(U.value * 100) AS BIGINT), 1) AS u_second_cents,
+                 LAST(CAST(floor(U.value * 100) AS BIGINT), 1) AS u_penult_cents,
+                 end_id AS end_id
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (S E{1,3} P)
+        SUBSET U = (S, E, P)
+        DEFINE S AS S.event_type = 'signup',
+               E AS E.event_type = 'error',
+               P AS P.event_type = 'purchase'
+        """,
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+    )
+
+
 QUERIES = {
     "match_recognize_trailing_run": match_recognize_trailing_run,
+    "match_recognize_sql_error_run": match_recognize_sql_error_run,
+    "match_recognize_sql_skip_to_first": match_recognize_sql_skip_to_first,
+    "match_recognize_sql_subset_agg": match_recognize_sql_subset_agg,
     "match_recognize_subset_agg": match_recognize_subset_agg,
     "match_recognize_all_rows_alternation": match_recognize_all_rows_alternation,
     "match_recognize_group_run_agg": match_recognize_group_run_agg,
@@ -1989,8 +2078,15 @@ QUERIES = {
     "match_recognize_anchored_end": match_recognize_anchored_end,
 }
 
+from flink_uba_spark.queries.behavior import (  # noqa: E402  (oracle reuse)
+    MATCH_RECOGNIZE_ERROR_RUN_ORACLE as _SQL_ERROR_RUN_ORACLE,
+)
+
 ORACLES = {
     "match_recognize_trailing_run": MATCH_RECOGNIZE_TRAILING_RUN_ORACLE,
+    "match_recognize_sql_error_run": _SQL_ERROR_RUN_ORACLE,
+    "match_recognize_sql_skip_to_first": MATCH_RECOGNIZE_SKIP_TO_FIRST_ORACLE,
+    "match_recognize_sql_subset_agg": MATCH_RECOGNIZE_SUBSET_AGG_ORACLE,
     "match_recognize_subset_agg": MATCH_RECOGNIZE_SUBSET_AGG_ORACLE,
     "match_recognize_all_rows_alternation": MATCH_RECOGNIZE_ALL_ROWS_ALTERNATION_ORACLE,
     "match_recognize_group_run_agg": MATCH_RECOGNIZE_GROUP_RUN_AGG_ORACLE,

@@ -32,6 +32,11 @@ def _intentional_share(names: list[str]) -> bool:
         ("ivf_index_upsert", "stream_ivf_upsert"),
         ("semantic_kmeans_assign", "stream_kmeans_assign"),
         ("hot_items", "hot_items_sql"),
+        # SQL-TEXT twins (round 10): the text surface deliberately pins
+        # text-parse ≡ dict-spec by pairing with the dict twin's oracle
+        ("match_recognize_error_run", "match_recognize_sql_error_run"),
+        ("match_recognize_skip_to_first", "match_recognize_sql_skip_to_first"),
+        ("match_recognize_sql_subset_agg", "match_recognize_subset_agg"),
     }
     s = sorted(names)
     if len(s) != 2:
