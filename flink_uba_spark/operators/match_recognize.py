@@ -97,6 +97,21 @@ the route's own fold); RunAgg targets a quantified GROUP's run (the
 OR-of-members band join) and SUBSET union variables; the STREAM
 front-end runs exclusions on its single-plan path and prefix-
 referencing DEFINE via ``iter_define_py`` under NO SKIP.
+
+Round-10 lifts (VERDICT r9 items 5/6): ``within_overall`` composes
+with SKIP PAST LAST and SKIP TO on the STREAM side too — plain chains
+route to the past-last/skip-to chain replayers and trailing runs to
+the trailing-run replayer (streaming/skip_replay.py), where the bound
+prunes candidates BEFORE the fold, exactly the batch compile (the
+alternation/reluctant/iterative engines still raise; a mid-pattern
+quantifier under SKIP PAST LAST keeps the in-NFA fold and raises with
+the bound). Exclusion ``{- X -}`` composes with SKIP TO on BOTH
+engines (output shaping over the per-variable columns those routes
+already emit — ONE row drops the columns, batch ALL ROWS drops the
+per-event rows); only the alternation/reluctant/iterative engines
+keep the exclusion raise. There is also a SQL-TEXT front-end
+(operators/match_recognize_sql.py) compiling the ISO clause string
+onto this spec.
 """
 
 from __future__ import annotations
@@ -339,12 +354,16 @@ def _var_names(parsed, choice=None):
     return names
 
 
-def _explode_plain_rows(out: DataFrame, vnames, partition_by: str) -> DataFrame:
+def _explode_plain_rows(
+    out: DataFrame, vnames, partition_by: str, excluded=frozenset()
+) -> DataFrame:
     """ALL ROWS PER MATCH over a PLAIN chain that already carries
     ``i{k}``/``t{k}`` columns (the iterative and skip-to routes): one
     output row per bound event — a stateless explode of the
     compile-time (seq, var) layout, CLASSIFIER() = the var column.
-    Skipped optionals carry null ts and are filtered, as everywhere."""
+    Skipped optionals carry null ts and are filtered, as everywhere.
+    ``excluded`` variables (ISO ``{- X -}``) still match but leave the
+    per-event output (round 10 — the single-plan ALL ROWS rule)."""
     entries = [
         F.struct(
             F.lit(k).cast("long").alias("seq"),
@@ -353,7 +372,12 @@ def _explode_plain_rows(out: DataFrame, vnames, partition_by: str) -> DataFrame:
             F.col(f"t{k}").alias("ts"),
         )
         for k, v in enumerate(vnames, start=1)
+        if v not in excluded
     ]
+    if not entries:
+        raise ValueError(
+            "ALL ROWS PER MATCH needs at least one non-excluded variable"
+        )
     return (
         out.select(
             partition_by, "anchor_id", F.explode(F.array(*entries)).alias("__e")
@@ -374,6 +398,17 @@ def _rename(out: DataFrame, parsed) -> DataFrame:
             out = out.withColumnRenamed(f"t{k}_last", f"{nm}_last_ts")
             out = out.withColumnRenamed(f"n{k}", f"{nm}_n")
     return out
+
+
+def _drop_excluded(out: DataFrame, excluded) -> DataFrame:
+    """ISO exclusion is pure output shaping: the excluded variable still
+    matches (and gates the chain), its columns just leave the ONE-row
+    projection — a stateless drop after ``_rename``."""
+    if not excluded:
+        return out
+    return out.drop(
+        *[c for v in excluded for c in (f"{v}_ts", f"{v}_last_ts", f"{v}_n")]
+    )
 
 
 def _measures(out: DataFrame, partition_by, measures) -> DataFrame:
@@ -739,9 +774,14 @@ def match_recognize(
             "SUBSET is consumed by RunAgg MEASURES (e.g. "
             "run_agg('sum', '<subset name>', col)) — pass one"
         )
-    if excluded and specialties:
+    if excluded and (bool(iter_define) or has_alt or has_rel):
+        # round 10 lifts SKIP TO (exclusion is output shaping over the
+        # per-variable columns that route already emits); the
+        # alternation/reluctant/iterative engines keep the raise
         raise ValueError(
-            "exclusion {- X -} composes with the single-plan path only"
+            "exclusion {- X -} composes with the single-plan and SKIP TO "
+            "routes (the alternation/reluctant/iterative engines fold "
+            "their own output)"
         )
     if (anchor_start or anchor_end) and specialties:
         raise ValueError("^ / $ anchors compose with the single-plan path only")
@@ -1077,11 +1117,11 @@ def match_recognize(
         if rows_per_match == "all":
             # plain chains by construction — stateless per-event explode
             # over the folded matches (round 9 second pass)
-            return _explode_plain_rows(out, vnames, partition_by)
+            return _explode_plain_rows(out, vnames, partition_by, excluded)
         out = out.withColumn("end_id", F.col(f"i{n}")).drop(
             *[f"i{k}" for k in range(1, n + 1)]
         )
-        out = _rename(out, parsed)
+        out = _drop_excluded(_rename(out, parsed), excluded)
         return _measures(out, partition_by, measures)
 
     # ---- single-plan path --------------------------------------------
@@ -1448,11 +1488,13 @@ def _stream_alternation(
 
 def _stream_skip_to(
     events, partition_by, order_by, parsed, define, wmap, default_within,
-    measures, event_id, skip_step,
+    measures, event_id, skip_step, within_overall=None, excluded=None,
 ):
     """Streaming SKIP TO FIRST/LAST (round 9): plain-chain candidates +
     the ≥-horizon replay, watermark-driven (see
-    streaming/skip_replay.py for the decidability contract)."""
+    streaming/skip_replay.py for the decidability contract). Round 10:
+    ``within_overall`` prunes candidates inside the replayer (before the
+    fold); ``excluded`` drops the exclusion columns (output shaping)."""
     from flink_uba_spark.streaming.skip_replay import (
         stream_chain_skip_to_detect,
     )
@@ -1460,11 +1502,11 @@ def _stream_skip_to(
     steps, _ = _steps_and_sets(parsed, define, wmap, default_within)
     out = stream_chain_skip_to_detect(
         events, key=partition_by, steps=steps, skip_step=skip_step,
-        event_id=event_id, ts=order_by,
+        event_id=event_id, ts=order_by, within_overall=within_overall,
     )
     if partition_by != "user_id":
         out = out.withColumnRenamed("user_id", partition_by)
-    out = _rename(out, parsed)
+    out = _drop_excluded(_rename(out, parsed), excluded)
     return _measures(out, partition_by, measures)
 
 
@@ -1560,16 +1602,16 @@ def stream_match_recognize(
         any(isinstance(v, tuple) and not (q is not None and q[0] == "kleene")
             for v, q in parsed)
         or any(q is not None and q[0] == "reluctant" for _v, q in parsed)
-        or after_match.split()[0] in ("skip_to_first", "skip_to_last")
     ):
-        # the specialty stream routes rename/fold their own output; the
-        # exclusion projection composes with the single-plan path only
-        # (round 9 second pass — r8 raised on EVERY stream exclusion,
-        # and before that the '{-' token died on a cryptic parse error)
+        # the alternation/reluctant stream routes fold PER-BRANCH /
+        # per-count output; the exclusion projection composes with the
+        # single-plan and replay routes (round 10 lifted SKIP TO —
+        # VERDICT r9 item 6: the replayers emit per-variable columns, so
+        # exclusion is a stateless column drop there too)
         raise ValueError(
-            "exclusion {- X -} streams on the single-plan path only "
-            "(ONE-row output shaping; the specialty routes are batch-only "
-            "for it)"
+            "exclusion {- X -} streams on the single-plan and skip-replay "
+            "routes (ONE-row output shaping; the alternation/reluctant "
+            "engines are batch-only for it)"
         )
     if any(
         isinstance(var, tuple) and not (q is not None and q[0] == "kleene")
@@ -1589,18 +1631,30 @@ def stream_match_recognize(
         )
     mode, skip_step = _parse_after_match(after_match, parsed)
     if within_overall is not None and (
-        mode != "no_skip"
-        or iter_define_py
+        iter_define_py
         or any(isinstance(v, tuple) for v, _q in parsed)
-        or any(q is not None and q[0] == "reluctant" for _v, q in parsed)
+        or (
+            any(q is not None and q[0] == "reluctant" for _v, q in parsed)
+            # a TRAILING reluctant under SKIP PAST LAST rewrites to
+            # times(mn, mn) below and takes the trailing-run replay,
+            # which carries the bound — only the fused/lazy-preference
+            # engines stay out
+            and not (
+                mode == "skip_past_last"
+                and parsed[-1][1] is not None
+                and parsed[-1][1][0] == "reluctant"
+                and all(q is None for _v, q in parsed[:-1])
+            )
+        )
     ):
-        # the stream skip folds run INSIDE the stateful operators — a
-        # post-filter after them would let pruned candidates advance the
-        # horizon; the specialty stream routes would silently ignore it
+        # the alternation/reluctant/iterative stream engines fold
+        # in-operator and would silently ignore the bound
         raise ValueError(
-            "within_overall streams on the single-plan path under NO "
-            "SKIP only (elsewhere the fold is in-operator and a "
-            "post-filter would be wrong)"
+            "within_overall streams on the single-plan path (NO SKIP "
+            "post-filter) and the skip-replay routes (SKIP PAST LAST / "
+            "SKIP TO on plain chains and trailing runs, where the bound "
+            "prunes candidates before the fold) — not on the "
+            "alternation/reluctant/iterative engines"
         )
     # round 9 second pass: a trailing quantifier under SKIP PAST LAST
     # streams through the recompute-over-buffer replay. A trailing
@@ -1635,12 +1689,6 @@ def stream_match_recognize(
             stream_trailing_run_detect,
         )
 
-        if excluded:
-            raise ValueError(
-                "exclusion {- X -} streams on the single-plan path only "
-                "(ONE-row output shaping; the specialty routes are "
-                "batch-only for it)"
-            )
         if _slq[2] is None:
             raise ValueError(
                 "a trailing uncapped run (B+ / B{n,}) streams under SKIP "
@@ -1653,10 +1701,12 @@ def stream_match_recognize(
         out = stream_trailing_run_detect(
             events, key=partition_by, steps=steps,
             event_id=event_id, ts=order_by,
+            within_overall=within_overall,
         )
         if partition_by != "user_id":
             out = out.withColumnRenamed("user_id", partition_by)
         out = _rename(out, parsed)
+        out = _drop_excluded(out, excluded)
         return _measures(out, partition_by, measures)
     if iter_define_py:
         # round 9 second pass: prefix-referencing DEFINE STREAMS through
@@ -1765,8 +1815,35 @@ def stream_match_recognize(
         return _stream_skip_to(
             events, partition_by, order_by, parsed, define,
             dict(withins or {}), default_within, measures, event_id,
-            skip_step,
+            skip_step, within_overall=within_overall, excluded=excluded,
         )
+    if mode == "skip_past_last" and within_overall is not None:
+        # round 10 (VERDICT r9 item 5): the overall bound must prune
+        # candidates BEFORE the skip fold, and the single-plan NFA folds
+        # in-operator — route plain chains to the past-last replayer
+        # (the trailing-run shape took its own replay branch above)
+        if any(q is not None for _v, q in parsed):
+            raise ValueError(
+                "within_overall under streaming SKIP PAST LAST runs on "
+                "plain chains and trailing runs (the replay routes); an "
+                "optional or mid-pattern quantifier keeps the in-NFA "
+                "fold, which cannot compose with the overall bound"
+            )
+        from flink_uba_spark.streaming.skip_replay import (
+            stream_chain_skip_past_detect,
+        )
+
+        steps, _ = _steps_and_sets(
+            parsed, define, dict(withins or {}), default_within
+        )
+        out = stream_chain_skip_past_detect(
+            events, key=partition_by, steps=steps,
+            event_id=event_id, ts=order_by, within_overall=within_overall,
+        )
+        if partition_by != "user_id":
+            out = out.withColumnRenamed("user_id", partition_by)
+        out = _drop_excluded(_rename(out, parsed), excluded)
+        return _measures(out, partition_by, measures)
     steps, optional = _steps_and_sets(
         parsed, define, dict(withins or {}), default_within
     )

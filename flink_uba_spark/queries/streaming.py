@@ -3425,6 +3425,52 @@ WHERE epoch_us(b.P_ts) + {h_us} <
 """
 
 
+def stream_match_recognize_within_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming overall WITHIN under ``SKIP PAST LAST ROW`` (round 10 —
+    VERDICT r9 item 5 lifted the raise): ``PATTERN (S C P) WITHIN 12h``
+    through the past-last chain replayer
+    (streaming/skip_replay.py:stream_chain_skip_past_detect) — the
+    bound prunes candidates BEFORE the fold, so a pruned candidate
+    never advances the skip horizon and a later overlapping candidate
+    can emit (the corner the batch twin's oracle pins). Decidable once
+    the watermark strictly passes ``P_ts + 30 h`` (the within sum);
+    oracle: the batch within_overall fold under the same cut."""
+    from flink_uba_spark.operators.match_recognize import (
+        stream_match_recognize,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = stream_match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S C P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_past_last",
+        within_overall="INTERVAL 12 HOURS",
+    )
+    return run_to_table(out)
+
+
+def _stream_mr_within_skip_oracle() -> str:
+    from flink_uba_spark.queries.rowpattern import (
+        MATCH_RECOGNIZE_WITHIN_OVERALL_ORACLE,
+    )
+
+    h_us = 30 * 3600 * 1_000_000
+    return f"""
+SELECT b.* FROM ({MATCH_RECOGNIZE_WITHIN_OVERALL_ORACLE}) b
+WHERE epoch_us(b.P_ts) + {h_us} <
+      (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+       WHERE event_type IN ('signup', 'click', 'purchase'))
+"""
+
+
 def stream_match_recognize_reluctant_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming lazy reluctant under ``SKIP PAST LAST ROW`` (round 9 —
     the other lifted batch-only route): ``PATTERN (S E{1,3}? P)`` as a
@@ -3535,6 +3581,7 @@ QUERIES = {
     "stream_match_recognize_alternation": stream_match_recognize_alternation,
     "stream_match_recognize_permute": stream_match_recognize_permute,
     "stream_match_recognize_skip_to_first": stream_match_recognize_skip_to_first,
+    "stream_match_recognize_within_skip": stream_match_recognize_within_skip,
     "stream_match_recognize_reluctant_lazy": stream_match_recognize_reluctant_lazy,
     "stream_match_recognize_reluctant": stream_match_recognize_reluctant,
     "stream_pattern_budget_error_run": stream_pattern_budget_error_run,
@@ -3611,6 +3658,7 @@ ORACLES = {
     "stream_match_recognize_alternation": STREAM_MATCH_RECOGNIZE_ALTERNATION_ORACLE,
     "stream_match_recognize_permute": STREAM_MATCH_RECOGNIZE_PERMUTE_ORACLE,
     "stream_match_recognize_skip_to_first": _stream_mr_skip_to_first_oracle(),
+    "stream_match_recognize_within_skip": _stream_mr_within_skip_oracle(),
     "stream_match_recognize_reluctant_lazy": _stream_mr_reluctant_lazy_oracle(),
     "stream_match_recognize_reluctant": _stream_match_recognize_reluctant_oracle(),
     "stream_pattern_budget_error_run": _stream_pattern_budget_oracle(),

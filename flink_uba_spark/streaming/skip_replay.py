@@ -113,11 +113,29 @@ def _bind_next(st_ts, st_id, st_pos, prev_ts, prev_pos):
 
 
 def make_chain_skip_replayer(n: int, withins_us: list, skip_step: int,
-                             h_us: int):
-    """Plain-chain skip-till-next candidates + the SKIP TO FIRST/LAST
-    horizon replay (see module docstring). ``withins_us[k-1]`` bounds
-    the transition INTO step k (entry None); all must be finite past the
-    first — their sum is the decidability horizon ``h_us``."""
+                             h_us: int, mode: str = "skip_to",
+                             within_overall_us: int | None = None):
+    """Plain-chain skip-till-next candidates + the AFTER MATCH horizon
+    replay (see module docstring). ``withins_us[k-1]`` bounds the
+    transition INTO step k (entry None); all must be finite past the
+    first — their sum is the decidability horizon ``h_us``.
+
+    ``mode`` (round 10): ``"skip_to"`` — Flink's SKIP_TO_FIRST/LAST:
+    survivors have their anchor AT-or-past the skip point
+    (``chain[skip_step]``), which becomes the horizon; ``"past_last"``
+    — SKIP_PAST_LAST_EVENT: survivors start STRICTLY past the emitted
+    match's END (``chain[n]``), the trailing-run replayer's rule.
+
+    ``within_overall_us`` (round 10, VERDICT r9 item 5): Flink's overall
+    window — candidates with ``end > t1 + bound`` (inclusive bound, the
+    repo convention) are NOT matches, so they prune BEFORE the fold and
+    never advance the horizon or the last-processed key — exactly the
+    batch compile's pre-fold filter. The prune only shrinks the
+    candidate set (survivors still satisfy ``end ≤ t1 + H``), so the
+    family's decidability contract is unchanged."""
+    if mode not in ("skip_to", "past_last"):
+        raise ValueError("mode: skip_to | past_last")
+    past_last = mode == "past_last"
 
     def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         timed_out = getattr(state, "hasTimedOut", False)
@@ -173,8 +191,14 @@ def make_chain_skip_replayer(n: int, withins_us: list, skip_step: int,
                     ):
                         ok = False  # matched_late never emits under skip
                         break
-                if ok:
-                    cands.append((chain_ts, chain_id))
+                if not ok:
+                    continue
+                if (
+                    within_overall_us is not None
+                    and chain_ts[-1] > chain_ts[0] + within_overall_us
+                ):
+                    continue  # not a match — prunes BEFORE the fold
+                cands.append((chain_ts, chain_id))
             # completion-order replay over the decidable prefix
             cands.sort(
                 key=lambda c: (c[0][n - 1], c[1][n - 1], c[0][0], c[1][0])
@@ -190,8 +214,12 @@ def make_chain_skip_replayer(n: int, withins_us: list, skip_step: int,
                 if lp[0] != _NULL and ckey <= lp:
                     continue
                 lp = ckey
-                if (h_ts == _NULL
-                        or (chain_ts[0], chain_id[0]) >= (h_ts, h_id)):
+                anchor = (chain_ts[0], chain_id[0])
+                survives = h_ts == _NULL or (
+                    anchor > (h_ts, h_id) if past_last
+                    else anchor >= (h_ts, h_id)
+                )
+                if survives:
                     rows.append(
                         {
                             "user_id": key[0],
@@ -203,7 +231,11 @@ def make_chain_skip_replayer(n: int, withins_us: list, skip_step: int,
                             "end_id": chain_id[n - 1],
                         }
                     )
-                    sp = (chain_ts[skip_step - 1], chain_id[skip_step - 1])
+                    sp = (
+                        (chain_ts[n - 1], chain_id[n - 1])
+                        if past_last
+                        else (chain_ts[skip_step - 1], chain_id[skip_step - 1])
+                    )
                     if h_ts == _NULL or sp > (h_ts, h_id):
                         h_ts, h_id = sp
             ctrl = [h_ts, h_id, *lp] if lp[0] != _NULL else [h_ts, h_id] + [_NULL] * 4
@@ -377,7 +409,8 @@ def trailing_run_output_schema(n_steps: int) -> T.StructType:
 
 
 def make_trailing_run_replayer(n: int, withins_us: list, gap_us: int,
-                               mn: int, mx: int, h_us: int):
+                               mn: int, mx: int, h_us: int,
+                               within_overall_us: int | None = None):
     """Trailing-GREEDY-run SKIP PAST LAST replay (round 9 second pass —
     the streaming twin of the batch trailing-run compile): plain steps
     1..n−1 bound skip-till-next, step n is a capped greedy run (gap
@@ -474,6 +507,15 @@ def make_trailing_run_replayer(n: int, withins_us: list, gap_us: int,
                     continue  # matched_late
                 cnt = int(min(avail[j], mx))
                 last = j + cnt - 1
+                if (
+                    within_overall_us is not None
+                    and int(bt[last]) > chain_ts[0] + within_overall_us
+                ):
+                    # overall WITHIN (round 10): a candidate whose run-last
+                    # END exceeds the anchor bound is NOT a match — it
+                    # prunes BEFORE the fold (batch-compile parity; the
+                    # greedy run does NOT back off, Flink's timeout rule)
+                    continue
                 cands.append(
                     (chain_ts, chain_id, int(bt[j]), int(bi[j]),
                      int(bt[last]), int(bi[last]), cnt)
@@ -542,6 +584,7 @@ def stream_trailing_run_detect(
     event_id: str = "event_id",
     ts: str = "ts",
     watermark_delay: str = "0 seconds",
+    within_overall: str | None = None,
 ) -> DataFrame:
     """Wire the trailing-run SKIP PAST LAST replay: ``steps`` is n−1
     plain ``(pred, within)`` entries followed by one
@@ -578,8 +621,11 @@ def stream_trailing_run_detect(
     h_us = sum(withins_us[1:]) + mx * gap_us
     flags = {f"f{k}": s[0].cast("boolean") for k, s in enumerate(steps, 1)}
     filtered = _wire(events, key, flags, event_id, ts, watermark_delay)
+    wo_us = None if within_overall is None else _interval_us(within_overall)
     return filtered.groupBy("user_id").applyInPandasWithState(
-        make_trailing_run_replayer(n, withins_us, gap_us, mn, mx, h_us),
+        make_trailing_run_replayer(
+            n, withins_us, gap_us, mn, mx, h_us, within_overall_us=wo_us
+        ),
         trailing_run_output_schema(n),
         SKIP_STATE_SCHEMA,
         "append",
@@ -614,10 +660,45 @@ def stream_chain_skip_to_detect(
     event_id: str = "event_id",
     ts: str = "ts",
     watermark_delay: str = "0 seconds",
+    within_overall: str | None = None,
 ) -> DataFrame:
     """Wire the SKIP TO FIRST/LAST replay over a streaming frame (plain
     chains; every within after the first MANDATORY — their sum is the
-    emission horizon)."""
+    emission horizon). ``within_overall`` (round 10) prunes candidates
+    whose end exceeds the anchor bound BEFORE the fold."""
+    return _wire_chain_replay(
+        events, key, steps, skip_step, "skip_to", event_id, ts,
+        watermark_delay, within_overall,
+    )
+
+
+def stream_chain_skip_past_detect(
+    events: DataFrame,
+    key: str,
+    steps: list[tuple[Column, str | None]],
+    event_id: str = "event_id",
+    ts: str = "ts",
+    watermark_delay: str = "0 seconds",
+    within_overall: str | None = None,
+) -> DataFrame:
+    """Wire the plain-chain SKIP PAST LAST replay (round 10 — VERDICT r9
+    item 5): the same candidate machinery with the past-last fold
+    (survivors start STRICTLY past the emitted END, which is the
+    horizon). The in-NFA fold (streaming/pattern.py after_match) serves
+    this strategy WITHOUT an overall bound; this replayer exists for
+    ``within_overall``, whose prune must happen before the fold — a
+    post-filter after the in-NFA fold would let pruned candidates
+    advance the skip horizon."""
+    return _wire_chain_replay(
+        events, key, steps, len(steps), "past_last", event_id, ts,
+        watermark_delay, within_overall,
+    )
+
+
+def _wire_chain_replay(
+    events, key, steps, skip_step, mode, event_id, ts,
+    watermark_delay, within_overall,
+):
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from flink_uba_spark.streaming.pattern import _interval_us
@@ -637,10 +718,14 @@ def stream_chain_skip_to_detect(
             "prefix is final)"
         )
     h_us = sum(withins_us[1:])
+    wo_us = None if within_overall is None else _interval_us(within_overall)
     flags = {f"f{k}": s[0].cast("boolean") for k, s in enumerate(steps, 1)}
     filtered = _wire(events, key, flags, event_id, ts, watermark_delay)
     return filtered.groupBy("user_id").applyInPandasWithState(
-        make_chain_skip_replayer(n, withins_us, skip_step, h_us),
+        make_chain_skip_replayer(
+            n, withins_us, skip_step, h_us, mode=mode,
+            within_overall_us=wo_us,
+        ),
         chain_skip_output_schema(n),
         SKIP_STATE_SCHEMA,
         "append",

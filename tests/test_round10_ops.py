@@ -1,0 +1,228 @@
+"""Round-10 lifts: overall WITHIN on the streaming skip routes
+(VERDICT r9 item 5) and exclusion ``{- X -}`` on the SKIP TO routes
+(item 6, batch + stream).
+
+The replayer-level logic carries soak evidence (tools/nfa_soak.py
+skip-to-stream / trail-stream, 3k cases each with randomized mode +
+within_overall); these tests pin the FRONT-END wiring end-to-end: the
+corner where the bound flips which anchor emits, batch ≡ stream on a
+flushed replay, the exclusion column drops, and the remaining raises.
+"""
+
+from __future__ import annotations
+
+import datetime
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_uba_spark.operators.match_recognize import (
+    match_recognize,
+    stream_match_recognize,
+)
+from flink_uba_spark.streaming.runner import run_to_table, write_replay
+
+EPOCH = datetime.datetime(2020, 1, 1)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (uid, eid, EPOCH + datetime.timedelta(seconds=sec), et)
+            for uid, eid, sec, et in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+
+
+def _def3():
+    return {
+        "S": F.col("event_type") == "s",
+        "C": F.col("event_type") == "c",
+        "P": F.col("event_type") == "p",
+    }
+
+
+_SENTINEL_SEC = 10 ** 7  # ~115 days: flushes every real candidate
+
+
+def _stream_of(spark, batch_df, n_batches=2):
+    """Replay a batch frame as a file stream in ts-ordered batches, with
+    a far-future sentinel anchor appended so the final watermark passes
+    every real candidate's decidability horizon (the sentinel is an
+    's' row that can never complete a match)."""
+    rows = sorted(batch_df.collect(), key=lambda r: (r["ts"], r["event_id"]))
+    sentinel = (
+        10 ** 6,
+        10 ** 6,
+        EPOCH + datetime.timedelta(seconds=_SENTINEL_SEC),
+        "s",
+    )
+    frames = []
+    per = max(1, -(-len(rows) // n_batches))
+    for i in range(0, len(rows), per):
+        frames.append(
+            spark.createDataFrame(
+                [tuple(r) for r in rows[i : i + per]], batch_df.schema
+            )
+        )
+    frames.append(
+        spark.createDataFrame(
+            [(sentinel[0], sentinel[1], sentinel[2], sentinel[3])],
+            "user_id long, event_id long, ts timestamp, event_type string",
+        )
+    )
+    replay = write_replay(frames, tag=f"r10_{uuid.uuid4().hex[:8]}")
+    return (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+    )
+
+
+def _assert_stream_equals_batch(spark, ev, spec, drop_sentinel=True):
+    want = match_recognize(ev, **spec)
+    got = run_to_table(stream_match_recognize(_stream_of(spark, ev), **spec))
+    if drop_sentinel:
+        got = got.filter(F.col("user_id") < 10 ** 6)
+    assert got.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_stream_within_skip_past_prunes_before_fold(spark):
+    """The corner the bound exists for: anchor 1's match violates the
+    overall bound, so it must not advance the SKIP PAST LAST horizon —
+    anchor 2's overlapping match emits instead (a post-filter after the
+    in-NFA fold would emit NOTHING)."""
+    rows = [(1, 1, 0, "s"), (1, 2, 2, "s"), (1, 3, 3, "c"), (1, 4, 6, "p")]
+    ev = _mk_events(spark, rows)
+    spec = dict(
+        partition_by="user_id", order_by="ts", pattern="S C P",
+        define=_def3(), default_within="INTERVAL 10 SECONDS",
+        after_match="skip_past_last",
+        within_overall="INTERVAL 5 SECONDS",
+    )
+    got = run_to_table(
+        stream_match_recognize(_stream_of(spark, ev), **spec)
+    ).filter(F.col("user_id") < 10 ** 6)
+    assert [r["anchor_id"] for r in got.collect()] == [2]
+    # and the full frame equals the batch compile
+    _assert_stream_equals_batch(spark, ev, spec)
+
+
+def test_stream_within_skip_to_equals_batch(spark):
+    rows = [
+        (1, 1, 0, "s"), (1, 2, 2, "s"), (1, 3, 3, "c"), (1, 4, 6, "p"),
+        (1, 5, 9, "c"), (1, 6, 11, "p"),
+        (2, 7, 0, "s"), (2, 8, 1, "c"), (2, 9, 30, "p"),
+    ]
+    ev = _mk_events(spark, rows)
+    spec = dict(
+        partition_by="user_id", order_by="ts", pattern="S C P",
+        define=_def3(), default_within="INTERVAL 40 SECONDS",
+        after_match="skip_to_first C",
+        within_overall="INTERVAL 8 SECONDS",
+    )
+    _assert_stream_equals_batch(spark, ev, spec)
+
+
+def test_stream_within_trailing_run_equals_batch(spark):
+    rows = [
+        (1, 1, 0, "s"), (1, 2, 2, "c"), (1, 3, 4, "c"), (1, 4, 9, "c"),
+        (1, 5, 20, "s"), (1, 6, 22, "c"), (1, 7, 23, "c"),
+    ]
+    ev = _mk_events(spark, rows)
+    spec = dict(
+        partition_by="user_id", order_by="ts", pattern="S C{1,3}",
+        define=_def3(), default_within="INTERVAL 6 SECONDS",
+        after_match="skip_past_last",
+        within_overall="INTERVAL 5 SECONDS",
+    )
+    _assert_stream_equals_batch(spark, ev, spec)
+
+
+def test_exclusion_on_skip_to_routes(spark):
+    """Round-10 item 6: `{- X -}` is output shaping, so it now composes
+    with SKIP TO on BOTH engines — same match set, excluded columns
+    dropped."""
+    rows = [
+        (1, 1, 0, "s"), (1, 2, 3, "c"), (1, 3, 6, "p"),
+        (1, 4, 9, "c"), (1, 5, 12, "p"),
+    ]
+    ev = _mk_events(spark, rows)
+    base = dict(
+        partition_by="user_id", order_by="ts", define=_def3(),
+        default_within="INTERVAL 40 SECONDS",
+        after_match="skip_to_first C",
+    )
+    plain = match_recognize(ev, pattern="S C P", **base)
+    excl = match_recognize(ev, pattern="S {- C -} P", **base)
+    assert excl.columns == [c for c in plain.columns if c != "C_ts"]
+    assert sorted(map(tuple, excl.select(plain.drop("C_ts").columns).collect())) == sorted(
+        map(tuple, plain.drop("C_ts").collect())
+    )
+    # streaming twin: same columns, same rows (flushed replay)
+    got = run_to_table(
+        stream_match_recognize(
+            _stream_of(spark, ev), pattern="S {- C -} P", **base
+        )
+    ).filter(F.col("user_id") < 10 ** 6)
+    assert got.columns == excl.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, excl.collect())
+    )
+
+
+def test_exclusion_skip_to_all_rows(spark):
+    """Batch ALL ROWS + SKIP TO + exclusion: the excluded variable's
+    per-event rows leave the output (the single-plan ALL ROWS rule)."""
+    rows = [(1, 1, 0, "s"), (1, 2, 3, "c"), (1, 3, 6, "p")]
+    ev = _mk_events(spark, rows)
+    out = match_recognize(
+        ev, "user_id", "ts", "S {- C -} P", _def3(),
+        default_within="INTERVAL 40 SECONDS",
+        after_match="skip_to_first C", rows_per_match="all",
+    ).collect()
+    assert sorted(r["var"] for r in out) == ["P", "S"]
+
+
+def test_round10_remaining_raises(spark):
+    ev = _mk_events(spark, [(1, 1, 0, "s")])
+    # mid-pattern quantifier + within_overall + SKIP PAST LAST: the
+    # in-NFA fold cannot compose with the bound
+    with pytest.raises(ValueError, match="plain chains and trailing"):
+        stream_match_recognize(
+            ev, "user_id", "ts", "S C{1,2} P", _def3(),
+            default_within="INTERVAL 1 HOUR",
+            after_match="skip_past_last",
+            within_overall="INTERVAL 2 HOURS",
+        )
+    # the reluctant fused engine still rejects the bound under NO SKIP
+    with pytest.raises(ValueError, match="within_overall"):
+        stream_match_recognize(
+            ev, "user_id", "ts", "S C{1,2}? P", _def3(),
+            default_within="INTERVAL 1 HOUR", after_match="no_skip",
+            within_overall="INTERVAL 2 HOURS",
+        )
+    # ...but the trailing-reluctant rewrite carries it (compiles)
+    sdf = stream_match_recognize(
+        _mk_stream_like(spark), "user_id", "ts", "S C{1,2}?", _def3(),
+        default_within="INTERVAL 1 HOUR", after_match="skip_past_last",
+        within_overall="INTERVAL 2 HOURS",
+    )
+    assert "C_ts" in sdf.columns
+
+
+def _mk_stream_like(spark):
+    return (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("value").alias("event_id"),
+            (F.col("value") % 5).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.lit("s").alias("event_type"),
+        )
+    )

@@ -95,8 +95,9 @@ def test_stream_exclusion_routes(spark):
     path (stateless ONE-row projection drop); the specialty stream
     routes still raise with an explicit message."""
     ev = _mk_events(spark, [(1, 1, 0, "s")])
-    # specialty route (alternation) keeps the explicit raise
-    with pytest.raises(ValueError, match="single-plan path"):
+    # specialty route (alternation) keeps the explicit raise (round 10
+    # lifted the skip-replay routes, so the message names what's left)
+    with pytest.raises(ValueError, match="alternation/reluctant"):
         stream_match_recognize(
             ev, "user_id", "ts", "(S|E) {- P -}",
             _def3(), default_within="INTERVAL 1 HOUR",

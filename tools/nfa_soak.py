@@ -1951,10 +1951,13 @@ def _skip_brute_chain_cands(events, n, withins_us):
 
 
 def soak_skip_to_stream(n_cases):
-    """Streaming SKIP TO FIRST/LAST replay soak (round 9):
+    """Streaming chain-replay soak (round 9; round 10 widens it to the
+    past-last mode and the overall-WITHIN prune):
     ``make_chain_skip_replayer`` driven over random micro-batch splits
     with timer firings vs an independent per-anchor chain brute + the
-    ≥-horizon replay, candidates final once ``end + H < final_wm``."""
+    horizon replay (``>=`` for skip_to, strictly-past for past_last;
+    bound-violating candidates pruned BEFORE the fold), candidates
+    final once ``end + H < final_wm``."""
     import pandas as pd
 
     from test_properties_round5 import _FakeState
@@ -1964,9 +1967,13 @@ def soak_skip_to_stream(n_cases):
     for seed in range(n_cases):
         rnd = random.Random(seed * 40503713 + 3)
         n = rnd.randint(2, 4)
-        skip_step = rnd.randint(2, n)
+        mode = rnd.choice(("skip_to", "past_last"))
+        skip_step = n if mode == "past_last" else rnd.randint(2, n)
         withins_us = [None] + [rnd.randint(2, 60) * 1000 for _ in range(n - 1)]
         h_us = sum(withins_us[1:])
+        wo_us = (
+            rnd.randint(2, 120) * 1000 if rnd.random() < 0.5 else None
+        )
         events = [
             (i, rnd.randint(0, 120) * 1000 + rnd.randint(0, 3),
              rnd.getrandbits(n) if rnd.random() < 0.92 else 0)
@@ -1974,7 +1981,10 @@ def soak_skip_to_stream(n_cases):
         ]
         cuts = sorted({rnd.randint(1, 200) * 1000
                        for _ in range(rnd.randint(0, 4))})
-        detect = make_chain_skip_replayer(n, withins_us, skip_step, h_us)
+        detect = make_chain_skip_replayer(
+            n, withins_us, skip_step, h_us, mode=mode,
+            within_overall_us=wo_us,
+        )
         state = _FakeState()
         got = []
 
@@ -2019,21 +2029,27 @@ def soak_skip_to_stream(n_cases):
         wm_final_us = (max((ts for _, ts, _ in events), default=0) // 1000) * 1000
 
         cands = _skip_brute_chain_cands(events, n, withins_us)
+        if wo_us is not None:
+            # overall WITHIN prunes BEFORE the fold (inclusive bound)
+            cands = [c for c in cands if c[n - 1][0] <= c[0][0] + wo_us]
         cands.sort(key=lambda c: (c[n - 1][0], c[n - 1][1], c[0][0], c[0][1]))
         want, h = [], None
         for chain in cands:
             if chain[n - 1][0] + h_us >= wm_final_us:
                 break
-            if h is None or chain[0] >= h:
+            survives = h is None or (
+                chain[0] > h if mode == "past_last" else chain[0] >= h
+            )
+            if survives:
                 want.append((chain[0][1],
                              tuple(t for t, _ in chain), chain[n - 1][1]))
-                sp = chain[skip_step - 1]
+                sp = chain[n - 1] if mode == "past_last" else chain[skip_step - 1]
                 if h is None or sp > h:
                     h = sp
         if sorted(got) != sorted(want):
             fails += 1
-            print(f"MISMATCH seed={seed} n={n} skip={skip_step} "
-                  f"withins={withins_us} events={events} cuts={cuts}")
+            print(f"MISMATCH seed={seed} n={n} mode={mode} skip={skip_step} "
+                  f"wo={wo_us} withins={withins_us} events={events} cuts={cuts}")
             if fails > 5:
                 break
         if (seed + 1) % 2000 == 0:
@@ -2291,6 +2307,9 @@ def soak_trail_stream(n_cases):
         mn = rnd.choice([1, 1, 2])
         mx = mn + rnd.randint(0, 2)
         h_us = sum(withins_us[1:]) + mx * gap_us
+        wo_us = (
+            rnd.randint(2, 200) * 1000 if rnd.random() < 0.5 else None
+        )
         events = [
             (i, rnd.randint(0, 120) * 1000 + rnd.randint(0, 3),
              rnd.getrandbits(n) if rnd.random() < 0.92 else 0)
@@ -2298,7 +2317,9 @@ def soak_trail_stream(n_cases):
         ]
         cuts = sorted({rnd.randint(1, 200) * 1000
                        for _ in range(rnd.randint(0, 4))})
-        detect = make_trailing_run_replayer(n, withins_us, gap_us, mn, mx, h_us)
+        detect = make_trailing_run_replayer(
+            n, withins_us, gap_us, mn, mx, h_us, within_overall_us=wo_us
+        )
         state = _FakeState()
         got = []
         tcols = [f"t{k}" for k in range(1, n + 1)] + [f"t{n}_last"]
@@ -2348,7 +2369,7 @@ def soak_trail_stream(n_cases):
         ]
         want = []
         for aid, key, _st in brute_skip_past_last(
-            events, bsteps, final_wm_ms=10 ** 15
+            events, bsteps, final_wm_ms=10 ** 15, within_overall_us=wo_us
         ):
             end_ts = key[-2]  # the trailing run's last repetition
             if end_ts + h_us < wm_final_us:
@@ -2356,7 +2377,7 @@ def soak_trail_stream(n_cases):
         if sorted(got) != sorted(want):
             fails += 1
             print(f"MISMATCH seed={seed} n={n} withins={withins_us} "
-                  f"mn={mn} mx={mx} cuts={cuts} events={events}")
+                  f"mn={mn} mx={mx} wo={wo_us} cuts={cuts} events={events}")
             print(f"  got={sorted(got)}")
             print(f"  want={sorted(want)}")
             if fails > 5:
