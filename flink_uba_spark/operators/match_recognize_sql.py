@@ -73,7 +73,11 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["match_recognize_sql", "parse_match_recognize_sql"]
+__all__ = [
+    "match_recognize_sql",
+    "parse_match_recognize_sql",
+    "stream_match_recognize_sql",
+]
 
 # clause keywords, in ISO clause order; each starts a new segment when
 # seen at paren-depth 0 outside quotes
@@ -572,5 +576,92 @@ def match_recognize_sql(
         event_id=event_id,
         rows_per_match=spec["rows_per_match"],
         subset=spec["subset"],
+        within_overall=spec["within_overall"],
+    )
+
+
+def stream_match_recognize_sql(
+    events: DataFrame,
+    sql: str,
+    withins: dict[str, str] | None = None,
+    default_within: str | None = None,
+    event_id: str = "event_id",
+) -> DataFrame:
+    """The SQL-text surface as a CONTINUOUS query — the same clause
+    parse compiled onto ``stream_match_recognize`` (round 10; Flink's
+    SQL CEP is a streaming surface first). The text subset narrows to
+    what the stream front-end serves: ONE ROW PER MATCH only, no
+    MEASURES run aggregates / SUBSET (the run-agg band join is
+    batch-side), and no ``PREV`` (a partition-ordered lag is unbounded
+    on a stream); everything else — quantifiers, groups, PERMUTE,
+    exclusions, AFTER MATCH strategies, WITHIN — routes through the
+    stream engines' own matrix, whose raises carry the real reason."""
+    from flink_uba_spark.operators.match_recognize import (
+        RunAgg,
+        parse_pattern,
+        stream_match_recognize,
+        strip_anchors,
+        strip_exclusions,
+    )
+
+    spec = parse_match_recognize_sql(sql)
+    if spec["rows_per_match"] == "all":
+        raise ValueError(
+            "ALL ROWS PER MATCH is batch-only on the text surface (the "
+            "stream front-end emits ONE row per match)"
+        )
+    if spec["subset"]:
+        raise ValueError(
+            "SUBSET / run-aggregate MEASURES are batch-only (the run "
+            "membership band join does not stream) — use the batch "
+            "match_recognize_sql"
+        )
+    core, _a, _b = strip_anchors(spec["pattern"])
+    core, _x = strip_exclusions(core)
+    parsed = parse_pattern(core)
+    all_vars = {
+        v
+        for var, _q in parsed
+        for v in (var if isinstance(var, tuple) else (var,))
+    }
+    prev_lags: dict[tuple[str, int], str] = {}
+    define = {
+        v: F.expr(
+            _compile_define(v, pred, all_vars, spec["order_by"], prev_lags)
+        )
+        for v, pred in spec["define_sql"].items()
+    }
+    if prev_lags:
+        raise ValueError(
+            "PREV() is batch-only on the text surface (the physical lag "
+            "is a partition-ordered window — unbounded on a stream)"
+        )
+    measures = None
+    if spec["measures_sql"]:
+        measures = {}
+        for nm, ex in spec["measures_sql"].items():
+            compiled = _compile_measure(
+                ex, all_vars, set(), set(), spec["order_by"]
+            )
+            if isinstance(compiled, RunAgg):
+                raise ValueError(
+                    "SUBSET / run-aggregate MEASURES are batch-only (the "
+                    "run membership band join does not stream) — use the "
+                    "batch match_recognize_sql"
+                )
+            measures[nm] = F.expr(compiled)
+    if withins is None and default_within is None and spec["within_overall"]:
+        default_within = spec["within_overall"]
+    return stream_match_recognize(
+        events,
+        partition_by=spec["partition_by"],
+        order_by=spec["order_by"],
+        pattern=spec["pattern"],
+        define=define,
+        withins=withins,
+        default_within=default_within,
+        measures=measures,
+        after_match=spec["after_match"],
+        event_id=event_id,
         within_overall=spec["within_overall"],
     )

@@ -3471,6 +3471,35 @@ WHERE epoch_us(b.P_ts) + {h_us} <
 """
 
 
+def stream_match_recognize_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT surface as a continuous query (round 10 —
+    ``stream_match_recognize_sql``): the same ISO clause string a Flink
+    SQL user types, compiled onto the streaming engines — here the
+    within_overall + SKIP PAST LAST spec, so the text twin rides the
+    round-10 past-last replayer end-to-end. Shares
+    stream_match_recognize_within_skip's oracle (same NFA, same cut),
+    pinning text-parse ≡ dict-spec ≡ DuckDB on the STREAM side too."""
+    from flink_uba_spark.operators.match_recognize_sql import (
+        stream_match_recognize_sql,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = stream_match_recognize_sql(
+        ev,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (S C P) WITHIN INTERVAL '12' HOUR
+        DEFINE S AS S.event_type = 'signup',
+               C AS C.event_type = 'click',
+               P AS P.event_type = 'purchase'
+        """,
+        withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+    )
+    return run_to_table(out)
+
+
 def stream_match_recognize_reluctant_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming lazy reluctant under ``SKIP PAST LAST ROW`` (round 9 —
     the other lifted batch-only route): ``PATTERN (S E{1,3}? P)`` as a
@@ -3582,6 +3611,7 @@ QUERIES = {
     "stream_match_recognize_permute": stream_match_recognize_permute,
     "stream_match_recognize_skip_to_first": stream_match_recognize_skip_to_first,
     "stream_match_recognize_within_skip": stream_match_recognize_within_skip,
+    "stream_match_recognize_sql_text": stream_match_recognize_sql_text,
     "stream_match_recognize_reluctant_lazy": stream_match_recognize_reluctant_lazy,
     "stream_match_recognize_reluctant": stream_match_recognize_reluctant,
     "stream_pattern_budget_error_run": stream_pattern_budget_error_run,
@@ -3659,6 +3689,7 @@ ORACLES = {
     "stream_match_recognize_permute": STREAM_MATCH_RECOGNIZE_PERMUTE_ORACLE,
     "stream_match_recognize_skip_to_first": _stream_mr_skip_to_first_oracle(),
     "stream_match_recognize_within_skip": _stream_mr_within_skip_oracle(),
+    "stream_match_recognize_sql_text": _stream_mr_within_skip_oracle(),
     "stream_match_recognize_reluctant_lazy": _stream_mr_reluctant_lazy_oracle(),
     "stream_match_recognize_reluctant": _stream_match_recognize_reluctant_oracle(),
     "stream_pattern_budget_error_run": _stream_pattern_budget_oracle(),

@@ -37,6 +37,7 @@ def _intentional_share(names: list[str]) -> bool:
         ("match_recognize_error_run", "match_recognize_sql_error_run"),
         ("match_recognize_skip_to_first", "match_recognize_sql_skip_to_first"),
         ("match_recognize_sql_subset_agg", "match_recognize_subset_agg"),
+        ("stream_match_recognize_sql_text", "stream_match_recognize_within_skip"),
     }
     s = sorted(names)
     if len(s) != 2:

@@ -356,6 +356,76 @@ def test_rejects_star_on_non_count(spark):
         )
 
 
+def test_stream_text_surface(spark):
+    """stream_match_recognize_sql: the same clause parse onto the
+    streaming engines — equality with the dict-spec stream twin on a
+    bounded replay (the catalog twin stream_match_recognize_sql_text
+    also pins it against DuckDB ×3 SFs), plus the stream-only raises."""
+    from flink_uba_spark.operators.match_recognize import (
+        stream_match_recognize,
+    )
+    from flink_uba_spark.operators.match_recognize_sql import (
+        stream_match_recognize_sql,
+    )
+    from flink_uba_spark.streaming.runner import run_to_table, stream_events
+
+    text = """
+    PARTITION BY user_id ORDER BY ts
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (S C P) WITHIN INTERVAL '12' HOUR
+    DEFINE S AS S.event_type = 'signup',
+           C AS C.event_type = 'click',
+           P AS P.event_type = 'purchase'
+    """
+    w = {"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"}
+    got = run_to_table(
+        stream_match_recognize_sql(stream_events(spark, SF), text, withins=w)
+    )
+    want = run_to_table(
+        stream_match_recognize(
+            stream_events(spark, SF),
+            partition_by="user_id", order_by="ts", pattern="S C P",
+            define={
+                "S": F.col("event_type") == "signup",
+                "C": F.col("event_type") == "click",
+                "P": F.col("event_type") == "purchase",
+            },
+            withins=w, after_match="skip_past_last",
+            within_overall="INTERVAL 12 HOURS",
+        )
+    )
+    _assert_frame_equal(got, want)
+    # stream-only raises
+    ev = stream_events(spark, SF)
+    base = """
+    PARTITION BY user_id ORDER BY ts {extra}
+    PATTERN (S P)
+    DEFINE S AS S.event_type = 'signup', P AS P.event_type = 'purchase'
+    """
+    with pytest.raises(ValueError, match="batch-only"):
+        stream_match_recognize_sql(
+            ev, base.format(extra="ALL ROWS PER MATCH"),
+            default_within="INTERVAL 1 HOUR",
+        )
+    with pytest.raises(ValueError, match="does not stream"):
+        stream_match_recognize_sql(
+            ev,
+            base.format(extra="MEASURES COUNT(P.*) AS n"),
+            default_within="INTERVAL 1 HOUR",
+        )
+    with pytest.raises(ValueError, match="batch-only"):
+        stream_match_recognize_sql(
+            ev,
+            """
+            PARTITION BY user_id ORDER BY ts
+            PATTERN (S P)
+            DEFINE S AS S.event_type = 'signup',
+                   P AS P.value > PREV(value)
+            """,
+            default_within="INTERVAL 1 HOUR",
+        )
+
+
 def test_rejects_prev_of_other_variable(spark):
     with pytest.raises(ValueError, match="PHYSICAL navigation"):
         match_recognize_sql(
