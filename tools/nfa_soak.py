@@ -1968,7 +1968,8 @@ def soak_skip_to_stream(n_cases):
         rnd = random.Random(seed * 40503713 + 3)
         n = rnd.randint(2, 4)
         mode = rnd.choice(("skip_to", "past_last"))
-        skip_step = n if mode == "past_last" else rnd.randint(2, n)
+        is_past = mode != "skip_to"  # replayer mode, not a CLI soak mode
+        skip_step = n if is_past else rnd.randint(2, n)
         withins_us = [None] + [rnd.randint(2, 60) * 1000 for _ in range(n - 1)]
         h_us = sum(withins_us[1:])
         wo_us = (
@@ -2038,12 +2039,12 @@ def soak_skip_to_stream(n_cases):
             if chain[n - 1][0] + h_us >= wm_final_us:
                 break
             survives = h is None or (
-                chain[0] > h if mode == "past_last" else chain[0] >= h
+                chain[0] > h if is_past else chain[0] >= h
             )
             if survives:
                 want.append((chain[0][1],
                              tuple(t for t, _ in chain), chain[n - 1][1]))
-                sp = chain[n - 1] if mode == "past_last" else chain[skip_step - 1]
+                sp = chain[n - 1] if is_past else chain[skip_step - 1]
                 if h is None or sp > h:
                     h = sp
         if sorted(got) != sorted(want):
