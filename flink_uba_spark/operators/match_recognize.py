@@ -105,13 +105,16 @@ the trailing-run replayer (streaming/skip_replay.py), where the bound
 prunes candidates BEFORE the fold, exactly the batch compile (the
 alternation/reluctant/iterative engines still raise; a mid-pattern
 quantifier under SKIP PAST LAST keeps the in-NFA fold and raises with
-the bound). Exclusion ``{- X -}`` composes with SKIP TO on BOTH
-engines (output shaping over the per-variable columns those routes
-already emit — ONE row drops the columns, batch ALL ROWS drops the
-per-event rows); only the alternation/reluctant/iterative engines
+the bound). Exclusion ``{- X -}`` composes with SKIP TO and
+alternation/PERMUTE on BOTH engines (output shaping over the
+per-variable columns those routes already emit — ONE row drops the
+columns, ALL ROWS drops the per-event rows); only the reluctant
+engines (dropping count-distinguishing columns would collapse
+per-count multi-match rows) and the iterative route's payload columns
 keep the exclusion raise. There is also a SQL-TEXT front-end
 (operators/match_recognize_sql.py) compiling the ISO clause string
-onto this spec.
+onto this spec, batch (``match_recognize_sql``) and streaming
+(``stream_match_recognize_sql``).
 """
 
 from __future__ import annotations
@@ -774,14 +777,17 @@ def match_recognize(
             "SUBSET is consumed by RunAgg MEASURES (e.g. "
             "run_agg('sum', '<subset name>', col)) — pass one"
         )
-    if excluded and (bool(iter_define) or has_alt or has_rel):
-        # round 10 lifts SKIP TO (exclusion is output shaping over the
-        # per-variable columns that route already emits); the
-        # alternation/reluctant/iterative engines keep the raise
+    if excluded and (bool(iter_define) or has_rel):
+        # round 10 lifts SKIP TO and alternation/PERMUTE (exclusion is
+        # output shaping over the per-variable columns those routes
+        # already emit); the reluctant engines keep the raise (dropping
+        # the count-distinguishing columns would collapse per-count
+        # multi-match rows), and the iterative route's payload columns
+        # stay out of scope
         raise ValueError(
-            "exclusion {- X -} composes with the single-plan and SKIP TO "
-            "routes (the alternation/reluctant/iterative engines fold "
-            "their own output)"
+            "exclusion {- X -} composes with the single-plan, SKIP TO "
+            "and alternation/PERMUTE routes (the reluctant/iterative "
+            "engines fold their own output)"
         )
     if (anchor_start or anchor_end) and specialties:
         raise ValueError("^ / $ anchors compose with the single-plan path only")
@@ -1082,8 +1088,14 @@ def match_recognize(
         if rows_per_match == "all":
             # one output row per bound event of the winning branch
             # (skipped optionals carry null ts and are filtered, as on
-            # the single-plan route)
-            return (
+            # the single-plan route; excluded variables' rows leave the
+            # output — round 10, the single-plan ALL ROWS rule)
+            if excluded and not (set(all_vars) - excluded):
+                raise ValueError(
+                    "ALL ROWS PER MATCH needs at least one non-excluded "
+                    "variable"
+                )
+            rows_out = (
                 out.select(
                     partition_by, "anchor_id",
                     F.explode("__rows").alias("__e"),
@@ -1094,6 +1106,10 @@ def match_recognize(
                 )
                 .filter(F.col("ts").isNotNull())
             )
+            if excluded:
+                rows_out = rows_out.filter(~F.col("var").isin(*excluded))
+            return rows_out
+        out = _drop_excluded(out, excluded)
         return _measures(out, partition_by, measures)
 
     # ---- SKIP TO FIRST/LAST route ----------------------------------------
@@ -1385,13 +1401,14 @@ def _stream_reluctant(
 
 def _stream_alternation(
     events, partition_by, order_by, parsed, define, wmap, default_within,
-    measures, event_id,
+    measures, event_id, excluded=None,
 ):
     """Streaming alternation/PERMUTE (round 9): the batch branch-union
     compile's B plain-chain plans packed into ONE stateful operator
     (``stream_pattern_detect_preferred`` = ``make_fused_matcher`` + the
     watermark-final min-branch preference fold), then a stateless CASE
-    projection maps chain positions back onto variables/CLASSIFIERs."""
+    projection maps chain positions back onto variables/CLASSIFIERs.
+    ``excluded`` (round 10) drops the exclusion columns after it."""
     from itertools import permutations as _permutations
     from itertools import product as _product2
 
@@ -1478,7 +1495,7 @@ def _stream_alternation(
                 else lbl.when(cond, F.lit(label))
             )
         sel.append(lbl.alias(f"classifier_{ti + 1}"))
-    out = out.select(*sel)
+    out = _drop_excluded(out.select(*sel), excluded)
     if measures is not None:
         out = out.select(
             partition_by, *[c.alias(nm) for nm, c in measures.items()]
@@ -1598,20 +1615,19 @@ def stream_match_recognize(
         )
     pattern, excluded = strip_exclusions(pattern)
     parsed = parse_pattern(pattern)
-    if excluded and (
-        any(isinstance(v, tuple) and not (q is not None and q[0] == "kleene")
-            for v, q in parsed)
-        or any(q is not None and q[0] == "reluctant" for _v, q in parsed)
+    if excluded and any(
+        q is not None and q[0] == "reluctant" for _v, q in parsed
     ):
-        # the alternation/reluctant stream routes fold PER-BRANCH /
-        # per-count output; the exclusion projection composes with the
-        # single-plan and replay routes (round 10 lifted SKIP TO —
-        # VERDICT r9 item 6: the replayers emit per-variable columns, so
-        # exclusion is a stateless column drop there too)
+        # the reluctant stream engines fold per-count output — dropping
+        # the count-distinguishing columns would collapse multi-match
+        # rows; exclusion composes with the single-plan, skip-replay
+        # (round 10, VERDICT r9 item 6) and alternation/PERMUTE routes
+        # (round 10 — the preference projection emits per-variable
+        # columns, so exclusion is a stateless column drop there too)
         raise ValueError(
-            "exclusion {- X -} streams on the single-plan and skip-replay "
-            "routes (ONE-row output shaping; the alternation/reluctant "
-            "engines are batch-only for it)"
+            "exclusion {- X -} streams on the single-plan, skip-replay "
+            "and alternation/PERMUTE routes (ONE-row output shaping; the "
+            "reluctant engines are batch-only for it)"
         )
     if any(
         isinstance(var, tuple) and not (q is not None and q[0] == "kleene")
@@ -1628,6 +1644,7 @@ def stream_match_recognize(
         return _stream_alternation(
             events, partition_by, order_by, parsed, define,
             dict(withins or {}), default_within, measures, event_id,
+            excluded=excluded,
         )
     mode, skip_step = _parse_after_match(after_match, parsed)
     if within_overall is not None and (

@@ -189,6 +189,47 @@ def test_exclusion_skip_to_all_rows(spark):
     assert sorted(r["var"] for r in out) == ["P", "S"]
 
 
+def test_exclusion_on_alternation_routes(spark):
+    """Round-10 second pass: `{- X -}` composes with alternation/PERMUTE
+    on BOTH engines — same match set (and CLASSIFIER), excluded columns
+    dropped; ALL ROWS drops the excluded rows."""
+    rows = [
+        (1, 1, 0, "s"), (1, 2, 3, "c"), (1, 3, 6, "p"),
+        (2, 4, 0, "s"), (2, 5, 2, "e"), (2, 6, 5, "p"),
+    ]
+    ev = _mk_events(spark, rows)
+    d = {**_def3(), "E": F.col("event_type") == "e"}
+    base = dict(
+        partition_by="user_id", order_by="ts", define=d,
+        default_within="INTERVAL 40 SECONDS", after_match="no_skip",
+    )
+    plain = match_recognize(ev, pattern="S (C|E) P", **base)
+    excl = match_recognize(ev, pattern="{- S -} (C|E) P", **base)
+    assert excl.columns == [c for c in plain.columns if c != "S_ts"]
+    assert sorted(map(tuple, excl.collect())) == sorted(
+        map(tuple, plain.drop("S_ts").collect())
+    )
+    allr = match_recognize(
+        ev, pattern="{- S -} (C|E) P", rows_per_match="all", **base
+    ).toPandas()
+    assert set(allr["var"]) == {"C", "E", "P"}
+    with pytest.raises(ValueError, match="non-excluded"):
+        match_recognize(
+            ev, pattern="{- S -} {- P -}", rows_per_match="all",
+            **{**base, "define": {k: d[k] for k in ("S", "P")}},
+        )
+    # streaming twin: flushed replay equals the batch result
+    got = run_to_table(
+        stream_match_recognize(
+            _stream_of(spark, ev), pattern="{- S -} (C|E) P", **base
+        )
+    ).filter(F.col("user_id") < 10 ** 6)
+    assert got.columns == excl.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, excl.collect())
+    )
+
+
 def test_round10_remaining_raises(spark):
     ev = _mk_events(spark, [(1, 1, 0, "s")])
     # mid-pattern quantifier + within_overall + SKIP PAST LAST: the

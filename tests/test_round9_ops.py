@@ -95,14 +95,19 @@ def test_stream_exclusion_routes(spark):
     path (stateless ONE-row projection drop); the specialty stream
     routes still raise with an explicit message."""
     ev = _mk_events(spark, [(1, 1, 0, "s")])
-    # specialty route (alternation) keeps the explicit raise (round 10
-    # lifted the skip-replay routes, so the message names what's left)
-    with pytest.raises(ValueError, match="alternation/reluctant"):
+    # round 10 lifted alternation too — only the reluctant engines keep
+    # the raise (per-count multi-match rows would collapse)
+    with pytest.raises(ValueError, match="reluctant engines"):
         stream_match_recognize(
-            ev, "user_id", "ts", "(S|E) {- P -}",
+            ev, "user_id", "ts", "S E{1,2}? {- P -}",
             _def3(), default_within="INTERVAL 1 HOUR",
             after_match="no_skip",
         )
+    sdf_alt = stream_match_recognize(
+        _stream_like(spark), "user_id", "ts", "(S|E) {- P -}",
+        _def3(), default_within="INTERVAL 1 HOUR", after_match="no_skip",
+    )
+    assert "P_ts" not in sdf_alt.columns and "classifier_1" in sdf_alt.columns
     # single-plan: compiles; the excluded variable's columns leave the
     # projection (streaming DataFrame — schema is checkable unexecuted)
     sdf = stream_match_recognize(
