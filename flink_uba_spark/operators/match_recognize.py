@@ -890,13 +890,6 @@ def match_recognize(
             pattern_detect_reluctant_enum,
         )
 
-        if within_overall is not None:
-            raise ValueError(
-                "within_overall composes with the non-reluctant routes "
-                "(the count-enumeration kernel folds in-kernel; bound "
-                "each transition's within instead)"
-            )
-
         steps, optional = _steps_and_sets(parsed, define, wmap, default_within)
         rel = {
             k for k, (_v, q) in enumerate(parsed, start=1)
@@ -922,8 +915,12 @@ def match_recognize(
         if enum_ok:
             # under SKIP PAST LAST the lazy preference + horizon walk
             # run IN-KERNEL (round 9 second pass: two exchanges and a
-            # second pandas fold cheaper than the window pipeline)
-            folded = mode == "skip_past_last"
+            # second pandas fold cheaper than the window pipeline) —
+            # unless an overall WITHIN is set (round 10): the bound must
+            # prune candidates before the fold, so that combination
+            # takes the window pipeline, whose pre-fold filter is
+            # expressible
+            folded = mode == "skip_past_last" and within_overall is None
             out = pattern_detect_reluctant_enum(
                 events, key=partition_by, steps=steps,
                 event_id=event_id, ts=order_by,
@@ -944,6 +941,21 @@ def match_recognize(
                 with_end_id=(mode == "skip_past_last"),
             ).filter(F.col("state") == "matched")
         n = len(parsed)
+        if within_overall is not None:
+            # overall WITHIN (round 10 — the r9 raise lifted): the bound
+            # depends only on the END ts (the anchor is fixed per
+            # candidate group), so violating candidates are a SUFFIX of
+            # each anchor's end-ordered candidate list — pruning here is
+            # equivalent to pruning after the lazy preference pick, and
+            # it must happen BEFORE the skip fold (a pruned candidate
+            # never advances the horizon)
+            _lqr = parsed[-1][1]
+            _endr = (
+                F.col(f"t{n}_last")
+                if _lqr is not None and _lqr[0] in ("kleene", "reluctant")
+                else F.col(f"t{n}")
+            )
+            out = out.filter(_endr <= F.col("t1") + F.expr(within_overall))
         if mode == "skip_past_last" and not folded:
             # SQL's lazy ONE-ROW semantics: per anchor the preferred match
             # binds as FEW repetitions as possible while still completing —
@@ -1309,11 +1321,14 @@ def match_recognize(
 
 def _stream_reluctant(
     events, partition_by, order_by, parsed, define, wmap, default_within,
-    measures, event_id, rel,
+    measures, event_id, rel, within_overall=None,
 ):
     """Reluctant streaming compile: the per-count NFAs packed into ONE
     stateful operator over ONE source scan (stream_pattern_detect_fused;
-    the r7 shape ran one streaming query per count)."""
+    the r7 shape ran one streaming query per count). ``within_overall``
+    (round 10) is a STATELESS post-filter here: per-count matches emit
+    independently under NO SKIP — there is no cross-candidate fold a
+    pruned row could corrupt."""
     from itertools import product as _product
 
     from flink_uba_spark.streaming.pattern import (
@@ -1393,6 +1408,14 @@ def _stream_reluctant(
         ts=order_by,
     )
     out = out.filter(F.col("state") == "matched")
+    if within_overall is not None:
+        _lqf = parsed[-1][1]
+        _endf = (
+            F.col(f"t{len(parsed)}_last")
+            if _lqf is not None and _lqf[0] in ("kleene", "reluctant")
+            else F.col(f"t{len(parsed)}")
+        )
+        out = out.filter(_endf <= F.col("t1") + F.expr(within_overall))
     if partition_by != "user_id":
         out = out.withColumnRenamed("user_id", partition_by)
     out = _rename(out.drop("max_step", "state"), parsed)
@@ -1529,11 +1552,13 @@ def _stream_skip_to(
 
 def _stream_reluctant_lazy(
     events, partition_by, order_by, parsed, define, wmap, default_within,
-    measures, event_id,
+    measures, event_id, within_overall=None,
 ):
     """Streaming lazy SKIP PAST LAST (round 9): per-count candidates +
     the earliest-completion preference + the non-overlap horizon replay
-    (see streaming/skip_replay.py)."""
+    (see streaming/skip_replay.py). ``within_overall`` (round 10) is an
+    in-replayer candidate prune — before the preference pick and the
+    horizon walk, the batch rule."""
     from flink_uba_spark.streaming.skip_replay import (
         stream_reluctant_lazy_detect,
     )
@@ -1551,7 +1576,7 @@ def _stream_reluctant_lazy(
         events, key=partition_by,
         anchor=define[v1], run=define[v2], suffix=define[v3],
         gap=gap, suffix_within=sfx, mn=int(q[1]), mx=int(q[2]),
-        event_id=event_id, ts=order_by,
+        event_id=event_id, ts=order_by, within_overall=within_overall,
     )
     if partition_by != "user_id":
         out = out.withColumnRenamed("user_id", partition_by)
@@ -1641,6 +1666,18 @@ def stream_match_recognize(
                 "per-anchor preference fold; the cross-anchor SKIP PAST "
                 "LAST horizon replay is batch-only)"
             )
+        if within_overall is not None:
+            # round 10 (found by the lift's own raise pin): this branch
+            # returns before the general within check, which would have
+            # silently IGNORED the bound — the preference fold is
+            # in-operator, so a post-filter is wrong and the raise must
+            # happen here
+            raise ValueError(
+                "within_overall streams on the single-plan path (NO SKIP "
+                "post-filter), the skip-replay routes, and the reluctant "
+                "engines — not on the alternation/iterative engines "
+                "(their folds are in-operator)"
+            )
         return _stream_alternation(
             events, partition_by, order_by, parsed, define,
             dict(withins or {}), default_within, measures, event_id,
@@ -1648,30 +1685,19 @@ def stream_match_recognize(
         )
     mode, skip_step = _parse_after_match(after_match, parsed)
     if within_overall is not None and (
-        iter_define_py
-        or any(isinstance(v, tuple) for v, _q in parsed)
-        or (
-            any(q is not None and q[0] == "reluctant" for _v, q in parsed)
-            # a TRAILING reluctant under SKIP PAST LAST rewrites to
-            # times(mn, mn) below and takes the trailing-run replay,
-            # which carries the bound — only the fused/lazy-preference
-            # engines stay out
-            and not (
-                mode == "skip_past_last"
-                and parsed[-1][1] is not None
-                and parsed[-1][1][0] == "reluctant"
-                and all(q is None for _v, q in parsed[:-1])
-            )
-        )
+        iter_define_py or any(isinstance(v, tuple) for v, _q in parsed)
     ):
-        # the alternation/reluctant/iterative stream engines fold
-        # in-operator and would silently ignore the bound
+        # the alternation/iterative stream engines fold in-operator and
+        # would silently ignore the bound (round 10 second pass lifted
+        # the RELUCTANT routes: the fused no_skip engine takes a
+        # stateless post-filter — per-count matches have no cross-
+        # candidate fold — and the lazy SKIP PAST LAST replayer prunes
+        # in-replayer before its preference + horizon walk)
         raise ValueError(
             "within_overall streams on the single-plan path (NO SKIP "
-            "post-filter) and the skip-replay routes (SKIP PAST LAST / "
-            "SKIP TO on plain chains and trailing runs, where the bound "
-            "prunes candidates before the fold) — not on the "
-            "alternation/reluctant/iterative engines"
+            "post-filter), the skip-replay routes, and the reluctant "
+            "engines — not on the alternation/iterative engines (their "
+            "folds are in-operator)"
         )
     # round 9 second pass: a trailing quantifier under SKIP PAST LAST
     # streams through the recompute-over-buffer replay. A trailing
@@ -1813,6 +1839,7 @@ def stream_match_recognize(
             return _stream_reluctant_lazy(
                 events, partition_by, order_by, parsed, define,
                 dict(withins or {}), default_within, measures, event_id,
+                within_overall=within_overall,
             )
         if mode != "no_skip":
             raise ValueError(
@@ -1822,6 +1849,7 @@ def stream_match_recognize(
         return _stream_reluctant(
             events, partition_by, order_by, parsed, define,
             dict(withins or {}), default_within, measures, event_id, rel,
+            within_overall=within_overall,
         )
     if mode == "skip_to":
         if any(q is not None for _v, q in parsed):

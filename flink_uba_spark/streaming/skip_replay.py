@@ -262,10 +262,16 @@ def make_chain_skip_replayer(n: int, withins_us: list, skip_step: int,
 
 
 def make_lazy_reluctant_replayer(gap_us: int, sfx_us: int | None,
-                                 mn: int, mx: int, h_us: int):
+                                 mn: int, mx: int, h_us: int,
+                                 within_overall_us: int | None = None):
     """Reluctant per-count candidates + the lazy preference + the SKIP
     PAST LAST horizon replay (see module docstring). Flags: bit0 anchor,
-    bit1 run, bit2 suffix."""
+    bit1 run, bit2 suffix. ``within_overall_us`` (round 10) prunes a
+    count candidate whose end exceeds the anchor bound BEFORE the lazy
+    preference pick and the horizon walk — the bound depends only on
+    the end, so violating candidates are a suffix of the per-anchor
+    completion order and the preference among qualifying counts is
+    exactly the batch window pipeline's."""
 
     def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         timed_out = getattr(state, "hasTimedOut", False)
@@ -344,6 +350,11 @@ def make_lazy_reluctant_replayer(gap_us: int, sfx_us: int | None,
                         continue  # matched_late never emits under skip
                     if sfx_us is not None and t3 > t2l + sfx_us:
                         continue
+                    if (
+                        within_overall_us is not None
+                        and t3 > t1 + within_overall_us
+                    ):
+                        continue  # overall WITHIN: not a match at all
                     cand = (t3, i3, m_, t2, t2l)
                     if best is None or cand < best:
                         best = cand  # lazy: earliest completion, then m
@@ -746,10 +757,13 @@ def stream_reluctant_lazy_detect(
     event_id: str = "event_id",
     ts: str = "ts",
     watermark_delay: str = "0 seconds",
+    within_overall: str | None = None,
 ) -> DataFrame:
     """Wire the lazy-reluctant SKIP PAST LAST replay over a streaming
     frame (anchor → run{mn,mx}? → suffix; finite cap mandatory — the
-    horizon is ``mx·gap + suffix_within``)."""
+    horizon is ``mx·gap + suffix_within``). ``within_overall``
+    (round 10) prunes count candidates in-replayer before the
+    preference + fold."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from flink_uba_spark.streaming.pattern import _interval_us
@@ -759,6 +773,7 @@ def stream_reluctant_lazy_detect(
     gap_us = _interval_us(gap)
     sfx_us = _interval_us(suffix_within)
     h_us = mx * gap_us + sfx_us
+    wo_us = None if within_overall is None else _interval_us(within_overall)
     flags = {
         "f1": anchor.cast("boolean"),
         "f2": run.cast("boolean"),
@@ -766,7 +781,9 @@ def stream_reluctant_lazy_detect(
     }
     filtered = _wire(events, key, flags, event_id, ts, watermark_delay)
     return filtered.groupBy("user_id").applyInPandasWithState(
-        make_lazy_reluctant_replayer(gap_us, sfx_us, mn, mx, h_us),
+        make_lazy_reluctant_replayer(
+            gap_us, sfx_us, mn, mx, h_us, within_overall_us=wo_us
+        ),
         LAZY_OUTPUT_SCHEMA,
         SKIP_STATE_SCHEMA,
         "append",

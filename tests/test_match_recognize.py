@@ -1236,10 +1236,12 @@ def test_within_overall_prunes_before_fold(spark):
         within_overall="INTERVAL 2 SECONDS", **base,
     )
     assert [r["anchor_id"] for r in run.collect()] == [2]
-    # reluctant routes raise with the reason
-    with pytest.raises(ValueError, match="within_overall"):
-        match_recognize(
-            ev, "user_id", "ts", "S C{1,2}? P", d,
-            within_overall="INTERVAL 5 SECONDS",
-            default_within="INTERVAL 10 SECONDS", after_match="no_skip",
-        )
+    # reluctant routes compose too (round 10 lifted the r9 raise): the
+    # bound filters the per-count candidates before preference/fold —
+    # here the only candidate (end +6 s > 5 s) dies
+    rel = match_recognize(
+        ev, "user_id", "ts", "S C{1,2}? P", d,
+        within_overall="INTERVAL 5 SECONDS",
+        default_within="INTERVAL 10 SECONDS", after_match="no_skip",
+    )
+    assert rel.count() == 1  # anchor 2's candidate (span 4 s) survives

@@ -189,6 +189,66 @@ def test_exclusion_skip_to_all_rows(spark):
     assert sorted(r["var"] for r in out) == ["P", "S"]
 
 
+def test_within_overall_on_reluctant_routes(spark):
+    """Round-10 second pass: within_overall composes with the reluctant
+    routes. The bound depends only on the END ts, so per anchor the
+    violating count candidates are a SUFFIX of the completion order —
+    pruning before the lazy preference equals pruning after it, and the
+    prune must precede the SKIP PAST LAST fold (the corner below: the
+    bound kills anchor 1's only candidate, so anchor 2's overlapping
+    match emits)."""
+    rows = [
+        (1, 1, 0, "s"), (1, 2, 2, "s"), (1, 3, 3, "e"),
+        (1, 4, 4, "e"), (1, 5, 6, "p"),
+    ]
+    ev = _mk_events(spark, rows)
+    d = {**_def3(), "E": F.col("event_type") == "e"}
+    base = dict(
+        partition_by="user_id", order_by="ts", pattern="S E{1,2}? P",
+        define=d, default_within="INTERVAL 10 SECONDS",
+    )
+    # without the bound anchor 1 wins the fold; with a 5 s bound its
+    # match (end +6 s) is not a match at all and anchor 2 (span 4 s)
+    # emits instead
+    unbounded = match_recognize(ev, after_match="skip_past_last", **base)
+    assert [r["anchor_id"] for r in unbounded.collect()] == [1]
+    bounded = match_recognize(
+        ev, after_match="skip_past_last",
+        within_overall="INTERVAL 5 SECONDS", **base,
+    )
+    assert [r["anchor_id"] for r in bounded.collect()] == [2]
+    # NO SKIP multi-match: the bound is a stateless filter on the
+    # per-count rows — identical to filtering the unbounded result
+    nb = match_recognize(ev, after_match="no_skip", **base)
+    b = match_recognize(
+        ev, after_match="no_skip",
+        within_overall="INTERVAL 5 SECONDS", **base,
+    )
+    want = [
+        tuple(r) for r in nb.collect()
+        if (r["P_ts"] - r["S_ts"]).total_seconds() <= 5
+    ]
+    assert sorted(map(tuple, b.collect())) == sorted(want)
+    # streams: the fused NO SKIP engine (post-filter) and the lazy SKIP
+    # PAST LAST replayer (in-replayer prune) both equal batch on a
+    # flushed replay
+    for am in ("no_skip", "skip_past_last"):
+        got = run_to_table(
+            stream_match_recognize(
+                _stream_of(spark, ev), after_match=am,
+                within_overall="INTERVAL 5 SECONDS", **base,
+            )
+        ).filter(F.col("user_id") < 10 ** 6)
+        want_df = match_recognize(
+            ev, after_match=am,
+            within_overall="INTERVAL 5 SECONDS", **base,
+        )
+        assert got.columns == want_df.columns
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want_df.collect())
+        ), am
+
+
 def test_exclusion_on_alternation_routes(spark):
     """Round-10 second pass: `{- X -}` composes with alternation/PERMUTE
     on BOTH engines — same match set (and CLASSIFIER), excluded columns
@@ -241,14 +301,24 @@ def test_round10_remaining_raises(spark):
             after_match="skip_past_last",
             within_overall="INTERVAL 2 HOURS",
         )
-    # the reluctant fused engine still rejects the bound under NO SKIP
-    with pytest.raises(ValueError, match="within_overall"):
+    # the alternation engine still rejects the bound (its preference
+    # fold is in-operator; round-10 second pass lifted the reluctant
+    # engines instead)
+    with pytest.raises(ValueError, match="alternation/iterative"):
         stream_match_recognize(
-            ev, "user_id", "ts", "S C{1,2}? P", _def3(),
+            ev, "user_id", "ts", "S (C|E) P",
+            {**_def3(), "E": F.col("event_type") == "e"},
             default_within="INTERVAL 1 HOUR", after_match="no_skip",
             within_overall="INTERVAL 2 HOURS",
         )
-    # ...but the trailing-reluctant rewrite carries it (compiles)
+    # the reluctant fused engine now carries it (stateless post-filter)
+    sdf_rel = stream_match_recognize(
+        _mk_stream_like(spark), "user_id", "ts", "S C{1,2}? P", _def3(),
+        default_within="INTERVAL 1 HOUR", after_match="no_skip",
+        within_overall="INTERVAL 2 HOURS",
+    )
+    assert "C_n" in sdf_rel.columns
+    # ...and the trailing-reluctant rewrite carries it (compiles)
     sdf = stream_match_recognize(
         _mk_stream_like(spark), "user_id", "ts", "S C{1,2}?", _def3(),
         default_within="INTERVAL 1 HOUR", after_match="skip_past_last",

@@ -2079,6 +2079,9 @@ def soak_lazy_stream(n_cases):
         mn = rnd.randint(1, 2)
         mx = mn + rnd.randint(0, 2)
         h_us = mx * gap_us + sfx_us
+        wo_us = (
+            rnd.randint(2, 200) * 1000 if rnd.random() < 0.5 else None
+        )
         events = [
             (i, rnd.randint(0, 120) * 1000 + rnd.randint(0, 3),
              rnd.getrandbits(3) if rnd.random() < 0.92 else 0)
@@ -2086,7 +2089,9 @@ def soak_lazy_stream(n_cases):
         ]
         cuts = sorted({rnd.randint(1, 200) * 1000
                        for _ in range(rnd.randint(0, 4))})
-        detect = make_lazy_reluctant_replayer(gap_us, sfx_us, mn, mx, h_us)
+        detect = make_lazy_reluctant_replayer(
+            gap_us, sfx_us, mn, mx, h_us, within_overall_us=wo_us
+        )
         state = _FakeState()
         got = []
 
@@ -2163,6 +2168,8 @@ def soak_lazy_stream(n_cases):
                             sfx = (sts, sid)
                 if sfx is None or t2 > ts0 + gap_us or sfx[0] > t2l + sfx_us:
                     continue
+                if wo_us is not None and sfx[0] > ts0 + wo_us:
+                    continue  # overall WITHIN prunes BEFORE the preference
                 cand = (sfx[0], sfx[1], m_, t2, t2l)
                 if best is None or cand < best:
                     best = cand
