@@ -1424,14 +1424,17 @@ def _stream_reluctant(
 
 def _stream_alternation(
     events, partition_by, order_by, parsed, define, wmap, default_within,
-    measures, event_id, excluded=None,
+    measures, event_id, excluded=None, within_overall=None,
 ):
     """Streaming alternation/PERMUTE (round 9): the batch branch-union
     compile's B plain-chain plans packed into ONE stateful operator
     (``stream_pattern_detect_preferred`` = ``make_fused_matcher`` + the
     watermark-final min-branch preference fold), then a stateless CASE
     projection maps chain positions back onto variables/CLASSIFIERs.
-    ``excluded`` (round 10) drops the exclusion columns after it."""
+    ``excluded`` (round 10) drops the exclusion columns after it;
+    ``within_overall`` (round 10 second pass) prunes completions inside
+    the preference operator BEFORE the leftmost pick — the batch
+    route's per-branch pre-union filter."""
     from itertools import permutations as _permutations
     from itertools import product as _product2
 
@@ -1489,6 +1492,7 @@ def _stream_alternation(
         withins_us=withins_us,
         event_id=event_id,
         ts=order_by,
+        within_overall=within_overall,
     )
     sel = [
         F.col("user_id").alias(partition_by)
@@ -1666,39 +1670,19 @@ def stream_match_recognize(
                 "per-anchor preference fold; the cross-anchor SKIP PAST "
                 "LAST horizon replay is batch-only)"
             )
-        if within_overall is not None:
-            # round 10 (found by the lift's own raise pin): this branch
-            # returns before the general within check, which would have
-            # silently IGNORED the bound — the preference fold is
-            # in-operator, so a post-filter is wrong and the raise must
-            # happen here
-            raise ValueError(
-                "within_overall streams on the single-plan path (NO SKIP "
-                "post-filter), the skip-replay routes, and the reluctant "
-                "engines — not on the alternation/iterative engines "
-                "(their folds are in-operator)"
-            )
         return _stream_alternation(
             events, partition_by, order_by, parsed, define,
             dict(withins or {}), default_within, measures, event_id,
-            excluded=excluded,
+            excluded=excluded, within_overall=within_overall,
         )
     mode, skip_step = _parse_after_match(after_match, parsed)
-    if within_overall is not None and (
-        iter_define_py or any(isinstance(v, tuple) for v, _q in parsed)
-    ):
-        # the alternation/iterative stream engines fold in-operator and
-        # would silently ignore the bound (round 10 second pass lifted
-        # the RELUCTANT routes: the fused no_skip engine takes a
-        # stateless post-filter — per-count matches have no cross-
-        # candidate fold — and the lazy SKIP PAST LAST replayer prunes
-        # in-replayer before its preference + horizon walk)
-        raise ValueError(
-            "within_overall streams on the single-plan path (NO SKIP "
-            "post-filter), the skip-replay routes, and the reluctant "
-            "engines — not on the alternation/iterative engines (their "
-            "folds are in-operator)"
-        )
+    # within_overall now streams on EVERY route (round 10 + second
+    # pass): NO SKIP engines take a stateless post-filter (emission is
+    # per-anchor data-driven — reluctant fused, iterative, single-plan,
+    # quantified groups), the skip replays and the alternation
+    # preference operator prune candidates IN-OPERATOR before their
+    # folds, and mid-pattern quantifiers under SKIP PAST LAST raise
+    # below (the in-NFA fold cannot compose with the bound).
     # round 9 second pass: a trailing quantifier under SKIP PAST LAST
     # streams through the recompute-over-buffer replay. A trailing
     # RELUCTANT quantifier rewrites to times(mn, mn) first (no suffix →
@@ -1805,9 +1789,15 @@ def stream_match_recognize(
             payload=payload, conds_py=conds_py,
             event_id=event_id, ts=order_by,
         )
+        n = len(parsed)
+        if within_overall is not None:
+            # NO SKIP data-driven emission (plain chains) — a stateless
+            # post-filter is the bound (round 10 second pass)
+            out = out.filter(
+                F.col(f"t{n}") <= F.col("t1") + F.expr(within_overall)
+            )
         if partition_by != "user_id":
             out = out.withColumnRenamed("user_id", partition_by)
-        n = len(parsed)
         out = out.withColumn("anchor_id", F.col("i1")).drop(
             *[f"i{k}" for k in range(1, n + 1)]
         )

@@ -2406,7 +2406,8 @@ def preferred_output_schema(n_steps: int) -> T.StructType:
 
 
 def make_preference_fused(branches: list[tuple], n_state_fields: int,
-                          n_steps: int, horizon_us: int):
+                          n_steps: int, horizon_us: int,
+                          within_overall_us: int | None = None):
     """Wrap ``make_fused_matcher`` with ISO 9075-2's lexicographic
     (leftmost-alternative) preference fold — the streaming twin of the
     batch branch-union route's per-anchor min-branch pick (round 9).
@@ -2458,6 +2459,14 @@ def make_preference_fused(branches: list[tuple], n_state_fields: int,
                 mask = add[c].isna().to_numpy()
                 v = np.where(mask, PREF_NULL, v)
                 cols.append(v)
+            if within_overall_us is not None:
+                # overall WITHIN (round 10): a completion whose end
+                # exceeds the anchor bound is NOT a match — it must not
+                # enter the pending buffer, where it could win the
+                # leftmost preference over a qualifying later branch
+                # (t_n is always bound on a complete plain chain)
+                keep = cols[-1] <= cols[2] + within_overall_us
+                cols = [c[keep] for c in cols]
             pend = [np.concatenate([p, c]) for p, c in zip(pend, cols)]
 
         out = None
@@ -2518,6 +2527,7 @@ def stream_pattern_detect_preferred(
     event_id: str = "event_id",
     ts: str = "ts",
     watermark_delay: str = "0 seconds",
+    within_overall: str | None = None,
 ) -> DataFrame:
     """B plain-chain NFAs (same length) + the leftmost-preference fold
     as ONE stateful operator (round 9 — the streaming compile of the
@@ -2527,7 +2537,10 @@ def stream_pattern_detect_preferred(
     horizon is what makes the fold watermark-decidable). Output:
     ``user_id, __branch, anchor_id, t1..tn`` of each anchor's winning
     branch; callers map positions onto variables with a stateless CASE
-    projection (JVM-side).
+    projection (JVM-side). ``within_overall`` (round 10): completions
+    whose end exceeds the anchor bound never enter the pending buffer —
+    the bound prunes BEFORE the leftmost preference, so a violating
+    lower branch cannot beat a qualifying higher one.
 
     Scale: one keyed exchange of the union flag set, one state store; B
     is the branch cap (≤ 8). The pending buffer holds one row per
@@ -2583,8 +2596,12 @@ def stream_pattern_detect_preferred(
         )
         .withWatermark("ts", watermark_delay)
     )
+    wo_us = None if within_overall is None else _interval_us(within_overall)
     return filtered.groupBy("user_id").applyInPandasWithState(
-        make_preference_fused(built, len(STATE_SCHEMA.fields), n, horizon),
+        make_preference_fused(
+            built, len(STATE_SCHEMA.fields), n, horizon,
+            within_overall_us=wo_us,
+        ),
         preferred_output_schema(n),
         preference_state_schema(STATE_SCHEMA, n),
         "append",

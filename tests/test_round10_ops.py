@@ -249,6 +249,74 @@ def test_within_overall_on_reluctant_routes(spark):
         ), am
 
 
+def test_within_overall_on_alternation_and_iterative_streams(spark):
+    """Round-10 second pass closes the stream within_overall matrix:
+    the alternation preference operator prunes completions BEFORE the
+    leftmost pick (the corner: branch C's match violates the bound, so
+    branch E's qualifying one must win instead of being suppressed),
+    and the iterative route takes the NO SKIP post-filter."""
+    rows = [
+        # anchor 1: C completes at +10 (violates 6 s), E at +5 (fits)
+        (1, 1, 0, "s"), (1, 2, 4, "e"), (1, 3, 5, "p2"),
+        (1, 4, 8, "c"), (1, 5, 10, "p"),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (uid, eid, EPOCH + datetime.timedelta(seconds=sec), et)
+            for uid, eid, sec, et in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    d = {
+        "S": F.col("event_type") == "s",
+        "C": F.col("event_type") == "c",
+        "E": F.col("event_type") == "e",
+        "P": F.col("event_type").startswith("p"),
+    }
+    spec = dict(
+        partition_by="user_id", order_by="ts", pattern="S (C|E) P",
+        define=d, default_within="INTERVAL 20 SECONDS",
+        after_match="no_skip", within_overall="INTERVAL 6 SECONDS",
+    )
+    want = match_recognize(ev, **spec)
+    got = run_to_table(
+        stream_match_recognize(_stream_of(spark, ev), **spec)
+    ).filter(F.col("user_id") < 10 ** 6)
+    assert got.columns == want.columns
+    a = sorted(map(tuple, got.collect()))
+    assert a == sorted(map(tuple, want.collect()))
+    # the preference corner actually exercised: E (branch 2) won
+    assert len(a) == 1
+    cls = want.columns.index("classifier_2")  # the group is token 2
+    assert a[0][cls] == "E"
+    # iterative + within: NO SKIP post-filter equals batch
+    from flink_uba_spark.operators.match_recognize import match_recognize as mr
+
+    spec_it = dict(
+        partition_by="user_id", order_by="ts", pattern="S P",
+        define={"S": d["S"], "P": d["P"]},
+        default_within="INTERVAL 20 SECONDS", after_match="no_skip",
+        within_overall="INTERVAL 6 SECONDS",
+        payload={"cents": F.lit(1).cast("long")},
+    )
+    want_it = mr(
+        ev, iter_define={"P": lambda b: b["P"]["cents"] >= b["S"]["cents"]},
+        **spec_it,
+    )
+    got_it = run_to_table(
+        stream_match_recognize(
+            _stream_of(spark, ev),
+            iter_define_py={"P": lambda pre, cand: cand[0] >= pre[0][0]},
+            **spec_it,
+        )
+    ).filter(F.col("user_id") < 10 ** 6)
+    # same columns (the two routes order anchor_id differently)
+    assert sorted(got_it.columns) == sorted(want_it.columns)
+    assert sorted(map(tuple, got_it.select(want_it.columns).collect())) == (
+        sorted(map(tuple, want_it.collect()))
+    )
+
+
 def test_exclusion_on_alternation_routes(spark):
     """Round-10 second pass: `{- X -}` composes with alternation/PERMUTE
     on BOTH engines — same match set (and CLASSIFIER), excluded columns
@@ -299,16 +367,6 @@ def test_round10_remaining_raises(spark):
             ev, "user_id", "ts", "S C{1,2} P", _def3(),
             default_within="INTERVAL 1 HOUR",
             after_match="skip_past_last",
-            within_overall="INTERVAL 2 HOURS",
-        )
-    # the alternation engine still rejects the bound (its preference
-    # fold is in-operator; round-10 second pass lifted the reluctant
-    # engines instead)
-    with pytest.raises(ValueError, match="alternation/iterative"):
-        stream_match_recognize(
-            ev, "user_id", "ts", "S (C|E) P",
-            {**_def3(), "E": F.col("event_type") == "e"},
-            default_within="INTERVAL 1 HOUR", after_match="no_skip",
             within_overall="INTERVAL 2 HOURS",
         )
     # the reluctant fused engine now carries it (stateless post-filter)
