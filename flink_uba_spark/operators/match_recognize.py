@@ -1891,6 +1891,11 @@ def stream_match_recognize(
         ts=order_by,
         optional=optional or None,
         after_match=("skip_past_last" if after_match == "skip_past_last" else None),
+        # batch parity (round 11, found by the option-matrix sweep): the
+        # batch compiler emits end_id under SKIP PAST LAST, and the
+        # replay routes (within_overall / trailing run) already do — the
+        # in-NFA fold must too, or one option toggles the schema
+        with_end_id=(after_match == "skip_past_last"),
     )
     # the stream NFA also emits matched_late (first-candidate-decides);
     # MATCH_RECOGNIZE's contract is bounds-respected matches, as batch

@@ -66,6 +66,8 @@ and ``stream_kleene_detect`` switched from the 11-field
 (``ams_horizon``, the SKIP_PAST_LAST_EVENT after-match horizon).
 Round 7 appended fields 20-21
 (``buf_pos``/``seq``, the consecutive() global-position plumbing).
+Round 11 appended the 22nd (``bound_ids_flat``, per-chain bound-row
+event ids backing the ``with_end_id``/``with_step_ids`` opt-ins).
 ``applyInPandasWithState``
 cannot migrate a checkpointed state layout: a streaming job resuming from
 a checkpoint written by an earlier build will fail to restore — restart
@@ -95,10 +97,14 @@ UNCAPPED_REPS = 1 << 62
 
 
 def pattern_output_schema(
-    n_steps: int, kleenes: list[tuple[int, int] | None] | None = None
+    n_steps: int, kleenes: list[tuple[int, int] | None] | None = None,
+    with_end_id: bool = False, with_step_ids: bool = False,
 ) -> T.StructType:
     """Output columns mirror the batch compiler: t{k} per step, plus
-    t{k}_last / n{k} after each Kleene step's entry column."""
+    t{k}_last / n{k} after each Kleene step's entry column.
+    ``with_step_ids`` adds i{k} (the bound row's event id; a Kleene
+    step's ENTRY id) after each step's columns; ``with_end_id`` adds
+    end_id before max_step — both round 11, batch-parity opt-ins."""
     kleenes = kleenes or [None] * n_steps
     fields = [
         T.StructField("user_id", T.LongType()),
@@ -109,6 +115,10 @@ def pattern_output_schema(
         if kleenes[k - 1] is not None:
             fields.append(T.StructField(f"t{k}_last", T.TimestampType()))
             fields.append(T.StructField(f"n{k}", T.LongType()))
+        if with_step_ids:
+            fields.append(T.StructField(f"i{k}", T.LongType()))
+    if with_end_id:
+        fields.append(T.StructField("end_id", T.LongType()))
     fields.append(T.StructField("max_step", T.LongType()))
     fields.append(T.StructField("state", T.StringType()))
     return T.StructType(fields)
@@ -166,6 +176,12 @@ STATE_SCHEMA = T.StructType(
         # observed successor position)
         T.StructField("buf_pos", T.ArrayType(T.LongType())),
         T.StructField("seq", T.ArrayType(T.LongType())),
+        # round 11 (checkpoint break, 21 -> 22 fields): per-chain bound-row
+        # EVENT IDS, the row-major twin of bounds_flat (-1 = unbound; a
+        # Kleene step stores its ENTRY row's id). Carried so the emit can
+        # surface end_id (batch parity under SKIP PAST LAST) and i{k}
+        # step ids (ALL ROWS PER MATCH on plain chains).
+        T.StructField("bound_ids_flat", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -215,6 +231,8 @@ def make_pattern_matcher(
     after_match: str | None = None,
     untils: dict[int, str] | None = None,
     consecutives: set[int] | None = None,
+    with_end_id: bool = False,
+    with_step_ids: bool = False,
 ):
     """Build the per-key state function (separate so unit tests can drive
     it with a fake GroupState, as for order_timeout/transitions).
@@ -372,7 +390,9 @@ def make_pattern_matcher(
             "guards) exceed the 63-bit buffer-membership mask"
         )
 
-    def _emit(user_id, a_ids, cur, bnd, klast, kln, st) -> pd.DataFrame:
+    def _emit(
+        user_id, a_ids, cur, bnd, klast, kln, st, b_ids=None, e_ids=None
+    ) -> pd.DataFrame:
         # hot path: one call per group per micro-batch across every twin —
         # build columns as raw numpy datetime64[us] / IntegerArray buffers
         # (pd.to_datetime + masked Series __setitem__ per column was ~60%
@@ -396,6 +416,12 @@ def make_pattern_matcher(
                 cols[f"t{k}_last"] = ldt
                 nk = np.asarray(kln[:, k - 1], dtype="int64")
                 cols[f"n{k}"] = pd.arrays.IntegerArray(nk, nk <= 0)
+            if with_step_ids:
+                ik = np.asarray(b_ids[:, k - 1], dtype="int64")
+                cols[f"i{k}"] = pd.arrays.IntegerArray(ik, ik < 0)
+        if with_end_id:
+            ek = np.asarray(e_ids, dtype="int64")
+            cols["end_id"] = pd.arrays.IntegerArray(ek, ek < 0)
         # bound-step count, not the frontier step: a skipped optional step
         # is not counted (batch-compiler parity)
         cols["max_step"] = (
@@ -413,7 +439,7 @@ def make_pattern_matcher(
             (s_aid, s_cur, s_opn, s_fts, s_frk, s_fid,
              s_bnd, s_kl, s_kn, s_pts, s_prk, s_pid, s_pcur,
              s_bts, s_brk, s_bid, s_bmk, s_nnf, s_ams,
-             s_bps, s_seq) = state.get
+             s_bps, s_seq, s_bndid) = state.get
             aid = np.asarray(s_aid, dtype="int64")
             cur = np.asarray(s_cur, dtype="int64")
             opn = np.asarray(s_opn, dtype="int64").astype(bool)
@@ -423,6 +449,10 @@ def make_pattern_matcher(
             nc = aid.size
             bnd = (
                 np.asarray(s_bnd, dtype="int64").reshape(-1, n)
+                if nc else np.empty((0, n), dtype="int64")
+            )
+            bnd_id = (
+                np.asarray(s_bndid, dtype="int64").reshape(-1, n)
                 if nc else np.empty((0, n), dtype="int64")
             )
             klast = (
@@ -451,6 +481,7 @@ def make_pattern_matcher(
             aid = cur = fts = frk = fid = np.empty(0, dtype="int64")
             opn = np.empty(0, dtype=bool)
             bnd = klast = kln = np.empty((0, n), dtype="int64")
+            bnd_id = np.empty((0, n), dtype="int64")
             pv_ts = pv_rk = pv_id = pv_cur = np.empty(0, dtype="int64")
             bts = brk = bid = bmk = np.empty(0, dtype="int64")
             nnf = np.empty(0, dtype="int64")
@@ -785,6 +816,7 @@ def make_pattern_matcher(
                     cur[ci] = pc
                     fts[ci], frk[ci], fid[ci] = pv_ts[ci], pv_rk[ci], pv_id[ci]
                     bnd[ci, pc:] = -1
+                    bnd_id[ci, pc:] = -1
                     klast[ci, pc:] = -1
                     kln[ci, pc:] = 0
                     # notNext decisions for transitions past the restore
@@ -822,6 +854,9 @@ def make_pattern_matcher(
                 nb = np.full((a_tl.size, n), -1, dtype="int64")
                 nb[:, 0] = tl_ts[a_tl]
                 bnd = np.concatenate([bnd, nb])
+                nbi = np.full((a_tl.size, n), -1, dtype="int64")
+                nbi[:, 0] = tl_id[a_tl]
+                bnd_id = np.concatenate([bnd_id, nbi])
                 klast = np.concatenate([klast, np.full((a_tl.size, n), -1, dtype="int64")])
                 kln = np.concatenate([kln, np.zeros((a_tl.size, n), dtype="int64")])
                 neg1 = np.full(a_tl.size, -1, dtype="int64")
@@ -852,6 +887,7 @@ def make_pattern_matcher(
                         dead[w2[~okm]] = True
                         bw, rp = w2[okm], succ2[okm]
                         bnd[bw, s - 1] = tl_ts[rp]
+                        bnd_id[bw, s - 1] = tl_id[rp]
                         cur[bw] = s
                         fts[bw], frk[bw], fid[bw] = (
                             tl_ts[rp], tl_rk[rp], tl_id[rp]
@@ -935,6 +971,7 @@ def make_pattern_matcher(
             bp = sufmin[j0]          # occ-order position of (ts,id)-min binder
             rowpos = occ_idx[bp]     # timeline position of the entry/bound row
             bnd[w, s - 1] = tl_ts[rowpos]
+            bnd_id[w, s - 1] = tl_id[rowpos]
             cur[w] = s
             if kleenes[s - 1] is None:
                 fts[w], frk[w], fid[w] = tl_ts[rowpos], tl_rk[rowpos], tl_id[rowpos]
@@ -1035,6 +1072,7 @@ def make_pattern_matcher(
                         _emit(
                             user_id, aid[ki], cur[ki], bnd[ki], klast[ki],
                             kln[ki], ["matched"] * ki.size,
+                            b_ids=bnd_id[ki], e_ids=fid[ki],
                         )
                     )
                 # discard every pending run anchored at or before the
@@ -1047,7 +1085,12 @@ def make_pattern_matcher(
                     )
             else:
                 st = np.where(ok, "matched", "matched_late")
-                frames.append(_emit(user_id, aid[done], cur[done], d_bnd, klast[done], kln[done], st))
+                frames.append(
+                    _emit(
+                        user_id, aid[done], cur[done], d_bnd, klast[done],
+                        kln[done], st, b_ids=bnd_id[done], e_ids=fid[done],
+                    )
+                )
         alive = ~done & ~dead
 
         # ---- 5. ttl flush (bounded-state policy)
@@ -1063,6 +1106,7 @@ def make_pattern_matcher(
                         user_id, aid[expired], cur[expired], bnd[expired],
                         klast[expired], kln[expired],
                         ["incomplete"] * int(expired.sum()),
+                        b_ids=bnd_id[expired], e_ids=fid[expired],
                     )
                 )
                 alive &= ~expired
@@ -1071,6 +1115,7 @@ def make_pattern_matcher(
             a[alive] for a in (aid, cur, opn, fts, frk, fid)
         )
         bnd, klast, kln = bnd[alive], klast[alive], kln[alive]
+        bnd_id = bnd_id[alive]
         pv_ts, pv_rk, pv_id, pv_cur, nnf = (
             a[alive] for a in (pv_ts, pv_rk, pv_id, pv_cur, nnf)
         )
@@ -1111,6 +1156,7 @@ def make_pattern_matcher(
                     bts.tolist(), brk.tolist(), bid.tolist(), bmk.tolist(),
                     nnf.tolist(), [le_ts, le_id],
                     bps.tolist(), [seq_next],
+                    bnd_id.reshape(-1).tolist(),
                 )
             )
             if timers:
@@ -1170,8 +1216,14 @@ def stream_pattern_detect(
     after_match: str | None = None,
     until: dict | None = None,
     consecutive: set[int] | None = None,
+    with_end_id: bool = False,
+    with_step_ids: bool = False,
 ) -> DataFrame:
     """Wire the matcher over a streaming events frame.
+
+    ``with_end_id`` / ``with_step_ids`` (round 11) surface the batch
+    compiler's end_id / i{k} bound-row ids from state — opt-ins so
+    existing callers' schemas are untouched.
 
     ``after_match="skip_past_last"`` applies Flink CEP's
     ``AfterMatchSkipStrategy.SKIP_PAST_LAST_EVENT`` — emitted matches per
@@ -1330,8 +1382,11 @@ def stream_pattern_detect(
             negations=negations, optionals=optional,
             stricts=stricts, not_nexts=not_nexts, after_match=after_match,
             untils=until_types, consecutives=consecs,
+            with_end_id=with_end_id, with_step_ids=with_step_ids,
         ),
-        pattern_output_schema(n, kleenes),
+        pattern_output_schema(
+            n, kleenes, with_end_id=with_end_id, with_step_ids=with_step_ids
+        ),
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout if timers else GroupStateTimeout.NoTimeout,
