@@ -425,6 +425,92 @@ def _measures(out: DataFrame, partition_by, measures) -> DataFrame:
     return out.select(partition_by, *cols)
 
 
+def _stream_run_agg_columns(
+    measures: dict, parsed, subset: dict | None, excluded
+) -> dict:
+    """Rewrite RunAgg MEASURES into STATELESS Column expressions over the
+    stream output's per-variable columns (round 11 — the streaming
+    MEASURES lift). The stream NFA already carries every run's COUNT
+    (``{v}_n``) and a plain/optional variable's bound indicator
+    (``{v}_ts``), so ``COUNT(V.*)`` — and COUNT over a SUBSET union —
+    is a column read computed while matching, not a new aggregate.
+    Value aggregates (SUM/AVG/MIN/MAX, FIRST/LAST value navigation)
+    need run MEMBERSHIP — the batch band join
+    (``_attach_run_aggregates``) — and stay batch-only."""
+    kinds: dict[str, tuple | None] = {}
+    for var, q in parsed:
+        if isinstance(var, tuple) and q is not None and q[0] == "kleene":
+            kinds["_".join(var)] = q
+        elif isinstance(var, tuple):
+            for m in var:  # alternation/PERMUTE members bind one row each
+                kinds[m] = None
+        else:
+            kinds[var] = q
+
+    def _count_col(v: str) -> Column:
+        if v in (excluded or ()):
+            raise ValueError(
+                f"RunAgg over the EXCLUDED variable {v!r} is batch-only "
+                "on the stream (exclusion drops the variable's columns "
+                "before MEASURES here; batch attaches aggregates first)"
+            )
+        q = kinds[v]
+        if q is not None and q[0] in ("kleene", "reluctant"):
+            return F.col(f"{v}_n").cast("long")
+        return (
+            F.when(F.col(f"{v}_ts").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    plain_names = set(kinds)
+    for uname, members in (subset or {}).items():
+        if uname in plain_names:
+            raise ValueError(
+                f"SUBSET name {uname!r} collides with a PATTERN variable"
+            )
+        if not members:
+            raise ValueError(f"SUBSET {uname!r} needs at least one member")
+        bad = sorted(set(members) - plain_names)
+        if bad:
+            raise ValueError(
+                f"SUBSET {uname!r} members must be PATTERN variables "
+                f"(groups don't join a subset): {bad}"
+            )
+        if len(set(members)) != len(members):
+            raise ValueError(
+                f"SUBSET {uname!r} repeats a member: {tuple(members)} — "
+                "members form a set, list each variable once"
+            )
+
+    out: dict = {}
+    for nm, spec in measures.items():
+        if not isinstance(spec, RunAgg):
+            out[nm] = spec
+            continue
+        if spec.func != "count":
+            raise ValueError(
+                f"RunAgg {spec.func!r} MEASURES need run membership (the "
+                "batch band join, _attach_run_aggregates) — batch-only; "
+                "the stream serves COUNT (the NFA's {v}_n / bound "
+                "indicator) and the boundary timestamps {v}_ts / "
+                "{v}_last_ts as plain columns"
+            )
+        if subset and spec.var in subset:
+            col = None
+            for m in subset[spec.var]:
+                c = _count_col(m)
+                col = c if col is None else (col + c)
+            out[nm] = col.cast("long")
+        elif spec.var in kinds:
+            out[nm] = _count_col(spec.var)
+        else:
+            raise ValueError(
+                f"RunAgg targets unknown variable {spec.var!r}"
+            )
+    return out
+
+
 def _attach_run_aggregates(
     out: DataFrame,
     events: DataFrame,
@@ -1603,8 +1689,23 @@ def stream_match_recognize(
     payload: dict[str, Column] | None = None,
     iter_define_py: dict | None = None,
     within_overall: str | None = None,
+    subset: dict[str, tuple] | None = None,
+    rows_per_match: str = "one",
 ) -> DataFrame:
     """The same spec as a continuous query (``stream_pattern_detect``).
+
+    ``measures`` may hold ``RunAgg`` COUNT entries (and ``subset`` their
+    union variables) — round 11: they rewrite to STATELESS column reads
+    of the per-variable counts the NFA already emits
+    (``_stream_run_agg_columns``); value aggregates keep the batch-only
+    raise (run membership is the batch band join).
+
+    ``rows_per_match="all"`` (round 11) STREAMS on the single-plan
+    plain/optional routes: the NFA emits per-step bound ids
+    (``with_step_ids``) and the same stateless explode as batch
+    (``_explode_plain_rows``) produces the per-event rows. Quantified
+    runs (the batch band join), the replay routes (no per-step ids) and
+    MEASURES keep their raises.
     The streaming skip fold supports plain chains (the NFA's documented
     bound); OTHER quantified patterns stream under ``no_skip``, EXCEPT a
     TRAILING quantifier + SKIP PAST LAST, which routes to the
@@ -1645,6 +1746,40 @@ def stream_match_recognize(
         )
     pattern, excluded = strip_exclusions(pattern)
     parsed = parse_pattern(pattern)
+    if rows_per_match not in ("one", "all"):
+        raise ValueError("ROWS PER MATCH: one | all")
+    if rows_per_match == "all":
+        if measures is not None:
+            raise ValueError("MEASURES is the ONE ROW PER MATCH shape")
+        if iter_define_py or any(
+            isinstance(v, tuple) or (q is not None and q[0] != "optional")
+            for v, q in parsed
+        ):
+            raise ValueError(
+                "streaming ALL ROWS PER MATCH runs on the single-plan "
+                "plain/optional routes (per-step bound ids); quantified "
+                "runs need the batch band join and the specialty engines "
+                "fold their own output — use the batch match_recognize"
+            )
+        mode0, _ = _parse_after_match(after_match, parsed)
+        if mode0 == "skip_to" or (
+            mode0 == "skip_past_last" and within_overall is not None
+        ):
+            raise ValueError(
+                "streaming ALL ROWS PER MATCH does not compose with the "
+                "replay routes (SKIP TO, or within_overall under SKIP "
+                "PAST LAST) — they carry no per-step ids; use the batch "
+                "match_recognize"
+            )
+    if measures is not None and (
+        subset or any(isinstance(c, RunAgg) for c in measures.values())
+    ):
+        measures = _stream_run_agg_columns(measures, parsed, subset, excluded)
+    elif subset:
+        raise ValueError(
+            "SUBSET is consumed by RunAgg MEASURES (e.g. "
+            "run_agg('count', '<subset name>')) — pass one"
+        )
     if excluded and any(
         q is not None and q[0] == "reluctant" for _v, q in parsed
     ):
@@ -1895,7 +2030,10 @@ def stream_match_recognize(
         # batch compiler emits end_id under SKIP PAST LAST, and the
         # replay routes (within_overall / trailing run) already do — the
         # in-NFA fold must too, or one option toggles the schema
-        with_end_id=(after_match == "skip_past_last"),
+        with_end_id=(
+            after_match == "skip_past_last" and rows_per_match == "one"
+        ),
+        with_step_ids=(rows_per_match == "all"),
     )
     # the stream NFA also emits matched_late (first-candidate-decides);
     # MATCH_RECOGNIZE's contract is bounds-respected matches, as batch
@@ -1913,6 +2051,11 @@ def stream_match_recognize(
     if partition_by != "user_id":
         # pattern_output_schema names the key column user_id
         out = out.withColumnRenamed("user_id", partition_by)
+    if rows_per_match == "all":
+        # the same stateless explode as batch — per-step ids from state
+        return _explode_plain_rows(
+            out, _var_names(parsed), partition_by, excluded
+        )
     out = _rename(out.drop("max_step", "state"), parsed)
     if excluded:
         # ISO exclusion is pure output shaping: the excluded variable

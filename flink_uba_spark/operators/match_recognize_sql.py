@@ -447,10 +447,18 @@ def _compile_define(
 
 def _compile_measure(
     expr: str, all_vars: set[str], quantified: set[str],
-    subset_names: set[str], order_by: str,
+    subset_names: set[str], order_by: str, stream: bool = False,
 ):
     """MEASURES expression text → RunAgg | Spark SQL expr string over
-    the ONE-row output columns."""
+    the ONE-row output columns.
+
+    ``stream`` (round 11) narrows the aggregate surface to what the
+    stream engines carry without the batch band join: ``COUNT(V.*)``
+    (incl. SUBSET unions) stays a RunAgg — the dict front-end rewrites
+    it onto the NFA's ``{v}_n`` / bound-indicator columns — and
+    ``FIRST/LAST(V.<order_by>)`` compiles straight to the run-boundary
+    columns ``{v}_ts`` / ``{v}_last_ts``; value aggregates and offset
+    navigation raise with the batch pointer."""
     from flink_uba_spark.operators.match_recognize import run_agg
 
     m = _RUN_AGG.match(expr.strip())
@@ -472,6 +480,23 @@ def _compile_measure(
             if func != "count":
                 raise ValueError(f"{func.upper()}(V.*) — only COUNT takes *")
             return run_agg("count", star.group(1))
+        if stream and len(agg_targets) == 1:
+            var = next(iter(agg_targets))
+            is_ts_nav = re.fullmatch(
+                rf"{re.escape(var)}\s*\.\s*{re.escape(order_by)}", inner
+            )
+            if func in ("first", "last") and is_ts_nav and n == 0:
+                # the run-boundary columns the NFA already emits
+                if func == "last" and var in quantified:
+                    return f"{var}_last_ts"
+                return f"{var}_ts"
+            raise ValueError(
+                f"MEASURES aggregate {expr!r} is batch-only on the stream "
+                "(value aggregates and offset navigation need the run "
+                "membership band join) — the stream surface serves "
+                "COUNT(V.*) and FIRST/LAST(V.<ORDER BY col>); use the "
+                "batch match_recognize_sql for the rest"
+            )
         if len(agg_targets) == 1:
             var = agg_targets.pop()
             val = _rewrite_refs(
@@ -589,15 +614,19 @@ def stream_match_recognize_sql(
 ) -> DataFrame:
     """The SQL-text surface as a CONTINUOUS query — the same clause
     parse compiled onto ``stream_match_recognize`` (round 10; Flink's
-    SQL CEP is a streaming surface first). The text subset narrows to
-    what the stream front-end serves: ONE ROW PER MATCH only, no
-    MEASURES run aggregates / SUBSET (the run-agg band join is
-    batch-side), and no ``PREV`` (a partition-ordered lag is unbounded
-    on a stream); everything else — quantifiers, groups, PERMUTE,
-    exclusions, AFTER MATCH strategies, WITHIN — routes through the
-    stream engines' own matrix, whose raises carry the real reason."""
+    SQL CEP is a streaming surface first). Round 11 closes most of the
+    r10 ONE-ROW-only asymmetry: ``ALL ROWS PER MATCH`` compiles through
+    (plain/optional chains — the per-step ids the NFA now emits),
+    ``COUNT(V.*)`` run aggregates and SUBSET unions rewrite onto the
+    NFA's own count columns, and ``FIRST/LAST(V.<ORDER BY col>)``
+    compiles to the run-boundary columns. Still batch-only (raises with
+    the reason): value run aggregates / offset navigation (run
+    membership is the batch band join) and ``PREV`` (a
+    partition-ordered lag is unbounded on a stream); everything else —
+    quantifiers, groups, PERMUTE, exclusions, AFTER MATCH strategies,
+    WITHIN — routes through the stream engines' own matrix, whose
+    raises carry the real reason."""
     from flink_uba_spark.operators.match_recognize import (
-        RunAgg,
         parse_pattern,
         stream_match_recognize,
         strip_anchors,
@@ -605,17 +634,6 @@ def stream_match_recognize_sql(
     )
 
     spec = parse_match_recognize_sql(sql)
-    if spec["rows_per_match"] == "all":
-        raise ValueError(
-            "ALL ROWS PER MATCH is batch-only on the text surface (the "
-            "stream front-end emits ONE row per match)"
-        )
-    if spec["subset"]:
-        raise ValueError(
-            "SUBSET / run-aggregate MEASURES are batch-only (the run "
-            "membership band join does not stream) — use the batch "
-            "match_recognize_sql"
-        )
     core, _a, _b = strip_anchors(spec["pattern"])
     core, _x = strip_exclusions(core)
     parsed = parse_pattern(core)
@@ -624,6 +642,12 @@ def stream_match_recognize_sql(
         for var, _q in parsed
         for v in (var if isinstance(var, tuple) else (var,))
     }
+    quantified = {
+        var
+        for var, q in parsed
+        if not isinstance(var, tuple) and q is not None and q[0] != "optional"
+    }
+    subset_names = set((spec["subset"] or {}).keys())
     prev_lags: dict[tuple[str, int], str] = {}
     define = {
         v: F.expr(
@@ -641,15 +665,12 @@ def stream_match_recognize_sql(
         measures = {}
         for nm, ex in spec["measures_sql"].items():
             compiled = _compile_measure(
-                ex, all_vars, set(), set(), spec["order_by"]
+                ex, all_vars, quantified, subset_names, spec["order_by"],
+                stream=True,
             )
-            if isinstance(compiled, RunAgg):
-                raise ValueError(
-                    "SUBSET / run-aggregate MEASURES are batch-only (the "
-                    "run membership band join does not stream) — use the "
-                    "batch match_recognize_sql"
-                )
-            measures[nm] = F.expr(compiled)
+            measures[nm] = (
+                F.expr(compiled) if isinstance(compiled, str) else compiled
+            )
     if withins is None and default_within is None and spec["within_overall"]:
         default_within = spec["within_overall"]
     return stream_match_recognize(
@@ -663,5 +684,7 @@ def stream_match_recognize_sql(
         measures=measures,
         after_match=spec["after_match"],
         event_id=event_id,
+        rows_per_match=spec["rows_per_match"],
+        subset=spec["subset"],
         within_overall=spec["within_overall"],
     )

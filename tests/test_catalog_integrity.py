@@ -38,6 +38,10 @@ def _intentional_share(names: list[str]) -> bool:
         ("match_recognize_skip_to_first", "match_recognize_sql_skip_to_first"),
         ("match_recognize_sql_subset_agg", "match_recognize_subset_agg"),
         ("stream_match_recognize_sql_text", "stream_match_recognize_within_skip"),
+        # round 11: the streaming run-agg / ALL ROWS text twins pin
+        # text-parse ≡ dict-spec the same way
+        ("stream_match_recognize_error_streak", "stream_match_recognize_sql_run_agg"),
+        ("stream_match_recognize_all_rows", "stream_match_recognize_sql_all_rows"),
     }
     s = sorted(names)
     if len(s) != 2:

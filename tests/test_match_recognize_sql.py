@@ -402,15 +402,13 @@ def test_stream_text_surface(spark):
     PATTERN (S P)
     DEFINE S AS S.event_type = 'signup', P AS P.event_type = 'purchase'
     """
-    with pytest.raises(ValueError, match="batch-only"):
-        stream_match_recognize_sql(
-            ev, base.format(extra="ALL ROWS PER MATCH"),
-            default_within="INTERVAL 1 HOUR",
-        )
-    with pytest.raises(ValueError, match="does not stream"):
+    # round 11: ALL ROWS and COUNT(V.*) MEASURES now STREAM on the
+    # text surface (tests/test_round11_ops.py pins them against batch);
+    # the remaining batch-only forms keep their raises
+    with pytest.raises(ValueError, match="batch-only on the stream"):
         stream_match_recognize_sql(
             ev,
-            base.format(extra="MEASURES COUNT(P.*) AS n"),
+            base.format(extra="MEASURES SUM(P.value) AS v"),
             default_within="INTERVAL 1 HOUR",
         )
     with pytest.raises(ValueError, match="batch-only"):

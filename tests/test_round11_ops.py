@@ -1,0 +1,305 @@
+"""Round-11 lifts: the streaming MEASURES / ALL ROWS surface
+(VERDICT r10 item 4 — the SQL-text ONE-ROW-only asymmetry) and the
+per-step-id plumbing behind it.
+
+- ``rows_per_match="all"`` streams on the single-plan plain/optional
+  routes (the NFA's new per-step bound ids, STATE_SCHEMA field 22) and
+  equals the batch explode on a flushed replay.
+- RunAgg ``COUNT`` MEASURES (incl. SUBSET unions) rewrite to stateless
+  reads of the NFA's count columns and equal the batch band join.
+- The text front-end compiles ``COUNT(V.*)`` / ``FIRST/LAST(V.ts)`` /
+  ``ALL ROWS PER MATCH`` onto the stream engines; value aggregates,
+  offset navigation, and the replay-route ALL ROWS corners keep
+  raises with the reason.
+"""
+
+from __future__ import annotations
+
+import datetime
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_uba_spark.operators.match_recognize import (
+    match_recognize,
+    run_agg,
+    stream_match_recognize,
+)
+from flink_uba_spark.operators.match_recognize_sql import (
+    match_recognize_sql,
+    stream_match_recognize_sql,
+)
+from flink_uba_spark.streaming.runner import run_to_table, write_replay
+
+EPOCH = datetime.datetime(2020, 1, 1)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [
+            (uid, eid, EPOCH + datetime.timedelta(seconds=sec), et)
+            for uid, eid, sec, et in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+
+
+def _def():
+    return {v: F.col("event_type") == v.lower() for v in "SCP"}
+
+
+def _stream_of(spark, batch_df, n_batches=2):
+    rows = sorted(batch_df.collect(), key=lambda r: (r["ts"], r["event_id"]))
+    frames = []
+    per = max(1, -(-len(rows) // n_batches))
+    for i in range(0, len(rows), per):
+        frames.append(
+            spark.createDataFrame(
+                [tuple(r) for r in rows[i : i + per]], batch_df.schema
+            )
+        )
+    frames.append(
+        spark.createDataFrame(
+            [(10 ** 6, 10 ** 6, EPOCH + datetime.timedelta(seconds=10 ** 7), "s")],
+            batch_df.schema,
+        )
+    )
+    replay = write_replay(frames, tag=f"r11_{uuid.uuid4().hex[:8]}")
+    return (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+    )
+
+
+def _stream_run(spark, ev, **spec):
+    out = run_to_table(stream_match_recognize(_stream_of(spark, ev), **spec))
+    return out.filter(F.col("user_id") < 10 ** 6)
+
+
+ROWS_PLAIN = [
+    (1, 1, 0, "s"), (1, 2, 1, "c"), (1, 3, 2, "p"),
+    (2, 10, 0, "s"), (2, 11, 7, "p"),
+    (3, 20, 0, "s"), (3, 21, 4, "s"), (3, 22, 5, "c"), (3, 23, 8, "p"),
+]
+
+ROWS_RUN = [
+    (1, 1, 0, "s"), (1, 2, 1, "c"), (1, 3, 2, "c"), (1, 4, 3, "p"),
+    (2, 10, 0, "s"), (2, 11, 1, "c"), (2, 12, 9, "p"),
+]
+
+
+def test_stream_all_rows_plain_skip_equals_batch(spark):
+    ev = _mk(spark, ROWS_PLAIN)
+    spec = dict(
+        partition_by="user_id", order_by="ts", pattern="S C P",
+        define=_def(), default_within="INTERVAL 1000 SECONDS",
+        after_match="skip_past_last", rows_per_match="all",
+    )
+    want = match_recognize(ev, **spec)
+    got = _stream_run(spark, ev, **spec)
+    assert got.columns == want.columns == [
+        "user_id", "anchor_id", "seq", "var", "event_id", "ts",
+    ]
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_stream_all_rows_optional_no_skip_equals_batch(spark):
+    """A skipped optional emits no per-event row — on both engines."""
+    ev = _mk(spark, ROWS_PLAIN)
+    spec = dict(
+        partition_by="user_id", order_by="ts", pattern="S C? P",
+        define=_def(), default_within="INTERVAL 1000 SECONDS",
+        after_match="no_skip", rows_per_match="all",
+    )
+    want = match_recognize(ev, **spec)
+    got = _stream_run(spark, ev, **spec)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # user 2's match skipped C: exactly 2 rows for it
+    assert sum(1 for r in got.collect() if r["user_id"] == 2) == 2
+
+
+def test_stream_all_rows_exclusion_composes(spark):
+    ev = _mk(spark, ROWS_PLAIN)
+    spec = dict(
+        partition_by="user_id", order_by="ts", pattern="S {- C -} P",
+        define=_def(), default_within="INTERVAL 1000 SECONDS",
+        after_match="skip_past_last", rows_per_match="all",
+    )
+    want = match_recognize(ev, **spec)
+    got = _stream_run(spark, ev, **spec)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert all(r["var"] != "C" for r in got.collect())
+
+
+def test_stream_all_rows_raises(spark):
+    ev = _mk(spark, ROWS_RUN)
+    base = dict(
+        partition_by="user_id", order_by="ts", define=_def(),
+        default_within="INTERVAL 1000 SECONDS", rows_per_match="all",
+    )
+    with pytest.raises(ValueError, match="single-plan plain/optional"):
+        stream_match_recognize(
+            _stream_of(spark, ev), pattern="S C{1,3} P",
+            after_match="no_skip", **base,
+        )
+    with pytest.raises(ValueError, match="replay routes"):
+        stream_match_recognize(
+            _stream_of(spark, ev), pattern="S C P",
+            after_match="skip_to_first C", **base,
+        )
+    with pytest.raises(ValueError, match="replay routes"):
+        stream_match_recognize(
+            _stream_of(spark, ev), pattern="S C P",
+            after_match="skip_past_last",
+            within_overall="INTERVAL 5 SECONDS", **base,
+        )
+    with pytest.raises(ValueError, match="ONE ROW PER MATCH shape"):
+        stream_match_recognize(
+            _stream_of(spark, ev), pattern="S C P",
+            after_match="no_skip",
+            measures={"x": F.col("S_ts")}, **base,
+        )
+
+
+def test_stream_run_agg_count_and_subset_equal_batch(spark):
+    ev = _mk(spark, ROWS_RUN)
+    spec = dict(
+        partition_by="user_id", order_by="ts", pattern="S C{1,3} P",
+        define=_def(), default_within="INTERVAL 1000 SECONDS",
+        after_match="no_skip",
+        measures={
+            "anchor_id": F.col("anchor_id"),
+            "c_cnt": run_agg("count", "C"),
+            "u_cnt": run_agg("count", "U"),
+        },
+        subset={"U": ("S", "C", "P")},
+    )
+    want = match_recognize(ev, **spec)
+    got = _stream_run(spark, ev, **spec)
+    assert got.columns == want.columns
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == sorted(map(tuple, want.collect()))
+    # user 1 binds the 2-rep greedy run: COUNT(C.*)=2, COUNT(U.*)=4
+    assert (1, 1, 2, 4) in rows
+
+
+def test_stream_run_agg_value_aggregates_raise(spark):
+    ev = _mk(spark, ROWS_RUN)
+    with pytest.raises(ValueError, match="batch band join"):
+        stream_match_recognize(
+            _stream_of(spark, ev),
+            partition_by="user_id", order_by="ts", pattern="S C{1,3} P",
+            define=_def(), default_within="INTERVAL 1000 SECONDS",
+            after_match="no_skip",
+            measures={"s": run_agg("sum", "C", F.col("event_id"))},
+        )
+    # RunAgg over an EXCLUDED variable: the stream drops its columns
+    # before MEASURES — documented batch-only corner
+    with pytest.raises(ValueError, match="EXCLUDED"):
+        stream_match_recognize(
+            _stream_of(spark, ev),
+            partition_by="user_id", order_by="ts",
+            pattern="S {- C{1,3} -} P",
+            define=_def(), default_within="INTERVAL 1000 SECONDS",
+            after_match="no_skip",
+            measures={"c": run_agg("count", "C")},
+        )
+    # SUBSET without a consuming RunAgg
+    with pytest.raises(ValueError, match="SUBSET is consumed"):
+        stream_match_recognize(
+            _stream_of(spark, ev),
+            partition_by="user_id", order_by="ts", pattern="S C P",
+            define=_def(), default_within="INTERVAL 1000 SECONDS",
+            after_match="no_skip", subset={"U": ("S", "C")},
+        )
+
+
+_SQL_RUN_AGG = """
+PARTITION BY user_id ORDER BY ts
+MEASURES COUNT(C.*) AS c_n, FIRST(C.ts) AS c_first, LAST(C.ts) AS c_last,
+         COUNT(U.*) AS u_n
+AFTER MATCH SKIP TO NEXT ROW
+PATTERN (S C{1,3} P)
+SUBSET U = (S, C, P)
+DEFINE S AS S.event_type = 's', C AS C.event_type = 'c',
+       P AS P.event_type = 'p'
+"""
+
+
+def test_stream_sql_text_run_agg_equals_batch_text(spark):
+    ev = _mk(spark, ROWS_RUN)
+    got = run_to_table(
+        stream_match_recognize_sql(
+            _stream_of(spark, ev), _SQL_RUN_AGG,
+            default_within="INTERVAL 1000 SECONDS",
+        )
+    ).filter(F.col("user_id") < 10 ** 6)
+    want = match_recognize_sql(
+        ev, _SQL_RUN_AGG, default_within="INTERVAL 1000 SECONDS"
+    )
+    assert got.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_stream_sql_text_all_rows_equals_batch_text(spark):
+    ev = _mk(spark, ROWS_PLAIN)
+    sql = """
+    PARTITION BY user_id ORDER BY ts
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (S C P)
+    DEFINE S AS S.event_type = 's', C AS C.event_type = 'c',
+           P AS P.event_type = 'p'
+    """
+    got = run_to_table(
+        stream_match_recognize_sql(
+            _stream_of(spark, ev), sql,
+            default_within="INTERVAL 1000 SECONDS",
+        )
+    ).filter(F.col("user_id") < 10 ** 6)
+    want = match_recognize_sql(
+        ev, sql, default_within="INTERVAL 1000 SECONDS"
+    )
+    assert got.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_stream_sql_text_batch_only_measures_raise(spark):
+    ev = _mk(spark, ROWS_RUN)
+    base = dict(default_within="INTERVAL 1000 SECONDS")
+    with pytest.raises(ValueError, match="batch-only on the stream"):
+        stream_match_recognize_sql(
+            _stream_of(spark, ev),
+            """
+            PARTITION BY user_id ORDER BY ts
+            MEASURES SUM(C.event_id) AS s
+            PATTERN (S C{1,3} P)
+            DEFINE S AS S.event_type = 's', C AS C.event_type = 'c',
+                   P AS P.event_type = 'p'
+            """,
+            **base,
+        )
+    with pytest.raises(ValueError, match="batch-only on the stream"):
+        stream_match_recognize_sql(
+            _stream_of(spark, ev),
+            """
+            PARTITION BY user_id ORDER BY ts
+            MEASURES FIRST(C.ts, 1) AS second_ts
+            PATTERN (S C{1,3} P)
+            DEFINE S AS S.event_type = 's', C AS C.event_type = 'c',
+                   P AS P.event_type = 'p'
+            """,
+            **base,
+        )
