@@ -253,6 +253,39 @@ def main() -> None:
         name: round(max(runs) - min(runs), 3) for name, runs in warm_runs.items()
     }
 
+    # Variance protocol (round 11, VERDICT r10 item 3): two identical r10
+    # warm runs spread +/-25%, larger than any real round-over-round
+    # delta — so the bench itself carries the ACCEPTANCE BAND. The
+    # per-query warm MEDIAN of the interleaved passes is compared against
+    # the previous round's recorded medians ($SPARK_GRAFT_BENCH_BASELINE,
+    # default: the newest BENCH_local_r*.json beside this script); only
+    # >1.5x median-vs-median moves are flagged as regressions — anything
+    # inside the band is ambient (GC/page-cache/JIT), not a code delta.
+    baseline_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    if baseline_path is None:
+        import glob
+
+        cands = sorted(
+            glob.glob(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_local_r*.json")
+            )
+        )
+        baseline_path = cands[-1] if cands else None
+    regressions: dict[str, list[float]] = {}
+    baseline_used = None
+    if baseline_path and os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as fh:
+                base_warm = json.load(fh).get("queries_warm", {})
+            baseline_used = os.path.basename(baseline_path)
+            for name, cur in warm.items():
+                prev = base_warm.get(name)
+                if prev and prev > 0 and cur > 1.5 * prev and cur - prev > 0.5:
+                    regressions[name] = [prev, cur, round(cur / prev, 2)]
+        except (OSError, ValueError):
+            baseline_used = None
+
     total = round(sum(timings.values()), 3)
     r01_subset = round(sum(timings[n] for n in HEADLINE_R01 if n in timings), 3)
     r01_subset_warm = round(sum(warm[n] for n in HEADLINE_R01 if n in warm), 3)
@@ -272,6 +305,12 @@ def main() -> None:
                 "queries_warm_spread": warm_spread,
                 "warm_passes": n_warm_passes,
                 "warm_total_wall": round(sum(warm.values()), 3),
+                # acceptance band: >1.5x warm-median moves (and >0.5s
+                # absolute — sub-second queries jitter multiplicatively)
+                # vs the previous recorded round; empty = no regression
+                # outside ambient variance
+                "warm_regressions_vs_baseline": regressions,
+                "warm_baseline_file": baseline_used,
                 "note": (
                     f"value sums {len(names)} queries (round-2 breadth); "
                     f"BENCH_r01's 23.1s covered only 20 — compare it against "

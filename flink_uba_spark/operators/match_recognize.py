@@ -107,15 +107,18 @@ chains, trailing runs, lazy reluctant) and the alternation preference
 operator as IN-OPERATOR candidate prunes before their folds. The one
 exception: a mid-pattern quantifier under streaming SKIP PAST LAST
 keeps the in-NFA fold and raises with the bound. Exclusion ``{- X -}``
-composes with SKIP TO and alternation/PERMUTE on BOTH engines (output
-shaping over the per-variable columns those routes already emit — ONE
-row drops the columns, ALL ROWS drops the per-event rows); only the
-reluctant engines (dropping count-distinguishing columns would
-collapse per-count multi-match rows) and the iterative route's payload
-columns keep the exclusion raise. There is also a SQL-TEXT front-end
+(round 11) composes with EVERY route on BOTH engines — pure output
+shaping after each engine's fold: ONE row drops the excluded columns
+(plus the iterative route's payload columns), ALL ROWS drops the
+per-event rows; per-count reluctant multi-matches whose projections
+coincide after the drop emit as DUPLICATE rows, one row per match.
+There is also a SQL-TEXT front-end
 (operators/match_recognize_sql.py) compiling the ISO clause string
 onto this spec, batch (``match_recognize_sql``) and streaming
-(``stream_match_recognize_sql``).
+(``stream_match_recognize_sql``). Round 11 also streams MEASURES run
+aggregates (COUNT + SUBSET — the NFA's own count columns), FIRST/LAST
+timestamp navigation, and ALL ROWS PER MATCH (plain/optional
+single-plan routes, per-step ids from state).
 """
 
 from __future__ import annotations
@@ -864,18 +867,13 @@ def match_recognize(
             "SUBSET is consumed by RunAgg MEASURES (e.g. "
             "run_agg('sum', '<subset name>', col)) — pass one"
         )
-    if excluded and (bool(iter_define) or has_rel):
-        # round 10 lifts SKIP TO and alternation/PERMUTE (exclusion is
-        # output shaping over the per-variable columns those routes
-        # already emit); the reluctant engines keep the raise (dropping
-        # the count-distinguishing columns would collapse per-count
-        # multi-match rows), and the iterative route's payload columns
-        # stay out of scope
-        raise ValueError(
-            "exclusion {- X -} composes with the single-plan, SKIP TO "
-            "and alternation/PERMUTE routes (the reluctant/iterative "
-            "engines fold their own output)"
-        )
+    # round 11 lifts the LAST exclusion cells — reluctant and iterative
+    # (r10 lifted SKIP TO and alternation/PERMUTE): ISO exclusion is pure
+    # output shaping everywhere, so the reluctant engines drop the
+    # excluded columns after their folds (two distinct per-count matches
+    # whose visible projections then coincide emit as DUPLICATE rows —
+    # faithful ONE-row semantics, each row is one match) and the
+    # iterative route drops its payload columns with the variable.
     if (anchor_start or anchor_end) and specialties:
         raise ValueError("^ / $ anchors compose with the single-plan path only")
 
@@ -948,25 +946,38 @@ def match_recognize(
         if rows_per_match == "all":
             # plain iterative chains: one row per bound event, a
             # stateless explode of the compile-time (seq, var) layout
-            # (round 9 second pass — same shape as the alternation route)
-            return _explode_plain_rows(out, vnames, partition_by)
+            # (round 9 second pass — same shape as the alternation route;
+            # round 11: excluded variables leave the per-event output,
+            # the single-plan rule)
+            return _explode_plain_rows(out, vnames, partition_by, excluded)
         if mode == "skip_past_last":
             out = out.withColumn("end_id", F.col(f"i{n}"))
         var_cols = []
         for k, v in enumerate(vnames, start=1):
             out = out.withColumnRenamed(f"t{k}", f"{v}_ts")
-            var_cols.append(f"{v}_ts")
             if parsed[k - 1][1] is not None:
                 out = out.withColumnRenamed(f"t{k}_last", f"{v}_last_ts")
                 out = out.withColumnRenamed(f"n{k}", f"{v}_n")
-                var_cols += [f"{v}_last_ts", f"{v}_n"]
             for nm in pay:
                 out = out.withColumnRenamed(f"{nm}{k}", f"{nm}_{v}")
+            if v in excluded:
+                # round 11: exclusion drops the variable's columns AND
+                # its payload columns — the same stateless shaping as
+                # everywhere else
+                continue
+            var_cols.append(f"{v}_ts")
+            if parsed[k - 1][1] is not None:
+                var_cols += [f"{v}_last_ts", f"{v}_n"]
         out = out.drop(*[f"i{k}" for k in range(1, n + 1)])
         out = out.select(
             partition_by, "anchor_id",
             *var_cols,
-            *[f"{nm}_{v}" for v in vnames for nm in pay],
+            *[
+                f"{nm}_{v}"
+                for v in vnames
+                if v not in excluded
+                for nm in pay
+            ],
             *(["end_id"] if mode == "skip_past_last" else []),
         )
         return _measures(out, partition_by, measures)
@@ -1058,6 +1069,10 @@ def match_recognize(
             )
             out = after_match_skip_past_last(out, key=partition_by)
         out = _rename(out.drop("max_step", "state"), parsed)
+        # round 11: exclusion composes — a stateless column drop after
+        # the fold; per-count multi-matches whose projections coincide
+        # after the drop emit as duplicate rows (one row per match)
+        out = _drop_excluded(out, excluded)
         return _measures(out, partition_by, measures)
 
     # ---- branch-union route (alternation and/or PERMUTE) -----------------
@@ -1408,7 +1423,7 @@ def match_recognize(
 
 def _stream_reluctant(
     events, partition_by, order_by, parsed, define, wmap, default_within,
-    measures, event_id, rel, within_overall=None,
+    measures, event_id, rel, within_overall=None, excluded=None,
 ):
     """Reluctant streaming compile: the per-count NFAs packed into ONE
     stateful operator over ONE source scan (stream_pattern_detect_fused;
@@ -1506,6 +1521,9 @@ def _stream_reluctant(
     if partition_by != "user_id":
         out = out.withColumnRenamed("user_id", partition_by)
     out = _rename(out.drop("max_step", "state"), parsed)
+    # round 11: exclusion is a stateless drop after the per-count fold;
+    # projections that coincide across counts emit as duplicate rows
+    out = _drop_excluded(out, excluded)
     return _measures(out, partition_by, measures)
 
 
@@ -1643,7 +1661,7 @@ def _stream_skip_to(
 
 def _stream_reluctant_lazy(
     events, partition_by, order_by, parsed, define, wmap, default_within,
-    measures, event_id, within_overall=None,
+    measures, event_id, within_overall=None, excluded=None,
 ):
     """Streaming lazy SKIP PAST LAST (round 9): per-count candidates +
     the earliest-completion preference + the non-overlap horizon replay
@@ -1672,6 +1690,9 @@ def _stream_reluctant_lazy(
     if partition_by != "user_id":
         out = out.withColumnRenamed("user_id", partition_by)
     out = _rename(out, parsed)
+    # round 11: exclusion drops columns after the lazy fold (one row
+    # per fold here, so no duplicate-projection corner even exists)
+    out = _drop_excluded(out, excluded)
     return _measures(out, partition_by, measures)
 
 
@@ -1780,20 +1801,11 @@ def stream_match_recognize(
             "SUBSET is consumed by RunAgg MEASURES (e.g. "
             "run_agg('count', '<subset name>')) — pass one"
         )
-    if excluded and any(
-        q is not None and q[0] == "reluctant" for _v, q in parsed
-    ):
-        # the reluctant stream engines fold per-count output — dropping
-        # the count-distinguishing columns would collapse multi-match
-        # rows; exclusion composes with the single-plan, skip-replay
-        # (round 10, VERDICT r9 item 6) and alternation/PERMUTE routes
-        # (round 10 — the preference projection emits per-variable
-        # columns, so exclusion is a stateless column drop there too)
-        raise ValueError(
-            "exclusion {- X -} streams on the single-plan, skip-replay "
-            "and alternation/PERMUTE routes (ONE-row output shaping; the "
-            "reluctant engines are batch-only for it)"
-        )
+    # round 11: exclusion streams on EVERY route (r10 left reluctant and
+    # iterative raising) — it is a stateless column drop after each
+    # engine's fold; per-count multi-matches whose projections coincide
+    # after the drop emit as duplicate rows (one row per match), and the
+    # iterative route drops its payload columns with the variable.
     if any(
         isinstance(var, tuple) and not (q is not None and q[0] == "kleene")
         for var, q in parsed
@@ -1871,6 +1883,48 @@ def stream_match_recognize(
         out = _rename(out, parsed)
         out = _drop_excluded(out, excluded)
         return _measures(out, partition_by, measures)
+    if (
+        mode == "skip_past_last"
+        and not iter_define_py
+        and any(q is not None and q[0] == "kleene" for _v, q in parsed)
+        and all(
+            q is None or q[0] == "kleene" for _v, q in parsed
+        )
+        and not any(isinstance(v, tuple) for v, _q in parsed)
+        and parsed[0][1] is None
+    ):
+        # round 11 (VERDICT r10 item 6 — the last within_overall cell,
+        # and with it the whole quantified-chain-under-SKIP-PAST-LAST
+        # family): MID-pattern greedy runs stream through the GENERAL
+        # quantified-chain replayer (the trailing-run recompute
+        # generalized to runs at any position; finite caps + withins
+        # bound the horizon). within_overall prunes in-replayer before
+        # the fold, exactly the plain-chain route's rule.
+        from flink_uba_spark.streaming.skip_replay import (
+            stream_quantified_chain_detect,
+        )
+
+        if any(
+            q is not None and q[2] is None for _v, q in parsed
+        ):
+            raise ValueError(
+                "an uncapped run (B+ / B{n,}) streams under SKIP PAST "
+                "LAST with a finite cap only (mx·gap is part of the "
+                "replay horizon) — write the cap or use no_skip"
+            )
+        steps, _ = _steps_and_sets(
+            parsed, define, dict(withins or {}), default_within
+        )
+        out = stream_quantified_chain_detect(
+            events, key=partition_by, steps=steps,
+            event_id=event_id, ts=order_by,
+            within_overall=within_overall,
+        )
+        if partition_by != "user_id":
+            out = out.withColumnRenamed("user_id", partition_by)
+        out = _rename(out, parsed)
+        out = _drop_excluded(out, excluded)
+        return _measures(out, partition_by, measures)
     if iter_define_py:
         # round 9 second pass: prefix-referencing DEFINE STREAMS through
         # stream_pattern_detect_iterative (the engine the Pattern-API
@@ -1889,12 +1943,6 @@ def stream_match_recognize(
                 "streaming iter_define runs under NO SKIP (the iterative "
                 "NFA emits per-anchor matches; the cross-anchor skip "
                 "folds are batch-only on this route)"
-            )
-        if excluded:
-            raise ValueError(
-                "exclusion {- X -} streams on the single-plan path only "
-                "(ONE-row output shaping; the specialty routes are "
-                "batch-only for it)"
             )
         if any(q is not None or isinstance(v, tuple) for v, q in parsed):
             raise ValueError(
@@ -1941,6 +1989,13 @@ def stream_match_recognize(
         for nm in (payload or {}):
             for k, v in enumerate(vnames, start=1):
                 out = out.withColumnRenamed(f"{nm}{k}", f"{nm}_{v}")
+        # round 11: exclusion drops the variable's columns AND its
+        # payload columns — the batch iterative route's rule
+        out = _drop_excluded(out, excluded)
+        if excluded and payload:
+            out = out.drop(
+                *[f"{nm}_{v}" for v in excluded for nm in payload]
+            )
         return _measures(out, partition_by, measures)
     rel = {
         k for k, (_v, q) in enumerate(parsed, start=1)
@@ -1965,7 +2020,7 @@ def stream_match_recognize(
             return _stream_reluctant_lazy(
                 events, partition_by, order_by, parsed, define,
                 dict(withins or {}), default_within, measures, event_id,
-                within_overall=within_overall,
+                within_overall=within_overall, excluded=excluded,
             )
         if mode != "no_skip":
             raise ValueError(
@@ -1975,7 +2030,7 @@ def stream_match_recognize(
         return _stream_reluctant(
             events, partition_by, order_by, parsed, define,
             dict(withins or {}), default_within, measures, event_id, rel,
-            within_overall=within_overall,
+            within_overall=within_overall, excluded=excluded,
         )
     if mode == "skip_to":
         if any(q is not None for _v, q in parsed):
@@ -1992,12 +2047,14 @@ def stream_match_recognize(
         # round 10 (VERDICT r9 item 5): the overall bound must prune
         # candidates BEFORE the skip fold, and the single-plan NFA folds
         # in-operator — route plain chains to the past-last replayer
-        # (the trailing-run shape took its own replay branch above)
+        # (trailing runs and mid-pattern quantified chains took their
+        # own replay branches above — round 11 closed the quantified
+        # cell; only OPTIONAL steps remain on the in-NFA fold)
         if any(q is not None for _v, q in parsed):
             raise ValueError(
                 "within_overall under streaming SKIP PAST LAST runs on "
-                "plain chains and trailing runs (the replay routes); an "
-                "optional or mid-pattern quantifier keeps the in-NFA "
+                "the replay routes (plain chains, trailing runs, "
+                "quantified chains); an OPTIONAL step keeps the in-NFA "
                 "fold, which cannot compose with the overall bound"
             )
         from flink_uba_spark.streaming.skip_replay import (

@@ -2052,7 +2052,153 @@ def match_recognize_sql_subset_agg(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def match_recognize_reluctant_excluded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exclusion ``{- E{1,3}? -}`` on the RELUCTANT engine (round 11 —
+    the last batch exclusion cell): the lazy error run still matches
+    and gates the chain, its columns just leave the ONE-row projection
+    AFTER the per-count multi-match emission. Two counts binding the
+    SAME purchase therefore emit as DUPLICATE (user, anchor, S_ts,
+    P_ts) rows — faithful ONE-row semantics, each row is one distinct
+    match. Oracle: the reluctant union-of-counts oracle, projected —
+    duplicates preserved on both sides. Reference family:
+    Pattern.oneOrMore (non-greedy default), OrderPayTimeout.java:52-64."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S {- E{1,3}? -} P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="no_skip",
+    )
+
+
+def _reluctant_excluded_oracle() -> str:
+    from flink_uba_spark.queries.behavior import PATTERN_RELUCTANT_ORACLE
+
+    return f"""
+SELECT user_id, anchor_id, t1 AS S_ts, t3 AS P_ts
+FROM ({PATTERN_RELUCTANT_ORACLE})
+WHERE state = 'matched'
+"""
+
+
+def match_recognize_mid_run_within_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MID-pattern greedy run under ``SKIP PAST LAST`` with an overall
+    WITHIN — ``PATTERN (S E{1,2} P) WITHIN 30h`` (round 11; the batch
+    twin of the streaming quantified-chain replayer that closed VERDICT
+    r10 item 6): signup → up to two errors (12 h gap) → purchase
+    (24 h of the run's last error), non-overlapping episodes, matches
+    whose whole span exceeds 30 h pruned BEFORE the skip fold.
+    Reference family: Pattern.times(1,2) chaining + within,
+    OrderPayTimeout.java:52-64."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S E{1,2} P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "E": F.col("event_type") == "error",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_past_last",
+        within_overall="INTERVAL 30 HOURS",
+    )
+
+
+# mid-run candidates (greedy min(2, session-remaining) error runs),
+# the overall-WITHIN prune BEFORE the fold, then the SKIP PAST LAST
+# completion-order walk — the trailing-run oracle's fold over the
+# streak oracle's session machinery
+MATCH_RECOGNIZE_MID_RUN_WITHIN_SKIP_ORACLE = """
+WITH RECURSIVE
+err AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts,
+         COALESCE(lead(ts, 1) OVER ws, ts) AS run_last,
+         LEAST(2, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*, r.ts AS t2, r.run_last AS t2_last, r.n_reps AS n2
+  FROM a JOIN LATERAL (
+    SELECT ts, run_last, n_reps, event_id FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1
+    ORDER BY r.ts, r.event_id LIMIT 1) r ON TRUE
+  WHERE r.ts <= a.t1 + INTERVAL 12 HOUR
+),
+a3 AS (
+  SELECT a2.*, p.ts AS t3, p.event_id AS i3
+  FROM a2 JOIN LATERAL (
+    SELECT ts, event_id FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+      AND p.ts >= a2.t2_last
+    ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+  WHERE p.ts <= a2.t2_last + INTERVAL 24 HOUR
+    -- the overall WITHIN prunes BEFORE the fold (inclusive bound)
+    AND p.ts <= a2.t1 + INTERVAL 30 HOUR
+),
+cand AS (
+  SELECT user_id, anchor_id, t1, t2, t2_last, n2, t3, i3,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY t3, i3, t1, anchor_id) AS r
+  FROM a3
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.i3 ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.anchor_id, c.t1 AS S_ts, c.t2 AS E_ts,
+       c.t2_last AS E_last_ts, CAST(c.n2 AS BIGINT) AS E_n,
+       c.t3 AS P_ts, c.i3 AS end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
 QUERIES = {
+    "match_recognize_reluctant_excluded": match_recognize_reluctant_excluded,
+    "match_recognize_mid_run_within_skip": match_recognize_mid_run_within_skip,
     "match_recognize_trailing_run": match_recognize_trailing_run,
     "match_recognize_sql_error_run": match_recognize_sql_error_run,
     "match_recognize_sql_skip_to_first": match_recognize_sql_skip_to_first,
@@ -2083,6 +2229,8 @@ from flink_uba_spark.queries.behavior import (  # noqa: E402  (oracle reuse)
 )
 
 ORACLES = {
+    "match_recognize_reluctant_excluded": _reluctant_excluded_oracle(),
+    "match_recognize_mid_run_within_skip": MATCH_RECOGNIZE_MID_RUN_WITHIN_SKIP_ORACLE,
     "match_recognize_trailing_run": MATCH_RECOGNIZE_TRAILING_RUN_ORACLE,
     "match_recognize_sql_error_run": _SQL_ERROR_RUN_ORACLE,
     "match_recognize_sql_skip_to_first": MATCH_RECOGNIZE_SKIP_TO_FIRST_ORACLE,

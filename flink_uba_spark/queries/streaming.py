@@ -3586,6 +3586,92 @@ WHERE state = 'matched'
 """
 
 
+def stream_match_recognize_reluctant_excluded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exclusion on the RELUCTANT engine as a CONTINUOUS query (round 11
+    — the last stream exclusion cell): the fused per-count NFAs emit
+    multi-matches under NO SKIP, then the excluded error-run columns
+    leave the projection — a stateless drop after the fold, so two
+    counts binding the same purchase emit duplicate rows (one row per
+    match). Emission is data-driven, no cut — the reluctant twin's
+    rule. Oracle: match_recognize_reluctant_excluded's, shared (x +
+    stream_x)."""
+    from flink_uba_spark.operators.match_recognize import stream_match_recognize
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S {- E{1,3}? -} P",
+            define={
+                "S": F.col("event_type") == "signup",
+                "E": F.col("event_type") == "error",
+                "P": F.col("event_type") == "purchase",
+            },
+            withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+            after_match="no_skip",
+        )
+    )
+
+
+def _stream_reluctant_excluded_oracle() -> str:
+    from flink_uba_spark.queries.rowpattern import _reluctant_excluded_oracle
+
+    return _reluctant_excluded_oracle()
+
+
+def stream_match_recognize_mid_run_within_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MID-pattern greedy run + SKIP PAST LAST + overall WITHIN as a
+    CONTINUOUS query (round 11 — VERDICT r10 item 6, the LAST
+    within_overall routing cell): ``PATTERN (S E{1,2} P) WITHIN 30h``
+    through the GENERAL quantified-chain replayer
+    (streaming/skip_replay.py make_quantified_chain_replayer — the
+    trailing-run recompute generalized to runs at any position; this
+    also makes quantified chains under SKIP PAST LAST streamable at
+    all, previously an in-NFA-fold raise). The overall bound prunes
+    candidates in-replayer BEFORE the fold. Oracle: the batch fold
+    truncated at the decidability cut ``end + H < final ms-floored
+    watermark``, H = 12h entry + 2x12h run + 24h suffix = 60h."""
+    from flink_uba_spark.operators.match_recognize import stream_match_recognize
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S E{1,2} P",
+            define={
+                "S": F.col("event_type") == "signup",
+                "E": F.col("event_type") == "error",
+                "P": F.col("event_type") == "purchase",
+            },
+            withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+            after_match="skip_past_last",
+            within_overall="INTERVAL 30 HOURS",
+        )
+    )
+
+
+def _stream_mid_run_within_skip_oracle() -> str:
+    from flink_uba_spark.queries.rowpattern import (
+        MATCH_RECOGNIZE_MID_RUN_WITHIN_SKIP_ORACLE,
+    )
+
+    h_us = 60 * 3600 * 1_000_000
+    return f"""
+SELECT b.* FROM ({MATCH_RECOGNIZE_MID_RUN_WITHIN_SKIP_ORACLE}) b
+WHERE epoch_us(b.P_ts) + {h_us} <
+      (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+       WHERE event_type IN ('signup', 'error', 'purchase'))
+"""
+
+
 def stream_match_recognize_sql_run_agg(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3773,6 +3859,8 @@ QUERIES = {
     "stream_match_recognize_within_skip": stream_match_recognize_within_skip,
     "stream_match_recognize_sql_text": stream_match_recognize_sql_text,
     "stream_match_recognize_sql_run_agg": stream_match_recognize_sql_run_agg,
+    "stream_match_recognize_reluctant_excluded": stream_match_recognize_reluctant_excluded,
+    "stream_match_recognize_mid_run_within_skip": stream_match_recognize_mid_run_within_skip,
     "stream_match_recognize_all_rows": stream_match_recognize_all_rows,
     "stream_match_recognize_sql_all_rows": stream_match_recognize_sql_all_rows,
     "stream_match_recognize_reluctant_lazy": stream_match_recognize_reluctant_lazy,
@@ -3854,6 +3942,8 @@ ORACLES = {
     "stream_match_recognize_within_skip": _stream_mr_within_skip_oracle(),
     "stream_match_recognize_sql_text": _stream_mr_within_skip_oracle(),
     "stream_match_recognize_sql_run_agg": STREAM_MATCH_RECOGNIZE_STREAK_ORACLE,
+    "stream_match_recognize_reluctant_excluded": _stream_reluctant_excluded_oracle(),
+    "stream_match_recognize_mid_run_within_skip": _stream_mid_run_within_skip_oracle(),
     "stream_match_recognize_all_rows": STREAM_MATCH_RECOGNIZE_ALL_ROWS_ORACLE,
     "stream_match_recognize_sql_all_rows": STREAM_MATCH_RECOGNIZE_ALL_ROWS_ORACLE,
     "stream_match_recognize_reluctant_lazy": _stream_mr_reluctant_lazy_oracle(),

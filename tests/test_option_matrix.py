@@ -305,6 +305,7 @@ ROUTES = [
         all_vars={"S", "C", "P"},
         excl_pattern="{- S -} C P",
         excl_var="S",
+        excl_extra=("amt_S",),
         subset=("C", "P"),
         end_col=None,
         extra_batch=lambda: dict(
@@ -326,6 +327,7 @@ ROUTES = [
         all_vars={"S", "C", "P"},
         excl_pattern="{- S -} C P",
         excl_var="S",
+        excl_extra=("amt_S",),
         subset=("C", "P"),
         end_col=None,
         extra_batch=lambda: dict(
@@ -569,6 +571,9 @@ def test_option_matrix(spark, rname, engine, option):
     if option == "exclusion":
         v = route["excl_var"]
         dropped = {f"{v}_ts", f"{v}_last_ts", f"{v}_n"}
+        # routes with payload drop the excluded variable's payload
+        # columns too (the iterative route's rule)
+        dropped |= set(route.get("excl_extra", ()))
         assert dropped & set(cols), "fixture flaw: nothing to drop"
         keep = [i for i, c in enumerate(cols) if c not in dropped]
         assert applied.columns == [cols[i] for i in keep], (

@@ -359,16 +359,24 @@ def test_exclusion_on_alternation_routes(spark):
 
 
 def test_round10_remaining_raises(spark):
-    ev = _mk_events(spark, [(1, 1, 0, "s")])
-    # mid-pattern quantifier + within_overall + SKIP PAST LAST: the
-    # in-NFA fold cannot compose with the bound
-    with pytest.raises(ValueError, match="plain chains and trailing"):
+    # round 11 lifted the mid-pattern-quantifier cell (the general
+    # quantified-chain replayer, tests/test_round11_ops.py); the
+    # remaining in-NFA-fold cell is an OPTIONAL step under the bound
+    with pytest.raises(ValueError, match="OPTIONAL step"):
         stream_match_recognize(
-            ev, "user_id", "ts", "S C{1,2} P", _def3(),
+            _mk_stream_like(spark), "user_id", "ts", "S C? P", _def3(),
             default_within="INTERVAL 1 HOUR",
             after_match="skip_past_last",
             within_overall="INTERVAL 2 HOURS",
         )
+    # ...and the lifted cell compiles
+    sdf_mid = stream_match_recognize(
+        _mk_stream_like(spark), "user_id", "ts", "S C{1,2} P", _def3(),
+        default_within="INTERVAL 1 HOUR",
+        after_match="skip_past_last",
+        within_overall="INTERVAL 2 HOURS",
+    )
+    assert "C_n" in sdf_mid.columns and "end_id" in sdf_mid.columns
     # the reluctant fused engine now carries it (stateless post-filter)
     sdf_rel = stream_match_recognize(
         _mk_stream_like(spark), "user_id", "ts", "S C{1,2}? P", _def3(),

@@ -303,3 +303,184 @@ def test_stream_sql_text_batch_only_measures_raise(spark):
             """,
             **base,
         )
+
+
+# ---- round-11 exclusion lifts (the last cells: reluctant + iterative) ----
+
+
+def test_reluctant_exclusion_emits_duplicate_projections(spark):
+    """Two per-count matches that bind the SAME purchase collapse to
+    identical projections once the lazy run's columns drop — BOTH rows
+    must survive (one row per match), batch and stream."""
+    rows = [
+        # counts 1 and 2 both complete at p@5 -> duplicate (S_ts, P_ts)
+        (1, 1, 0, "s"), (1, 2, 1, "c"), (1, 3, 2, "c"), (1, 4, 5, "p"),
+    ]
+    ev = _mk(spark, rows)
+    spec = dict(
+        partition_by="user_id", order_by="ts",
+        pattern="S {- C{1,2}? -} P",
+        define=_def(), default_within="INTERVAL 1000 SECONDS",
+        after_match="no_skip",
+    )
+    want = match_recognize(ev, **spec)
+    assert want.columns == ["user_id", "anchor_id", "S_ts", "P_ts"]
+    wrows = sorted(map(tuple, want.collect()))
+    assert len(wrows) == 2 and wrows[0] == wrows[1], wrows
+    got = _stream_run(spark, ev, **spec)
+    assert got.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == wrows
+
+
+def test_reluctant_lazy_exclusion_equals_batch(spark):
+    ev = _mk(spark, ROWS_RUN)
+    spec = dict(
+        partition_by="user_id", order_by="ts",
+        pattern="S {- C{1,2}? -} P",
+        define=_def(), default_within="INTERVAL 1000 SECONDS",
+        after_match="skip_past_last",
+    )
+    want = match_recognize(ev, **spec)
+    got = _stream_run(spark, ev, **spec)
+    assert got.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_iterative_exclusion_drops_payload_columns(spark):
+    rows = [
+        (1, 1, 0, "s", 1.0), (1, 2, 1, "c", 2.0), (1, 3, 2, "p", 0.0),
+        (3, 20, 0, "s", 5.0), (3, 21, 1, "c", 2.0), (3, 22, 2, "c", 6.0),
+        (3, 23, 3, "p", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (u, e, EPOCH + datetime.timedelta(seconds=s), t, a)
+            for u, e, s, t, a in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " amt double",
+    )
+    batch = match_recognize(
+        ev,
+        partition_by="user_id", order_by="ts",
+        pattern="S {- C -} P",
+        define=_def(), default_within="INTERVAL 1000 SECONDS",
+        after_match="no_skip",
+        payload={"amt": F.col("amt")},
+        iter_define={"C": lambda b: b["C"]["amt"] > b["S"]["amt"]},
+    )
+    assert "C_ts" not in batch.columns and "amt_C" not in batch.columns
+    assert "amt_S" in batch.columns and "S_ts" in batch.columns
+    brows = sorted(map(tuple, batch.collect()))
+    assert len(brows) == 2  # u1's c@1 passes (2>1); u3 skips c@1, binds c@2
+
+    def _stream_of_amt(b):
+        rws = sorted(b.collect(), key=lambda r: (r["ts"], r["event_id"]))
+        frames = [
+            spark.createDataFrame([tuple(r) for r in rws], b.schema),
+            spark.createDataFrame(
+                [
+                    (
+                        10 ** 6, 10 ** 6,
+                        EPOCH + datetime.timedelta(seconds=10 ** 7),
+                        "s", 0.0,
+                    )
+                ],
+                b.schema,
+            ),
+        ]
+        replay = write_replay(frames, tag=f"r11x_{uuid.uuid4().hex[:8]}")
+        return (
+            spark.readStream.schema(b.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay)
+        )
+
+    got = run_to_table(
+        stream_match_recognize(
+            _stream_of_amt(ev),
+            partition_by="user_id", order_by="ts",
+            pattern="S {- C -} P",
+            define=_def(), default_within="INTERVAL 1000 SECONDS",
+            after_match="no_skip",
+            payload={"amt": F.col("amt")},
+            iter_define_py={"C": lambda pre, c: c[0] > pre[0][0]},
+        )
+    ).filter(F.col("user_id") < 10 ** 6)
+    assert "C_ts" not in got.columns and "amt_C" not in got.columns
+    assert sorted(
+        tuple(r[c] for c in batch.columns) for r in got.collect()
+    ) == brows
+
+
+# ---- round-11 quantified-chain SKIP PAST LAST replay (r10 item 6) ----
+
+
+ROWS_MIDQ = [
+    (1, 1, 0, "s"), (1, 2, 1, "c"), (1, 3, 2, "c"), (1, 4, 3, "p"),
+    (2, 10, 0, "s"), (2, 11, 1, "c"), (2, 12, 7, "p"),
+    # fold-shift key: anchor 20's match violates the bound, so it must
+    # not advance the horizon — anchor 21's match emits instead
+    (3, 20, 0, "s"), (3, 21, 3, "s"), (3, 22, 4, "c"), (3, 23, 7, "p"),
+    # non-overlap: a second episode after the first for the same key
+    (4, 30, 0, "s"), (4, 31, 1, "c"), (4, 32, 2, "c"), (4, 33, 3, "c"),
+    (4, 34, 4, "p"), (4, 35, 5, "s"), (4, 36, 6, "c"), (4, 37, 8, "p"),
+]
+
+
+def test_stream_mid_quant_skip_past_equals_batch(spark):
+    """Mid-pattern greedy runs now STREAM under SKIP PAST LAST (the
+    general quantified-chain replayer) — with and without the overall
+    bound, equal to the batch fold on a flushed replay."""
+    ev = _mk(spark, ROWS_MIDQ)
+    for wo in (None, "INTERVAL 4 SECONDS"):
+        spec = dict(
+            partition_by="user_id", order_by="ts", pattern="S C{1,2} P",
+            define=_def(), default_within="INTERVAL 1000 SECONDS",
+            after_match="skip_past_last", within_overall=wo,
+        )
+        want = match_recognize(ev, **spec)
+        got = _stream_run(spark, ev, **spec)
+        assert got.columns == want.columns
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"within_overall={wo}"
+    # the fold-shift corner specifically: bound 4s kills anchor 20
+    # (span 7) and anchor 21 (span 4, inclusive) must emit
+    spec = dict(
+        partition_by="user_id", order_by="ts", pattern="S C{1,2} P",
+        define=_def(), default_within="INTERVAL 1000 SECONDS",
+        after_match="skip_past_last", within_overall="INTERVAL 4 SECONDS",
+    )
+    got = _stream_run(spark, ev, **spec)
+    u3 = [r["anchor_id"] for r in got.collect() if r["user_id"] == 3]
+    assert u3 == [21]
+
+
+def test_stream_two_runs_skip_past_equals_batch(spark):
+    """TWO quantified steps in one chain through the same replayer."""
+    ev = _mk(spark, ROWS_MIDQ)
+    spec = dict(
+        partition_by="user_id", order_by="ts", pattern="S C{1,2} P{1,2}",
+        define=_def(), default_within="INTERVAL 1000 SECONDS",
+        after_match="skip_past_last",
+    )
+    want = match_recognize(ev, **spec)
+    got = _stream_run(spark, ev, **spec)
+    assert got.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_stream_mid_quant_uncapped_raises(spark):
+    ev = _mk(spark, ROWS_MIDQ)
+    with pytest.raises(ValueError, match="finite cap"):
+        stream_match_recognize(
+            _stream_of(spark, ev),
+            partition_by="user_id", order_by="ts", pattern="S C+ P",
+            define=_def(), default_within="INTERVAL 1000 SECONDS",
+            after_match="skip_past_last",
+        )

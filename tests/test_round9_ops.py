@@ -95,14 +95,15 @@ def test_stream_exclusion_routes(spark):
     path (stateless ONE-row projection drop); the specialty stream
     routes still raise with an explicit message."""
     ev = _mk_events(spark, [(1, 1, 0, "s")])
-    # round 10 lifted alternation too — only the reluctant engines keep
-    # the raise (per-count multi-match rows would collapse)
-    with pytest.raises(ValueError, match="reluctant engines"):
-        stream_match_recognize(
-            ev, "user_id", "ts", "S E{1,2}? {- P -}",
-            _def3(), default_within="INTERVAL 1 HOUR",
-            after_match="no_skip",
-        )
+    # round 10 lifted alternation; round 11 lifted the last cells —
+    # the reluctant engines now drop the excluded columns after their
+    # folds too (tests/test_round11_ops.py pins values against batch)
+    sdf_rel = stream_match_recognize(
+        _stream_like(spark), "user_id", "ts", "S E{1,2}? {- P -}",
+        _def3(), default_within="INTERVAL 1 HOUR",
+        after_match="no_skip",
+    )
+    assert "P_ts" not in sdf_rel.columns and "E_n" in sdf_rel.columns
     sdf_alt = stream_match_recognize(
         _stream_like(spark), "user_id", "ts", "(S|E) {- P -}",
         _def3(), default_within="INTERVAL 1 HOUR", after_match="no_skip",
