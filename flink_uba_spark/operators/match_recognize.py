@@ -104,9 +104,13 @@ batch everywhere; stream: single-plan/quantified-group/iterative/
 reluctant-fused NO SKIP as stateless post-filters (emission is
 per-anchor data-driven), the skip replays (SKIP TO, past-last plain
 chains, trailing runs, lazy reluctant) and the alternation preference
-operator as IN-OPERATOR candidate prunes before their folds. The one
-exception: a mid-pattern quantifier under streaming SKIP PAST LAST
-keeps the in-NFA fold and raises with the bound. Exclusion ``{- X -}``
+operator as IN-OPERATOR candidate prunes before their folds. Round 11
+closed the last cell: mid-pattern quantifiers AND interior optional
+steps under streaming SKIP PAST LAST route to the GENERAL
+quantified-chain replayer (runs at any position, the optional greedy
+race per anchor; finite caps/withins bound the horizon), with or
+without the overall bound — previously unstreamable shapes.
+Exclusion ``{- X -}``
 (round 11) composes with EVERY route on BOTH engines — pure output
 shaping after each engine's fold: ONE row drops the excluded columns
 (plus the iterative route's payload columns), ALL ROWS drops the
@@ -1886,39 +1890,44 @@ def stream_match_recognize(
     if (
         mode == "skip_past_last"
         and not iter_define_py
-        and any(q is not None and q[0] == "kleene" for _v, q in parsed)
+        and rows_per_match == "one"
+        and any(q is not None for _v, q in parsed)
         and all(
-            q is None or q[0] == "kleene" for _v, q in parsed
+            q is None or q[0] in ("kleene", "optional")
+            for _v, q in parsed
         )
         and not any(isinstance(v, tuple) for v, _q in parsed)
         and parsed[0][1] is None
     ):
         # round 11 (VERDICT r10 item 6 — the last within_overall cell,
-        # and with it the whole quantified-chain-under-SKIP-PAST-LAST
-        # family): MID-pattern greedy runs stream through the GENERAL
-        # quantified-chain replayer (the trailing-run recompute
-        # generalized to runs at any position; finite caps + withins
-        # bound the horizon). within_overall prunes in-replayer before
-        # the fold, exactly the plain-chain route's rule.
+        # and with it the whole quantified/optional-chain-under-SKIP-
+        # PAST-LAST family): MID-pattern greedy runs AND interior
+        # optional steps stream through the GENERAL quantified-chain
+        # replayer (the trailing-run recompute generalized: runs at any
+        # position, the optional greedy race per anchor; finite caps +
+        # withins bound the horizon). within_overall prunes in-replayer
+        # before the fold, exactly the plain-chain route's rule.
         from flink_uba_spark.streaming.skip_replay import (
             stream_quantified_chain_detect,
         )
 
         if any(
-            q is not None and q[2] is None for _v, q in parsed
+            q is not None and q[0] == "kleene" and q[2] is None
+            for _v, q in parsed
         ):
             raise ValueError(
                 "an uncapped run (B+ / B{n,}) streams under SKIP PAST "
                 "LAST with a finite cap only (mx·gap is part of the "
                 "replay horizon) — write the cap or use no_skip"
             )
-        steps, _ = _steps_and_sets(
+        steps, optional = _steps_and_sets(
             parsed, define, dict(withins or {}), default_within
         )
         out = stream_quantified_chain_detect(
             events, key=partition_by, steps=steps,
             event_id=event_id, ts=order_by,
             within_overall=within_overall,
+            optional=optional or None,
         )
         if partition_by != "user_id":
             out = out.withColumnRenamed("user_id", partition_by)

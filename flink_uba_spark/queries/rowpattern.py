@@ -2196,9 +2196,103 @@ WHERE s.kept
 """
 
 
+def match_recognize_optional_within_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIONAL step under ``SKIP PAST LAST`` with an overall WITHIN —
+    ``PATTERN (S C? P) WITHIN 30h`` (round 11 second pass; the batch
+    twin of the optional greedy race on the streaming quantified-chain
+    replayer): signup → optionally a click (6 h; skipped when the
+    earliest purchase precedes the earliest click — the engines' race)
+    → purchase (24 h of the bound frontier), non-overlapping episodes,
+    spans over 30 h pruned BEFORE the fold."""
+    from flink_uba_spark.operators.match_recognize import match_recognize
+
+    ev = _events(spark, sf_dir)
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by="ts",
+        pattern="S C? P",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+        after_match="skip_past_last",
+        within_overall="INTERVAL 30 HOURS",
+    )
+
+
+# the optional greedy race (take C unless the earliest purchase strictly
+# precedes the earliest click — ties take, the step-rank rule), the
+# fall-through P bind from the surviving frontier, the overall-WITHIN
+# prune, then the SKIP PAST LAST completion fold
+MATCH_RECOGNIZE_OPTIONAL_WITHIN_SKIP_ORACLE = """
+WITH RECURSIVE
+s0 AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+c0 AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p0 AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT s0.user_id, s0.event_id AS anchor_id, s0.ts AS t1,
+         c.ts AS c_ts, p.ts AS p_ts
+  FROM s0
+  LEFT JOIN LATERAL (
+    SELECT ts FROM c0 WHERE c0.user_id = s0.user_id AND c0.ts >= s0.ts
+    ORDER BY ts, event_id LIMIT 1) c ON TRUE
+  LEFT JOIN LATERAL (
+    SELECT ts FROM p0 WHERE p0.user_id = s0.user_id AND p0.ts >= s0.ts
+    ORDER BY ts, event_id LIMIT 1) p ON TRUE
+),
+b2 AS (
+  SELECT user_id, anchor_id, t1,
+         CASE WHEN c_ts IS NOT NULL AND (p_ts IS NULL OR c_ts <= p_ts)
+              THEN c_ts END AS t2
+  FROM r
+),
+b3 AS (
+  SELECT b2.*, pp.ts AS t3, pp.event_id AS i3
+  FROM b2 JOIN LATERAL (
+    SELECT ts, event_id FROM p0
+    WHERE p0.user_id = b2.user_id AND p0.ts >= COALESCE(b2.t2, b2.t1)
+    ORDER BY ts, event_id LIMIT 1) pp ON TRUE
+  -- a BOUND optional violating its within is matched_late (killed),
+  -- not a fallback to the skip branch
+  WHERE (b2.t2 IS NULL OR b2.t2 <= b2.t1 + INTERVAL 6 HOUR)
+    AND pp.ts <= COALESCE(b2.t2, b2.t1) + INTERVAL 24 HOUR
+    AND pp.ts <= b2.t1 + INTERVAL 30 HOUR
+),
+cand AS (
+  SELECT user_id, anchor_id, t1, t2, t3, i3,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY t3, i3, t1, anchor_id) AS r
+  FROM b3
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.i3 ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+)
+SELECT c.user_id, c.anchor_id, c.t1 AS S_ts, c.t2 AS C_ts, c.t3 AS P_ts,
+       c.i3 AS end_id
+FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r
+WHERE s.kept
+"""
+
+
 QUERIES = {
     "match_recognize_reluctant_excluded": match_recognize_reluctant_excluded,
     "match_recognize_mid_run_within_skip": match_recognize_mid_run_within_skip,
+    "match_recognize_optional_within_skip": match_recognize_optional_within_skip,
     "match_recognize_trailing_run": match_recognize_trailing_run,
     "match_recognize_sql_error_run": match_recognize_sql_error_run,
     "match_recognize_sql_skip_to_first": match_recognize_sql_skip_to_first,
@@ -2231,6 +2325,7 @@ from flink_uba_spark.queries.behavior import (  # noqa: E402  (oracle reuse)
 ORACLES = {
     "match_recognize_reluctant_excluded": _reluctant_excluded_oracle(),
     "match_recognize_mid_run_within_skip": MATCH_RECOGNIZE_MID_RUN_WITHIN_SKIP_ORACLE,
+    "match_recognize_optional_within_skip": MATCH_RECOGNIZE_OPTIONAL_WITHIN_SKIP_ORACLE,
     "match_recognize_trailing_run": MATCH_RECOGNIZE_TRAILING_RUN_ORACLE,
     "match_recognize_sql_error_run": _SQL_ERROR_RUN_ORACLE,
     "match_recognize_sql_skip_to_first": MATCH_RECOGNIZE_SKIP_TO_FIRST_ORACLE,

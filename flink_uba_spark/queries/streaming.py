@@ -3672,6 +3672,53 @@ WHERE epoch_us(b.P_ts) + {h_us} <
 """
 
 
+def stream_match_recognize_optional_within_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIONAL step + SKIP PAST LAST + overall WITHIN as a CONTINUOUS
+    query (round 11 second pass — the last in-NFA-fold cell): the
+    optional greedy race runs per anchor INSIDE the quantified-chain
+    replayer (take C unless the earliest purchase strictly precedes the
+    earliest click; a skipped C leaves the frontier at S — the batch
+    fall-through rule). This also makes optional chains under SKIP PAST
+    LAST streamable at all (the in-NFA skip fold is plain-chains-only).
+    Oracle: the batch race + fold under the ``end + 30h < final
+    ms-floored watermark`` decidability cut (H = 6h + 24h)."""
+    from flink_uba_spark.operators.match_recognize import stream_match_recognize
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S C? P",
+            define={
+                "S": F.col("event_type") == "signup",
+                "C": F.col("event_type") == "click",
+                "P": F.col("event_type") == "purchase",
+            },
+            withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+            after_match="skip_past_last",
+            within_overall="INTERVAL 30 HOURS",
+        )
+    )
+
+
+def _stream_optional_within_skip_oracle() -> str:
+    from flink_uba_spark.queries.rowpattern import (
+        MATCH_RECOGNIZE_OPTIONAL_WITHIN_SKIP_ORACLE,
+    )
+
+    h_us = 30 * 3600 * 1_000_000
+    return f"""
+SELECT b.* FROM ({MATCH_RECOGNIZE_OPTIONAL_WITHIN_SKIP_ORACLE}) b
+WHERE epoch_us(b.P_ts) + {h_us} <
+      (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+       WHERE event_type IN ('signup', 'click', 'purchase'))
+"""
+
+
 def stream_match_recognize_sql_run_agg(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3861,6 +3908,7 @@ QUERIES = {
     "stream_match_recognize_sql_run_agg": stream_match_recognize_sql_run_agg,
     "stream_match_recognize_reluctant_excluded": stream_match_recognize_reluctant_excluded,
     "stream_match_recognize_mid_run_within_skip": stream_match_recognize_mid_run_within_skip,
+    "stream_match_recognize_optional_within_skip": stream_match_recognize_optional_within_skip,
     "stream_match_recognize_all_rows": stream_match_recognize_all_rows,
     "stream_match_recognize_sql_all_rows": stream_match_recognize_sql_all_rows,
     "stream_match_recognize_reluctant_lazy": stream_match_recognize_reluctant_lazy,
@@ -3944,6 +3992,7 @@ ORACLES = {
     "stream_match_recognize_sql_run_agg": STREAM_MATCH_RECOGNIZE_STREAK_ORACLE,
     "stream_match_recognize_reluctant_excluded": _stream_reluctant_excluded_oracle(),
     "stream_match_recognize_mid_run_within_skip": _stream_mid_run_within_skip_oracle(),
+    "stream_match_recognize_optional_within_skip": _stream_optional_within_skip_oracle(),
     "stream_match_recognize_all_rows": STREAM_MATCH_RECOGNIZE_ALL_ROWS_ORACLE,
     "stream_match_recognize_sql_all_rows": STREAM_MATCH_RECOGNIZE_ALL_ROWS_ORACLE,
     "stream_match_recognize_reluctant_lazy": _stream_mr_reluctant_lazy_oracle(),

@@ -662,7 +662,8 @@ def quantified_chain_output_schema(
 
 def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
                                    h_us: int,
-                                   within_overall_us: int | None = None):
+                                   within_overall_us: int | None = None,
+                                   optionals: set[int] | None = None):
     """GENERAL quantified-chain SKIP PAST LAST replay (round 11 — VERDICT
     r10 item 6, the last within_overall cell, and with it the whole
     'quantified chain under SKIP PAST LAST' streaming family): any step
@@ -689,7 +690,17 @@ def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
     since each run_last ≤ end) and each entry choice is final (an
     earlier admissible entry's session would have closed strictly
     earlier), so candidates below the cut form a final
-    completion-order prefix."""
+    completion-order prefix.
+
+    ``optionals`` (round 11 second pass — the last in-NFA-fold cell):
+    interior OPTIONAL steps take the engines' greedy race — the step
+    binds unless the earliest candidate of the NEXT step strictly
+    precedes its own earliest candidate in (ts, position) order (a tie,
+    the same row serving both steps, takes); a skipped optional leaves
+    the frontier unchanged, emits a null t{k}, and the next step's
+    within classifies from the pre-optional frontier (the batch
+    fall-through rule)."""
+    opts = set(optionals or ())
 
     def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         timed_out = getattr(state, "hasTimedOut", False)
@@ -734,11 +745,30 @@ def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
                     avails.append(avail)
                 else:
                     avails.append(None)
+            def _cand(k, p_ts, p_pos):
+                """Earliest candidate of step k strictly after the
+                frontier — a plain step's next row, or a quantified
+                step's earliest admissible entry (avail >= mn). Returns
+                (leg index, ts, timeline position) or None."""
+                lt, li, lp = legs[k - 1]
+                if kleenes[k - 1] is None:
+                    j = _bind_next(lt, li, lp, p_ts, p_pos)
+                    return None if j < 0 else (j, int(lt[j]), int(lp[j]))
+                mn = kleenes[k - 1][1]
+                avail = avails[k - 1]
+                j = int(np.searchsorted(lt, p_ts, side="left"))
+                while j < len(lt) and (
+                    (lt[j] == p_ts and lp[j] <= p_pos) or avail[j] < mn
+                ):
+                    j += 1
+                return None if j >= len(lt) else (j, int(lt[j]), int(lp[j]))
+
             cands = []
             a_ts, a_id, a_pos = legs[0]
             for ai in range(len(a_ts)):
                 # per step: (entry_ts, entry_id, last_ts, last_id, cnt) —
-                # plain steps carry cnt 0 and entry == last
+                # plain steps carry cnt 0 and entry == last; a skipped
+                # optional carries None entries (null t{k})
                 rec = [
                     (int(a_ts[ai]), int(a_id[ai]),
                      int(a_ts[ai]), int(a_id[ai]), 0)
@@ -746,47 +776,38 @@ def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
                 p_ts, p_pos = int(a_ts[ai]), int(a_pos[ai])
                 ok = True
                 for k in range(2, n + 1):
+                    c = _cand(k, p_ts, p_pos)
+                    if k in opts:
+                        # the greedy race: skip iff the next step's
+                        # earliest candidate STRICTLY precedes this
+                        # step's (timeline positions are (ts, rank, id)
+                        # total-order indexes; a tie — the same row
+                        # serving both — takes)
+                        nxt = _cand(k + 1, p_ts, p_pos)
+                        if c is None or (
+                            nxt is not None and nxt[2] < c[2]
+                        ):
+                            rec.append((None, None, None, None, 0))
+                            continue  # frontier unchanged — fall through
+                    if c is None:
+                        ok = False
+                        break
+                    j, c_ts, c_pos = c
+                    if (
+                        withins_us[k - 1] is not None
+                        and c_ts > p_ts + withins_us[k - 1]
+                    ):
+                        ok = False  # matched_late never emits under skip
+                        break
                     lt, li, lp = legs[k - 1]
                     if kleenes[k - 1] is None:
-                        j = _bind_next(lt, li, lp, p_ts, p_pos)
-                        if j < 0:
-                            ok = False
-                            break
-                        if (
-                            withins_us[k - 1] is not None
-                            and int(lt[j]) > p_ts + withins_us[k - 1]
-                        ):
-                            ok = False  # matched_late never emits
-                            break
-                        rec.append(
-                            (int(lt[j]), int(li[j]),
-                             int(lt[j]), int(li[j]), 0)
-                        )
-                        p_ts, p_pos = int(lt[j]), int(lp[j])
+                        rec.append((c_ts, int(li[j]), c_ts, int(li[j]), 0))
+                        p_ts, p_pos = c_ts, c_pos
                     else:
-                        _gap, mn, mx = kleenes[k - 1]
-                        avail = avails[k - 1]
-                        # entry: earliest admissible row strictly after
-                        # the frontier with avail >= mn (times(mn, mx))
-                        j = int(np.searchsorted(lt, p_ts, side="left"))
-                        while j < len(lt) and (
-                            (lt[j] == p_ts and lp[j] <= p_pos)
-                            or avail[j] < mn
-                        ):
-                            j += 1
-                        if j >= len(lt):
-                            ok = False
-                            break
-                        if (
-                            withins_us[k - 1] is not None
-                            and int(lt[j]) > p_ts + withins_us[k - 1]
-                        ):
-                            ok = False
-                            break
-                        cnt = int(min(avail[j], mx))
+                        cnt = int(min(avails[k - 1][j], kleenes[k - 1][2]))
                         last = j + cnt - 1
                         rec.append(
-                            (int(lt[j]), int(li[j]),
+                            (c_ts, int(li[j]),
                              int(lt[last]), int(li[last]), cnt)
                         )
                         p_ts, p_pos = int(lt[last]), int(lp[last])
@@ -860,12 +881,14 @@ def stream_quantified_chain_detect(
     ts: str = "ts",
     watermark_delay: str = "0 seconds",
     within_overall: str | None = None,
+    optional: set[int] | None = None,
 ) -> DataFrame:
     """Wire the general quantified-chain SKIP PAST LAST replay:
     ``steps`` entries are ``(pred, within)`` (plain) or
     ``(pred, within, (mn, mx))`` (capped greedy run, ANY position past
     the first; finite cap and finite withins mandatory — Σ within +
-    Σ mx·gap is the replay horizon)."""
+    Σ mx·gap is the replay horizon). ``optional`` marks interior plain
+    steps with the engines' greedy-race single-match semantics."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from flink_uba_spark.streaming.pattern import _interval_us
@@ -875,6 +898,13 @@ def stream_quantified_chain_detect(
         raise ValueError("need at least 2 steps")
     if len(steps[0]) > 2 and steps[0][2] is not None:
         raise ValueError("the first step (the anchor) must be plain")
+    opts = set(optional or ())
+    if any(k <= 1 or k >= n for k in opts):
+        raise ValueError("optional steps must be interior (2..n-1)")
+    if any(k + 1 in opts for k in opts):
+        raise ValueError("two consecutive optional steps are not supported")
+    if any(len(steps[k - 1]) > 2 and steps[k - 1][2] is not None for k in opts):
+        raise ValueError("an optional step cannot be a Kleene/times step")
     withins_us = [None] + [
         None if s[1] is None else _interval_us(s[1]) for s in steps[1:]
     ]
@@ -907,7 +937,8 @@ def stream_quantified_chain_detect(
     quant = {k for k in range(1, n + 1) if kleenes[k - 1] is not None}
     return filtered.groupBy("user_id").applyInPandasWithState(
         make_quantified_chain_replayer(
-            n, withins_us, kleenes, h_us, within_overall_us=wo_us
+            n, withins_us, kleenes, h_us, within_overall_us=wo_us,
+            optionals=opts,
         ),
         quantified_chain_output_schema(n, quant),
         SKIP_STATE_SCHEMA,

@@ -193,6 +193,28 @@ ROUTES = [
         subset=("C", "P"),
         end_col="P_ts",
     ),
+    dict(
+        name="optional_skip_past",
+        pattern="S C? P",
+        after="skip_past_last",
+        rows=[
+            (1, 1, 0, "s", 0), (1, 2, 1, "c", 0), (1, 3, 2, "p", 0),
+            (2, 10, 0, "s", 0), (2, 11, 7, "p", 0),
+            # fold-shift key for within_overall
+            (3, 20, 0, "s", 0), (3, 21, 4, "s", 0), (3, 22, 5, "c", 0),
+            (3, 23, 8, "p", 0),
+            (4, 30, 0, "a", 0), (4, 31, 1, "s", 0), (4, 32, 2, "c", 0),
+            (4, 33, 3, "p", 0),
+            (5, 40, 0, "s", 0), (5, 41, 1, "p", 0), (5, 42, 2, "b", 0),
+        ],
+        engines=("batch", "stream"),
+        vars=[("S", "plain"), ("C", "opt"), ("P", "plain")],
+        all_vars={"S", "C", "P"},
+        excl_pattern="S {- C? -} P",
+        excl_var="C",
+        subset=("C", "P"),
+        end_col="P_ts",
+    ),
     # ---- reluctant engines ----
     dict(
         name="reluctant_no_skip",

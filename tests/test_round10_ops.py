@@ -359,17 +359,10 @@ def test_exclusion_on_alternation_routes(spark):
 
 
 def test_round10_remaining_raises(spark):
-    # round 11 lifted the mid-pattern-quantifier cell (the general
-    # quantified-chain replayer, tests/test_round11_ops.py); the
-    # remaining in-NFA-fold cell is an OPTIONAL step under the bound
-    with pytest.raises(ValueError, match="OPTIONAL step"):
-        stream_match_recognize(
-            _mk_stream_like(spark), "user_id", "ts", "S C? P", _def3(),
-            default_within="INTERVAL 1 HOUR",
-            after_match="skip_past_last",
-            within_overall="INTERVAL 2 HOURS",
-        )
-    # ...and the lifted cell compiles
+    # round 11 lifted the mid-pattern-quantifier AND optional cells (the
+    # general quantified-chain replayer, tests/test_round11_ops.py) —
+    # the whole r10 "in-NFA fold cannot compose with the bound" family
+    # now compiles; only the FINITE-cap requirement remains a raise
     sdf_mid = stream_match_recognize(
         _mk_stream_like(spark), "user_id", "ts", "S C{1,2} P", _def3(),
         default_within="INTERVAL 1 HOUR",
@@ -377,6 +370,20 @@ def test_round10_remaining_raises(spark):
         within_overall="INTERVAL 2 HOURS",
     )
     assert "C_n" in sdf_mid.columns and "end_id" in sdf_mid.columns
+    sdf_opt = stream_match_recognize(
+        _mk_stream_like(spark), "user_id", "ts", "S C? P", _def3(),
+        default_within="INTERVAL 1 HOUR",
+        after_match="skip_past_last",
+        within_overall="INTERVAL 2 HOURS",
+    )
+    assert "C_ts" in sdf_opt.columns and "end_id" in sdf_opt.columns
+    with pytest.raises(ValueError, match="finite cap"):
+        stream_match_recognize(
+            _mk_stream_like(spark), "user_id", "ts", "S C+ P", _def3(),
+            default_within="INTERVAL 1 HOUR",
+            after_match="skip_past_last",
+            within_overall="INTERVAL 2 HOURS",
+        )
     # the reluctant fused engine now carries it (stateless post-filter)
     sdf_rel = stream_match_recognize(
         _mk_stream_like(spark), "user_id", "ts", "S C{1,2}? P", _def3(),

@@ -484,3 +484,181 @@ def test_stream_mid_quant_uncapped_raises(spark):
             define=_def(), default_within="INTERVAL 1000 SECONDS",
             after_match="skip_past_last",
         )
+
+
+# ---- round-11 second pass: OPTIONAL steps on the replay route --------
+
+
+def test_stream_optional_skip_past_equals_batch(spark):
+    """Interior optional under SKIP PAST LAST now streams (the greedy
+    race inside the quantified-chain replayer) — including the
+    race corner where the suffix's earlier candidate skips the
+    optional, and the within_overall fold-shift corner."""
+    rows = [
+        (1, 1, 0, "s"), (1, 2, 1, "c"), (1, 3, 2, "p"),
+        (2, 10, 0, "s"), (2, 11, 5, "p"),
+        # race corner: p@1 precedes c@2 -> skip C, match (s@0, p@1)
+        (3, 20, 0, "s"), (3, 21, 1, "p"), (3, 22, 2, "c"), (3, 23, 3, "p"),
+        # fold-shift: anchor 30's span violates the bound below
+        (4, 30, 0, "s"), (4, 31, 3, "s"), (4, 32, 4, "c"), (4, 33, 7, "p"),
+    ]
+    ev = _mk(spark, rows)
+    for wo in (None, "INTERVAL 4 SECONDS"):
+        spec = dict(
+            partition_by="user_id", order_by="ts", pattern="S C? P",
+            define=_def(), default_within="INTERVAL 1000 SECONDS",
+            after_match="skip_past_last", within_overall=wo,
+        )
+        want = match_recognize(ev, **spec)
+        got = _stream_run(spark, ev, **spec)
+        assert got.columns == want.columns
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"within_overall={wo}"
+    got = _stream_run(
+        spark, ev,
+        partition_by="user_id", order_by="ts", pattern="S C? P",
+        define=_def(), default_within="INTERVAL 1000 SECONDS",
+        after_match="skip_past_last",
+    )
+    u3 = [(r["anchor_id"], r["C_ts"]) for r in got.collect()
+          if r["user_id"] == 3]
+    assert u3 == [(20, None)]  # the race skipped C
+
+
+def test_quantified_chain_replayer_randomized_equals_batch(spark):
+    """Randomized replayer-level drive vs the batch compile: random
+    event soups over optional/quantified/plain mixes, arbitrary
+    ts-cohort batch splits, a far-future final watermark (everything
+    decidable) — the replayer's match set must equal batch exactly."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from flink_uba_spark.streaming.pattern import _interval_us
+    from flink_uba_spark.streaming.skip_replay import (
+        make_quantified_chain_replayer,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self.value = None
+            self.wm_ms = 0
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self.value is not None
+
+        @property
+        def get(self):
+            return self.value
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def update(self, v):
+            self.value = v
+
+        def remove(self):
+            self.value = None
+
+        def setTimeoutTimestamp(self, ms):
+            pass
+
+    SHAPES = [
+        ("S C? P", {2}, [None, None, None]),
+        ("S C{1,2} P", set(), [None, (1, 2), None]),
+        ("S C{1,2} P{1,2}", set(), [None, (1, 2), (1, 2)]),
+        ("S C? P{1,2}", {2}, [None, None, (1, 2)]),
+        ("S C{2,3} P", set(), [None, (2, 3), None]),
+    ]
+    rng = random.Random(411)
+    n_fail = 0
+    for case in range(25):
+        pattern, opts, kl = SHAPES[case % len(SHAPES)]
+        n = 3
+        n_ev = rng.randint(3, 16)
+        rows = sorted(
+            (rng.randint(0, 30), i, rng.choice("scp"))
+            for i in range(n_ev)
+        )
+        wo = rng.choice([None, "INTERVAL 6 SECONDS", "INTERVAL 12 SECONDS"])
+        ev = _mk(spark, [(1, eid, sec, et) for sec, eid, et in rows])
+        spec = dict(
+            partition_by="user_id", order_by="ts", pattern=pattern,
+            define=_def(), default_within="INTERVAL 10 SECONDS",
+            after_match="skip_past_last", within_overall=wo,
+        )
+        want = sorted(map(tuple, match_recognize(ev, **spec).collect()))
+
+        withins_us = [None] + [_interval_us("INTERVAL 10 SECONDS")] * 2
+        kleenes = [
+            None if k is None else (withins_us[i], k[0], k[1])
+            for i, k in enumerate(kl)
+        ]
+        h_us = sum(withins_us[1:]) + sum(
+            k[2] * k[0] for k in kleenes if k is not None
+        )
+        det = make_quantified_chain_replayer(
+            n, withins_us, kleenes, h_us,
+            within_overall_us=(
+                None if wo is None else _interval_us(wo)
+            ),
+            optionals=opts,
+        )
+        # ts-cohort split into 1-3 batches
+        secs = sorted({s for s, _i, _t in rows})
+        cut_pool = secs[1:]
+        cuts = sorted(rng.sample(cut_pool, min(len(cut_pool), rng.randint(0, 2))))
+        bounds = [-1] + cuts + [10 ** 9]
+        state = _FakeState()
+        frames = []
+        for bi in range(len(bounds) - 1):
+            chunk = [
+                r for r in rows if bounds[bi] < r[0] <= bounds[bi + 1]
+            ]
+            if not chunk:
+                continue
+            epoch_us = int(
+                (EPOCH - datetime.datetime(1970, 1, 1)).total_seconds()
+            ) * 1_000_000
+            pdf = pd.DataFrame(
+                {
+                    "event_id": [i for _s, i, _t in chunk],
+                    "ts": pd.to_datetime(
+                        [epoch_us + s * 1_000_000 for s, _i, _t in chunk],
+                        unit="us",
+                    ),
+                    "f1": [t == "s" for _s, _i, t in chunk],
+                    "f2": [t == "c" for _s, _i, t in chunk],
+                    "f3": [t == "p" for _s, _i, t in chunk],
+                }
+            )
+            frames.extend(det((1,), iter([pdf]), state))
+            state.wm_ms = (
+                epoch_us // 1000 + max(s for s, _i, _t in chunk) * 1000
+            )
+        state.hasTimedOut = True
+        state.wm_ms = 10 ** 15
+        frames.extend(det((1,), iter([]), state))
+        got = []
+        for f in frames:
+            for _, r in f.iterrows():
+                tup = []
+                for c in f.columns:
+                    v = r[c]
+                    if isinstance(v, pd.Timestamp):
+                        tup.append(v.to_pydatetime())
+                    elif pd.isna(v):
+                        tup.append(None)
+                    else:
+                        tup.append(int(v))
+                got.append(tuple(tup))
+        if sorted(got) != want:
+            n_fail += 1
+            print(f"case {case} pattern={pattern} wo={wo} rows={rows}")
+            print("  got ", sorted(got))
+            print("  want", want)
+    assert n_fail == 0
