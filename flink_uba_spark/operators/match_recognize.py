@@ -1731,13 +1731,13 @@ def stream_match_recognize(
     (``_explode_plain_rows``) produces the per-event rows. Quantified
     runs (the batch band join), the replay routes (no per-step ids) and
     MEASURES keep their raises.
-    The streaming skip fold supports plain chains (the NFA's documented
-    bound); OTHER quantified patterns stream under ``no_skip``, EXCEPT a
-    TRAILING quantifier + SKIP PAST LAST, which routes to the
-    recompute-over-buffer replay (round 9 second pass,
-    ``stream_trailing_run_detect`` — finite cap mandatory; a trailing
-    reluctant quantifier rewrites to ``times(mn, mn)`` first, the batch
-    rule). A RELUCTANT
+    The in-NFA streaming skip fold serves plain chains; quantified and
+    optional patterns under SKIP PAST LAST route to the replay family
+    (round 9: ``stream_trailing_run_detect`` for trailing runs; round
+    11: ``stream_quantified_chain_detect`` for runs at ANY position and
+    interior optional steps — finite caps/withins mandatory, they bound
+    the replay horizon; a trailing reluctant quantifier rewrites to
+    ``times(mn, mn)`` first, the batch rule). A RELUCTANT
     quantifier streams under ``no_skip`` (round 8: the per-count NFAs
     compile into ONE packed stateful operator,
     ``stream_pattern_detect_fused``) AND — round 9 — under the SQL
