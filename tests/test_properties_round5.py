@@ -256,17 +256,19 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
 
 
 def brute_skip_past_last(events, steps, final_wm_ms=None, guards=frozenset(),
-                         within_overall_us=None):
+                         within_overall_us=None, opts=frozenset()):
     """Greedy SKIP_PAST_LAST_EVENT selection over the per-anchor brute
     matches: completion order (end_ts, end_id, anchor_ts, anchor_id);
     keep iff the anchor is strictly past the last emitted end in
     (ts, id) order. Only 'matched' chains participate or emit.
     ``within_overall_us`` (round 10) prunes candidates whose end exceeds
-    the anchor bound BEFORE the fold (inclusive bound)."""
+    the anchor bound BEFORE the fold (inclusive bound). ``opts``
+    (round 11) forwards optional steps to the brute's greedy race."""
     cands = [
         (aid, key, st, e_ts, e_id)
         for aid, key, st, e_ts, e_id in brute_chain(
-            events, steps, final_wm_ms=final_wm_ms, guards=guards, with_end=True
+            events, steps, final_wm_ms=final_wm_ms, guards=guards,
+            with_end=True, opts=opts,
         )
         if st == "matched"
         and (within_overall_us is None or e_ts <= key[0] + within_overall_us)

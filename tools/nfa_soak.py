@@ -2396,6 +2396,164 @@ def soak_trail_stream(n_cases):
     return fails
 
 
+def soak_quant_stream(n_cases):
+    """GENERAL quantified-chain SKIP PAST LAST replay soak (round 11):
+    ``make_quantified_chain_replayer`` — capped greedy runs at ANY
+    position + interior optional steps (the greedy race) + optional
+    within_overall — over arbitrary batch splits + mid-stream timer
+    fires, vs brute_skip_past_last (opts forwarded) truncated at the
+    family's decidability cut ``end + H < final_wm``."""
+    import pandas as pd
+
+    from test_properties_round5 import _FakeState, brute_skip_past_last
+    from flink_uba_spark.streaming.skip_replay import (
+        make_quantified_chain_replayer,
+    )
+
+    t0, fails = time.time(), 0
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 32452843 + 11)
+        n = rnd.randint(2, 4)
+        withins_us = [None] + [
+            rnd.randint(2, 40) * 1000 for _ in range(n - 1)
+        ]
+        # quantified steps anywhere past the first; optionals interior,
+        # plain, non-consecutive, never adjacent-constrained otherwise
+        kleenes = [None] * n
+        for k in range(2, n + 1):
+            if rnd.random() < 0.45:
+                mn = rnd.choice([1, 1, 2])
+                mx = mn + rnd.randint(0, 2)
+                kleenes[k - 1] = (withins_us[k - 1], mn, mx)
+        opts = set()
+        for k in range(2, n):
+            if (
+                kleenes[k - 1] is None
+                and (k - 1) not in opts
+                and rnd.random() < 0.35
+            ):
+                opts.add(k)
+        h_us = sum(withins_us[1:]) + sum(
+            k[2] * k[0] for k in kleenes if k is not None
+        )
+        wo_us = (
+            rnd.randint(2, 200) * 1000 if rnd.random() < 0.5 else None
+        )
+        events = [
+            (i, rnd.randint(0, 120) * 1000 + rnd.randint(0, 3),
+             rnd.getrandbits(n) if rnd.random() < 0.92 else 0)
+            for i in range(rnd.randint(0, 24))
+        ]
+        cuts = sorted({rnd.randint(1, 200) * 1000
+                       for _ in range(rnd.randint(0, 4))})
+        detect = make_quantified_chain_replayer(
+            n, withins_us, kleenes, h_us, within_overall_us=wo_us,
+            optionals=opts,
+        )
+        state = _FakeState()
+        got = []
+
+        def drain(gen):
+            for f in gen:
+                for r in f.itertuples(index=False):
+                    key = []
+                    for k in range(1, n + 1):
+                        t = pd.Timestamp(getattr(r, f"t{k}"))
+                        key.append(None if pd.isna(t) else t.value // 1000)
+                        if kleenes[k - 1] is not None:
+                            key.append(
+                                pd.Timestamp(
+                                    getattr(r, f"t{k}_last")
+                                ).value // 1000
+                            )
+                            key.append(int(getattr(r, f"n{k}")))
+                    got.append(
+                        (int(r.anchor_id), tuple(key), int(r.end_id))
+                    )
+
+        lo, wm = -1, 0
+        for hi in cuts + [10 ** 9]:
+            batch = [e for e in events if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            state._wm = wm
+            pdf = pd.DataFrame(
+                [
+                    {"event_id": eid, "ts": pd.Timestamp(ts, unit="us"),
+                     **{f"f{k}": bool(m >> (k - 1) & 1)
+                        for k in range(1, n + 1)}}
+                    for eid, ts, m in batch
+                ]
+            )
+            state.hasTimedOut = False
+            drain(detect((1,), iter([pdf]), state))
+            wm = max(wm, max(ts for _, ts, _ in batch) // 1000)
+            for _ in range(8):
+                if state._v is None or state.timeout_set is None or state.timeout_set >= wm:
+                    break
+                state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+                drain(detect((1,), iter([]), state))
+            state.hasTimedOut = False
+        if events and state._v is not None:
+            state._wm = max(ts for _, ts, _ in events) // 1000
+            state.hasTimedOut = True
+            drain(detect((1,), iter([]), state))
+        wm_final_us = (max((ts for _, ts, _ in events), default=0) // 1000) * 1000
+
+        bsteps = [
+            (withins_us[k - 1],
+             None if kleenes[k - 1] is None
+             else (kleenes[k - 1][0], kleenes[k - 1][2], kleenes[k - 1][1]))
+            for k in range(1, n + 1)
+        ]
+        want = []
+        for aid, key, _st, e_ts, e_id in (
+            (a, k, s, et, ei)
+            for a, k, s, et, ei in _brute_spl_with_end(
+                events, bsteps, wo_us, opts
+            )
+        ):
+            if e_ts + h_us < wm_final_us:
+                want.append((aid, tuple(key), e_id))
+        if sorted(got) != sorted(want):
+            fails += 1
+            print(f"MISMATCH seed={seed} n={n} withins={withins_us} "
+                  f"kleenes={kleenes} opts={sorted(opts)} wo={wo_us} "
+                  f"cuts={cuts} events={events}")
+            print(f"  got={sorted(got)}")
+            print(f"  want={sorted(want)}")
+            if fails > 5:
+                break
+        if (seed + 1) % 500 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} quant-stream cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
+def _brute_spl_with_end(events, bsteps, wo_us, opts):
+    """brute_skip_past_last variant that also returns each kept match's
+    end (ts, id) — re-derived the same way the fold computes it."""
+    from test_properties_round5 import brute_chain
+
+    cands = [
+        (aid, key, st, e_ts, e_id)
+        for aid, key, st, e_ts, e_id in brute_chain(
+            events, bsteps, final_wm_ms=10 ** 15, with_end=True, opts=opts
+        )
+        if st == "matched"
+        and (wo_us is None or e_ts <= key[0] + wo_us)
+    ]
+    cands.sort(key=lambda c: (c[3], c[4], c[1][0], c[0]))
+    le = (-1, -1)
+    out = []
+    for aid, key, st, e_ts, e_id in cands:
+        if (key[0], aid) > le:
+            out.append((aid, key, st, e_ts, e_id))
+            le = (e_ts, e_id)
+    return out
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     defaults = {
@@ -2468,6 +2626,8 @@ def main() -> int:
         return 1 if soak_trailing(n) else 0
     if mode == "trail-stream":
         return 1 if soak_trail_stream(n) else 0
+    if mode == "quant-stream":
+        return 1 if soak_quant_stream(n) else 0
     if mode == "strict":
         return 1 if soak_strict(n) else 0
     return 1 if soak_stream(n, timers=(mode == "timers")) else 0
