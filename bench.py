@@ -265,11 +265,20 @@ def main() -> None:
     if baseline_path is None:
         import glob
 
+        # sort by the PARSED round number, not the raw filename (ADVICE
+        # r11: lexical order only works while round numbers stay
+        # zero-padded at two digits — r9 vs r100 would pick the wrong
+        # baseline); unparsable names sort first and never win
+        def _round_no(p):
+            m = re.search(r"BENCH_local_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
         cands = sorted(
             glob.glob(
                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_local_r*.json")
-            )
+            ),
+            key=_round_no,
         )
         baseline_path = cands[-1] if cands else None
     regressions: dict[str, list[float]] = {}

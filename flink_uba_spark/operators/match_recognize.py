@@ -1642,12 +1642,16 @@ def _stream_alternation(
 def _stream_skip_to(
     events, partition_by, order_by, parsed, define, wmap, default_within,
     measures, event_id, skip_step, within_overall=None, excluded=None,
+    rows_per_match="one",
 ):
     """Streaming SKIP TO FIRST/LAST (round 9): plain-chain candidates +
     the ≥-horizon replay, watermark-driven (see
     streaming/skip_replay.py for the decidability contract). Round 10:
     ``within_overall`` prunes candidates inside the replayer (before the
-    fold); ``excluded`` drops the exclusion columns (output shaping)."""
+    fold); ``excluded`` drops the exclusion columns (output shaping).
+    Round 12: ``rows_per_match="all"`` emits per-BOUND-EVENT rows — the
+    chain replayer's candidates ARE the per-step ids, so the explode is
+    in-operator and the batch (seq, var) projection applies after."""
     from flink_uba_spark.streaming.skip_replay import (
         stream_chain_skip_to_detect,
     )
@@ -1656,7 +1660,12 @@ def _stream_skip_to(
     out = stream_chain_skip_to_detect(
         events, key=partition_by, steps=steps, skip_step=skip_step,
         event_id=event_id, ts=order_by, within_overall=within_overall,
+        all_rows=(rows_per_match == "all"),
     )
+    if rows_per_match == "all":
+        return _stream_all_rows_project(
+            out, _var_names(parsed), partition_by, excluded
+        )
     if partition_by != "user_id":
         out = out.withColumnRenamed("user_id", partition_by)
     out = _drop_excluded(_rename(out, parsed), excluded)
@@ -1698,6 +1707,308 @@ def _stream_reluctant_lazy(
     # per fold here, so no duplicate-projection corner even exists)
     out = _drop_excluded(out, excluded)
     return _measures(out, partition_by, measures)
+
+
+def _stream_all_rows_project(
+    out: DataFrame, vnames, partition_by: str, excluded=frozenset()
+) -> DataFrame:
+    """Map a replayer's per-event rows (round 12) onto the batch
+    ALL-ROWS shape: ``var`` (CLASSIFIER) is the step's compile-time
+    name — a stateless array lookup on ``seq`` — and excluded
+    variables' rows leave the output (the single-plan rule)."""
+    if excluded and not (set(vnames) - set(excluded)):
+        raise ValueError(
+            "ALL ROWS PER MATCH needs at least one non-excluded variable"
+        )
+    if partition_by != "user_id":
+        out = out.withColumnRenamed("user_id", partition_by)
+    var_col = F.element_at(
+        F.array(*[F.lit(v) for v in vnames]), F.col("seq").cast("int")
+    )
+    out = out.select(
+        partition_by, "anchor_id", "seq", var_col.alias("var"),
+        "event_id", "ts",
+    )
+    if excluded:
+        out = out.filter(~F.col("var").isin(*excluded))
+    return out
+
+
+def _numeric_value_type(events: DataFrame, col):
+    """Resolve a RunAgg value Column's dtype against the input schema →
+    ``(DataType, integral)``; non-numeric raises (the stream carries
+    values as float64 — exact for integrals < 2^53)."""
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    c = F.col(col) if isinstance(col, str) else col
+    dt = events.select(c.alias("__v")).schema[0].dataType
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return dt, True
+    if isinstance(dt, (FloatType, DoubleType)):
+        return dt, False
+    raise ValueError(
+        "stream value RunAgg takes a NUMERIC value column (got "
+        f"{dt.simpleString()}); timestamps navigate via the FIRST/LAST "
+        "run-boundary columns the NFA already emits"
+    )
+
+
+def _stream_value_measures(
+    events, partition_by, order_by, parsed, define, wmap, default_within,
+    measures, after_match, event_id, subset, excluded, within_overall,
+    iter_define_py=None,
+):
+    """VALUE RunAgg MEASURES as a continuous query (round 12 — VERDICT
+    r11 item 2). COUNT already rewrites to the engines' own columns
+    (round 11); SUM/AVG/MIN/MAX and offset FIRST/LAST need run
+    MEMBERSHIP, which batch recovers with a band join
+    (``_attach_run_aggregates``) and the stream carries in the
+    QUANTIFIED-CHAIN REPLAYER (streaming/skip_replay.py): every run is
+    re-derived from the buffered rows, so declared value columns ride
+    the buffer (state field ``vals``) and each aggregate is computed
+    EXACTLY over the bound slice in-operator, then projected.
+
+    Routing: single-plan shapes only (plain anchor, capped greedy runs
+    at any position, interior optionals; finite withins — the replay
+    horizon) under SKIP PAST LAST (the ``past_last`` fold) or NO SKIP
+    (``mode="no_skip"`` — every anchor's candidate, matching the
+    data-driven batch emission). Specialty engines raise exactly as
+    batch (RunAgg composes with the single-plan path only). SUBSET
+    unions compose for sum/min/max/avg: the members' per-step partials
+    combine STATELESSLY after the fold (a union's total is the sum of
+    member partial sums, its min the least of member mins); offset
+    FIRST/LAST over a union needs the merged (ts, id) row order across
+    members — batch-only, with the raise saying so."""
+    mode, _ = _parse_after_match(after_match, parsed)
+    if mode == "skip_to":
+        raise ValueError(
+            "stream value RunAgg MEASURES run under SKIP PAST LAST ROW "
+            "or NO SKIP (SKIP TO FIRST/LAST is a plain-chain fold whose "
+            "replayer carries no value state); use the batch "
+            "match_recognize"
+        )
+    if iter_define_py:
+        raise ValueError(
+            "RunAgg MEASURES compose with the single-plan path only "
+            "(the iterative engine does not carry run membership)"
+        )
+    # trailing reluctant under SKIP PAST LAST rewrites to times(mn, mn)
+    # first — the batch rule (no suffix → lazy always binds the minimum)
+    _lq = parsed[-1][1]
+    if (
+        mode == "skip_past_last"
+        and _lq is not None
+        and _lq[0] == "reluctant"
+        and not any(isinstance(v, tuple) for v, _q in parsed)
+        and all(q is None for _v, q in parsed[:-1])
+    ):
+        if _lq[1] < 1:
+            raise ValueError(
+                "a trailing RELUCTANT quantifier under SKIP PAST LAST "
+                "needs a minimum count >= 1"
+            )
+        v0, _ = parsed[-1]
+        parsed = parsed[:-1] + [(v0, ("kleene", _lq[1], _lq[1]))]
+    if (
+        any(isinstance(v, tuple) for v, _q in parsed)
+        or any(q is not None and q[0] == "reluctant" for _v, q in parsed)
+    ):
+        raise ValueError(
+            "stream value RunAgg MEASURES compose with the single-plan "
+            "path only (single variables with capped greedy quantifiers; "
+            "alternation/PERMUTE groups and reluctant multi-match are "
+            "batch-only for value aggregates)"
+        )
+    if any(
+        q is not None and q[0] == "kleene" and q[2] is None
+        for _v, q in parsed
+    ):
+        raise ValueError(
+            "stream value RunAgg MEASURES need FINITE caps on every run "
+            "(mx*gap is part of the replay horizon) — write the cap or "
+            "use the batch match_recognize"
+        )
+
+    kinds: dict[str, tuple | None] = {
+        v: q for v, q in parsed if not isinstance(v, tuple)
+    }
+    step_of = {v: k for k, (v, _q) in enumerate(parsed, start=1)
+               if not isinstance(v, tuple)}
+    plain_names = set(kinds)
+    for uname, members in (subset or {}).items():
+        if uname in plain_names:
+            raise ValueError(
+                f"SUBSET name {uname!r} collides with a PATTERN variable"
+            )
+        if not members:
+            raise ValueError(f"SUBSET {uname!r} needs at least one member")
+        bad = sorted(set(members) - plain_names)
+        if bad:
+            raise ValueError(
+                f"SUBSET {uname!r} members must be PATTERN variables "
+                f"(groups don't join a subset): {bad}"
+            )
+        if len(set(members)) != len(members):
+            raise ValueError(
+                f"SUBSET {uname!r} repeats a member: {tuple(members)} — "
+                "members form a set, list each variable once"
+            )
+
+    def _check_target(v):
+        if v in (excluded or ()):
+            raise ValueError(
+                f"RunAgg over the EXCLUDED variable {v!r} is batch-only "
+                "on the stream (exclusion drops the variable's columns "
+                "before MEASURES here; batch attaches aggregates first)"
+            )
+
+    # value slots (deduped by expression text) + per-measure agg specs
+    values: dict[str, Column] = {}
+    slot_of_expr: dict[str, str] = {}
+    val_dtype: dict[str, tuple] = {}
+
+    def _slot(col):
+        c = F.col(col) if isinstance(col, str) else col
+        k = str(c)
+        if k not in slot_of_expr:
+            nm = f"val{len(values)}"
+            slot_of_expr[k] = nm
+            values[nm] = c
+            val_dtype[nm] = _numeric_value_type(events, c)
+        return slot_of_expr[k]
+
+    agg_specs: list[tuple] = []
+    post_plan: dict[str, tuple] = {}  # measure name -> combine plan
+    for nm, spec in measures.items():
+        if not isinstance(spec, RunAgg) or spec.func == "count":
+            continue
+        if subset and spec.var in subset:
+            if spec.func in ("first", "last"):
+                raise ValueError(
+                    f"RunAgg {spec.func!r} over SUBSET {spec.var!r} is "
+                    "batch-only on the stream (offset navigation needs "
+                    "the union's merged (ts, id) row order — the batch "
+                    "band join); sum/min/max/avg/count compose"
+                )
+            vslot = _slot(spec.col)
+            part_names = []
+            for i, m in enumerate(subset[spec.var]):
+                _check_target(m)
+                pn = f"__ra_{nm}_{i}"
+                part_names.append(pn)
+                pfunc = "sum" if spec.func == "avg" else spec.func
+                agg_specs.append(
+                    (step_of[m], vslot, pfunc, 0, pn,
+                     val_dtype[vslot][1])
+                )
+            if spec.func == "avg":
+                cnt_names = []
+                for i, m in enumerate(subset[spec.var]):
+                    cn = f"__ra_{nm}_c{i}"
+                    cnt_names.append(cn)
+                    agg_specs.append(
+                        (step_of[m], vslot, "cnt", 0, cn, True)
+                    )
+                post_plan[nm] = ("subset_avg", part_names, cnt_names)
+            else:
+                post_plan[nm] = (
+                    f"subset_{spec.func}", part_names, val_dtype[vslot][0]
+                )
+            continue
+        if spec.var not in kinds:
+            raise ValueError(f"RunAgg targets unknown variable {spec.var!r}")
+        _check_target(spec.var)
+        q = kinds[spec.var]
+        if q is None or q[0] != "kleene":
+            raise ValueError(
+                f"RunAgg navigates a GREEDY-quantified variable's run or "
+                f"a SUBSET union variable; {spec.var!r} is neither (plain "
+                "variables project their bound row's columns directly)"
+            )
+        vslot = _slot(spec.col)
+        dt, integral = val_dtype[vslot]
+        out_integral = integral and spec.func != "avg"
+        agg_specs.append(
+            (step_of[spec.var], vslot, spec.func, spec.n, f"__ra_{nm}",
+             out_integral)
+        )
+        post_plan[nm] = ("direct", f"__ra_{nm}",
+                         None if spec.func in ("sum", "avg") else dt)
+
+    from flink_uba_spark.streaming.skip_replay import (
+        stream_quantified_chain_detect,
+    )
+
+    steps, optional = _steps_and_sets(parsed, define, wmap, default_within)
+    out = stream_quantified_chain_detect(
+        events, key=partition_by, steps=steps,
+        event_id=event_id, ts=order_by,
+        within_overall=within_overall,
+        optional=optional or None,
+        mode="no_skip" if mode == "no_skip" else "past_last",
+        values=values, aggs=agg_specs,
+    )
+    if partition_by != "user_id":
+        out = out.withColumnRenamed("user_id", partition_by)
+    out = _rename(out, parsed)
+
+    def _nn_reduce(cols, op):
+        e = cols[0]
+        for c in cols[1:]:
+            e = op(e, c)
+        return e
+
+    count_rewrites = None
+    sel = [F.col(partition_by)]
+    for nm, spec in measures.items():
+        if not isinstance(spec, RunAgg):
+            sel.append(spec.alias(nm))
+            continue
+        if spec.func == "count":
+            if count_rewrites is None:
+                count_rewrites = _stream_run_agg_columns(
+                    {n2: s2 for n2, s2 in measures.items()
+                     if isinstance(s2, RunAgg) and s2.func == "count"},
+                    parsed, subset, excluded,
+                )
+            sel.append(count_rewrites[nm].alias(nm))
+            continue
+        plan = post_plan[nm]
+        if plan[0] == "direct":
+            c = F.col(plan[1])
+            sel.append((c if plan[2] is None else c.cast(plan[2])).alias(nm))
+        elif plan[0] == "subset_sum":
+            ps = [F.col(p) for p in plan[1]]
+            any_nn = _nn_reduce([p.isNotNull() for p in ps],
+                                lambda a, b: a | b)
+            total = _nn_reduce([F.coalesce(p, F.lit(0)) for p in ps],
+                               lambda a, b: a + b)
+            sel.append(F.when(any_nn, total).alias(nm))
+        elif plan[0] in ("subset_min", "subset_max"):
+            ps = [F.col(p) for p in plan[1]]
+            if len(ps) == 1:
+                e = ps[0]
+            elif plan[0] == "subset_min":
+                e = F.least(*ps)  # least/greatest skip nulls
+            else:
+                e = F.greatest(*ps)
+            sel.append(e.cast(plan[2]).alias(nm))
+        else:  # subset_avg: Σ member sums / Σ member non-null counts
+            ps = [F.coalesce(F.col(p), F.lit(0.0)) for p in plan[1]]
+            cs = [F.coalesce(F.col(c), F.lit(0)) for c in plan[2]]
+            total = _nn_reduce(ps, lambda a, b: a + b)
+            cnt = _nn_reduce(cs, lambda a, b: a + b)
+            sel.append(
+                F.when(cnt > 0, total / cnt).alias(nm)
+            )
+    return out.select(*sel)
 
 
 def stream_match_recognize(
@@ -1776,26 +2087,32 @@ def stream_match_recognize(
     if rows_per_match == "all":
         if measures is not None:
             raise ValueError("MEASURES is the ONE ROW PER MATCH shape")
-        if iter_define_py or any(
-            isinstance(v, tuple) or (q is not None and q[0] != "optional")
-            for v, q in parsed
-        ):
+        if any(isinstance(v, tuple) for v, _q in parsed):
             raise ValueError(
-                "streaming ALL ROWS PER MATCH runs on the single-plan "
-                "plain/optional routes (per-step bound ids); quantified "
-                "runs need the batch band join and the specialty engines "
-                "fold their own output — use the batch match_recognize"
+                "streaming ALL ROWS PER MATCH does not compose with "
+                "alternation/PERMUTE/quantified groups (the per-event "
+                "rows need the branch explode / per-repetition "
+                "CLASSIFIER — batch-only); use the batch match_recognize"
             )
-        mode0, _ = _parse_after_match(after_match, parsed)
-        if mode0 == "skip_to" or (
-            mode0 == "skip_past_last" and within_overall is not None
-        ):
+        if any(q is not None and q[0] == "reluctant" for _v, q in parsed):
             raise ValueError(
-                "streaming ALL ROWS PER MATCH does not compose with the "
-                "replay routes (SKIP TO, or within_overall under SKIP "
-                "PAST LAST) — they carry no per-step ids; use the batch "
-                "match_recognize"
+                "ALL ROWS PER MATCH does not compose with a reluctant "
+                "quantifier (lazy runs multi-match per count — there is "
+                "no single per-event row set)"
             )
+    if measures is not None and any(
+        isinstance(c, RunAgg) and c.func != "count"
+        for c in measures.values()
+    ):
+        # round 12 (VERDICT r11 item 2): VALUE aggregates stream through
+        # the quantified-chain replayer, which re-derives run membership
+        # from its buffered rows — see _stream_value_measures
+        return _stream_value_measures(
+            events, partition_by, order_by, parsed, define,
+            dict(withins or {}), default_within, measures, after_match,
+            event_id, subset, excluded, within_overall,
+            iter_define_py=iter_define_py,
+        )
     if measures is not None and (
         subset or any(isinstance(c, RunAgg) for c in measures.values())
     ):
@@ -1856,6 +2173,59 @@ def stream_match_recognize(
         v0, _ = parsed[-1]
         parsed = parsed[:-1] + [(v0, ("kleene", _slq[1], _slq[1]))]
         _slq = parsed[-1][1]
+    if (
+        rows_per_match == "all"
+        and not iter_define_py
+        and (
+            (
+                mode == "skip_past_last"
+                and (
+                    any(q is not None for _v, q in parsed)
+                    or within_overall is not None
+                )
+            )
+            or (
+                mode == "no_skip"
+                and any(
+                    q is not None and q[0] == "kleene" for _v, q in parsed
+                )
+            )
+        )
+    ):
+        # round 12 (VERDICT r11 item 3): ALL ROWS PER MATCH on the
+        # replay family — the quantified-chain replayer holds every
+        # run's member rows (the leg slice), so per-event emission is
+        # IN-OPERATOR, no batch band join. Covers quantified/optional
+        # chains and within_overall under SKIP PAST LAST, and
+        # quantified runs under NO SKIP (mode="no_skip" — every
+        # anchor's candidate, the data-driven batch emission).
+        from flink_uba_spark.streaming.skip_replay import (
+            stream_quantified_chain_detect,
+        )
+
+        if any(
+            q is not None and q[0] == "kleene" and q[2] is None
+            for _v, q in parsed
+        ):
+            raise ValueError(
+                "an uncapped run (B+ / B{n,}) streams ALL ROWS with a "
+                "finite cap only (mx*gap is part of the replay horizon) "
+                "— write the cap or use the batch match_recognize"
+            )
+        steps, optional = _steps_and_sets(
+            parsed, define, dict(withins or {}), default_within
+        )
+        out = stream_quantified_chain_detect(
+            events, key=partition_by, steps=steps,
+            event_id=event_id, ts=order_by,
+            within_overall=within_overall,
+            optional=optional or None,
+            mode="no_skip" if mode == "no_skip" else "past_last",
+            all_rows=True,
+        )
+        return _stream_all_rows_project(
+            out, _var_names(parsed), partition_by, excluded
+        )
     if (
         mode == "skip_past_last"
         and _slq is not None
@@ -1991,9 +2361,13 @@ def stream_match_recognize(
             )
         if partition_by != "user_id":
             out = out.withColumnRenamed("user_id", partition_by)
-        out = out.withColumn("anchor_id", F.col("i1")).drop(
-            *[f"i{k}" for k in range(1, n + 1)]
-        )
+        out = out.withColumn("anchor_id", F.col("i1"))
+        if rows_per_match == "all":
+            # round 12: the iterative stream engine already emits
+            # per-step ids (i{k}) — ALL ROWS is the same stateless
+            # explode as batch (_explode_plain_rows)
+            return _explode_plain_rows(out, vnames, partition_by, excluded)
+        out = out.drop(*[f"i{k}" for k in range(1, n + 1)])
         out = _rename(out, parsed)
         for nm in (payload or {}):
             for k, v in enumerate(vnames, start=1):
@@ -2051,6 +2425,7 @@ def stream_match_recognize(
             events, partition_by, order_by, parsed, define,
             dict(withins or {}), default_within, measures, event_id,
             skip_step, within_overall=within_overall, excluded=excluded,
+            rows_per_match=rows_per_match,
         )
     if mode == "skip_past_last" and within_overall is not None:
         # round 10 (VERDICT r9 item 5): the overall bound must prune

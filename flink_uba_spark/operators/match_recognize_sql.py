@@ -448,17 +448,22 @@ def _compile_define(
 def _compile_measure(
     expr: str, all_vars: set[str], quantified: set[str],
     subset_names: set[str], order_by: str, stream: bool = False,
+    excluded: set[str] | None = None,
 ):
     """MEASURES expression text → RunAgg | Spark SQL expr string over
     the ONE-row output columns.
 
-    ``stream`` (round 11) narrows the aggregate surface to what the
-    stream engines carry without the batch band join: ``COUNT(V.*)``
-    (incl. SUBSET unions) stays a RunAgg — the dict front-end rewrites
-    it onto the NFA's ``{v}_n`` / bound-indicator columns — and
-    ``FIRST/LAST(V.<order_by>)`` compiles straight to the run-boundary
-    columns ``{v}_ts`` / ``{v}_last_ts``; value aggregates and offset
-    navigation raise with the batch pointer."""
+    ``stream`` (round 11): ``COUNT(V.*)`` (incl. SUBSET unions) stays a
+    RunAgg — the dict front-end rewrites it onto the NFA's ``{v}_n`` /
+    bound-indicator columns — and ``FIRST/LAST(V.<order_by>)`` compiles
+    straight to the run-boundary columns ``{v}_ts`` / ``{v}_last_ts``.
+    Round 12 lifts the rest: value aggregates (``SUM/AVG/MIN/MAX``) and
+    offset ``FIRST/LAST`` compile to RunAgg exactly as batch — the dict
+    front-end streams them through the quantified-chain replayer or
+    raises with the route reason. ``excluded`` (round-11 ADVICE): a
+    boundary navigation over an EXCLUDED variable raises the curated
+    error here — the column it would read is dropped by exclusion
+    before MEASURES on the stream."""
     from flink_uba_spark.operators.match_recognize import run_agg
 
     m = _RUN_AGG.match(expr.strip())
@@ -486,17 +491,21 @@ def _compile_measure(
                 rf"{re.escape(var)}\s*\.\s*{re.escape(order_by)}", inner
             )
             if func in ("first", "last") and is_ts_nav and n == 0:
+                if var in (excluded or ()):
+                    raise ValueError(
+                        f"MEASURES {expr!r} navigates the EXCLUDED "
+                        f"variable {var!r} — batch-only on the stream "
+                        "(exclusion drops the variable's columns before "
+                        "MEASURES here; batch attaches navigation first)"
+                    )
                 # the run-boundary columns the NFA already emits
                 if func == "last" and var in quantified:
                     return f"{var}_last_ts"
                 return f"{var}_ts"
-            raise ValueError(
-                f"MEASURES aggregate {expr!r} is batch-only on the stream "
-                "(value aggregates and offset navigation need the run "
-                "membership band join) — the stream surface serves "
-                "COUNT(V.*) and FIRST/LAST(V.<ORDER BY col>); use the "
-                "batch match_recognize_sql for the rest"
-            )
+            # value aggregates / offset navigation (round 12): compile
+            # to RunAgg — the dict front-end routes them through the
+            # quantified-chain replayer (value columns ride the buffer)
+            # or raises with the real route reason
         if len(agg_targets) == 1:
             var = agg_targets.pop()
             val = _rewrite_refs(
@@ -614,18 +623,22 @@ def stream_match_recognize_sql(
 ) -> DataFrame:
     """The SQL-text surface as a CONTINUOUS query — the same clause
     parse compiled onto ``stream_match_recognize`` (round 10; Flink's
-    SQL CEP is a streaming surface first). Round 11 closes most of the
-    r10 ONE-ROW-only asymmetry: ``ALL ROWS PER MATCH`` compiles through
-    (plain/optional chains — the per-step ids the NFA now emits),
-    ``COUNT(V.*)`` run aggregates and SUBSET unions rewrite onto the
-    NFA's own count columns, and ``FIRST/LAST(V.<ORDER BY col>)``
-    compiles to the run-boundary columns. Still batch-only (raises with
-    the reason): value run aggregates / offset navigation (run
-    membership is the batch band join) and ``PREV`` (a
-    partition-ordered lag is unbounded on a stream); everything else —
-    quantifiers, groups, PERMUTE, exclusions, AFTER MATCH strategies,
-    WITHIN — routes through the stream engines' own matrix, whose
-    raises carry the real reason."""
+    SQL CEP is a streaming surface first). Round 11 streams ``ALL ROWS
+    PER MATCH`` on plain/optional chains (per-step NFA ids),
+    ``COUNT(V.*)`` / SUBSET counts (the NFA's own count columns) and
+    ``FIRST/LAST(V.<ORDER BY col>)`` boundary navigation. Round 12
+    streams the rest of the aggregate surface: ``SUM/AVG/MIN/MAX
+    (V.<expr>)`` and offset ``FIRST/LAST`` compile to RunAgg exactly as
+    batch and route through the quantified-chain replayer (value
+    columns ride the buffer; see match_recognize._stream_value_measures
+    for the routing matrix), and ALL ROWS composes with quantified
+    runs / the replay routes. Still batch-only (raises with the
+    reason): ``PREV`` (a partition-ordered lag is unbounded on a
+    stream), offset navigation over SUBSET unions, and the specialty
+    engines' value aggregates; everything else — quantifiers, groups,
+    PERMUTE, exclusions, AFTER MATCH strategies, WITHIN — routes
+    through the stream engines' own matrix, whose raises carry the
+    real reason."""
     from flink_uba_spark.operators.match_recognize import (
         parse_pattern,
         stream_match_recognize,
@@ -666,7 +679,7 @@ def stream_match_recognize_sql(
         for nm, ex in spec["measures_sql"].items():
             compiled = _compile_measure(
                 ex, all_vars, quantified, subset_names, spec["order_by"],
-                stream=True,
+                stream=True, excluded=_x,
             )
             measures[nm] = (
                 F.expr(compiled) if isinstance(compiled, str) else compiled

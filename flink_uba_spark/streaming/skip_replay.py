@@ -62,6 +62,58 @@ SKIP_STATE_SCHEMA = T.StructType(
 )
 
 
+def skip_state_schema(with_vals: bool = False) -> T.StructType:
+    """``SKIP_STATE_SCHEMA`` plus the optional row-major VALUE matrix
+    (round 12 — value-aggregate MEASURES on the replay family). The
+    extra field only exists for specs that declare value columns — a
+    NEW query shape — so checkpoints of existing value-free queries
+    keep their layout."""
+    fields = list(SKIP_STATE_SCHEMA.fields)
+    if with_vals:
+        fields.append(T.StructField("vals", T.ArrayType(T.DoubleType())))
+    return T.StructType(fields)
+
+
+# ALL ROWS PER MATCH on the replay family (round 12 — VERDICT r11 item
+# 3): one row per BOUND EVENT; ``var`` (CLASSIFIER) is attached by the
+# front-end from ``seq`` — a compile-time constant per step
+ALL_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("anchor_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _agg_val(func: str, n_off: int, sl) -> float | None:
+    """One aggregate over a run's value slice (float64, NaN = SQL null).
+    sum/avg/min/max skip nulls (Spark's aggregate rule; all-null → null);
+    first/last are ISO logical navigation with offset (past-the-run or a
+    null value → null)."""
+    if func in ("first", "last"):
+        idx = n_off if func == "first" else len(sl) - 1 - n_off
+        if idx < 0 or idx >= len(sl):
+            return None
+        v = float(sl[idx])
+        return None if np.isnan(v) else v
+    good = sl[~np.isnan(sl)]
+    if func == "cnt":
+        # non-null value count (avg's denominator — F.avg skips nulls)
+        return float(len(good))
+    if not len(good):
+        return None
+    if func == "sum":
+        return float(good.sum())
+    if func == "avg":
+        return float(good.mean())
+    if func == "min":
+        return float(good.min())
+    return float(good.max())
+
+
 def chain_skip_output_schema(n_steps: int) -> T.StructType:
     return T.StructType(
         [
@@ -92,12 +144,13 @@ LAZY_OUTPUT_SCHEMA = T.StructType(
 
 def _order_and_pos(ts, ids, mask, n_flags):
     """(ts, rank, id) total order (rank = earliest set flag's 2k−1 slot)
-    → sorted arrays + positions."""
+    → sorted arrays + positions + the sort permutation (round 12: the
+    permutation lets value columns ride along without re-sorting)."""
     rank = np.full(len(ts), 2 * n_flags + 1, dtype="int64")
     for k in range(n_flags, 0, -1):
         rank = np.where((mask >> (k - 1)) & 1 == 1, 2 * k - 1, rank)
     order = np.lexsort((ids, rank, ts))
-    return ts[order], ids[order], mask[order], rank[order]
+    return ts[order], ids[order], mask[order], rank[order], order
 
 
 def _bind_next(st_ts, st_id, st_pos, prev_ts, prev_pos):
@@ -114,7 +167,8 @@ def _bind_next(st_ts, st_id, st_pos, prev_ts, prev_pos):
 
 def make_chain_skip_replayer(n: int, withins_us: list, skip_step: int,
                              h_us: int, mode: str = "skip_to",
-                             within_overall_us: int | None = None):
+                             within_overall_us: int | None = None,
+                             all_rows: bool = False):
     """Plain-chain skip-till-next candidates + the AFTER MATCH horizon
     replay (see module docstring). ``withins_us[k-1]`` bounds the
     transition INTO step k (entry None); all must be finite past the
@@ -163,7 +217,7 @@ def make_chain_skip_replayer(n: int, withins_us: list, skip_step: int,
 
         out = None
         if len(ts):
-            s_ts, s_id, s_mask, _rank = _order_and_pos(ts, ids, mask, n)
+            s_ts, s_id, s_mask, _rank, _ord = _order_and_pos(ts, ids, mask, n)
             pos = np.arange(len(s_ts))
             legs = []
             for k in range(1, n + 1):
@@ -220,17 +274,31 @@ def make_chain_skip_replayer(n: int, withins_us: list, skip_step: int,
                     else anchor >= (h_ts, h_id)
                 )
                 if survives:
-                    rows.append(
-                        {
-                            "user_id": key[0],
-                            "anchor_id": chain_id[0],
-                            **{
-                                f"t{k}": chain_ts[k - 1]
-                                for k in range(1, n + 1)
-                            },
-                            "end_id": chain_id[n - 1],
-                        }
-                    )
+                    if all_rows:
+                        # one row per bound event (round 12 — the plain
+                        # chain's per-step ids are the chain itself)
+                        rows.extend(
+                            {
+                                "user_id": key[0],
+                                "anchor_id": chain_id[0],
+                                "seq": k,
+                                "event_id": chain_id[k - 1],
+                                "ts": chain_ts[k - 1],
+                            }
+                            for k in range(1, n + 1)
+                        )
+                    else:
+                        rows.append(
+                            {
+                                "user_id": key[0],
+                                "anchor_id": chain_id[0],
+                                **{
+                                    f"t{k}": chain_ts[k - 1]
+                                    for k in range(1, n + 1)
+                                },
+                                "end_id": chain_id[n - 1],
+                            }
+                        )
                     sp = (
                         (chain_ts[n - 1], chain_id[n - 1])
                         if past_last
@@ -241,8 +309,11 @@ def make_chain_skip_replayer(n: int, withins_us: list, skip_step: int,
             ctrl = [h_ts, h_id, *lp] if lp[0] != _NULL else [h_ts, h_id] + [_NULL] * 4
             if rows:
                 out = pd.DataFrame(rows)
-                for k in range(1, n + 1):
-                    out[f"t{k}"] = pd.to_datetime(out[f"t{k}"], unit="us")
+                if all_rows:
+                    out["ts"] = pd.to_datetime(out["ts"], unit="us")
+                else:
+                    for k in range(1, n + 1):
+                        out[f"t{k}"] = pd.to_datetime(out[f"t{k}"], unit="us")
             keep = s_ts >= wm_us - 2 * h_us
             ts, ids, mask = s_ts[keep], s_id[keep], s_mask[keep]
 
@@ -299,7 +370,7 @@ def make_lazy_reluctant_replayer(gap_us: int, sfx_us: int | None,
 
         out = None
         if len(ts):
-            s_ts, s_id, s_mask, _rank = _order_and_pos(ts, ids, mask, 3)
+            s_ts, s_id, s_mask, _rank, _ord = _order_and_pos(ts, ids, mask, 3)
             pos = np.arange(len(s_ts))
             # run rows in (ts, id) order + forward availability
             r_sel = np.nonzero((s_mask >> 1) & 1)[0]
@@ -467,7 +538,7 @@ def make_trailing_run_replayer(n: int, withins_us: list, gap_us: int,
 
         out = None
         if len(ts):
-            s_ts, s_id, s_mask, _rank = _order_and_pos(ts, ids, mask, n)
+            s_ts, s_id, s_mask, _rank, _ord = _order_and_pos(ts, ids, mask, n)
             pos = np.arange(len(s_ts))
             legs = []
             for k in range(1, n + 1):
@@ -645,8 +716,13 @@ def stream_trailing_run_detect(
 
 
 def quantified_chain_output_schema(
-    n_steps: int, quant: set[int]
+    n_steps: int, quant: set[int],
+    agg_fields: list[tuple[str, bool]] | None = None,
 ) -> T.StructType:
+    """``agg_fields`` (round 12): one extra column per value-aggregate
+    MEASURE — ``(name, integral)``; integral aggregates emit LongType
+    (exact for |v| < 2^53 — the float64 state carrier's envelope),
+    others DoubleType."""
     fields = [
         T.StructField("user_id", T.LongType()),
         T.StructField("anchor_id", T.LongType()),
@@ -657,13 +733,21 @@ def quantified_chain_output_schema(
             fields.append(T.StructField(f"t{k}_last", T.TimestampType()))
             fields.append(T.StructField(f"n{k}", T.LongType()))
     fields.append(T.StructField("end_id", T.LongType()))
+    for name, integral in agg_fields or ():
+        fields.append(
+            T.StructField(name, T.LongType() if integral else T.DoubleType())
+        )
     return T.StructType(fields)
 
 
 def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
                                    h_us: int,
                                    within_overall_us: int | None = None,
-                                   optionals: set[int] | None = None):
+                                   optionals: set[int] | None = None,
+                                   mode: str = "past_last",
+                                   all_rows: bool = False,
+                                   n_vals: int = 0,
+                                   aggs: list[tuple] | None = None):
     """GENERAL quantified-chain SKIP PAST LAST replay (round 11 — VERDICT
     r10 item 6, the last within_overall cell, and with it the whole
     'quantified chain under SKIP PAST LAST' streaming family): any step
@@ -699,8 +783,33 @@ def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
     the same row serving both steps, takes); a skipped optional leaves
     the frontier unchanged, emits a null t{k}, and the next step's
     within classifies from the pre-optional frontier (the batch
-    fall-through rule)."""
+    fall-through rule).
+
+    Round 12 (VERDICT r11 items 2/3):
+
+    - ``mode="no_skip"`` — every anchor's candidate emits (the NO SKIP
+      strategy): the horizon never advances and ``survives`` is always
+      true. The decidability cut and the last-processed exactly-once
+      walk are unchanged — emitted candidates still form a final
+      completion-order prefix (any yet-unknown candidate's end sits
+      ≥ wm − H, strictly after every emitted end under the cut).
+    - ``all_rows=True`` — ALL ROWS PER MATCH: instead of the ONE-row
+      shape, emit one row per BOUND EVENT (``ALL_ROWS_SCHEMA``); a
+      quantified step enumerates its whole run — the replayer holds
+      the run's member rows (leg slice ``j..j+cnt−1``), so no band
+      join is needed, unlike batch.
+    - ``n_vals``/``aggs`` — value-aggregate MEASURES: ``n_vals`` value
+      columns (``v0..``, float64, NaN = null) ride the buffer (state
+      field 5, ``skip_state_schema``); each ``aggs`` entry
+      ``(k, vi, func, n_off, name, integral)`` emits one extra output
+      column = ``func`` over step k's bound rows' ``vi``-th value —
+      exact run membership, the batch band join's stream twin."""
     opts = set(optionals or ())
+    if mode not in ("past_last", "no_skip"):
+        raise ValueError("mode: past_last | no_skip")
+    if all_rows and aggs:
+        raise ValueError("ALL ROWS and aggregate MEASURES are exclusive")
+    aggs = list(aggs or ())
 
     def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         timed_out = getattr(state, "hasTimedOut", False)
@@ -708,13 +817,19 @@ def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
         wm_us = state.getCurrentWatermarkMs() * 1000
 
         if state.exists:
+            got = state.get
             ts, ids, mask, ctrl = (
-                np.asarray(f, dtype="int64") for f in state.get
+                np.asarray(f, dtype="int64") for f in got[:4]
             )
             ctrl = list(ctrl)
+            vals = (
+                np.asarray(got[4], dtype="float64").reshape(-1, n_vals)
+                if n_vals else np.empty((len(ts), 0))
+            )
         else:
             ts = ids = mask = np.empty(0, dtype="int64")
             ctrl = [_NULL] * 6
+            vals = np.empty((0, n_vals))
         if chunks:
             pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             ts = np.concatenate(
@@ -725,16 +840,32 @@ def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
             for k in range(1, n + 1):
                 m |= pdf[f"f{k}"].to_numpy().astype("int64") << (k - 1)
             mask = np.concatenate([mask, m])
+            if n_vals:
+                vals = np.concatenate(
+                    [
+                        vals,
+                        np.stack(
+                            [
+                                pdf[f"v{i}"].to_numpy(dtype="float64",
+                                                      na_value=np.nan)
+                                for i in range(n_vals)
+                            ],
+                            axis=1,
+                        ),
+                    ]
+                )
 
         out = None
         if len(ts):
-            s_ts, s_id, s_mask, _rank = _order_and_pos(ts, ids, mask, n)
+            s_ts, s_id, s_mask, _rank, _ord = _order_and_pos(ts, ids, mask, n)
+            s_vals = vals[_ord] if n_vals else None
             pos = np.arange(len(s_ts))
-            legs, avails = [], []
+            legs, avails, leg_vals = [], [], []
             for k in range(1, n + 1):
                 sel = np.nonzero((s_mask >> (k - 1)) & 1)[0]
                 sel = sel[np.lexsort((s_id[sel], s_ts[sel]))]
                 legs.append((s_ts[sel], s_id[sel], pos[sel]))
+                leg_vals.append(s_vals[sel] if n_vals else None)
                 if kleenes[k - 1] is not None:
                     gap_us = kleenes[k - 1][0]
                     bt = s_ts[sel]
@@ -766,12 +897,14 @@ def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
             cands = []
             a_ts, a_id, a_pos = legs[0]
             for ai in range(len(a_ts)):
-                # per step: (entry_ts, entry_id, last_ts, last_id, cnt) —
-                # plain steps carry cnt 0 and entry == last; a skipped
-                # optional carries None entries (null t{k})
+                # per step: (entry_ts, entry_id, last_ts, last_id, cnt,
+                # leg_j) — plain steps carry cnt 0 and entry == last; a
+                # skipped optional carries None entries (null t{k});
+                # leg_j indexes the step's leg arrays (run slice
+                # j..j+cnt−1 — the ALL ROWS / value-aggregate member set)
                 rec = [
                     (int(a_ts[ai]), int(a_id[ai]),
-                     int(a_ts[ai]), int(a_id[ai]), 0)
+                     int(a_ts[ai]), int(a_id[ai]), 0, ai)
                 ]
                 p_ts, p_pos = int(a_ts[ai]), int(a_pos[ai])
                 ok = True
@@ -787,7 +920,7 @@ def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
                         if c is None or (
                             nxt is not None and nxt[2] < c[2]
                         ):
-                            rec.append((None, None, None, None, 0))
+                            rec.append((None, None, None, None, 0, -1))
                             continue  # frontier unchanged — fall through
                     if c is None:
                         ok = False
@@ -801,14 +934,14 @@ def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
                         break
                     lt, li, lp = legs[k - 1]
                     if kleenes[k - 1] is None:
-                        rec.append((c_ts, int(li[j]), c_ts, int(li[j]), 0))
+                        rec.append((c_ts, int(li[j]), c_ts, int(li[j]), 0, j))
                         p_ts, p_pos = c_ts, c_pos
                     else:
                         cnt = int(min(avails[k - 1][j], kleenes[k - 1][2]))
                         last = j + cnt - 1
                         rec.append(
                             (c_ts, int(li[j]),
-                             int(lt[last]), int(li[last]), cnt)
+                             int(lt[last]), int(li[last]), cnt, j)
                         )
                         p_ts, p_pos = int(lt[last]), int(lp[last])
                 if not ok:
@@ -831,16 +964,51 @@ def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
                 if lp_key[0] != _NULL and ckey <= lp_key:
                     continue
                 lp_key = ckey
-                if h_ts == _NULL or (rec[0][0], rec[0][1]) > (h_ts, h_id):
-                    row = {"user_id": key[0], "anchor_id": rec[0][1]}
-                    for k in range(1, n + 1):
-                        row[f"t{k}"] = rec[k - 1][0]
-                        if kleenes[k - 1] is not None:
-                            row[f"t{k}_last"] = rec[k - 1][2]
-                            row[f"n{k}"] = rec[k - 1][4]
-                    row["end_id"] = end_id
-                    rows.append(row)
-                    if h_ts == _NULL or (end_ts, end_id) > (h_ts, h_id):
+                if mode == "no_skip" or h_ts == _NULL or (
+                    (rec[0][0], rec[0][1]) > (h_ts, h_id)
+                ):
+                    if all_rows:
+                        # one row per bound event; a quantified step's
+                        # run is the leg slice j..j+cnt−1 (skipped
+                        # optionals contribute nothing)
+                        for k in range(1, n + 1):
+                            e = rec[k - 1]
+                            if e[0] is None:
+                                continue
+                            lt_k, li_k, _lp_k = legs[k - 1]
+                            lj, cnt = e[5], max(e[4], 1)
+                            rows.extend(
+                                {
+                                    "user_id": key[0],
+                                    "anchor_id": rec[0][1],
+                                    "seq": k,
+                                    "event_id": int(li_k[lj + r]),
+                                    "ts": int(lt_k[lj + r]),
+                                }
+                                for r in range(cnt)
+                            )
+                    else:
+                        row = {"user_id": key[0], "anchor_id": rec[0][1]}
+                        for k in range(1, n + 1):
+                            row[f"t{k}"] = rec[k - 1][0]
+                            if kleenes[k - 1] is not None:
+                                row[f"t{k}_last"] = rec[k - 1][2]
+                                row[f"n{k}"] = rec[k - 1][4]
+                        row["end_id"] = end_id
+                        for k, vi, func, n_off, name, _intg in aggs:
+                            e = rec[k - 1]
+                            if e[0] is None:
+                                row[name] = None
+                                continue
+                            lj, cnt = e[5], max(e[4], 1)
+                            row[name] = _agg_val(
+                                func, n_off,
+                                leg_vals[k - 1][lj:lj + cnt, vi],
+                            )
+                        rows.append(row)
+                    if mode != "no_skip" and (
+                        h_ts == _NULL or (end_ts, end_id) > (h_ts, h_id)
+                    ):
                         h_ts, h_id = end_ts, end_id
             ctrl = (
                 [h_ts, h_id, *lp_key]
@@ -849,19 +1017,36 @@ def make_quantified_chain_replayer(n: int, withins_us: list, kleenes: list,
             )
             if rows:
                 out = pd.DataFrame(rows)
-                for k in range(1, n + 1):
-                    out[f"t{k}"] = pd.to_datetime(out[f"t{k}"], unit="us")
-                    if kleenes[k - 1] is not None:
-                        out[f"t{k}_last"] = pd.to_datetime(
-                            out[f"t{k}_last"], unit="us"
-                        )
+                if all_rows:
+                    out["ts"] = pd.to_datetime(out["ts"], unit="us")
+                else:
+                    for k in range(1, n + 1):
+                        out[f"t{k}"] = pd.to_datetime(out[f"t{k}"], unit="us")
+                        if kleenes[k - 1] is not None:
+                            out[f"t{k}_last"] = pd.to_datetime(
+                                out[f"t{k}_last"], unit="us"
+                            )
+                    for _k, _vi, _fn, _no, name, integral in aggs:
+                        if integral:
+                            out[name] = pd.array(
+                                [
+                                    None if pd.isna(v) else int(round(v))
+                                    for v in out[name]
+                                ],
+                                dtype="Int64",
+                            )
+                        else:
+                            out[name] = pd.array(out[name], dtype="Float64")
             keep = s_ts >= wm_us - 2 * h_us
             ts, ids, mask = s_ts[keep], s_id[keep], s_mask[keep]
+            if n_vals:
+                vals = s_vals[keep]
 
         if len(ts) or ctrl[0] != _NULL or ctrl[2] != _NULL:
             state.update(
                 (ts.tolist(), ids.tolist(), mask.tolist(),
                  [int(x) for x in ctrl])
+                + ((vals.reshape(-1).tolist(),) if n_vals else ())
             )
             if len(ts):
                 state.setTimeoutTimestamp(wm_us // 1000 + 1)
@@ -882,13 +1067,25 @@ def stream_quantified_chain_detect(
     watermark_delay: str = "0 seconds",
     within_overall: str | None = None,
     optional: set[int] | None = None,
+    mode: str = "past_last",
+    all_rows: bool = False,
+    values: dict[str, Column] | None = None,
+    aggs: list[tuple] | None = None,
 ) -> DataFrame:
     """Wire the general quantified-chain SKIP PAST LAST replay:
     ``steps`` entries are ``(pred, within)`` (plain) or
     ``(pred, within, (mn, mx))`` (capped greedy run, ANY position past
     the first; finite cap and finite withins mandatory — Σ within +
     Σ mx·gap is the replay horizon). ``optional`` marks interior plain
-    steps with the engines' greedy-race single-match semantics."""
+    steps with the engines' greedy-race single-match semantics.
+
+    Round 12: ``mode="no_skip"`` emits every anchor's candidate (no
+    fold); ``all_rows=True`` emits per-BOUND-EVENT rows
+    (``ALL_ROWS_SCHEMA``); ``values`` declares named value Columns that
+    ride the buffer (cast to double; state schema gains the ``vals``
+    field) and ``aggs`` entries ``(k, value_name, func, n_offset,
+    out_name, integral)`` emit one aggregate column each over step k's
+    bound rows — see ``make_quantified_chain_replayer``."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from flink_uba_spark.streaming.pattern import _interval_us
@@ -931,23 +1128,42 @@ def stream_quantified_chain_detect(
     h_us = sum(withins_us[1:]) + sum(
         k[2] * k[0] for k in kleenes if k is not None
     )
+    if all_rows and (values or aggs):
+        raise ValueError("ALL ROWS and aggregate MEASURES are exclusive")
+    values = dict(values or {})
+    val_ix = {nm: i for i, nm in enumerate(values)}
+    raggs = []
+    agg_fields: list[tuple[str, bool]] = []
+    for k, val_name, func, n_off, out_name, integral in aggs or ():
+        if not 1 <= k <= n:
+            raise ValueError(f"agg step {k} out of range 1..{n}")
+        if val_name not in val_ix:
+            raise ValueError(f"agg references undeclared value {val_name!r}")
+        raggs.append((k, val_ix[val_name], func, n_off, out_name, integral))
+        agg_fields.append((out_name, integral))
     flags = {f"f{k}": s[0].cast("boolean") for k, s in enumerate(steps, 1)}
-    filtered = _wire(events, key, flags, event_id, ts, watermark_delay)
+    extra = {
+        f"v{i}": c.cast("double") for i, c in enumerate(values.values())
+    }
+    filtered = _wire(events, key, flags, event_id, ts, watermark_delay,
+                     extra=extra)
     wo_us = None if within_overall is None else _interval_us(within_overall)
     quant = {k for k in range(1, n + 1) if kleenes[k - 1] is not None}
     return filtered.groupBy("user_id").applyInPandasWithState(
         make_quantified_chain_replayer(
             n, withins_us, kleenes, h_us, within_overall_us=wo_us,
-            optionals=opts,
+            optionals=opts, mode=mode, all_rows=all_rows,
+            n_vals=len(values), aggs=raggs,
         ),
-        quantified_chain_output_schema(n, quant),
-        SKIP_STATE_SCHEMA,
+        ALL_ROWS_SCHEMA if all_rows
+        else quantified_chain_output_schema(n, quant, agg_fields),
+        skip_state_schema(bool(values)),
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
 
 
-def _wire(events, key, flag_cols, event_id, ts, watermark_delay):
+def _wire(events, key, flag_cols, event_id, ts, watermark_delay, extra=None):
     any_f = None
     for c in flag_cols.values():
         any_f = c if any_f is None else (any_f | c)
@@ -961,6 +1177,7 @@ def _wire(events, key, flag_cols, event_id, ts, watermark_delay):
             F.col(ts).alias("ts"),
             F.col(key).alias("user_id"),
             *named.keys(),
+            *[c.alias(nm) for nm, c in (extra or {}).items()],
         )
         .withWatermark("ts", watermark_delay)
     )
@@ -975,14 +1192,17 @@ def stream_chain_skip_to_detect(
     ts: str = "ts",
     watermark_delay: str = "0 seconds",
     within_overall: str | None = None,
+    all_rows: bool = False,
 ) -> DataFrame:
     """Wire the SKIP TO FIRST/LAST replay over a streaming frame (plain
     chains; every within after the first MANDATORY — their sum is the
     emission horizon). ``within_overall`` (round 10) prunes candidates
-    whose end exceeds the anchor bound BEFORE the fold."""
+    whose end exceeds the anchor bound BEFORE the fold. ``all_rows``
+    (round 12) emits per-BOUND-EVENT rows instead of the ONE-row shape
+    — the chain IS the per-step id list, so the explode is in-replayer."""
     return _wire_chain_replay(
         events, key, steps, skip_step, "skip_to", event_id, ts,
-        watermark_delay, within_overall,
+        watermark_delay, within_overall, all_rows=all_rows,
     )
 
 
@@ -1011,7 +1231,7 @@ def stream_chain_skip_past_detect(
 
 def _wire_chain_replay(
     events, key, steps, skip_step, mode, event_id, ts,
-    watermark_delay, within_overall,
+    watermark_delay, within_overall, all_rows=False,
 ):
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -1038,9 +1258,9 @@ def _wire_chain_replay(
     return filtered.groupBy("user_id").applyInPandasWithState(
         make_chain_skip_replayer(
             n, withins_us, skip_step, h_us, mode=mode,
-            within_overall_us=wo_us,
+            within_overall_us=wo_us, all_rows=all_rows,
         ),
-        chain_skip_output_schema(n),
+        ALL_ROWS_SCHEMA if all_rows else chain_skip_output_schema(n),
         SKIP_STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,
