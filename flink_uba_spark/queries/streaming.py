@@ -3879,6 +3879,232 @@ SELECT user_id, anchor_id, CAST(3 AS BIGINT) AS seq, 'P' AS var,
 """
 
 
+def stream_match_recognize_value_run_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VALUE aggregates in MEASURES as a CONTINUOUS query (round 12 —
+    VERDICT r11 item 2): ``SUM/MAX(E.cents)`` and boundary
+    ``FIRST/LAST(E.cents)`` over ``PATTERN (S E{1,3} P)`` under SKIP
+    PAST LAST — the exact batch match_recognize_measures_run_agg
+    surface, streamed. Batch recovers run membership with the ALL-ROWS
+    band join; the stream carries the declared value column IN the
+    quantified-chain replayer's buffer (streaming/skip_replay.py state
+    field ``vals``) and computes every aggregate exactly over the bound
+    slice in-operator — no band join, ONE keyed stateful exchange.
+    Oracle: the batch measures oracle under the replay decidability cut
+    ``P_ts + H < final ms-floored watermark``, H = 12h entry + 3x12h
+    run + 24h suffix = 72h. Reference anchor: the value-measure SQL
+    spelling of Flink's ``ctx.getEventsForPattern("E")`` folds
+    (OrderPayTimeout.java:52-64 family)."""
+    from flink_uba_spark.operators.match_recognize import (
+        run_agg,
+        stream_match_recognize,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S E{1,3} P",
+            define={
+                "S": F.col("event_type") == "signup",
+                "E": F.col("event_type") == "error",
+                "P": F.col("event_type") == "purchase",
+            },
+            withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+            after_match="skip_past_last",
+            measures={
+                "anchor_id": F.col("anchor_id"),
+                "S_ts": F.col("S_ts"),
+                "P_ts": F.col("P_ts"),
+                "E_n": F.col("E_n"),
+                "err_cnt": run_agg("count", "E"),
+                "err_sum_cents": run_agg("sum", "E", cents),
+                "err_max_cents": run_agg("max", "E", cents),
+                "err_first_cents": run_agg("first", "E", cents),
+                "err_last_cents": run_agg("last", "E", cents),
+                "end_id": F.col("end_id"),
+            },
+        )
+    )
+
+
+def _stream_value_run_agg_oracle() -> str:
+    from flink_uba_spark.queries.rowpattern import (
+        MATCH_RECOGNIZE_MEASURES_RUN_AGG_ORACLE,
+    )
+
+    h_us = 72 * 3600 * 1_000_000
+    return f"""
+SELECT b.* FROM ({MATCH_RECOGNIZE_MEASURES_RUN_AGG_ORACLE}) b
+WHERE epoch_us(b.P_ts) + {h_us} <
+      (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+       WHERE event_type IN ('signup', 'error', 'purchase'))
+"""
+
+
+def stream_match_recognize_sql_value_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same VALUE-aggregate continuous query spelled as the ISO
+    clause STRING (round 12 — the text front-end compiles
+    ``SUM/MAX/FIRST/LAST(FLOOR(E.value * 100))`` onto the stream
+    RunAgg path instead of raising): compiles onto
+    stream_match_recognize_value_run_agg's exact plan and shares its
+    oracle — text-parse ≡ dict-spec ≡ DuckDB for streaming value
+    MEASURES."""
+    from flink_uba_spark.operators.match_recognize_sql import (
+        stream_match_recognize_sql,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = stream_match_recognize_sql(
+        ev,
+        """
+        SELECT * FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES anchor_id AS anchor_id, S.ts AS S_ts, P.ts AS P_ts,
+                     COUNT(E.*) AS E_n,
+                     COUNT(E.*) AS err_cnt,
+                     SUM(FLOOR(E.value * 100)) AS err_sum_cents,
+                     MAX(FLOOR(E.value * 100)) AS err_max_cents,
+                     FIRST(FLOOR(E.value * 100)) AS err_first_cents,
+                     LAST(FLOOR(E.value * 100)) AS err_last_cents,
+                     end_id AS end_id
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (S E{1,3} P)
+            DEFINE S AS S.event_type = 'signup',
+                   E AS E.event_type = 'error',
+                   P AS P.event_type = 'purchase'
+        )
+        """,
+        withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+    )
+    return run_to_table(out)
+
+
+def stream_match_recognize_subset_value_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUBSET-union VALUE aggregates as a CONTINUOUS query (round 12):
+    ``SUBSET U = (S, E, P)`` with ``COUNT(U.*)`` / ``SUM(U.cents)`` —
+    the members' per-step partial aggregates combine STATELESSLY after
+    the replayer's fold (a union's total is the sum of member partial
+    sums), so the union costs no extra state. Offset navigation over a
+    union keeps the curated batch-only raise (it needs the merged
+    (ts, id) row order across members — the batch band join). Oracle:
+    the batch SUBSET oracle's non-offset columns under the 72h replay
+    cut."""
+    from flink_uba_spark.operators.match_recognize import (
+        run_agg,
+        stream_match_recognize,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S E{1,3} P",
+            define={
+                "S": F.col("event_type") == "signup",
+                "E": F.col("event_type") == "error",
+                "P": F.col("event_type") == "purchase",
+            },
+            withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+            after_match="skip_past_last",
+            subset={"U": ("S", "E", "P")},
+            measures={
+                "anchor_id": F.col("anchor_id"),
+                "S_ts": F.col("S_ts"),
+                "P_ts": F.col("P_ts"),
+                "E_n": F.col("E_n"),
+                "u_cnt": run_agg("count", "U"),
+                "u_sum_cents": run_agg("sum", "U", cents),
+                "end_id": F.col("end_id"),
+            },
+        )
+    )
+
+
+def _stream_subset_value_agg_oracle() -> str:
+    from flink_uba_spark.queries.rowpattern import (
+        MATCH_RECOGNIZE_SUBSET_AGG_ORACLE,
+    )
+
+    h_us = 72 * 3600 * 1_000_000
+    return f"""
+SELECT b.user_id, b.anchor_id, b.S_ts, b.P_ts, b.E_n,
+       b.u_cnt, b.u_sum_cents, b.end_id
+FROM ({MATCH_RECOGNIZE_SUBSET_AGG_ORACLE}) b
+WHERE epoch_us(b.P_ts) + {h_us} <
+      (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+       WHERE event_type IN ('signup', 'error', 'purchase'))
+"""
+
+
+def stream_match_recognize_all_rows_run(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``ALL ROWS PER MATCH`` over a QUANTIFIED run as a CONTINUOUS
+    query (round 12 — VERDICT r11 item 3): ``PATTERN (S E{1,3} P)``
+    under SKIP PAST LAST emits one row PER BOUND EVENT including every
+    repetition of the error run — the quantified-chain replayer already
+    holds per-chain run membership (entry/cnt per step), so the
+    per-event explode is leg-slice enumeration in-operator
+    (streaming/skip_replay.py ALL_ROWS_SCHEMA), ``var`` (CLASSIFIER)
+    attached statelessly from the compile-time step list. Oracle: the
+    batch ALL-ROWS-over-run oracle under the per-MATCH 72h replay cut
+    (a match emits when its END — its max bound ts — passes the
+    horizon)."""
+    from flink_uba_spark.operators.match_recognize import (
+        stream_match_recognize,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S E{1,3} P",
+            define={
+                "S": F.col("event_type") == "signup",
+                "E": F.col("event_type") == "error",
+                "P": F.col("event_type") == "purchase",
+            },
+            withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+            after_match="skip_past_last",
+            rows_per_match="all",
+        )
+    )
+
+
+def _stream_all_rows_run_oracle() -> str:
+    from flink_uba_spark.queries.rowpattern import (
+        MATCH_RECOGNIZE_ALL_ROWS_RUN_ORACLE,
+    )
+
+    h_us = 72 * 3600 * 1_000_000
+    return f"""
+SELECT user_id, anchor_id, seq, var, event_id, ts FROM (
+  SELECT b.*, max(epoch_us(b.ts)) OVER (
+           PARTITION BY b.user_id, b.anchor_id) AS mend
+  FROM ({MATCH_RECOGNIZE_ALL_ROWS_RUN_ORACLE}) b
+)
+WHERE mend + {h_us} <
+      (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+       WHERE event_type IN ('signup', 'error', 'purchase'))
+"""
+
+
 QUERIES = {
     "stream_hot_items": stream_hot_items,
     "stream_pattern_view_click_purchase": stream_pattern_view_click_purchase,
@@ -3911,6 +4137,10 @@ QUERIES = {
     "stream_match_recognize_optional_within_skip": stream_match_recognize_optional_within_skip,
     "stream_match_recognize_all_rows": stream_match_recognize_all_rows,
     "stream_match_recognize_sql_all_rows": stream_match_recognize_sql_all_rows,
+    "stream_match_recognize_value_run_agg": stream_match_recognize_value_run_agg,
+    "stream_match_recognize_sql_value_agg": stream_match_recognize_sql_value_agg,
+    "stream_match_recognize_subset_value_agg": stream_match_recognize_subset_value_agg,
+    "stream_match_recognize_all_rows_run": stream_match_recognize_all_rows_run,
     "stream_match_recognize_reluctant_lazy": stream_match_recognize_reluctant_lazy,
     "stream_match_recognize_reluctant": stream_match_recognize_reluctant,
     "stream_pattern_budget_error_run": stream_pattern_budget_error_run,
@@ -3995,6 +4225,10 @@ ORACLES = {
     "stream_match_recognize_optional_within_skip": _stream_optional_within_skip_oracle(),
     "stream_match_recognize_all_rows": STREAM_MATCH_RECOGNIZE_ALL_ROWS_ORACLE,
     "stream_match_recognize_sql_all_rows": STREAM_MATCH_RECOGNIZE_ALL_ROWS_ORACLE,
+    "stream_match_recognize_value_run_agg": _stream_value_run_agg_oracle(),
+    "stream_match_recognize_sql_value_agg": _stream_value_run_agg_oracle(),
+    "stream_match_recognize_subset_value_agg": _stream_subset_value_agg_oracle(),
+    "stream_match_recognize_all_rows_run": _stream_all_rows_run_oracle(),
     "stream_match_recognize_reluctant_lazy": _stream_mr_reluctant_lazy_oracle(),
     "stream_match_recognize_reluctant": _stream_match_recognize_reluctant_oracle(),
     "stream_pattern_budget_error_run": _stream_pattern_budget_oracle(),

@@ -81,7 +81,9 @@ ALL_ROWS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("anchor_id", T.LongType()),
-        T.StructField("seq", T.LongType()),
+        # non-nullable: the batch explode's seq is F.lit(k) — schema
+        # parity on the ALL-ROWS shape requires it here too
+        T.StructField("seq", T.LongType(), nullable=False),
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.TimestampType()),
     ]

@@ -402,10 +402,10 @@ def test_stream_text_surface(spark):
     PATTERN (S P)
     DEFINE S AS S.event_type = 'signup', P AS P.event_type = 'purchase'
     """
-    # round 11: ALL ROWS and COUNT(V.*) MEASURES now STREAM on the
-    # text surface (tests/test_round11_ops.py pins them against batch);
-    # the remaining batch-only forms keep their raises
-    with pytest.raises(ValueError, match="batch-only on the stream"):
+    # round 12: value aggregates stream on quantified runs / SUBSET
+    # unions; SUM over a PLAIN variable still raises on BOTH engines
+    # (the bound row's columns project directly — no run to aggregate)
+    with pytest.raises(ValueError, match="GREEDY-quantified"):
         stream_match_recognize_sql(
             ev,
             base.format(extra="MEASURES SUM(P.value) AS v"),

@@ -66,7 +66,7 @@ def slot_layout(n, guards, untils=frozenset()):
     return slots, pslot, gslot
 
 
-def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozenset(), stricts=frozenset(), with_end=False, untils=frozenset(), consecs=frozenset()):
+def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozenset(), stricts=frozenset(), with_end=False, untils=frozenset(), consecs=frozenset(), with_members=False):
     """Reference for the batch compiler's followed-by semantics plus the
     streaming run-closure filter and notFollowedBy kills.
 
@@ -80,7 +80,11 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
     rows are KEPT and rank last at their timestamp, as in the engines.
     Returns sorted (anchor_id, bound-tuple, state) for chains the STREAM
     emits: complete, NOT killed by a guard, AND every Kleene run closed
-    (cap, same-key evidence, or final watermark past last_rep + gap)."""
+    (cap, same-key evidence, or final watermark past last_rep + gap).
+    ``with_members`` (round 12 — value-aggregate / ALL-ROWS soaks):
+    append a per-step tuple of the bound MEMBER rows ``((ts, eid),
+    ...)`` — a plain step's single binder, a Kleene step's whole run in
+    (ts, id) order, nothing for a skipped optional."""
     n = len(steps)
     if untils:
         assert not (set(untils) & set(guards)), "until excludes a same-step guard"
@@ -144,6 +148,7 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
         if not (am >> pslot[1] & 1):
             continue
         bounds = {1: ats}
+        members = {1: [(ats, aid)]}
         klast, kn = {}, {}
         posidx = p0
         complete = closed_all = True
@@ -159,6 +164,7 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
                     break
                 posidx += 1
                 bounds[s] = evs[posidx][1]
+                members[s] = [(evs[posidx][1], evs[posidx][0])]
                 continue
             kl = steps[s - 1][1]
             cands = step_cands(s, posidx)
@@ -181,9 +187,10 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
             if not cands:
                 complete = False
                 break
-            ts_e, _, p_e, i_e = min(cands)
+            ts_e, id_e, p_e, i_e = min(cands)
             if kl is None:
                 bounds[s] = ts_e
+                members[s] = [(ts_e, id_e)]
                 posidx = p_e
             else:
                 gap, cap = kl[0], kl[1]
@@ -204,6 +211,8 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
                     j += 1
                     cnt += 1
                 bounds[s] = ts_e
+                members[s] = [(rows[x][0], rows[x][1])
+                              for x in range(i_e, j + 1)]
                 klast[s] = rows[j][0]
                 kn[s] = cnt
                 posidx = rows[j][2]
@@ -243,15 +252,16 @@ def brute_chain(events, steps, final_wm_ms=None, guards=frozenset(), opts=frozen
             key.append(bounds.get(s))
             if steps[s - 1][1] is not None:
                 key += [klast[s], kn[s]]
+        rec = [aid, tuple(key), "matched" if ok else "matched_late"]
         if with_end:
             # the chain's last bound event — after-match skip strategies
             # prune on its (ts, id)
-            out.append(
-                (aid, tuple(key), "matched" if ok else "matched_late",
-                 evs[posidx][1], evs[posidx][0])
-            )
-        else:
-            out.append((aid, tuple(key), "matched" if ok else "matched_late"))
+            rec += [evs[posidx][1], evs[posidx][0]]
+        if with_members:
+            rec.append(tuple(
+                tuple(members.get(s, ())) for s in range(1, n + 1)
+            ))
+        out.append(tuple(rec))
     return sorted(out)
 
 

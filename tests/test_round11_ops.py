@@ -8,9 +8,11 @@ per-step-id plumbing behind it.
 - RunAgg ``COUNT`` MEASURES (incl. SUBSET unions) rewrite to stateless
   reads of the NFA's count columns and equal the batch band join.
 - The text front-end compiles ``COUNT(V.*)`` / ``FIRST/LAST(V.ts)`` /
-  ``ALL ROWS PER MATCH`` onto the stream engines; value aggregates,
-  offset navigation, and the replay-route ALL ROWS corners keep
-  raises with the reason.
+  ``ALL ROWS PER MATCH`` onto the stream engines. (Round 12 lifted
+  value aggregates, offset navigation, and the replay-route ALL ROWS
+  corners onto the quantified-chain replayer — see
+  tests/test_round12_ops.py; only the genuinely batch-only shapes keep
+  raises here.)
 """
 
 from __future__ import annotations
@@ -140,26 +142,29 @@ def test_stream_all_rows_exclusion_composes(spark):
 
 
 def test_stream_all_rows_raises(spark):
+    # round 12 lifted the quantified / optional / skip-to /
+    # within_overall ALL ROWS routes onto the replayers
+    # (tests/test_round12_ops.py pins them against batch); the
+    # remaining raises are the genuinely batch-only shapes
     ev = _mk(spark, ROWS_RUN)
     base = dict(
         partition_by="user_id", order_by="ts", define=_def(),
         default_within="INTERVAL 1000 SECONDS", rows_per_match="all",
     )
-    with pytest.raises(ValueError, match="single-plan plain/optional"):
+    with pytest.raises(ValueError, match="alternation/PERMUTE"):
         stream_match_recognize(
-            _stream_of(spark, ev), pattern="S C{1,3} P",
+            _stream_of(spark, ev), pattern="S (C|P)",
             after_match="no_skip", **base,
         )
-    with pytest.raises(ValueError, match="replay routes"):
+    with pytest.raises(ValueError, match="reluctant"):
         stream_match_recognize(
-            _stream_of(spark, ev), pattern="S C P",
-            after_match="skip_to_first C", **base,
+            _stream_of(spark, ev), pattern="S C{1,2}? P",
+            after_match="no_skip", **base,
         )
-    with pytest.raises(ValueError, match="replay routes"):
+    with pytest.raises(ValueError, match="finite cap"):
         stream_match_recognize(
-            _stream_of(spark, ev), pattern="S C P",
-            after_match="skip_past_last",
-            within_overall="INTERVAL 5 SECONDS", **base,
+            _stream_of(spark, ev), pattern="S C+ P",
+            after_match="skip_past_last", **base,
         )
     with pytest.raises(ValueError, match="ONE ROW PER MATCH shape"):
         stream_match_recognize(
@@ -192,13 +197,17 @@ def test_stream_run_agg_count_and_subset_equal_batch(spark):
 
 
 def test_stream_run_agg_value_aggregates_raise(spark):
+    # round 12 lifted value aggregates under SKIP PAST LAST / NO SKIP
+    # onto the quantified-chain replayer (tests/test_round12_ops.py
+    # pins them against batch); SKIP TO FIRST/LAST keeps the raise —
+    # its plain-chain fold carries no value state
     ev = _mk(spark, ROWS_RUN)
-    with pytest.raises(ValueError, match="batch band join"):
+    with pytest.raises(ValueError, match="SKIP TO FIRST/LAST"):
         stream_match_recognize(
             _stream_of(spark, ev),
             partition_by="user_id", order_by="ts", pattern="S C{1,3} P",
             define=_def(), default_within="INTERVAL 1000 SECONDS",
-            after_match="no_skip",
+            after_match="skip_to_first C",
             measures={"s": run_agg("sum", "C", F.col("event_id"))},
         )
     # RunAgg over an EXCLUDED variable: the stream drops its columns
@@ -276,28 +285,37 @@ def test_stream_sql_text_all_rows_equals_batch_text(spark):
     )
 
 
-def test_stream_sql_text_batch_only_measures_raise(spark):
+def test_stream_sql_text_value_measures_stream_or_raise(spark):
+    # round 12: value aggregates STREAM through the quantified-chain
+    # replayer — the text compile equals the batch compile
     ev = _mk(spark, ROWS_RUN)
     base = dict(default_within="INTERVAL 1000 SECONDS")
+    sql = """
+    PARTITION BY user_id ORDER BY ts
+    MEASURES anchor_id AS anchor_id, SUM(C.event_id) AS s,
+             FIRST(C.event_id, 1) AS second_id
+    PATTERN (S C{1,3} P)
+    DEFINE S AS S.event_type = 's', C AS C.event_type = 'c',
+           P AS P.event_type = 'p'
+    """
+    want = match_recognize_sql(ev, sql, **base)
+    got = run_to_table(
+        stream_match_recognize_sql(_stream_of(spark, ev), sql, **base)
+    ).filter(F.col("user_id") < 10 ** 6)
+    assert got.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the remaining batch-only form: offset navigation over a SUBSET
+    # union needs the merged (ts, id) row order — the batch band join
     with pytest.raises(ValueError, match="batch-only on the stream"):
         stream_match_recognize_sql(
             _stream_of(spark, ev),
             """
             PARTITION BY user_id ORDER BY ts
-            MEASURES SUM(C.event_id) AS s
+            MEASURES FIRST(U.event_id, 1) AS second_id
             PATTERN (S C{1,3} P)
-            DEFINE S AS S.event_type = 's', C AS C.event_type = 'c',
-                   P AS P.event_type = 'p'
-            """,
-            **base,
-        )
-    with pytest.raises(ValueError, match="batch-only on the stream"):
-        stream_match_recognize_sql(
-            _stream_of(spark, ev),
-            """
-            PARTITION BY user_id ORDER BY ts
-            MEASURES FIRST(C.ts, 1) AS second_ts
-            PATTERN (S C{1,3} P)
+            SUBSET U = (S, C)
             DEFINE S AS S.event_type = 's', C AS C.event_type = 'c',
                    P AS P.event_type = 'p'
             """,

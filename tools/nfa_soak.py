@@ -2531,6 +2531,216 @@ def soak_quant_stream(n_cases):
     return fails
 
 
+def _ref_agg(func, n_off, xs):
+    """Independent reference for the replayer's per-run aggregates:
+    ``xs`` is the run slice's values in (ts, id) order (None = SQL
+    null). sum/min/max/avg skip nulls (all-null → null); first/last are
+    offset navigation (past-the-run or a null value → null)."""
+    if func in ("first", "last"):
+        idx = n_off if func == "first" else len(xs) - 1 - n_off
+        if idx < 0 or idx >= len(xs):
+            return None
+        return xs[idx]
+    vs = [x for x in xs if x is not None]
+    if not vs:
+        return None
+    if func == "sum":
+        return float(sum(vs))
+    if func == "min":
+        return float(min(vs))
+    if func == "max":
+        return float(max(vs))
+    return float(sum(vs)) / len(vs)  # avg
+
+
+def soak_quant_value_stream(n_cases):
+    """Round-12 replayer-surface soak: VALUE-aggregate MEASURES
+    (``values``/``aggs`` — sum/min/max/avg + offset first/last over
+    run slices, nulls riding as NaN), ``mode="no_skip"`` (every
+    anchor's candidate, no fold), and ``all_rows=True`` (per-BOUND-
+    EVENT emission from the leg slices) on
+    ``make_quantified_chain_replayer`` — random chains with capped
+    greedy runs + interior optionals + within_overall over arbitrary
+    batch splits + mid-stream timer fires, vs brute_chain
+    ``with_members=True`` (the per-step bound-member rows) with the
+    skip fold / no-fold applied independently and every aggregate
+    recomputed from the member slices."""
+    import pandas as pd
+
+    from test_properties_round5 import _FakeState, brute_chain
+    from flink_uba_spark.streaming.skip_replay import (
+        make_quantified_chain_replayer,
+    )
+
+    FUNCS = ("sum", "min", "max", "avg", "first", "last")
+    t0, fails = time.time(), 0
+    for seed in range(n_cases):
+        rnd = random.Random(seed * 48611093 + 7)
+        n = rnd.randint(2, 4)
+        withins_us = [None] + [
+            rnd.randint(2, 40) * 1000 for _ in range(n - 1)
+        ]
+        kleenes = [None] * n
+        for k in range(2, n + 1):
+            if rnd.random() < 0.45:
+                mn = rnd.choice([1, 1, 2])
+                kleenes[k - 1] = (withins_us[k - 1], mn, mn + rnd.randint(0, 2))
+        if not any(kleenes):
+            k = rnd.randint(2, n)
+            kleenes[k - 1] = (withins_us[k - 1], 1, 1 + rnd.randint(0, 2))
+        opts = set()
+        for k in range(2, n):
+            if (
+                kleenes[k - 1] is None
+                and (k - 1) not in opts
+                and rnd.random() < 0.3
+            ):
+                opts.add(k)
+        h_us = sum(withins_us[1:]) + sum(
+            k[2] * k[0] for k in kleenes if k is not None
+        )
+        wo_us = rnd.randint(2, 200) * 1000 if rnd.random() < 0.4 else None
+        mode = "no_skip" if rnd.random() < 0.4 else "past_last"
+        all_rows = rnd.random() < 0.35
+        qsteps = [k for k in range(1, n + 1) if kleenes[k - 1] is not None]
+        aggs = []
+        if not all_rows:
+            for i in range(rnd.randint(1, 4)):
+                func = rnd.choice(FUNCS)
+                n_off = (
+                    rnd.randint(0, 2) if func in ("first", "last") else 0
+                )
+                aggs.append(
+                    (rnd.choice(qsteps), 0, func, n_off, f"a{i}", False)
+                )
+        events = [
+            (i, rnd.randint(0, 120) * 1000 + rnd.randint(0, 3),
+             rnd.getrandbits(n) if rnd.random() < 0.92 else 0,
+             None if rnd.random() < 0.15 else float(rnd.randint(0, 100)))
+            for i in range(rnd.randint(0, 24))
+        ]
+        cuts = sorted({rnd.randint(1, 200) * 1000
+                       for _ in range(rnd.randint(0, 4))})
+        detect = make_quantified_chain_replayer(
+            n, withins_us, kleenes, h_us, within_overall_us=wo_us,
+            optionals=opts, mode=mode, all_rows=all_rows,
+            n_vals=0 if all_rows else 1, aggs=aggs,
+        )
+        state = _FakeState()
+        got = []
+
+        def drain(gen):
+            for f in gen:
+                for r in f.itertuples(index=False):
+                    if all_rows:
+                        got.append((int(r.anchor_id), int(r.seq),
+                                    int(r.event_id),
+                                    pd.Timestamp(r.ts).value // 1000))
+                        continue
+                    rec = [int(r.anchor_id)]
+                    for i in range(len(aggs)):
+                        v = getattr(r, f"a{i}")
+                        rec.append(
+                            None if v is None or pd.isna(v)
+                            else round(float(v), 9)
+                        )
+                    rec.append(int(r.end_id))
+                    got.append(tuple(rec))
+
+        lo, wm = -1, 0
+        for hi in cuts + [10 ** 9]:
+            batch = [e for e in events if lo < e[1] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            state._wm = wm
+            pdf = pd.DataFrame(
+                [
+                    {"event_id": eid, "ts": pd.Timestamp(ts, unit="us"),
+                     **{f"f{k}": bool(m >> (k - 1) & 1)
+                        for k in range(1, n + 1)},
+                     "v0": v}
+                    for eid, ts, m, v in batch
+                ]
+            )
+            if all_rows:
+                pdf = pdf.drop(columns=["v0"])
+            state.hasTimedOut = False
+            drain(detect((1,), iter([pdf]), state))
+            wm = max(wm, max(ts for _, ts, _m, _v in batch) // 1000)
+            for _ in range(8):
+                if state._v is None or state.timeout_set is None or state.timeout_set >= wm:
+                    break
+                state._wm, state.hasTimedOut, state.timeout_set = wm, True, None
+                drain(detect((1,), iter([]), state))
+            state.hasTimedOut = False
+        if events and state._v is not None:
+            state._wm = max(ts for _, ts, _m, _v in events) // 1000
+            state.hasTimedOut = True
+            drain(detect((1,), iter([]), state))
+        wm_final_us = (
+            max((ts for _, ts, _m, _v in events), default=0) // 1000
+        ) * 1000
+
+        bsteps = [
+            (withins_us[k - 1],
+             None if kleenes[k - 1] is None
+             else (kleenes[k - 1][0], kleenes[k - 1][2], kleenes[k - 1][1]))
+            for k in range(1, n + 1)
+        ]
+        val_of = {eid: v for eid, _ts, _m, v in events}
+        cands = [
+            (aid, key, e_ts, e_id, mem)
+            for aid, key, st, e_ts, e_id, mem in brute_chain(
+                [(eid, ts, m) for eid, ts, m, _v in events],
+                bsteps, final_wm_ms=10 ** 15, with_end=True, opts=opts,
+                with_members=True,
+            )
+            if st == "matched"
+            and (wo_us is None or e_ts <= key[0] + wo_us)
+        ]
+        if mode == "past_last":
+            cands.sort(key=lambda c: (c[2], c[3], c[1][0], c[0]))
+            le, kept = (-1, -1), []
+            for aid, key, e_ts, e_id, mem in cands:
+                if (key[0], aid) > le:
+                    kept.append((aid, key, e_ts, e_id, mem))
+                    le = (e_ts, e_id)
+        else:
+            kept = cands
+        want = []
+        for aid, key, e_ts, e_id, mem in kept:
+            if e_ts + h_us >= wm_final_us:
+                continue
+            if all_rows:
+                for s, step_mem in enumerate(mem, start=1):
+                    want.extend(
+                        (aid, s, eid, ts) for ts, eid in step_mem
+                    )
+                continue
+            rec = [aid]
+            for k, _vi, func, n_off, _name, _intg in aggs:
+                xs = [val_of[eid] for _ts, eid in mem[k - 1]]
+                v = _ref_agg(func, n_off, xs)
+                rec.append(None if v is None else round(v, 9))
+            rec.append(e_id)
+            want.append(tuple(rec))
+        if sorted(got, key=repr) != sorted(want, key=repr):
+            fails += 1
+            print(f"MISMATCH seed={seed} n={n} withins={withins_us} "
+                  f"kleenes={kleenes} opts={sorted(opts)} wo={wo_us} "
+                  f"mode={mode} all_rows={all_rows} aggs={aggs} "
+                  f"cuts={cuts} events={events}")
+            print(f"  got={sorted(got, key=repr)}")
+            print(f"  want={sorted(want, key=repr)}")
+            if fails > 5:
+                break
+        if (seed + 1) % 500 == 0:
+            print(f"  ...{seed + 1} cases, {fails} failures, {time.time() - t0:.0f}s", flush=True)
+    print(f"{n_cases} quant-value-stream cases, {fails} failures, {time.time() - t0:.0f}s")
+    return fails
+
+
 def _brute_spl_with_end(events, bsteps, wo_us, opts):
     """brute_skip_past_last variant that also returns each kept match's
     end (ts, id) — re-derived the same way the fold computes it."""
@@ -2628,6 +2838,8 @@ def main() -> int:
         return 1 if soak_trail_stream(n) else 0
     if mode == "quant-stream":
         return 1 if soak_quant_stream(n) else 0
+    if mode == "quant-value-stream":
+        return 1 if soak_quant_value_stream(n) else 0
     if mode == "strict":
         return 1 if soak_strict(n) else 0
     return 1 if soak_stream(n, timers=(mode == "timers")) else 0
