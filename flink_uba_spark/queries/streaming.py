@@ -4050,6 +4050,130 @@ WHERE epoch_us(b.P_ts) + {h_us} <
 """
 
 
+def stream_match_recognize_no_skip_value_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VALUE aggregates under NO SKIP (SKIP TO NEXT ROW) as a
+    CONTINUOUS query (round 12): the quantified-chain replayer's
+    ``mode="no_skip"`` — every anchor's greedy candidate emits, no
+    fold, the horizon never advances — with ``SUM/MIN(E.cents)``
+    computed exactly over each run slice in-operator. Same match
+    population as the error-streak twin (``PATTERN (S E{2,3} P)``)
+    but emission is the replay decidability cut ``P_ts + H < wm``
+    (H = 12h + 3x12h + 24h = 72h), which IMPLIES the streak engine's
+    run-closure evidence (any run-extending row would sit past
+    run_last + gap), so the oracle is the streak candidates under the
+    cut, value aggregates attached by the run-membership join."""
+    from flink_uba_spark.operators.match_recognize import (
+        run_agg,
+        stream_match_recognize,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S E{2,3} P",
+            define={
+                "S": F.col("event_type") == "signup",
+                "E": F.col("event_type") == "error",
+                "P": F.col("event_type") == "purchase",
+            },
+            withins={"E": "INTERVAL 12 HOURS", "P": "INTERVAL 24 HOURS"},
+            after_match="no_skip",
+            measures={
+                "anchor_id": F.col("anchor_id"),
+                "S_ts": F.col("S_ts"),
+                "E_ts": F.col("E_ts"),
+                "E_last_ts": F.col("E_last_ts"),
+                "E_n": F.col("E_n"),
+                "P_ts": F.col("P_ts"),
+                "err_sum_cents": run_agg("sum", "E", cents),
+                "err_min_cents": run_agg("min", "E", cents),
+                "end_id": F.col("end_id"),
+            },
+        )
+    )
+
+
+# the error-streak candidate population (per-anchor greedy E{2,3} run +
+# earliest suffix purchase) under the REPLAYER's decidability cut
+# ``P_ts + 72h < final ms-floored watermark`` (which implies the streak
+# engine's run-closure disjunction: t2_last <= t3, so the cut bounds
+# every run's extension window too); value aggregates recovered by the
+# run-membership join exactly as the batch measures oracle
+STREAM_MR_NO_SKIP_VALUE_AGG_ORACLE = """
+WITH err AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, cents,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM err
+),
+runs AS (
+  SELECT user_id, event_id, ts, cents, sid,
+         row_number() OVER ws AS rn,
+         count(*) OVER wf - row_number() OVER ws + 1 AS avail,
+         COALESCE(lead(ts, 2) OVER ws, max(ts) OVER wf) AS run_last,
+         LEAST(3, count(*) OVER wf - row_number() OVER ws + 1) AS n_reps
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id, sid)
+),
+a AS (SELECT user_id, event_id AS anchor_id, ts AS t1 FROM events
+      WHERE event_type = 'signup'),
+a2 AS (
+  SELECT a.*, r.ts AS t2, r.run_last AS t2_last, r.n_reps AS n2,
+         r.sid, r.rn
+  FROM a JOIN LATERAL (
+    SELECT ts, run_last, n_reps, sid, rn, event_id FROM runs r
+    WHERE r.user_id = a.user_id AND r.ts >= a.t1 AND r.avail >= 2
+    ORDER BY r.ts, r.event_id LIMIT 1) r ON TRUE
+),
+a3 AS (
+  SELECT a2.*, (SELECT min(p.ts) FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = a2.user_id
+       AND p.ts >= a2.t2_last) AS t3
+  FROM a2
+),
+m AS (
+  SELECT a3.*,
+         (SELECT min(p.event_id) FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = a3.user_id
+            AND p.ts = a3.t3) AS end_id
+  FROM a3
+  WHERE t3 IS NOT NULL AND t2 <= t1 + INTERVAL 12 HOUR
+    AND t3 <= t2_last + INTERVAL 24 HOUR
+    AND epoch_us(t3) + 259200000000 <
+        (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+         WHERE event_type IN ('signup', 'error', 'purchase'))
+),
+agg AS (
+  SELECT m.user_id, m.anchor_id,
+         CAST(sum(r.cents) AS BIGINT) AS err_sum_cents,
+         CAST(min(r.cents) AS BIGINT) AS err_min_cents
+  FROM m JOIN runs r
+    ON r.user_id = m.user_id AND r.sid = m.sid
+   AND r.rn BETWEEN m.rn AND m.rn + m.n2 - 1
+  GROUP BY m.user_id, m.anchor_id
+)
+SELECT m.user_id, m.anchor_id, m.t1 AS S_ts, m.t2 AS E_ts,
+       m.t2_last AS E_last_ts, CAST(m.n2 AS BIGINT) AS E_n,
+       m.t3 AS P_ts, g.err_sum_cents, g.err_min_cents, m.end_id
+FROM m JOIN agg g
+  ON g.user_id = m.user_id AND g.anchor_id = m.anchor_id
+"""
+
+
 def stream_match_recognize_all_rows_run(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4140,6 +4264,7 @@ QUERIES = {
     "stream_match_recognize_value_run_agg": stream_match_recognize_value_run_agg,
     "stream_match_recognize_sql_value_agg": stream_match_recognize_sql_value_agg,
     "stream_match_recognize_subset_value_agg": stream_match_recognize_subset_value_agg,
+    "stream_match_recognize_no_skip_value_agg": stream_match_recognize_no_skip_value_agg,
     "stream_match_recognize_all_rows_run": stream_match_recognize_all_rows_run,
     "stream_match_recognize_reluctant_lazy": stream_match_recognize_reluctant_lazy,
     "stream_match_recognize_reluctant": stream_match_recognize_reluctant,
@@ -4228,6 +4353,7 @@ ORACLES = {
     "stream_match_recognize_value_run_agg": _stream_value_run_agg_oracle(),
     "stream_match_recognize_sql_value_agg": _stream_value_run_agg_oracle(),
     "stream_match_recognize_subset_value_agg": _stream_subset_value_agg_oracle(),
+    "stream_match_recognize_no_skip_value_agg": STREAM_MR_NO_SKIP_VALUE_AGG_ORACLE,
     "stream_match_recognize_all_rows_run": _stream_all_rows_run_oracle(),
     "stream_match_recognize_reluctant_lazy": _stream_mr_reluctant_lazy_oracle(),
     "stream_match_recognize_reluctant": _stream_match_recognize_reluctant_oracle(),
