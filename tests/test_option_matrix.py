@@ -1,4 +1,5 @@
-"""Route × global-option matrix (VERDICT r10 item 1).
+"""Route × global-option matrix (VERDICT r10 item 1; r11 item 1 grew
+the stream columns to EVERY option — 128 → 192 cells).
 
 The r9 alternation + within_overall bug was a routing early-return that
 skipped a GLOBAL option filter — wrong answers, not errors, and no
@@ -516,13 +517,15 @@ def _collect(df):
 CELLS = []
 for _r in ROUTES:
     for _e in _r["engines"]:
+        # round 12 (VERDICT r11 item 1): STREAM cells cover every
+        # option too — all_rows and SUBSET+RunAgg became streamable in
+        # r11/r12 and anchors must raise-pin, never silently no-op
         CELLS.append((_r["name"], _e, "within"))
         CELLS.append((_r["name"], _e, "exclusion"))
-        if _e == "batch":
-            CELLS.append((_r["name"], _e, "all_rows"))
-            CELLS.append((_r["name"], _e, "subset"))
-            CELLS.append((_r["name"], _e, "anchor_start"))
-            CELLS.append((_r["name"], _e, "anchor_end"))
+        CELLS.append((_r["name"], _e, "all_rows"))
+        CELLS.append((_r["name"], _e, "subset"))
+        CELLS.append((_r["name"], _e, "anchor_start"))
+        CELLS.append((_r["name"], _e, "anchor_end"))
 
 
 @pytest.mark.parametrize("rname,engine,option", CELLS)
