@@ -4050,6 +4050,112 @@ WHERE epoch_us(b.P_ts) + {h_us} <
 """
 
 
+def stream_match_recognize_all_rows_within_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``ALL ROWS PER MATCH`` + overall ``WITHIN`` + SKIP PAST LAST as
+    a CONTINUOUS query (round 12): the plain-chain skip replayer
+    (streaming/skip_replay.py make_chain_skip_replayer) emits one row
+    per bound event — the chain IS the per-step id list, so the explode
+    is in-operator enumeration; the 12h overall bound prunes candidates
+    BEFORE the fold (a pruned candidate never advances the skip
+    horizon). Oracle: the within_overall fold with the click binder's
+    event id attached ((ts, id)-min at the bound ts — the engines'
+    binder rule), exploded to (seq, var, event_id, ts), under the
+    30h replay cut (H = 6h + 24h) applied per MATCH."""
+    from flink_uba_spark.operators.match_recognize import (
+        stream_match_recognize,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_table(
+        stream_match_recognize(
+            ev,
+            partition_by="user_id",
+            order_by="ts",
+            pattern="S C P",
+            define={
+                "S": F.col("event_type") == "signup",
+                "C": F.col("event_type") == "click",
+                "P": F.col("event_type") == "purchase",
+            },
+            withins={"C": "INTERVAL 6 HOURS", "P": "INTERVAL 24 HOURS"},
+            after_match="skip_past_last",
+            within_overall="INTERVAL 12 HOURS",
+            rows_per_match="all",
+        )
+    )
+
+
+# the within_overall fold (MATCH_RECOGNIZE_WITHIN_OVERALL_ORACLE's
+# machinery) with the click binder's id recovered ((ts, id)-min at the
+# bound ts) and the kept matches exploded per bound event, under the
+# per-match 30h replay decidability cut
+STREAM_MR_ALL_ROWS_WITHIN_SKIP_ORACLE = """
+WITH RECURSIVE
+s0 AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+c0 AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p0 AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+s2 AS (
+  SELECT s0.user_id, s0.event_id AS anchor_id, s0.ts AS t1,
+         (SELECT min(c0.ts) FROM c0
+           WHERE c0.user_id = s0.user_id AND c0.ts >= s0.ts) AS t2
+  FROM s0
+),
+s3 AS (
+  SELECT s2.*,
+         (SELECT min(c0.event_id) FROM c0
+           WHERE c0.user_id = s2.user_id AND c0.ts = s2.t2) AS i2,
+         (SELECT min(p0.ts) FROM p0
+           WHERE p0.user_id = s2.user_id AND p0.ts >= s2.t2) AS t3
+  FROM s2
+),
+cand AS (
+  SELECT user_id, anchor_id, t1, t2, i2, t3,
+         (SELECT min(p0.event_id) FROM p0
+           WHERE p0.user_id = s3.user_id AND p0.ts = s3.t3) AS end_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY t3, (SELECT min(p0.event_id) FROM p0
+                          WHERE p0.user_id = s3.user_id AND p0.ts = s3.t3),
+                    t1, anchor_id) AS r
+  FROM s3
+  WHERE t3 IS NOT NULL
+    AND t2 <= t1 + INTERVAL 6 HOUR AND t3 <= t2 + INTERVAL 24 HOUR
+    AND t3 <= t1 + INTERVAL 12 HOUR
+),
+sel AS (
+  SELECT user_id, 0 AS r, TIMESTAMP '1900-01-01' AS le_ts,
+         CAST(-1 AS BIGINT) AS le_id, FALSE AS kept
+  FROM (SELECT DISTINCT user_id FROM cand)
+  UNION ALL
+  SELECT c.user_id, c.r,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.t3 ELSE s.le_ts END,
+         CASE WHEN (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+              THEN c.end_id ELSE s.le_id END,
+         (c.t1, c.anchor_id) > (s.le_ts, s.le_id)
+  FROM sel s JOIN cand c ON c.user_id = s.user_id AND c.r = s.r + 1
+),
+m AS (
+  SELECT c.* FROM sel s JOIN cand c
+    ON c.user_id = s.user_id AND c.r = s.r
+  WHERE s.kept
+    AND epoch_us(c.t3) + 108000000000 <
+        (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+         WHERE event_type IN ('signup', 'click', 'purchase'))
+)
+SELECT user_id, anchor_id, CAST(1 AS BIGINT) AS seq, 'S' AS var,
+       anchor_id AS event_id, t1 AS ts FROM m
+UNION ALL
+SELECT user_id, anchor_id, CAST(2 AS BIGINT) AS seq, 'C' AS var,
+       i2 AS event_id, t2 AS ts FROM m
+UNION ALL
+SELECT user_id, anchor_id, CAST(3 AS BIGINT) AS seq, 'P' AS var,
+       end_id AS event_id, t3 AS ts FROM m
+"""
+
+
 def stream_match_recognize_no_skip_value_agg(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4265,6 +4371,7 @@ QUERIES = {
     "stream_match_recognize_sql_value_agg": stream_match_recognize_sql_value_agg,
     "stream_match_recognize_subset_value_agg": stream_match_recognize_subset_value_agg,
     "stream_match_recognize_no_skip_value_agg": stream_match_recognize_no_skip_value_agg,
+    "stream_match_recognize_all_rows_within_skip": stream_match_recognize_all_rows_within_skip,
     "stream_match_recognize_all_rows_run": stream_match_recognize_all_rows_run,
     "stream_match_recognize_reluctant_lazy": stream_match_recognize_reluctant_lazy,
     "stream_match_recognize_reluctant": stream_match_recognize_reluctant,
@@ -4354,6 +4461,7 @@ ORACLES = {
     "stream_match_recognize_sql_value_agg": _stream_value_run_agg_oracle(),
     "stream_match_recognize_subset_value_agg": _stream_subset_value_agg_oracle(),
     "stream_match_recognize_no_skip_value_agg": STREAM_MR_NO_SKIP_VALUE_AGG_ORACLE,
+    "stream_match_recognize_all_rows_within_skip": STREAM_MR_ALL_ROWS_WITHIN_SKIP_ORACLE,
     "stream_match_recognize_all_rows_run": _stream_all_rows_run_oracle(),
     "stream_match_recognize_reluctant_lazy": _stream_mr_reluctant_lazy_oracle(),
     "stream_match_recognize_reluctant": _stream_match_recognize_reluctant_oracle(),
