@@ -42,6 +42,13 @@ def _intentional_share(names: list[str]) -> bool:
         # text-parse ≡ dict-spec the same way
         ("stream_match_recognize_error_streak", "stream_match_recognize_sql_run_agg"),
         ("stream_match_recognize_all_rows", "stream_match_recognize_sql_all_rows"),
+        # round 12: the streaming VALUE-aggregate text twin pins
+        # text-parse ≡ dict-spec the same way (see
+        # stream_match_recognize_sql_value_agg's docstring)
+        (
+            "stream_match_recognize_sql_value_agg",
+            "stream_match_recognize_value_run_agg",
+        ),
     }
     s = sorted(names)
     if len(s) != 2:

@@ -2600,7 +2600,7 @@ def soak_quant_value_stream(n_cases):
             k[2] * k[0] for k in kleenes if k is not None
         )
         wo_us = rnd.randint(2, 200) * 1000 if rnd.random() < 0.4 else None
-        mode = "no_skip" if rnd.random() < 0.4 else "past_last"
+        skip_kind = "no_skip" if rnd.random() < 0.4 else "past_last"
         all_rows = rnd.random() < 0.35
         qsteps = [k for k in range(1, n + 1) if kleenes[k - 1] is not None]
         aggs = []
@@ -2623,7 +2623,7 @@ def soak_quant_value_stream(n_cases):
                        for _ in range(rnd.randint(0, 4))})
         detect = make_quantified_chain_replayer(
             n, withins_us, kleenes, h_us, within_overall_us=wo_us,
-            optionals=opts, mode=mode, all_rows=all_rows,
+            optionals=opts, mode=skip_kind, all_rows=all_rows,
             n_vals=0 if all_rows else 1, aggs=aggs,
         )
         state = _FakeState()
@@ -2699,7 +2699,7 @@ def soak_quant_value_stream(n_cases):
             if st == "matched"
             and (wo_us is None or e_ts <= key[0] + wo_us)
         ]
-        if mode == "past_last":
+        if skip_kind == "past_last":
             cands.sort(key=lambda c: (c[2], c[3], c[1][0], c[0]))
             le, kept = (-1, -1), []
             for aid, key, e_ts, e_id, mem in cands:
@@ -2729,7 +2729,7 @@ def soak_quant_value_stream(n_cases):
             fails += 1
             print(f"MISMATCH seed={seed} n={n} withins={withins_us} "
                   f"kleenes={kleenes} opts={sorted(opts)} wo={wo_us} "
-                  f"mode={mode} all_rows={all_rows} aggs={aggs} "
+                  f"mode={skip_kind} all_rows={all_rows} aggs={aggs} "
                   f"cuts={cuts} events={events}")
             print(f"  got={sorted(got, key=repr)}")
             print(f"  want={sorted(want, key=repr)}")
@@ -2790,6 +2790,8 @@ def main() -> int:
         "pref": 3000,
         "skip-to-stream": 3000,
         "lazy-stream": 3000,
+        "quant-stream": 10000,
+        "quant-value-stream": 10000,
     }
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 2000)
     if mode == "any":
