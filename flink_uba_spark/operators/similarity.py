@@ -557,57 +557,68 @@ def kmeans_train_exact(
     (``floor(x*1000)``); distances are exact integer squared-L2; argmin
     ties break to the lowest centroid id (lexicographic (dist, cid) min);
     init = the k lowest-``id_col`` vectors; each update is the per-dim
-    FLOOR division ``(s - pmod(s, c)) div c`` (portable across engines —
-    both truncate ``div`` on the exact multiple after subtracting the
-    positive modulus); an empty cluster keeps its previous centroid.
+    FLOOR division (exact integer, portable across engines); an empty
+    cluster keeps its previous centroid.
 
-    Scale shape: per iteration the corpus is scanned once — assignment is
-    a map-only pass against the k×dim centroid LITERALS folded into the
-    plan (no join, no shuffle), and the update is one hash aggregate on
-    (cluster, dim) (k·dim groups, map-side partial sums) collected to the
-    driver (k·dim ints — the same tiny-argmax round-trip as
-    tokenizer.py:bpe_train). k iterations = k linear scans; nothing is
-    ever all-pairs and no stage holds more than k·dim rows after the
-    aggregate. Returns the final assignment ``(id_col, cluster_id,
+    Scale shape (round 12, guide §4.2/§4.5): per iteration the corpus is
+    scanned once — assignment runs as ONE Arrow-vectorized numpy batch
+    kernel (``mapInArrow``; the k×dim centroid matrix is rebuilt once per
+    task, exact int64 arithmetic), and the centroid update pre-aggregates
+    per-batch (cluster, dim) partial sums INSIDE the same kernel, so only
+    k·dim rows per batch reach the hash aggregate (map-side partials →
+    one tiny shuffle) and k·dim ints reach the driver. The previous form
+    folded k×dim centroid literals into a per-centroid zip_with/aggregate
+    expression tree — ~512 literals re-analyzed and re-codegenned per
+    iteration per run — and posexploded every vector ×dim through the
+    update aggregate. Returns the final assignment ``(id_col, cluster_id,
     sqdist)`` — all BIGINT.
     """
-    base = (
-        df.select(F.col(id_col), quantized(F.col(emb_col)).alias("qv"))
-        .cache()
-    )
+    base = df.select(F.col(id_col), F.col(emb_col)).cache()
     cents = kmeans_centroids_exact(
-        base, k=k, iters=iters, id_col=id_col, dim=dim, pre_quantized=True
+        base, k=k, iters=iters, id_col=id_col, emb_col=emb_col, dim=dim
     )
-    out = kmeans_assign_exact(
-        base, cents, id_col=id_col, pre_quantized=True
-    )
-    return out
+    return kmeans_assign_exact(base, cents, id_col=id_col, emb_col=emb_col)
 
 
-def _with_assignment(base: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """Append (cluster_id, sqdist) to a quantized frame via the centroid
-    LITERALS — one map-only projection, no join, no shuffle."""
-    choices = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qv"),
-                        F.array(*[F.lit(int(v)).cast("long") for v in cv]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(c).cast("long").alias("c"),
-            )
-            for c, cv in enumerate(cents)
-        ]
+def _quant_np(vals, quantize: bool):
+    """floor(x·QUANT) exactly as the JVM form: cast to double, multiply,
+    floor — float32→float64 is exact and the double multiply is the same
+    IEEE operation, so the int64 results are bit-identical."""
+    import numpy as np
+
+    if quantize:
+        return np.floor(vals.astype(np.float64) * QUANT).astype(np.int64)
+    return vals.astype(np.int64, copy=False)
+
+
+def _batch_qmatrix(batch, dim: int, quantize: bool):
+    """RecordBatch's list column (index 1) → (n, dim) int64 matrix."""
+    import numpy as np
+
+    n = batch.num_rows
+    vals = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+    q = _quant_np(np.asarray(vals), quantize)
+    if q.size != n * dim:
+        raise ValueError(
+            f"embedding rows are not fixed {dim}-dim: {q.size} values for {n} rows"
+        )
+    return q.reshape(n, dim)
+
+
+def _sqdist_argmin(q, cents_np):
+    """Exact int64 squared-L2 to every centroid; ties → lowest cid
+    (np.argmin returns the FIRST minimum — the (dist, cid) lexicographic
+    rule). Expansion form ||q||² − 2q·c + ||c||² stays integer-exact and
+    avoids the n×k×dim temp."""
+    import numpy as np
+
+    d = (
+        (q * q).sum(axis=1, keepdims=True)
+        - 2 * (q @ cents_np.T)
+        + (cents_np * cents_np).sum(axis=1)
     )
-    best = F.array_min(choices)
-    return base.withColumn("cluster_id", best.getField("c")).withColumn(
-        "sqdist", best.getField("d")
-    )
+    cid = d.argmin(axis=1)
+    return cid, d[np.arange(q.shape[0]), cid]
 
 
 def kmeans_assign_exact(
@@ -617,18 +628,48 @@ def kmeans_assign_exact(
     emb_col: str = "embedding",
     pre_quantized: bool = False,
 ) -> DataFrame:
-    """One map-only assignment pass against trained centroid LITERALS —
-    the serving half of ``kmeans_train_exact``, usable on a STREAM (the
-    k×dim ints fold into the plan, so the stream side never shuffles and
-    never joins). Same contract: integer sq-L2, (dist, cid) argmin."""
-    base = (
-        df
-        if pre_quantized
-        else df.select(F.col(id_col), quantized(F.col(emb_col)).alias("qv"))
+    """One Arrow-vectorized map-only assignment pass against trained
+    centroids — the serving half of ``kmeans_train_exact``, usable on a
+    STREAM (stateless mapInArrow: the k×dim ints ship in the task
+    closure, so the stream side never shuffles and never joins). Same
+    contract: integer sq-L2, (dist, cid) argmin, bit-identical to the
+    previous expression form (pinned by tests/test_kmeans.py's numpy
+    replica)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cents_np = np.asarray(cents, dtype=np.int64)
+    dim = int(cents_np.shape[1])
+    quantize = not pre_quantized
+    src_col = "qv" if pre_quantized else emb_col
+    narrow = df.select(F.col(id_col), F.col(src_col))
+    id_field = narrow.schema.fields[0]
+
+    def assign_batches(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            q = _batch_qmatrix(b, dim, quantize)
+            cid, sqd = _sqdist_argmin(q, cents_np)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pa.array(cid, type=pa.int64()),
+                    pa.array(sqd, type=pa.int64()),
+                ],
+                names=[id_field.name, "cluster_id", "sqdist"],
+            )
+
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("cluster_id", T.LongType()),
+            T.StructField("sqdist", T.LongType()),
+        ]
     )
-    return _with_assignment(base, cents).select(
-        F.col(id_col), F.col("cluster_id"), F.col("sqdist")
-    )
+    return narrow.mapInArrow(assign_batches, out_schema)
 
 
 def kmeans_centroids_exact(
@@ -645,25 +686,68 @@ def kmeans_centroids_exact(
     ``kmeans_train_exact``; see its docstring for the full determinism and
     scale contract. ``iters`` counts ASSIGNMENT passes: iters-1 updates
     happen here, the caller's final assignment is pass ``iters``."""
-    base = (
-        df
-        if pre_quantized
-        else df.select(F.col(id_col), quantized(F.col(emb_col)).alias("qv"))
+    import numpy as np
+    from pyspark.sql import types as T
+
+    quantize = not pre_quantized
+    src_col = "qv" if pre_quantized else emb_col
+    narrow = df.select(F.col(id_col), F.col(src_col))
+    init = narrow.orderBy(id_col).limit(k).collect()
+    cents: list[list[int]] = [
+        [int(v) for v in _quant_np(np.asarray(r[1], dtype=np.float64), quantize)]
+        for r in init
+    ]
+    part_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("c", T.LongType()),
+        ]
     )
-    init = base.orderBy(id_col).limit(k).collect()
-    cents: list[list[int]] = [list(r.qv) for r in init]
     for _ in range(iters - 1):
-        a = _with_assignment(base, cents)
+        cents_np = np.asarray(cents, dtype=np.int64)
+
+        def partial_batches(batches, _c=cents_np):
+            import pyarrow as pa
+
+            kk = _c.shape[0]
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                q = _batch_qmatrix(b, dim, quantize)
+                cid, _ = _sqdist_argmin(q, _c)
+                sums = np.zeros((kk, dim), dtype=np.int64)
+                np.add.at(sums, cid, q)
+                cnts = np.bincount(cid, minlength=kk).astype(np.int64)
+                nz = np.flatnonzero(cnts)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.repeat(nz, dim), type=pa.int64()),
+                        pa.array(
+                            np.tile(np.arange(dim, dtype=np.int32), nz.size),
+                            type=pa.int32(),
+                        ),
+                        pa.array(sums[nz].ravel(), type=pa.int64()),
+                        pa.array(np.repeat(cnts[nz], dim), type=pa.int64()),
+                    ],
+                    names=["cluster_id", "pos", "s", "c"],
+                )
+
         rows = (
-            a.select("cluster_id", F.posexplode("qv").alias("pos", "val"))
+            narrow.mapInArrow(partial_batches, part_schema)
             .groupBy("cluster_id", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
-            .withColumn("cv", F.expr("(s - pmod(s, c)) div c"))
-            .select("cluster_id", "pos", "cv")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
             .collect()
         )
         by_cid: dict[int, list[int]] = {}
         for r in rows:
-            by_cid.setdefault(int(r.cluster_id), [0] * dim)[int(r.pos)] = int(r.cv)
+            # Python // floors for c > 0 — identical to the engines'
+            # (s - pmod(s, c)) div c floor-division form
+            by_cid.setdefault(int(r.cluster_id), [0] * dim)[int(r.pos)] = int(
+                r.s
+            ) // int(r.c)
         cents = [by_cid.get(c, cents[c]) for c in range(k)]
     return cents
+
+
