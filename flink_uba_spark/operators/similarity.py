@@ -577,17 +577,31 @@ def kmeans_train_exact(
     cents = kmeans_centroids_exact(
         base, k=k, iters=iters, id_col=id_col, emb_col=emb_col, dim=dim
     )
+    # release the training cache once the Lloyd collects are done (VERDICT
+    # r12 item 7 — §5 memory: a never-released corpus cache leaks at scale
+    # and inflates late bench passes); the final assignment pass below is
+    # one stateless map over the source scan, which needs no cache
+    base.unpersist()
     return kmeans_assign_exact(base, cents, id_col=id_col, emb_col=emb_col)
 
 
 def _quant_np(vals, quantize: bool):
     """floor(x·QUANT) exactly as the JVM form: cast to double, multiply,
     floor — float32→float64 is exact and the double multiply is the same
-    IEEE operation, so the int64 results are bit-identical."""
+    IEEE operation, so the int64 results are bit-identical. Finite inputs
+    only: np.floor(NaN/Inf).astype(int64) is undefined where the JVM's
+    floor+cast yields 0 / saturates, so non-finite components fail loudly
+    (ADVICE r12) instead of silently diverging from an oracle replay."""
     import numpy as np
 
     if quantize:
-        return np.floor(vals.astype(np.float64) * QUANT).astype(np.int64)
+        vals = vals.astype(np.float64)
+        if not np.isfinite(vals).all():
+            raise ValueError(
+                "non-finite embedding component: quantization requires "
+                "finite float inputs"
+            )
+        return np.floor(vals * QUANT).astype(np.int64)
     return vals.astype(np.int64, copy=False)
 
 
@@ -693,8 +707,11 @@ def kmeans_centroids_exact(
     src_col = "qv" if pre_quantized else emb_col
     narrow = df.select(F.col(id_col), F.col(src_col))
     init = narrow.orderBy(id_col).limit(k).collect()
+    # pre-quantized values stay int64 end-to-end (ADVICE r12: a float64
+    # round-trip loses exactness above 2^53)
+    init_dtype = np.float64 if quantize else np.int64
     cents: list[list[int]] = [
-        [int(v) for v in _quant_np(np.asarray(r[1], dtype=np.float64), quantize)]
+        [int(v) for v in _quant_np(np.asarray(r[1], dtype=init_dtype), quantize)]
         for r in init
     ]
     part_schema = T.StructType(
@@ -751,3 +768,224 @@ def kmeans_centroids_exact(
     return cents
 
 
+def collect_query_qmatrix(
+    df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+):
+    """Collect a SMALL query/centroid frame (a handful of rows — the
+    kmeans-init pattern) as ``(ids, k×dim int64 matrix)`` for shipping in
+    an Arrow task closure. Quantization is the shared ``_quant_np`` form,
+    bit-identical to the JVM/oracle ``floor(x·1000)``."""
+    import numpy as np
+
+    rows = df.select(F.col(id_col), F.col(emb_col)).orderBy(id_col).collect()
+    if not rows:
+        raise ValueError("empty query/centroid frame")
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack(
+        [_quant_np(np.asarray(r[1], dtype=np.float64), True) for r in rows]
+    )
+    return ids, mat
+
+
+def _desc_key(cos):
+    """Sort key for (cos DESC, id ASC) via ascending lexsort: negate, and
+    map NaN (a 0-norm vector's 0/0) to -inf so NaN ranks FIRST — matching
+    Spark's descending NaN-greatest ordering, where numpy's lexsort would
+    otherwise put NaN last."""
+    import numpy as np
+
+    key = -cos
+    key[np.isnan(key)] = -np.inf
+    return key
+
+
+def prefix_topk_candidates(
+    corpus: DataFrame,
+    query_ids,
+    query_qmat,
+    dims,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-batch top-k cosine candidates for EVERY (prefix-dim, query) pair
+    in ONE Arrow-vectorized corpus pass — the matryoshka-truncation sweep's
+    scoring stage (round 13, VERDICT r12 item 4: one mapInArrow kernel
+    replaces one broadcast-join + HOF-dot plan PER dim).
+
+    Exactness contract (oracle parity): components quantize via the shared
+    ``floor(x·1000)`` int64 form; prefix dots/norms are exact int64 (slice-
+    then-quantize ≡ quantize-then-slice — quantization is per-component);
+    ``cos = dot / (sqrt(qq)·sqrt(nn))`` is the same three IEEE float64 ops
+    Spark and DuckDB evaluate. Per-batch selection keeps each (dim, query)'s
+    local top-k under the global (cos DESC, neighbor ASC) order — a superset
+    filter: the global top-k is a subset of the union of per-batch top-k's,
+    so the downstream window returns exactly the unfiltered ranking.
+    Self-pairs (neighbor == query) are excluded in-kernel.
+
+    Output: (dim, query_id, neighbor_id, cos) — feed a row_number window
+    partitioned by (dim, query_id) for the final rank."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    Q = np.asarray(query_qmat, dtype=np.int64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    full_dim = int(Q.shape[1])
+    dims_t = tuple(int(d) for d in dims)
+    if not dims_t or max(dims_t) > full_dim:
+        raise ValueError(f"dims {dims_t} exceed query dim {full_dim}")
+    narrow = ensure_min_partitions(corpus.select(F.col(id_col), F.col(emb_col)))
+
+    def gen(batches):
+        import pyarrow as pa
+
+        # per-task init (guide §4.5): prefix norms of every query, exact
+        # int64 cumulative sums of squares
+        q_sq_cum = np.cumsum(Q * Q, axis=1)
+        q_norm = {d: np.sqrt(q_sq_cum[:, d - 1].astype(np.float64)) for d in dims_t}
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            C = _batch_qmatrix(b, full_dim, True)
+            c_sq_cum = np.cumsum(C * C, axis=1)
+            o_dim, o_q, o_n, o_cos = [], [], [], []
+            for d in dims_t:
+                dot = C[:, :d] @ Q[:, :d].T  # n×m exact int64
+                c_norm = np.sqrt(c_sq_cum[:, d - 1].astype(np.float64))
+                cos = dot.astype(np.float64) / (q_norm[d][None, :] * c_norm[:, None])
+                for j in range(qids.size):
+                    mask = ids != qids[j]
+                    cj = cos[mask, j]
+                    nj = ids[mask]
+                    take = min(k, cj.size)
+                    if take == 0:
+                        continue
+                    order = np.lexsort((nj, _desc_key(cj)))[:take]
+                    o_dim.append(np.full(take, d, dtype=np.int64))
+                    o_q.append(np.full(take, qids[j], dtype=np.int64))
+                    o_n.append(nj[order])
+                    o_cos.append(cj[order])
+            if not o_dim:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(o_dim), type=pa.int64()),
+                    pa.array(np.concatenate(o_q), type=pa.int64()),
+                    pa.array(np.concatenate(o_n), type=pa.int64()),
+                    pa.array(np.concatenate(o_cos), type=pa.float64()),
+                ],
+                names=["dim", "query_id", "neighbor_id", "cos"],
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("dim", T.LongType()),
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    return narrow.mapInArrow(gen, out_schema)
+
+
+def ivf_probe_topk_candidates(
+    corpus: DataFrame,
+    query_ids,
+    query_qmat,
+    cent_ids,
+    cent_qmat,
+    probes=(1, 2, 4, 8),
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-batch top-k IVF candidates for EVERY (n_probe, query) pair in ONE
+    Arrow-vectorized corpus pass (round 13, VERDICT r12 item 4: replaces one
+    full bucketed-join ``ivf_topk`` plan per probe budget).
+
+    Per corpus row the kernel computes its bucket (centroid argmax by
+    (cos DESC, ck ASC) — centroids arrive ck-sorted, so numpy's first-max
+    is the tie rule; NaN → worst, matching Spark's ascending array_sort
+    putting a NaN negc last) and its full-dim cosine to every query; a row
+    is a probe-p candidate for query q iff its bucket sits in q's top-p
+    centroid ranking (the rank matrix is task-init work, guide §4.5). The
+    same superset-filter argument as ``prefix_topk_candidates`` makes
+    per-batch top-k selection exact under the downstream window. When
+    ``max(probes) == len(cent_ids)`` the widest probe degenerates to the
+    exact full ranking by construction.
+
+    Output: (n_probe, query_id, neighbor_id, cos)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    Q = np.asarray(query_qmat, dtype=np.int64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    CK = np.asarray(cent_qmat, dtype=np.int64)
+    ckids = np.asarray(cent_ids, dtype=np.int64)
+    if not (np.diff(ckids) > 0).all():
+        raise ValueError("centroid ids must be strictly ascending")
+    full_dim = int(Q.shape[1])
+    probes_t = tuple(int(p) for p in probes)
+    narrow = ensure_min_partitions(corpus.select(F.col(id_col), F.col(emb_col)))
+
+    def gen(batches):
+        import pyarrow as pa
+
+        # task init: query norms, centroid norms, and each query's centroid
+        # RANK matrix (position of centroid index c in q's (cos DESC, ck ASC)
+        # ordering — probes are prefixes of that ordering)
+        q_norm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        c_norm = np.sqrt((CK * CK).sum(axis=1).astype(np.float64))
+        cos_qc = (Q @ CK.T).astype(np.float64) / (q_norm[:, None] * c_norm[None, :])
+        rank_qc = np.empty_like(cos_qc, dtype=np.int64)
+        for j in range(qids.size):
+            order = np.lexsort((ckids, _desc_key(cos_qc[j].copy())))
+            rank_qc[j, order] = np.arange(1, ckids.size + 1)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            V = _batch_qmatrix(b, full_dim, True)
+            v_norm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            cos_vc = (V @ CK.T).astype(np.float64) / (v_norm[:, None] * c_norm[None, :])
+            cos_vc[np.isnan(cos_vc)] = -np.inf  # NaN = worst (Spark parity)
+            bucket_idx = cos_vc.argmax(axis=1)  # first max = lowest ck tie
+            cos_vq = (V @ Q.T).astype(np.float64) / (v_norm[:, None] * q_norm[None, :])
+            o_p, o_q, o_n, o_cos = [], [], [], []
+            for j in range(qids.size):
+                not_self = ids != qids[j]
+                bucket_rank = rank_qc[j, bucket_idx]
+                for p in probes_t:
+                    mask = not_self & (bucket_rank <= p)
+                    cj = cos_vq[mask, j]
+                    nj = ids[mask]
+                    take = min(k, cj.size)
+                    if take == 0:
+                        continue
+                    order = np.lexsort((nj, _desc_key(cj)))[:take]
+                    o_p.append(np.full(take, p, dtype=np.int64))
+                    o_q.append(np.full(take, qids[j], dtype=np.int64))
+                    o_n.append(nj[order])
+                    o_cos.append(cj[order])
+            if not o_p:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(o_p), type=pa.int64()),
+                    pa.array(np.concatenate(o_q), type=pa.int64()),
+                    pa.array(np.concatenate(o_n), type=pa.int64()),
+                    pa.array(np.concatenate(o_cos), type=pa.float64()),
+                ],
+                names=["n_probe", "query_id", "neighbor_id", "cos"],
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("n_probe", T.LongType()),
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    return narrow.mapInArrow(gen, out_schema)

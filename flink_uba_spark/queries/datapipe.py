@@ -629,11 +629,24 @@ SELECT query_id, neighbor_id, cos, rnk FROM (
 
 
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (operators/similarity.py:ivf_topk):
-    deterministic codebook, per-row centroid assignment, 2-probe search.
-    The oracle replays the identical algorithm relationally."""
+    """IVF-bucketed approximate top-k: deterministic codebook, per-row
+    centroid assignment, 2-probe search. Round 13: scoring runs as ONE
+    Arrow-kernel corpus pass (operators/similarity.py:
+    ivf_probe_topk_candidates — same bucket/tie/cosine contract as the
+    ivf_topk join form it replaces here, which remains the generic
+    DataFrame-codebook path). The oracle replays the identical algorithm
+    relationally."""
+    from pyspark.sql import Window
+
     embs = _embs(spark, sf_dir)
-    return S.ivf_topk(embs, embs.filter(F.col("vec_id") < 8), k=5)
+    q_ids, q_mat = S.collect_query_qmatrix(embs.filter(F.col("vec_id") < 8))
+    cand = S.ivf_probe_topk_candidates(
+        embs, q_ids, q_mat, q_ids, q_mat, probes=(2,), k=5
+    ).drop("n_probe")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return cand.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= 5
+    )
 
 
 EMBEDDING_IVF_ORACLE = f"""
@@ -754,23 +767,36 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle hash-matches bit-for-bit. At n_probe = 8 (= all
     centroids) IVF degenerates to exact search: recall must be 100 — a
     built-in self-check the oracle also encodes."""
+    from pyspark.sql import Window
+
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 8)
-    exact = S.cosine_topk(embs, queries, k=5).select("query_id", "neighbor_id")
-    parts = []
-    for p in (1, 2, 4, 8):
-        approx = S.ivf_topk(embs, queries, k=5, n_centroids=8, n_probe=p).select(
-            "query_id", "neighbor_id"
-        )
-        parts.append(
-            exact.join(approx, ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-            .select(F.lit(p).cast("long").alias("n_probe"), "query_id", "n_hits")
-        )
-    hits = parts[0]
-    for part in parts[1:]:
-        hits = hits.unionByName(part)
+    # Round 13 (VERDICT r12 item 4, guide §4.2): ONE Arrow-kernel corpus
+    # pass scores every (n_probe, query) pair — replacing one full
+    # bucketed-join ivf_topk plan per probe budget plus a separate exact
+    # cosine_topk plan. The queries/centroids coincide here (8 lowest-id
+    # vectors, the deterministic default_codebook) and are collected once
+    # (8 rows — the kmeans-init pattern); n_probe=8 probes ALL centroids,
+    # so the widest branch IS the exact ranking by construction — the same
+    # degenerate-to-exact self-check the oracle encodes.
+    q_ids, q_mat = S.collect_query_qmatrix(queries)
+    cand = S.ivf_probe_topk_candidates(
+        embs, q_ids, q_mat, q_ids, q_mat, probes=(1, 2, 4, 8), k=5
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    approx = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("n_probe", "query_id", "neighbor_id")
+    )
+    exact = approx.filter(F.col("n_probe") == 8).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("n_probe", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
     base = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
         F.broadcast(
             spark.range(4).select(
@@ -868,24 +894,33 @@ def matryoshka_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate-to-exact self-check (must read 100), the ivf_recall_sweep
     construction applied to the truncation axis. Broadcast queries, one
     corpus scan per dim — a diagnostic query, not a serving path."""
+    from pyspark.sql import Window
+
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 8)
-    exact = S.cosine_topk(embs, queries, k=5).select("query_id", "neighbor_id")
-    parts = []
-    for d in (8, 16, 32, 64):
-        trunc = embs.withColumn("embedding", F.slice("embedding", 1, d))
-        approx = S.cosine_topk(
-            trunc, trunc.filter(F.col("vec_id") < 8), k=5
-        ).select("query_id", "neighbor_id")
-        parts.append(
-            exact.join(approx, ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-            .select(F.lit(d).cast("long").alias("dim"), "query_id", "n_hits")
-        )
-    hits = parts[0]
-    for part in parts[1:]:
-        hits = hits.unionByName(part)
+    # Round 13 (VERDICT r12 item 4, guide §4.2): ONE Arrow-kernel corpus
+    # pass scores every (prefix-dim, query) pair — replacing one broadcast-
+    # join + HOF-dot cosine_topk plan per dim plus the separate exact plan
+    # (slice-then-quantize ≡ quantize-then-slice, so prefix dots over the
+    # full quantized matrix are bit-identical to the truncated plans). The
+    # dim=64 branch IS the exact full-dimension ranking by construction —
+    # the degenerate-to-exact self-check the oracle encodes.
+    q_ids, q_mat = S.collect_query_qmatrix(queries)
+    cand = S.prefix_topk_candidates(embs, q_ids, q_mat, dims=(8, 16, 32, 64), k=5)
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    approx = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    exact = approx.filter(F.col("dim") == 64).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("dim", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
     base = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
         F.broadcast(
             spark.range(4).select(
@@ -2471,9 +2506,9 @@ def semantic_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays the ENTIRE training loop (iterations unrolled
     as CTEs, the BPE/PageRank precedent) so the hash gate covers
     training, not just the final assignment pass. Each iteration is one
-    map-only scan against centroid literals + one (cluster, dim) hash
-    aggregate — nothing all-pairs, k·dim driver round-trip per
-    iteration."""
+    map-only Arrow-kernel scan (the centroid matrix ships in the task
+    closure, round 12) + one (cluster, dim) hash aggregate — nothing
+    all-pairs, k·dim driver round-trip per iteration."""
     from flink_uba_spark.operators.similarity import kmeans_train_exact
 
     return kmeans_train_exact(_embs(spark, sf_dir), k=8, iters=3)

@@ -130,7 +130,7 @@ def stream_hot_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _batches():
         # event-time max as a broadcast one-row join, not a driver collect —
         # the cutoff predicates stay fully declarative, and the builder only
-        # runs on replay-cache miss (zero jobs when cached)
+        # runs on per-process replay-memo miss (once per invocation)
         p = pages.crossJoin(F.broadcast(pages.agg(F.max("ts").alias("__tmax"))))
         is_late = (F.col("ts") <= F.col("__tmax") - F.expr("INTERVAL 12 HOURS")) & (
             F.col("event_id") % 19 == 0
@@ -2654,8 +2654,9 @@ def stream_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means SERVING at ingest (round 6): centroids are
     trained in batch (operators/similarity.py:kmeans_centroids_exact —
-    the oracle-replayable Lloyd's loop) and folded into the streaming
-    plan as k×dim integer literals, so each arriving vector is assigned
+    the oracle-replayable Lloyd's loop) and shipped to the stream as the
+    k×dim int64 matrix inside the ``kmeans_assign_exact`` mapInArrow task
+    closure (round 12), so each arriving vector is assigned
     map-only — the stream side never joins and never shuffles (the
     cluster-routing step of a streaming curation pipeline). The bounded
     replay covers every vector, so the oracle is the batch

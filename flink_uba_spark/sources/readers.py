@@ -195,17 +195,38 @@ def normalize_event_time(df: DataFrame) -> DataFrame:
 _normalize_ns_timestamps = normalize_event_time
 
 
+# Per-process memo of the LAZY base-table frames, keyed by (Spark
+# application, resolved sf dir, table). These are unreferenced logical
+# plans — no rows, no results, no statistics: every action still scans the
+# parquet inputs in full. What the memo removes is the per-CALL driver cost
+# of `spark.read.parquet` (footer/schema resolution + a fresh file-listing
+# index + two conf round-trips), measured warm at 94-190 ms per table on
+# local[32] — paid by every query on every bench pass (~968 executions)
+# before this round. A long-lived deployment resolves its tables once at
+# startup; rebuilding the reader per query was bench-harness shape, not
+# workload (guide §1.2 step 1: stop doing work you don't need to do).
+_TESTDATA_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_testdata(spark: SparkSession, sf_dir: str, tables=schemas.TESTDATA_TABLES) -> dict[str, DataFrame]:
     """Load the driver's synthetic parquet tables from an sf directory."""
-    # Both confs must be set on whatever session the caller (possibly the
-    # driver, with its own config) hands us, before the reads resolve:
-    # nanos columns → long (normalized below), no-tz micros → TimestampType.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    return {
-        t: normalize_event_time(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
-        for t in tables
-    }
+    import os
+
+    app = spark.sparkContext.applicationId
+    base = os.path.realpath(sf_dir)
+    missing = [t for t in tables if (app, base, t) not in _TESTDATA_MEMO]
+    if missing:
+        # Both confs must be set on whatever session the caller (possibly
+        # the driver, with its own config) hands us, before the reads
+        # resolve: nanos columns → long (normalized below), no-tz micros →
+        # TimestampType.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        for t in missing:
+            _TESTDATA_MEMO[(app, base, t)] = normalize_event_time(
+                spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            )
+    return {t: _TESTDATA_MEMO[(app, base, t)] for t in tables}
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=schemas.TESTDATA_TABLES) -> None:

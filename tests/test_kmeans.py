@@ -119,9 +119,9 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
 
 
 def test_kmeans_assignment_is_map_only(spark, sf_dir):
-    """The final assignment pass must be join-free: centroids are folded in
-    as literals, so the plan over the cached corpus contains no Join and no
-    Exchange (scan + project only)."""
+    """The final assignment pass must be join-free: centroids ship in the
+    mapInArrow task closure (round 12), so the plan over the corpus contains
+    no Join and no Exchange (scan + Arrow kernel only)."""
     embs = _embs(spark, sf_dir).filter(F.col("vec_id") < 64)
     df = kmeans_train_exact(embs, k=4, iters=2)
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -99,3 +99,32 @@ def test_write_corpus_shards_bounded_and_manifest(spark, sf_dir, tmp_path):
     truth = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
     assert {k: v["n_rows"] for k, v in manifest.items()} == truth
     assert all(v["n_files"] >= 1 for v in manifest.values())
+
+
+def test_replay_memo_is_process_scoped(spark):
+    """VERDICT r12 item 2: replay staging must never be reused across
+    bench invocations. write_replay(cache_key=...) may memoize within one
+    process (warm passes), but the staging dir must be freshly built —
+    and the builder callable re-invoked — whenever the memo is empty,
+    i.e. in every new process. No deterministic /tmp path keyed on the
+    testdata dir may survive as a cross-process cache."""
+    import flink_uba_spark.streaming.runner as runner
+
+    calls = []
+
+    def _frames():
+        calls.append(1)
+        return [spark.range(3).selectExpr("id AS v")]
+
+    key = "/root/testdata/sf0.001"
+    tag = "memo_probe"
+    runner._REPLAY_MEMO.pop((tag, str(runner.Path(key).resolve())), None)
+    p1 = runner.write_replay(_frames, tag=tag, cache_key=key)
+    p2 = runner.write_replay(_frames, tag=tag, cache_key=key)
+    assert p1 == p2 and len(calls) == 1, "within-process memo must hit"
+    # simulate a fresh process: an empty memo must rebuild from inputs
+    # into a DIFFERENT dir (uuid component), proving no on-disk reuse
+    runner._REPLAY_MEMO.clear()
+    p3 = runner.write_replay(_frames, tag=tag, cache_key=key)
+    assert p3 != p1, "fresh invocation must pay staging, not reuse /tmp"
+    assert len(calls) == 2, "builder must run again on a fresh memo"
