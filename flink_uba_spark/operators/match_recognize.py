@@ -402,13 +402,16 @@ def _explode_plain_rows(
 
 
 def _rename(out: DataFrame, parsed) -> DataFrame:
+    renames: dict[str, str] = {}
     for k, (var, q) in enumerate(parsed, start=1):
         nm = "_".join(var) if isinstance(var, tuple) else var
-        out = out.withColumnRenamed(f"t{k}", f"{nm}_ts")
+        renames[f"t{k}"] = f"{nm}_ts"
         if q is not None and q[0] in ("kleene", "reluctant"):
-            out = out.withColumnRenamed(f"t{k}_last", f"{nm}_last_ts")
-            out = out.withColumnRenamed(f"n{k}", f"{nm}_n")
-    return out
+            renames[f"t{k}_last"] = f"{nm}_last_ts"
+            renames[f"n{k}"] = f"{nm}_n"
+    # one Dataset op (was one withColumnRenamed per column — each a full
+    # plan re-analysis in the compile phase)
+    return out.withColumnsRenamed(renames)
 
 
 def _drop_excluded(out: DataFrame, excluded) -> DataFrame:
@@ -957,13 +960,14 @@ def match_recognize(
         if mode == "skip_past_last":
             out = out.withColumn("end_id", F.col(f"i{n}"))
         var_cols = []
+        renames: dict[str, str] = {}
         for k, v in enumerate(vnames, start=1):
-            out = out.withColumnRenamed(f"t{k}", f"{v}_ts")
+            renames[f"t{k}"] = f"{v}_ts"
             if parsed[k - 1][1] is not None:
-                out = out.withColumnRenamed(f"t{k}_last", f"{v}_last_ts")
-                out = out.withColumnRenamed(f"n{k}", f"{v}_n")
+                renames[f"t{k}_last"] = f"{v}_last_ts"
+                renames[f"n{k}"] = f"{v}_n"
             for nm in pay:
-                out = out.withColumnRenamed(f"{nm}{k}", f"{nm}_{v}")
+                renames[f"{nm}{k}"] = f"{nm}_{v}"
             if v in excluded:
                 # round 11: exclusion drops the variable's columns AND
                 # its payload columns — the same stateless shaping as
@@ -972,7 +976,7 @@ def match_recognize(
             var_cols.append(f"{v}_ts")
             if parsed[k - 1][1] is not None:
                 var_cols += [f"{v}_last_ts", f"{v}_n"]
-        out = out.drop(*[f"i{k}" for k in range(1, n + 1)])
+        out = out.withColumnsRenamed(renames)
         out = out.select(
             partition_by, "anchor_id",
             *var_cols,
@@ -2369,9 +2373,13 @@ def stream_match_recognize(
             return _explode_plain_rows(out, vnames, partition_by, excluded)
         out = out.drop(*[f"i{k}" for k in range(1, n + 1)])
         out = _rename(out, parsed)
-        for nm in (payload or {}):
-            for k, v in enumerate(vnames, start=1):
-                out = out.withColumnRenamed(f"{nm}{k}", f"{nm}_{v}")
+        out = out.withColumnsRenamed(
+            {
+                f"{nm}{k}": f"{nm}_{v}"
+                for nm in (payload or {})
+                for k, v in enumerate(vnames, start=1)
+            }
+        )
         # round 11: exclusion drops the variable's columns AND its
         # payload columns — the batch iterative route's rule
         out = _drop_excluded(out, excluded)

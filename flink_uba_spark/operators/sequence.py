@@ -348,15 +348,26 @@ def pattern_detect(
             ),
         )
 
-    # Kleene prep: assign each step-k row its within-gap session id (runs),
-    # computed on the step's own rows and joined back by event id
+    # Kleene prep: assign each step-k row its within-gap session id (runs).
+    # Round 13 (guide §2.4): computed IN PLACE over the key-partitioned
+    # ordering instead of filter → window-on-own-rows → join-back — the
+    # join cost two exchanges + two sorts per Kleene step and broke the
+    # single-key-exchange chain. "Previous step-k row's X" over the full
+    # row set is last(when(__p{k}, X), ignorenulls) over the strict prefix
+    # frame (an incremental running aggregate, same O(rows)): the step's
+    # rows and their (ts, id) order are identical filtered or not, so
+    # gap_break is unchanged; the running sum counts breaks among step-k
+    # rows only, and non-step rows get a NULL session id exactly as the
+    # old left-join miss produced — session partitions hold the same rows.
+    sess_cols: dict[str, Column] = {}
     for k in range(2, n + 1):
         if reps[k - 1] is None:
             continue
-        wk = Window.partitionBy("__k").orderBy("__ts", "__id")
-        sel = ["__k", "__id", "__ts"]
-        if k in consecs:
-            sel.append("__pos")
+        w_prefix = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
         if k in untils:
             # until(): a run may not span an until-row — count U rows
             # strictly before each row in the (ts, id) order (the Kleene
@@ -368,21 +379,20 @@ def pattern_detect(
             # when the condition fires; session splitting is the batch
             # equivalent, and the machinery downstream — caps, min_reps,
             # run_last handoff — applies to the refined runs unchanged)
-            w_before = (
-                Window.partitionBy("__k")
-                .orderBy("__ts", "__id")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
             base = base.withColumn(
                 f"__ucnt{k}",
                 F.coalesce(
-                    F.sum(F.when(F.col(f"__u{k}"), 1).otherwise(0)).over(w_before),
+                    F.sum(F.when(F.col(f"__u{k}"), 1).otherwise(0)).over(w_prefix),
                     F.lit(0),
                 ),
             )
-            sel.append(f"__ucnt{k}")
-        pk = base.filter(F.col(f"__p{k}")).select(*sel)
-        prev = F.lag("__ts").over(wk)
+
+        def prev_pk(col: str, k=k, w_prefix=w_prefix) -> Column:
+            return F.last(
+                F.when(F.col(f"__p{k}"), F.col(col)), ignorenulls=True
+            ).over(w_prefix)
+
+        prev = prev_pk("__ts")
         gap_break = (
             prev.isNull() | (F.col("__ts") > prev + F.expr(withins[k - 1]))
             if withins[k - 1] is not None
@@ -390,7 +400,7 @@ def pattern_detect(
         )
         if k in untils:
             gap_break = gap_break | (
-                F.col(f"__ucnt{k}") != F.lag(f"__ucnt{k}").over(wk)
+                F.col(f"__ucnt{k}") != prev_pk(f"__ucnt{k}")
             )
         if k in consecs:
             # strict internal contiguity: a repetition whose predecessor
@@ -398,17 +408,18 @@ def pattern_detect(
             # new run (an intervening row — matching anything or nothing
             # — ends the loop, Flink's consecutive() break)
             gap_break = gap_break | (
-                F.col("__pos") != F.lag("__pos").over(wk) + F.lit(1)
+                F.col("__pos") != prev_pk("__pos") + F.lit(1)
             )
-        sess = pk.withColumn(
-            f"__sess{k}",
-            F.sum(F.when(gap_break, 1).otherwise(0)).over(
-                wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sess_cols[f"__sess{k}"] = F.when(
+            F.col(f"__p{k}"),
+            F.sum(F.when(F.col(f"__p{k}") & gap_break, 1).otherwise(0)).over(
+                Window.partitionBy("__k")
+                .orderBy("__ts", "__id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
-        ).select("__k", "__id", f"__sess{k}")
-        # join on (key, id): event ids need only be unique PER KEY — an
-        # id-only join would fan out across keys that reuse ids
-        base = base.join(sess, on=["__k", "__id"], how="left")
+        )
+    if sess_cols:
+        base = base.withColumns(sess_cols)
 
     # "earliest strictly-after row": the natural shrinking frame
     # (rowsBetween(1, unboundedFollowing) over the ascending order) makes
@@ -471,7 +482,14 @@ def pattern_detect(
         return fb.isNotNull() & (nxt.isNull() | (fb < bound))
 
     def build_step(df: DataFrame, k: int) -> DataFrame:
+        # Round 13 (py4j batching, VERDICT r12 item 3a): the per-step
+        # helper columns are added in dependency LAYERS via withColumns —
+        # each withColumn call was one JVM Dataset op re-analyzing the
+        # whole (growing) plan, and this function dominated the compile
+        # phase's 4,405 py4j round-trips. Expressions are unchanged.
         downstream = chain_fields[k + 1]
+        layer1: dict[str, Column] = {}
+        layer2: dict[str, Column] = {}
         nxt = fb = None
         if k < n:
             if k + 1 in stricts:
@@ -479,13 +497,9 @@ def pattern_detect(
                 # nothing — __c{k+1} is non-null exactly on step-(k+1)
                 # rows, so a non-matching successor yields null and the
                 # chain breaks, Flink's strict-contiguity discard
-                df = df.withColumn(
-                    f"__nx{k}", F.lead(F.col(f"__c{k+1}")).over(w_lead)
-                )
+                layer1[f"__nx{k}"] = F.lead(F.col(f"__c{k+1}")).over(w_lead)
             else:
-                df = df.withColumn(
-                    f"__nx{k}", F.min(F.col(f"__c{k+1}")).over(w_after)
-                )
+                layer1[f"__nx{k}"] = F.min(F.col(f"__c{k+1}")).over(w_after)
             nxt = F.col(f"__nx{k}")
         if k + 1 in opts:
             # optional step j = k+1: the greedy race — take j iff its
@@ -493,9 +507,7 @@ def pattern_detect(
             # in (ts, rank, id) position order, else skip (t_j stays null
             # and the chain continues from step j+2's candidate directly)
             j = k + 1
-            df = df.withColumn(
-                f"__nxskip{k}", F.min(F.col(f"__c{j+1}")).over(w_after)
-            )
+            layer1[f"__nxskip{k}"] = F.min(F.col(f"__c{j+1}")).over(w_after)
             nx, sk = F.col(f"__nx{k}"), F.col(f"__nxskip{k}")
             # take unless the skip candidate STRICTLY precedes — a tie
             # (the same row serving both steps) takes, matching the
@@ -514,7 +526,7 @@ def pattern_detect(
                 )
             )
             own_j = [f"t{j}", f"i{j}", f"r{j}"]
-            merged = F.when(
+            layer2[f"__nxm{k}"] = F.when(
                 nx.isNotNull() | sk.isNotNull(),
                 F.struct(
                     *[F.when(take, nx.getField(f)).alias(f) for f in own_j],
@@ -524,18 +536,14 @@ def pattern_detect(
                     ],
                 ),
             )
-            df = df.withColumn(f"__nxm{k}", merged)
             nxt = F.col(f"__nxm{k}")
         if k in negs:
-            df = df.withColumn(
-                f"__fb{k}",
-                F.min(
-                    F.when(
-                        F.col(f"__g{k}"),
-                        F.struct(F.col("__ts"), F.col("__rank"), F.col("__id")),
-                    )
-                ).over(w_after),
-            )
+            layer1[f"__fb{k}"] = F.min(
+                F.when(
+                    F.col(f"__g{k}"),
+                    F.struct(F.col("__ts"), F.col("__rank"), F.col("__id")),
+                )
+            ).over(w_after)
             fb = F.col(f"__fb{k}")
         own = [F.col("__ts").alias(f"t{k}"), F.col("__id").alias(f"i{k}")]
         if k - 1 in negs or k in opts or k - 1 in opts:
@@ -548,14 +556,17 @@ def pattern_detect(
                 # notNext(): killed iff the immediate successor of step
                 # k's bound row matches the forbidden predicate; no
                 # successor (end of data) = trivially satisfied
-                df = df.withColumn(
-                    f"__xn{k}",
-                    F.coalesce(F.lead(F.col(f"__x{k}")).over(w_lead), F.lit(False)),
+                layer1[f"__xn{k}"] = F.coalesce(
+                    F.lead(F.col(f"__x{k}")).over(w_lead), F.lit(False)
                 )
                 fields = fields + [F.col(f"__xn{k}").alias(f"bx{k}")]
             fields = fields + (
                 [nxt.getField(f).alias(f) for f in downstream] if nxt is not None else []
             )
+            if layer1:
+                df = df.withColumns(layer1)
+            if layer2:
+                df = df.withColumns(layer2)
             return df.withColumn(f"__c{k}", F.when(F.col(f"__p{k}"), F.struct(*fields)))
 
         # Kleene step: capped greedy run within the session; an entry with
@@ -565,11 +576,12 @@ def pattern_detect(
         w_sess_full = w_sess.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
-        df = (
-            df.withColumn(f"__last_ts{k}", F.max("__ts").over(w_sess_full))
-            .withColumn(f"__cnt{k}", F.count(F.lit(1)).over(w_sess_full))
-            .withColumn(f"__rn{k}", F.row_number().over(w_sess))
-        )
+        # session-carried helpers go in the layer AFTER whichever column
+        # they read (fb/nx from layer1, the race-merged nxm from layer2)
+        layer3: dict[str, Column] = {}
+        layer1[f"__last_ts{k}"] = F.max("__ts").over(w_sess_full)
+        layer1[f"__cnt{k}"] = F.count(F.lit(1)).over(w_sess_full)
+        layer1[f"__rn{k}"] = F.row_number().over(w_sess)
         avail_reps = (F.col(f"__cnt{k}") - F.col(f"__rn{k}") + 1).cast("long")
         if cap is None:
             # uncapped oneOrMore: every run extends to its session end —
@@ -578,7 +590,7 @@ def pattern_detect(
             run_last = F.col(f"__last_ts{k}")
             n_reps = avail_reps
         else:
-            df = df.withColumn(f"__lead_ts{k}", F.lead("__ts", cap - 1).over(w_sess))
+            layer1[f"__lead_ts{k}"] = F.lead("__ts", cap - 1).over(w_sess)
             capped = F.col(f"__lead_ts{k}").isNotNull()
             run_last = F.coalesce(F.col(f"__lead_ts{k}"), F.col(f"__last_ts{k}"))
             n_reps = F.least(F.lit(cap).cast("long"), avail_reps)
@@ -593,9 +605,7 @@ def pattern_detect(
             if cap is None:
                 run_last_id = F.last("__id").over(w_sess_full)
             else:
-                df = df.withColumn(
-                    f"__lead_id{k}", F.lead("__id", cap - 1).over(w_sess)
-                )
+                layer1[f"__lead_id{k}"] = F.lead("__id", cap - 1).over(w_sess)
                 run_last_id = F.when(capped, F.col(f"__lead_id{k}")).otherwise(
                     F.last("__id").over(w_sess_full)
                 )
@@ -607,23 +617,22 @@ def pattern_detect(
         if k < n:
             # carry the column `nxt` points to — the race-MERGED struct
             # when step k+1 is optional, else the raw next-chain min
+            nx_layer = layer3 if k + 1 in opts else layer2
             nxcol = f"__nxm{k}" if k + 1 in opts else f"__nx{k}"
-            df = df.withColumn(f"__last_nx{k}", F.last(nxcol).over(w_sess_full))
+            nx_layer[f"__last_nx{k}"] = F.last(nxcol).over(w_sess_full)
             if cap is None:
                 nxt_at_last = F.col(f"__last_nx{k}")
             else:
-                df = df.withColumn(f"__lead_nx{k}", F.lead(nxcol, cap - 1).over(w_sess))
+                nx_layer[f"__lead_nx{k}"] = F.lead(nxcol, cap - 1).over(w_sess)
                 nxt_at_last = F.when(capped, F.col(f"__lead_nx{k}")).otherwise(
                     F.col(f"__last_nx{k}")
                 )
         if k in negs:
-            df = df.withColumn(f"__last_fb{k}", F.last(f"__fb{k}").over(w_sess_full))
+            layer2[f"__last_fb{k}"] = F.last(f"__fb{k}").over(w_sess_full)
             if cap is None:
                 fb_at_last = F.col(f"__last_fb{k}")
             else:
-                df = df.withColumn(
-                    f"__lead_fb{k}", F.lead(f"__fb{k}", cap - 1).over(w_sess)
-                )
+                layer2[f"__lead_fb{k}"] = F.lead(f"__fb{k}", cap - 1).over(w_sess)
                 fb_at_last = F.when(capped, F.col(f"__lead_fb{k}")).otherwise(
                     F.col(f"__last_fb{k}")
                 )
@@ -636,6 +645,9 @@ def pattern_detect(
         valid = F.col(f"__p{k}") & (
             (F.col(f"__cnt{k}") - F.col(f"__rn{k}") + 1) >= F.lit(mn)
         )
+        for layer in (layer1, layer2, layer3):
+            if layer:
+                df = df.withColumns(layer)
         return df.withColumn(f"__c{k}", F.when(valid, F.struct(*fields)))
 
     df = base
@@ -711,15 +723,17 @@ def pattern_detect(
         negated = negated | F.coalesce(F.col(f"__b{k}"), F.lit(False))
     for k in sorted(nnx):
         negated = negated | F.coalesce(F.col(f"__bx{k}"), F.lit(False))
-    out = out.withColumn("max_step", max_step.cast("long")).withColumn(
-        "state",
+    # one projection appends max_step/state and drops the guard verdicts
+    # (was withColumn + withColumn + drop — three plan re-analyses)
+    helper = {f"__b{k}" for k in sorted(negs)} | {f"__bx{k}" for k in sorted(nnx)}
+    return out.select(
+        *[c for c in out.columns if c not in helper],
+        max_step.cast("long").alias("max_step"),
         F.when(negated, F.lit("negated"))
         .when(~complete, F.lit("incomplete"))
         .when(bounds_ok, F.lit("matched"))
-        .otherwise(F.lit("matched_late")),
-    )
-    return out.drop(
-        *[f"__b{k}" for k in sorted(negs)], *[f"__bx{k}" for k in sorted(nnx)]
+        .otherwise(F.lit("matched_late"))
+        .alias("state"),
     )
 
 
