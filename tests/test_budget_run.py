@@ -14,6 +14,8 @@ both transitions.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from hypothesis import HealthCheck, given, settings
@@ -132,6 +134,7 @@ def _budget_case(draw):
 
 @settings(max_examples=50, deadline=None,
           suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 @given(_budget_case())
 def test_budget_run_matches_brute(spark, case):
     events, budget, gap, sfx, cap = case

@@ -497,6 +497,7 @@ def _lazy_case(draw):
     return gap, mn, mx, events
 
 
+@pytest.mark.slow
 @settings(max_examples=40, deadline=None)
 @given(_lazy_case())
 def test_reluctant_lazy_matches_brute(spark, case):
@@ -564,6 +565,7 @@ def _alt_case(draw):
     return w2, events
 
 
+@pytest.mark.slow
 @settings(max_examples=40, deadline=None)
 @given(_alt_case())
 def test_alternation_matches_brute(spark, case):
@@ -805,6 +807,7 @@ def _trailing_case(draw):
     return w, cap, events
 
 
+@pytest.mark.slow
 @settings(max_examples=40, deadline=None)
 @given(_trailing_case())
 def test_trailing_run_skip_matches_brute(spark, case):
@@ -1004,6 +1007,7 @@ def _subset_case(draw):
     return w, events
 
 
+@pytest.mark.slow
 @settings(max_examples=30, deadline=None)
 @given(_subset_case())
 def test_subset_agg_matches_all_rows_route(spark, case):
@@ -1169,6 +1173,7 @@ def test_all_rows_iter_and_skip_to(spark):
         )
 
 
+@pytest.mark.slow
 @settings(max_examples=25, deadline=None)
 @given(_trailing_case())
 def test_trailing_reluctant_rewrite_matches_brute(spark, case):

@@ -276,6 +276,7 @@ def iter_case(draw):
     return events, n, withins, conds
 
 
+@pytest.mark.slow
 @settings(max_examples=30, deadline=None)
 @given(iter_case())
 def test_property_batch_matches_brute(spark, case):

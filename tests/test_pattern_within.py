@@ -11,6 +11,8 @@ DuckDB oracle gate on the catalog pair
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from hypothesis import given, settings
@@ -166,6 +168,7 @@ def within_case(draw):
     return events, n, window
 
 
+@pytest.mark.slow
 @settings(max_examples=40, deadline=None)
 @given(within_case())
 def test_property_matches_brute(spark, case):

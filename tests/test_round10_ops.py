@@ -92,6 +92,7 @@ def _assert_stream_equals_batch(spark, ev, spec, drop_sentinel=True):
     )
 
 
+@pytest.mark.slow
 def test_stream_within_skip_past_prunes_before_fold(spark):
     """The corner the bound exists for: anchor 1's match violates the
     overall bound, so it must not advance the SKIP PAST LAST horizon —
@@ -113,6 +114,7 @@ def test_stream_within_skip_past_prunes_before_fold(spark):
     _assert_stream_equals_batch(spark, ev, spec)
 
 
+@pytest.mark.slow
 def test_stream_within_skip_to_equals_batch(spark):
     rows = [
         (1, 1, 0, "s"), (1, 2, 2, "s"), (1, 3, 3, "c"), (1, 4, 6, "p"),
@@ -129,6 +131,7 @@ def test_stream_within_skip_to_equals_batch(spark):
     _assert_stream_equals_batch(spark, ev, spec)
 
 
+@pytest.mark.slow
 def test_stream_within_trailing_run_equals_batch(spark):
     rows = [
         (1, 1, 0, "s"), (1, 2, 2, "c"), (1, 3, 4, "c"), (1, 4, 9, "c"),
@@ -144,6 +147,7 @@ def test_stream_within_trailing_run_equals_batch(spark):
     _assert_stream_equals_batch(spark, ev, spec)
 
 
+@pytest.mark.slow
 def test_exclusion_on_skip_to_routes(spark):
     """Round-10 item 6: `{- X -}` is output shaping, so it now composes
     with SKIP TO on BOTH engines — same match set, excluded columns
@@ -189,6 +193,7 @@ def test_exclusion_skip_to_all_rows(spark):
     assert sorted(r["var"] for r in out) == ["P", "S"]
 
 
+@pytest.mark.slow
 def test_within_overall_on_reluctant_routes(spark):
     """Round-10 second pass: within_overall composes with the reluctant
     routes. The bound depends only on the END ts, so per anchor the
@@ -249,6 +254,7 @@ def test_within_overall_on_reluctant_routes(spark):
         ), am
 
 
+@pytest.mark.slow
 def test_within_overall_on_alternation_and_iterative_streams(spark):
     """Round-10 second pass closes the stream within_overall matrix:
     the alternation preference operator prunes completions BEFORE the
@@ -317,6 +323,7 @@ def test_within_overall_on_alternation_and_iterative_streams(spark):
     )
 
 
+@pytest.mark.slow
 def test_exclusion_on_alternation_routes(spark):
     """Round-10 second pass: `{- X -}` composes with alternation/PERMUTE
     on BOTH engines — same match set (and CLASSIFIER), excluded columns

@@ -109,6 +109,7 @@ def test_stream_all_rows_plain_skip_equals_batch(spark):
     )
 
 
+@pytest.mark.slow
 def test_stream_all_rows_optional_no_skip_equals_batch(spark):
     """A skipped optional emits no per-event row — on both engines."""
     ev = _mk(spark, ROWS_PLAIN)
@@ -126,6 +127,7 @@ def test_stream_all_rows_optional_no_skip_equals_batch(spark):
     assert sum(1 for r in got.collect() if r["user_id"] == 2) == 2
 
 
+@pytest.mark.slow
 def test_stream_all_rows_exclusion_composes(spark):
     ev = _mk(spark, ROWS_PLAIN)
     spec = dict(
@@ -141,6 +143,7 @@ def test_stream_all_rows_exclusion_composes(spark):
     assert all(r["var"] != "C" for r in got.collect())
 
 
+@pytest.mark.slow
 def test_stream_all_rows_raises(spark):
     # round 12 lifted the quantified / optional / skip-to /
     # within_overall ALL ROWS routes onto the replayers
@@ -196,6 +199,7 @@ def test_stream_run_agg_count_and_subset_equal_batch(spark):
     assert (1, 1, 2, 4) in rows
 
 
+@pytest.mark.slow
 def test_stream_run_agg_value_aggregates_raise(spark):
     # round 12 lifted value aggregates under SKIP PAST LAST / NO SKIP
     # onto the quantified-chain replayer (tests/test_round12_ops.py
@@ -243,6 +247,7 @@ DEFINE S AS S.event_type = 's', C AS C.event_type = 'c',
 """
 
 
+@pytest.mark.slow
 def test_stream_sql_text_run_agg_equals_batch_text(spark):
     ev = _mk(spark, ROWS_RUN)
     got = run_to_table(
@@ -260,6 +265,7 @@ def test_stream_sql_text_run_agg_equals_batch_text(spark):
     )
 
 
+@pytest.mark.slow
 def test_stream_sql_text_all_rows_equals_batch_text(spark):
     ev = _mk(spark, ROWS_PLAIN)
     sql = """
@@ -285,6 +291,7 @@ def test_stream_sql_text_all_rows_equals_batch_text(spark):
     )
 
 
+@pytest.mark.slow
 def test_stream_sql_text_value_measures_stream_or_raise(spark):
     # round 12: value aggregates STREAM through the quantified-chain
     # replayer — the text compile equals the batch compile
@@ -326,6 +333,7 @@ def test_stream_sql_text_value_measures_stream_or_raise(spark):
 # ---- round-11 exclusion lifts (the last cells: reluctant + iterative) ----
 
 
+@pytest.mark.slow
 def test_reluctant_exclusion_emits_duplicate_projections(spark):
     """Two per-count matches that bind the SAME purchase collapse to
     identical projections once the lazy run's columns drop — BOTH rows
@@ -350,6 +358,7 @@ def test_reluctant_exclusion_emits_duplicate_projections(spark):
     assert sorted(map(tuple, got.collect())) == wrows
 
 
+@pytest.mark.slow
 def test_reluctant_lazy_exclusion_equals_batch(spark):
     ev = _mk(spark, ROWS_RUN)
     spec = dict(
@@ -448,6 +457,7 @@ ROWS_MIDQ = [
 ]
 
 
+@pytest.mark.slow
 def test_stream_mid_quant_skip_past_equals_batch(spark):
     """Mid-pattern greedy runs now STREAM under SKIP PAST LAST (the
     general quantified-chain replayer) — with and without the overall
@@ -477,6 +487,7 @@ def test_stream_mid_quant_skip_past_equals_batch(spark):
     assert u3 == [21]
 
 
+@pytest.mark.slow
 def test_stream_two_runs_skip_past_equals_batch(spark):
     """TWO quantified steps in one chain through the same replayer."""
     ev = _mk(spark, ROWS_MIDQ)
@@ -493,6 +504,7 @@ def test_stream_two_runs_skip_past_equals_batch(spark):
     )
 
 
+@pytest.mark.slow
 def test_stream_mid_quant_uncapped_raises(spark):
     ev = _mk(spark, ROWS_MIDQ)
     with pytest.raises(ValueError, match="finite cap"):
@@ -507,6 +519,7 @@ def test_stream_mid_quant_uncapped_raises(spark):
 # ---- round-11 second pass: OPTIONAL steps on the replay route --------
 
 
+@pytest.mark.slow
 def test_stream_optional_skip_past_equals_batch(spark):
     """Interior optional under SKIP PAST LAST now streams (the greedy
     race inside the quantified-chain replayer) — including the
@@ -544,6 +557,7 @@ def test_stream_optional_skip_past_equals_batch(spark):
     assert u3 == [(20, None)]  # the race skipped C
 
 
+@pytest.mark.slow
 def test_quantified_chain_replayer_randomized_equals_batch(spark):
     """Randomized replayer-level drive vs the batch compile: random
     event soups over optional/quantified/plain mixes, arbitrary

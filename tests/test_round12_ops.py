@@ -132,6 +132,7 @@ def _val_measures():
     }
 
 
+@pytest.mark.slow
 def test_stream_value_aggs_skip_past_equals_batch(spark):
     ev = _mk(spark)
     w = _parity(
@@ -148,6 +149,7 @@ def test_stream_value_aggs_skip_past_equals_batch(spark):
     assert 20 in rows and 21 not in rows
 
 
+@pytest.mark.slow
 def test_stream_value_aggs_no_skip_equals_batch(spark):
     ev = _mk(spark)
     w = _parity(
@@ -159,6 +161,7 @@ def test_stream_value_aggs_no_skip_equals_batch(spark):
     assert {20, 21} <= aids
 
 
+@pytest.mark.slow
 def test_stream_value_aggs_within_overall_composes(spark):
     ev = _mk(spark)
     w = _parity(
@@ -173,6 +176,7 @@ def test_stream_value_aggs_within_overall_composes(spark):
     assert w.count() >= 1
 
 
+@pytest.mark.slow
 def test_stream_subset_value_aggs_equal_batch(spark):
     ev = _mk(spark)
     meas = {
@@ -190,6 +194,7 @@ def test_stream_subset_value_aggs_equal_batch(spark):
     )
 
 
+@pytest.mark.slow
 def test_stream_value_aggs_optional_member_subset(spark):
     """A skipped optional member contributes NOTHING to the union —
     its partials are null and the stateless combine must skip them."""
@@ -211,6 +216,7 @@ def test_stream_value_aggs_optional_member_subset(spark):
     assert rows[30]["u_sum"] == 8
 
 
+@pytest.mark.slow
 def test_stream_value_agg_raises(spark):
     ev = _mk(spark)
     base = dict(
@@ -262,6 +268,7 @@ def test_stream_value_agg_raises(spark):
 
 # ---- ALL ROWS on the replay routes ----------------------------------------
 
+@pytest.mark.slow
 def test_stream_all_rows_quantified_skip_past_equals_batch(spark):
     ev = _mk(spark)
     w = _parity(
@@ -275,6 +282,7 @@ def test_stream_all_rows_quantified_skip_past_equals_batch(spark):
     assert sum(1 for r in w.collect() if r["user_id"] == 1) == 4
 
 
+@pytest.mark.slow
 def test_stream_all_rows_quantified_no_skip_equals_batch(spark):
     ev = _mk(spark)
     w = _parity(
@@ -284,6 +292,7 @@ def test_stream_all_rows_quantified_no_skip_equals_batch(spark):
     assert {r["anchor_id"] for r in w.collect()} >= {20, 21}
 
 
+@pytest.mark.slow
 def test_stream_all_rows_optional_skip_past_equals_batch(spark):
     # the r11-ADVICE corner: optional + SKIP PAST LAST + ALL ROWS —
     # now streams through the replayer instead of an opaque plan raise
@@ -298,6 +307,7 @@ def test_stream_all_rows_optional_skip_past_equals_batch(spark):
     assert {r["var"] for r in by4} == {"S", "P"}  # skipped E: no row
 
 
+@pytest.mark.slow
 def test_stream_all_rows_within_overall_skip_past(spark):
     ev = _mk(spark)
     w = _parity(
@@ -308,6 +318,7 @@ def test_stream_all_rows_within_overall_skip_past(spark):
     assert all(r["user_id"] != 1 for r in w.collect())  # 30s span pruned
 
 
+@pytest.mark.slow
 def test_stream_all_rows_skip_to_equals_batch(spark):
     ev = _mk(spark)
     _parity(
@@ -318,6 +329,7 @@ def test_stream_all_rows_skip_to_equals_batch(spark):
     )
 
 
+@pytest.mark.slow
 def test_stream_all_rows_iterative_no_skip_equals_batch(spark):
     ev = _mk(spark)
     want = match_recognize(
@@ -344,6 +356,7 @@ def test_stream_all_rows_iterative_no_skip_equals_batch(spark):
     )
 
 
+@pytest.mark.slow
 def test_stream_all_rows_excluded_on_replay_route(spark):
     ev = _mk(spark)
     w = _parity(
@@ -358,6 +371,7 @@ def test_stream_all_rows_excluded_on_replay_route(spark):
 
 # ---- SQL-text surface ------------------------------------------------------
 
+@pytest.mark.slow
 def test_stream_sql_text_value_measures_equal_dict_and_batch(spark):
     ev = _mk(spark)
     sql = """
@@ -386,6 +400,7 @@ def test_stream_sql_text_value_measures_equal_dict_and_batch(spark):
     )
 
 
+@pytest.mark.slow
 def test_stream_sql_text_all_rows_quantified(spark):
     ev = _mk(spark)
     sql = """
@@ -409,6 +424,7 @@ def test_stream_sql_text_all_rows_quantified(spark):
     )
 
 
+@pytest.mark.slow
 def test_stream_sql_text_excluded_navigation_curated_raise(spark):
     # r11 ADVICE: FIRST/LAST over an excluded variable must raise the
     # curated error, not an opaque AnalysisException on a dropped column

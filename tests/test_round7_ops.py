@@ -107,6 +107,7 @@ def any_case(draw):
     return n, withins, events
 
 
+@pytest.mark.slow
 @settings(max_examples=60, deadline=None)
 @given(any_case())
 def test_pattern_detect_any_matches_brute(spark, case):
@@ -378,6 +379,7 @@ def run_skip_to_next(spark, events, withins_us, n):
     return sorted(got)
 
 
+@pytest.mark.slow
 @settings(max_examples=40, deadline=None)
 @given(any_case())
 def test_skip_to_next_matches_brute(spark, case):
@@ -430,6 +432,7 @@ def hh_case(draw):
     return k, items, parts
 
 
+@pytest.mark.slow
 @settings(max_examples=40, deadline=None)
 @given(hh_case())
 def test_heavy_hitters_exact_matches_brute(spark, case):
@@ -528,6 +531,7 @@ def run_skip_to_first(spark, events, withins_us, n, step):
     return sorted(got)
 
 
+@pytest.mark.slow
 @settings(max_examples=30, deadline=None)
 @given(any_case(), st.integers(2, 4))
 def test_skip_to_first_matches_brute(spark, case, raw_step):
@@ -968,6 +972,7 @@ def consec_case(draw):
     return gap, cap, mn, events
 
 
+@pytest.mark.slow
 @settings(max_examples=30, deadline=None)
 @given(consec_case())
 def test_consecutive_matches_brute(spark, case):
@@ -1194,6 +1199,7 @@ def reluctant_case(draw):
     return gap, mn, mx, events
 
 
+@pytest.mark.slow
 @settings(max_examples=60, deadline=None)
 @given(reluctant_case())
 def test_reluctant_matches_brute(spark, case):
@@ -1507,6 +1513,7 @@ def combinations_case(draw):
     return gap, mn, mx, events
 
 
+@pytest.mark.slow
 @settings(max_examples=60, deadline=None)
 @given(combinations_case())
 def test_combinations_matches_brute(spark, case):
@@ -1653,6 +1660,7 @@ def group_loop_case(draw):
     return gaps, mn, mx, events
 
 
+@pytest.mark.slow
 @settings(max_examples=50, deadline=None)
 @given(group_loop_case())
 def test_group_loop_matches_brute(spark, case):

@@ -403,6 +403,7 @@ def test_run_agg_rejections(spark):
               st.integers(-9, 9)),         # value
     max_size=26,
 ))
+@pytest.mark.slow
 def test_run_agg_matches_all_rows_membership(spark, rows):
     """RunAgg aggregates must agree with aggregating the verified
     ALL-ROWS run membership (same spec, same skip fold) joined back to
